@@ -1,0 +1,5 @@
+from data_lakehouse_project_spark.functions.scalar import (  # noqa: F401
+    SCALAR_FUNCTIONS,
+    month_bucket,
+    normalize_text,
+)

@@ -1,0 +1,9 @@
+from data_lakehouse_project_spark.sources.readers import (  # noqa: F401
+    load_testdata,
+    read_csv,
+    read_jdbc,
+    read_json,
+    read_parquet,
+    read_table,
+    read_xml,
+)
