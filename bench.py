@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set covers the engine's main plan shapes (scan+agg, fact-fact
+join, star join, window, LSH dedup, ANN, text scan, event rollup) and uses
+the *scale-path* variants (LSH, not O(n²) exact pairs) — the exact
+baselines exist for correctness, not throughput. Each query is forced end
+to end with a noop-format write so every output column is computed (a
+count() would let Catalyst prune projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_lakehouse_project_spark import get_spark, registry
+
+HEADLINE = [
+    "daily_sales_summary",
+    "pricing_summary",
+    "filter_lineitem",
+    "join_lineitem_orders",
+    "join_customer_orders",
+    "nation_revenue",
+    "top_unshipped",
+    "window_topk_per_customer",
+    "window_running_total",
+    "rollup_status_priority",
+    "dedup_exact_groups",
+    "dedup_tokenset_groups",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_pairs_lsh",
+    "text_stats",
+    "bpe_token_count",
+    "events_hourly_rollup",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+
+    # warm the JVM/session so the first query doesn't pay session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

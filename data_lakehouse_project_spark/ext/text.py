@@ -1,0 +1,137 @@
+"""Text analysis operators (SURVEY §2.8).
+
+Everything is JVM-side built-ins (split/regexp/length/aggregate) — the
+hot path of a 100 TB corpus scan must stay inside whole-stage codegen;
+there is no Python in any of these.
+
+Functions are factored so each returned Column can be reused in larger
+projections (one scan computes all stats at once — never one scan per
+metric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.functions.scalar import normalize_text
+
+# minimal deterministic stopword lists for the lang-id heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "por", "para"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+# BPE-ish word/number/symbol tokenization (letters run | digits run | one symbol)
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalize_text(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, f"[^{PUNCT_CLASS[1:-1]}]", ""))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(ws_tokens(text), lambda t: t.isin(*words)))
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = ws_tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.size(toks)
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document stats in ONE projection over one scan."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        punct_count(t).alias("n_punct"),
+        stopword_count(t).alias("n_stopwords"),
+        F.round(avg_token_length(t), 4).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: penalize too-short docs, extreme
+    punctuation density, and stopword-free word soup. Weights are fixed and
+    documented so the score is reproducible."""
+    t = F.col(text_col)
+    n_char = F.length(t)
+    n_tok = token_count(t)
+    len_ok = F.least(n_char / F.lit(200.0), F.lit(1.0))
+    punct_ratio = punct_count(t) / F.greatest(n_char, F.lit(1))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
+    stop_ratio = stopword_count(t) / F.greatest(n_tok, F.lit(1))
+    stop_ok = F.least(stop_ratio * 5, F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(
+            0.4 * len_ok + 0.3 * punct_ok + 0.3 * stop_ok, 4
+        ).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-hit language heuristic: argmax over per-language stopword
+    occurrence counts; 'und' (undetermined) when no list hits.
+
+    A production system would use fastText/cld3 via a Pandas UDF; this
+    deterministic n-gram-free heuristic keeps the operator self-contained
+    and JVM-only while exercising the same plan shape (wide projection →
+    argmax struct sort)."""
+    toks = ws_tokens(F.col(text_col))
+
+    def _hits(words: list[str]):
+        return lambda t: t.isin(*words)
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, _hits(words))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "detected_lang"
+        ),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic document fingerprints: md5 of normalized text plus a
+    64-bit rolling-style hash (xxhash64) for compact joins."""
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.xxhash64(norm).alias("fp_xx64"),
+    )

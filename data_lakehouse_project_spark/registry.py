@@ -1,0 +1,989 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql) pair.
+
+This is the driver-facing inventory (SURVEY §2 + §2.8): each entry is a
+``(spark, sf_dir) -> DataFrame`` callable plus, where SQL-expressible, an
+equivalent ANSI-SQL string DuckDB runs on the same parquet for
+differential correctness (order-insensitive value hash).
+
+Determinism rules (SURVEY §7 "hard/risky"):
+
+- Aggregated doubles are rounded with *identical arithmetic on both
+  sides*: ``floor(x*100 + 0.5)/100`` (``_r2``/``R2``) instead of engine
+  ``round()`` — Spark rounds HALF_UP on the shortest decimal repr while
+  DuckDB rounds on the binary value, which diverges on 2-decimal-clean
+  data; an explicit floor expression is bit-identical in IEEE754 on both.
+- Dates/timestamps are emitted as DATE or formatted strings, never raw
+  timestamps.
+- Integer-ish outputs are cast to bigint on the Spark side (DuckDB
+  len()/year()/count() return BIGINT).
+- Every LIMIT carries a total tiebreak order.
+- Non-deterministic columns (current_timestamp metadata, P2) never appear
+  in compared projections — pipeline tests cover them (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_lakehouse_project_spark.ext import dedup as X_dedup
+from data_lakehouse_project_spark.ext import similarity as X_sim
+from data_lakehouse_project_spark.ext import text as X_text
+from data_lakehouse_project_spark.functions.scalar import normalize_text
+from data_lakehouse_project_spark.operators.gold import daily_summary, monthly_rollup
+from data_lakehouse_project_spark.operators.silver import SilverSpec, transform_silver
+from data_lakehouse_project_spark.sources.readers import load_testdata
+from data_lakehouse_project_spark.streaming.events import (
+    hourly_rollup,
+    parse_props,
+    sessionize,
+)
+
+
+# --- determinism helpers (same arithmetic emitted on both sides) --------
+
+def _rn(col: Column, digits: int) -> Column:
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)).cast("double") / F.lit(scale)
+
+
+def _r2(col: Column) -> Column:
+    return _rn(col, 2)
+
+
+def R(expr: str, digits: int = 2) -> str:
+    scale = 10**digits
+    return f"CAST(FLOOR(({expr}) * {scale} + 0.5) AS DOUBLE) / {scale}.0"
+
+
+# DuckDB equivalent of functions.scalar.normalize_text
+NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+TOKS = f"string_split({NORM}, ' ')"
+
+_STOP_EN_SQL = "['" + "','".join(X_text.STOPWORDS["en"]) + "']"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_testdata(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+# =========================================================================
+# Medallion-semantic queries (reference shapes on testdata) — SURVEY §2.5
+# =========================================================================
+
+def q_daily_sales_summary(spark, sf_dir):
+    """A1 (mysql_gold_aggregation.py:117-125) transposed onto orders."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = daily_summary(orders, "o_orderdate", "o_totalprice", "o_orderkey")
+    return out.select(
+        "transaction_date",
+        _r2(F.col("total_amount")).alias("total_amount"),
+        "transaction_count",
+    )
+
+
+SQL_DAILY = f"""
+SELECT CAST(o_orderdate AS DATE) AS transaction_date,
+       {R('SUM(o_totalprice)')} AS total_amount,
+       COUNT(o_orderkey) AS transaction_count
+FROM orders GROUP BY 1
+"""
+
+
+def q_category_summary(spark, sf_dir):
+    """A2 (gold_aggregation.py:97-104) on part: per-type count + avg price."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count("p_partkey").alias("product_count"),
+        _r2(F.avg("p_retailprice")).alias("average_price"),
+    )
+
+
+SQL_CATEGORY = f"""
+SELECT p_type, COUNT(p_partkey) AS product_count,
+       {R('AVG(p_retailprice)')} AS average_price
+FROM part GROUP BY p_type
+"""
+
+
+def q_monthly_order_growth(spark, sf_dir):
+    """A3 (api_gold_aggregation.py:86-92) on orders: per-month count, sorted."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return monthly_rollup(orders, "o_orderdate", "monthly_order_count")
+
+
+SQL_MONTHLY = """
+SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
+       COUNT(*) AS monthly_order_count
+FROM orders GROUP BY 1 ORDER BY year_month
+"""
+
+
+def q_silver_events_cleanse(spark, sf_dir):
+    """Silver semantics (mysql_silver_transformation.py:51-74) on events:
+    casts + na.drop + rule-based quality flag (deterministic columns only)."""
+    (events,) = _t(spark, sf_dir, "events")
+    spec = SilverSpec(
+        casts={"value": "double"},
+        drop_null_subset=["value", "ts"],
+        quality_rules={
+            "non_negative_value": F.col("value") >= 0,
+            "has_user": F.col("user_id").isNotNull(),
+        },
+        add_metadata=False,
+    )
+    out = transform_silver(events, spec)
+    from data_lakehouse_project_spark.operators.silver import quality_flag
+
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("date").alias("event_date"),
+        quality_flag(
+            {
+                "non_negative_value": F.col("value") >= 0,
+                "has_user": F.col("user_id").isNotNull(),
+            }
+        ).alias("data_quality_check"),
+    )
+
+
+SQL_SILVER_EVENTS = """
+SELECT event_id, event_type, value, CAST(ts AS DATE) AS event_date,
+       CASE WHEN value >= 0 AND user_id IS NOT NULL THEN 'passed'
+            ELSE 'failed:' || concat_ws(',',
+                 CASE WHEN NOT (value >= 0) THEN 'non_negative_value' END,
+                 CASE WHEN user_id IS NULL THEN 'has_user' END)
+       END AS data_quality_check
+FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+"""
+
+# =========================================================================
+# Scalar functions / projections / filters — SURVEY §2.3, §2.4
+# =========================================================================
+
+def q_date_parts(spark, sf_dir):
+    """F2-F5: to_date, date_format, year, month."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT o_orderkey, year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       CAST(o_orderdate AS DATE) AS order_date,
+       strftime(o_orderdate, '%Y-%m') AS year_month
+FROM orders
+"""
+
+
+def q_string_normalize(spark, sf_dir):
+    """F1 lower + engine text normalization."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.lower(F.col("source")).alias("source_lower"),
+        normalize_text(F.col("text")).alias("text_norm"),
+    )
+
+
+SQL_STRING_NORM = f"""
+SELECT doc_id, lower(source) AS source_lower, {NORM} AS text_norm
+FROM documents
+"""
+
+
+def q_filter_lineitem(spark, sf_dir):
+    """General predicate filter (SURVEY §2.3 note: absent in reference,
+    backbone of the query surface) + computed net price."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.where(
+        (F.col("l_returnflag") == "R")
+        & F.col("l_quantity").between(10, 30)
+        & (F.col("l_shipdate") >= "1996-01-01")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+SQL_FILTER = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 30
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """O1 global sort + deterministic LIMIT (TakeOrderedAndProject)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+# =========================================================================
+# Joins — SURVEY §2.9 (engine surface the reference lacks)
+# =========================================================================
+
+def q_join_customer_orders(spark, sf_dir):
+    """Broadcast inner join: orders ⋈ customer, revenue per market segment.
+    customer is dimension-sized → explicit broadcast, no shuffle of orders."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            _r2(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN_SEGMENT = f"""
+SELECT c_mktsegment, COUNT(o_orderkey) AS order_count,
+       {R('SUM(o_totalprice)')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_region_rollup(spark, sf_dir):
+    """Snowflake dim chain: customer ⋈ nation ⋈ region (all broadcast)."""
+    customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("c_custkey").alias("customer_count"),
+            _r2(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+SQL_JOIN_REGION = f"""
+SELECT r_name, COUNT(c_custkey) AS customer_count,
+       {R('AVG(c_acctbal)')} AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_lineitem_orders(spark, sf_dir):
+    """Fact-fact join (shuffle/sort-merge; AQE may downgrade to broadcast
+    at small SF — at 100 TB both sides shuffle on l_orderkey/o_orderkey)."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            _r2(F.sum("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+SQL_JOIN_FACT = f"""
+SELECT o_orderpriority, COUNT(*) AS line_count,
+       {R('SUM(l_quantity)')} AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_join_left_order_counts(spark, sf_dir):
+    """Left outer join keeping order-less customers (count = 0)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+SQL_JOIN_LEFT = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi join: customers having at least one order (EXISTS)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+# =========================================================================
+# TPC-H-shaped analytics
+# =========================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the scan+agg throughput headliner."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r2(F.sum("l_quantity")).alias("sum_qty"),
+            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_price"),
+            _r2(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            _r2(F.avg("l_quantity")).alias("avg_qty"),
+            _r2(F.avg("l_extendedprice")).alias("avg_price"),
+            _rn(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       {R('SUM(l_quantity)')} AS sum_qty,
+       {R('SUM(l_extendedprice)')} AS sum_base_price,
+       {R('SUM(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+       {R('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+       {R('AVG(l_quantity)')} AS avg_qty,
+       {R('AVG(l_extendedprice)')} AS avg_price,
+       {R('AVG(l_discount)', 4)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .where(
+            (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("l_shipdate") > "1998-01-01")
+        )
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_UNSHIPPED = f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       {R('SUM(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join, revenue by customer nation."""
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_NATION_REVENUE = f"""
+SELECT n_name, {R('SUM(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# =========================================================================
+# Window functions
+# =========================================================================
+
+def q_window_topk_per_customer(spark, sf_dir):
+    """row_number partitioned top-3 orders per customer."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_customer") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey)
+         AS rank_in_customer
+  FROM orders) WHERE rank_in_customer <= 3
+"""
+
+
+def q_window_order_gaps(spark, sf_dir):
+    """lag(): days between consecutive orders per customer."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        orders.withColumn(
+            "gap_days", F.datediff(F.col("o_orderdate"), prev).cast("long")
+        )
+        .where(F.col("gap_days").isNotNull())
+        .select("o_custkey", "o_orderkey", "gap_days")
+    )
+
+
+SQL_WINDOW_GAPS = """
+SELECT o_custkey, o_orderkey, gap_days FROM (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders) WHERE gap_days IS NOT NULL
+"""
+
+
+def q_window_running_total(spark, sf_dir):
+    """Frame spec: running revenue per customer (rowsBetween)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _r2(F.sum("o_totalprice").over(w)).alias("running_total"),
+    )
+
+
+SQL_WINDOW_RUNNING = f"""
+SELECT o_custkey, o_orderkey,
+       {R('''SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+       AS running_total
+FROM orders
+"""
+
+# =========================================================================
+# Set operations / distinct / grouping sets
+# =========================================================================
+
+def q_setop_union(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (
+        customer.select(F.col("c_custkey").alias("key"))
+        .union(orders.select(F.col("o_custkey").alias("key")))
+        .distinct()
+    )
+
+
+SQL_SETOP_UNION = """
+SELECT c_custkey AS key FROM customer UNION SELECT o_custkey FROM orders
+"""
+
+
+def q_setop_intersect(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.select(F.col("c_custkey").alias("key")).intersect(
+        orders.select(F.col("o_custkey").alias("key"))
+    )
+
+
+SQL_SETOP_INTERSECT = """
+SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey FROM orders
+"""
+
+
+def q_setop_except(spark, sf_dir):
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.select(F.col("c_custkey").alias("key")).exceptAll(
+        orders.select(F.col("o_custkey").alias("key"))
+    ).distinct()
+
+
+SQL_SETOP_EXCEPT = """
+SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey FROM orders
+"""
+
+
+def q_distinct_flags(spark, sf_dir):
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_rollup_status_priority(spark, sf_dir):
+    """ROLLUP grouping sets with subtotal rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        _r2(F.sum("o_totalprice")).alias("revenue"),
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_count,
+       {R('SUM(o_totalprice)')} AS revenue
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_flags(spark, sf_dir):
+    """CUBE over returnflag × linestatus."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        _r2(F.sum("l_extendedprice")).alias("total_price"),
+    )
+
+
+SQL_CUBE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS line_count,
+       {R('SUM(l_extendedprice)')} AS total_price
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+# =========================================================================
+# Dedup (ext.dedup) — SURVEY §2.8
+# =========================================================================
+
+def q_dedup_exact_groups(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.exact_dedup_groups(documents, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({NORM}) AS fingerprint, MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_tokenset_groups(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.tokenset_dedup_groups(documents, "text", "doc_id")
+
+
+SQL_DEDUP_TOKENSET = f"""
+SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' ')) AS vocab_fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard >= 0.7 pairs — O(n²) correctness baseline
+    for the LSH variant below (raw double division, no rounding: both
+    engines divide the same two small integers)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.array_distinct(X_dedup.tokens(F.col("text"))).alias("u")
+    )
+    a = tok.select(F.col("doc_id").alias("id_a"), F.col("u").alias("ua"))
+    b = tok.select(F.col("doc_id").alias("id_b"), F.col("u").alias("ub"))
+    inter = F.size(F.array_intersect("ua", "ub"))
+    union = F.size("ua") + F.size("ub") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.7)
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH t AS (SELECT doc_id, list_distinct({TOKS}) AS u FROM documents)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.u, b.u)) AS DOUBLE)
+         / (len(a.u) + len(b.u) - len(list_intersect(a.u, b.u))) AS jaccard
+  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.7
+"""
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (the 100 TB path; approximate recall —
+    no SQL oracle, rows-only check; q_dedup_jaccard_pairs is its exact
+    anchor)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.minhash_near_duplicates(
+        documents, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.7
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash 64-bit fingerprints (deterministic; rows-only check)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.simhash(documents, "text", "doc_id")
+
+# =========================================================================
+# Similarity search (ext.similarity) — SURVEY §2.8
+# =========================================================================
+
+def _query_vector(spark, sf_dir):
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    row = embeddings.where(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-10 cosine against the vec_id=0 embedding."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return X_sim.cosine_topk(
+        embeddings.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=10
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS score
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-10 (scale path; rows-only check)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return X_sim.ann_lsh_topk(
+        embeddings.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=10
+    )
+
+
+def q_embedding_pairs_exact(spark, sf_dir):
+    """All embedding pairs with cosine >= 0.4 — exact baseline."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return X_sim.cosine_pairs_exact(embeddings, "embedding", "vec_id", 0.4)
+
+
+SQL_EMB_PAIRS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS score
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE score >= 0.4
+"""
+
+
+def q_embedding_pairs_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup embedding pairs (scale path; rows-only)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return X_sim.cosine_pairs_lsh(
+        embeddings, "embedding", "vec_id", threshold=0.3, num_planes=4, num_tables=8
+    )
+
+# =========================================================================
+# Text analysis (ext.text) — SURVEY §2.8
+# =========================================================================
+
+def q_text_stats(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = X_text.text_stats(documents, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "avg_token_len",
+    )
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len({TOKS}) AS n_tokens,
+       length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+       len(list_filter({TOKS}, x -> list_contains({_STOP_EN_SQL}, x)))
+         AS n_stopwords,
+       {R(f"CAST(length({NORM}) - (len({TOKS}) - 1) AS DOUBLE) / len({TOKS})", 4)}
+         AS avg_token_len
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.fingerprint(documents, "text", "doc_id").select(
+        "doc_id", "fp_md5"
+    )
+
+
+SQL_TEXT_FP = f"SELECT doc_id, md5({NORM}) AS fp_md5 FROM documents"
+
+
+def q_lang_distribution(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r2(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+SQL_LANG_DIST = f"""
+SELECT lang, COUNT(*) AS n_docs, {R('AVG(n_chars)')} AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id", X_text.bpe_token_count(F.col("text")).cast("long").alias(
+            "bpe_tokens"
+        )
+    )
+
+
+SQL_BPE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{X_text.BPE_TOKEN_PATTERN}'))
+         AS bpe_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.quality_score(documents, "text", "doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-argmax language heuristic (rows-only check)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.language_id(documents, "text", "doc_id")
+
+# =========================================================================
+# Event analytics (streaming.events) — SURVEY §2.8
+# =========================================================================
+
+def q_events_hourly(spark, sf_dir):
+    (events,) = _t(spark, sf_dir, "events")
+    out = hourly_rollup(events)
+    return out.select(
+        "window_start",
+        "event_type",
+        "event_count",
+        _r2(F.col("value_sum")).alias("value_sum"),
+    )
+
+
+SQL_EVENTS_HOURLY = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS event_count,
+       {R('SUM(value)')} AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """from_json / JSON path extraction over events.props."""
+    (events,) = _t(spark, sf_dir, "events")
+    parsed = parse_props(events)
+    return (
+        parsed.select(F.col("props_parsed.k").alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("value_total"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS n_events, {R('SUM(value)')} AS value_total
+FROM events GROUP BY 1
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag window + conditional sum)."""
+    (events,) = _t(spark, sf_dir, "events")
+    out = sessionize(events, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "n_events",
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+GROUP BY user_id
+"""
+
+# =========================================================================
+# Registry
+# =========================================================================
+
+# name -> (spark callable, oracle SQL | None for rows-only checks)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # medallion / reference shapes
+    "daily_sales_summary": (q_daily_sales_summary, SQL_DAILY),
+    "category_summary": (q_category_summary, SQL_CATEGORY),
+    "monthly_order_growth": (q_monthly_order_growth, SQL_MONTHLY),
+    "silver_events_cleanse": (q_silver_events_cleanse, SQL_SILVER_EVENTS),
+    # scalar functions / filters / sorts
+    "date_parts": (q_date_parts, SQL_DATE_PARTS),
+    "string_normalize": (q_string_normalize, SQL_STRING_NORM),
+    "filter_lineitem": (q_filter_lineitem, SQL_FILTER),
+    "topk_orders": (q_topk_orders, SQL_TOPK),
+    # joins
+    "join_customer_orders": (q_join_customer_orders, SQL_JOIN_SEGMENT),
+    "join_region_rollup": (q_join_region_rollup, SQL_JOIN_REGION),
+    "join_lineitem_orders": (q_join_lineitem_orders, SQL_JOIN_FACT),
+    "join_left_order_counts": (q_join_left_order_counts, SQL_JOIN_LEFT),
+    "join_semi_customers_with_orders": (q_join_semi, SQL_JOIN_SEMI),
+    "join_anti_customers_without_orders": (q_join_anti, SQL_JOIN_ANTI),
+    # TPC-H-shaped
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "top_unshipped": (q_top_unshipped, SQL_TOP_UNSHIPPED),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    # windows
+    "window_topk_per_customer": (q_window_topk_per_customer, SQL_WINDOW_TOPK),
+    "window_order_gaps": (q_window_order_gaps, SQL_WINDOW_GAPS),
+    "window_running_total": (q_window_running_total, SQL_WINDOW_RUNNING),
+    # set ops / distinct / grouping sets
+    "setop_union": (q_setop_union, SQL_SETOP_UNION),
+    "setop_intersect": (q_setop_intersect, SQL_SETOP_INTERSECT),
+    "setop_except": (q_setop_except, SQL_SETOP_EXCEPT),
+    "distinct_flags": (q_distinct_flags, SQL_DISTINCT),
+    "rollup_status_priority": (q_rollup_status_priority, SQL_ROLLUP),
+    "cube_flags": (q_cube_flags, SQL_CUBE),
+    # dedup
+    "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT),
+    "dedup_tokenset_groups": (q_dedup_tokenset_groups, SQL_DEDUP_TOKENSET),
+    "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
+    "dedup_simhash_fingerprints": (q_dedup_simhash, None),
+    # similarity
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),
+    "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
+    # text analysis
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FP),
+    "lang_distribution": (q_lang_distribution, SQL_LANG_DIST),
+    "bpe_token_count": (q_bpe_token_count, SQL_BPE),
+    "text_quality_score": (q_text_quality, None),
+    "lang_id_heuristic": (q_lang_id, None),
+    # events
+    "events_hourly_rollup": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONS),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """The A1 daily-sales rollup on sf0.001 — the driver's smoke check."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    return q_daily_sales_summary(spark, sf_dir)

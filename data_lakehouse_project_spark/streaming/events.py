@@ -1,0 +1,106 @@
+"""Event analytics: batch windowed rollups + Structured Streaming.
+
+The reference has no streaming surface (SURVEY §2.9); this implements the
+north-star event operators (SURVEY §2.8) batch-first — every batch
+operator has identical semantics when fed by ``readStream`` because they
+are expressed as time-window groupBys, the shape Structured Streaming
+supports incrementally with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.schemas import EVENT_PROPS
+
+
+def parse_props(df: DataFrame, props_col: str = "props") -> DataFrame:
+    """JSON-in-string column → typed struct (SURVEY §2.8 `events.props`).
+
+    ``from_json`` with an explicit schema — schema-on-read stays a JVM
+    projection, no sampling pass, no Python.
+    """
+    return df.withColumn("props_parsed", F.from_json(F.col(props_col), EVENT_PROPS))
+
+
+def hourly_rollup(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Tumbling 1-hour rollup per event_type: count + value sum.
+
+    Batch expression of the streaming windowed-agg shape: group on
+    (date_trunc(hour, ts), event_type) — one shuffle, partial aggregation
+    upstream. Window start is emitted as a formatted string so results are
+    timezone-stable for external comparison.
+    """
+    return (
+        df.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-user session assignment via gap analysis (lag window).
+
+    A new session starts when the gap since the previous event exceeds
+    ``gap_minutes``. One shuffle on user_id; the window sort is per-user.
+    Returns (user_id, n_sessions, n_events).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    with_breaks = df.withColumn(
+        "new_session",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+            > gap_s,
+            1,
+        )
+        .when(F.lag(F.col(ts_col)).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    return with_breaks.groupBy(user_col).agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def streaming_hourly_rollup(
+    stream_df: DataFrame, ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Structured Streaming variant of ``hourly_rollup``.
+
+    ``F.window`` + watermark so state for closed windows is evicted — the
+    requirement for unbounded 100 TB/day streams. Feed with
+    ``spark.readStream`` and sink with ``writeStream`` (see tests for a
+    memory-sink example); the aggregation logic matches the batch rollup.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )

@@ -1,0 +1,189 @@
+"""Extension operators: dedup, similarity, text analysis — property-based
+spot checks (SURVEY §5 strategy 4) + hand-computed examples."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.ext import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "dog lazy the over jumps fox brown quick the"),  # permuted dup of 0
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (5, "Spark engines process data. Spark engines are fast!"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = dedup.exact_dedup_groups(docs, "text", "doc_id")
+    groups = {r.keep_id: r.dup_count for r in out.collect()}
+    assert groups[0] == 2  # docs 0 and 1
+    assert sum(groups.values()) == 6
+
+
+def test_tokenset_dedup_catches_permutations(docs):
+    out = dedup.tokenset_dedup_groups(docs, "text", "doc_id")
+    groups = {r.keep_id: r.dup_count for r in out.collect()}
+    assert groups[0] == 3  # 0, 1 (exact) and 2 (permuted)
+
+
+def test_minhash_finds_near_duplicates(docs):
+    pairs = dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", num_hashes=64, bands=32, jaccard_threshold=0.5
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 1.0  # permutation: token-set jaccard 1.0
+    assert (0, 4) in got  # 8/10 shared tokens
+    assert got[(0, 4)] >= 0.5
+    assert (0, 3) not in got
+
+
+def test_minhash_jaccard_estimate_close_to_exact(docs):
+    """Property: signature agreement ≈ true Jaccard (within MC error)."""
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=128)
+    s = {r.doc_id: r.signature for r in sigs.collect()}
+    est = np.mean([a == b for a, b in zip(s[0], s[4])])
+    assert abs(est - 8 / 10) < 0.15
+
+
+def test_simhash_identical_and_distinct(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert out[0] == out[1]  # identical text → identical fingerprint
+    assert out[0] == out[2]  # simhash is order-invariant over tokens
+    h04 = bin(out[0] ^ out[4]).count("1")
+    h03 = bin(out[0] ^ out[3]).count("1")
+    assert h04 < h03  # near-dup closer than unrelated doc
+
+
+def test_simhash_near_duplicate_pairs(docs):
+    pairs = dedup.simhash_near_duplicates(docs, "text", "doc_id", max_hamming=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        if i < 5:  # 5 vectors strongly aligned with base
+            v = base + 0.1 * rng.standard_normal(16)
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, base = vectors
+    q = [float(x) for x in base]
+    got = similarity.cosine_topk(df, "embedding", "vec_id", q, k=5)
+    got_ids = [r.vec_id for r in got.collect()]
+
+    rows = df.collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qv = np.array(q)
+    scores = {
+        i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for i, v in emb.items()
+    }
+    want_ids = [i for i, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))][:5]
+    assert got_ids == want_ids
+    assert set(got_ids) == {0, 1, 2, 3, 4}  # the planted cluster
+
+
+def test_ann_lsh_topk_high_recall_on_planted_cluster(vectors):
+    df, base = vectors
+    q = [float(x) for x in base]
+    got = similarity.ann_lsh_topk(
+        df, "embedding", "vec_id", q, k=5, num_planes=6, multiprobe_hamming=2
+    )
+    ids = {r.vec_id for r in got.collect()}
+    # planted near-neighbors share the query's halfspaces → found by probe
+    assert len(ids & {0, 1, 2, 3, 4}) >= 4
+
+
+def test_cosine_pairs_lsh_subset_of_exact(vectors):
+    df, _ = vectors
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_exact(
+            df, "embedding", "vec_id", 0.8
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_lsh(
+            df, "embedding", "vec_id", 0.8, num_planes=4, num_tables=8
+        ).collect()
+    }
+    assert lsh <= exact  # LSH verified pairs are never false positives
+    # multi-table recall: 1-(1-p^H)^L ≈ 0.98 at t=0.8, H=4, L=8
+    assert len(lsh) >= int(0.7 * len(exact))
+
+
+def test_text_stats_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick fox. It jumps!")], "doc_id long, text string"
+    )
+    r = text.text_stats(df, "text", "doc_id").collect()[0]
+    assert r.n_chars_calc == 24
+    assert r.n_tokens == 5
+    assert r.n_punct == 2  # '.' and '!'
+    assert r.n_stopwords == 2  # 'the', 'it'
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(1, "ab12 cd!")], "doc_id long, text string")
+    out = df.select(text.bpe_token_count(F.col("text")).alias("n")).collect()
+    assert out[0].n == 4  # ab | 12 | cd | !
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "der hund ist nicht ein katze und das ist gut"),
+            (3, "el gato es un animal y la casa es grande"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.detected_lang for r in text.language_id(df, "text", "doc_id").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "hello   world"), (2, "Hello world "), (3, "other")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp_md5 for r in text.fingerprint(df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]  # normalization collapses case/whitespace
+    assert fp[1] != fp[3]
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was a good day for all of us " * 4),
+            (2, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.quality_score for r in text.quality_score(df, "text", "doc_id").collect()}
+    assert got[1] > got[2]  # long stopword-bearing prose beats one char

@@ -1,0 +1,92 @@
+"""Event analytics: batch/stream parity + sessionization properties."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from data_lakehouse_project_spark.streaming import (
+    hourly_rollup,
+    parse_props,
+    sessionize,
+    streaming_hourly_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                base + datetime.timedelta(minutes=7 * i),
+                i % 3,
+                ["click", "view"][i % 2],
+                float(i),
+                '{"k": %d}' % (i % 5),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_parse_props(events):
+    parsed = parse_props(events)
+    r = parsed.select("props_parsed.k").collect()
+    assert {row.k for row in r} == {0, 1, 2, 3, 4}
+
+
+def test_hourly_rollup_counts(events):
+    out = hourly_rollup(events)
+    total = sum(r.event_count for r in out.collect())
+    assert total == 40  # partition of the input — no loss, no dup
+    # 40 events * 7min ≈ 4.6h → 5 hourly windows × ≤2 types
+    starts = {r.window_start for r in out.collect()}
+    assert len(starts) == 5
+
+
+def test_sessionize_gap_semantics(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, base),
+        (2, 100, base + datetime.timedelta(minutes=10)),  # same session
+        (3, 100, base + datetime.timedelta(minutes=50)),  # 40min gap → new
+        (4, 200, base),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in sessionize(df).collect()}
+    assert got[100] == (2, 3)
+    assert got[200] == (1, 1)
+
+
+def test_streaming_matches_batch(spark, events, tmp_path):
+    """Structured Streaming rollup over a file source == batch rollup."""
+    src = str(tmp_path / "events_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = streaming_hourly_rollup(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.event_count, r.value_sum)
+        for r in hourly_rollup(events).collect()
+    }
+    assert got == want
