@@ -974,6 +974,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONS),
 }
 
+# extended surface: windows/pivot/grouping-sets/subqueries/scalars/SQL-API
+from data_lakehouse_project_spark import registry_extra  # noqa: E402
+
+REGISTRY.update(
+    registry_extra.build({"R": R, "_rn": _rn, "SQL_PRICING": SQL_PRICING})
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

@@ -1,0 +1,104 @@
+"""Physical-plan shape assertions — the 100 TB design gate.
+
+Correctness says the answer is right; these say the PLAN is right:
+filters reach the parquet scan, small dims broadcast, aggregates are
+partial+final around one exchange, hot paths stay in whole-stage
+codegen, and Python appears only where Arrow batching is intended.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark import registry
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = registry.q_filter_lineitem(spark, SF_DIR)
+    plan = _formatted(df)
+    assert "PushedFilters:" in plan
+    # the equality and range predicates must be pushed, not post-filtered
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    df = registry.q_filter_lineitem(spark, SF_DIR)
+    plan = _formatted(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    df = registry.q_join_region_rollup(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never trigger a shuffle
+
+
+def test_aggregate_is_partial_final(spark):
+    df = registry.q_pricing_summary(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan before inspecting it
+    plan = _plan(df)
+    # partial + final HashAggregate around one exchange (map-side combine);
+    # "partial_sum" marks the map-side combine, "*(n)" marks codegen stages
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "*(1)" in plan  # whole-stage codegen span
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, not a total sort."""
+    df = registry.q_topk_orders(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_text_ops_are_jvm_only(spark):
+    """No Python evaluation in corpus-scan hot paths."""
+    for q in ("text_stats", "dedup_exact_groups", "dedup_simhash_fingerprints"):
+        plan = _plan(registry.queries()[q](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+
+
+def test_similarity_scan_is_single_pass(spark):
+    """Brute-force top-k: scan → project(score) → TakeOrdered; the query
+    vector is a folded literal, not a join."""
+    df = registry.q_ann_cosine_topk(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    from data_lakehouse_project_spark.ext import multimodal as mm
+
+    df = mm.extract_features(mm.synthetic_media(spark, 8))
+    assert "MapInPandas" in _plan(df)
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path, testdata):
+    """partitionBy write + partition-key filter → pruned scan."""
+    from data_lakehouse_project_spark.operators.sinks import write_table
+
+    path = str(tmp_path / "orders_part")
+    df = testdata["orders"].withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    write_table(df, path, partition_by=["status"])
+    scan = spark.read.parquet(path).where(F.col("status") == "F")
+    plan = _formatted(scan)
+    assert "PartitionFilters" in plan and "status" in plan
