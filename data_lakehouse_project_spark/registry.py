@@ -763,6 +763,48 @@ def q_embedding_pairs_lsh(spark, sf_dir):
         embeddings, "embedding", "vec_id", threshold=0.3, num_planes=4, num_tables=8
     )
 
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means inverted lists) approximate top-10 — the second ANN
+    scale path; probes 4/8 lists (rows-only check)."""
+    from data_lakehouse_project_spark.ext.ivf import ivf_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return ivf_topk(
+        embeddings.where(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        q,
+        k=10,
+        n_clusters=8,
+        nprobe=4,
+    )
+
+
+def q_salted_event_rollup(spark, sf_dir):
+    """Skew-safe two-phase aggregation over the 5-hot-key event_type
+    column; result identical to a plain GROUP BY (oracle-checked)."""
+    from data_lakehouse_project_spark.ext.skew import salted_aggregate
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events,
+        keys=["event_type"],
+        sums={"value_total": "value"},
+        count_name="n_events",
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", _r2(F.col("value_total")).alias("value_total"), "n_events"
+    )
+
+
+SQL_SALTED = f"""
+SELECT event_type, {R('SUM(value)')} AS value_total, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
 # =========================================================================
 # Text analysis (ext.text) — SURVEY §2.8
 # =========================================================================
@@ -959,6 +1001,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # similarity
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED),
     "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),
     "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
     # text analysis
