@@ -930,6 +930,91 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase event picks up the user's most recent
+    click at-or-before it (ext/asof.py cogrouped merge_asof; oracle =
+    DuckDB's native ASOF LEFT JOIN)."""
+    from data_lakehouse_project_spark.ext.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click")
+    out = asof_join(purchases, clicks, "ts", "user_id", ["value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format(F.col("ts_asof"), fmt).alias("click_ts"),
+        F.col("value_asof").alias("click_value"),
+    )
+
+
+SQL_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+_PRICE_BANDS = [
+    ("under_20k", 0.0, 20_000.0),
+    ("20k_40k", 20_000.0, 40_000.0),
+    ("40k_60k", 40_000.0, 60_000.0),
+    ("60k_plus", 60_000.0, 1e12),
+]
+
+
+def q_join_range_bands(spark, sf_dir):
+    """Range (non-equi band) join: lineitem prices against a broadcast
+    band dimension — plans BroadcastNestedLoopJoin, which is the right
+    physical shape when the banded side is tiny and the condition is an
+    interval predicate."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo double, hi double"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            _r2(F.sum("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+SQL_RANGE_BANDS = f"""
+SELECT band, COUNT(*) AS line_count, {R('SUM(l_quantity)')} AS total_qty
+FROM lineitem
+JOIN (VALUES ('under_20k', 0.0, 20000.0), ('20k_40k', 20000.0, 40000.0),
+             ('40k_60k', 40000.0, 60000.0), ('60k_plus', 60000.0, 1e12))
+     AS b(band, lo, hi)
+ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""
+
+
+def q_agg_approx_distinct(spark, sf_dir):
+    """HLL approximate count-distinct next to the exact count (rows-only:
+    sketch estimates are engine-specific by nature)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag window + conditional sum)."""
     (events,) = _t(spark, sf_dir, "events")
@@ -1016,6 +1101,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_hourly_rollup": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONS),
+    "events_asof_join": (q_events_asof_join, SQL_ASOF),
+    "join_range_bands": (q_join_range_bands, SQL_RANGE_BANDS),
+    "agg_approx_distinct": (q_agg_approx_distinct, None),
 }
 
 # extended surface: windows/pivot/grouping-sets/subqueries/scalars/SQL-API
