@@ -890,6 +890,84 @@ def q_lang_id(spark, sf_dir):
 # Event analytics (streaming.events) — SURVEY §2.8
 # =========================================================================
 
+def q_events_daily_from_hourly(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the daily rollup is derived
+    FROM the hourly rollup (no raw rescan); oracle is the direct daily
+    GROUP BY — proving partial-rollup recombination is lossless."""
+    from data_lakehouse_project_spark.streaming.rollup import multires_rollup
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = multires_rollup(events, grains=("day",))["day"]
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "event_count",
+        _r2(F.col("value_sum")).alias("value_sum"),
+    )
+
+
+SQL_DAILY_FROM_HOURLY = f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS event_count, {R('SUM(value)')} AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_profile_orders(spark, sf_dir):
+    """Single-pass column profiler (null/distinct/min/max per column)."""
+    from data_lakehouse_project_spark.operators.profile import profile_table
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return profile_table(orders)
+
+
+def _profile_oracle_for(cols: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+            COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+            COUNT(DISTINCT {c}) AS n_distinct,
+            CAST(MIN({c}) AS VARCHAR) AS min_value,
+            CAST(MAX({c}) AS VARCHAR) AS max_value
+            FROM orders"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SQL_PROFILE_ORDERS = _profile_oracle_for(
+    ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+     "o_orderdate", "o_orderpriority"]
+)
+
+
+def q_text_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams: JVM transform/explode, no Python."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = X_dedup.tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("bigram"))
+        .limit(20)
+    )
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH t AS (SELECT {TOKS} AS toks FROM documents),
+b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+SELECT bigram, COUNT(*) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
     out = hourly_rollup(events)
@@ -1104,6 +1182,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_asof_join": (q_events_asof_join, SQL_ASOF),
     "join_range_bands": (q_join_range_bands, SQL_RANGE_BANDS),
     "agg_approx_distinct": (q_agg_approx_distinct, None),
+    "events_daily_from_hourly": (q_events_daily_from_hourly, SQL_DAILY_FROM_HOURLY),
+    "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+    "text_top_bigrams": (q_text_top_bigrams, SQL_TOP_BIGRAMS),
 }
 
 # extended surface: windows/pivot/grouping-sets/subqueries/scalars/SQL-API
