@@ -53,8 +53,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry.queries()
 
-    # warm the JVM/session so the first query doesn't pay session startup
+    # warm the JVM/session and the input listing (parquet footers + file
+    # index) so timings measure query execution, not cold-FS startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from data_lakehouse_project_spark.sources.readers import load_testdata
+
+    for df in load_testdata(spark, sf_dir).values():
+        df.select(df.columns[0]).limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
