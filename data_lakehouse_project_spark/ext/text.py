@@ -76,8 +76,10 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic quality score in [0,1]: penalize too-short docs, extreme
-    punctuation density, and stopword-free word soup. Weights are fixed and
-    documented so the score is reproducible."""
+    punctuation density, and stopword-free word soup. Weights are fixed
+    and documented so the score is reproducible; rounding uses the
+    explicit floor form (floor(x*1e4+0.5)/1e4) so external oracles can
+    replicate it bit-for-bit."""
     t = F.col(text_col)
     n_char = F.length(t)
     n_tok = token_count(t)
@@ -86,11 +88,12 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     punct_ok = F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))
     stop_ratio = stopword_count(t) / F.greatest(n_tok, F.lit(1))
     stop_ok = F.least(stop_ratio * 5, F.lit(1.0))
+    raw = 0.4 * len_ok + 0.3 * punct_ok + 0.3 * stop_ok
     return df.select(
         F.col(id_col),
-        F.round(
-            0.4 * len_ok + 0.3 * punct_ok + 0.3 * stop_ok, 4
-        ).alias("quality_score"),
+        (F.floor(raw * 10000 + F.lit(0.5)).cast("double") / 10000).alias(
+            "quality_score"
+        ),
     )
 
 

@@ -881,10 +881,51 @@ def q_text_quality(spark, sf_dir):
     return X_text.quality_score(documents, "text", "doc_id")
 
 
+def _stop_sql(lang: str) -> str:
+    return "['" + "','".join(X_text.STOPWORDS[lang]) + "']"
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+  CAST(FLOOR((
+    0.4 * LEAST(length(text) / 200.0, 1.0)
+  + 0.3 * (1.0 - LEAST(
+      (length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+       / GREATEST(length(text), 1)) * 10, 1.0))
+  + 0.3 * LEAST(
+      (len(list_filter({TOKS}, x -> list_contains({_STOP_EN_SQL}, x)))
+       / GREATEST(len({TOKS}), 1)) * 5, 1.0)
+  ) * 10000 + 0.5) AS DOUBLE) / 10000 AS quality_score
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
-    """Stopword-argmax language heuristic (rows-only check)."""
+    """Stopword-argmax language heuristic."""
     (documents,) = _t(spark, sf_dir, "documents")
     return X_text.language_id(documents, "text", "doc_id")
+
+
+# argmax tie-break must mirror Spark's array_max over (hits, lang) structs:
+# on equal hits the lexicographically LARGER lang wins → test langs in
+# reverse-alphabetical order with >= comparisons.
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+    len(list_filter({TOKS}, x -> list_contains({_stop_sql('de')}, x))) AS h_de,
+    len(list_filter({TOKS}, x -> list_contains({_stop_sql('en')}, x))) AS h_en,
+    len(list_filter({TOKS}, x -> list_contains({_stop_sql('es')}, x))) AS h_es,
+    len(list_filter({TOKS}, x -> list_contains({_stop_sql('fr')}, x))) AS h_fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END AS detected_lang,
+  CAST(GREATEST(h_de, h_en, h_es, h_fr) AS INTEGER) AS stopword_hits
+FROM h
+"""
 
 # =========================================================================
 # Event analytics (streaming.events) — SURVEY §2.8
@@ -1173,8 +1214,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FP),
     "lang_distribution": (q_lang_distribution, SQL_LANG_DIST),
     "bpe_token_count": (q_bpe_token_count, SQL_BPE),
-    "text_quality_score": (q_text_quality, None),
-    "lang_id_heuristic": (q_lang_id, None),
+    "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
     # events
     "events_hourly_rollup": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
