@@ -301,6 +301,70 @@ SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
 FROM customer GROUP BY 1
 """
 
+def q_join_right_outer(spark, sf_dir):
+    """Right outer join (orders ⟕ mirrored): every customer kept."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("revenue"),
+        )
+    )
+
+
+SQL_JOIN_RIGHT = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       {R_REV} AS revenue
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_window_first_last(spark, sf_dir):
+    """first_value/last_value with explicit full-partition frames."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.last_value("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+SQL_WINDOW_FIRST_LAST = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation (array_join over sorted collect_list)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), "|"
+        ).alias("statuses_joined")
+    )
+
+
+SQL_STRING_CONCAT = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+         AS statuses_joined
+FROM orders GROUP BY o_orderpriority
+"""
+
 # --- union-all lineage ----------------------------------------------------
 
 def q_union_all_tagged(spark, sf_dir):
@@ -379,4 +443,10 @@ FROM lineitem GROUP BY l_returnflag
         "case_when_buckets": (q_case_when_buckets, sql_case),
         "union_all_tagged": (q_union_all_tagged, SQL_UNION_ALL),
         "pricing_summary_sql": (q_pricing_summary_sql, helpers["SQL_PRICING"]),
+        "join_right_outer": (
+            q_join_right_outer,
+            SQL_JOIN_RIGHT.format(R_REV=R("COALESCE(SUM(o_totalprice), 0.0)")),
+        ),
+        "window_first_last": (q_window_first_last, SQL_WINDOW_FIRST_LAST),
+        "agg_string_concat": (q_agg_string_concat, SQL_STRING_CONCAT),
     }

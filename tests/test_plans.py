@@ -83,6 +83,12 @@ def test_similarity_scan_is_single_pass(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_union_all_is_shuffle_free(spark):
+    """UNION ALL is a metadata concat — any Exchange would be a bug."""
+    df = registry.queries()["union_all_tagged"](spark, SF_DIR)
+    assert "Exchange" not in _plan(df)
+
+
 def test_multimodal_uses_arrow_batches(spark):
     from data_lakehouse_project_spark.ext import multimodal as mm
 
