@@ -805,6 +805,51 @@ SELECT event_type, {R('SUM(value)')} AS value_total, COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """
 
+def q_embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (elementwise mean via posexplode)."""
+    from data_lakehouse_project_spark.ext.vectors import label_centroids
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return label_centroids(embeddings, "embedding", "label")
+
+
+# dim fixed at 64 in the testdata; DuckDB 1.0's range() can't lateral-
+# reference len(embedding), so the position table is a constant range
+SQL_LABEL_CENTROIDS = """
+SELECT label, list(v ORDER BY i) AS centroid
+FROM (
+  SELECT label, i,
+         CAST(FLOOR(AVG(CAST(embedding[i] AS DOUBLE)) * 1000000 + 0.5)
+              AS DOUBLE) / 1000000 AS v
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, i)
+GROUP BY label
+"""
+
+
+def q_events_user_rollup(spark, sf_dir):
+    """Cross-domain enrichment: events joined to the customer dimension
+    (user_id ↔ c_custkey) → per-segment event value rollup."""
+    events, customer = _t(spark, sf_dir, "events", "customer")
+    return (
+        events.join(
+            F.broadcast(customer), events.user_id == customer.c_custkey
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("value_total"),
+        )
+    )
+
+
+SQL_EVENTS_USER_ROLLUP = f"""
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       {R('SUM(value)')} AS value_total
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
 # =========================================================================
 # Text analysis (ext.text) — SURVEY §2.8
 # =========================================================================
@@ -1207,6 +1252,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED),
+    "embedding_label_centroids": (q_embedding_label_centroids, SQL_LABEL_CENTROIDS),
+    "events_user_segment_rollup": (q_events_user_rollup, SQL_EVENTS_USER_ROLLUP),
     "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),
     "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
     # text analysis
