@@ -365,6 +365,61 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority
 """
 
+def q_date_arithmetic(spark, sf_dir):
+    """Date arithmetic surface: add/sub, month boundaries, day diffs."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.date_sub(d, 7).alias("week_before"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d)
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.trunc(d, "month").alias("month_start"),
+    )
+
+
+SQL_DATE_ARITH = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(o_orderdate AS DATE) - 7 AS week_before,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+         AS days_to_y2k,
+       date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start
+FROM orders
+"""
+
+
+def q_string_functions(spark, sf_dir):
+    """Advanced string surface: pad/translate/reverse/edit distance."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 10, "#").alias("brand_padded"),
+        F.rpad("p_name", 12, ".").alias("name_padded"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_translated"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.levenshtein("p_name", F.lit("red widget")).cast("long").alias(
+            "dist_to_red_widget"
+        ),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       lpad(p_brand, 10, '#') AS brand_padded,
+       rpad(p_name, 12, '.') AS name_padded,
+       translate(p_type, 'aeiou', 'AEIOU') AS type_translated,
+       reverse(p_name) AS name_reversed,
+       levenshtein(p_name, 'red widget') AS dist_to_red_widget,
+       string_split(p_name, ' ')[1] AS first_word
+FROM part
+"""
+
 # --- union-all lineage ----------------------------------------------------
 
 def q_union_all_tagged(spark, sf_dir):
@@ -449,4 +504,6 @@ FROM lineitem GROUP BY l_returnflag
         ),
         "window_first_last": (q_window_first_last, SQL_WINDOW_FIRST_LAST),
         "agg_string_concat": (q_agg_string_concat, SQL_STRING_CONCAT),
+        "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITH),
+        "string_functions": (q_string_functions, SQL_STRING_FUNCS),
     }

