@@ -1,0 +1,89 @@
+"""Incremental-lakehouse streaming patterns: foreachBatch upsert and
+streaming dedup within watermark."""
+
+from __future__ import annotations
+
+import datetime
+
+
+def test_foreachbatch_incremental_upsert(spark, tmp_path):
+    """The canonical incremental pipeline: stream → foreachBatch →
+    MERGE into the serving table. Late re-sends of the same key update
+    in place instead of duplicating."""
+    from data_lakehouse_project_spark.operators.upsert import merge_into_path
+
+    schema = "id long, v string, updated_at timestamp"
+    src = str(tmp_path / "upsert_src")
+    out = str(tmp_path / "serving_table")
+    t0 = datetime.datetime(2024, 1, 1)
+
+    spark.createDataFrame(
+        [(1, "a", t0), (2, "b", t0)], schema
+    ).write.mode("overwrite").parquet(src)
+
+    def apply_batch(batch_df, _batch_id):
+        merge_into_path(
+            batch_df.sparkSession, out, batch_df, ["id"], fmt="parquet"
+        )
+
+    def run_once():
+        q = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {r.id: r.v for r in spark.read.parquet(out).collect()} == {
+        1: "a",
+        2: "b",
+    }
+
+    # second micro-batch: id 2 updated, id 3 new
+    t1 = t0 + datetime.timedelta(hours=1)
+    spark.createDataFrame([(2, "B", t1), (3, "c", t1)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    got = {r.id: r.v for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed event_ids inside the
+    watermark horizon are emitted once."""
+    schema = "event_id long, ts timestamp, value double"
+    src = str(tmp_path / "dedup_src")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + datetime.timedelta(minutes=1), 1.0),  # replay of id 1
+        (2, t0 + datetime.timedelta(minutes=2), 2.0),
+        (2, t0 + datetime.timedelta(minutes=2), 2.0),  # exact dup
+        (3, t0 + datetime.timedelta(minutes=3), 3.0),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3]
