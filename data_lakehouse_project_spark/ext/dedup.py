@@ -287,6 +287,71 @@ def minhash_near_duplicates(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles of normalized text (JVM-only:
+    Column.substr accepts Column offsets, unlike F.substring)."""
+    norm = normalize_text(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Character n-gram Jaccard pairs via a shingle inverted-index join.
+
+    The scalable formulation: explode (doc, shingle) rows, self-join ON
+    THE SHINGLE (an equi-join — candidates meet only where they share a
+    shingle), count shared shingles per pair, then jaccard =
+    shared / (|a| + |b| - shared). No pairwise array comparison and no
+    crossJoin; cost is Σ_shingle df(shingle)², the classic posting-list
+    bound. Hot shingles (stop-grams) dominate that bound — production
+    corpora drop the top-percentile document-frequency shingles first,
+    same as stopword removal.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 

@@ -688,6 +688,37 @@ WHERE jaccard >= 0.7
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Char-3-gram Jaccard >= 0.8 pairs via shingle inverted-index join
+    (ext/dedup.py::ngram_jaccard_pairs) — the array-free scale path."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, jaccard_threshold=0.8
+    )
+
+
+# range() can't lateral-reference length(norm) in DuckDB 1.0; a constant
+# position table + filter replicates Spark's sequence(1, len-2) exactly
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
+  FROM documents, range(1, 5001) t(i)
+  WHERE i <= GREATEST(length({NORM}) - 2, 1)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b)
+WHERE jaccard >= 0.8
+"""
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (the 100 TB path; approximate recall —
     no SQL oracle, rows-only check; q_dedup_jaccard_pairs is its exact
@@ -1245,6 +1276,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT),
     "dedup_tokenset_groups": (q_dedup_tokenset_groups, SQL_DEDUP_TOKENSET),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
+    "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
     "dedup_simhash_fingerprints": (q_dedup_simhash, None),
     # similarity

@@ -56,6 +56,16 @@ def test_minhash_jaccard_estimate_close_to_exact(docs):
     assert abs(est - 8 / 10) < 0.15
 
 
+def test_ngram_jaccard_inverted_index(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, jaccard_threshold=0.6
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0  # identical text → identical shingle set
+    assert (0, 4) in got  # fox/cat near-dup shares most 3-grams
+    assert (0, 3) not in got  # unrelated doc below threshold
+
+
 def test_simhash_identical_and_distinct(docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash(docs, "text", "doc_id").collect()}
     assert out[0] == out[1]  # identical text → identical fingerprint
