@@ -60,6 +60,14 @@ def main() -> None:
 
     for df in load_testdata(spark, sf_dir).values():
         df.select(df.columns[0]).limit(1).collect()
+    # warm the Arrow python workers (several headline ops use pandas UDFs);
+    # lambda form sidesteps stringified-annotation inference under
+    # `from __future__ import annotations`
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _ident = pandas_udf(lambda x: x, "long")
+    spark.range(10_000).select(_ident(F.col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -144,7 +144,11 @@ def ann_lsh_topk(
     With H planes the probe covers ~(1 + H + ...)/2^H of the data — at
     H=8, probing hamming<=1 scans ~3.5% of rows; recall is tuned by H and
     the probe radius. The bucket filter is a plain predicate ⇒ partition
-    pruning applies when the table is stored partitioned by bucket.
+    pruning applies when the table is stored PRE-bucketed by
+    ``add_lsh_buckets`` (the deployment shape). On-the-fly buckets use
+    JVM expressions: H dots per row is cheap; the Arrow matmul kernel
+    only pays off in the pair-join paths (measured — Arrow IPC overhead
+    beats 8 interpreted dots at single-query scan shape).
     """
     planes = _hyperplanes(len(query), num_planes, seed)
     qsigns = (planes @ np.asarray(query, dtype=np.float64)) >= 0
