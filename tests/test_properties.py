@@ -1,0 +1,140 @@
+"""Property-based spot checks (SURVEY §5 strategy 4) with Hypothesis.
+
+Few examples per property (Spark round-trips are expensive); the point is
+algebraic invariants over adversarial small inputs, not volume.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_lakehouse_project_spark.ext.skew import salted_aggregate
+from data_lakehouse_project_spark.functions.scalar import SCALAR_FUNCTIONS
+from data_lakehouse_project_spark.operators.upsert import merge_upsert
+
+_hyp = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # group key
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_hyp
+@given(rows=rows_strategy)
+def test_salted_aggregate_invariant(spark, rows):
+    """Salted two-phase agg == plain groupBy for any input."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    salted = {
+        r.k: (r.n, round(r.s, 6))
+        for r in salted_aggregate(
+            df, ["k"], sums={"s": "v"}, count_name="n", salt_buckets=4
+        ).collect()
+    }
+    plain = {
+        r.k: (r.n, round(r.s, 6))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+@_hyp
+@given(
+    target=st.dictionaries(
+        st.integers(0, 9), st.text("ab", max_size=3), max_size=8
+    ),
+    source=st.dictionaries(
+        st.integers(0, 9), st.text("ab", max_size=3), max_size=8
+    ),
+)
+def test_merge_upsert_semantics(spark, target, source):
+    """MERGE result == dict-update semantics for any key overlap."""
+    t = spark.createDataFrame(
+        list(target.items()) or [(None, None)], "id int, v string"
+    ).where("id IS NOT NULL")
+    s = spark.createDataFrame(
+        list(source.items()) or [(None, None)], "id int, v string"
+    ).where("id IS NOT NULL")
+    got = {r.id: r.v for r in merge_upsert(t, s, ["id"]).collect()}
+    want = {**target, **source}
+    assert got == want
+
+
+@_hyp
+@given(
+    amounts=st.lists(
+        st.decimals(
+            min_value=Decimal("-999.99"),
+            max_value=Decimal("999.99"),
+            places=2,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_groupsum_equals_total(spark, amounts):
+    """Σ(per-group sums) == global sum — partial aggregation is lossless
+    for exact decimal arithmetic."""
+    from pyspark.sql import functions as F
+
+    rows = [(i % 3, a) for i, a in enumerate(amounts)]
+    df = spark.createDataFrame(rows, "k int, amount decimal(10,2)")
+    per_group = df.groupBy("k").agg(F.sum("amount").alias("s"))
+    total_of_groups = per_group.agg(F.sum("s")).first()[0]
+    total = df.agg(F.sum("amount")).first()[0]
+    assert total_of_groups == total
+
+
+def test_scalar_function_registry(spark):
+    """Every reference scalar function (SURVEY §2.4 F1-F5) is callable
+    through the registry and produces the expected type."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("HeLLo", "2025-08-15 13:45:00")], "s string, ts string"
+    )
+    out = df.select(
+        SCALAR_FUNCTIONS["lower"](F.col("s")).alias("lower"),
+        SCALAR_FUNCTIONS["to_date"](F.col("ts")).alias("d"),
+        SCALAR_FUNCTIONS["to_timestamp"](F.col("ts")).alias("t"),
+        SCALAR_FUNCTIONS["date_format"](F.col("ts"), "yyyy-MM").alias("ym"),
+        SCALAR_FUNCTIONS["year"](F.col("ts")).alias("y"),
+        SCALAR_FUNCTIONS["month"](F.col("ts")).alias("m"),
+    ).collect()[0]
+    assert out.lower == "hello"
+    assert str(out.d) == "2025-08-15"
+    assert out.ym == "2025-08"
+    assert (out.y, out.m) == (2025, 8)
+
+
+@pytest.mark.parametrize("n", [0, 1, 7])
+def test_dedup_exact_cardinality(spark, n):
+    """Exact dedup of k distinct texts duplicated n+1 times → k groups."""
+    from data_lakehouse_project_spark.ext.dedup import exact_dedup_groups
+
+    texts = ["alpha beta", "gamma delta", "epsilon"]
+    rows = [
+        (i * 100 + j, t) for i, t in enumerate(texts) for j in range(n + 1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup_groups(df, "text", "doc_id").collect()
+    assert len(out) == len(texts)
+    assert all(r.dup_count == n + 1 for r in out)
