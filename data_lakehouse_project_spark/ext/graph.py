@@ -1,0 +1,95 @@
+"""Graph operators: connected components over similarity edges.
+
+Near-dup detection emits PAIRS; deduplication needs GROUPS — the
+transitive closure of the pair graph (a~b, b~c ⇒ {a,b,c} share one
+surviving representative). This is the iterative step of every fuzzy
+dedup pipeline (and the part that is genuinely not single-pass SQL).
+
+Implementation: min-label propagation. Each node starts labeled with its
+own id; every round each node takes the min label in its neighborhood;
+converges in O(component diameter) rounds. Per round: one join + one
+aggregate (two shuffles); lineage is cut with localCheckpoint every few
+rounds so plans don't grow unboundedly — the standard Spark iterative
+pattern. Near-dup graphs have tiny diameters (dup clusters are
+near-cliques), so 5-10 rounds cover real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 15,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``edges``; cluster_id is the
+    min node id reachable through the undirected edge set."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # persist: the edge set feeds every propagation round (and edge
+    # generation may itself be an expensive similarity join)
+    und = (
+        fwd.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+
+    for i in range(max_iter):
+        # candidate labels: my own + the labels of my neighbors
+        neighbor_labels = (
+            und.join(labels, und.v == labels.node)
+            .select(F.col("u").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    all_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full dedup assignment: every document mapped to its cluster id
+    (transitive closure of near-dup pairs; untouched docs are their own
+    singleton cluster). Keep one doc per cluster_id to deduplicate."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+        )
+    )

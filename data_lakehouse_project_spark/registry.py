@@ -719,6 +719,59 @@ WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → dedup clusters via connected components (min-label
+    propagation, ext/graph.py). Edges = the char-3-gram Jaccard >= 0.8
+    pairs; oracle computes the same closure with a recursive CTE."""
+    from data_lakehouse_project_spark.ext.graph import dedup_clusters
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = X_dedup.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, jaccard_threshold=0.8
+    )
+    return dedup_clusters(documents, pairs, "doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM (SELECT DISTINCT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
+            FROM documents, range(1, 5001) t(i)
+            WHERE i <= GREATEST(length({NORM}) - 2, 1)) a
+      JOIN (SELECT DISTINCT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
+            FROM documents, range(1, 5001) t(i)
+            WHERE i <= GREATEST(length({NORM}) - 2, 1)) b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2) s
+    JOIN (SELECT doc_id, COUNT(DISTINCT sh) AS n_sh
+          FROM (SELECT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
+                FROM documents, range(1, 5001) t(i)
+                WHERE i <= GREATEST(length({NORM}) - 2, 1)) x
+          GROUP BY doc_id) sa ON sa.doc_id = id_a
+    JOIN (SELECT doc_id, COUNT(DISTINCT sh) AS n_sh
+          FROM (SELECT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
+                FROM documents, range(1, 5001) t(i)
+                WHERE i <= GREATEST(length({NORM}) - 2, 1)) y
+          GROUP BY doc_id) sb ON sb.doc_id = id_b)
+  WHERE jaccard >= 0.8),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u
+)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT n AS node, MIN(m) AS cluster_id FROM reach GROUP BY n) c
+  ON c.node = d.doc_id
+"""
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (the 100 TB path; approximate recall —
     no SQL oracle, rows-only check; q_dedup_jaccard_pairs is its exact
@@ -1277,6 +1330,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_tokenset_groups": (q_dedup_tokenset_groups, SQL_DEDUP_TOKENSET),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
     "dedup_simhash_fingerprints": (q_dedup_simhash, None),
     # similarity
