@@ -1263,6 +1263,42 @@ def q_agg_approx_distinct(spark, sf_dir):
     )
 
 
+def q_events_gapfill(spark, sf_dir):
+    """Dense hourly spine with zero-filled counts and forward-filled
+    value sums (time-series gap filling)."""
+    from data_lakehouse_project_spark.streaming.events import gapfill_hourly
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = gapfill_hourly(events)
+    return out.select(
+        "bucket",
+        "event_count",
+        _r2(F.col("value_sum")).alias("value_sum"),
+        _r2(F.col("value_sum_ffill")).alias("value_sum_ffill"),
+    )
+
+
+# generate_series can't take subquery bounds in DuckDB 1.0 → constant
+# wide spine filtered to the table's actual hour range
+SQL_EVENTS_GAPFILL = f"""
+WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                       date_trunc('hour', MAX(ts)) AS hi FROM events),
+spine AS (
+  SELECT s.b AS bucket
+  FROM generate_series(TIMESTAMP '2023-01-01', TIMESTAMP '2025-01-01',
+                       INTERVAL 1 HOUR) s(b), bounds
+  WHERE s.b BETWEEN bounds.lo AND bounds.hi),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS c, SUM(value) AS v
+  FROM events GROUP BY 1)
+SELECT strftime(spine.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       COALESCE(c, 0) AS event_count,
+       {R('v')} AS value_sum,
+       {R('last_value(v IGNORE NULLS) OVER (ORDER BY spine.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS value_sum_ffill
+FROM spine LEFT JOIN hourly ON spine.bucket = hourly.bucket
+"""
+
+
 def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag window + conditional sum)."""
     (events,) = _t(spark, sf_dir, "events")
@@ -1353,6 +1389,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_hourly_rollup": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONS),
+    "events_gapfill_hourly": (q_events_gapfill, SQL_EVENTS_GAPFILL),
     "events_asof_join": (q_events_asof_join, SQL_ASOF),
     "join_range_bands": (q_join_range_bands, SQL_RANGE_BANDS),
     "agg_approx_distinct": (q_agg_approx_distinct, None),

@@ -78,6 +78,48 @@ def sessionize(
     )
 
 
+def gapfill_hourly(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hourly totals on a dense time spine: missing hours appear with
+    count 0, and value_sum is forward-filled from the last seen hour.
+
+    The spine is generated from the table's own min/max (sequence +
+    explode — a few thousand rows even for years of hours, so the
+    cross-join with the 1-row bounds aggregate is trivial); the rollup
+    left-joins onto it; the forward fill is last_value(ignorenulls) over
+    the spine order. Shape: 2 scans (bounds + rollup), one broadcast-ish
+    join, one window — no driver-side iteration.
+    """
+    from pyspark.sql.window import Window
+
+    bounds = df.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    hourly = df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("value").alias("value_sum"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(hourly, "bucket", "left")
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce("event_count", F.lit(0)).alias("event_count"),
+            "value_sum",
+        )
+        .withColumn(
+            "value_sum_ffill", F.last("value_sum", ignorenulls=True).over(w)
+        )
+    )
+
+
 def streaming_hourly_rollup(
     stream_df: DataFrame, ts_col: str = "ts", watermark: str = "2 hours"
 ) -> DataFrame:

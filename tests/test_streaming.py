@@ -65,6 +65,30 @@ def test_sessionize_gap_semantics(spark):
     assert got[200] == (1, 1)
 
 
+def test_gapfill_fills_missing_hours(spark):
+    """A 3-hour gap appears on the spine with count 0 and carried value."""
+    import datetime
+
+    from data_lakehouse_project_spark.streaming.events import gapfill_hourly
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 1, "click", 10.0, "{}"),
+        (2, t0 + datetime.timedelta(hours=4), 1, "click", 20.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.bucket: r for r in gapfill_hourly(df).collect()}
+    assert len(out) == 5  # hours 00..04 inclusive
+    gap = out["2024-01-01 02:00:00"]
+    assert gap.event_count == 0
+    assert gap.value_sum is None
+    assert gap.value_sum_ffill == 10.0  # carried forward from hour 0
+
+
 def test_streaming_matches_batch(spark, events, tmp_path):
     """Structured Streaming rollup over a file source == batch rollup."""
     src = str(tmp_path / "events_src")
