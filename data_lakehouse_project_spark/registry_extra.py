@@ -348,6 +348,30 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_window_percentiles(spark, sf_dir):
+    """percent_rank / cume_dist over a deterministic total order."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+SQL_WINDOW_PCT = """
+SELECT o_orderkey, o_orderstatus,
+       percent_rank() OVER w AS price_pct_rank,
+       cume_dist() OVER w AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 def q_agg_string_concat(spark, sf_dir):
     """Ordered string aggregation (array_join over sorted collect_list)."""
     (orders,) = _t(spark, sf_dir, "orders")
@@ -506,4 +530,5 @@ FROM lineitem GROUP BY l_returnflag
         "agg_string_concat": (q_agg_string_concat, SQL_STRING_CONCAT),
         "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITH),
         "string_functions": (q_string_functions, SQL_STRING_FUNCS),
+        "window_percentiles": (q_window_percentiles, SQL_WINDOW_PCT),
     }

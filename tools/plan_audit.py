@@ -31,8 +31,9 @@ EXPECT_NESTED_LOOP = {
     "embedding_pairs_exact",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
-# expand is ~8 logical shuffles (each counted again by AQE stage reuse)
-EXPECT_MANY_EXCHANGES = {"dedup_minhash_pairs"}
+# expand is ~8 logical shuffles (each counted again by AQE stage reuse);
+# connected components is iterative (one join+agg per propagation round)
+EXPECT_MANY_EXCHANGES = {"dedup_minhash_pairs", "dedup_clusters"}
 
 
 def main() -> int:
