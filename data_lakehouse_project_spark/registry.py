@@ -1138,6 +1138,38 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def q_text_idf_terms(spark, sf_dir):
+    """Corpus IDF table: document frequency + idf per token, top-50 by
+    df (deterministic tiebreak). The building block of tf-idf quality
+    filtering; one explode + two aggregates, no Python."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    n_docs = documents.count()
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(X_dedup.tokens(F.col("text")))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token",
+            "df",
+            _rn(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.col("token"))
+        .limit(50)
+    )
+
+
+SQL_IDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({TOKS})) AS token FROM documents),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT token, df, {R('ln(n_docs / df)', 6)} AS idf
+FROM (SELECT token, COUNT(*) AS df FROM tok GROUP BY token), n
+ORDER BY df DESC, token LIMIT 50
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
     out = hourly_rollup(events)
@@ -1385,6 +1417,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_token_count": (q_bpe_token_count, SQL_BPE),
     "text_quality_score": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id_heuristic": (q_lang_id, SQL_LANG_ID),
+    "text_idf_top_terms": (q_text_idf_terms, SQL_IDF),
     # events
     "events_hourly_rollup": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_json_extract": (q_events_json, SQL_EVENTS_JSON),

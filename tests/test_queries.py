@@ -91,3 +91,19 @@ def test_pricing_summary_partial_vs_total(spark, testdata):
 def test_topk_row_bounds(spark, name):
     fn = registry.queries()[name]
     assert fn(spark, SF_DIR).count() <= 10
+
+
+def test_stratified_sampling(spark, testdata):
+    """Seeded sampleBy: per-stratum fractions honored, deterministic."""
+    lineitem = testdata["lineitem"]
+    fractions = {"A": 0.5, "N": 0.1, "R": 0.0}
+    s1 = lineitem.sampleBy("l_returnflag", fractions, seed=7)
+    s2 = lineitem.sampleBy("l_returnflag", fractions, seed=7)
+    assert s1.count() == s2.count()  # deterministic under fixed seed
+    counts = {
+        r.l_returnflag: r["count"]
+        for r in s1.groupBy("l_returnflag").count().collect()
+    }
+    assert counts.get("R", 0) == 0
+    total_a = lineitem.where(F.col("l_returnflag") == "A").count()
+    assert abs(counts.get("A", 0) / total_a - 0.5) < 0.1
