@@ -348,6 +348,30 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram via arithmetic binning (identical floor
+    expression on both engines — no engine histogram function needed)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r2(F.min("o_totalprice")).alias("bucket_min"),
+            _r2(F.max("o_totalprice")).alias("bucket_max"),
+        )
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       {R_MIN} AS bucket_min,
+       {R_MAX} AS bucket_max
+FROM orders GROUP BY 1
+"""
+
+
 def q_window_percentiles(spark, sf_dir):
     """percent_rank / cume_dist over a deterministic total order."""
     (orders,) = _t(spark, sf_dir, "orders")
@@ -531,4 +555,10 @@ FROM lineitem GROUP BY l_returnflag
         "date_arithmetic": (q_date_arithmetic, SQL_DATE_ARITH),
         "string_functions": (q_string_functions, SQL_STRING_FUNCS),
         "window_percentiles": (q_window_percentiles, SQL_WINDOW_PCT),
+        "histogram_totalprice": (
+            q_histogram_totalprice,
+            SQL_HISTOGRAM.format(
+                R_MIN=R("MIN(o_totalprice)"), R_MAX=R("MAX(o_totalprice)")
+            ),
+        ),
     }
