@@ -168,6 +168,47 @@ FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 # Scalar functions / projections / filters — SURVEY §2.3, §2.4
 # =========================================================================
 
+def q_dq_orders_report(spark, sf_dir):
+    """Table-level data-quality report over orders: uniqueness,
+    completeness, value range, referential integrity to customer."""
+    from data_lakehouse_project_spark.operators.expectations import (
+        expect_foreign_key,
+        expect_not_null,
+        expect_range,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return run_expectations(
+        [
+            expect_unique(orders, ["o_orderkey"]),
+            expect_not_null(orders, ["o_custkey", "o_totalprice", "o_orderdate"]),
+            expect_range(orders, "o_totalprice", lo=0.0),
+            expect_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+        ]
+    )
+
+
+SQL_DQ_ORDERS = """
+SELECT 'unique(o_orderkey)' AS "check", v = 0 AS passed, v AS violations
+FROM (SELECT COALESCE(SUM(c - 1), 0) AS v
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey))
+UNION ALL
+SELECT 'not_null(o_custkey,o_totalprice,o_orderdate)', v = 0, v
+FROM (SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL)
+           + COUNT(*) FILTER (WHERE o_totalprice IS NULL)
+           + COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS v FROM orders)
+UNION ALL
+SELECT 'range(o_totalprice,0.0,None)', v = 0, v
+FROM (SELECT COUNT(*) FILTER (WHERE o_totalprice < 0.0) AS v FROM orders)
+UNION ALL
+SELECT 'fk(o_custkey->c_custkey)', v = 0, v
+FROM (SELECT COUNT(*) AS v FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+"""
+
+
 def q_date_parts(spark, sf_dir):
     """F2-F5: to_date, date_format, year, month."""
     (orders,) = _t(spark, sf_dir, "orders")
@@ -1366,6 +1407,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "category_summary": (q_category_summary, SQL_CATEGORY),
     "monthly_order_growth": (q_monthly_order_growth, SQL_MONTHLY),
     "silver_events_cleanse": (q_silver_events_cleanse, SQL_SILVER_EVENTS),
+    "dq_orders_report": (q_dq_orders_report, SQL_DQ_ORDERS),
     # scalar functions / filters / sorts
     "date_parts": (q_date_parts, SQL_DATE_PARTS),
     "string_normalize": (q_string_normalize, SQL_STRING_NORM),
