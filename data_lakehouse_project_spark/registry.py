@@ -1480,6 +1480,11 @@ REGISTRY.update(
     registry_extra.build({"R": R, "_rn": _rn, "SQL_PRICING": SQL_PRICING})
 )
 
+# decision-support shapes (TPC-H-derived) + unpivot/array/range-frame surface
+from data_lakehouse_project_spark import registry_dss  # noqa: E402
+
+REGISTRY.update(registry_dss.build({"R": R, "_rn": _rn}))
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

@@ -1,0 +1,353 @@
+"""Decision-support query shapes (TPC-H-derived) + array/unpivot surface.
+
+The reference repo has no joins or subqueries at all (SURVEY §2.9); these
+queries extend the engine's surface with the classic decision-support
+patterns its star-schema testdata exists to exercise: correlated EXISTS
+(Q4 shape), customer-order distribution (Q13 shape), per-group-threshold
+filter (Q17 shape), conditional aggregation over a fact join (Q12 shape),
+plus UNPIVOT, array functions over the embeddings table, RANGE-frame
+windows, and null-handling scalars.
+
+Scale notes (local[32] tests, 1000-executor design):
+- Q17 shape: the naive correlated subquery rescans lineitem per part;
+  we aggregate-then-join instead — one shuffle on l_partkey, and the
+  brand filter is applied FIRST via a broadcast semi-join so the big
+  aggregation only sees the selected parts' rows.
+- Q4 shape: EXISTS decorrelates to a left-semi join on l_orderkey with
+  the date inequality in the join condition — no duplicate explosion,
+  map-side short-circuit once a match is found.
+- RANGE frame orders by an integer day number (epoch days), which both
+  engines sort identically; frames on raw timestamps differ in interval
+  semantics across dialects.
+
+Same determinism rules as registry.py (shared ``_rn``/``R`` helpers —
+floor-based half-up rounding identical on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_lakehouse_project_spark.sources.readers import load_testdata
+
+# populated by registry.py via build() to avoid a circular import
+_helpers: dict = {}
+
+
+def _rn(col, n):
+    if "_rn" not in _helpers:
+        # direct module use without going through registry: importing it
+        # runs build(), which populates _helpers (registry imports this
+        # module at its end, so no circularity at this point)
+        from data_lakehouse_project_spark import registry  # noqa: F401
+    return _helpers["_rn"](col, n)
+
+
+def _r2(col):
+    return _rn(col, 2)
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_testdata(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+# --- Q4 shape: correlated EXISTS ------------------------------------------
+
+def q_subquery_exists(spark, sf_dir):
+    """Orders placed in 1996Q1 with at least one lineitem shipped >60 days
+    after the order date, counted by priority.
+
+    EXISTS ⇒ left-semi join with the correlated inequality folded into
+    the join condition (Catalyst decorrelation, done by hand here to show
+    the DataFrame-API form)."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    od = F.to_date(orders.o_orderdate)
+    o = orders.filter(
+        (od >= F.lit("1996-01-01").cast("date"))
+        & (od < F.lit("1996-04-01").cast("date"))
+    )
+    cond = (o.o_orderkey == lineitem.l_orderkey) & (
+        F.to_date(lineitem.l_shipdate) > F.date_add(F.to_date(o.o_orderdate), 60)
+    )
+    return (
+        o.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_SUBQ_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND CAST(l_shipdate AS DATE)
+                    > CAST(o_orderdate AS DATE) + 60)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q13 shape: customer order-count distribution --------------------------
+
+def q_custdist(spark, sf_dir):
+    """Distribution of customers by how many orders they placed
+    (including zero — left outer join keeps orderless customers)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+# --- Q17 shape: per-group threshold filter ---------------------------------
+
+def q_small_qty_revenue(spark, sf_dir):
+    """Weekly-average revenue from small-quantity lineitems of one brand:
+    rows whose quantity is below 20% of their part's average quantity.
+
+    Aggregate-then-join (one pass) instead of the correlated per-part
+    rescan; brand restriction pushed in front of the aggregation via a
+    broadcast semi-join on the part dimension."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    sel = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(sel), lineitem.l_partkey == sel.p_partkey, "left_semi"
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(_r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+SQL_SMALL_QTY = """
+SELECT {R_AVG_YEARLY} AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# --- Q12 shape: conditional aggregation over the fact join -----------------
+
+def q_late_shipment_flags(spark, sf_dir):
+    """Per order priority: lineitems shipped more than 30 days after the
+    order date vs on time. COUNT(CASE) form — one shuffle on the join
+    key, then a partial+final hash aggregate on priority."""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    j = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    late = F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 30)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.when(late, 1)).alias("late_lines"),
+        F.count(F.when(~late, 1)).alias("ontime_lines"),
+    )
+
+
+SQL_LATE_FLAGS = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE CAST(l_shipdate AS DATE)
+                              > CAST(o_orderdate AS DATE) + 30)
+         AS late_lines,
+       COUNT(*) FILTER (WHERE NOT (CAST(l_shipdate AS DATE)
+                                   > CAST(o_orderdate AS DATE) + 30))
+         AS ontime_lines
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- UNPIVOT ---------------------------------------------------------------
+
+def q_unpivot_status_measures(spark, sf_dir):
+    """Wide-to-long reshape: per-status aggregates unpivoted to
+    (status, measure, value) rows — df.unpivot (a.k.a. melt)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        _r2(F.sum("o_totalprice")).alias("sum_price"),
+        _r2(F.avg("o_totalprice")).alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return agg.unpivot(
+        "o_orderstatus",
+        ["sum_price", "avg_price", "n_orders"],
+        "measure",
+        "value",
+    )
+
+
+SQL_UNPIVOT = """
+WITH a AS (SELECT o_orderstatus,
+                  {R_SUM} AS sum_price,
+                  {R_AVG} AS avg_price,
+                  CAST(COUNT(*) AS DOUBLE) AS n_orders
+           FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, 'sum_price' AS measure, sum_price AS value FROM a
+UNION ALL
+SELECT o_orderstatus, 'avg_price', avg_price FROM a
+UNION ALL
+SELECT o_orderstatus, 'n_orders', n_orders FROM a
+"""
+
+
+# --- array functions over embeddings ---------------------------------------
+
+def q_array_functions(spark, sf_dir):
+    """Array surface on the embedding column: size, min/max element,
+    first element, head slice, top-2 by value — all JVM-side array
+    expressions, no Python in the loop."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return embeddings.select(
+        "vec_id",
+        F.size(emb).cast("long").alias("dim"),
+        _rn(F.array_max(emb).cast("double"), 4).alias("max_val"),
+        _rn(F.array_min(emb).cast("double"), 4).alias("min_val"),
+        _rn(emb.getItem(0).cast("double"), 4).alias("first_val"),
+        F.transform(
+            F.slice(emb, 1, 3), lambda x: _rn(x.cast("double"), 4)
+        ).alias("head3"),
+        F.transform(
+            F.slice(F.sort_array(emb, asc=False), 1, 2),
+            lambda x: _rn(x.cast("double"), 4),
+        ).alias("top2"),
+    )
+
+
+_R4 = "CAST(FLOOR(CAST({x} AS DOUBLE) * 10000 + 0.5) AS DOUBLE) / 10000.0"
+
+SQL_ARRAY_FUNCS = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       {_R4.format(x='list_max(embedding)')} AS max_val,
+       {_R4.format(x='list_min(embedding)')} AS min_val,
+       {_R4.format(x='embedding[1]')} AS first_val,
+       list_transform(embedding[1:3], x -> {_R4.format(x='x')}) AS head3,
+       list_transform(list_sort(embedding, 'DESC')[1:2],
+                      x -> {_R4.format(x='x')}) AS top2
+FROM embeddings
+"""
+
+
+# --- RANGE-frame window ----------------------------------------------------
+
+def q_window_range_trailing(spark, sf_dir):
+    """Per-customer trailing-30-day revenue: a RANGE frame over an
+    integer epoch-day ordering (value-based frame, peers share it — no
+    tie nondeterminism)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    day_num = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    df = orders.withColumn("day_num", day_num)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, 0)
+    )
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        _r2(F.sum("o_totalprice").over(w)).alias("trailing_30d_rev"),
+    )
+
+
+SQL_WINDOW_RANGE = """
+SELECT o_custkey, o_orderkey, {R_TRAIL} AS trailing_30d_rev
+FROM (SELECT *, date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS day_num
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- null-handling scalars -------------------------------------------------
+
+def q_null_handling(spark, sf_dir):
+    """NULLIF / COALESCE / LEAST / GREATEST / conditional-NULL surface."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("segment_or_other"),
+        _r2(F.least(bal, F.lit(0.0))).alias("neg_part"),
+        _r2(F.greatest(bal, F.lit(0.0))).alias("pos_part"),
+        F.when(bal < 0, F.lit(None).cast("double"))
+        .otherwise(_r2(bal))
+        .alias("bal_nonneg_or_null"),
+        F.isnull(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))).alias(
+            "is_machinery"
+        ),
+    )
+
+
+SQL_NULL_HANDLING = """
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER')
+         AS segment_or_other,
+       {R_NEG} AS neg_part,
+       {R_POS} AS pos_part,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE {R_BAL} END
+         AS bal_nonneg_or_null,
+       NULLIF(c_mktsegment, 'MACHINERY') IS NULL AS is_machinery
+FROM customer
+"""
+
+
+def build(helpers: dict) -> dict:
+    """Return {name: (fn, oracle_sql)} for the decision-support surface."""
+    _helpers.update(helpers)
+    R = helpers["R"]
+    return {
+        "subquery_exists": (q_subquery_exists, SQL_SUBQ_EXISTS),
+        "custdist": (q_custdist, SQL_CUSTDIST),
+        "small_qty_revenue": (
+            q_small_qty_revenue,
+            SQL_SMALL_QTY.format(
+                R_AVG_YEARLY=R("SUM(l_extendedprice) / 7.0")
+            ),
+        ),
+        "late_shipment_flags": (q_late_shipment_flags, SQL_LATE_FLAGS),
+        "unpivot_status_measures": (
+            q_unpivot_status_measures,
+            SQL_UNPIVOT.format(
+                R_SUM=R("SUM(o_totalprice)"), R_AVG=R("AVG(o_totalprice)")
+            ),
+        ),
+        "array_functions": (q_array_functions, SQL_ARRAY_FUNCS),
+        "window_range_trailing": (
+            q_window_range_trailing,
+            SQL_WINDOW_RANGE.format(R_TRAIL=R("SUM(o_totalprice) OVER w")),
+        ),
+        "null_handling": (
+            q_null_handling,
+            SQL_NULL_HANDLING.format(
+                R_NEG=R("LEAST(c_acctbal, 0.0)"),
+                R_POS=R("GREATEST(c_acctbal, 0.0)"),
+                R_BAL=R("c_acctbal"),
+            ),
+        ),
+    }

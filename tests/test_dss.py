@@ -1,0 +1,60 @@
+"""Decision-support query shapes: semantics + physical-plan assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark import registry_dss
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    df = registry_dss.q_subquery_exists(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    # semi-join must not duplicate orders: count <= orders in window
+    total = df.agg(F.sum("order_count")).collect()[0][0] or 0
+    from data_lakehouse_project_spark.sources.readers import load_testdata
+
+    orders = load_testdata(df.sparkSession, SF_DIR)["orders"]
+    in_window = orders.filter(
+        (F.to_date("o_orderdate") >= "1996-01-01")
+        & (F.to_date("o_orderdate") < "1996-04-01")
+    ).count()
+    assert total <= in_window
+
+
+def test_custdist_includes_zero_order_customers(spark, testdata):
+    df = registry_dss.q_custdist(spark, SF_DIR)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    # distribution covers every customer exactly once
+    assert sum(rows.values()) == testdata["customer"].count()
+
+
+def test_small_qty_revenue_broadcasts_part_dim(spark):
+    df = registry_dss.q_small_qty_revenue(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # brand dim never shuffles lineitem
+
+
+def test_unpivot_long_shape(spark, testdata):
+    df = registry_dss.q_unpivot_status_measures(spark, SF_DIR)
+    n_status = testdata["orders"].select("o_orderstatus").distinct().count()
+    assert df.count() == 3 * n_status
+    assert set(df.columns) == {"o_orderstatus", "measure", "value"}
+
+
+def test_range_frame_sums_trailing_window(spark):
+    df = registry_dss.q_window_range_trailing(spark, SF_DIR)
+    # trailing sum must always include the current row's own price
+    from data_lakehouse_project_spark.sources.readers import load_testdata
+
+    orders = load_testdata(spark, SF_DIR)["orders"]
+    joined = df.join(orders, ["o_custkey", "o_orderkey"]).filter(
+        F.col("trailing_30d_rev") < F.col("o_totalprice") - 0.01
+    )
+    assert joined.count() == 0
