@@ -317,6 +317,158 @@ FROM customer
 """
 
 
+# --- Q7 shape: dual-dimension nation-pair volume ---------------------------
+
+def q_nation_pair_volume(spark, sf_dir):
+    """Shipping volume between (supplier nation, customer nation) pairs by
+    ship year. The nation dimension joins TWICE under different roles —
+    column-renamed projections avoid self-join exprId ambiguity, and both
+    lookups broadcast (no shuffle beyond the fact-fact orderkey join)."""
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("long").alias("ship_year"),
+        )
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("volume")
+        )
+    )
+
+
+SQL_NATION_PAIR = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+       {R_VOL} AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+# --- Q10 shape: returned-item revenue ranking ------------------------------
+
+def q_returned_item_customers(spark, sf_dir):
+    """Top-20 customers by revenue lost to returns. The returnflag filter
+    is pushed to the lineitem scan; customer and nation broadcast."""
+    customer, orders, lineitem, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name, {R_REV} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q6 shape: filtered scan aggregate -------------------------------------
+
+def q_forecast_revenue_change(spark, sf_dir):
+    """Revenue increase from dropping discounts in a band: one filtered
+    scan (all three predicates pushed to parquet) + global agg."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    return (
+        lineitem.filter(
+            (d >= F.lit("1996-01-01").cast("date"))
+            & (d < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_change"
+            )
+        )
+    )
+
+
+SQL_FORECAST = """
+SELECT {R_CHG} AS revenue_change
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- argmax / argmin aggregates --------------------------------------------
+
+def q_argminmax_orders(spark, sf_dir):
+    """max_by/min_by: which order had the extreme price per status.
+    Ties broken deterministically by folding the orderkey into an
+    integer sort key (cents * 1e7 + key — exact in int64 on both
+    engines; raw double max_by would tie-break arbitrarily)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    sort_key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", sort_key).alias("priciest_order"),
+        F.min_by("o_orderkey", sort_key).alias("cheapest_order"),
+        _r2(F.max("o_totalprice")).alias("max_price"),
+        _r2(F.min("o_totalprice")).alias("min_price"),
+    )
+
+
+SQL_ARGMINMAX = """
+SELECT o_orderstatus,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS cheapest_order,
+       {R_MAX} AS max_price,
+       {R_MIN} AS min_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def build(helpers: dict) -> dict:
     """Return {name: (fn, oracle_sql)} for the decision-support surface."""
     _helpers.update(helpers)
@@ -348,6 +500,30 @@ def build(helpers: dict) -> dict:
                 R_NEG=R("LEAST(c_acctbal, 0.0)"),
                 R_POS=R("GREATEST(c_acctbal, 0.0)"),
                 R_BAL=R("c_acctbal"),
+            ),
+        ),
+        "nation_pair_volume": (
+            q_nation_pair_volume,
+            SQL_NATION_PAIR.format(
+                R_VOL=R("SUM(l_extendedprice * (1 - l_discount))")
+            ),
+        ),
+        "returned_item_customers": (
+            q_returned_item_customers,
+            SQL_RETURNED_ITEMS.format(
+                R_REV=R("SUM(l_extendedprice * (1 - l_discount))")
+            ),
+        ),
+        "forecast_revenue_change": (
+            q_forecast_revenue_change,
+            SQL_FORECAST.format(
+                R_CHG=R("SUM(l_extendedprice * l_discount)")
+            ),
+        ),
+        "argminmax_orders": (
+            q_argminmax_orders,
+            SQL_ARGMINMAX.format(
+                R_MAX=R("MAX(o_totalprice)"), R_MIN=R("MIN(o_totalprice)")
             ),
         ),
     }

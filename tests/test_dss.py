@@ -48,6 +48,36 @@ def test_unpivot_long_shape(spark, testdata):
     assert set(df.columns) == {"o_orderstatus", "measure", "value"}
 
 
+def test_nation_pair_only_fact_join_shuffles(spark):
+    """4 dimension lookups broadcast; only lineitem⋈orders may shuffle."""
+    df = registry_dss.q_nation_pair_volume(spark, SF_DIR)
+    plan = _plan(df)
+    # the 4 dimension lookups must broadcast (at tiny SF orders may too);
+    # at most the lineitem⋈orders fact join is allowed to shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_returned_items_filter_pushed_to_scan(spark):
+    df = registry_dss.q_returned_item_customers(spark, SF_DIR)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "EqualTo(l_returnflag,R)" in formatted
+
+
+def test_argminmax_consistent_with_max(spark, testdata):
+    df = registry_dss.q_argminmax_orders(spark, SF_DIR)
+    orders = testdata["orders"]
+    for r in df.collect():
+        top = orders.filter(
+            (F.col("o_orderstatus") == r["o_orderstatus"])
+            & (F.col("o_orderkey") == r["priciest_order"])
+        ).collect()[0]
+        # the argmax row really carries the max price for its group
+        assert abs(top["o_totalprice"] - r["max_price"]) < 0.01
+
+
 def test_range_frame_sums_trailing_window(spark):
     df = registry_dss.q_window_range_trailing(spark, SF_DIR)
     # trailing sum must always include the current row's own price
