@@ -118,17 +118,26 @@ def minhash_signatures(
 
 def _signatures_from_tokens(tok_df: DataFrame, num_hashes: int) -> DataFrame:
     """MinHash signatures for a (id..., tok array) frame (see
-    minhash_signatures for the hashing scheme)."""
-    base = F.transform(
-        F.col("tok"), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
+    minhash_signatures for the hashing scheme).
+
+    Two projections on purpose: the base-hash array materializes in its
+    own project operator, so the K affine-min expressions reference it as
+    an attribute instead of re-inlining the token hashing K times
+    (CollapseProject keeps the boundary because the reference is
+    non-cheap and used K times)."""
+    pre = tok_df.withColumn(
+        "_th",
+        F.transform(
+            F.col("tok"), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
+        ),
     )
     sig = F.array(
         *[
-            _affine_min(base, 2 * i + 1, 1_000_003 * (i + 1))
+            _affine_min(F.col("_th"), 2 * i + 1, 1_000_003 * (i + 1))
             for i in range(num_hashes)
         ]
     )
-    return tok_df.withColumn("signature", sig)
+    return pre.withColumn("signature", sig).drop("_th")
 
 
 def minhash_near_duplicates(
@@ -165,8 +174,10 @@ def minhash_near_duplicates(
         F.col(id_col),
         F.array_distinct(tokens(F.col(text_col))).alias("tok"),
     )
+    # vocab fingerprint = xxhash64 of the SORTED token array value — no
+    # giant join-to-string + md5; the group key is 8 bytes on the wire
     grouped = (
-        tok.withColumn("vocab_fp", F.md5(F.array_join(F.array_sort("tok"), " ")))
+        tok.withColumn("vocab_fp", F.xxhash64(F.array_sort("tok")))
         .groupBy("vocab_fp")
         .agg(
             F.min(id_col).alias("rep_id"),
@@ -184,27 +195,31 @@ def minhash_near_duplicates(
         F.col("vocab_fp"), F.col("rep_id"), F.col("tok")
     )
     sigs = _signatures_from_tokens(reps, num_hashes)
-    banded = sigs.select(
-        "rep_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(
-                                    "signature", b * rows_per_band + 1, rows_per_band
-                                ),
-                                ",",
+    # band buckets are xxhash64 of the signature slice ARRAY (hashing the
+    # Catalyst array value directly — no string join), giving long join
+    # keys instead of 32-char md5 strings. Multi-band collisions are
+    # deduped with distinct(): an inline "first colliding band" array
+    # check was measured 3× SLOWER overall — interpreted higher-order
+    # functions on every raw candidate cost more than one exchange of the
+    # (long, long) pair set.
+    banded = (
+        sigs.select(
+            "rep_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.slice(
+                                "signature", b * rows_per_band + 1, rows_per_band
                             )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("rep_id", "bk.band", "bk.bucket").persist()
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        .persist()
+    )
 
     cand = (
         banded.alias("a")
@@ -222,18 +237,25 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    rep_tok = reps.select("rep_id", "tok").persist()
+    # exact verify on HASHED tokens: xxhash64 each token once, then set
+    # intersect/union over long arrays — element compares are 8-byte ints
+    # instead of strings (same Jaccard barring a 64-bit hash collision,
+    # which the exact dedup_jaccard_pairs oracle anchors against)
+    rep_tok = reps.select(
+        "rep_id",
+        F.transform("tok", lambda t: F.xxhash64(t)).alias("toh"),
+    ).persist()
     rep_pairs = (
         cand.join(
-            rep_tok.withColumnsRenamed({"rep_id": "rep_a", "tok": "tok_a"}), "rep_a"
+            rep_tok.withColumnsRenamed({"rep_id": "rep_a", "toh": "toh_a"}), "rep_a"
         )
         .join(
-            rep_tok.withColumnsRenamed({"rep_id": "rep_b", "tok": "tok_b"}), "rep_b"
+            rep_tok.withColumnsRenamed({"rep_id": "rep_b", "toh": "toh_b"}), "rep_b"
         )
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("tok_a", "tok_b"))
-            / F.size(F.array_union("tok_a", "tok_b")),
+            F.size(F.array_intersect("toh_a", "toh_b"))
+            / F.size(F.array_union("toh_a", "toh_b")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("rep_a", "rep_b", "jaccard")

@@ -205,6 +205,8 @@ def cosine_pairs_lsh(
     num_tables: int = 8,
     seed: int = 42,
     round_to: int = 6,
+    verify: str = "auto",
+    broadcast_max_rows: int = 500_000,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via multi-table LSH (the scale path).
 
@@ -213,12 +215,40 @@ def cosine_pairs_lsh(
     Single-bit-per-plane recall for cosine>=t is p=(1-acos(t)/π)^H per
     table, so overall recall = 1-(1-p)^L — e.g. t=0.8, H=4, L=8 → 0.98.
 
-    Plan shape: project (table, bucket) structs → explode (L rows/vector,
-    payload = id only) → shuffle on (table, bucket) → within-bucket join →
-    distinct pairs → verify. Σ|bucket|² work, no crossJoin; AQE splits
-    skewed buckets.
+    Plan shape: project bucket arrays → posexplode (L rows/vector) →
+    shuffle on (table, bucket) → within-bucket join. A pair colliding in
+    several tables is emitted ONLY from its first colliding table (the
+    `canonical` filter below) — that replaces a full `distinct()` shuffle
+    of the candidate set with a cheap ≤L-element array check on each
+    joined row. Σ|bucket|² work, no crossJoin; AQE splits skewed buckets.
+
+    Verification strategies:
+    - ``join`` — attach both vectors via two hash joins, score with the
+      Arrow batch kernel. Fully distributed; the 100 TB path.
+    - ``broadcast`` — collect the (id → vector) matrix to the driver and
+      broadcast it; score candidates with one map-only `mapInPandas`
+      (einsum over the batch), no vector ever enters a shuffle. Wins
+      whenever the vector table fits in executor memory.
+    - ``auto`` (default) — ``broadcast`` when a cheap count() shows at
+      most ``broadcast_max_rows`` vectors, else ``join``.
+
+    Note: the broadcast path rounds with numpy (half-even) vs Spark's
+    HALF_UP — they differ only when a score lands exactly on a 1e-6
+    boundary, which the >= threshold filter makes measure-zero in
+    practice; the exact-pairs oracle anchors correctness either way.
     """
-    dim = len(df.select(vec_col).first()[0])
+    # resolve the verify strategy FIRST so the broadcast path needs just
+    # one driver job (the toPandas collect yields count, dim, and the
+    # matrix together instead of count() + first() + collect())
+    pdf = None
+    if verify == "auto":
+        verify = "broadcast" if df.count() <= broadcast_max_rows else "join"
+    if verify == "broadcast":
+        pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col)).toPandas()
+        dim = len(pdf[vec_col].iloc[0])
+    else:
+        dim = len(df.select(vec_col).first()[0])
+
     planes_all = np.concatenate(
         [_hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
     )  # (L*H, dim)
@@ -234,30 +264,55 @@ def cosine_pairs_lsh(
         vals = (bits * weights).sum(axis=2)  # (n, L)
         return pd.Series([row.tolist() for row in vals])
 
-    banded = df.select(
-        F.col(id_col),
-        F.posexplode(all_buckets(F.col(vec_col))).alias("tbl", "bucket"),
-    )
     # the self-join reads this projection twice and Spark does not reuse
-    # the exchange across the two sides — persist the (id, tbl, bucket)
-    # triple (tiny: ~20B/row × L) so the bucket computation runs once
-    banded = banded.persist()
+    # the exchange across the two sides — persist the banded triples
+    # (id, buckets, tbl, bucket) so the bucket computation runs once
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        all_buckets(F.col(vec_col)).alias("bkts"),
+    ).select(
+        "id", "bkts", F.posexplode("bkts").alias("tbl", "bucket")
+    ).persist()
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.tbl") == F.col("b.tbl"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("bkts").alias("bkts_a"), "tbl", "bucket"
     )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("bkts").alias("bkts_b"), "tbl", "bucket"
+    )
+    # canonical-table dedup: drop the pair here if it already collided in
+    # an earlier table (tbl is 0-based, slice length tbl = entries < tbl)
+    canonical = ~F.expr(
+        "exists(zip_with(slice(bkts_a, 1, tbl), slice(bkts_b, 1, tbl),"
+        " (x, y) -> x = y), z -> z)"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where((F.col("id_a") < F.col("id_b")) & canonical)
+        .select("id_a", "id_b")
+    )
+
+    if verify == "broadcast":
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        pos = pd.Series(np.arange(len(pdf)), index=pdf["id"].to_numpy())
+        bc = df.sparkSession.sparkContext.broadcast((mat, norms, pos))
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def score_batches(batches):
+            m, nrm, p = bc.value
+            for pb in batches:
+                ia = p.loc[pb["id_a"]].to_numpy()
+                ib = p.loc[pb["id_b"]].to_numpy()
+                sc = np.einsum("ij,ij->i", m[ia], m[ib]) / (nrm[ia] * nrm[ib])
+                out = pb.assign(score=np.round(sc, round_to))
+                yield out[out["score"] >= threshold]
+
+        return cand.mapInPandas(
+            score_batches,
+            f"id_a {id_type}, id_b {id_type}, score double",
+        )
+
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     return (
         cand.join(
