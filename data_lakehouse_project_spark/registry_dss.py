@@ -469,6 +469,93 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# --- bivariate statistics --------------------------------------------------
+
+def q_agg_corr_covar(spark, sf_dir):
+    """Pearson correlation + sample/population covariance per return
+    flag — partial+final aggregation of the co-moment sketches."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        _rn(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        _r2(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_s"),
+        _r2(F.covar_pop("l_quantity", "l_extendedprice")).alias("covar_p"),
+    )
+
+
+SQL_CORR_COVAR = """
+SELECT l_returnflag,
+       {R_CORR} AS qty_price_corr,
+       {R_CS} AS covar_s,
+       {R_CP} AS covar_p
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_regression(spark, sf_dir):
+    """Linear-regression aggregates: price explained by quantity."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return lineitem.groupBy("l_linestatus").agg(
+        _rn(F.regr_slope(y, x), 4).alias("slope"),
+        _r2(F.regr_intercept(y, x)).alias("intercept"),
+        _rn(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n_points"),
+    )
+
+
+SQL_REGRESSION = """
+SELECT l_linestatus,
+       {R_SLOPE} AS slope,
+       {R_ICEPT} AS intercept,
+       {R_R2} AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n_points
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise AND/OR/XOR aggregates over user ids per event type."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("uid_and"),
+        F.bit_or("user_id").alias("uid_or"),
+        F.bit_xor("user_id").alias("uid_xor"),
+    )
+
+
+SQL_BITWISE = """
+SELECT event_type,
+       bit_and(user_id) AS uid_and,
+       bit_or(user_id) AS uid_or,
+       bit_xor(user_id) AS uid_xor
+FROM events GROUP BY event_type
+"""
+
+
+def q_try_cast_safe(spark, sf_dir):
+    """Safe casting: TRY_CAST returns NULL instead of failing the job —
+    the difference matters at 100 TB where one malformed row must not
+    kill a 1000-executor stage."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_as_int"),
+        F.expr(
+            "try_cast(substring(o_orderpriority, 1, 1) AS INT)"
+        ).alias("prio_digit"),
+        F.expr("try_cast(o_orderstatus AS DATE)").alias("status_as_date"),
+    )
+
+
+SQL_TRY_CAST = """
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INTEGER) AS prio_as_int,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+       TRY_CAST(o_orderstatus AS DATE) AS status_as_date
+FROM orders
+"""
+
+
 def build(helpers: dict) -> dict:
     """Return {name: (fn, oracle_sql)} for the decision-support surface."""
     _helpers.update(helpers)
@@ -526,4 +613,22 @@ def build(helpers: dict) -> dict:
                 R_MAX=R("MAX(o_totalprice)"), R_MIN=R("MIN(o_totalprice)")
             ),
         ),
+        "agg_corr_covar": (
+            q_agg_corr_covar,
+            SQL_CORR_COVAR.format(
+                R_CORR=R("corr(l_quantity, l_extendedprice)", 6),
+                R_CS=R("covar_samp(l_quantity, l_extendedprice)"),
+                R_CP=R("covar_pop(l_quantity, l_extendedprice)"),
+            ),
+        ),
+        "agg_regression": (
+            q_agg_regression,
+            SQL_REGRESSION.format(
+                R_SLOPE=R("regr_slope(l_extendedprice, l_quantity)", 4),
+                R_ICEPT=R("regr_intercept(l_extendedprice, l_quantity)"),
+                R_R2=R("regr_r2(l_extendedprice, l_quantity)", 6),
+            ),
+        ),
+        "agg_bitwise": (q_agg_bitwise, SQL_BITWISE),
+        "try_cast_safe": (q_try_cast_safe, SQL_TRY_CAST),
     }
