@@ -1483,7 +1483,11 @@ REGISTRY.update(
 # decision-support shapes (TPC-H-derived) + unpivot/array/range-frame surface
 from data_lakehouse_project_spark import registry_dss  # noqa: E402
 
-REGISTRY.update(registry_dss.build({"R": R, "_rn": _rn}))
+REGISTRY.update(
+    registry_dss.build(
+        {"R": R, "_rn": _rn, "TOKS": TOKS, "tokens": X_dedup.tokens}
+    )
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

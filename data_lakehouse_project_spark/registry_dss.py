@@ -556,6 +556,80 @@ FROM orders
 """
 
 
+# --- JSON surface ----------------------------------------------------------
+
+def q_events_json_surface(spark, sf_dir):
+    """JSON in/out: key listing, path extraction, struct→JSON packing —
+    all JVM-side (Jackson), no Python."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.sort_array(F.json_object_keys("props")).alias("prop_keys"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias(
+            "packed"
+        ),
+    )
+
+
+SQL_JSON_SURFACE = """
+SELECT event_id,
+       list_sort(json_keys(props)) AS prop_keys,
+       CAST(props->>'k' AS BIGINT) AS k_value,
+       CAST(to_json(struct_pack(event_id := event_id,
+                                event_type := event_type)) AS VARCHAR)
+         AS packed
+FROM events
+"""
+
+
+# --- discrete percentiles --------------------------------------------------
+
+SQL_PDISC_SPARK = """
+SELECT l_returnflag,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+       percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS q2,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3
+FROM lineitem GROUP BY l_returnflag
+"""
+
+SQL_PDISC_DUCK = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q1,
+       quantile_disc(l_quantity, 0.50) AS q2,
+       quantile_disc(l_quantity, 0.75) AS q3
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentile_disc(spark, sf_dir):
+    """PERCENTILE_DISC (smallest value with cume_dist >= p — an actual
+    data value, no interpolation; verified equal to DuckDB's
+    quantile_disc rule on boundary cases)."""
+    load_testdata(spark, sf_dir, register_views=True)
+    return spark.sql(SQL_PDISC_SPARK)
+
+
+# --- positional explode ----------------------------------------------------
+
+def q_tokens_with_position(spark, sf_dir):
+    """posexplode: first-5 tokens of each document with their position
+    (generator expands JVM-side; the oracle zips parallel unnests)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = _helpers["tokens"](F.col("text"))
+    return documents.select(
+        "doc_id", F.posexplode(F.slice(toks, 1, 5)).alias("pos", "token")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+SQL_TOKENS_POS = """
+SELECT doc_id,
+       unnest(range(0, least(len(toks), 5))) AS pos,
+       unnest(toks[1:5]) AS token
+FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+"""
+
+
 def build(helpers: dict) -> dict:
     """Return {name: (fn, oracle_sql)} for the decision-support surface."""
     _helpers.update(helpers)
@@ -631,4 +705,10 @@ def build(helpers: dict) -> dict:
         ),
         "agg_bitwise": (q_agg_bitwise, SQL_BITWISE),
         "try_cast_safe": (q_try_cast_safe, SQL_TRY_CAST),
+        "events_json_surface": (q_events_json_surface, SQL_JSON_SURFACE),
+        "percentile_disc_qty": (q_percentile_disc, SQL_PDISC_DUCK),
+        "tokens_with_position": (
+            q_tokens_with_position,
+            SQL_TOKENS_POS.format(TOKS=helpers["TOKS"]),
+        ),
     }
