@@ -1,0 +1,140 @@
+"""Runnable end-to-end LLM training-corpus curation pipeline.
+
+Composes the engine's text-analysis and dedup operators into the
+standard pretraining-data shape (the north-star capability BASELINE.json
+adds on top of the reference, which itself stops at a constant
+``data_quality_check = lit('passed')`` — mysql_silver_transformation.py:67):
+
+    documents
+      → language ID (keep target langs)          ext/text.py::language_id
+      → quality score (keep >= threshold)        ext/text.py::quality_score
+      → exact dedup (md5 keep-first)             ext/dedup.py::exact_dedup_groups
+      → near-dup collapse (MinHash LSH)          ext/dedup.py::minhash_near_duplicates
+      → token accounting                         ext/text.py::bpe_token_count
+      → curated parquet + per-stage audit counts
+
+Every stage is a declarative DataFrame transform: filters/scores are JVM
+expression trees, dedup joins are bucket-shaped (no crossJoin), and the
+near-dup pass drops the LOWER-quality member of each verified pair —
+the drop set is built with a groupBy max, not a driver-side loop, so the
+plan is identical at 5k docs and 5B docs.
+
+    python examples/training_corpus_pipeline.py [sf_dir] [output_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_lakehouse_project_spark import get_spark
+from data_lakehouse_project_spark.ext.dedup import (
+    exact_dedup_groups,
+    minhash_near_duplicates,
+)
+from data_lakehouse_project_spark.ext.text import (
+    bpe_token_count,
+    language_id,
+    quality_score,
+)
+from data_lakehouse_project_spark.sources.readers import load_testdata
+
+KEEP_LANGS = ["en", "fr", "de", "es"]
+MIN_QUALITY = 0.35
+NEAR_DUP_JACCARD = 0.8
+
+
+def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
+           near_dup_jaccard: float = NEAR_DUP_JACCARD) -> dict[str, DataFrame]:
+    """Run the full curation funnel; returns every intermediate stage so
+    callers (and tests) can audit per-stage attrition."""
+    stages: dict[str, DataFrame] = {"raw": docs}
+
+    # 1. language filter — broadcast-free: the heuristic is a projection
+    lang = language_id(docs, "text", "doc_id")
+    stages["lang_kept"] = (
+        docs.join(lang, "doc_id")
+        .where(F.col("detected_lang").isin(KEEP_LANGS))
+        .drop("stopword_hits")
+    )
+
+    # 2. quality floor
+    q = quality_score(stages["lang_kept"], "text", "doc_id")
+    stages["quality_kept"] = (
+        stages["lang_kept"].join(q, "doc_id")
+        .where(F.col("quality_score") >= min_quality)
+    )
+
+    # 3. exact dedup: keep the min doc_id of each md5 group
+    groups = exact_dedup_groups(stages["quality_kept"], "text", "doc_id")
+    stages["exact_unique"] = stages["quality_kept"].join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+    # 4. near-dup collapse: for each verified pair drop the lower-quality
+    # side (ties by higher doc_id). One groupBy over the pair list builds
+    # the drop set — no collect, no loop.
+    pairs = minhash_near_duplicates(
+        stages["exact_unique"], "text", "doc_id",
+        jaccard_threshold=near_dup_jaccard,
+    )
+    qcols = stages["exact_unique"].select("doc_id", "quality_score")
+    scored_pairs = (
+        pairs.join(
+            qcols.select(F.col("doc_id").alias("id_a"),
+                         F.col("quality_score").alias("q_a")), "id_a")
+        .join(
+            qcols.select(F.col("doc_id").alias("id_b"),
+                         F.col("quality_score").alias("q_b")), "id_b")
+    )
+    drop = scored_pairs.select(
+        F.when(F.col("q_a") < F.col("q_b"), F.col("id_a"))
+        .when(F.col("q_b") < F.col("q_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("doc_id")
+    ).distinct()
+    stages["near_dup_unique"] = stages["exact_unique"].join(
+        drop, "doc_id", "left_anti"
+    )
+
+    # 5. token accounting on the survivors
+    stages["curated"] = stages["near_dup_unique"].withColumn(
+        "n_bpe_tokens", bpe_token_count(F.col("text"))
+    )
+    return stages
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="curated_corpus_"
+    )
+    spark = get_spark(app_name="training-corpus-pipeline")
+    docs = load_testdata(spark, sf_dir)["documents"]
+
+    stages = curate(docs)
+    funnel = {name: df.count() for name, df in stages.items()}
+    total_tokens = stages["curated"].agg(
+        F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]["t"]
+
+    stages["curated"].write.mode("overwrite").parquet(
+        os.path.join(out_dir, "curated")
+    )
+
+    print("curation funnel (docs surviving each stage):")
+    for name in ["raw", "lang_kept", "quality_kept", "exact_unique",
+                 "near_dup_unique"]:
+        print(f"  {name:16s} {funnel[name]:>8d}")
+    print(f"curated corpus: {funnel['curated']} docs, "
+          f"{total_tokens} BPE-ish tokens → {out_dir}/curated")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
