@@ -146,3 +146,53 @@ def streaming_hourly_rollup(
             "value_sum",
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    the same key's right events arriving within ``(left_ts, left_ts +
+    max_delay]``.
+
+    Both sides carry a watermark equal to the join window, which is what
+    lets Spark bound the join state (rows older than the watermark can
+    never match and are evicted) — without it a stream-stream join is an
+    unbounded state buildup, the classic 100 TB/day failure mode. The
+    same plan runs in batch mode (watermarks become no-ops), so batch
+    equivalence is testable.
+
+    Returns (key, left_ts, left_type, right_ts, right_type, delay_s).
+    """
+    lw = left.withWatermark(ts_col, max_delay).select(
+        F.col(key).alias("k"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    )
+    rw = right.withWatermark(ts_col, max_delay).select(
+        F.col(key).alias("r_k"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    cond = (
+        (F.col("k") == F.col("r_k"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return (
+        lw.join(rw, cond)
+        .select(
+            F.col("k").alias(key),
+            "l_ts",
+            "l_type",
+            "r_ts",
+            "r_type",
+            (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts"))
+            .cast("long")
+            .alias("delay_s"),
+        )
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_lakehouse_project_spark.streaming import (
     hourly_rollup,
@@ -114,3 +115,44 @@ def test_streaming_matches_batch(spark, events, tmp_path):
         for r in hourly_rollup(events).collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
+    """Watermarked stream-stream join (availableNow) == batch interval join."""
+    from data_lakehouse_project_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    clicks = events.where(F.col("event_type") == "click")
+    views = events.where(F.col("event_type") == "view")
+    csrc, vsrc = str(tmp_path / "clicks"), str(tmp_path / "views")
+    clicks.write.mode("overwrite").parquet(csrc)
+    views.write.mode("overwrite").parquet(vsrc)
+
+    cstream = spark.readStream.schema(events.schema).parquet(csrc)
+    vstream = spark.readStream.schema(events.schema).parquet(vsrc)
+    joined = stream_stream_interval_join(cstream, vstream, max_delay="30 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r) for r in spark.sql(
+            "SELECT user_id, l_ts, r_ts, delay_s FROM ssj_test"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in stream_stream_interval_join(clicks, views, max_delay="30 minutes")
+        .select("user_id", "l_ts", "r_ts", "delay_s")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the window actually matches something
+    # every delay respects the interval bound
+    assert all(0 < r[3] <= 1800 for r in want)
