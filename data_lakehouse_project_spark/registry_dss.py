@@ -630,6 +630,104 @@ FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
 """
 
 
+# --- multiset set operations -----------------------------------------------
+
+def _half_years(orders):
+    d = F.to_date("o_orderdate")
+    first = orders.where(F.year(d) == 1996).select("o_orderpriority")
+    second = orders.where(F.year(d) == 1997).select("o_orderpriority")
+    return first, second
+
+
+def q_setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL: multiplicity-preserving intersection (min of the
+    per-side duplicate counts) of two years' priority multisets."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    a, b = _half_years(orders)
+    return a.intersectAll(b)
+
+
+SQL_INTERSECT_ALL = """
+SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+"""
+
+
+def q_setop_except_all(spark, sf_dir):
+    """EXCEPT ALL: multiplicity-preserving difference."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    a, b = _half_years(orders)
+    return a.exceptAll(b)
+
+
+SQL_EXCEPT_ALL = """
+SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+"""
+
+
+# --- generated date spine --------------------------------------------------
+
+def q_date_spine_months(spark, sf_dir):
+    """sequence() month spine LEFT-joined to order counts: months with no
+    orders survive with n_orders = 0 (the report-completeness pattern;
+    the spine generates JVM-side, no driver loop)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-12-01").cast("date"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    monthly = (
+        orders.where(F.year(F.to_date("o_orderdate")) == 1996)
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(monthly, "month_start", "left").select(
+        "month_start", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
+
+
+SQL_DATE_SPINE = """
+SELECT month_start, COALESCE(n, 0) AS n_orders
+FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+                                    INTERVAL 1 MONTH))::DATE AS month_start)
+LEFT JOIN (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                  COUNT(*) AS n
+           FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+           GROUP BY 1) ON m = month_start
+"""
+
+
+# --- regular-expression surface --------------------------------------------
+
+def q_regexp_surface(spark, sf_dir):
+    """regexp_extract / regexp_replace / rlike / regexp_count over part
+    names (Java regex vs RE2 — restricted to the common subset)."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.where(F.col("p_name").rlike("^[a-z]+ ")).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.regexp_count("p_name", F.lit("[a-z]+")).cast("long").alias("n_words"),
+    )
+
+
+SQL_REGEXP = """
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+       len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
+FROM part WHERE regexp_matches(p_name, '^[a-z]+ ')
+"""
+
+
 def build(helpers: dict) -> dict:
     """Return {name: (fn, oracle_sql)} for the decision-support surface."""
     _helpers.update(helpers)
@@ -711,4 +809,8 @@ def build(helpers: dict) -> dict:
             q_tokens_with_position,
             SQL_TOKENS_POS.format(TOKS=helpers["TOKS"]),
         ),
+        "setop_intersect_all": (q_setop_intersect_all, SQL_INTERSECT_ALL),
+        "setop_except_all": (q_setop_except_all, SQL_EXCEPT_ALL),
+        "date_spine_months": (q_date_spine_months, SQL_DATE_SPINE),
+        "regexp_surface": (q_regexp_surface, SQL_REGEXP),
     }
