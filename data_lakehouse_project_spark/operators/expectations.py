@@ -90,6 +90,31 @@ def expect_row_count_between(
     )
 
 
+def expect_accepted_values(
+    df: DataFrame, col: str, values: list
+) -> DataFrame:
+    """Violations = non-null rows whose value is outside the accepted
+    set (a domain/enum constraint)."""
+    bad = F.col(col).isNotNull() & ~F.col(col).isin(*values)
+    return df.agg(F.count(F.when(bad, 1)).alias("v")).select(
+        *_report(f"accepted({col})", F.col("v"))
+    )
+
+
+def expect_mean_between(
+    df: DataFrame, col: str, lo: float, hi: float
+) -> DataFrame:
+    """Violations = 0 or 1: whether the column mean falls outside
+    [lo, hi] (a distribution-drift tripwire)."""
+    m = df.agg(F.avg(col).alias("m"))
+    bad = (
+        F.when(F.col("m").isNull(), 1)
+        .when((F.col("m") < lo) | (F.col("m") > hi), 1)
+        .otherwise(0)
+    )
+    return m.select(*_report(f"mean({col},[{lo},{hi}])", bad))
+
+
 def run_expectations(checks: list[DataFrame]) -> DataFrame:
     """Union all check reports into one (check, passed, violations) table."""
     out = checks[0]

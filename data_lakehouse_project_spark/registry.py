@@ -172,6 +172,7 @@ def q_dq_orders_report(spark, sf_dir):
     """Table-level data-quality report over orders: uniqueness,
     completeness, value range, referential integrity to customer."""
     from data_lakehouse_project_spark.operators.expectations import (
+        expect_accepted_values,
         expect_foreign_key,
         expect_not_null,
         expect_range,
@@ -186,6 +187,7 @@ def q_dq_orders_report(spark, sf_dir):
             expect_not_null(orders, ["o_custkey", "o_totalprice", "o_orderdate"]),
             expect_range(orders, "o_totalprice", lo=0.0),
             expect_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+            expect_accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
         ]
     )
 
@@ -206,6 +208,11 @@ UNION ALL
 SELECT 'fk(o_custkey->c_custkey)', v = 0, v
 FROM (SELECT COUNT(*) AS v FROM orders
       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'accepted(o_orderstatus)', v = 0, v
+FROM (SELECT COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN ('O','F','P')) AS v
+      FROM orders)
 """
 
 

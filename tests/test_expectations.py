@@ -49,6 +49,30 @@ def test_expectations_on_dirty_frame(spark):
     assert rows["row_count[1,10]"]["passed"]
 
 
+def test_accepted_values_and_mean_bounds(spark):
+    from data_lakehouse_project_spark.operators.expectations import (
+        expect_accepted_values,
+        expect_mean_between,
+    )
+
+    df = spark.createDataFrame(
+        [Row(s="a", v=10.0), Row(s="b", v=20.0), Row(s="zz", v=30.0),
+         Row(s=None, v=None)]
+    )
+    rows = _by_check(
+        run_expectations(
+            [
+                expect_accepted_values(df, "s", ["a", "b"]),
+                expect_mean_between(df, "v", 15.0, 25.0),  # mean = 20
+                expect_mean_between(df, "v", 0.0, 5.0),    # out of band
+            ]
+        )
+    )
+    assert rows["accepted(s)"]["violations"] == 1  # 'zz'; NULL not counted
+    assert rows["mean(v,[15.0,25.0])"]["passed"]
+    assert not rows["mean(v,[0.0,5.0])"]["passed"]
+
+
 def test_expectations_all_pass_on_clean_table(testdata):
     orders, customer = testdata["orders"], testdata["customer"]
     report = run_expectations(
