@@ -1,10 +1,16 @@
-"""Scaling probe: does the core scan+agg throughput hold as data grows?
+"""Scaling probe: do the core plan shapes hold throughput as data grows?
 
-Replicates lineitem N× (union of re-reads, so input bytes actually grow),
-runs the TPC-H Q1 pricing-summary shape at each multiple, and prints
-rows/sec. Flat rows/sec across multiples = linear scaling of the
-partial+final aggregation; a falling curve would indicate a shuffle or
-memory cliff. Results recorded in BASELINE.md.
+Replicates lineitem N× (union of re-reads, so input bytes actually grow)
+and runs three shapes at each multiple:
+
+- **agg**   — TPC-H Q1 pricing-summary scan + partial/final aggregation
+- **join**  — fact-fact shuffle join (replicated lineitem ⋈ orders) + agg
+- **window**— per-order running sum (partitioned window, no global sort)
+
+Flat rows/sec across multiples = linear scaling; a falling curve marks a
+shuffle or memory cliff. Results recorded in BASELINE.md.
+
+    python tools/scaling_probe.py [sf_dir] [shapes...]
 """
 
 from __future__ import annotations
@@ -17,42 +23,78 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_lakehouse_project_spark import get_spark
 
 
+def shape_agg(df, orders):
+    return (
+        df.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def shape_join(df, orders):
+    return (
+        df.join(orders, df.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def shape_window(df, orders):
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_extendedprice").over(w).alias("running_price"),
+    )
+
+
+SHAPES = {"agg": shape_agg, "join": shape_join, "window": shape_window}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    shapes = sys.argv[2:] or list(SHAPES)
     spark = get_spark(app_name="scaling-probe")
     base = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     n_base = base.count()
+    orders.count()  # warm
 
-    for mult in (1, 4, 16):
-        df = functools.reduce(
-            lambda a, b: a.unionByName(b), [base] * mult
-        )
-        t0 = time.perf_counter()
-        (
-            df.where(F.col("l_shipdate") <= "1998-09-01")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.sum("l_quantity").alias("sum_qty"),
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                ).alias("sum_disc_price"),
-                F.avg("l_extendedprice").alias("avg_price"),
-                F.count(F.lit(1)).alias("n"),
+    for shape in shapes:
+        fn = SHAPES[shape]
+        for mult in (1, 4, 16):
+            df = functools.reduce(
+                lambda a, b: a.unionByName(b), [base] * mult
             )
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        dt = time.perf_counter() - t0
-        rows = n_base * mult
-        print(
-            f"mult={mult:3d} rows={rows:>10,} wall={dt:6.2f}s "
-            f"throughput={rows / dt / 1e6:6.2f}M rows/s"
-        )
+            t0 = time.perf_counter()
+            fn(df, orders).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            rows = n_base * mult
+            print(
+                f"{shape:6s} mult={mult:3d} rows={rows:>10,} wall={dt:6.2f}s "
+                f"throughput={rows / dt / 1e6:6.2f}M rows/s"
+            )
     spark.stop()
 
 
