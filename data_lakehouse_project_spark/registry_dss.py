@@ -728,6 +728,80 @@ FROM part WHERE regexp_matches(p_name, '^[a-z]+ ')
 """
 
 
+# --- nth_value / offset lag / grouping markers / any_value ------------------
+
+def q_window_nth_lag(spark, sf_dir):
+    """nth_value with an explicit running frame + lag with offset 2 and
+    a default — the remaining window-offset surface."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+        _r2(F.lag("o_totalprice", 2, 0.0).over(w)).alias("price_2_back"),
+    )
+
+
+SQL_NTH_LAG = """
+SELECT o_custkey, o_orderkey,
+       nth_value(o_orderkey, 2) OVER wf AS second_order,
+       {R_LAG} AS price_2_back
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rollup_grouping_markers(spark, sf_dir):
+    """ROLLUP with GROUPING() markers so consumers can tell subtotal rows
+    from real NULL groups."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("is_status_total"),
+        F.grouping("o_orderpriority").cast("long").alias("is_prio_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_ROLLUP_GROUPING = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_status_total,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_prio_total,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_any_value_dependent(spark, sf_dir):
+    """any_value over a functionally-dependent column (nation name per
+    nation key after the join) — deterministic because every value in
+    the group is identical; avoids carrying the dimension through the
+    aggregate's shuffle."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.any_value("n_name").alias("nation_name"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+SQL_ANY_VALUE = """
+SELECT c_nationkey, any_value(n_name) AS nation_name,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_nationkey
+"""
+
+
 def build(helpers: dict) -> dict:
     """Return {name: (fn, oracle_sql)} for the decision-support surface."""
     _helpers.update(helpers)
@@ -809,6 +883,15 @@ def build(helpers: dict) -> dict:
             q_tokens_with_position,
             SQL_TOKENS_POS.format(TOKS=helpers["TOKS"]),
         ),
+        "window_nth_lag": (
+            q_window_nth_lag,
+            SQL_NTH_LAG.format(R_LAG=R("lag(o_totalprice, 2, 0.0) OVER w")),
+        ),
+        "rollup_grouping_markers": (
+            q_rollup_grouping_markers,
+            SQL_ROLLUP_GROUPING,
+        ),
+        "any_value_dependent": (q_any_value_dependent, SQL_ANY_VALUE),
         "setop_intersect_all": (q_setop_intersect_all, SQL_INTERSECT_ALL),
         "setop_except_all": (q_setop_except_all, SQL_EXCEPT_ALL),
         "date_spine_months": (q_date_spine_months, SQL_DATE_SPINE),
