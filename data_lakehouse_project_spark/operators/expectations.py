@@ -121,3 +121,76 @@ def run_expectations(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- fused single-pass checks ---------------------------------------------
+# Every agg-shaped check (not-null, range, accepted-values, row-count,
+# mean-bounds) is one aggregate expression over the same table, so they
+# can share ONE scan + ONE partial/final aggregate instead of rescanning
+# the (at 100 TB, enormous) fact table once per check. Checks that need
+# their own shuffle shape (unique → groupBy, foreign key → anti join)
+# stay separate and union in via ``run_expectations``.
+
+AggCheck = tuple  # (name: str, violations: Column — an aggregate expr)
+
+
+def agg_not_null(cols: list[str]) -> AggCheck:
+    total = None
+    for c in cols:
+        n = F.count(F.when(F.col(c).isNull(), 1))
+        total = n if total is None else total + n
+    return (f"not_null({','.join(cols)})", total)
+
+
+def agg_range(
+    col: str, lo: float | None = None, hi: float | None = None
+) -> AggCheck:
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < lo)
+    if hi is not None:
+        cond = cond | (F.col(col) > hi)
+    return (f"range({col},{lo},{hi})", F.count(F.when(cond, 1)))
+
+
+def agg_accepted_values(col: str, values: list) -> AggCheck:
+    bad = F.col(col).isNotNull() & ~F.col(col).isin(*values)
+    return (f"accepted({col})", F.count(F.when(bad, 1)))
+
+
+def agg_row_count_between(min_rows: int, max_rows: int | None = None) -> AggCheck:
+    n = F.count(F.lit(1))
+    bad = F.when(n < min_rows, min_rows - n).otherwise(
+        F.when(
+            F.lit(max_rows is not None) & (n > (max_rows or 0)),
+            n - (max_rows or 0),
+        ).otherwise(F.lit(0))
+    )
+    return (f"row_count[{min_rows},{max_rows}]", bad)
+
+
+def agg_mean_between(col: str, lo: float, hi: float) -> AggCheck:
+    m = F.avg(col)
+    bad = (
+        F.when(m.isNull(), 1)
+        .when((m < lo) | (m > hi), 1)
+        .otherwise(0)
+    )
+    return (f"mean({col},[{lo},{hi}])", bad)
+
+
+def fused_expectations(df: DataFrame, checks: list[AggCheck]) -> DataFrame:
+    """Evaluate every agg-shaped check in a single scan + aggregate, then
+    unpivot the 1-row result into the uniform (check, passed, violations)
+    report via ``stack`` (no shuffle beyond the one global aggregate)."""
+    row = df.agg(
+        *[v.cast("long").alias(f"_v{i}") for i, (_, v) in enumerate(checks)]
+    )
+    pairs = ", ".join(f"'{name}', _v{i}" for i, (name, _) in enumerate(checks))
+    return row.select(
+        F.expr(f"stack({len(checks)}, {pairs}) AS (check, violations)")
+    ).select(
+        "check",
+        (F.col("violations") == 0).alias("passed"),
+        F.col("violations").cast("long").alias("violations"),
+    )

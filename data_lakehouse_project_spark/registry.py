@@ -172,22 +172,30 @@ def q_dq_orders_report(spark, sf_dir):
     """Table-level data-quality report over orders: uniqueness,
     completeness, value range, referential integrity to customer."""
     from data_lakehouse_project_spark.operators.expectations import (
-        expect_accepted_values,
+        agg_accepted_values,
+        agg_not_null,
+        agg_range,
         expect_foreign_key,
-        expect_not_null,
-        expect_range,
         expect_unique,
+        fused_expectations,
         run_expectations,
     )
 
     orders, customer = _t(spark, sf_dir, "orders", "customer")
+    # agg-shaped checks share ONE scan+aggregate of the fact table; only
+    # unique (groupBy) and FK (anti join) need their own plan shapes
     return run_expectations(
         [
             expect_unique(orders, ["o_orderkey"]),
-            expect_not_null(orders, ["o_custkey", "o_totalprice", "o_orderdate"]),
-            expect_range(orders, "o_totalprice", lo=0.0),
+            fused_expectations(
+                orders,
+                [
+                    agg_not_null(["o_custkey", "o_totalprice", "o_orderdate"]),
+                    agg_range("o_totalprice", lo=0.0),
+                    agg_accepted_values("o_orderstatus", ["O", "F", "P"]),
+                ],
+            ),
             expect_foreign_key(orders, "o_custkey", customer, "c_custkey"),
-            expect_accepted_values(orders, "o_orderstatus", ["O", "F", "P"]),
         ]
     )
 
@@ -1495,6 +1503,12 @@ REGISTRY.update(
         {"R": R, "_rn": _rn, "TOKS": TOKS, "tokens": X_dedup.tokens}
     )
 )
+
+# decision-support batch 2: Q2/Q5/Q8/Q9/Q14/Q15/Q18/Q19/Q22 adaptations,
+# array HOF surface, extended strings, IGNORE NULLS windows
+from data_lakehouse_project_spark import registry_tpch  # noqa: E402
+
+REGISTRY.update(registry_tpch.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -84,3 +84,35 @@ def test_expectations_all_pass_on_clean_table(testdata):
         ]
     )
     assert all(r["passed"] for r in report.collect())
+
+
+def test_fused_expectations_single_scan(spark, testdata):
+    """All agg-shaped checks must share one scan + one global aggregate:
+    exactly one Exchange in the plan, results identical to the separate
+    per-check evaluation."""
+    from data_lakehouse_project_spark.operators.expectations import (
+        agg_accepted_values,
+        agg_mean_between,
+        agg_not_null,
+        agg_range,
+        agg_row_count_between,
+        fused_expectations,
+    )
+
+    orders = testdata["orders"]
+    fused = fused_expectations(
+        orders,
+        [
+            agg_not_null(["o_custkey", "o_totalprice"]),
+            agg_range("o_totalprice", lo=0.0),
+            agg_accepted_values("o_orderstatus", ["O", "F", "P"]),
+            agg_row_count_between(1),
+            agg_mean_between("o_totalprice", 0.0, 1e9),
+        ],
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange ") == 1
+    rows = {r["check"]: r for r in fused.collect()}
+    assert len(rows) == 5
+    assert all(r["passed"] for r in rows.values())
+    assert rows["row_count[1,None]"]["violations"] == 0

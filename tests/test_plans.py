@@ -108,3 +108,37 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path, testdata):
     scan = spark.read.parquet(path).where(F.col("status") == "F")
     plan = _formatted(scan)
     assert "PartitionFilters" in plan and "status" in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path, testdata):
+    """DPP: a selective dimension filter must prune FACT partitions at
+    runtime through the join — the 100 TB star-join read-avoidance path.
+    The fact scan's PartitionFilters must carry a dynamicpruning
+    expression rather than reading all partitions."""
+    fact_path = str(tmp_path / "orders_by_year")
+    dim_path = str(tmp_path / "year_dim")
+    orders = testdata["orders"].withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("order_year").mode("overwrite").parquet(fact_path)
+    (
+        orders.select("order_year")
+        .distinct()
+        .withColumn(
+            "focus_tag",
+            F.when(F.col("order_year") == 1996, "Y").otherwise("N"),
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    # NB: the dim filter must be a comparison predicate — a bare boolean
+    # attribute does not count as "likely selective" and DPP skips it
+    dim = spark.read.parquet(dim_path).where(F.col("focus_tag") == "Y")
+    joined = fact.join(dim, "order_year").groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _formatted(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = joined.collect()
+    assert [r.order_year for r in rows] == [1996]

@@ -29,11 +29,21 @@ EXPECT_NESTED_LOOP = {
     # (COVERAGE.md §2.8): pairwise self-joins on id_a < id_b
     "dedup_jaccard_pairs",
     "embedding_pairs_exact",
+    # Q22: crossJoin(broadcast(<1-row aggregate>)) — the distributed form
+    # of an uncorrelated scalar subquery; BNLJ against one row is O(n)
+    "waiting_customers",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
 # connected components is iterative (one join+agg per propagation round)
-EXPECT_MANY_EXCHANGES = {"dedup_minhash_pairs", "dedup_clusters"}
+EXPECT_MANY_EXCHANGES = {
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    # Q8: 7-table star with two fact-sized sides (lineitem, orders,
+    # customer) — three shuffle joins + final agg is the intended plan;
+    # the five dimension joins all broadcast (0 exchanges)
+    "market_share",
+}
 
 
 def main() -> int:
