@@ -1510,6 +1510,11 @@ from data_lakehouse_project_spark import registry_tpch  # noqa: E402
 
 REGISTRY.update(registry_tpch.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
 
+# time-series windows (session/hopping) + nested-data (lateral/map/date)
+from data_lakehouse_project_spark import registry_ts  # noqa: E402
+
+REGISTRY.update(registry_ts.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

@@ -1,0 +1,251 @@
+"""Time-series window operators + nested-data (array/map/lateral)
+surface, batch 3.
+
+Adds the built-in window-bucketing operators Structured Streaming shares
+with batch (``F.session_window``, hopping ``F.window``) plus the
+lateral/nested surface (explode_outer, map functions, extended date
+functions). The reference has none of these (SURVEY §2.9); they are
+engine-design surface on the driver's events/documents/orders tables.
+
+Oracle parity notes (hard-won; see also registry.py conventions):
+- Spark ``session_window`` end = last event + gap; the gaps-and-islands
+  SQL reproduces exactly that (max(ts) + INTERVAL).
+- A hopping window (size 2h, slide 1h) assigns each event to the two
+  windows starting at trunc(ts) and trunc(ts) - 1h; the oracle is a
+  UNION ALL of the two shifted tumbling aggregations — no spine join.
+- DuckDB ``dayofweek`` is 0=Sunday, Spark's is 1=Sunday: the Spark side
+  emits ``dayofweek - 1``.
+- DuckDB ``map[key]`` returns a LIST; the oracle indexes ``[1]`` to get
+  the scalar that Spark's ``element_at`` returns.
+- Window buckets are emitted as formatted strings (driver hash-compares
+  values; timestamp formatting must match byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.functions.scalar import normalize_text
+from data_lakehouse_project_spark.sources.readers import load_testdata
+
+_helpers: dict = {}
+
+
+def _rn(col, n):
+    if "_rn" not in _helpers:
+        from data_lakehouse_project_spark import registry  # noqa: F401
+    return _helpers["_rn"](col, n)
+
+
+def _r2(col):
+    return _rn(col, 2)
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_testdata(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --- session_window (built-in stateful window op, batch form) --------------
+
+def q_events_session_window(spark, sf_dir):
+    """Per-user sessions via the built-in ``F.session_window`` (the same
+    operator Structured Streaming uses for stateful session aggregation;
+    here in batch form). One shuffle on (user_id); window merging is
+    handled by the operator, not a lag/cumsum reimplementation."""
+    (events,) = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", _FMT).alias("session_start"),
+            F.date_format("session_window.end", _FMT).alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '{FMT}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{FMT}') AS session_end,
+       COUNT(*) AS n_events,
+       {R_V} AS value_sum
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+# --- hopping window --------------------------------------------------------
+
+def q_events_hopping_window(spark, sf_dir):
+    """Overlapping (hopping) windows: size 2 h, slide 1 h — each event
+    contributes to two buckets. ``F.window`` emits the expansion
+    JVM-side before the aggregate's single shuffle."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        events.groupBy(w)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("value_sum"),
+        )
+        .select(
+            F.date_format("window.start", _FMT).alias("window_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SQL_HOPPING = """
+SELECT strftime(ws, '{FMT}') AS window_start,
+       COUNT(*) AS n_events,
+       {R_V} AS value_sum
+FROM (
+  SELECT date_trunc('hour', ts) AS ws, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, value FROM events
+) expanded
+GROUP BY ws
+"""
+
+
+# --- explode_outer / lateral -----------------------------------------------
+
+def q_explode_outer_lateral(spark, sf_dir):
+    """explode_outer over a usually-empty filtered token array: rows with
+    no matches survive with a NULL token (LEFT JOIN LATERAL semantics),
+    unlike plain explode which drops them."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    long_toks = F.filter(toks, lambda t: F.length(t) > 12)
+    return documents.select(
+        "doc_id", F.explode_outer(long_toks).alias("long_token")
+    )
+
+
+SQL_EXPLODE_OUTER = """
+SELECT doc_id, u.long_token
+FROM documents
+LEFT JOIN LATERAL unnest(list_filter({TOKS}, t -> length(t) > 12))
+  AS u(long_token) ON TRUE
+"""
+
+
+# --- extended date functions ----------------------------------------------
+
+def q_date_functions_extended(spark, sf_dir):
+    """date_trunc quarter/week, last_day, add_months, datediff, quarter,
+    weekofyear, weekday — the scheduling/calendar toolkit."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").alias("qtr_start"),
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_t0"
+        ),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow_sunday0"),
+    )
+
+
+SQL_DATE_EXTENDED = """
+SELECT o_orderkey,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since_t0,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sunday0
+FROM orders
+"""
+
+
+# --- map functions ---------------------------------------------------------
+
+def q_map_functions_surface(spark, sf_dir):
+    """create_map / element_at / map_keys / map_values / size — the map
+    column toolkit, reduced to deterministic scalar/array outputs (map
+    columns themselves don't hash stably across engines)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("ext"), F.col("l_extendedprice"),
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.element_at(m, "ext").alias("ext_val"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.size(m).cast("long").alias("map_size"),
+    )
+
+
+SQL_MAP_SURFACE = """
+SELECT l_orderkey, l_linenumber,
+       (m['qty'])[1] AS qty_val,
+       (m['ext'])[1] AS ext_val,
+       list_sort(map_keys(m)) AS keys_sorted,
+       CAST(cardinality(m) AS BIGINT) AS map_size
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         map(['qty', 'ext'], [l_quantity, l_extendedprice]) AS m
+  FROM lineitem
+)
+"""
+
+
+def build(helpers: dict) -> dict:
+    _helpers.update(helpers)
+    R = helpers["R"]
+    TOKS = helpers["TOKS"]
+    return {
+        "events_session_window": (
+            q_events_session_window,
+            SQL_SESSION_WINDOW.format(FMT=_FMT_DUCK, R_V=R("SUM(value)")),
+        ),
+        "events_hopping_window": (
+            q_events_hopping_window,
+            SQL_HOPPING.format(FMT=_FMT_DUCK, R_V=R("SUM(value)")),
+        ),
+        "explode_outer_lateral": (
+            q_explode_outer_lateral,
+            SQL_EXPLODE_OUTER.format(TOKS=TOKS),
+        ),
+        "date_functions_extended": (q_date_functions_extended, SQL_DATE_EXTENDED),
+        "map_functions_surface": (q_map_functions_surface, SQL_MAP_SURFACE),
+    }

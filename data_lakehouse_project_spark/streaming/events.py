@@ -196,3 +196,31 @@ def stream_stream_interval_join(
             .alias("delay_s"),
         )
     )
+
+
+def streaming_session_rollup(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful session aggregation on a stream: ``session_window``
+    merges a user's events into gap-separated sessions as state, emitting
+    each session once its window falls behind the watermark (append
+    mode). The batch twin is the same groupBy on a static frame —
+    tests assert they agree on every closed session.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -142,3 +142,32 @@ def test_dynamic_partition_pruning(spark, tmp_path, testdata):
     assert "dynamicpruning" in plan.lower(), plan
     rows = joined.collect()
     assert [r.order_year for r in rows] == [1996]
+
+
+def test_self_join_reuses_exchange(spark, testdata):
+    """Joining an aggregate to itself must reuse the shuffle output
+    (ReusedExchange), not recompute the aggregation twice — Spark's
+    CacheManager-free plan-level dedup that iterative/self-comparison
+    pipelines rely on at scale."""
+    orders = testdata["orders"]
+    agg = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("t"))
+    j = (
+        agg.alias("a")
+        .join(agg.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"))
+        .select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    )
+    j.collect()
+    assert "ReusedExchange" in _plan(j)
+
+
+def test_join_strategy_hints_honored(spark, testdata):
+    """shuffle_hash / merge hints must override the planner's default —
+    the manual override path when AQE's choice is wrong for a known
+    workload (e.g. forcing SHJ to skip the sort on a huge one-off join)."""
+    li, orders = testdata["lineitem"], testdata["orders"]
+    shj = li.hint("shuffle_hash").join(orders, li.l_orderkey == orders.o_orderkey)
+    shj.write.format("noop").mode("overwrite").save()
+    assert "ShuffledHashJoin" in _plan(shj)
+    smj = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    smj.write.format("noop").mode("overwrite").save()
+    assert "SortMergeJoin" in _plan(smj)

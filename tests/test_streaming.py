@@ -156,3 +156,57 @@ def test_stream_stream_interval_join_matches_batch(spark, events, tmp_path):
     assert len(want) > 0  # the window actually matches something
     # every delay respects the interval bound
     assert all(0 < r[3] <= 1800 for r in want)
+
+
+def test_streaming_session_window_matches_batch(spark, events, tmp_path):
+    """Stateful streaming session_window (append + watermark) emits
+    exactly the batch sessions once the watermark passes them. A
+    far-future sentinel event advances the watermark past every real
+    session so all of them close and emit."""
+    from data_lakehouse_project_spark.streaming.events import (
+        streaming_session_rollup,
+    )
+
+    sentinel = spark.createDataFrame(
+        [(999, datetime.datetime(2024, 1, 3, 0, 0, 0), 99, "click", 0.0, "{}")],
+        events.schema,
+    )
+    src = str(tmp_path / "sess_src")
+    events.unionByName(sentinel).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        streaming_session_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.value_sum)
+        for r in spark.sql(
+            "SELECT * FROM sess_test WHERE user_id != 99"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.value_sum)
+        for r in events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+        .collect()
+    }
+    assert got == want
