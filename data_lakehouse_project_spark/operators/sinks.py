@@ -15,7 +15,7 @@ call semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from data_lakehouse_project_spark.session import delta_available
 
@@ -66,3 +66,28 @@ def write_table(
         spark: SparkSession = df.sparkSession
         return spark.read.format(resolve_format(fmt)).load(path).count()
     return None
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write a table and collect inline metrics in the SAME pass via the
+    Observation API — replaces the reference's post-write verification
+    re-read (K6, mysql_bronze_ingestion.py:117-120) with zero extra
+    scans: the metrics accumulate on the executors while rows stream to
+    the sink. Returns the observed metric dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    writer = observed.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return obs.get

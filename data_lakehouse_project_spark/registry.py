@@ -1515,6 +1515,11 @@ from data_lakehouse_project_spark import registry_ts  # noqa: E402
 
 REGISTRY.update(registry_ts.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
 
+# modern SQL surface: recursive CTE, VARIANT, GROUP BY ALL, try_*, sketches
+from data_lakehouse_project_spark import registry_modern  # noqa: E402
+
+REGISTRY.update(registry_modern.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}

@@ -44,6 +44,9 @@ EXPECT_MANY_EXCHANGES = {
     # the five dimension joins all broadcast (0 exchanges)
     "market_share",
 }
+# the one sanctioned row-at-a-time Python site: UDTF API coverage whose
+# JVM twin (text_top_bigrams) carries the hot path
+EXPECT_PYTHON_UDTF = {"text_udtf_bigrams"}
 
 
 def main() -> int:
@@ -67,7 +70,7 @@ def main() -> int:
             and name not in EXPECT_NESTED_LOOP
         ):
             issues.append("BroadcastNestedLoopJoin")
-        if "BatchEvalPython" in plan:
+        if "BatchEvalPython" in plan and name not in EXPECT_PYTHON_UDTF:
             issues.append("row-at-a-time Python (BatchEvalPython)")
         n_ex = plan.count("Exchange ")
         if n_ex > 6 and name not in EXPECT_MANY_EXCHANGES:
