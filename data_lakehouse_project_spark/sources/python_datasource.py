@@ -1,0 +1,133 @@
+"""Custom Python DataSource (Spark 4 DataSource API): distributed XML.
+
+Third implementation tier of the SURVEY §2.1 S4 XML source, completing
+the ladder:
+
+1. ``format("xml")``      — Spark 4 native (preferred, JVM-side),
+2. ``format("xml_py")``   — THIS module: executor-side Python parsing,
+   one input partition per file, so a directory of many XML feeds scales
+   across the cluster (each executor parses its own files),
+3. ``xml_fallback``       — driver-side etree parse + createDataFrame,
+   small-config feeds only.
+
+Unlike the driver-side fallback, this source implements Spark's
+``DataSource`` / ``DataSourceReader`` contract: schema inference runs
+once on the driver against a sample file, then each file is parsed
+independently inside the executors' Python workers — no single-process
+bottleneck and no full materialization on the driver.
+
+Type inference mirrors ``xml_fallback`` (long → double → boolean →
+string, spark-xml's ladder), so the two paths produce identical frames
+on identical input (asserted in tests/test_sources_pyds.py).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import xml.etree.ElementTree as ET
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_lakehouse_project_spark.sources.xml_fallback import (
+    _infer_value,
+    _spark_type,
+)
+
+
+def _expand_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.xml")))
+    expanded = sorted(_glob.glob(path))
+    return expanded or [path]
+
+
+def _parse_records(path: str, row_tag: str) -> list[dict]:
+    root = ET.parse(path).getroot()
+    records = []
+    for elem in root.iter(row_tag):
+        rec = {child.tag: _infer_value(child.text) for child in elem}
+        rec.update(
+            {f"_{k}": _infer_value(v) for k, v in elem.attrib.items()}
+        )
+        records.append(rec)
+    return records
+
+
+def _coerce(value, dtype):
+    if value is None:
+        return None
+    if isinstance(dtype, DoubleType):
+        return float(value)
+    if isinstance(dtype, LongType):
+        return int(value)
+    if isinstance(dtype, BooleanType):
+        return bool(value)
+    if isinstance(dtype, StringType):
+        return str(value)
+    return value
+
+
+class _XMLFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class XMLPythonDataSource(DataSource):
+    """``spark.read.format("xml_py").option("rowTag", t).load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xml_py"
+
+    def schema(self) -> StructType:
+        # infer on the driver from the FIRST file only (cheap); pass an
+        # explicit .schema(...) to skip inference entirely
+        path = self.options.get("path")
+        row_tag = self.options.get("rowtag", "row")
+        first = _expand_paths(path)[0]
+        records = _parse_records(first, row_tag)
+        fields: dict[str, list] = {}
+        for rec in records:
+            for k, v in rec.items():
+                fields.setdefault(k, []).append(v)
+        return StructType(
+            [StructField(k, _spark_type(vs), True) for k, vs in fields.items()]
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _XMLReader(
+            schema,
+            self.options.get("path"),
+            self.options.get("rowtag", "row"),
+        )
+
+
+class _XMLReader(DataSourceReader):
+    def __init__(self, schema: StructType, path: str, row_tag: str):
+        self._schema = schema
+        self._path = path
+        self._row_tag = row_tag
+
+    def partitions(self):
+        # one partition per file: executor-side parallelism over feeds
+        return [_XMLFilePartition(p) for p in _expand_paths(self._path)]
+
+    def read(self, partition: _XMLFilePartition):
+        names = [f.name for f in self._schema.fields]
+        types = {f.name: f.dataType for f in self._schema.fields}
+        for rec in _parse_records(partition.path, self._row_tag):
+            yield tuple(_coerce(rec.get(n), types[n]) for n in names)
+
+
+def register_python_datasources(spark) -> None:
+    """Idempotently register all custom Python data sources."""
+    spark.dataSource.register(XMLPythonDataSource)

@@ -171,3 +171,26 @@ def test_join_strategy_hints_honored(spark, testdata):
     smj = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
     smj.write.format("noop").mode("overwrite").save()
     assert "SortMergeJoin" in _plan(smj)
+
+
+def test_analyze_table_statistics_recorded(spark, testdata, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must record size+rowCount in the
+    catalog — what the cost-based optimizer consults for join sizing
+    when file-size estimates lie (e.g. high-compression columns)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS stats_db")
+    try:
+        testdata["nation"].write.mode("overwrite").option(
+            "path", str(tmp_path / "nation_tbl")
+        ).saveAsTable("stats_db.nation_stats")
+        spark.sql("ANALYZE TABLE stats_db.nation_stats COMPUTE STATISTICS")
+        det = {
+            r.col_name: r.data_type
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED stats_db.nation_stats"
+            ).collect()
+        }
+        assert "Statistics" in det
+        assert "rows" in det["Statistics"]  # e.g. "1843 bytes, 25 rows"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_db.nation_stats")
+        spark.sql("DROP DATABASE IF EXISTS stats_db")

@@ -1,0 +1,102 @@
+"""Python DataSource API (format("xml_py")): distributed XML source."""
+
+from __future__ import annotations
+
+import pytest
+
+XML_ONE = """<observations>
+  <observation>
+    <station_id>S1</station_id>
+    <temperature>21.5</temperature>
+    <humidity>60</humidity>
+    <ok>true</ok>
+  </observation>
+  <observation>
+    <station_id>S2</station_id>
+    <temperature>19.0</temperature>
+    <humidity>71</humidity>
+    <ok>false</ok>
+  </observation>
+</observations>
+"""
+
+XML_TWO = """<observations>
+  <observation>
+    <station_id>S3</station_id>
+    <temperature>25.25</temperature>
+    <humidity>44</humidity>
+    <ok>true</ok>
+  </observation>
+</observations>
+"""
+
+
+@pytest.fixture()
+def xml_dir(tmp_path):
+    (tmp_path / "a.xml").write_text(XML_ONE)
+    (tmp_path / "b.xml").write_text(XML_TWO)
+    return str(tmp_path)
+
+
+def test_xml_py_source_reads_directory(spark, xml_dir):
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    df = (
+        spark.read.format("xml_py")
+        .option("rowTag", "observation")
+        .load(xml_dir)
+    )
+    rows = {r.station_id: r for r in df.collect()}
+    assert set(rows) == {"S1", "S2", "S3"}
+    assert rows["S3"].temperature == 25.25
+    assert rows["S2"].humidity == 71
+    assert rows["S1"].ok is True
+    # inference ladder: double / long / boolean / string
+    dtypes = dict(df.dtypes)
+    assert dtypes["temperature"] == "double"
+    assert dtypes["humidity"] == "bigint"
+    assert dtypes["ok"] == "boolean"
+    assert dtypes["station_id"] == "string"
+
+
+def test_xml_py_matches_driver_side_fallback(spark, xml_dir):
+    """Executor-side DataSource and driver-side etree fallback must agree
+    on a single file."""
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+    from data_lakehouse_project_spark.sources.xml_fallback import (
+        parse_xml_to_dataframe,
+    )
+
+    register_python_datasources(spark)
+    path = f"{xml_dir}/a.xml"
+    via_ds = (
+        spark.read.format("xml_py")
+        .option("rowTag", "observation")
+        .load(path)
+    )
+    via_fallback = parse_xml_to_dataframe(spark, path, row_tag="observation")
+    a = {tuple(r) for r in via_ds.select(sorted(via_ds.columns)).collect()}
+    b = {
+        tuple(r)
+        for r in via_fallback.select(sorted(via_fallback.columns)).collect()
+    }
+    assert a == b
+
+
+def test_xml_py_distributes_one_partition_per_file(spark, xml_dir):
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    df = (
+        spark.read.format("xml_py")
+        .option("rowTag", "observation")
+        .load(xml_dir)
+    )
+    assert df.rdd.getNumPartitions() == 2
