@@ -575,6 +575,154 @@ FROM lineitem
 """
 
 
+# --- Q16 shape: distinct-supplier counts with NOT IN exclusion -------------
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16: distinct suppliers per (brand, type, size) for selected
+    sizes, excluding one brand and any supplier with a negative balance
+    (NOT IN → left-anti join on the non-null key)."""
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    sel_parts = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_suppliers = supplier.where(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        lineitem.join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(sel_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- Q20 shape: per-group share-of-total (correlated agg in HAVING) --------
+
+def q_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than TWICE their fair
+    share (2 × total/n_suppliers) of some widget part. The correlated
+    scalar aggregate in HAVING decorrelates to a join of two
+    aggregations on l_partkey — per-(supplier, part) quantity vs
+    per-part total + supplier count — with the widget filter applied
+    FIRST through a broadcast semi-join so both aggregations only see
+    the selected parts' rows. The fair-share threshold is scale-free
+    (an absolute share constant would go empty as supplier count grows);
+    both engines evaluate the identical double expression, so the
+    comparison is deterministic."""
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    widget = part.where(F.col("p_name").like("%widget%")).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sp_qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("pt_qty"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    dominant = (
+        per_sp.join(per_part, "l_partkey")
+        .where(F.col("sp_qty") > 2.0 * F.col("pt_qty") / F.col("n_supp"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return dominant.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name")
+
+
+SQL_DOMINANT_SUPPLIERS = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+), per_sp AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sp_qty
+  FROM li GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, SUM(l_quantity) AS pt_qty,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM li GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_sp JOIN per_part USING (l_partkey)
+  WHERE sp_qty > 2.0 * pt_qty / n_supp
+)
+"""
+
+
+# --- Q21 shape: sole late supplier in multi-supplier orders ----------------
+
+def q_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: per supplier, the number of multi-supplier orders
+    where THEY were the only supplier shipping >60 days after the order
+    date. Two aggregation grains (order×supplier flags, then per-order
+    rollup) joined back — the decorrelated form of Q21's double
+    EXISTS/NOT EXISTS."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    flags = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        flags.join(per_order, "l_orderkey")
+        .where(
+            (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+            & (F.col("is_late") == 1)
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_SOLE_LATE = """
+WITH flags AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM flags GROUP BY l_orderkey
+)
+SELECT f.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+FROM flags f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+WHERE p.n_supp >= 2 AND p.n_late = 1 AND f.is_late = 1
+GROUP BY f.l_suppkey
+"""
+
+
 def build(helpers: dict) -> dict:
     """Wire query + oracle pairs; called by registry.py after its own
     helpers exist (mirrors registry_dss.build)."""
@@ -632,6 +780,9 @@ def build(helpers: dict) -> dict:
             SQL_WAITING_CUSTOMERS.format(R_BAL=R("SUM(c_acctbal)")),
         ),
         "min_price_part_per_brand": (q_min_price_part_per_brand, SQL_MIN_PRICE_PART),
+        "supplier_part_counts": (q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS),
+        "dominant_part_suppliers": (q_dominant_part_suppliers, SQL_DOMINANT_SUPPLIERS),
+        "sole_late_supplier": (q_sole_late_supplier, SQL_SOLE_LATE),
         "array_hof_surface": (q_array_hof_surface, SQL_ARRAY_HOF.format(TOKS=TOKS)),
         "string_surface2": (q_string_surface2, SQL_STRING2),
         "window_ignore_nulls": (q_window_ignore_nulls, SQL_IGNORE_NULLS),

@@ -134,3 +134,72 @@ def test_window_ignore_nulls_fill_semantics(spark):
             assert r.filled_price == last_seen
         firsts.add(r.first_nonnull)
     assert len(firsts) <= 1
+
+
+def test_supplier_part_counts_excludes_negative_balance(spark):
+    """Q16: no excluded supplier may contribute to any distinct count —
+    rebuild one group by hand and compare."""
+    from data_lakehouse_project_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, SF_DIR)
+    out = T.q_supplier_part_counts(spark, SF_DIR).collect()
+    assert out, "selected sizes must match some parts"
+    bad = {
+        r.s_suppkey
+        for r in t["supplier"].where(F.col("s_acctbal") < 0.0).collect()
+    }
+    row = out[0]
+    manual = (
+        t["lineitem"]
+        .join(
+            t["part"].where(
+                (F.col("p_brand") == row.p_brand)
+                & (F.col("p_type") == row.p_type)
+                & (F.col("p_size") == row.p_size)
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    )
+    expect = {r.l_suppkey for r in manual} - bad
+    assert row.supplier_cnt == len(expect)
+
+
+def test_sole_late_supplier_counts_multi_supplier_orders_only(spark):
+    """Q21: every counted order must have ≥2 suppliers and exactly one
+    late one; total numwait equals the number of qualifying orders."""
+    from data_lakehouse_project_spark.sources.readers import load_testdata
+
+    t = load_testdata(spark, SF_DIR)
+    out = T.q_sole_late_supplier(spark, SF_DIR)
+    total = out.agg(F.sum("numwait").alias("s")).collect()[0]["s"]
+    flags = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    qualifying = (
+        flags.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("ns"), F.sum("late").alias("nl"))
+        .where((F.col("ns") >= 2) & (F.col("nl") == 1))
+        .count()
+    )
+    assert total == qualifying
+
+
+def test_dominant_suppliers_nonempty_and_above_fair_share(spark):
+    rows = T.q_dominant_part_suppliers(spark, SF_DIR).collect()
+    assert rows, "fair-share threshold should select some suppliers"
+    keys = [r.s_suppkey for r in rows]
+    assert len(keys) == len(set(keys))
