@@ -628,15 +628,20 @@ def q_dominant_part_suppliers(spark, sf_dir):
     li = lineitem.join(
         F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey")
     ).select("l_partkey", "l_suppkey", "l_quantity")
+    from pyspark.sql.window import Window
+
     per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("sp_qty")
     )
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum("l_quantity").alias("pt_qty"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-    )
+    # part totals as an unordered window over the finer aggregate — ONE
+    # lineitem scan and no self-join (Spark does not dedupe the two
+    # identical per_sp subtrees a join formulation produces), and the
+    # countDistinct collapses to count(*) because per_sp is already
+    # distinct at (part, supplier) grain
+    w = Window.partitionBy("l_partkey")
     dominant = (
-        per_sp.join(per_part, "l_partkey")
+        per_sp.withColumn("pt_qty", F.sum("sp_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
         .where(F.col("sp_qty") > 2.0 * F.col("pt_qty") / F.col("n_supp"))
         .select("l_suppkey")
         .distinct()
@@ -677,6 +682,8 @@ def q_sole_late_supplier(spark, sf_dir):
     rollup) joined back — the decorrelated form of Q21's double
     EXISTS/NOT EXISTS."""
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    from pyspark.sql.window import Window
+
     flags = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
@@ -690,11 +697,13 @@ def q_sole_late_supplier(spark, sf_dir):
             ).alias("is_late")
         )
     )
-    per_order = flags.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    # per-order rollup as an unordered window over the flags instead of a
+    # second aggregate joined back: one exchange on l_orderkey replaces
+    # an aggregate exchange PLUS a join re-exchange
+    w = Window.partitionBy("l_orderkey")
     return (
-        flags.join(per_order, "l_orderkey")
+        flags.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
         .where(
             (F.col("n_supp") >= 2)
             & (F.col("n_late") == 1)

@@ -136,3 +136,14 @@ def test_observed_write_metrics_in_single_pass(spark, tmp_path, testdata):
     assert abs(got["total_price"] - want["t"]) < 1e-6
     assert got["null_custkeys"] == 0
     assert spark.read.parquet(str(tmp_path / "obs_orders")).count() == want["n"]
+
+
+def test_ansi_mode_posture(spark):
+    """The engine runs with ANSI semantics (Spark 4 default): raw
+    division by zero is an error; the sanctioned safe path is try_*."""
+    import pytest
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises(Exception):
+        spark.sql("SELECT 1/0 AS boom").collect()
+    assert spark.sql("SELECT try_divide(1, 0) AS d").collect()[0].d is None
