@@ -229,6 +229,22 @@ FROM (
 """
 
 
+# --- HLL sketch rollup (rows-only: sketch estimates are impl-specific) -----
+
+def q_events_hll_daily_users(spark, sf_dir):
+    """Daily distinct-user estimates from mergeable DataSketches HLL
+    sketches (streaming/rollup.py); rows-only check — DuckDB's
+    approx_count_distinct uses a different HLL implementation, so
+    estimates aren't bit-comparable. Merge-associativity and accuracy
+    are pinned in test_streaming.py::test_hll_rollup_merge_equals_direct."""
+    from data_lakehouse_project_spark.streaming.rollup import hll_daily_users
+
+    (events,) = _t(spark, sf_dir, "events")
+    return hll_daily_users(events).select(
+        F.date_format("day", _FMT).alias("day"), "users_est"
+    )
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     R = helpers["R"]
@@ -248,4 +264,5 @@ def build(helpers: dict) -> dict:
         ),
         "date_functions_extended": (q_date_functions_extended, SQL_DATE_EXTENDED),
         "map_functions_surface": (q_map_functions_surface, SQL_MAP_SURFACE),
+        "events_hll_daily_users": (q_events_hll_daily_users, None),
     }

@@ -49,3 +49,35 @@ def multires_rollup(
         finer = rollup_from(finer, grain)
         out[grain] = finer
     return out
+
+
+def hll_daily_users(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Daily distinct-user SKETCHES (Apache DataSketches HLL via
+    ``hll_sketch_agg``): (day, users_est, sketch). Unlike a
+    count-distinct rollup, the sketch column is MERGEABLE — coarser
+    grains union the binary sketches without touching raw events, the
+    property that makes distinct-count hierarchies affordable at 100 TB
+    (count_distinct is NOT summable across buckets; sketches are)."""
+    return (
+        df.groupBy(F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("user_sketch"))
+        .select(
+            "day",
+            F.hll_sketch_estimate("user_sketch").alias("users_est"),
+            "user_sketch",
+        )
+    )
+
+
+def hll_monthly_from_daily(daily: DataFrame) -> DataFrame:
+    """Merge daily sketches to monthly estimates — no raw-event rescan.
+    Sketch union is exact (associative), so this equals sketching the
+    month directly; tests assert that identity."""
+    return (
+        daily.groupBy(F.date_trunc("month", F.col("day")).alias("month"))
+        .agg(F.hll_union_agg("user_sketch").alias("user_sketch"))
+        .select(
+            "month",
+            F.hll_sketch_estimate("user_sketch").alias("users_est"),
+        )
+    )

@@ -210,3 +210,38 @@ def test_streaming_session_window_matches_batch(spark, events, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_hll_rollup_merge_equals_direct(spark, events):
+    """Merging daily HLL sketches into months must give EXACTLY the same
+    estimates as sketching each month directly (sketch-union
+    associativity), and estimates must be near-exact at this cardinality."""
+    from data_lakehouse_project_spark.streaming.rollup import (
+        hll_daily_users,
+        hll_monthly_from_daily,
+    )
+
+    daily = hll_daily_users(events)
+    merged = {
+        r.month: r.users_est
+        for r in hll_monthly_from_daily(daily).collect()
+    }
+    direct = {
+        r.month: r.est
+        for r in events.groupBy(
+            F.date_trunc("month", F.col("ts")).alias("month")
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct
+    exact = {
+        r.month: r.n
+        for r in events.groupBy(
+            F.date_trunc("month", F.col("ts")).alias("month")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for m, est in merged.items():
+        assert abs(est - exact[m]) <= max(1, 0.02 * exact[m])
