@@ -470,3 +470,63 @@ def simhash_near_duplicates(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of the normalized text (empty array when
+    the document has fewer than n tokens — sequence() would otherwise
+    count DOWN and fabricate grams)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination report: training documents sharing at
+    least one word n-gram with a held-out benchmark set → (doc_id,
+    shared_grams, bench_docs).
+
+    The decontamination step of every serious LLM training pipeline:
+    n-gram collision with an eval set means the example leaks the
+    benchmark. Both sides explode to DISTINCT (id, gram) pairs; the
+    benchmark side is broadcast by default — eval suites are tiny
+    relative to a 100 TB corpus, so the contamination check is a
+    map-side join over the train scan, no train-side shuffle. Set
+    ``broadcast_bench=False`` for benchmark sets beyond broadcast size
+    (falls back to a shuffle join on the gram key).
+    """
+    def grams_of(df: DataFrame, tag: str) -> DataFrame:
+        # array_distinct BEFORE explode: per-document dedup inside the
+        # row (no shuffle) makes the exploded (id, gram) pairs distinct
+        # by construction — a .distinct() here would cost a full shuffle
+        # of the exploded gram set on both sides
+        return df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.explode(
+                F.array_distinct(word_ngrams(F.col(text_col), n))
+            ).alias("gram"),
+        )
+
+    tg = grams_of(train, "train")
+    bg = grams_of(bench, "bench")
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return (
+        tg.join(bg, "gram")
+        .groupBy(F.col("train_id").alias(id_col))
+        .agg(
+            F.countDistinct("gram").alias("shared_grams"),
+            F.countDistinct("bench_id").alias("bench_docs"),
+        )
+    )

@@ -175,6 +175,39 @@ FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
 """
 
 
+# --- benchmark contamination (LLM decontamination primitive) ---------------
+
+def q_contamination_report(spark, sf_dir):
+    """Word-4-gram collisions between the training split (all sources
+    but one) and a held-out benchmark source — the decontamination
+    report every LLM data pipeline runs before training. Benchmark-side
+    grams broadcast (eval suites are tiny vs a 100 TB corpus), so the
+    check is a map-side join over the train scan."""
+    from data_lakehouse_project_spark.ext.dedup import ngram_contamination
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    train = documents.where(F.col("source") != "src19")
+    bench = documents.where(F.col("source") == "src19")
+    return ngram_contamination(train, bench, n=4)
+
+
+SQL_CONTAMINATION = """
+WITH toks AS (SELECT doc_id, source, {TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         list_aggregate(t[i:i + 3], 'string_agg', ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)
+)
+SELECT a.doc_id,
+       COUNT(DISTINCT a.g) AS shared_grams,
+       COUNT(DISTINCT b.doc_id) AS bench_docs
+FROM grams a
+JOIN grams b ON a.g = b.g
+WHERE a.source <> 'src19' AND b.source = 'src19'
+GROUP BY a.doc_id
+"""
+
+
 # --- approximate percentile (rows-only: sketch-based) ----------------------
 
 def q_agg_approx_percentile(spark, sf_dir):
@@ -217,5 +250,9 @@ def build(helpers: dict) -> dict:
         "text_udtf_bigrams": (
             q_text_udtf_bigrams,
             SQL_UDTF_BIGRAMS.format(TOKS=helpers["TOKS"]),
+        ),
+        "contamination_report": (
+            q_contamination_report,
+            SQL_CONTAMINATION.format(TOKS=helpers["TOKS"]),
         ),
     }

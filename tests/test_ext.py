@@ -197,3 +197,32 @@ def test_quality_score_ordering(spark):
     )
     got = {r.doc_id: r.quality_score for r in text.quality_score(df, "text", "doc_id").collect()}
     assert got[1] > got[2]  # long stopword-bearing prose beats one char
+
+
+def test_ngram_contamination_ground_truth(spark):
+    """Hand-built corpus with known 4-gram overlap: exactly the
+    contaminated docs surface, with exact shared-gram counts."""
+    from data_lakehouse_project_spark.ext.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "the quick brown fox" and "quick brown fox jumps"
+            ("t1", "watch the quick brown fox jumps far away"),
+            # no 4-gram overlap
+            ("t2", "a completely different sentence entirely here"),
+            # too short for any 4-gram
+            ("t3", "quick brown fox"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_contamination(train, bench, n=4).collect()
+    }
+    assert set(rows) == {"t1"}
+    assert rows["t1"].shared_grams == 2
+    assert rows["t1"].bench_docs == 1

@@ -147,3 +147,26 @@ def test_ansi_mode_posture(spark):
     with pytest.raises(Exception):
         spark.sql("SELECT 1/0 AS boom").collect()
     assert spark.sql("SELECT try_divide(1, 0) AS d").collect()[0].d is None
+
+
+def test_csv_json_function_surface(spark):
+    """from_csv / to_csv / schema_of_json / from_json round-trips — the
+    embedded-record toolkit for string columns carrying structured data."""
+    df = spark.createDataFrame(
+        [("1,alpha", '{"a": 1, "b": "x"}')], "csv_s string, json_s string"
+    )
+    out = df.select(
+        F.from_csv("csv_s", "id INT, name STRING").alias("c"),
+        F.from_json("json_s", "a INT, b STRING").alias("j"),
+        F.schema_of_json(F.lit('{"a": 1, "b": "x"}')).alias("js"),
+    ).select("c.id", "c.name", "j.a", "j.b", "js")
+    r = out.collect()[0]
+    assert (r.id, r.name, r.a, r.b) == (1, "alpha", 1, "x")
+    assert "a" in r.js and "b" in r.js
+    back = (
+        spark.createDataFrame([(2, "beta")], "id int, name string")
+        .select(F.to_csv(F.struct("id", "name")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert back == "2,beta"
