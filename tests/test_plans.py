@@ -194,3 +194,38 @@ def test_analyze_table_statistics_recorded(spark, testdata, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_db.nation_stats")
         spark.sql("DROP DATABASE IF EXISTS stats_db")
+
+
+def test_runtime_bloom_filter_injected(spark, testdata):
+    """With a selective filter on one SMJ side, Spark injects a runtime
+    bloom filter (might_contain) on the probe side — row-level join
+    pruning before the shuffle. Size thresholds are lowered to simulate
+    the at-scale condition (default application-side gate is 10 GB)."""
+    to_restore = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in to_restore:
+        to_restore[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, orders = testdata["lineitem"], testdata["orders"]
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        j.collect()
+        assert "might_contain" in _plan(j)
+    finally:
+        for k, v in to_restore.items():
+            spark.conf.set(k, v)
