@@ -229,6 +229,72 @@ FROM (
 """
 
 
+# --- interpolated percentiles + windowed distinct counts -------------------
+
+def q_percentile_cont_qty(spark, sf_dir):
+    """PERCENTILE_CONT (linear interpolation) per return flag — the
+    continuous twin of percentile_disc_qty. The oracle casts to DOUBLE
+    first: DuckDB otherwise interpolates in the input's decimal scale."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        _rn(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 4)
+        .alias("q1"),
+        _rn(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 4)
+        .alias("median"),
+        _rn(F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)"), 4)
+        .alias("q3"),
+    )
+
+
+SQL_PERCENTILE_CONT = """
+SELECT l_returnflag,
+       {Q1} AS q1,
+       {MED} AS median,
+       {Q3} AS q3
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_window_distinct_running(spark, sf_dir):
+    """Running DISTINCT count over a window — Spark has no native
+    count(DISTINCT) OVER, so the engine idiom is size(collect_set()
+    OVER w); DuckDB's native windowed distinct is the oracle. Same
+    value-tiebreaker total order as window_ignore_nulls (the synthetic
+    lineitem has duplicate (orderkey, linenumber) pairs)."""
+    from pyspark.sql.window import Window
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_extendedprice", "l_partkey", "l_suppkey",
+            "l_discount",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.size(F.collect_set("l_returnflag").over(w)).cast("long").alias(
+            "distinct_flags_so_far"
+        ),
+    )
+
+
+SQL_WINDOW_DISTINCT = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(count(DISTINCT l_returnflag) OVER (
+         PARTITION BY l_orderkey
+         ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey,
+                  l_discount
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_flags_so_far
+FROM lineitem
+"""
+
+
 # --- HLL sketch rollup (rows-only: sketch estimates are impl-specific) -----
 
 def q_events_hll_daily_users(spark, sf_dir):
@@ -265,4 +331,16 @@ def build(helpers: dict) -> dict:
         "date_functions_extended": (q_date_functions_extended, SQL_DATE_EXTENDED),
         "map_functions_surface": (q_map_functions_surface, SQL_MAP_SURFACE),
         "events_hll_daily_users": (q_events_hll_daily_users, None),
+        "percentile_cont_qty": (
+            q_percentile_cont_qty,
+            SQL_PERCENTILE_CONT.format(
+                Q1=R("percentile_cont(0.25) WITHIN GROUP"
+                     " (ORDER BY CAST(l_quantity AS DOUBLE))", 4),
+                MED=R("percentile_cont(0.5) WITHIN GROUP"
+                      " (ORDER BY CAST(l_quantity AS DOUBLE))", 4),
+                Q3=R("percentile_cont(0.75) WITHIN GROUP"
+                     " (ORDER BY CAST(l_quantity AS DOUBLE))", 4),
+            ),
+        ),
+        "window_distinct_running": (q_window_distinct_running, SQL_WINDOW_DISTINCT),
     }
