@@ -295,6 +295,37 @@ FROM lineitem
 """
 
 
+# --- higher moments (population ↔ sample conversion) -----------------------
+
+def q_agg_higher_moments(spark, sf_dir):
+    """skewness/kurtosis per line status. Spark computes POPULATION
+    moments (g1, excess g2); DuckDB computes bias-corrected SAMPLE
+    moments (G1, G2) — the Spark side applies the exact textbook
+    conversions so both engines emit the sample form:
+      G1 = g1 * sqrt(n(n-1)) / (n-2)
+      G2 = (n-1)/((n-2)(n-3)) * ((n+1) g2 + 6)
+    (verified to 12+ digits on a hand case before wiring)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    g1 = F.skewness("l_extendedprice")
+    g2 = F.kurtosis("l_extendedprice")
+    sample_skew = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    sample_kurt = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+    return lineitem.groupBy("l_linestatus").agg(
+        _rn(sample_skew, 6).alias("skew_sample"),
+        _rn(sample_kurt, 6).alias("kurt_sample"),
+    )
+
+
+SQL_HIGHER_MOMENTS = """
+SELECT l_linestatus,
+       {SK} AS skew_sample,
+       {KU} AS kurt_sample
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
 # --- HLL sketch rollup (rows-only: sketch estimates are impl-specific) -----
 
 def q_events_hll_daily_users(spark, sf_dir):
@@ -343,4 +374,11 @@ def build(helpers: dict) -> dict:
             ),
         ),
         "window_distinct_running": (q_window_distinct_running, SQL_WINDOW_DISTINCT),
+        "agg_higher_moments": (
+            q_agg_higher_moments,
+            SQL_HIGHER_MOMENTS.format(
+                SK=R("skewness(l_extendedprice)", 6),
+                KU=R("kurtosis(l_extendedprice)", 6),
+            ),
+        ),
     }

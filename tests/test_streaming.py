@@ -245,3 +245,39 @@ def test_hll_rollup_merge_equals_direct(spark, events):
     }
     for m, est in merged.items():
         assert abs(est - exact[m]) <= max(1, 0.02 * exact[m])
+
+
+def test_checkpoint_recovery_exactly_once(spark, events, tmp_path):
+    """Stop a file-source stream mid-history, add new input, restart
+    from the SAME checkpoint: the parquet sink must contain every event
+    exactly once — the offset log replays only unprocessed files."""
+    src = str(tmp_path / "ck_src")
+    sink = str(tmp_path / "ck_sink")
+    ckpt = str(tmp_path / "ck_state")
+
+    first = events.where(F.col("event_id") < 20)
+    second = events.where(F.col("event_id") >= 20)
+    first.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    # new files arrive while the stream is down; restart from checkpoint
+    second.write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()  # no loss
+    assert out.select("event_id").distinct().count() == events.count()  # no dups
