@@ -10,6 +10,7 @@ adds on top of the reference, which itself stops at a constant
       → quality score (keep >= threshold)        ext/text.py::quality_score
       → exact dedup (md5 keep-first)             ext/dedup.py::exact_dedup_groups
       → near-dup collapse (MinHash LSH)          ext/dedup.py::minhash_near_duplicates
+      → benchmark decontamination (4-gram hit)   ext/dedup.py::ngram_contamination
       → token accounting                         ext/text.py::bpe_token_count
       → curated parquet + per-stage audit counts
 
@@ -36,6 +37,7 @@ from data_lakehouse_project_spark import get_spark
 from data_lakehouse_project_spark.ext.dedup import (
     exact_dedup_groups,
     minhash_near_duplicates,
+    ngram_contamination,
 )
 from data_lakehouse_project_spark.ext.text import (
     bpe_token_count,
@@ -50,7 +52,9 @@ NEAR_DUP_JACCARD = 0.8
 
 
 def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
-           near_dup_jaccard: float = NEAR_DUP_JACCARD) -> dict[str, DataFrame]:
+           near_dup_jaccard: float = NEAR_DUP_JACCARD,
+           benchmark: DataFrame | None = None,
+           contamination_ngram: int = 4) -> dict[str, DataFrame]:
     """Run the full curation funnel; returns every intermediate stage so
     callers (and tests) can audit per-stage attrition."""
     stages: dict[str, DataFrame] = {"raw": docs}
@@ -102,8 +106,19 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
         drop, "doc_id", "left_anti"
     )
 
-    # 5. token accounting on the survivors
-    stages["curated"] = stages["near_dup_unique"].withColumn(
+    # 5. benchmark decontamination: drop any survivor sharing a word
+    # n-gram with the held-out eval set (bench grams broadcast — the
+    # check is map-side over the corpus scan)
+    clean = stages["near_dup_unique"]
+    if benchmark is not None:
+        contaminated = ngram_contamination(
+            clean, benchmark, n=contamination_ngram
+        ).select("doc_id")
+        clean = clean.join(contaminated, "doc_id", "left_anti")
+    stages["decontaminated"] = clean
+
+    # 6. token accounting on the survivors
+    stages["curated"] = stages["decontaminated"].withColumn(
         "n_bpe_tokens", bpe_token_count(F.col("text"))
     )
     return stages
@@ -117,7 +132,10 @@ def main() -> None:
     spark = get_spark(app_name="training-corpus-pipeline")
     docs = load_testdata(spark, sf_dir)["documents"]
 
-    stages = curate(docs)
+    # hold out one source as the "benchmark" to decontaminate against
+    bench = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+    stages = curate(train, benchmark=bench)
     funnel = {name: df.count() for name, df in stages.items()}
     total_tokens = stages["curated"].agg(
         F.sum("n_bpe_tokens").alias("t")
@@ -129,7 +147,7 @@ def main() -> None:
 
     print("curation funnel (docs surviving each stage):")
     for name in ["raw", "lang_kept", "quality_kept", "exact_unique",
-                 "near_dup_unique"]:
+                 "near_dup_unique", "decontaminated"]:
         print(f"  {name:16s} {funnel[name]:>8d}")
     print(f"curated corpus: {funnel['curated']} docs, "
           f"{total_tokens} BPE-ish tokens → {out_dir}/curated")

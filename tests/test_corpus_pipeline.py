@@ -37,3 +37,19 @@ def test_funnel_monotone_and_self_consistent(spark, testdata):
         (F.length("text") > 0) & (F.col("n_bpe_tokens") <= 0)
     )
     assert bad.count() == 0
+
+
+def test_funnel_decontamination_removes_benchmark_overlap(spark, testdata):
+    """With a held-out benchmark source, no surviving training doc may
+    share a 4-gram with it, and the stage only ever removes docs."""
+    from data_lakehouse_project_spark.ext.dedup import ngram_contamination
+
+    docs = testdata["documents"]
+    bench = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+    stages = curate(train, benchmark=bench)
+    assert stages["decontaminated"].count() <= stages["near_dup_unique"].count()
+    still_hot = ngram_contamination(
+        stages["decontaminated"], bench, n=4
+    ).count()
+    assert still_hot == 0
