@@ -121,3 +121,52 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, media_type string, out_w int, out_h int, "
+    "content binary, n_bytes long"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  batch_hint: int = 1024) -> DataFrame:
+    """Image resize over Arrow batches (mapInPandas). The pixel kernel is
+    a STUB (no image codecs in this container): it deterministically
+    resamples the RAW BYTES to width*height*3 via stride-sampling, which
+    preserves the real plumbing — binary in/binary out, per-batch Arrow
+    transfer, stable output schema with size metadata — so swapping in a
+    PIL/libvips kernel changes one inner function, not the operator.
+    Non-image rows pass through untouched metadata-wise (content kept,
+    out_w/out_h null) so the operator is safe mid-pipeline.
+    """
+    import numpy as np
+
+    target = width * height * 3
+
+    def _resize_bytes(b: bytes) -> bytes:
+        src = np.frombuffer(b, dtype=np.uint8)
+        if len(src) == 0:
+            return bytes(target)
+        idx = (np.arange(target) * len(src) // target) % len(src)
+        return src[idx].tobytes()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            is_img = pdf["media_type"] == "image"
+            content = [
+                _resize_bytes(c) if img else c
+                for c, img in zip(pdf["content"], is_img)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "out_w": [width if i else None for i in is_img],
+                    "out_h": [height if i else None for i in is_img],
+                    "content": content,
+                    "n_bytes": [len(c) for c in content],
+                }
+            )
+
+    return df.mapInPandas(_batches, RESIZED_SCHEMA)

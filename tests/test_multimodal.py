@@ -40,3 +40,21 @@ def test_frame_sample_plan(spark):
     for r in rows:
         per.setdefault(r.media_id, []).append(r.frame_ts_ms)
     assert sorted(per[2]) == [0, 250, 500, 750, 1000]
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from data_lakehouse_project_spark.ext import multimodal as mm
+
+    media = mm.synthetic_media(spark, 12)
+    out = mm.resize_images(media, 4, 3)
+    assert "MapInPandas" in out._jdf.queryExecution().executedPlan().toString()
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        if r.media_type == "image":
+            assert (r.out_w, r.out_h) == (4, 3)
+            assert r.n_bytes == 4 * 3 * 3  # w*h*3 stub "pixels"
+        else:
+            assert r.out_w is None and r.n_bytes == len(r.content)
+    again = {r.media_id: bytes(r.content) for r in mm.resize_images(media, 4, 3).collect()}
+    assert {r.media_id: bytes(r.content) for r in rows} == again
