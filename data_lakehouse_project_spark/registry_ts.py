@@ -295,6 +295,57 @@ FROM lineitem
 """
 
 
+# --- array set operations ---------------------------------------------------
+
+def q_array_setops_surface(spark, sf_dir):
+    """arrays_overlap / array_position / array_union / array_intersect /
+    array_except on data-derived arrays. DuckDB has no native list set
+    ops — the oracle composes list_distinct + list_filter lambdas;
+    outputs are sorted on both sides because Spark's set ops preserve
+    first-occurrence order while the emulation does not."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    a = F.array(
+        (F.col("l_partkey") % 10).cast("long"),
+        (F.col("l_suppkey") % 10).cast("long"),
+        F.col("l_linenumber").cast("long"),
+    )
+    b = F.array(
+        F.col("l_linenumber").cast("long"),
+        ((F.col("l_partkey") + 1) % 10).cast("long"),
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.arrays_overlap(a, b).alias("overlaps"),
+        F.array_position(a, F.col("l_linenumber").cast("long")).cast("long").alias(
+            "line_pos"
+        ),
+        F.array_sort(F.array_union(a, b)).alias("union_sorted"),
+        F.array_sort(F.array_intersect(a, b)).alias("intersect_sorted"),
+        F.array_sort(F.array_except(a, b)).alias("except_sorted"),
+    )
+
+
+SQL_ARRAY_SETOPS = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       list_has_any(a, b) AS overlaps,
+       CAST(list_position(a, CAST(l_linenumber AS BIGINT)) AS BIGINT)
+         AS line_pos,
+       list_sort(list_distinct(a || b)) AS union_sorted,
+       list_sort(list_filter(list_distinct(a), x -> list_contains(b, x)))
+         AS intersect_sorted,
+       list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))
+         AS except_sorted
+FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         [l_partkey % 10, l_suppkey % 10, CAST(l_linenumber AS BIGINT)] AS a,
+         [CAST(l_linenumber AS BIGINT), (l_partkey + 1) % 10] AS b
+  FROM lineitem
+)
+"""
+
+
 # --- higher moments (population ↔ sample conversion) -----------------------
 
 def q_agg_higher_moments(spark, sf_dir):
@@ -374,6 +425,7 @@ def build(helpers: dict) -> dict:
             ),
         ),
         "window_distinct_running": (q_window_distinct_running, SQL_WINDOW_DISTINCT),
+        "array_setops_surface": (q_array_setops_surface, SQL_ARRAY_SETOPS),
         "agg_higher_moments": (
             q_agg_higher_moments,
             SQL_HIGHER_MOMENTS.format(
