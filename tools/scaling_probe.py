@@ -6,6 +6,9 @@ and runs three shapes at each multiple:
 - **agg**   — TPC-H Q1 pricing-summary scan + partial/final aggregation
 - **join**  — fact-fact shuffle join (replicated lineitem ⋈ orders) + agg
 - **window**— per-order running sum (partitioned window, no global sort)
+- **text**  — corpus scan: normalize → tokenize → explode → term counts
+  (the inverted-index build shape every dedup pipeline starts with;
+  runs over replicated documents instead of lineitem)
 
 Flat rows/sec across multiples = linear scaling; a falling curve marks a
 shuffle or memory cliff. Results recorded in BASELINE.md.
@@ -69,20 +72,37 @@ def shape_window(df, orders):
     )
 
 
-SHAPES = {"agg": shape_agg, "join": shape_join, "window": shape_window}
+def shape_text(df, orders):
+    from data_lakehouse_project_spark.functions.scalar import normalize_text
+
+    toks = F.split(normalize_text(F.col("text")), " ")
+    return (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+# shape -> (base table, builder)
+SHAPES = {
+    "agg": ("lineitem", shape_agg),
+    "join": ("lineitem", shape_join),
+    "window": ("lineitem", shape_window),
+    "text": ("documents", shape_text),
+}
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     shapes = sys.argv[2:] or list(SHAPES)
     spark = get_spark(app_name="scaling-probe")
-    base = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    n_base = base.count()
     orders.count()  # warm
 
     for shape in shapes:
-        fn = SHAPES[shape]
+        table, fn = SHAPES[shape]
+        base = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+        n_base = base.count()
         for mult in (1, 4, 16):
             df = functools.reduce(
                 lambda a, b: a.unionByName(b), [base] * mult
