@@ -295,6 +295,36 @@ FROM lineitem
 """
 
 
+# --- robust statistics: median absolute deviation --------------------------
+
+def q_agg_mad(spark, sf_dir):
+    """MAD per return flag — the robust dispersion measure. Spark has no
+    mad(); the engine composes it as two percentile passes: per-group
+    median, broadcast back, then median of absolute deviations. DuckDB's
+    native mad() is the oracle (numeric parity verified to 4+ digits
+    before wiring — both engines interpolate even-count medians)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    med = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    return (
+        lineitem.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            _rn(
+                F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 4
+            ).alias("mad_price")
+        )
+    )
+
+
+SQL_MAD = """
+SELECT l_returnflag, {MAD} AS mad_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --- array set operations ---------------------------------------------------
 
 def q_array_setops_surface(spark, sf_dir):
@@ -426,6 +456,10 @@ def build(helpers: dict) -> dict:
         ),
         "window_distinct_running": (q_window_distinct_running, SQL_WINDOW_DISTINCT),
         "array_setops_surface": (q_array_setops_surface, SQL_ARRAY_SETOPS),
+        "agg_mad": (
+            q_agg_mad,
+            SQL_MAD.format(MAD=R("mad(CAST(l_extendedprice AS DOUBLE))", 4)),
+        ),
         "agg_higher_moments": (
             q_agg_higher_moments,
             SQL_HIGHER_MOMENTS.format(

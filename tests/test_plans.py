@@ -229,3 +229,41 @@ def test_runtime_bloom_filter_injected(spark, testdata):
     finally:
         for k, v in to_restore.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """A 90%-hot join key must trigger AQE's skew-join handling: the
+    final plan shows SortMergeJoin(skew=true) with an AQEShuffleRead
+    that split the oversized partition. Thresholds are lowered to make
+    the local dataset 'skewed' by the same relative rule that applies
+    at 100 TB; confs restored afterwards."""
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "1.0")
+        spark.conf.set(keys[1], "16KB")
+        spark.conf.set(keys[2], "8KB")
+        spark.conf.set(keys[3], "-1")
+        left = spark.range(0, 500000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        out = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        [row] = out.collect()
+        plan = _plan(out)
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+        # correctness untouched by the split: 450000 hot rows match k=0,
+        # plus ids ending in 9 below 2000 (9, 19, …, 1999) = 200 rows
+        assert row.n == 450000 + 200
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
