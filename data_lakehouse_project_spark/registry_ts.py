@@ -295,6 +295,36 @@ FROM lineitem
 """
 
 
+# --- information theory: Shannon entropy -----------------------------------
+
+def q_agg_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of the priority distribution per order
+    status — the category-diversity metric corpus curation uses to spot
+    degenerate sources. Spark composes it from two aggregation grains
+    (category counts → -Σ p·log₂p); DuckDB's native entropy() is the
+    oracle. Same window-over-finer-agg pattern as the Q20/Q21 shapes
+    would apply at scale; here the coarse grain is 3 rows, so a
+    broadcast join-back is the cheaper plan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("o_orderstatus").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        counts.join(F.broadcast(totals), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(_rn(-F.sum(p * F.log2(p)), 6).alias("priority_entropy_bits"))
+    )
+
+
+SQL_ENTROPY = """
+SELECT o_orderstatus, {H} AS priority_entropy_bits
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 # --- robust statistics: median absolute deviation --------------------------
 
 def q_agg_mad(spark, sf_dir):
@@ -459,6 +489,10 @@ def build(helpers: dict) -> dict:
         "agg_mad": (
             q_agg_mad,
             SQL_MAD.format(MAD=R("mad(CAST(l_extendedprice AS DOUBLE))", 4)),
+        ),
+        "agg_entropy": (
+            q_agg_entropy,
+            SQL_ENTROPY.format(H=R("entropy(o_orderpriority)", 6)),
         ),
         "agg_higher_moments": (
             q_agg_higher_moments,
