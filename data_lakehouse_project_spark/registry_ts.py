@@ -295,6 +295,119 @@ FROM lineitem
 """
 
 
+# --- event analytics: ordered funnel + cohort retention --------------------
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at a stage only if the stage's FIRST occurrence follows the previous
+    stage's first occurrence. Each stage is an agg of the (small)
+    per-user frame joined forward — three grains, each reduced before
+    the next join, so no stage touches raw events twice."""
+    (events,) = _t(spark, sf_dir, "events")
+
+    def first_of(etype, name):
+        return (
+            events.where(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(name))
+        )
+
+    v = first_of("view", "t_view")
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    one = lambda df, stage: df.agg(  # noqa: E731
+        F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        one(v, "1_view").unionByName(one(c, "2_click_after_view"))
+        .unionByName(one(p, "3_purchase_after_click"))
+    )
+
+
+SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT '2_click_after_view', COUNT(*) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', COUNT(*) FROM p
+"""
+
+
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted per (cohort_week, weeks_since). Integer epoch-day
+    arithmetic on both engines (interval/week-of-year semantics differ
+    across dialects; day counts do not)."""
+    (events,) = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01").cast("date")
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = firsts.select(
+        "user_id",
+        # explicit floor: Spark's long cast truncates a double but
+        # DuckDB's CAST rounds — floor() agrees everywhere for day >= 0
+        F.floor(F.datediff(F.col("first_ts").cast("date"), t0) / 7)
+        .cast("long")
+        .alias("cohort_week"),
+    )
+    return (
+        events.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(F.datediff(F.col("ts").cast("date"), t0) / 7).cast("long")
+                - F.col("cohort_week")
+            ).alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+SQL_COHORT = """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(FLOOR(datediff('day', DATE '2024-01-01',
+                             CAST(MIN(ts) AS DATE)) / 7) AS BIGINT)
+           AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(FLOOR(datediff('day', DATE '2024-01-01',
+                           CAST(ts AS DATE)) / 7) AS BIGINT)
+         - cohort_week AS weeks_since,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN cohort ON e.user_id = cohort.user_id
+GROUP BY 1, 2
+"""
+
+
 # --- information theory: Shannon entropy -----------------------------------
 
 def q_agg_entropy(spark, sf_dir):
@@ -494,6 +607,8 @@ def build(helpers: dict) -> dict:
             q_agg_entropy,
             SQL_ENTROPY.format(H=R("entropy(o_orderpriority)", 6)),
         ),
+        "events_funnel": (q_events_funnel, SQL_FUNNEL),
+        "events_cohort_retention": (q_events_cohort_retention, SQL_COHORT),
         "agg_higher_moments": (
             q_agg_higher_moments,
             SQL_HIGHER_MOMENTS.format(
