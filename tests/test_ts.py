@@ -70,3 +70,29 @@ def test_explode_outer_keeps_empty_docs(spark):
     out = TS.q_explode_outer_lateral(spark, SF_DIR)
     assert out.select("doc_id").distinct().count() == docs.count()
     assert out.where(F.col("long_token").isNull()).count() > 0
+
+
+def test_funnel_monotone_and_cohort_conserves_users(spark):
+    """Funnel stages can only shrink; cohort cells at weeks_since=0
+    cover every user exactly once (each user appears in their own
+    cohort's first week)."""
+    from data_lakehouse_project_spark import registry_ts as TS2
+
+    stages = {
+        r.stage: r.n_users for r in TS2.q_events_funnel(spark, SF_DIR).collect()
+    }
+    assert (
+        stages["1_view"]
+        >= stages["2_click_after_view"]
+        >= stages["3_purchase_after_click"]
+    )
+    cohort = TS2.q_events_cohort_retention(spark, SF_DIR).collect()
+    week0_users = sum(r.active_users for r in cohort if r.weeks_since == 0)
+    n_users = (
+        load_testdata(spark, SF_DIR)["events"]
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert week0_users == n_users
+    assert all(r.weeks_since >= 0 for r in cohort)
