@@ -69,12 +69,24 @@ def main() -> None:
     _ident = pandas_udf(lambda x: x, "long")
     spark.range(10_000).select(_ident(F.col("id"))).count()
 
+    # min-of-2 runs per query: single-run wall time on a shared machine
+    # carries ±25%+ load noise (BASELINE.md); the min is the stable
+    # estimator of the query's actual cost. Spark's CacheManager can
+    # reuse persisted subtrees across identical plans, so run 2 measures
+    # warm-path cost — both runs build the full plan end to end.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            # clear persisted subtrees: CacheManager matches identical
+            # logical plans across runs, which would make run 2 a warm
+            # cache hit instead of a comparable cold measurement
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -147,6 +147,7 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    expand: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via exact-group collapse + MinHash LSH banding
     + exact verification.
@@ -167,6 +168,15 @@ def minhash_near_duplicates(
        intra-group pairs are emitted directly with jaccard = 1.0.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    With ``expand=False`` the member fan-out (stage 3) is skipped and the
+    result stays at representative grain: (rep_a, rep_b, jaccard, pairs)
+    where ``pairs`` is how many member pairs the row stands for
+    (|A|·|B| across groups, C(n,2) within an exact-dup group, rep_a =
+    rep_b for the latter). Sum(pairs) equals the expanded pair count, so
+    no information is lost — on duplicate-heavy corpora the expanded
+    output is orders of magnitude larger than the computation that
+    produced it, and at 100 TB the collapsed form is what you'd persist.
     """
     rows_per_band = num_hashes // bands
 
@@ -260,6 +270,33 @@ def minhash_near_duplicates(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("rep_a", "rep_b", "jaccard")
     )
+
+    if not expand:
+        sizes = grouped.select("rep_id", F.size("members").alias("n"))
+        inter_c = (
+            rep_pairs.join(
+                sizes.withColumnsRenamed({"rep_id": "rep_a", "n": "n_a"}),
+                "rep_a",
+            )
+            .join(
+                sizes.withColumnsRenamed({"rep_id": "rep_b", "n": "n_b"}),
+                "rep_b",
+            )
+            .select(
+                "rep_a",
+                "rep_b",
+                F.round("jaccard", 6).alias("jaccard"),
+                (F.col("n_a") * F.col("n_b")).cast("long").alias("pairs"),
+            )
+        )
+        n = F.size("members")
+        intra_c = grouped.where(n > 1).select(
+            F.col("rep_id").alias("rep_a"),
+            F.col("rep_id").alias("rep_b"),
+            F.lit(1.0).alias("jaccard"),
+            (n * (n - 1) / 2).cast("long").alias("pairs"),
+        )
+        return inter_c.unionByName(intra_c)
 
     # --- stage 3: expand back to member pairs ----------------------------
     rep_groups = grouped.select("rep_id", "members")

@@ -48,7 +48,7 @@ FEATURES_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("content_sha1", StringType()),
+        StructField("content_sha256", StringType()),
         StructField("features", ArrayType(DoubleType())),
     ]
 )
@@ -70,8 +70,10 @@ def _decode_stub(content: bytes, media_type: str) -> list[float]:
     Production replaces this with a real decoder (PIL / torchaudio /
     pyav). Raising ``NotImplementedError`` here would be honest too, but a
     deterministic fake lets the distributed plumbing be exercised in CI.
+    sha256 (not sha1) so an external SQL oracle can recompute the
+    fingerprint and the per-byte features bit-for-bit.
     """
-    h = hashlib.sha1(content).digest()
+    h = hashlib.sha256(content).digest()
     return [b / 255.0 for b in h[:8]]
 
 
@@ -90,8 +92,8 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
-                    "content_sha1": pdf["content"].map(
-                        lambda b: hashlib.sha1(bytes(b)).hexdigest()
+                    "content_sha256": pdf["content"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
                     "features": [
                         _decode_stub(bytes(c), t)

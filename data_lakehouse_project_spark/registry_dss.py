@@ -224,12 +224,25 @@ def q_array_functions(spark, sf_dir):
         _rn(F.array_max(emb).cast("double"), 4).alias("max_val"),
         _rn(F.array_min(emb).cast("double"), 4).alias("min_val"),
         _rn(emb.getItem(0).cast("double"), 4).alias("first_val"),
-        F.transform(
-            F.slice(emb, 1, 3), lambda x: _rn(x.cast("double"), 4)
+        # joined to scalar strings (fixed-scale decimal rendering matches
+        # across engines); the driver's canonicalizer can't hash arrays
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 3),
+                lambda x: _rn(x.cast("double"), 4)
+                .cast("decimal(18,4)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("head3"),
-        F.transform(
-            F.slice(F.sort_array(emb, asc=False), 1, 2),
-            lambda x: _rn(x.cast("double"), 4),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(emb, asc=False), 1, 2),
+                lambda x: _rn(x.cast("double"), 4)
+                .cast("decimal(18,4)")
+                .cast("string"),
+            ),
+            ",",
         ).alias("top2"),
     )
 
@@ -242,9 +255,12 @@ SELECT vec_id,
        {_R4.format(x='list_max(embedding)')} AS max_val,
        {_R4.format(x='list_min(embedding)')} AS min_val,
        {_R4.format(x='embedding[1]')} AS first_val,
-       list_transform(embedding[1:3], x -> {_R4.format(x='x')}) AS head3,
-       list_transform(list_sort(embedding, 'DESC')[1:2],
-                      x -> {_R4.format(x='x')}) AS top2
+       array_to_string(list_transform(embedding[1:3],
+           x -> CAST(CAST({_R4.format(x='x')} AS DECIMAL(18,4)) AS VARCHAR)),
+           ',') AS head3,
+       array_to_string(list_transform(list_sort(embedding, 'DESC')[1:2],
+           x -> CAST(CAST({_R4.format(x='x')} AS DECIMAL(18,4)) AS VARCHAR)),
+           ',') AS top2
 FROM embeddings
 """
 
@@ -564,7 +580,9 @@ def q_events_json_surface(spark, sf_dir):
     (events,) = _t(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.sort_array(F.json_object_keys("props")).alias("prop_keys"),
+        F.array_join(F.sort_array(F.json_object_keys("props")), ",").alias(
+            "prop_keys"
+        ),
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
         F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias(
             "packed"
@@ -574,7 +592,7 @@ def q_events_json_surface(spark, sf_dir):
 
 SQL_JSON_SURFACE = """
 SELECT event_id,
-       list_sort(json_keys(props)) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        CAST(props->>'k' AS BIGINT) AS k_value,
        CAST(to_json(struct_pack(event_id := event_id,
                                 event_type := event_type)) AS VARCHAR)

@@ -117,14 +117,19 @@ def q_agg_collect_set(spark, sf_dir):
     """Array aggregate: sorted distinct statuses per priority."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
+# statuses joined to a scalar string: the driver's pandas canonicalizer
+# cannot hash list cells, so oracle-checked queries never emit arrays
 SQL_AGG_COLLECT = """
 SELECT o_orderpriority,
-       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+         AS statuses,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """

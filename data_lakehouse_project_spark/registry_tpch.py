@@ -469,7 +469,10 @@ def q_array_hof_surface(spark, sf_dir):
             toks, F.lit(0), lambda acc, t: acc + F.length(t)
         ).cast("long").alias("total_token_chars"),
         F.exists(toks, lambda t: t == F.lit("data")).alias("has_data"),
-        F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)).alias("first3_upper"),
+        # joined to a scalar string — driver canonicalizer can't hash lists
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)), ","
+        ).alias("first3_upper"),
     )
 
 
@@ -479,7 +482,8 @@ SELECT doc_id,
        CAST(list_sum(list_transform({TOKS}, t -> length(t))) AS BIGINT)
          AS total_token_chars,
        list_contains({TOKS}, 'data') AS has_data,
-       list_transform(({TOKS})[1:3], t -> upper(t)) AS first3_upper
+       array_to_string(list_transform(({TOKS})[1:3], t -> upper(t)), ',')
+         AS first3_upper
 FROM documents
 """
 

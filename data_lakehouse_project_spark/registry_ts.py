@@ -210,7 +210,7 @@ def q_map_functions_surface(spark, sf_dir):
         "l_linenumber",
         F.element_at(m, "qty").alias("qty_val"),
         F.element_at(m, "ext").alias("ext_val"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).cast("long").alias("map_size"),
     )
 
@@ -219,7 +219,7 @@ SQL_MAP_SURFACE = """
 SELECT l_orderkey, l_linenumber,
        (m['qty'])[1] AS qty_val,
        (m['ext'])[1] AS ext_val,
-       list_sort(map_keys(m)) AS keys_sorted,
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
        CAST(cardinality(m) AS BIGINT) AS map_size
 FROM (
   SELECT l_orderkey, l_linenumber,
@@ -481,6 +481,12 @@ GROUP BY l_returnflag
 
 # --- array set operations ---------------------------------------------------
 
+def _lstr(x):
+    """long→string element cast for array_join (closure, not default-arg
+    lambda — Spark HOFs misread default-arg lambdas as extra-arity)."""
+    return x.cast("string")
+
+
 def q_array_setops_surface(spark, sf_dir):
     """arrays_overlap / array_position / array_union / array_intersect /
     array_except on data-derived arrays. DuckDB has no native list set
@@ -505,9 +511,17 @@ def q_array_setops_surface(spark, sf_dir):
         F.array_position(a, F.col("l_linenumber").cast("long")).cast("long").alias(
             "line_pos"
         ),
-        F.array_sort(F.array_union(a, b)).alias("union_sorted"),
-        F.array_sort(F.array_intersect(a, b)).alias("intersect_sorted"),
-        F.array_sort(F.array_except(a, b)).alias("except_sorted"),
+        # joined to scalar strings — the driver's canonicalizer can't
+        # hash list cells (long→string renders identically both engines)
+        F.array_join(
+            F.transform(F.array_sort(F.array_union(a, b)), _lstr), ","
+        ).alias("union_sorted"),
+        F.array_join(
+            F.transform(F.array_sort(F.array_intersect(a, b)), _lstr), ","
+        ).alias("intersect_sorted"),
+        F.array_join(
+            F.transform(F.array_sort(F.array_except(a, b)), _lstr), ","
+        ).alias("except_sorted"),
     )
 
 
@@ -516,11 +530,15 @@ SELECT l_orderkey, l_linenumber, l_partkey,
        list_has_any(a, b) AS overlaps,
        CAST(list_position(a, CAST(l_linenumber AS BIGINT)) AS BIGINT)
          AS line_pos,
-       list_sort(list_distinct(a || b)) AS union_sorted,
-       list_sort(list_filter(list_distinct(a), x -> list_contains(b, x)))
-         AS intersect_sorted,
-       list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))
-         AS except_sorted
+       COALESCE(array_to_string(list_sort(list_distinct(a || b)), ','), '')
+         AS union_sorted,
+       COALESCE(array_to_string(
+         list_sort(list_filter(list_distinct(a), x -> list_contains(b, x))),
+         ','), '') AS intersect_sorted,
+       COALESCE(array_to_string(
+         list_sort(list_filter(list_distinct(a),
+                               x -> NOT list_contains(b, x))),
+         ','), '') AS except_sorted
 FROM (
   SELECT l_orderkey, l_linenumber, l_partkey,
          [l_partkey % 10, l_suppkey % 10, CAST(l_linenumber AS BIGINT)] AS a,

@@ -1,0 +1,81 @@
+"""Live JDBC round trip (S1) against embedded Apache Derby — the
+in-JVM database whose jars ship on Spark's classpath for the Hive
+metastore, so no external service is needed.
+
+Reference S1 is a MySQL JDBC extract (``mysql_bronze_ingestion.py:
+65-94``); the protocol surface exercised here (DriverManager, dbtable,
+fetchsize, partitioned range reads) is identical — only the dialect
+differs. This closes the "never executed a JDBC read" gap: Spark's
+JDBC relation actually connects, creates, writes, and reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.sources.readers import read_jdbc
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _derby_url(tmp_path):
+    return f"jdbc:derby:{tmp_path}/derbydb;create=true"
+
+
+def _seed(spark, url, table="products", n=100):
+    """Create + populate via Spark's own JDBC writer (a real JDBC
+    round trip on the write side too)."""
+    df = spark.range(1, n + 1).select(
+        F.col("id").cast("int").alias("product_id"),
+        F.concat(F.lit("item-"), F.col("id")).alias("product_name"),
+        (F.col("id") % 5).cast("int").alias("category_id"),
+        (F.col("id") * 1.5).alias("price"),
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def test_jdbc_round_trip_single_partition(spark, tmp_path):
+    url = _derby_url(tmp_path)
+    _seed(spark, url)
+    out = read_jdbc(spark, url, "products", driver=DERBY_DRIVER)
+    assert out.count() == 100
+    assert out.agg(F.sum("product_id")).first()[0] == 5050
+
+
+def test_jdbc_partitioned_parallel_read(spark, tmp_path):
+    """Range-partitioned read — the scale path the reference lacks:
+    4 concurrent connections, each pulling a disjoint id range."""
+    url = _derby_url(tmp_path)
+    _seed(spark, url)
+    out = read_jdbc(
+        spark,
+        url,
+        "products",
+        driver=DERBY_DRIVER,
+        partition_column="product_id",
+        num_partitions=4,
+        lower_bound=1,
+        upper_bound=101,
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 100  # bounds split ranges, never filter rows
+
+
+def test_jdbc_predicate_pushdown_reaches_database(spark, tmp_path):
+    """Catalyst pushes the filter into the remote query (PushedFilters
+    in the scan node), so the DB — not Spark — prunes rows."""
+    url = _derby_url(tmp_path)
+    _seed(spark, url)
+    out = read_jdbc(spark, url, "products", driver=DERBY_DRIVER).where(
+        F.col("category_id") == 2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "category_id" in plan
+    assert out.count() == 20

@@ -15,8 +15,8 @@ def test_synthetic_media_schema(spark):
 
 def test_extract_features_deterministic(spark):
     df = mm.synthetic_media(spark, n=12)
-    out1 = {r.media_id: (r.content_sha1, tuple(r.features)) for r in mm.extract_features(df).collect()}
-    out2 = {r.media_id: (r.content_sha1, tuple(r.features)) for r in mm.extract_features(df).collect()}
+    out1 = {r.media_id: (r.content_sha256, tuple(r.features)) for r in mm.extract_features(df).collect()}
+    out2 = {r.media_id: (r.content_sha256, tuple(r.features)) for r in mm.extract_features(df).collect()}
     assert out1 == out2  # stub decode is deterministic
     assert all(len(v[1]) == 8 for v in out1.values())
     assert all(0.0 <= x <= 1.0 for v in out1.values() for x in v[1])
