@@ -327,3 +327,84 @@ def cosine_pairs_lsh(
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def ann_batch_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one map-only pass.
+
+    The realistic ANN workload is many queries against one corpus, not
+    one: scoring them one scan each is Q full scans. Here the whole
+    query matrix (Q×D — the day's query workload, small by construction)
+    is closed over and broadcast with the serialized kernel; each Arrow
+    batch computes a single numpy matmul (B×D @ D×Q) scoring every
+    corpus vector against every query at once, then prunes to the
+    per-batch top-k per query BEFORE anything shuffles. The only
+    exchange is the final top-k-of-top-ks: ≤ k·Q·num_batches rows,
+    independent of corpus size. Self-matches (id == query_id) are
+    excluded, mirroring ``cosine_topk``'s contract.
+
+    Scores use the engine-wide floor rounding (``floor(x·10^r + .5)/10^r``)
+    so external oracles reproduce them bit-for-bit.
+    """
+    from typing import Iterator
+
+    qids = np.array([int(q) for q, _ in queries], dtype=np.int64)
+    qm = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    scale = float(10**round_to)
+
+    out_schema = f"query_id long, {id_col} long, score double"
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0.0] = 1.0
+            # dot/(|a|·|b|) — the same operation order as the SQL
+            # oracle's cosine, so floor-rounding agrees bit-for-bit
+            s = (v @ qm.T) / (vn[:, None] * qn[None, :])
+            s = np.floor(s * scale + 0.5) / scale
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for j, qid in enumerate(qids):
+                col = s[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self-match
+                top = (
+                    np.argpartition(-col, k - 1)[:k]
+                    if len(col) > k
+                    else np.arange(len(col))
+                )
+                keep = top[np.isfinite(col[top])]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: ids[keep],
+                            "score": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    scored = df.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("score"), F.col(id_col))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

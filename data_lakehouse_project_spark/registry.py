@@ -903,6 +903,45 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_batch_topk(spark, sf_dir):
+    """Batch exact top-k: 8 query vectors scored against the whole
+    corpus in ONE map-only pass (broadcast query matrix, per-Arrow-batch
+    numpy matmul, per-batch top-k pruning before the single tiny
+    shuffle). The shape that replaces Q separate scans at 100 TB.
+
+    The 8-row driver-side collect defines the query workload (operator
+    input), not a data-plane loop.
+    """
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        embeddings.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(r.vec_id, [float(x) for x in r.embedding]) for r in qrows]
+    return X_sim.ann_batch_topk(embeddings, "embedding", "vec_id", queries, k=10)
+
+
+SQL_ANN_BATCH = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(FLOOR(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           q.qv) * 1000000 + 0.5)
+              AS DOUBLE) / 1000000 AS score
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
 def q_embedding_pairs_exact(spark, sf_dir):
     """All embedding pairs with cosine >= 0.4 — O(n²) exactness anchor.
 
@@ -920,6 +959,43 @@ SELECT id_a, id_b, score FROM (
          round(list_cosine_similarity(a.v, b.v), 6) AS score
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
 WHERE score >= 0.4
+"""
+
+
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """Semantic dedup: embedding-cosine near-dup pairs → transitive
+    closure → cluster assignment (keep one per cluster to deduplicate).
+
+    Edges here come from the exact O(n²) pair generator so the whole
+    chain is oracle-checkable (recursive-CTE closure); the 100 TB path
+    swaps in ``cosine_pairs_lsh`` edges — identical downstream
+    ``dedup_clusters`` propagation either way."""
+    from data_lakehouse_project_spark.ext.graph import dedup_clusters
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    pairs = X_sim.cosine_pairs_exact(embeddings, "embedding", "vec_id", 0.4)
+    return dedup_clusters(embeddings, pairs, "vec_id")
+
+
+SQL_EMB_CLUSTERS = """
+WITH RECURSIVE e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS score
+    FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id)
+  WHERE score >= 0.4),
+e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+reach(n, m) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u)
+SELECT d.vec_id, COALESCE(c.cluster_id, d.vec_id) AS cluster_id
+FROM embeddings d
+LEFT JOIN (SELECT n AS node, MIN(m) AS cluster_id FROM reach GROUP BY n) c
+  ON c.node = d.vec_id
 """
 
 
@@ -996,6 +1072,127 @@ SELECT label, CAST(i AS BIGINT) AS i,
             AS DOUBLE) / 1000000 AS v
 FROM embeddings, range(1, 65) t(i)
 GROUP BY label, i
+"""
+
+
+def q_sample_stratified_documents(spark, sf_dir):
+    """Deterministic per-source sampling (data-mixing weights): keep
+    100% of src0, 50% of src1, 20% of src2, 10% of everything else —
+    membership is a pure md5-bucket function of doc_id, so the sample
+    is reproducible across reruns, partitionings, and engines (the
+    oracle recomputes the exact same rows). Map-only filter: no
+    shuffle, no state."""
+    from data_lakehouse_project_spark.ext.sampling import (
+        stratified_hash_sample,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        documents,
+        "doc_id",
+        "source",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.2},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, source, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10000
+    < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2000 ELSE 1000 END
+"""
+
+
+def q_train_eval_split(spark, sf_dir):
+    """Leak-proof train/eval split: 10% held out by doc_id hash bucket;
+    per-(split, lang) counts. Same bucket function as the sampler, so
+    split membership never flips between runs."""
+    from data_lakehouse_project_spark.ext.sampling import split_column
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.withColumn("split", split_column(F.col("doc_id"), 0.1))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TRAIN_EVAL = """
+SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 1000
+            THEN 'eval' ELSE 'train' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_pack_chunks_documents(spark, sf_dir):
+    """Concat-and-chunk sequence packing per language (GPT-style): docs
+    concatenated in doc_id order, cut every 10k chars, straddling docs
+    flagged. Window cumsum arithmetic — one shuffle per group."""
+    from data_lakehouse_project_spark.ext.packing import (
+        pack_sequential_chunks,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return pack_sequential_chunks(
+        documents, "doc_id", "n_chars", budget=10_000, group_col="lang"
+    )
+
+
+SQL_PACK_CHUNKS = """
+SELECT doc_id, lang, n_chars AS length,
+       CAST(FLOOR(start / 10000) AS BIGINT) AS chunk_id,
+       FLOOR(start / 10000)
+         <> FLOOR((start + GREATEST(n_chars, 1) - 1) / 10000) AS straddles
+FROM (
+  SELECT doc_id, lang, n_chars,
+         COALESCE(SUM(GREATEST(n_chars, 1)) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM documents)
+"""
+
+
+def q_text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-5-gram fraction and
+    top-bigram mass per document (boilerplate / looping-generation
+    detectors). One text scan, gram-count shuffles only."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.repetition_signals(documents, "text", "doc_id")
+
+
+SQL_REPETITION = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+g5 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(toks) - 4, 0)),
+           i -> array_to_string(toks[i:i+4], ' '))) AS g
+  FROM t WHERE len(toks) >= 5),
+a5 AS (SELECT doc_id, COUNT(*) AS total5, COUNT(DISTINCT g) AS dist5
+       FROM g5 GROUP BY doc_id),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(toks) - 1, 0)),
+           i -> array_to_string(toks[i:i+1], ' '))) AS g
+  FROM t WHERE len(toks) >= 2),
+a2 AS (SELECT doc_id, MAX(c) AS top2, SUM(c) AS total2 FROM (
+         SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(CAST(FLOOR((1 - CAST(dist5 AS DOUBLE) / total5) * 1000000
+                           + 0.5) AS DOUBLE) / 1000000, 0.0) AS dup5_frac,
+       COALESCE(CAST(FLOOR((CAST(top2 AS DOUBLE) / total2) * 1000000
+                           + 0.5) AS DOUBLE) / 1000000, 0.0) AS top2_frac
+FROM documents d
+LEFT JOIN a5 ON a5.doc_id = d.doc_id
+LEFT JOIN a2 ON a2.doc_id = d.doc_id
 """
 
 
@@ -1537,13 +1734,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_simhash_fingerprints": (q_dedup_simhash, None),
     # similarity
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
+    "ann_batch_topk": (q_ann_batch_topk, SQL_ANN_BATCH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    "sample_stratified_documents": (
+        q_sample_stratified_documents,
+        SQL_SAMPLE_STRATIFIED,
+    ),
+    "train_eval_split_counts": (q_train_eval_split, SQL_TRAIN_EVAL),
+    "pack_chunks_documents": (q_pack_chunks_documents, SQL_PACK_CHUNKS),
+    "text_repetition_signals": (q_text_repetition_signals, SQL_REPETITION),
     "embedding_label_centroids": (q_embedding_label_centroids, SQL_LABEL_CENTROIDS),
     "events_user_segment_rollup": (q_events_user_rollup, SQL_EVENTS_USER_ROLLUP),
     "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),
+    "embedding_dedup_clusters": (q_embedding_dedup_clusters, SQL_EMB_CLUSTERS),
     "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
     # text analysis
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
@@ -1667,7 +1873,8 @@ GRADED_WINDOW: list[str] = [
     "events_session_window",
     "events_funnel",
     "events_cohort_retention",
-    "events_hll_daily_users",  # rows-only by design (sketch)
+    # deterministic-sampling family (training-data pipeline)
+    "sample_stratified_documents",
     # modern-SQL family (previously driver-unchecked)
     "recursive_cte_sql",
     "events_variant_extract",

@@ -1,0 +1,74 @@
+"""Sequence-packing invariants (ext/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.ext.packing import (
+    pack_greedy,
+    pack_sequential_chunks,
+)
+
+BUDGET = 100
+
+
+def _docs(spark, n=500):
+    # lengths 1..120: some docs exceed the pack budget of 100
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 120 + 1).alias("n_tok"),
+    )
+
+
+def test_greedy_packs_respect_budget(spark):
+    out = pack_greedy(_docs(spark), "doc_id", "n_tok", BUDGET).cache()
+    per_pack = out.groupBy("pack_id").agg(
+        F.sum("length").alias("total"), F.count("*").alias("n")
+    )
+    # any pack over budget must be a singleton holding one oversize doc
+    bad = per_pack.where(
+        (F.col("total") > BUDGET) & (F.col("n") > 1)
+    ).count()
+    assert bad == 0
+    assert out.count() == 500  # every doc packed exactly once
+    assert out.select("doc_id").distinct().count() == 500
+
+
+def test_greedy_deterministic_across_partitionings(spark):
+    df = _docs(spark)
+    a = sorted(
+        map(tuple, pack_greedy(df.repartition(1), "doc_id", "n_tok", BUDGET)
+            .select("doc_id", "pack_id").collect())
+    )
+    b = sorted(
+        map(tuple, pack_greedy(df.repartition(11), "doc_id", "n_tok", BUDGET)
+            .select("doc_id", "pack_id").collect())
+    )
+    assert a == b
+
+
+def test_chunks_match_offset_recompute(spark):
+    out = pack_sequential_chunks(
+        _docs(spark), "doc_id", "n_tok", budget=BUDGET
+    ).collect()
+    # full recompute of the packing in plain python: each doc's chunk is
+    # floor(start offset / budget) over the doc_id-ordered concat stream
+    # (chunk ids may legitimately skip a value when an oversize doc
+    # spans a whole budget window)
+    start = 0
+    for r in sorted(out, key=lambda r: r.doc_id):
+        assert r.chunk_id == start // BUDGET, r
+        start += max(r.length, 1)
+
+
+def test_chunk_straddle_flag_matches_offsets(spark):
+    out = pack_sequential_chunks(
+        _docs(spark, 50), "doc_id", "n_tok", budget=BUDGET
+    ).collect()
+    # recompute straddles in plain python
+    start = 0
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    for r in by_id:
+        expect = (start // BUDGET) != ((start + max(r.length, 1) - 1) // BUDGET)
+        assert r.straddles == expect, r
+        start += max(r.length, 1)

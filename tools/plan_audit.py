@@ -29,6 +29,8 @@ EXPECT_NESTED_LOOP = {
     # (COVERAGE.md §2.8): pairwise self-joins on id_a < id_b
     "dedup_jaccard_pairs",
     "embedding_pairs_exact",
+    # exact-edge variant of the semantic dedup chain (LSH is the scale path)
+    "embedding_dedup_clusters",
     # Q22: crossJoin(broadcast(<1-row aggregate>)) — the distributed form
     # of an uncorrelated scalar subquery; BNLJ against one row is O(n)
     "waiting_customers",
@@ -38,7 +40,9 @@ EXPECT_NESTED_LOOP = {
 # connected components is iterative (one join+agg per propagation round)
 EXPECT_MANY_EXCHANGES = {
     "dedup_minhash_pairs",
+    "dedup_minhash_rep_pairs",  # same pipeline minus the member fan-out
     "dedup_clusters",
+    "embedding_dedup_clusters",  # iterative label propagation
     # Q8: 7-table star with two fact-sized sides (lineitem, orders,
     # customer) — three shuffle joins + final agg is the intended plan;
     # the five dimension joins all broadcast (0 exchanges)
