@@ -203,3 +203,45 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("top2_frac"),
         )
     )
+
+
+# dialect-neutral PII patterns (valid in both Java regex and RE2, so the
+# same pattern string drives Spark and external SQL oracles): character
+# classes + bounded quantifiers only — no lookaround, no backreferences
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone-like digit runs to typed placeholders.
+
+    A chain of JVM ``regexp_replace`` calls — whole-stage codegen, no
+    Python. Pattern order matters (emails before phone-ish digit runs).
+    The redaction is deterministic, so an external engine applying the
+    identical patterns reproduces the output exactly.
+    """
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_documents(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document redaction + how many substitutions were made
+    (length-delta-free count: occurrences of each placeholder)."""
+    red = redact_pii(F.col(text_col))
+    n_redactions = sum(
+        (
+            F.size(F.split(red, repl.replace("<", "\\<"), -1)) - 1
+            for _, repl in PII_PATTERNS
+        ),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        red.alias("text_redacted"),
+        n_redactions.cast("long").alias("n_redactions"),
+    )

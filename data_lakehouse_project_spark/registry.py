@@ -1196,6 +1196,58 @@ LEFT JOIN a2 ON a2.doc_id = d.doc_id
 """
 
 
+def q_redact_pii_documents(spark, sf_dir):
+    """PII scrub over the corpus: emails / IPv4s / phone-like digit runs
+    → typed placeholders, plus a per-doc substitution count. Chained
+    JVM regexp_replace — whole-stage codegen, map-only. Deterministic
+    synthetic PII is injected per doc_id so the redaction actually
+    fires; the oracle applies the identical dialect-neutral patterns.
+    """
+    from data_lakehouse_project_spark.ext.text import redact_documents
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    with_pii = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256),
+            F.lit(" tel +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_documents(with_pii, "text", "doc_id")
+
+
+SQL_REDACT = """
+WITH w AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.0.'
+              || (doc_id % 256) || ' tel +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+             '<IP>', 'g'),
+           '\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+  FROM w)
+SELECT doc_id, text_redacted,
+       CAST(len(string_split(text_redacted, '<EMAIL>')) - 1
+          + len(string_split(text_redacted, '<IP>')) - 1
+          + len(string_split(text_redacted, '<PHONE>')) - 1 AS BIGINT)
+         AS n_redactions
+FROM r
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal featurization end to end: documents → opaque binary
     media column (+ typed metadata) → Arrow-batched ``mapInPandas``
@@ -1746,6 +1798,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "train_eval_split_counts": (q_train_eval_split, SQL_TRAIN_EVAL),
     "pack_chunks_documents": (q_pack_chunks_documents, SQL_PACK_CHUNKS),
     "text_repetition_signals": (q_text_repetition_signals, SQL_REPETITION),
+    "redact_pii_documents": (q_redact_pii_documents, SQL_REDACT),
     "embedding_label_centroids": (q_embedding_label_centroids, SQL_LABEL_CENTROIDS),
     "events_user_segment_rollup": (q_events_user_rollup, SQL_EVENTS_USER_ROLLUP),
     "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),

@@ -83,12 +83,28 @@ def shape_text(df, orders):
     )
 
 
+def shape_vector(df, orders):
+    # batch-ANN shape: broadcast query matrix, per-batch matmul, tiny
+    # top-k shuffle — throughput should track the corpus scan rate
+    from data_lakehouse_project_spark.ext.similarity import ann_batch_topk
+
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in df.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .limit(8)
+        .collect()
+    ]
+    return ann_batch_topk(df, "embedding", "vec_id", queries, k=10)
+
+
 # shape -> (base table, builder)
 SHAPES = {
     "agg": ("lineitem", shape_agg),
     "join": ("lineitem", shape_join),
     "window": ("lineitem", shape_window),
     "text": ("documents", shape_text),
+    "vector": ("embeddings", shape_vector),
 }
 
 
