@@ -245,3 +245,38 @@ def redact_documents(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         red.alias("text_redacted"),
         n_redactions.cast("long").alias("n_redactions"),
     )
+
+
+def unigram_xentropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram LM — the
+    CCNet-style statistical quality filter (documents whose token
+    distribution diverges from the corpus score high: gibberish, wrong
+    language, boilerplate).
+
+    Two aggregation stages over ONE tokenized explode:
+      1. corpus LM: term → ln(count/total) (term-count shuffle; the
+         corpus total comes from a 1-row broadcast crossJoin, the
+         distributed form of an uncorrelated scalar subquery);
+      2. doc score: join tokens to the LM (AQE picks broadcast when the
+         vocabulary fits) → per-doc -avg(logp).
+    Nothing carries text after the explode — shuffles move (term, count)
+    and (doc, logp) only. Floor-rounded at 6 so oracles match.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("t")
+    )
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n_total"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "t", F.log(F.col("c") / F.col("n_total")).alias("logp")
+    )
+    return (
+        toks.join(lm, "t")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(-F.avg("logp") * 1e6 + F.lit(0.5)).cast("double") / 1e6
+            ).alias("unigram_xent"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

@@ -58,3 +58,46 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
         ).alias("centroid")
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5). Returns (scale, quantized array).
+
+    Explicit floor-rounding (not engine round()) so external engines
+    reproduce the codes bit-for-bit. 4× memory vs float32 — the storage
+    posture for 100 TB embedding tables; dequantized x̂ = q·scale.
+    """
+    v = _as_double(vec)
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)))
+    return scale, q
+
+
+def quantization_report(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Per-vector int8 quantization error report at scalar grain:
+    (id, scale, mse, max_abs_err) — the acceptance gate you'd run
+    before switching an ANN index to quantized storage."""
+    scale, q = quantize_int8(F.col(vec_col))
+    # raw scale must NOT share a name with the rounded output column:
+    # Spark 4 resolves lateral column aliases inside one select, so a
+    # same-named F.col("scale") in the error expression would silently
+    # bind to the ROUNDED alias and shift every error by q·Δscale
+    df2 = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"),
+                    scale.alias("scale_raw"), q.alias("q"))
+    err = F.zip_with("v", "q", lambda x, qq: x - qq * F.col("scale_raw"))
+    sq = F.transform(err, lambda e: e * e)
+    mse = F.aggregate(sq, F.lit(0.0), lambda a, b: a + b) / F.size("v")
+    mx = F.array_max(F.transform(err, F.abs))
+
+    def _r9(c):
+        return (F.floor(c * 1e9 + F.lit(0.5)).cast("double") / 1e9)
+
+    return df2.select(
+        id_col,
+        _r9(F.col("scale_raw")).alias("scale"),
+        _r9(mse).alias("mse"),
+        _r9(mx).alias("max_abs_err"),
+    )

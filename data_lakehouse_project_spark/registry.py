@@ -1196,6 +1196,60 @@ LEFT JOIN a2 ON a2.doc_id = d.doc_id
 """
 
 
+def q_embedding_quantization_report(spark, sf_dir):
+    """Int8 quantization acceptance gate: per-vector scale + MSE +
+    max abs error at scalar grain (the check you run before flipping an
+    ANN index to 4×-smaller quantized storage). All JVM array
+    expressions; floor-rounded so the oracle reproduces every value."""
+    from data_lakehouse_project_spark.ext.vectors import quantization_report
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return quantization_report(embeddings, "embedding", "vec_id")
+
+
+SQL_QUANT_REPORT = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+q AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> FLOOR(x / scale + 0.5)) AS qv
+      FROM s),
+err AS (SELECT vec_id, scale, len(v) AS d,
+               list_transform(generate_series(1, len(v)),
+                              i -> v[i] - qv[i] * scale) AS e
+        FROM q)
+SELECT vec_id,
+       CAST(FLOOR(scale * 1e9 + 0.5) AS DOUBLE) / 1e9 AS scale,
+       CAST(FLOOR(list_sum(list_transform(e, x -> x * x)) / d * 1e9 + 0.5)
+            AS DOUBLE) / 1e9 AS mse,
+       CAST(FLOOR(list_max(list_transform(e, x -> abs(x))) * 1e9 + 0.5)
+            AS DOUBLE) / 1e9 AS max_abs_err
+FROM err
+"""
+
+
+def q_unigram_xentropy(spark, sf_dir):
+    """Statistical quality filter: per-doc cross-entropy vs the corpus
+    unigram LM (CCNet-style). Two shuffles total (term counts, doc
+    scores); no text in any exchange."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.unigram_xentropy(documents, "text", "doc_id")
+
+
+SQL_UNIGRAM_XENT = f"""
+WITH toks AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+lm AS (SELECT t, ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM toks)) AS logp
+       FROM toks GROUP BY t)
+SELECT doc_id,
+       CAST(FLOOR(-AVG(logp) * 1000000 + 0.5) AS DOUBLE) / 1000000
+         AS unigram_xent,
+       COUNT(*) AS n_tokens
+FROM toks JOIN lm USING (t)
+GROUP BY doc_id
+"""
+
+
 def q_redact_pii_documents(spark, sf_dir):
     """PII scrub over the corpus: emails / IPv4s / phone-like digit runs
     → typed placeholders, plus a per-doc substitution count. Chained
@@ -1799,6 +1853,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pack_chunks_documents": (q_pack_chunks_documents, SQL_PACK_CHUNKS),
     "text_repetition_signals": (q_text_repetition_signals, SQL_REPETITION),
     "redact_pii_documents": (q_redact_pii_documents, SQL_REDACT),
+    "unigram_xentropy_scores": (q_unigram_xentropy, SQL_UNIGRAM_XENT),
+    "embedding_quantization_report": (
+        q_embedding_quantization_report,
+        SQL_QUANT_REPORT,
+    ),
     "embedding_label_centroids": (q_embedding_label_centroids, SQL_LABEL_CENTROIDS),
     "events_user_segment_rollup": (q_events_user_rollup, SQL_EVENTS_USER_ROLLUP),
     "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),
