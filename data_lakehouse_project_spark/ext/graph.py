@@ -93,3 +93,42 @@ def dedup_clusters(
             F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
         )
     )
+
+
+def canonical_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Pick the surviving copy per dup cluster: highest ``score_col``,
+    ties broken by smallest id — the "which duplicate do we keep" step
+    that closes a curation pipeline (clusters → survivors).
+
+    Returns (cluster_id, keep_id, cluster_size, best_quality) — one row
+    per cluster, scalar columns only (oracle-safe grain).
+
+    Scale: the scores join shuffles on the id; the ranking is a single
+    window shuffle on cluster_id. Cluster cardinality ≈ doc count, so no
+    partition ever holds more than one cluster's members — skew equals
+    the largest dup cluster, which near-dup graphs keep small.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col)
+    ranked = clusters.join(scores, id_col).select(
+        cluster_col,
+        F.col(id_col),
+        F.col(score_col),
+        F.row_number()
+        .over(w.orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col(cluster_col),
+        F.col(id_col).alias("keep_id"),
+        F.col("cluster_size"),
+        F.col(score_col).alias("best_quality"),
+    )

@@ -1025,6 +1025,28 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ (product quantization) approximate top-10 — the third,
+    memory-bound ANN scale path: codes are M small ints per vector
+    (~128× scan-bandwidth reduction at D=1024), queries rank everything
+    from ADC lookup tables over codes alone, then exactly re-score only
+    a constant-size shortlist (rows-only check; recall gate vs exact
+    top-k in tests/test_pq.py)."""
+    from data_lakehouse_project_spark.ext.pq import pq_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return pq_topk(
+        embeddings.where(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        q,
+        k=10,
+        m=16,
+        ksub=16,
+    )
+
+
 def q_salted_event_rollup(spark, sf_dir):
     """Skew-safe two-phase aggregation over the 5-hot-key event_type
     column; result identical to a plain GROUP BY (oracle-checked)."""
@@ -1790,6 +1812,44 @@ FROM (
 GROUP BY user_id
 """
 
+def q_corpus_canonical_docs(spark, sf_dir):
+    """Canonical-document selection: after near-dup clustering, keep the
+    highest-quality member of each cluster (ties -> smallest doc_id) —
+    the "which copy survives" step that closes a curation pipeline
+    (north-star surface, SURVEY §2.8; no reference analog). Composes
+    three oracle-checked stages: ngram_jaccard_pairs -> dedup_clusters
+    -> quality_score, then one window shuffle on cluster_id."""
+    from data_lakehouse_project_spark.ext.graph import (
+        canonical_representatives,
+        dedup_clusters,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = X_dedup.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, jaccard_threshold=0.8
+    )
+    clusters = dedup_clusters(documents, pairs, "doc_id")
+    scores = X_text.quality_score(documents, "text", "doc_id")
+    return canonical_representatives(clusters, scores)
+
+
+# derived tables carry their own WITH clauses (DuckDB allows nested CTEs
+# inside subqueries); COUNT(*) OVER is BIGINT in DuckDB but CAST anyway
+SQL_CANONICAL_DOCS = f"""
+SELECT cluster_id, keep_id, cluster_size, best_quality FROM (
+  SELECT c.cluster_id, q.doc_id AS keep_id,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, q.doc_id ASC)
+           AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+           AS cluster_size,
+         q.quality_score AS best_quality
+  FROM ({SQL_DEDUP_CLUSTERS}) c
+  JOIN ({SQL_TEXT_QUALITY}) q ON q.doc_id = c.doc_id)
+WHERE rn = 1
+"""
+
+
 # =========================================================================
 # Registry
 # =========================================================================
@@ -1835,6 +1895,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
     "dedup_minhash_rep_pairs": (q_dedup_minhash_rep_pairs, None),
     "dedup_simhash_fingerprints": (q_dedup_simhash, None),
@@ -1843,6 +1904,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ann_batch_topk": (q_ann_batch_topk, SQL_ANN_BATCH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_pq_topk": (q_ann_pq_topk, None),
     "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     "sample_stratified_documents": (

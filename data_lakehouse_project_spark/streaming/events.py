@@ -65,7 +65,10 @@ def sessionize(
     with_breaks = df.withColumn(
         "new_session",
         F.when(
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+            # unix_timestamp, not cast("long"): TIMESTAMP_NTZ columns
+            # reject a direct numeric cast under ANSI
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.lag(F.col(ts_col)).over(w))
             > gap_s,
             1,
         )

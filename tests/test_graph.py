@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from data_lakehouse_project_spark.ext.graph import (
+    canonical_representatives,
     connected_components,
     dedup_clusters,
 )
@@ -33,3 +34,28 @@ def test_dedup_clusters_includes_singletons(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(all_ids, pairs, "doc_id").collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4, 5: 0}
+
+
+def test_canonical_representatives_keeps_best_per_cluster(spark):
+    """One survivor per cluster: max quality wins; ties -> smallest id;
+    singletons survive as themselves."""
+    clusters = spark.createDataFrame(
+        [(0, 0), (3, 0), (5, 0), (1, 1), (2, 2), (4, 2)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(0, 0.5), (3, 0.9), (5, 0.9), (1, 0.2), (2, 0.7), (4, 0.7)],
+        "doc_id long, quality_score double",
+    )
+    rows = {
+        r.cluster_id: r
+        for r in canonical_representatives(clusters, scores).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    # cluster 0: 3 and 5 tie at 0.9 -> smallest id (3) survives
+    assert rows[0].keep_id == 3 and rows[0].cluster_size == 3
+    assert rows[0].best_quality == 0.9
+    # singleton survives as itself
+    assert rows[1].keep_id == 1 and rows[1].cluster_size == 1
+    # cluster 2: tie at 0.7 -> id 2
+    assert rows[2].keep_id == 2 and rows[2].cluster_size == 2
