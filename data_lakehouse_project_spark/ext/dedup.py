@@ -116,20 +116,22 @@ def minhash_signatures(
     return pre.select(F.col(id_col), sig.alias("signature"))
 
 
-def _signatures_from_tokens(tok_df: DataFrame, num_hashes: int) -> DataFrame:
-    """MinHash signatures for a (id..., tok array) frame (see
-    minhash_signatures for the hashing scheme).
+def _signatures_from_token_hashes(
+    toh_df: DataFrame, num_hashes: int, toh_col: str = "toh"
+) -> DataFrame:
+    """MinHash signatures for a frame that already carries xxhash64'd
+    tokens (array<bigint>) — pmod(hash, MERSENNE) yields the same base
+    values as hashing the strings directly, so signatures are identical
+    to minhash_signatures' while never touching a string.
 
     Two projections on purpose: the base-hash array materializes in its
     own project operator, so the K affine-min expressions reference it as
-    an attribute instead of re-inlining the token hashing K times
+    an attribute instead of re-inlining the base hashing K times
     (CollapseProject keeps the boundary because the reference is
     non-cheap and used K times)."""
-    pre = tok_df.withColumn(
+    pre = toh_df.withColumn(
         "_th",
-        F.transform(
-            F.col("tok"), lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE))
-        ),
+        F.transform(F.col(toh_col), lambda h: F.pmod(h, F.lit(_MERSENNE))),
     )
     sig = F.array(
         *[
@@ -148,6 +150,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     expand: bool = True,
+    broadcast_rep_limit: int = 500_000,
 ) -> DataFrame:
     """Near-duplicate pairs via exact-group collapse + MinHash LSH banding
     + exact verification.
@@ -180,19 +183,24 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_hashes // bands
 
-    tok = df.select(
+    # token strings are xxhash64'd ONCE here; every downstream stage
+    # (group fingerprint, signatures, verify) runs on long arrays —
+    # sorting/hashing/set-intersecting 8-byte ints instead of strings
+    toh = df.select(
         F.col(id_col),
-        F.array_distinct(tokens(F.col(text_col))).alias("tok"),
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("toh"),
     )
-    # vocab fingerprint = xxhash64 of the SORTED token array value — no
-    # giant join-to-string + md5; the group key is 8 bytes on the wire
+    # vocab fingerprint = xxhash64 of the SORTED token-hash array value —
+    # no giant join-to-string + md5; the group key is 8 bytes on the wire
     grouped = (
-        tok.withColumn("vocab_fp", F.xxhash64(F.array_sort("tok")))
+        toh.withColumn("vocab_fp", F.xxhash64(F.array_sort("toh")))
         .groupBy("vocab_fp")
         .agg(
             F.min(id_col).alias("rep_id"),
             F.collect_list(id_col).alias("members"),
-            F.first("tok").alias("tok"),
+            F.first("toh").alias("toh"),
         )
         .persist()
     )
@@ -202,9 +210,9 @@ def minhash_near_duplicates(
 
     # --- stage 2: LSH over representatives only --------------------------
     reps = grouped.select(
-        F.col("vocab_fp"), F.col("rep_id"), F.col("tok")
+        F.col("vocab_fp"), F.col("rep_id"), F.col("toh")
     )
-    sigs = _signatures_from_tokens(reps, num_hashes)
+    sigs = _signatures_from_token_hashes(reps, num_hashes)
     # band buckets are xxhash64 of the signature slice ARRAY (hashing the
     # Catalyst array value directly — no string join), giving long join
     # keys instead of 32-char md5 strings. Multi-band collisions are
@@ -247,26 +255,34 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    # exact verify on HASHED tokens: xxhash64 each token once, then set
-    # intersect/union over long arrays — element compares are 8-byte ints
-    # instead of strings (same Jaccard barring a 64-bit hash collision,
-    # which the exact dedup_jaccard_pairs oracle anchors against)
-    rep_tok = reps.select(
-        "rep_id",
-        F.transform("tok", lambda t: F.xxhash64(t)).alias("toh"),
-    ).persist()
+    # materializes the persisted `grouped` once and sizes the broadcast
+    # decision: rep-side tables (token hashes, member lists, group sizes)
+    # are broadcast into the candidate/expansion joins while they fit —
+    # the candidate set is orders of magnitude larger than the rep set,
+    # so shuffling it twice per join is the wrong side to move. Above the
+    # limit (real 100 TB corpora) fall back to shuffle joins.
+    small_reps = grouped.count() <= broadcast_rep_limit
+
+    def _b(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if small_reps else d
+
+    # exact verify on the already-hashed tokens: one array_intersect over
+    # long arrays per candidate; union size is |A|+|B|-inter (no second
+    # set operation). Same Jaccard barring a 64-bit hash collision, which
+    # the exact dedup_jaccard_pairs oracle anchors against.
+    rep_tok = reps.select("rep_id", "toh")
+    inter_sz = F.size(F.array_intersect("toh_a", "toh_b"))
+    union_sz = F.size("toh_a") + F.size("toh_b") - inter_sz
     rep_pairs = (
         cand.join(
-            rep_tok.withColumnsRenamed({"rep_id": "rep_a", "toh": "toh_a"}), "rep_a"
+            _b(rep_tok.withColumnsRenamed({"rep_id": "rep_a", "toh": "toh_a"})),
+            "rep_a",
         )
         .join(
-            rep_tok.withColumnsRenamed({"rep_id": "rep_b", "toh": "toh_b"}), "rep_b"
+            _b(rep_tok.withColumnsRenamed({"rep_id": "rep_b", "toh": "toh_b"})),
+            "rep_b",
         )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("toh_a", "toh_b"))
-            / F.size(F.array_union("toh_a", "toh_b")),
-        )
+        .withColumn("jaccard", inter_sz / union_sz)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("rep_a", "rep_b", "jaccard")
     )
@@ -275,11 +291,11 @@ def minhash_near_duplicates(
         sizes = grouped.select("rep_id", F.size("members").alias("n"))
         inter_c = (
             rep_pairs.join(
-                sizes.withColumnsRenamed({"rep_id": "rep_a", "n": "n_a"}),
+                _b(sizes.withColumnsRenamed({"rep_id": "rep_a", "n": "n_a"})),
                 "rep_a",
             )
             .join(
-                sizes.withColumnsRenamed({"rep_id": "rep_b", "n": "n_b"}),
+                _b(sizes.withColumnsRenamed({"rep_id": "rep_b", "n": "n_b"})),
                 "rep_b",
             )
             .select(
@@ -302,14 +318,18 @@ def minhash_near_duplicates(
     rep_groups = grouped.select("rep_id", "members")
     inter = (
         rep_pairs.join(
-            rep_groups.withColumnsRenamed(
-                {"rep_id": "rep_a", "members": "members_a"}
+            _b(
+                rep_groups.withColumnsRenamed(
+                    {"rep_id": "rep_a", "members": "members_a"}
+                )
             ),
             "rep_a",
         )
         .join(
-            rep_groups.withColumnsRenamed(
-                {"rep_id": "rep_b", "members": "members_b"}
+            _b(
+                rep_groups.withColumnsRenamed(
+                    {"rep_id": "rep_b", "members": "members_b"}
+                )
             ),
             "rep_b",
         )

@@ -77,3 +77,54 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(int(rate * buckets))
         ).otherwise(cutoff)
     return df.where(hash_bucket(F.col(key_col), buckets) < cutoff)
+
+
+def temperature_mix_report(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum — the standard
+    multi-source/multilingual rebalancing rule (weight_i ∝ n_i^alpha):
+    alpha=1 keeps natural proportions, alpha=0 is uniform, 0<alpha<1
+    up-samples small sources. Returns one row per stratum:
+    (stratum, n_docs, weight, sample_rate) where sample_rate =
+    min(1, target_total·weight / n_i) is directly feedable to
+    ``stratified_hash_sample``.
+
+    Shape: one partial+final aggregation over the strata column, then a
+    1-row broadcast scalar (denominator/total) crossed back — no window
+    over an empty partitioning, no second scan. Rounding uses the
+    explicit floor form so external engines reproduce it bit-for-bit.
+    """
+    scale = float(10**round_to)
+
+    def _rnd(c: Column) -> Column:
+        return F.floor(c * scale + F.lit(0.5)).cast("double") / scale
+
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    powed = counts.withColumn("n_pow", F.pow(F.col("n_docs"), F.lit(alpha)))
+    denom = powed.agg(
+        F.sum("n_pow").alias("_denom"), F.sum("n_docs").alias("_total")
+    )
+    target = (
+        F.lit(float(target_total))
+        if target_total is not None
+        else F.col("_total").cast("double")
+    )
+    weight = F.col("n_pow") / F.col("_denom")
+    return (
+        powed.crossJoin(F.broadcast(denom))
+        .select(
+            "stratum",
+            "n_docs",
+            _rnd(weight).alias("weight"),
+            _rnd(
+                F.least(F.lit(1.0), target * weight / F.col("n_docs"))
+            ).alias("sample_rate"),
+        )
+    )

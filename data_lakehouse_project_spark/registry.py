@@ -1812,6 +1812,141 @@ FROM (
 GROUP BY user_id
 """
 
+def q_corpus_mix_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) source-mixing weights and derived
+    per-source sample rates (weight ∝ n^alpha) — the standard
+    multi-source/multilingual rebalancing rule for training corpora.
+    One partial+final aggregation plus a 1-row broadcast scalar; no
+    reference analog (SURVEY §2.8 north-star surface)."""
+    from data_lakehouse_project_spark.ext.sampling import (
+        temperature_mix_report,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return temperature_mix_report(documents, "source", alpha=0.5)
+
+
+SQL_MIX_WEIGHTS = f"""
+WITH c AS (SELECT source AS stratum, COUNT(*) AS n_docs
+           FROM documents GROUP BY source),
+t AS (SELECT SUM(POW(n_docs, 0.5)) AS _denom,
+             CAST(SUM(n_docs) AS DOUBLE) AS _total FROM c)
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+       {R('POW(n_docs, 0.5) / _denom', 6)} AS weight,
+       {R('LEAST(1.0, _total * (POW(n_docs, 0.5) / _denom) / n_docs)', 6)}
+         AS sample_rate
+FROM c, t
+"""
+
+
+def q_source_curation_report(spark, sf_dir):
+    """Per-source curation dashboard: doc count, exact-duplicate doc
+    count (docs sharing a normalized-text md5 fingerprint with any
+    other doc), mean quality score, mean length — the triage view that
+    decides which sources to drop, cap, or re-crawl. Fingerprint
+    counting shuffles 32-B fingerprints (never text); quality scoring
+    is map-only; the final rollup shuffles one row per source."""
+    from pyspark.sql import Window
+
+    from data_lakehouse_project_spark.functions.scalar import normalize_text
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")))
+    base = documents.select("doc_id", "source", "n_chars", fp.alias("fp"))
+    w = Window.partitionBy("fp")
+    flagged = base.withColumn(
+        "is_dup", (F.count(F.lit(1)).over(w) > 1).cast("long")
+    )
+    q = X_text.quality_score(documents, "text", "doc_id")
+    return (
+        flagged.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_exact_dup_docs"),
+            _rn(F.avg("quality_score"), 6).alias("mean_quality"),
+            _rn(F.avg("n_chars"), 2).alias("mean_chars"),
+        )
+    )
+
+
+SQL_SOURCE_CURATION = f"""
+WITH f AS (SELECT doc_id, source, n_chars, md5({NORM}) AS fp
+           FROM documents),
+d AS (SELECT fp, COUNT(*) > 1 AS dup FROM f GROUP BY fp)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup_docs,
+       {R('AVG(q.quality_score)', 6)} AS mean_quality,
+       {R('AVG(n_chars)', 2)} AS mean_chars
+FROM f
+JOIN d USING (fp)
+JOIN ({SQL_TEXT_QUALITY}) q ON q.doc_id = f.doc_id
+GROUP BY f.source
+"""
+
+
+def q_bigram_condprob_top(spark, sf_dir):
+    """Corpus bigram language model head: top-100 bigrams by count with
+    conditional probability P(w2|w1) = c(w1,w2) / c(w1,·) — the
+    two-grain division every n-gram LM estimator runs. Bigram extraction
+    is a JVM transform over an index sequence (no Python, no UDF); both
+    grains aggregate the same exploded bigram set; deterministic
+    (count desc, w1, w2) tiebreak makes the LIMIT engine-portable."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = X_dedup.tokens(F.col("text"))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    exploded = documents.select(F.explode(bg).alias("b")).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = exploded.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    c1 = exploded.groupBy("w1").agg(F.count(F.lit(1)).alias("head_count"))
+    return (
+        c12.join(c1, "w1")
+        .where(F.col("pair_count") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            _rn(F.col("pair_count") / F.col("head_count"), 6).alias(
+                "condprob"
+            ),
+        )
+        .orderBy(F.desc("pair_count"), "w1", "w2")
+        .limit(100)
+    )
+
+
+SQL_BIGRAM_CONDPROB = f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+bg AS (
+  SELECT toks[CAST(i AS INTEGER)] AS w1,
+         toks[CAST(i AS INTEGER) + 1] AS w2
+  FROM tk, range(1, 5001) r(i)
+  WHERE i <= len(toks) - 1),
+c12 AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS head_count FROM bg GROUP BY 1)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       {R('CAST(pair_count AS DOUBLE) / head_count', 6)} AS condprob
+FROM c12 JOIN c1 USING (w1)
+WHERE pair_count >= 5
+ORDER BY pair_count DESC, w1, w2
+LIMIT 100
+"""
+
+
 def q_corpus_canonical_docs(spark, sf_dir):
     """Canonical-document selection: after near-dup clustering, keep the
     highest-quality member of each cluster (ties -> smallest doc_id) —
@@ -1896,6 +2031,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
+    "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),
+    "source_curation_report": (q_source_curation_report, SQL_SOURCE_CURATION),
+    "bigram_condprob_top": (q_bigram_condprob_top, SQL_BIGRAM_CONDPROB),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
     "dedup_minhash_rep_pairs": (q_dedup_minhash_rep_pairs, None),
     "dedup_simhash_fingerprints": (q_dedup_simhash, None),

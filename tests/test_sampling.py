@@ -17,6 +17,7 @@ from data_lakehouse_project_spark.ext.sampling import (
     hash_sample,
     split_column,
     stratified_hash_sample,
+    temperature_mix_report,
 )
 
 
@@ -65,3 +66,33 @@ def test_bucket_range(spark):
     df = _docs(spark, 500).select(hash_bucket(F.col("doc_id")).alias("b"))
     mn, mx = df.agg(F.min("b"), F.max("b")).first()
     assert 0 <= mn and mx < 10_000
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """alpha=0 is uniform, alpha=1 is natural proportions; 0<alpha<1
+    up-weights small strata relative to their natural share. Weights
+    always sum to 1; a stratum's sample_rate caps at 1."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        # skewed strata: 800 / 150 / 50
+        F.when(F.col("id") < 800, "big")
+        .when(F.col("id") < 950, "mid")
+        .otherwise("small")
+        .alias("source"),
+    )
+    by_alpha = {
+        a: {r.stratum: r for r in
+            temperature_mix_report(df, "source", alpha=a).collect()}
+        for a in (0.0, 0.5, 1.0)
+    }
+    for a, rows in by_alpha.items():
+        assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-5, a
+        for r in rows.values():
+            assert r.sample_rate <= 1.0
+    assert abs(by_alpha[0.0]["small"].weight - 1 / 3) < 1e-5
+    assert abs(by_alpha[1.0]["small"].weight - 0.05) < 1e-5
+    assert 0.05 < by_alpha[0.5]["small"].weight < 1 / 3
+    # at alpha=1 every stratum's implied rate is exactly 1 (natural mix)
+    assert all(
+        abs(r.sample_rate - 1.0) < 1e-5 for r in by_alpha[1.0].values()
+    )
