@@ -226,3 +226,37 @@ def test_ngram_contamination_ground_truth(spark):
     assert set(rows) == {"t1"}
     assert rows["t1"].shared_grams == 2
     assert rows["t1"].bench_docs == 1
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Exact beats near; best near match wins; untouched docs are unique;
+    old-old duplicates never appear in the report."""
+    old = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog"),  # old-old dup
+            (12, "entirely unrelated corpus text about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (20, "THE QUICK  brown fox jumps over the lazy dog"),  # exact (normalized)
+            (21, "the quick brown fox jumps over the lazy cat"),  # near of 10/11
+            (22, "completely novel content never seen before"),  # unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.incremental_dedup_report(
+            old, new, "text", "doc_id", n=3, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert set(rows) == {20, 21, 22}  # one verdict per NEW doc only
+    assert rows[20].kind == "exact" and rows[20].match_id == 10
+    assert rows[20].jaccard == 1.0
+    assert rows[21].kind == "near" and rows[21].match_id in (10, 11)
+    assert 0.5 <= rows[21].jaccard < 1.0
+    assert rows[22].kind == "unique"
+    assert rows[22].match_id is None and rows[22].jaccard is None

@@ -34,6 +34,8 @@ EXPECT_NESTED_LOOP = {
     # Q22: crossJoin(broadcast(<1-row aggregate>)) — the distributed form
     # of an uncorrelated scalar subquery; BNLJ against one row is O(n)
     "waiting_customers",
+    # same 1-row broadcast-scalar shape (mixture denominator/total)
+    "corpus_mix_weights",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
@@ -47,6 +49,9 @@ EXPECT_MANY_EXCHANGES = {
     # customer) — three shuffle joins + final agg is the intended plan;
     # the five dimension joins all broadcast (0 exchanges)
     "market_share",
+    # batch-vs-corpus probe: fingerprint join + shingle posting join +
+    # three aggregation grains + best-match window + two left joins
+    "incremental_dedup",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
