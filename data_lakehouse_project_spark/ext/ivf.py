@@ -103,3 +103,58 @@ def ivf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Persist the IVF index: vectors assigned to inverted lists and
+    written *partitioned by list_id*, so a probe is a partition-pruned
+    scan of nprobe/k of the data — the file layout IS the index. Returns
+    the centroids (caller persists them beside the data; they are the
+    only driver-side state, k×dim floats).
+    """
+    if centroids is None:
+        centroids = train_centroids(df, vec_col, k=n_clusters, seed=seed)
+    assign_lists(df, vec_col, centroids).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
+    return centroids
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The `list_id IN (...)` filter
+    lands on the partition column, so Spark plans a partition-pruned
+    scan (PartitionFilters in the FileScan — gated in tests): only
+    nprobe/n_clusters of the index files are ever opened. Brute-force
+    cosine inside the probed lists, TakeOrderedAndProject for the
+    global k.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    probe_ids = [int(i) for i in order[:nprobe]]
+
+    df = spark.read.parquet(path)
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    score = cosine(_as_double(F.col(vec_col)), qcol)
+    return (
+        df.where(F.col("list_id").isin(probe_ids))
+        .select(F.col(id_col), F.round(score, round_to).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

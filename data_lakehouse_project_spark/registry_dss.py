@@ -773,6 +773,31 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 """
 
 
+def q_window_ntile(spark, sf_dir):
+    """NTILE bucketing (equal-frequency quartiles per order status) —
+    the remaining ranking-window surface beyond row_number/rank/
+    percent_rank. Unique (price, key) tiebreak makes bucket assignment
+    engine-portable."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+SQL_NTILE = """
+SELECT o_orderstatus, o_orderkey,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+         AS price_quartile
+FROM orders
+"""
+
+
 def q_rollup_grouping_markers(spark, sf_dir):
     """ROLLUP with GROUPING() markers so consumers can tell subtotal rows
     from real NULL groups."""
@@ -905,6 +930,7 @@ def build(helpers: dict) -> dict:
             q_window_nth_lag,
             SQL_NTH_LAG.format(R_LAG=R("lag(o_totalprice, 2, 0.0) OVER w")),
         ),
+        "window_ntile": (q_window_ntile, SQL_NTILE),
         "rollup_grouping_markers": (
             q_rollup_grouping_markers,
             SQL_ROLLUP_GROUPING,

@@ -9,7 +9,8 @@ adds on top of the reference, which itself stops at a constant
       → language ID (keep target langs)          ext/text.py::language_id
       → quality score (keep >= threshold)        ext/text.py::quality_score
       → exact dedup (md5 keep-first)             ext/dedup.py::exact_dedup_groups
-      → near-dup collapse (MinHash LSH)          ext/dedup.py::minhash_near_duplicates
+      → near-dup collapse (MinHash LSH →         ext/dedup.py::minhash_near_duplicates,
+        clusters → best-quality survivor)        ext/graph.py::canonical_representatives
       → benchmark decontamination (4-gram hit)   ext/dedup.py::ngram_contamination
       → token accounting                         ext/text.py::bpe_token_count
       → curated parquet + per-stage audit counts
@@ -38,6 +39,10 @@ from data_lakehouse_project_spark.ext.dedup import (
     exact_dedup_groups,
     minhash_near_duplicates,
     ngram_contamination,
+)
+from data_lakehouse_project_spark.ext.graph import (
+    canonical_representatives,
+    dedup_clusters,
 )
 from data_lakehouse_project_spark.ext.text import (
     bpe_token_count,
@@ -81,29 +86,22 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
     )
 
     # 4. near-dup collapse: for each verified pair drop the lower-quality
-    # side (ties by higher doc_id). One groupBy over the pair list builds
-    # the drop set — no collect, no loop.
+    # side. Pairs alone are not enough: near-duplication is transitive
+    # (A~B, B~C must collapse to ONE survivor even if A~C was never
+    # emitted), so pairs feed connected components and the best-quality
+    # member of each cluster survives (ext/graph.py::
+    # canonical_representatives) — no collect, no loop.
     pairs = minhash_near_duplicates(
         stages["exact_unique"], "text", "doc_id",
         jaccard_threshold=near_dup_jaccard,
     )
+    clusters = dedup_clusters(stages["exact_unique"], pairs, "doc_id")
     qcols = stages["exact_unique"].select("doc_id", "quality_score")
-    scored_pairs = (
-        pairs.join(
-            qcols.select(F.col("doc_id").alias("id_a"),
-                         F.col("quality_score").alias("q_a")), "id_a")
-        .join(
-            qcols.select(F.col("doc_id").alias("id_b"),
-                         F.col("quality_score").alias("q_b")), "id_b")
+    keep = canonical_representatives(clusters, qcols).select(
+        F.col("keep_id").alias("doc_id")
     )
-    drop = scored_pairs.select(
-        F.when(F.col("q_a") < F.col("q_b"), F.col("id_a"))
-        .when(F.col("q_b") < F.col("q_a"), F.col("id_b"))
-        .otherwise(F.greatest("id_a", "id_b"))
-        .alias("doc_id")
-    ).distinct()
     stages["near_dup_unique"] = stages["exact_unique"].join(
-        drop, "doc_id", "left_anti"
+        keep, "doc_id", "left_semi"
     )
 
     # 5. benchmark decontamination: drop any survivor sharing a word

@@ -87,3 +87,63 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup_stream").collect()
     assert sorted(r.event_id for r in got) == [1, 2, 3]
+
+
+def test_foreachbatch_incremental_dedup_admission(spark, tmp_path):
+    """Streaming corpus admission: each arriving micro-batch of documents
+    is adjudicated against the accumulated corpus with
+    incremental_dedup_report inside foreachBatch; only 'unique' docs are
+    admitted, so the corpus never accumulates duplicates and a doc
+    re-sent in a later batch is rejected against the earlier copy."""
+    from data_lakehouse_project_spark.ext.dedup import (
+        incremental_dedup_report,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "docs_src")
+    corpus = str(tmp_path / "corpus")
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")], schema
+    ).write.mode("overwrite").parquet(corpus)
+
+    def admit(batch_df, _bid):
+        s = batch_df.sparkSession
+        old = s.read.parquet(corpus)
+        verdicts = incremental_dedup_report(
+            old, batch_df, "text", "doc_id", jaccard_threshold=0.8
+        )
+        unique_ids = [
+            r.doc_id for r in verdicts.where("kind = 'unique'").collect()
+        ]
+        batch_df.where(
+            batch_df.doc_id.isin(unique_ids) if unique_ids else "false"
+        ).write.mode("append").parquet(corpus)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .writeStream.foreachBatch(admit)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "adm_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: one exact dup of corpus doc 1, one novel doc
+    spark.createDataFrame(
+        [(10, "ALPHA beta gamma delta"), (11, "iota kappa lambda mu")],
+        schema,
+    ).write.mode("overwrite").parquet(src)
+    run_once()
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 2, 11}
+
+    # batch 2: re-send of 11 (now in corpus) + novel doc
+    spark.createDataFrame(
+        [(20, "iota kappa lambda mu"), (21, "nu xi omicron pi")], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 2, 11, 21}

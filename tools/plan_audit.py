@@ -36,6 +36,8 @@ EXPECT_NESTED_LOOP = {
     "waiting_customers",
     # same 1-row broadcast-scalar shape (mixture denominator/total)
     "corpus_mix_weights",
+    # same shape: corpus token total feeding the unigram LM
+    "unigram_xentropy_scores",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
