@@ -26,17 +26,29 @@ from data_lakehouse_project_spark.schemas import TESTDATA_TABLES
 
 
 def read_parquet(
-    spark: SparkSession, path: str, schema: StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Parquet scan (S5 plain / S6 schema-enforced).
 
     Ref: ``mysql_silver_transformation.py:42`` (plain),
     ``silver_transformation.py:41-44`` (enforced). Declarative scan keeps
     Catalyst's column pruning + predicate pushdown available.
+
+    ``merge_schema=True`` unions the footers of every file so a table
+    whose schema EVOLVED across appends (new nullable columns in later
+    batches) reads with the superset schema, older files padding NULLs —
+    the schema-evolution half of the Delta/Iceberg posture that plain
+    parquet can express (footer merge costs one extra metadata pass;
+    leave it off for fixed-schema tables).
     """
     reader = spark.read.format("parquet")
     if schema is not None:
         reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     return reader.load(path)
 
 

@@ -167,3 +167,23 @@ def test_jdbc_partitioned_requires_bounds(spark):
             partition_column="id",
             num_partitions=None,
         )
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended batches may add nullable columns; merge_schema=True reads
+    the superset schema with NULL padding for old files — the
+    schema-evolution posture plain parquet can express."""
+    from data_lakehouse_project_spark.sources.readers import read_parquet
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
