@@ -1885,6 +1885,49 @@ LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr ON nr.doc_id = nd.doc_id
 """
 
 
+def q_corpus_shard_manifest(spark, sf_dir):
+    """Training-shard manifest at 8 shards: per-shard doc/token/char
+    accounting plus an order-independent engine-portable id checksum
+    (bit_xor of a 60-bit md5-derived hash) — what write_training_shards
+    persists beside the data so trainers and external verifiers can
+    audit delivery without reading text (ext/shards.py)."""
+    from data_lakehouse_project_spark.ext.shards import (
+        id_hash60,
+        with_shard_id,
+    )
+    from data_lakehouse_project_spark.ext.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        with_shard_id(documents, "doc_id", 8)
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            id_hash60(F.col("doc_id")).alias("_idh"),
+            token_count(F.col("text")).alias("_tok"),
+            F.length("text").alias("_len"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_len").alias("n_chars"),
+            F.expr("bit_xor(_idh)").alias("id_checksum"),
+        )
+    )
+
+
+SQL_SHARD_MANIFEST = f"""
+SELECT CAST({_BUCKET_SQL} % 8 AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({TOKS})) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT)) AS id_checksum
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_corpus_mix_weights(spark, sf_dir):
     """Temperature-scaled (alpha=0.5) source-mixing weights and derived
     per-source sample rates (weight ∝ n^alpha) — the standard
@@ -2105,6 +2148,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),
     "source_curation_report": (q_source_curation_report, SQL_SOURCE_CURATION),
     "bigram_condprob_top": (q_bigram_condprob_top, SQL_BIGRAM_CONDPROB),
