@@ -266,6 +266,43 @@ GROUP BY strftime(l_shipdate, '%Y-%m')
 
 # --- Q15 shape: top supplier (agg → scalar max → join back) ----------------
 
+def q_supplier_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (testdata carries no partsupp, so value =
+    shipped revenue per supplier): GROUP BY supplier HAVING SUM(rev) >
+    global_sum * fraction — the decorrelated uncorrelated-scalar
+    HAVING. The global threshold is a 1-row broadcast scalar
+    (crossJoin, O(n) BNLJ); both sides are rounded to cents before the
+    compare so the cut resolves identically on both engines."""
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    per_supp = lineitem.groupBy("l_suppkey").agg(
+        _r2(F.sum(_rev())).alias("supp_revenue")
+    )
+    total = per_supp.agg(
+        _r2(F.sum("supp_revenue") * F.lit(0.011)).alias("threshold")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(F.col("supp_revenue") > F.col("threshold"))
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "supp_revenue")
+    )
+
+
+SQL_VALUE_CONCENTRATION = """
+WITH ps AS (
+  SELECT l_suppkey, {R_REV} AS supp_revenue
+  FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT {R_THR} AS threshold FROM ps)
+SELECT s_suppkey, s_name, supp_revenue
+FROM ps
+CROSS JOIN t
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE supp_revenue > threshold
+"""
+
+
 def q_top_supplier_revenue(spark, sf_dir):
     """TPC-H Q15: supplier(s) with the maximum shipped revenue in
     1996Q1. Revenue is rounded to cents BEFORE the max comparison so
@@ -779,6 +816,13 @@ def build(helpers: dict) -> dict:
         "top_supplier_revenue": (
             q_top_supplier_revenue,
             SQL_TOP_SUPPLIER.format(R_REV=R(f"SUM({_REV_SQL})")),
+        ),
+        "supplier_value_concentration": (
+            q_supplier_value_concentration,
+            SQL_VALUE_CONCENTRATION.format(
+                R_REV=R(f"SUM({_REV_SQL})"),
+                R_THR=R("SUM(supp_revenue) * 0.011"),
+            ),
         ),
         "large_order_customers": (
             q_large_order_customers,

@@ -38,6 +38,8 @@ EXPECT_NESTED_LOOP = {
     "corpus_mix_weights",
     # same shape: corpus token total feeding the unigram LM
     "unigram_xentropy_scores",
+    # same shape: Q11 global revenue threshold
+    "supplier_value_concentration",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
