@@ -98,6 +98,8 @@ def encode(
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batches reach the UDF on skewed splits
+                continue
             vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             out = {id_col: pdf[id_col].astype("int64")}
             for i in range(m):
