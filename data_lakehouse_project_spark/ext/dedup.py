@@ -150,7 +150,8 @@ def minhash_near_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     expand: bool = True,
-    broadcast_rep_limit: int = 500_000,
+    broadcast_bytes_limit: int = 64 << 20,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Near-duplicate pairs via exact-group collapse + MinHash LSH banding
     + exact verification.
@@ -256,15 +257,32 @@ def minhash_near_duplicates(
     )
 
     # materializes the persisted `grouped` once and sizes the broadcast
-    # decision: rep-side tables (token hashes, member lists, group sizes)
-    # are broadcast into the candidate/expansion joins while they fit —
-    # the candidate set is orders of magnitude larger than the rep set,
-    # so shuffling it twice per join is the wrong side to move. Above the
-    # limit (real 100 TB corpora) fall back to shuffle joins.
-    small_reps = grouped.count() <= broadcast_rep_limit
+    # decision: rep-side tables are broadcast into the candidate/expansion
+    # joins while they fit — the candidate set is orders of magnitude
+    # larger than the rep set, so shuffling it twice per join is the wrong
+    # side to move. The gate is on estimated BYTES, not rows: rep_tok
+    # carries full token-hash arrays and `members` carries id lists, so a
+    # row-count gate under-estimates by the avg doc size (500k reps of
+    # 1k-token docs is ~4 GB — a driver OOM, not a broadcast). One stats
+    # job over the already-persisted `grouped` prices both payloads;
+    # each table is gated independently. Above the limit (real 100 TB
+    # corpora) the joins stay shuffles.
+    stats = grouped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("toh")), F.lit(0)).alias("tok_total"),
+        F.coalesce(F.sum(F.size("members")), F.lit(0)).alias("mem_total"),
+    ).first()
+    _ROW_OVERHEAD = 48  # UnsafeRow + array header + broadcast table slack
+    tok_bytes = stats.n * _ROW_OVERHEAD + stats.tok_total * 8
+    mem_bytes = stats.n * _ROW_OVERHEAD + stats.mem_total * 24
+    small_tok = tok_bytes <= broadcast_bytes_limit
+    small_mem = mem_bytes <= broadcast_bytes_limit
 
-    def _b(d: DataFrame) -> DataFrame:
-        return F.broadcast(d) if small_reps else d
+    def _bt(d: DataFrame) -> DataFrame:  # token-array payload joins
+        return F.broadcast(d) if small_tok else d
+
+    def _b(d: DataFrame) -> DataFrame:  # member-list / scalar payload joins
+        return F.broadcast(d) if small_mem else d
 
     # exact verify on the already-hashed tokens: one array_intersect over
     # long arrays per candidate; union size is |A|+|B|-inter (no second
@@ -275,17 +293,24 @@ def minhash_near_duplicates(
     union_sz = F.size("toh_a") + F.size("toh_b") - inter_sz
     rep_pairs = (
         cand.join(
-            _b(rep_tok.withColumnsRenamed({"rep_id": "rep_a", "toh": "toh_a"})),
+            _bt(rep_tok.withColumnsRenamed({"rep_id": "rep_a", "toh": "toh_a"})),
             "rep_a",
         )
         .join(
-            _b(rep_tok.withColumnsRenamed({"rep_id": "rep_b", "toh": "toh_b"})),
+            _bt(rep_tok.withColumnsRenamed({"rep_id": "rep_b", "toh": "toh_b"})),
             "rep_b",
         )
         .withColumn("jaccard", inter_sz / union_sz)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("rep_a", "rep_b", "jaccard")
     )
+
+    # round_digits=None returns the raw double division — bit-identical to
+    # an exact-Jaccard SQL oracle dividing the same two small integers
+    # (the recall-1 grading config relies on this; see registry.py)
+    def _rd(c) -> Column:
+        col = F.col(c) if isinstance(c, str) else c
+        return F.round(col, round_digits) if round_digits is not None else col
 
     if not expand:
         sizes = grouped.select("rep_id", F.size("members").alias("n"))
@@ -301,7 +326,7 @@ def minhash_near_duplicates(
             .select(
                 "rep_a",
                 "rep_b",
-                F.round("jaccard", 6).alias("jaccard"),
+                _rd("jaccard").alias("jaccard"),
                 (F.col("n_a") * F.col("n_b")).cast("long").alias("pairs"),
             )
         )
@@ -363,7 +388,7 @@ def minhash_near_duplicates(
     out = inter.unionByName(intra)
     if jaccard_threshold > 1.0:
         out = out.where(F.col("jaccard") >= jaccard_threshold)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out.select("id_a", "id_b", _rd("jaccard").alias("jaccard"))
 
 
 def char_shingles(text: Column, n: int = 3) -> Column:

@@ -835,9 +835,37 @@ LEFT JOIN (SELECT n AS node, MIN(m) AS cluster_id FROM reach GROUP BY n) c
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (the 100 TB path; approximate recall —
-    no SQL oracle, rows-only check; q_dedup_jaccard_pairs is its exact
-    anchor)."""
+    """MinHash+LSH near-dup pairs, graded at a recall-1 banding against
+    the exact O(n²) Jaccard oracle (SQL_DEDUP_JACCARD).
+
+    R=1 banding (bands = num_hashes = 64): a true pair at j >= 0.7 is
+    missed only if ALL 64 minhash positions differ — miss probability
+    (1-j)^64 <= 0.3^64 ≈ 3e-34 — and the exact-Jaccard verify stage then
+    makes the surviving output EQUAL to the exact oracle: LSH can drop
+    candidates but never admit a below-threshold pair past the verify.
+    ``round_digits=None`` emits the raw double division, bit-identical
+    to the oracle dividing the same two small integers. Same full
+    pipeline as production (collapse → band → bucket join → verify →
+    expand); only the banding knob differs. The production banding
+    (bands=16, R=4 — the candidate-pruning S-curve you run at 100 TB)
+    is benched as ``dedup_minhash_pairs_lsh16``."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.minhash_near_duplicates(
+        documents,
+        "text",
+        "doc_id",
+        num_hashes=64,
+        bands=64,
+        jaccard_threshold=0.7,
+        round_digits=None,
+    )
+
+
+def q_dedup_minhash_pairs_lsh16(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, production banding (bands=16, R=4):
+    the LSH S-curve that prunes candidates at 100 TB. Approximate recall
+    ⇒ rows-only check; ``dedup_minhash_pairs`` (R=1 grading config) and
+    ``dedup_jaccard_pairs`` are its exact anchors."""
     (documents,) = _t(spark, sf_dir, "documents")
     return X_dedup.minhash_near_duplicates(
         documents, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.7
@@ -895,7 +923,32 @@ ORDER BY score DESC, vec_id LIMIT 10
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-10 (scale path; rows-only check)."""
+    """LSH-bucketed top-10 at full probe radius, graded against the
+    exact cosine oracle (SQL_ANN_TOPK).
+
+    ``multiprobe_hamming = num_planes`` probes every bucket, so the LSH
+    plan (bucket bits + probe predicate + score + TakeOrderedAndProject)
+    degenerates to the exact top-k — same score expression and rounding
+    as ``ann_cosine_topk``, hence oracle-equal. The production probe
+    radius (hamming<=1, scanning ~3.5% of rows at H=8) is benched as
+    ``ann_lsh_probe_topk``."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    return X_sim.ann_lsh_topk(
+        embeddings.where(F.col("vec_id") != 0),
+        "embedding",
+        "vec_id",
+        q,
+        k=10,
+        num_planes=8,
+        multiprobe_hamming=8,
+    )
+
+
+def q_ann_lsh_probe_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-10, production probe radius
+    (hamming<=1 ⇒ ~3.5% of rows scanned at H=8; rows-only check —
+    ``ann_lsh_topk`` at full probe is its exact anchor)."""
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     q = _query_vector(spark, sf_dir)
     return X_sim.ann_lsh_topk(
@@ -2152,13 +2205,15 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),
     "source_curation_report": (q_source_curation_report, SQL_SOURCE_CURATION),
     "bigram_condprob_top": (q_bigram_condprob_top, SQL_BIGRAM_CONDPROB),
-    "dedup_minhash_pairs": (q_dedup_minhash_pairs, None),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_JACCARD),
+    "dedup_minhash_pairs_lsh16": (q_dedup_minhash_pairs_lsh16, None),
     "dedup_minhash_rep_pairs": (q_dedup_minhash_rep_pairs, None),
     "dedup_simhash_fingerprints": (q_dedup_simhash, None),
     # similarity
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_TOPK),
     "ann_batch_topk": (q_ann_batch_topk, SQL_ANN_BATCH),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_TOPK),
+    "ann_lsh_probe_topk": (q_ann_lsh_probe_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "ann_pq_topk": (q_ann_pq_topk, None),
     "salted_event_rollup": (q_salted_event_rollup, SQL_SALTED),
@@ -2283,13 +2338,13 @@ GRADED_WINDOW: list[str] = [
     "dedup_tokenset_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_clusters",
-    "dedup_minhash_pairs",  # rows-only by design (approximate)
+    "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
     "corpus_canonical_docs",
     "incremental_dedup",
     # similarity / vectors / skew
     "ann_cosine_topk",
-    "ann_lsh_topk",  # rows-only by design (approximate)
+    "ann_lsh_topk",  # full-probe grading config vs exact oracle
     "embedding_label_centroids",
     "salted_event_rollup",
     # text analysis family
