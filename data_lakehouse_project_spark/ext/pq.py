@@ -71,6 +71,11 @@ def train_codebooks(
         df.select(vec_col).limit(train_rows).toPandas()[vec_col].tolist(),
         dtype=np.float64,
     )
+    if sample.size == 0:
+        raise ValueError(
+            "train_codebooks: empty training sample "
+            f"(no rows in {vec_col!r}) — cannot learn codebooks"
+        )
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -92,7 +97,10 @@ def encode(
     this is the table you persist instead of the raw vectors.
     """
     m, ksub, sub = codebooks.shape
-    out_schema = f"{id_col} long, " + ", ".join(
+    # id passes through with its ACTUAL type — hardcoding `long` breaks
+    # string/decimal ids at runtime (Arrow schema mismatch)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
         f"code_{i} int" for i in range(m)
     )
 
@@ -101,7 +109,7 @@ def encode(
             if pdf.empty:  # empty Arrow batches reach the UDF on skewed splits
                 continue
             vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            out = {id_col: pdf[id_col].astype("int64")}
+            out = {id_col: pdf[id_col]}
             for i in range(m):
                 part = vecs[:, i * sub : (i + 1) * sub]
                 # (N, ksub) distances against this subspace's codebook

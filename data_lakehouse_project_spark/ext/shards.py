@@ -75,8 +75,14 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
+    # the manifest is computed from the WRITTEN files, not the input
+    # lineage: with any nondeterministic upstream a lineage re-scan could
+    # describe different rows than the shards it certifies, and the read
+    # also avoids evaluating the input pipeline twice. (`_manifest`
+    # starts with `_`, so Spark's data-file listing ignores it.)
+    written = df.sparkSession.read.parquet(path)
     manifest = (
-        sharded.select(
+        written.select(
             "shard_id",
             id_hash60(F.col(id_col)).alias("_idh"),
             token_count(F.col(text_col)).alias("_tok"),
@@ -95,8 +101,7 @@ def write_training_shards(
     manifest.repartition(1).write.mode("overwrite").parquet(
         os.path.join(path, "_manifest")
     )
-    spark = df.sparkSession
-    return spark.read.parquet(os.path.join(path, "_manifest"))
+    return df.sparkSession.read.parquet(os.path.join(path, "_manifest"))
 
 
 def verify_shards(
@@ -125,9 +130,13 @@ def verify_shards(
             "shard_id",
             "n_docs",
             "actual_docs",
-            (
+            # coalesce(False): a shard present on only one side of the
+            # full-outer join would otherwise null-propagate to ok=NULL,
+            # silently passing callers that filter WHERE NOT ok
+            F.coalesce(
                 (F.col("n_docs") == F.col("actual_docs"))
-                & (F.col("id_checksum") == F.col("actual_checksum"))
+                & (F.col("id_checksum") == F.col("actual_checksum")),
+                F.lit(False),
             ).alias("ok"),
         )
     )

@@ -1858,7 +1858,7 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM (
   SELECT user_id,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
               ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts))

@@ -57,19 +57,34 @@ def sessionize(
     A new session starts when the gap since the previous event exceeds
     ``gap_minutes``. One shuffle on user_id; the window sort is per-user.
     Returns (user_id, n_sessions, n_events).
+
+    Gaps are computed on a timezone-independent microsecond epoch:
+    TIMESTAMP_NTZ wall clocks are measured with ``timestampdiff`` against
+    an NTZ epoch literal (``unix_timestamp`` would interpret them in the
+    session time zone, distorting any gap that spans a DST transition,
+    and truncates sub-second precision); TIMESTAMP instants use
+    ``unix_micros`` (already an absolute instant).
     """
+    from pyspark.sql.types import TimestampNTZType
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        ntz_epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+        def _epoch_us(c):
+            return F.timestamp_diff("MICROSECOND", ntz_epoch, c)
+    else:
+        def _epoch_us(c):
+            return F.unix_micros(F.col(c) if isinstance(c, str) else c)
+
     with_breaks = df.withColumn(
         "new_session",
         F.when(
-            # unix_timestamp, not cast("long"): TIMESTAMP_NTZ columns
-            # reject a direct numeric cast under ANSI
-            F.unix_timestamp(F.col(ts_col))
-            - F.unix_timestamp(F.lag(F.col(ts_col)).over(w))
-            > gap_s,
+            _epoch_us(F.col(ts_col))
+            - _epoch_us(F.lag(F.col(ts_col)).over(w))
+            > gap_us,
             1,
         )
         .when(F.lag(F.col(ts_col)).over(w).isNull(), 1)

@@ -80,3 +80,23 @@ def test_recall_vs_exact_topk(emb, codebooks):
     }
     recall = len(exact_ids & pq_ids) / 10
     assert recall >= 0.8, f"PQ recall@10 too low: {recall}"
+
+
+def test_encode_preserves_string_id_type(emb, codebooks):
+    """encode must pass the id column through with its actual type —
+    a hardcoded long schema breaks string/decimal ids (ADVICE r2)."""
+    sdf = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("sid"),
+        "embedding",
+    )
+    codes = pq.encode(sdf, "embedding", "sid", codebooks)
+    assert codes.schema["sid"].dataType.simpleString() == "string"
+    row = codes.orderBy("sid").first()
+    assert row.sid.startswith("doc-")
+
+
+def test_train_codebooks_empty_input_raises(emb):
+    with pytest.raises(ValueError, match="empty training sample"):
+        pq.train_codebooks(
+            emb.where(F.col("vec_id") < 0), "embedding", m=M, ksub=KSUB
+        )

@@ -64,5 +64,5 @@ def test_verify_shards_catches_tampering(spark, tmp_path):
     for f in victim:
         os.remove(f)
     after = {r.shard_id: r.ok for r in verify_shards(spark, path).collect()}
-    assert after[0] in (False, None)  # missing data fails verification
+    assert after[0] is False  # missing shard verifies as FAILED, not NULL
     assert after[1] and after[2]  # untouched shards still verify
