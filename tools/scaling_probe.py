@@ -83,6 +83,62 @@ def shape_text(df, orders):
     )
 
 
+def replicate_union(base, mult):
+    """Default replication: union of re-reads, so input bytes grow."""
+    return functools.reduce(lambda a, b: a.unionByName(b), [base] * mult)
+
+
+def replicate_explode(base, mult):
+    """Row replication via one explode — keeps the plan small at high
+    multiples (a 128-way union tree stresses the analyzer, not the
+    engine)."""
+    return base.select(
+        F.explode(F.array(*[F.lit(i) for i in range(mult)])).alias("_dup"),
+        "*",
+    ).drop("_dup")
+
+
+def replicate_universe_docs(base, mult):
+    """Documents replicated as `mult` parallel universes: replica i of
+    every doc gets token-suffix ``u<i>``, so universes are mutually
+    Jaccard-0 while each universe preserves the original corpus's
+    similarity structure. Rep count, band buckets, candidates, and true
+    pairs all grow exactly mult× — the linear-scaling testbed the raw
+    corpus (degenerately self-similar) can't provide. Suffix is
+    alphanumeric so normalize_text keeps it."""
+    return base.select(
+        F.explode(F.array(*[F.lit(i) for i in range(mult)])).alias("u"),
+        "doc_id",
+        "text",
+    ).select(
+        (F.col("doc_id") * mult + F.col("u")).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit("u"), F.col("u").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def shape_minhash(df, orders):
+    """Production MinHash LSH at rep grain (expand=False): collapse →
+    band → bucket join → verify. The collapsed output keeps the probe
+    compute-bound instead of output-bound."""
+    from data_lakehouse_project_spark.ext.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        df,
+        "text",
+        "doc_id",
+        num_hashes=64,
+        bands=16,
+        jaccard_threshold=0.7,
+        expand=False,
+    )
+
+
 def shape_vector(df, orders):
     # batch-ANN shape: broadcast query matrix, per-batch matmul, tiny
     # top-k shuffle — throughput should track the corpus scan rate
@@ -98,38 +154,42 @@ def shape_vector(df, orders):
     return ann_batch_topk(df, "embedding", "vec_id", queries, k=10)
 
 
-# shape -> (base table, builder)
+# shape -> (base table, builder, replicate)
 SHAPES = {
-    "agg": ("lineitem", shape_agg),
-    "join": ("lineitem", shape_join),
-    "window": ("lineitem", shape_window),
-    "text": ("documents", shape_text),
-    "vector": ("embeddings", shape_vector),
+    "agg": ("lineitem", shape_agg, replicate_union),
+    "join": ("lineitem", shape_join, replicate_union),
+    "window": ("lineitem", shape_window, replicate_union),
+    "text": ("documents", shape_text, replicate_union),
+    "vector": ("embeddings", shape_vector, replicate_explode),
+    "minhash": ("documents", shape_minhash, replicate_universe_docs),
 }
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     shapes = sys.argv[2:] or list(SHAPES)
+    mults = tuple(
+        int(m)
+        for m in os.environ.get("SPARK_GRAFT_MULTS", "1,4,16").split(",")
+    )
     spark = get_spark(app_name="scaling-probe")
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     orders.count()  # warm
 
     for shape in shapes:
-        table, fn = SHAPES[shape]
+        table, fn, replicate = SHAPES[shape]
         base = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
         n_base = base.count()
-        for mult in (1, 4, 16):
-            df = functools.reduce(
-                lambda a, b: a.unionByName(b), [base] * mult
-            )
+        for mult in mults:
+            df = replicate(base, mult) if mult > 1 else base
             t0 = time.perf_counter()
             fn(df, orders).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             rows = n_base * mult
             print(
-                f"{shape:6s} mult={mult:3d} rows={rows:>10,} wall={dt:6.2f}s "
-                f"throughput={rows / dt / 1e6:6.2f}M rows/s"
+                f"{shape:8s} mult={mult:4d} rows={rows:>11,} wall={dt:6.2f}s "
+                f"throughput={rows / dt / 1e6:6.2f}M rows/s",
+                flush=True,
             )
     spark.stop()
 
