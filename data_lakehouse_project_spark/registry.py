@@ -1383,11 +1383,14 @@ def q_multimodal_features(spark, sf_dir):
     decode/featurize (``ext/multimodal.py::extract_features``) → scalar
     feature outputs.
 
-    The decode kernel is the documented deterministic stub (sha256 of
-    the blob — no codecs in this container), which makes the WHOLE
-    mapInPandas path oracle-checkable: DuckDB recomputes the
-    fingerprint and first feature byte bit-for-bit. Swapping in a real
-    PIL/libav kernel changes only ``_decode_stub``.
+    The decode kernel is PINNED to the deterministic stub
+    (``decoder="stub"``: sha256 of the blob), which makes the WHOLE
+    mapInPandas path oracle-checkable: DuckDB recomputes the fingerprint
+    and first feature byte bit-for-bit. The default ``decoder="auto"``
+    path additionally REALLY decodes PPM/PGM/BMP24 payloads
+    (``ext/multimodal.py::decode_image``, tested separately) — pinned
+    off here so a document text that happens to parse as an image header
+    can never desync the oracle.
     """
     from data_lakehouse_project_spark.ext.multimodal import extract_features
 
@@ -1400,7 +1403,7 @@ def q_multimodal_features(spark, sf_dir):
         ).alias("media_type"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
-    out = extract_features(media)
+    out = extract_features(media, decoder="stub")
     return out.select(
         "media_id",
         "media_type",

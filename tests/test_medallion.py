@@ -191,3 +191,67 @@ def test_pipeline_runner_end_to_end(spark, tmp_path, transactions):
     assert spark.table("lakehouse_test.daily_sales_summary").count() == 2
     spark.sql("DROP TABLE lakehouse_test.daily_sales_summary")
     spark.sql("DROP DATABASE lakehouse_test")
+
+
+def test_schema_evolution_silver_to_gold(spark, tmp_path):
+    """Schema evolution end-to-end in the medallion path (VERDICT r2 #6):
+    a silver table gains a column in a later append batch; gold reads
+    merged footers (read_parquet(merge_schema=True)) so pre-evolution
+    files pad NULLs, and the rollup spans both generations."""
+    from data_lakehouse_project_spark.operators.sinks import write_table
+    from data_lakehouse_project_spark.sources.readers import read_parquet
+
+    base_schema = (
+        "transaction_id string, product_id int, customer_id string, "
+        "transaction_amount decimal(10,2), transaction_date timestamp"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            ("t1", 1, "cust_a", Decimal("10.00"), datetime.datetime(2025, 8, 15, 10)),
+            ("t2", 2, "cust_b", Decimal("20.00"), datetime.datetime(2025, 8, 15, 11)),
+        ],
+        base_schema,
+    )
+    # batch 2 arrives after the upstream added a discount column
+    batch2 = spark.createDataFrame(
+        [
+            ("t3", 3, "cust_c", Decimal("30.00"), datetime.datetime(2025, 8, 16, 9), Decimal("3.00")),
+            ("t4", 4, "cust_d", Decimal("40.00"), datetime.datetime(2025, 8, 16, 10), None),
+        ],
+        base_schema + ", discount_amount decimal(10,2)",
+    )
+    spec = SilverSpec(
+        casts={"transaction_date": "date"},
+        drop_null_subset=["transaction_amount", "transaction_date"],
+    )
+    out = str(tmp_path / "silver_evolving")
+    for batch in (batch1, batch2):
+        silver = transform_silver(ingest_bronze(batch, "mysql", "transactions"), spec)
+        write_table(silver, out, mode="append")
+
+    # plain read resolves a single footer's schema; merge_schema unions them
+    merged = read_parquet(spark, out, merge_schema=True)
+    assert "discount_amount" in merged.columns
+    assert merged.count() == 4
+    assert (
+        merged.where(F.col("transaction_id").isin("t1", "t2"))
+        .where(F.col("discount_amount").isNull())
+        .count()
+        == 2
+    )
+
+    gold = (
+        merged.groupBy("transaction_date")
+        .agg(
+            F.sum(
+                F.col("transaction_amount")
+                - F.coalesce(F.col("discount_amount"), F.lit(0))
+            ).alias("net_amount"),
+            F.count(F.lit(1)).alias("transaction_count"),
+        )
+    )
+    got = {
+        str(r.transaction_date): (float(r.net_amount), r.transaction_count)
+        for r in gold.collect()
+    }
+    assert got == {"2025-08-15": (30.0, 2), "2025-08-16": (67.0, 2)}

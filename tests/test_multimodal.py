@@ -58,3 +58,103 @@ def test_resize_images_shape_and_determinism(spark):
             assert r.out_w is None and r.n_bytes == len(r.content)
     again = {r.media_id: bytes(r.content) for r in mm.resize_images(media, 4, 3).collect()}
     assert {r.media_id: bytes(r.content) for r in rows} == again
+
+
+def _ppm_bytes(w, h):
+    """Binary PPM with a deterministic gradient raster (+ header comment)."""
+    import numpy as np
+
+    img = (
+        np.arange(w * h * 3, dtype=np.uint32).reshape(h, w, 3) * 7 % 256
+    ).astype(np.uint8)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def _bmp24_bytes(w, h):
+    """Uncompressed bottom-up 24-bit BMP of a deterministic gradient."""
+    import numpy as np
+
+    img = (
+        (np.arange(w * h * 3, dtype=np.uint32).reshape(h, w, 3) * 11 + 3) % 256
+    ).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB → BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM"
+        + (54 + len(rows)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(rows), img
+
+
+def test_decode_image_ppm_pgm_bmp_roundtrip():
+    import numpy as np
+    import pytest
+
+    ppm, img = _ppm_bytes(5, 4)
+    assert np.array_equal(mm.decode_image(ppm), img)
+
+    pgm = b"P5\n3 2\n255\n" + bytes(range(6))
+    assert np.array_equal(
+        mm.decode_image(pgm), np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    )
+
+    bmp, img2 = _bmp24_bytes(3, 3)  # odd width exercises row padding
+    assert np.array_equal(mm.decode_image(bmp), img2)
+
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_extract_features_really_decodes_images(spark):
+    """A real PPM/BMP payload through the full mapInPandas path produces
+    pixel-derived features (w, h, c, mean, std, min, max, flag=1.0);
+    non-image payloads keep the deterministic stub features."""
+    import hashlib
+
+    import numpy as np
+
+    ppm, img = _ppm_bytes(6, 4)
+    bmp, img2 = _bmp24_bytes(4, 2)
+    blob = b"not an image at all"
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm), 6, 4, 0, "image/x-ppm"),
+            (2, "image", bytearray(bmp), 4, 2, 0, "image/bmp"),
+            (3, "image", bytearray(blob), 0, 0, 0, "application/x-bin"),
+            (4, "audio", bytearray(ppm), 0, 0, 9, "audio/x-raw"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.extract_features(df).collect()}
+
+    f = out[1].features
+    assert f[:3] == [6.0, 4.0, 3.0] and f[7] == 1.0
+    assert abs(f[3] - float(img.astype("float64").mean() / 255.0)) < 1e-12
+    f2 = out[2].features
+    assert f2[:3] == [4.0, 2.0, 3.0] and f2[7] == 1.0
+    assert abs(f2[3] - float(img2.astype("float64").mean() / 255.0)) < 1e-12
+    # non-image magic → stub; audio ALWAYS stub even with an image payload
+    stub = [b / 255.0 for b in hashlib.sha256(blob).digest()[:8]]
+    assert out[3].features == stub
+    assert out[4].features == [
+        b / 255.0 for b in hashlib.sha256(ppm).digest()[:8]
+    ]
+    # pinned stub path ignores decodable payloads (the graded-query mode)
+    pinned = {
+        r.media_id: r.features
+        for r in mm.extract_features(df, decoder="stub").collect()
+    }
+    assert pinned[1] == [b / 255.0 for b in hashlib.sha256(ppm).digest()[:8]]
