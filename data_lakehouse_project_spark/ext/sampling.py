@@ -128,3 +128,93 @@ def temperature_mix_report(
             ).alias("sample_rate"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Deterministic per-group row cap — the "domain quota" curation
+    primitive (keep at most ``cap`` documents per source/domain so one
+    crawl host can't dominate the training mix).
+
+    Membership is a pure function of the data: rows rank by
+    (md5(id), id) inside their group, so reruns, repartitions and
+    engine changes keep the same rows, and a LOWER cap keeps a subset
+    of a higher cap's selection.
+
+    Scale: one shuffle on ``group_col``; each group sorts only its own
+    rows. A pathologically hot group makes that sort the straggler —
+    for those use :func:`cap_per_group_hash`, which never sorts.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def cap_per_group_hash(
+    df: DataFrame, group_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Approximate per-group cap without any per-group sort — the
+    100 TB shape for skewed domains: per-group counts (small aggregate,
+    broadcast back) set a keep-fraction, applied as a map-only
+    md5-bucket filter. Keeps ~``cap`` rows per group (binomial jitter
+    around the target); deterministic and rate-monotone like every
+    hash-sampling op here.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    cutoff = F.least(
+        F.lit(BUCKETS), (F.lit(cap) * BUCKETS / F.col("_n")).cast("int")
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .where(hash_bucket(F.col(id_col)) < cutoff)
+        .drop("_n")
+    )
+
+
+def token_budget_selection(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Greedy per-group selection under a token budget: documents are
+    taken in deterministic priority order (longest first — the common
+    "prefer long documents" curation heuristic — ties broken by id)
+    until the group's cumulative token count would exceed
+    ``budget_tokens``. Returns the per-group accounting
+    (group, docs_kept, tokens_kept).
+
+    Scale: one shuffle on ``group_col`` + a running-sum window inside
+    each group — the same cost envelope as any per-domain rollup; no
+    driver-side iteration.
+    """
+    from pyspark.sql.window import Window
+
+    from data_lakehouse_project_spark.ext.text import token_count
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("_n_tok"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.select(
+            F.col(group_col), F.col(id_col), token_count(F.col(text_col)).alias("_n_tok")
+        )
+        .withColumn("_cum", F.sum("_n_tok").over(w))
+        .where(F.col("_cum") <= budget_tokens)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("_n_tok").alias("tokens_kept"),
+        )
+    )

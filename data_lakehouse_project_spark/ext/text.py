@@ -280,3 +280,47 @@ def unigram_xentropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's DISTINCT
+    word n-grams that appear in no other document (corpus document
+    frequency 1). High novelty ≈ informative/unique content; low
+    novelty ≈ boilerplate or template text — a standard corpus-curation
+    ranking signal alongside quality_score.
+
+    Returns (id, n_grams, novel_frac) for documents with at least one
+    n-gram (shorter docs have no gram evidence and are excluded).
+
+    Scale: the classic posting-list shape — explode distinct grams
+    (map-side), one aggregation on the gram for document frequency, one
+    join back on the gram (cost bounded by total postings, never
+    |docs|²), one aggregation on the id. All JVM expressions.
+    """
+    from data_lakehouse_project_spark.ext.dedup import word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    gram_df = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    scale = 1_000_000.0
+    novel = F.avg(
+        F.when(F.col("doc_freq") == 1, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.floor(novel * scale + F.lit(0.5)).cast("double") / scale).alias(
+                "novel_frac"
+            ),
+        )
+    )

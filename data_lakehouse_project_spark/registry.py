@@ -1182,6 +1182,78 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+def q_source_cap_documents(spark, sf_dir):
+    """Per-source document cap (domain quota, ext/sampling.py::
+    cap_per_group): at most 10 docs per source, membership a pure
+    (md5(id), id) rank so any engine reproduces the exact rows. The
+    no-sort approximate variant (cap_per_group_hash) is the hot-domain
+    escape hatch; this exact form is the oracle-checked one."""
+    from data_lakehouse_project_spark.ext.sampling import cap_per_group
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return cap_per_group(documents, "source", "doc_id", cap=10).select(
+        "doc_id", "source"
+    )
+
+
+SQL_SOURCE_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+def q_token_budget_selection(spark, sf_dir):
+    """Greedy per-source selection under a 2000-token budget (longest
+    docs first, deterministic ties) → per-source accounting. The
+    "fill each source's token quota" curation step
+    (ext/sampling.py::token_budget_selection)."""
+    from data_lakehouse_project_spark.ext.sampling import (
+        token_budget_selection,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return token_budget_selection(
+        documents, "text", "doc_id", "source", budget_tokens=2000
+    )
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH t AS (SELECT source, doc_id, len({TOKS}) AS n_tok FROM documents),
+c AS (SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT source, COUNT(*) AS docs_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+FROM c WHERE cum <= 2000 GROUP BY source
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty (fraction of distinct word 3-grams
+    with corpus document frequency 1) — posting-list join shape
+    (ext/text.py::ngram_novelty)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.ngram_novelty(documents, "text", "doc_id", n=3)
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, range(1, 5001) r(i)
+  WHERE i <= len(t) - 2),
+gdf AS (SELECT gram, COUNT(*) AS doc_freq FROM grams GROUP BY gram)
+SELECT doc_id, COUNT(*) AS n_grams,
+       {R("AVG(CASE WHEN doc_freq = 1 THEN 1.0 ELSE 0.0 END)", 6)} AS novel_frac
+FROM grams JOIN gdf USING (gram)
+GROUP BY doc_id
+"""
+
+
 def q_train_eval_split(spark, sf_dir):
     """Leak-proof train/eval split: 10% held out by doc_id hash bucket;
     per-(split, lang) counts. Same bucket function as the sampler, so
@@ -2226,6 +2298,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_SAMPLE_STRATIFIED,
     ),
     "train_eval_split_counts": (q_train_eval_split, SQL_TRAIN_EVAL),
+    "source_cap_documents": (q_source_cap_documents, SQL_SOURCE_CAP),
+    "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET),
+    "ngram_novelty_scores": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "pack_chunks_documents": (q_pack_chunks_documents, SQL_PACK_CHUNKS),
     "text_repetition_signals": (q_text_repetition_signals, SQL_REPETITION),
     "redact_pii_documents": (q_redact_pii_documents, SQL_REDACT),

@@ -96,3 +96,83 @@ def test_temperature_mix_flattens_toward_uniform(spark):
     assert all(
         abs(r.sample_rate - 1.0) < 1e-5 for r in by_alpha[1.0].values()
     )
+
+
+def test_cap_per_group_exact_and_monotone(spark):
+    from data_lakehouse_project_spark.ext.sampling import cap_per_group
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias("source"),
+    )
+    kept10 = cap_per_group(df, "source", "doc_id", 10)
+    counts = {r.source: r.n for r in
+              kept10.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in counts.values())
+    # deterministic under repartitioning
+    again = {r.doc_id for r in
+             cap_per_group(df.repartition(13), "source", "doc_id", 10).collect()}
+    assert {r.doc_id for r in kept10.collect()} == again
+    # a lower cap keeps a subset of a higher cap's selection
+    kept5 = {r.doc_id for r in cap_per_group(df, "source", "doc_id", 5).collect()}
+    assert kept5 < again and len(kept5) == 35
+
+
+def test_cap_per_group_hash_approximate(spark):
+    from data_lakehouse_project_spark.ext.sampling import cap_per_group_hash
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    kept = cap_per_group_hash(df, "source", "doc_id", 100)  # 100 of 500 each
+    counts = {r.source: r.n for r in
+              kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s, n in counts.items():
+        assert 50 <= n <= 160, (s, n)  # ~binomial(500, 0.2) jitter band
+    # map-only filter: selection is a subset and deterministic
+    again = {r.doc_id for r in
+             cap_per_group_hash(df.repartition(9), "source", "doc_id", 100).collect()}
+    assert {r.doc_id for r in kept.collect()} == again
+
+
+def test_token_budget_selection_respects_budget(spark):
+    from data_lakehouse_project_spark.ext.sampling import token_budget_selection
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "one two three four"),          # 4 tokens
+            (2, "a", "one two three"),               # 3
+            (3, "a", "one two"),                     # 2
+            (4, "b", "x " * 50),                     # 50 tokens, alone over budget? no, 50>9 → excluded
+            (5, "b", "just five tokens in here"),    # 5
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in
+           token_budget_selection(df, "text", "doc_id", "source", 9).collect()}
+    # group a: 4 + 3 = 7 <= 9, adding the 2-token doc would hit exactly 9 → kept
+    assert (out["a"].docs_kept, out["a"].tokens_kept) == (3, 9)
+    # group b: longest doc (50) already exceeds the budget → only the 5-token doc... 
+    # ordering is longest-first, so cum=50 > 9 excludes it AND cum for next = 55 > 9
+    assert "b" not in out
+
+
+def test_ngram_novelty_bounds_and_uniqueness(spark):
+    from data_lakehouse_project_spark.ext.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # shares grams with doc 2
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota kappa"),  # fully unique grams
+            (4, "hi"),                         # < n tokens → excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, "text", "doc_id", n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3].novel_frac == 1.0
+    # doc1: grams {alpha beta gamma, beta gamma delta} — first shared → 0.5
+    assert out[1].n_grams == 2 and out[1].novel_frac == 0.5
+    assert all(0.0 <= r.novel_frac <= 1.0 for r in out.values())

@@ -46,6 +46,7 @@ EXPECT_NESTED_LOOP = {
 # connected components is iterative (one join+agg per propagation round)
 EXPECT_MANY_EXCHANGES = {
     "dedup_minhash_pairs",
+    "dedup_minhash_pairs_lsh16",  # production banding, same pipeline
     "dedup_minhash_rep_pairs",  # same pipeline minus the member fan-out
     "dedup_clusters",
     "embedding_dedup_clusters",  # iterative label propagation
