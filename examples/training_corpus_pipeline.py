@@ -12,8 +12,9 @@ adds on top of the reference, which itself stops at a constant
       → near-dup collapse (MinHash LSH →         ext/dedup.py::minhash_near_duplicates,
         clusters → best-quality survivor)        ext/graph.py::canonical_representatives
       → benchmark decontamination (4-gram hit)   ext/dedup.py::ngram_contamination
+      → domain quota (cap docs per source)       ext/sampling.py::cap_per_group
       → token accounting                         ext/text.py::bpe_token_count
-      → curated parquet + per-stage audit counts
+      → sharded delivery + verifiable manifest   ext/shards.py::write_training_shards
 
 Every stage is a declarative DataFrame transform: filters/scores are JVM
 expression trees, dedup joins are bucket-shaped (no crossJoin), and the
@@ -44,6 +45,11 @@ from data_lakehouse_project_spark.ext.graph import (
     canonical_representatives,
     dedup_clusters,
 )
+from data_lakehouse_project_spark.ext.sampling import cap_per_group
+from data_lakehouse_project_spark.ext.shards import (
+    verify_shards,
+    write_training_shards,
+)
 from data_lakehouse_project_spark.ext.text import (
     bpe_token_count,
     language_id,
@@ -54,6 +60,7 @@ from data_lakehouse_project_spark.sources.readers import load_testdata
 KEEP_LANGS = ["en", "fr", "de", "es"]
 MIN_QUALITY = 0.35
 NEAR_DUP_JACCARD = 0.8
+MAX_PER_SOURCE = 20  # domain quota: max surviving docs per source
 
 
 def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
@@ -115,8 +122,15 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
         clean = clean.join(contaminated, "doc_id", "left_anti")
     stages["decontaminated"] = clean
 
-    # 6. token accounting on the survivors
-    stages["curated"] = stages["decontaminated"].withColumn(
+    # 6. domain quota: no source may contribute more than max_per_source
+    # survivors (deterministic md5-rank membership — reruns keep the
+    # same docs)
+    stages["quota_kept"] = cap_per_group(
+        stages["decontaminated"], "source", "doc_id", cap=MAX_PER_SOURCE
+    )
+
+    # 7. token accounting on the survivors
+    stages["curated"] = stages["quota_kept"].withColumn(
         "n_bpe_tokens", bpe_token_count(F.col("text"))
     )
     return stages
@@ -139,16 +153,21 @@ def main() -> None:
         F.sum("n_bpe_tokens").alias("t")
     ).collect()[0]["t"]
 
-    stages["curated"].write.mode("overwrite").parquet(
-        os.path.join(out_dir, "curated")
+    # deliver as deterministic training shards + verifiable manifest,
+    # then verify the delivered bytes like a trainer would
+    shards_path = os.path.join(out_dir, "shards")
+    write_training_shards(
+        stages["curated"], "text", "doc_id", shards_path, n_shards=8
     )
+    bad = verify_shards(spark, shards_path).where("NOT ok").count()
 
     print("curation funnel (docs surviving each stage):")
     for name in ["raw", "lang_kept", "quality_kept", "exact_unique",
-                 "near_dup_unique", "decontaminated"]:
+                 "near_dup_unique", "decontaminated", "quota_kept"]:
         print(f"  {name:16s} {funnel[name]:>8d}")
     print(f"curated corpus: {funnel['curated']} docs, "
-          f"{total_tokens} BPE-ish tokens → {out_dir}/curated")
+          f"{total_tokens} BPE-ish tokens → {shards_path} "
+          f"(8 shards, manifest verified, {bad} bad)")
     spark.stop()
 
 

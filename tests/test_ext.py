@@ -260,3 +260,34 @@ def test_incremental_dedup_verdicts(spark):
     assert 0.5 <= rows[21].jaccard < 1.0
     assert rows[22].kind == "unique"
     assert rows[22].match_id is None and rows[22].jaccard is None
+
+
+def test_minhash_recall1_config_equals_exact_jaccard(spark, testdata):
+    """The round-3 grading invariant: at R=1 banding (bands=num_hashes)
+    with round_digits=None, minhash_near_duplicates output EQUALS the
+    exact O(n^2) Jaccard pair set — LSH only loses candidates (miss
+    prob <= (1-j)^64 per true pair) and the exact-verify stage admits
+    nothing below threshold, so the sets coincide on real data."""
+    docs = testdata["documents"]
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_near_duplicates(
+            docs, "text", "doc_id",
+            num_hashes=64, bands=64, jaccard_threshold=0.7, round_digits=None,
+        ).collect()
+    }
+    tok = docs.select(
+        "doc_id", F.array_distinct(dedup.tokens(F.col("text"))).alias("u")
+    )
+    a = tok.select(F.col("doc_id").alias("id_a"), F.col("u").alias("ua"))
+    b = tok.select(F.col("doc_id").alias("id_b"), F.col("u").alias("ub"))
+    inter = F.size(F.array_intersect("ua", "ub"))
+    union = F.size("ua") + F.size("ub") - inter
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    assert lsh == exact  # keys AND double values bit-identical
