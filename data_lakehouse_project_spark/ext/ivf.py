@@ -158,3 +158,25 @@ def probe_ivf_index(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def append_to_ivf_index(
+    df: DataFrame, vec_col: str, path: str, centroids: np.ndarray
+) -> None:
+    """Admit NEW vectors into a persisted IVF index without rebuilding:
+    assign each arriving vector to its inverted list under the EXISTING
+    centroids and append into the matching ``list_id=`` partition
+    directories (dynamic-partition append — only partitions that
+    actually receive rows gain a file).
+
+    The growing-corpus ANN shape: probes keep partition-pruning, old
+    files are never rewritten, and the index stays correct because
+    membership depends only on the frozen centroids. Re-train and
+    rebuild only when drift degrades recall (centroids are the sole
+    driver-side state, so that decision is an offline metric, not an
+    online cost). Mirrors incremental_dedup's admission-control posture
+    for the embedding side.
+    """
+    assign_lists(df, vec_col, centroids).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(path)
