@@ -956,6 +956,24 @@ def q_ann_lsh_probe_topk(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_prune(spark, sf_dir):
+    """SemDeDup semantic pruning (ext/clustering.py): deterministic
+    distributed k-means (md5-seeded, no RNG) bounds pair generation to
+    Σ|cluster|²; every vector with a smaller-id in-cluster duplicate at
+    cosine >= 0.97 is dropped. Iterative algorithm ⇒ rows-only per the
+    contract; the invariants (no surviving in-cluster pair, exact-dup
+    groups keep min id) are pytest-gated (test_clustering.py)."""
+    from data_lakehouse_project_spark.ext.clustering import (
+        semantic_dedup_prune,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    kept = semantic_dedup_prune(
+        embeddings, "embedding", "vec_id", threshold=0.97, k=8, iters=5
+    )
+    return kept.select("vec_id", "label")
+
+
 def q_ann_batch_topk(spark, sf_dir):
     """Batch exact top-k: 8 query vectors scored against the whole
     corpus in ONE map-only pass (broadcast query matrix, per-Arrow-batch
@@ -2313,6 +2331,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_user_segment_rollup": (q_events_user_rollup, SQL_EVENTS_USER_ROLLUP),
     "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),
     "embedding_dedup_clusters": (q_embedding_dedup_clusters, SQL_EMB_CLUSTERS),
+    "semantic_dedup_prune": (q_semantic_dedup_prune, None),
     "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
     # text analysis
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
