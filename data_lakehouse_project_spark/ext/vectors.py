@@ -101,3 +101,57 @@ def quantization_report(
         _r9(mse).alias("mse"),
         _r9(mx).alias("max_abs_err"),
     )
+
+
+def hashed_tf_components(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    normalize: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Feature-hashing document vectorizer at scalar (id, i, v) grain —
+    the no-model bridge from the text table to every vector operator
+    (cosine pairs, ANN, k-means/SemDeDup) when no learned embeddings
+    exist yet.
+
+    Each token hashes to one of ``dim`` buckets via the engine-portable
+    md5 bucket (ext/sampling.py::hash_bucket — any engine, and the SQL
+    oracle, reproduces the mapping); ``v`` is the bucket's token count,
+    L2-normalized per document by default so cosine is a dot product.
+    Only non-zero components are emitted (sparse grain — exactly what a
+    pair-join or an inverted index wants; densify with a
+    sequence+map_from_entries transform when an array is required).
+
+    Scale: explode → ONE (id, bucket) aggregation → per-doc norm via a
+    second small aggregation joined back. No Python, no driver state.
+    """
+    from data_lakehouse_project_spark.ext.sampling import hash_bucket
+    from data_lakehouse_project_spark.ext.text import ws_tokens
+
+    scale = float(10**round_to)
+
+    counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(ws_tokens(F.col(text_col))).alias("_tok"),
+        )
+        .select(id_col, hash_bucket(F.col("_tok"), dim).alias("i"))
+        .groupBy(id_col, "i")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+    )
+    if not normalize:
+        return counts.select(
+            id_col, "i", F.col("_cnt").cast("double").alias("v")
+        )
+    norms = counts.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt"))).alias("_n")
+    )
+    return counts.join(norms, id_col).select(
+        id_col,
+        "i",
+        (F.floor(F.col("_cnt") / F.col("_n") * scale + F.lit(0.5)).cast(
+            "double"
+        ) / scale).alias("v"),
+    )

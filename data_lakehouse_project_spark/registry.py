@@ -956,6 +956,31 @@ def q_ann_lsh_probe_topk(spark, sf_dir):
     )
 
 
+def q_doc_hashed_tf_vectors(spark, sf_dir):
+    """Feature-hashing document vectors at scalar (doc_id, i, v) grain
+    (ext/vectors.py::hashed_tf_components): md5-bucketed token counts,
+    L2-normalized — the no-model text→vector bridge, engine-portable so
+    the oracle reproduces every component."""
+    from data_lakehouse_project_spark.ext.vectors import (
+        hashed_tf_components,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return hashed_tf_components(documents, "text", "doc_id", dim=64)
+
+
+SQL_HASHED_TF = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+cnt AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS i,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS n FROM cnt GROUP BY 1)
+SELECT doc_id, i, {R("c / n", 6)} AS v
+FROM cnt JOIN nrm USING (doc_id)
+"""
+
+
 def q_semantic_dedup_prune(spark, sf_dir):
     """SemDeDup semantic pruning (ext/clustering.py): deterministic
     distributed k-means (md5-seeded, no RNG) bounds pair generation to
@@ -2332,6 +2357,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_pairs_exact": (q_embedding_pairs_exact, SQL_EMB_PAIRS),
     "embedding_dedup_clusters": (q_embedding_dedup_clusters, SQL_EMB_CLUSTERS),
     "semantic_dedup_prune": (q_semantic_dedup_prune, None),
+    "doc_hashed_tf_vectors": (q_doc_hashed_tf_vectors, SQL_HASHED_TF),
     "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
     # text analysis
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
