@@ -155,3 +155,42 @@ def hashed_tf_components(
             "double"
         ) / scale).alias("v"),
     )
+
+
+def sparse_cosine_pairs(
+    components: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs with cosine >= threshold from SPARSE (id, i, v) unit
+    vectors (e.g. hashed_tf_components output): inverted-index join on
+    the component index, one pair-grain aggregation of the partial
+    products. cosine = Σ v_a·v_b because inputs are unit-norm.
+
+    Scale: cost is Σ_i |postings(i)|² — the classic sparse-vector bound,
+    tiny for high-dim sparse vectors; for LOW-dim dense components this
+    degenerates toward the dense pair matmul, where the LSH family
+    (ext/similarity.py) is the right tool instead. No crossJoin: pairs
+    exist only where a component index collides.
+    """
+    scale = float(10**round_to)
+    a = components.select(
+        F.col(id_col).alias("_ida"), "i", F.col("v").alias("_va")
+    )
+    b = components.select(
+        F.col(id_col).alias("_idb"), "i", F.col("v").alias("_vb")
+    )
+    return (
+        a.join(b, "i")
+        .where(F.col("_ida") < F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias("_dot"))
+        .where(F.col("_dot") >= threshold)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            (F.floor(F.col("_dot") * scale + F.lit(0.5)).cast("double") / scale
+             ).alias("cosine"),
+        )
+    )

@@ -981,6 +981,40 @@ FROM cnt JOIN nrm USING (doc_id)
 """
 
 
+def q_doc_semantic_pairs(spark, sf_dir):
+    """Semantic near-dup pairs on DOCUMENTS without any learned
+    embeddings: hashed-TF sparse vectors → inverted-index join on the
+    component index → pair-grain dot (unit vectors ⇒ dot = cosine),
+    threshold 0.995 (catches exact and token-permuted duplicates).
+    Fully oracle-checkable, unlike the model-dependent embedding path."""
+    from data_lakehouse_project_spark.ext.vectors import (
+        hashed_tf_components,
+        sparse_cosine_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    comp = hashed_tf_components(documents, "text", "doc_id", dim=64)
+    return sparse_cosine_pairs(comp, "doc_id", threshold=0.995)
+
+
+SQL_DOC_SEMANTIC_PAIRS = f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+cnt AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS i,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM tok GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS n FROM cnt GROUP BY 1),
+comp AS (SELECT doc_id, i, {R("c / n", 6)} AS v
+         FROM cnt JOIN nrm USING (doc_id)),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.v * b.v) AS dot
+  FROM comp a JOIN comp b ON a.i = b.i AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, {R("dot", 6)} AS cosine
+FROM dots WHERE dot >= 0.995
+"""
+
+
 def q_semantic_dedup_prune(spark, sf_dir):
     """SemDeDup semantic pruning (ext/clustering.py): deterministic
     distributed k-means (md5-seeded, no RNG) bounds pair generation to
@@ -2358,6 +2392,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_dedup_clusters": (q_embedding_dedup_clusters, SQL_EMB_CLUSTERS),
     "semantic_dedup_prune": (q_semantic_dedup_prune, None),
     "doc_hashed_tf_vectors": (q_doc_hashed_tf_vectors, SQL_HASHED_TF),
+    "doc_semantic_pairs": (q_doc_semantic_pairs, SQL_DOC_SEMANTIC_PAIRS),
     "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
     # text analysis
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
