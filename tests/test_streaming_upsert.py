@@ -147,3 +147,45 @@ def test_foreachbatch_incremental_dedup_admission(spark, tmp_path):
     run_once()
     ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert ids == {1, 2, 11, 21}
+
+
+def test_foreachbatch_streaming_ivf_admission(spark, tmp_path, testdata):
+    """Growing-corpus ANN in streaming form: arriving embedding
+    micro-batches are admitted into the persisted IVF index via
+    foreachBatch + append_to_ivf_index (frozen centroids, no rebuild);
+    after the stream drains, a probe finds a streamed-in vector."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.ext import ivf
+
+    emb = testdata["embeddings"]
+    base = emb.where(F.col("vec_id") < 400)
+    late = emb.where(F.col("vec_id") >= 400)
+
+    index_path = str(tmp_path / "ivf_stream")
+    cents = ivf.write_ivf_index(base, "embedding", index_path, n_clusters=8)
+
+    src = str(tmp_path / "arrivals")
+    late.write.mode("overwrite").parquet(src)
+
+    def admit(batch_df, _batch_id):
+        ivf.append_to_ivf_index(batch_df, "embedding", index_path, cents)
+
+    q = (
+        spark.readStream.schema(late.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(admit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ivf_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == emb.count()
+    probe_vec = [float(x) for x in emb.where(F.col("vec_id") == 470).first().embedding]
+    top = ivf.probe_ivf_index(
+        spark, index_path, "embedding", "vec_id", probe_vec, cents,
+        k=1, nprobe=8,
+    ).first()
+    assert top.vec_id == 470

@@ -57,6 +57,10 @@ EXPECT_MANY_EXCHANGES = {
     # batch-vs-corpus probe: fingerprint join + shingle posting join +
     # three aggregation grains + best-match window + two left joins
     "incremental_dedup",
+    # hashed-TF components (2 agg grains + norm join) feeding the
+    # inverted-index pair join + pair-grain agg — 4 logical shuffles,
+    # doubled in the plan text by AQE stage reuse
+    "doc_semantic_pairs",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
