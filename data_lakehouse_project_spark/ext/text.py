@@ -324,3 +324,49 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def length_outlier_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str | None = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Drop documents whose token length falls outside the [lo, hi]
+    exact-percentile band of their group (per-source when ``group_col``
+    is set, corpus-wide otherwise) — the truncated/concatenated-page
+    outlier filter every crawl pipeline applies before quality scoring.
+
+    Returns (id, group?, n_tokens) for surviving documents.
+
+    Scale: ONE aggregation computes the per-group exact percentiles
+    (interpolated, engine-portable semantics — percentile_cont); the
+    tiny bounds table broadcasts back onto the scan, so the filter
+    itself is map-side. Exact percentiles at 100 TB group cardinality
+    are fine (the agg state is per-group); switch to approx_percentile
+    only if a single group's value set itself is the bottleneck.
+    """
+    n = token_count(F.col(text_col))
+    if group_col is None:
+        keyed = df.select(F.col(id_col), F.lit(0).alias("_g"), n.alias("n_tokens"))
+        gcols = ["_g"]
+    else:
+        keyed = df.select(
+            F.col(id_col), F.col(group_col), n.alias("n_tokens")
+        )
+        gcols = [group_col]
+    bounds = keyed.groupBy(*gcols).agg(
+        F.percentile("n_tokens", lo).alias("_lo"),
+        F.percentile("n_tokens", hi).alias("_hi"),
+    )
+    out = (
+        keyed.join(F.broadcast(bounds), gcols)
+        .where(
+            (F.col("n_tokens") >= F.col("_lo"))
+            & (F.col("n_tokens") <= F.col("_hi"))
+        )
+        .drop("_lo", "_hi")
+    )
+    return out.drop("_g") if group_col is None else out

@@ -956,6 +956,28 @@ def q_ann_lsh_probe_topk(spark, sf_dir):
     )
 
 
+def q_length_outlier_filter(spark, sf_dir):
+    """Per-source exact-percentile length band filter (ext/text.py::
+    length_outlier_filter): docs outside their source's [p5, p95]
+    token-length band are dropped — broadcast bounds, map-side filter."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.length_outlier_filter(
+        documents, "text", "doc_id", group_col="source"
+    )
+
+
+SQL_LENGTH_OUTLIER = f"""
+WITH t AS (SELECT doc_id, source, len({TOKS}) AS n_tokens FROM documents),
+b AS (SELECT source,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY n_tokens) AS hi
+      FROM t GROUP BY source)
+SELECT doc_id, source, n_tokens
+FROM t JOIN b USING (source)
+WHERE n_tokens >= lo AND n_tokens <= hi
+"""
+
+
 def q_doc_hashed_tf_vectors(spark, sf_dir):
     """Feature-hashing document vectors at scalar (doc_id, i, v) grain
     (ext/vectors.py::hashed_tf_components): md5-bucketed token counts,
@@ -2393,6 +2415,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "semantic_dedup_prune": (q_semantic_dedup_prune, None),
     "doc_hashed_tf_vectors": (q_doc_hashed_tf_vectors, SQL_HASHED_TF),
     "doc_semantic_pairs": (q_doc_semantic_pairs, SQL_DOC_SEMANTIC_PAIRS),
+    "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER),
     "embedding_pairs_lsh": (q_embedding_pairs_lsh, None),
     # text analysis
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
