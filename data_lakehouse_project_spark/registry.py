@@ -1050,7 +1050,7 @@ def q_semantic_dedup_prune(spark, sf_dir):
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     kept = semantic_dedup_prune(
-        embeddings, "embedding", "vec_id", threshold=0.97, k=8, iters=5
+        embeddings, "embedding", "vec_id", threshold=0.97, k=6, iters=3
     )
     return kept.select("vec_id", "label")
 
