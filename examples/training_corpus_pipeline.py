@@ -6,6 +6,7 @@ adds on top of the reference, which itself stops at a constant
 ``data_quality_check = lit('passed')`` — mysql_silver_transformation.py:67):
 
     documents
+      → length-outlier gate (p5-p95 band)        ext/text.py::length_outlier_filter
       → language ID (keep target langs)          ext/text.py::language_id
       → quality score (keep >= threshold)        ext/text.py::quality_score
       → exact dedup (md5 keep-first)             ext/dedup.py::exact_dedup_groups
@@ -53,6 +54,7 @@ from data_lakehouse_project_spark.ext.shards import (
 from data_lakehouse_project_spark.ext.text import (
     bpe_token_count,
     language_id,
+    length_outlier_filter,
     quality_score,
 )
 from data_lakehouse_project_spark.sources.readers import load_testdata
@@ -71,10 +73,18 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
     callers (and tests) can audit per-stage attrition."""
     stages: dict[str, DataFrame] = {"raw": docs}
 
+    # 0. length-outlier gate: drop docs outside their source's [p5, p95]
+    # token-length band (truncated/concatenated pages) BEFORE spending
+    # any scoring work on them — broadcast bounds, map-side filter
+    in_band = length_outlier_filter(
+        docs, "text", "doc_id", group_col="source"
+    ).select("doc_id")
+    stages["length_kept"] = docs.join(in_band, "doc_id", "left_semi")
+
     # 1. language filter — broadcast-free: the heuristic is a projection
-    lang = language_id(docs, "text", "doc_id")
+    lang = language_id(stages["length_kept"], "text", "doc_id")
     stages["lang_kept"] = (
-        docs.join(lang, "doc_id")
+        stages["length_kept"].join(lang, "doc_id")
         .where(F.col("detected_lang").isin(KEEP_LANGS))
         .drop("stopword_hits")
     )
@@ -162,8 +172,9 @@ def main() -> None:
     bad = verify_shards(spark, shards_path).where("NOT ok").count()
 
     print("curation funnel (docs surviving each stage):")
-    for name in ["raw", "lang_kept", "quality_kept", "exact_unique",
-                 "near_dup_unique", "decontaminated", "quota_kept"]:
+    for name in ["raw", "length_kept", "lang_kept", "quality_kept",
+                 "exact_unique", "near_dup_unique", "decontaminated",
+                 "quota_kept"]:
         print(f"  {name:16s} {funnel[name]:>8d}")
     print(f"curated corpus: {funnel['curated']} docs, "
           f"{total_tokens} BPE-ish tokens → {shards_path} "

@@ -18,7 +18,8 @@ from data_lakehouse_project_spark.ext.dedup import minhash_near_duplicates
 def test_funnel_monotone_and_self_consistent(spark, testdata):
     stages = curate(testdata["documents"])
     counts = {k: df.count() for k, df in stages.items()}
-    order = ["raw", "lang_kept", "quality_kept", "exact_unique", "near_dup_unique"]
+    order = ["raw", "length_kept", "lang_kept", "quality_kept",
+             "exact_unique", "near_dup_unique"]
     for earlier, later in zip(order, order[1:]):
         assert counts[later] <= counts[earlier], (earlier, later, counts)
 
