@@ -153,7 +153,14 @@ def semantic_dedup_prune(
     """
     if centroids is None:
         centroids = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
-    clustered = assign_clusters(df, vec_col, centroids).persist()
+    # One materialization serves both sides of the pair join and the
+    # final anti-join. localCheckpoint (not persist): checkpoint blocks
+    # are released by the ContextCleaner once the result is unreferenced,
+    # whereas a bare .persist() with no unpersist point accumulated
+    # cached partitions for the life of the session.
+    clustered = assign_clusters(df, vec_col, centroids).localCheckpoint(
+        eager=True
+    )
 
     a = clustered.select(
         F.col("cluster"),

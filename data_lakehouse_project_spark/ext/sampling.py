@@ -167,10 +167,21 @@ def cap_per_group_hash(
     md5-bucket filter. Keeps ~``cap`` rows per group (binomial jitter
     around the target); deterministic and rate-monotone like every
     hash-sampling op here.
+
+    The cutoff is ``ceil(cap * BUCKETS / n)`` clamped to [1, BUCKETS]:
+    a group hotter than ``cap * BUCKETS`` rows keeps one bucket
+    (~n/BUCKETS rows — overshooting ``cap`` rather than silently
+    dropping the whole group, which a floor would do). Callers needing
+    a hard ceiling on pathological groups should chain
+    :func:`cap_per_group` on this op's (much smaller) output.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     cutoff = F.least(
-        F.lit(BUCKETS), (F.lit(cap) * BUCKETS / F.col("_n")).cast("int")
+        F.lit(BUCKETS),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.lit(cap) * BUCKETS / F.col("_n")).cast("int"),
+        ),
     )
     return (
         df.join(F.broadcast(counts), group_col)

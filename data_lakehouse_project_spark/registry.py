@@ -759,13 +759,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-# range() can't lateral-reference length(norm) in DuckDB 1.0; a constant
-# position table + filter replicates Spark's sequence(1, len-2) exactly
+# DuckDB 1.0's range() TABLE function can't lateral-reference
+# length(norm), but the LIST-valued range() unnested in a select list is
+# evaluated per row — so shingle positions follow each document's real
+# length with no cap. (The previous constant range(1, 5001) position
+# table silently missed grams past char 5000 if testdata ever
+# regenerated with longer documents.)
+_SHINGLE3 = f"""
+  SELECT DISTINCT doc_id, substr(_norm, CAST(i AS INTEGER), 3) AS sh
+  FROM (SELECT doc_id, {NORM} AS _norm,
+               unnest(range(1, GREATEST(length({NORM}) - 2, 1) + 1)) AS i
+        FROM {{side}})
+"""
+
 SQL_NGRAM_JACCARD = f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
-  FROM documents, range(1, 5001) t(i)
-  WHERE i <= GREATEST(length({NORM}) - 2, 1)),
+WITH sh AS ({_SHINGLE3.format(side="documents")}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
@@ -801,23 +809,15 @@ WITH RECURSIVE pairs AS (
            CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
     FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM (SELECT DISTINCT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
-            FROM documents, range(1, 5001) t(i)
-            WHERE i <= GREATEST(length({NORM}) - 2, 1)) a
-      JOIN (SELECT DISTINCT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
-            FROM documents, range(1, 5001) t(i)
-            WHERE i <= GREATEST(length({NORM}) - 2, 1)) b
+      FROM ({_SHINGLE3.format(side="documents")}) a
+      JOIN ({_SHINGLE3.format(side="documents")}) b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2) s
-    JOIN (SELECT doc_id, COUNT(DISTINCT sh) AS n_sh
-          FROM (SELECT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
-                FROM documents, range(1, 5001) t(i)
-                WHERE i <= GREATEST(length({NORM}) - 2, 1)) x
+    JOIN (SELECT doc_id, COUNT(*) AS n_sh
+          FROM ({_SHINGLE3.format(side="documents")}) x
           GROUP BY doc_id) sa ON sa.doc_id = id_a
-    JOIN (SELECT doc_id, COUNT(DISTINCT sh) AS n_sh
-          FROM (SELECT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
-                FROM documents, range(1, 5001) t(i)
-                WHERE i <= GREATEST(length({NORM}) - 2, 1)) y
+    JOIN (SELECT doc_id, COUNT(*) AS n_sh
+          FROM ({_SHINGLE3.format(side="documents")}) y
           GROUP BY doc_id) sb ON sb.doc_id = id_b)
   WHERE jaccard >= 0.8),
 e AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -1008,21 +1008,28 @@ def q_doc_semantic_pairs(spark, sf_dir):
     embeddings: hashed-TF sparse vectors → inverted-index join on the
     component index → pair-grain dot (unit vectors ⇒ dot = cosine),
     threshold 0.995 (catches exact and token-permuted duplicates).
-    Fully oracle-checkable, unlike the model-dependent embedding path."""
+    Fully oracle-checkable, unlike the model-dependent embedding path.
+
+    dim=1024 (not the 64 the dense-vector queries use) so the hashed
+    vectors are GENUINELY sparse (~90 distinct tokens/doc → <9% fill):
+    sparse_cosine_pairs' Σ|postings(i)|² bound only beats the dense pair
+    matmul when postings per index stay ≪ |docs| — at dim=64 every doc
+    hits every index and the inverted-index join degenerates quadratic
+    for Spark AND the oracle."""
     from data_lakehouse_project_spark.ext.vectors import (
         hashed_tf_components,
         sparse_cosine_pairs,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    comp = hashed_tf_components(documents, "text", "doc_id", dim=64)
+    comp = hashed_tf_components(documents, "text", "doc_id", dim=1024)
     return sparse_cosine_pairs(comp, "doc_id", threshold=0.995)
 
 
 SQL_DOC_SEMANTIC_PAIRS = f"""
 WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
 cnt AS (SELECT doc_id,
-               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS i,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS i,
                CAST(COUNT(*) AS DOUBLE) AS c
         FROM tok GROUP BY 1, 2),
 nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS n FROM cnt GROUP BY 1),
@@ -1343,8 +1350,7 @@ SQL_NGRAM_NOVELTY = f"""
 WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
-  FROM toks, range(1, 5001) r(i)
-  WHERE i <= len(t) - 2),
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
 gdf AS (SELECT gram, COUNT(*) AS doc_freq FROM grams GROUP BY gram)
 SELECT doc_id, COUNT(*) AS n_grams,
        {R("AVG(CASE WHEN doc_freq = 1 THEN 1.0 ELSE 0.0 END)", 6)} AS novel_frac
@@ -2065,11 +2071,7 @@ _BUCKET_SQL = (
     " % 10000"
 )
 
-_SHINGLE_SQL = f"""
-  SELECT DISTINCT doc_id, substr({NORM}, CAST(i AS INTEGER), 3) AS sh
-  FROM {{side}}, range(1, 5001) t(i)
-  WHERE i <= GREATEST(length({NORM}) - 2, 1)
-"""
+_SHINGLE_SQL = _SHINGLE3  # same {side}-parameterized per-row-length shape
 
 SQL_INCREMENTAL_DEDUP = f"""
 WITH newd AS (SELECT * FROM documents WHERE {_BUCKET_SQL} < 2000),
@@ -2277,8 +2279,7 @@ WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 bg AS (
   SELECT toks[CAST(i AS INTEGER)] AS w1,
          toks[CAST(i AS INTEGER) + 1] AS w2
-  FROM tk, range(1, 5001) r(i)
-  WHERE i <= len(toks) - 1),
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)),
 c12 AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2),
 c1 AS (SELECT w1, COUNT(*) AS head_count FROM bg GROUP BY 1)
 SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,

@@ -19,7 +19,10 @@ def test_extract_features_deterministic(spark):
     out2 = {r.media_id: (r.content_sha256, tuple(r.features)) for r in mm.extract_features(df).collect()}
     assert out1 == out2  # stub decode is deterministic
     assert all(len(v[1]) == 8 for v in out1.values())
-    assert all(0.0 <= x <= 1.0 for v in out1.values() for x in v[1])
+    assert all(0.0 <= x <= 1.0 for v in out1.values() for x in v[1][:7])
+    # synthetic blobs aren't decodable images → every row carries the
+    # stub's -1.0 sentinel in slot 7 (a value no real decode can emit)
+    assert all(v[1][7] == -1.0 for v in out1.values())
 
 
 def test_extract_features_partition_independent(spark):
@@ -147,14 +150,138 @@ def test_extract_features_really_decodes_images(spark):
     assert f2[:3] == [4.0, 2.0, 3.0] and f2[7] == 1.0
     assert abs(f2[3] - float(img2.astype("float64").mean() / 255.0)) < 1e-12
     # non-image magic → stub; audio ALWAYS stub even with an image payload
-    stub = [b / 255.0 for b in hashlib.sha256(blob).digest()[:8]]
-    assert out[3].features == stub
-    assert out[4].features == [
-        b / 255.0 for b in hashlib.sha256(ppm).digest()[:8]
-    ]
+    def stub(b):
+        return [x / 255.0 for x in hashlib.sha256(b).digest()[:7]] + [-1.0]
+
+    assert out[3].features == stub(blob)
+    assert out[4].features == stub(ppm)
     # pinned stub path ignores decodable payloads (the graded-query mode)
     pinned = {
         r.media_id: r.features
         for r in mm.extract_features(df, decoder="stub").collect()
     }
-    assert pinned[1] == [b / 255.0 for b in hashlib.sha256(ppm).digest()[:8]]
+    assert pinned[1] == stub(ppm)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def _png_bytes(img, color_type, filters=None, palette=None):
+    """Minimal PNG encoder (test-side oracle for decode_png): 8-bit,
+    non-interlaced, one scanline per row with an explicit filter type so
+    every filter (None/Sub/Up/Average/Paeth) gets exercised."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((int(line[x]) - pred) & 0xFF)
+        prev = line
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_all_filters_pixel_exact():
+    """RGB PNG whose five rows use filter types 0-4 — decode must be
+    pixel-exact, proving Sub/Up/Average/Paeth unfiltering is right."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8).astype(np.uint8)
+    png = _png_bytes(img, color_type=2, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(mm.decode_png(png), img)
+    assert np.array_equal(mm.decode_image(png), img)  # dispatch via magic
+
+
+def test_decode_png_gray_rgba_palette():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_png(_png_bytes(gray, color_type=0, filters=[4, 3, 2, 1])),
+        gray,
+    )
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    assert np.array_equal(
+        mm.decode_png(_png_bytes(rgba, color_type=6, filters=[0, 4, 4])), rgba
+    )
+    # paletted: indices expand through PLTE to RGB
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(4, 5, 1), dtype=np.uint8)
+    out = mm.decode_png(
+        _png_bytes(idx, color_type=3, filters=[0, 1, 2, 3], palette=pal)
+    )
+    assert np.array_equal(out, pal[idx[:, :, 0]])
+
+
+def test_decode_png_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    png = bytearray(_png_bytes(img, color_type=2))
+    png[8 + 8 + 12] = 7  # interlace byte inside IHDR → Adam7
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(png))
+    with pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+
+
+def test_extract_features_decodes_png(spark):
+    """A real PNG through the full Arrow mapInPandas path: slot 7 carries
+    the real-decode flag 1.0 and the stats match the known pixels."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    png = _png_bytes(img, color_type=2, filters=[0, 1, 2, 3, 4, 4])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), 8, 6, 0, "image/png")], mm.MEDIA_SCHEMA
+    )
+    (row,) = mm.extract_features(df).collect()
+    flat = img.astype("float64") / 255.0
+    assert row.features[:3] == [8.0, 6.0, 3.0]
+    assert row.features[7] == 1.0
+    assert abs(row.features[3] - flat.mean()) < 1e-12
+    assert abs(row.features[4] - flat.std()) < 1e-12

@@ -136,6 +136,21 @@ def test_cap_per_group_hash_approximate(spark):
     assert {r.doc_id for r in kept.collect()} == again
 
 
+def test_cap_per_group_hash_hot_group_never_empty(spark):
+    """Regression: cap*BUCKETS/n < 1 used to floor the cutoff to 0 and
+    silently drop the ENTIRE hot group — exactly the case this function
+    exists for. The ceil-clamped cutoff keeps one bucket (~n/BUCKETS
+    rows), overshooting the cap rather than vanishing."""
+    from data_lakehouse_project_spark.ext.sampling import BUCKETS, cap_per_group_hash
+
+    n = 5 * BUCKETS  # 50k rows in one group; cap=1 → raw cutoff 0.2
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("source")
+    )
+    kept = cap_per_group_hash(df, "source", "doc_id", 1).count()
+    assert 1 <= kept <= 30, kept  # one bucket ≈ n/BUCKETS = 5 rows
+
+
 def test_token_budget_selection_respects_budget(spark):
     from data_lakehouse_project_spark.ext.sampling import token_budget_selection
 
