@@ -44,7 +44,17 @@ def write_table(
     - overwrite mode == idempotent rerun (the reference's contract, K1/K7)
     - ``bucket_by=(n, cols)`` enables shuffle-free co-located joins for
       repeatedly-joined fact tables (requires ``table_name`` / saveAsTable)
+    - ``fmt="delta-lite"`` routes through the homegrown ACID commit log
+      (operators/txnlog.py): atomic publish, time travel, stats pruning —
+      the offline stand-in for the real Delta/Iceberg packages.
     """
+    if fmt == "delta-lite":
+        from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+        TxnTable(path).write(df, mode=mode, partition_by=partition_by)
+        if verify:
+            return TxnTable(path).read(df.sparkSession).count()
+        return None
     out = df.coalesce(1) if single_file else df
     writer = (
         out.write.mode(mode)

@@ -1,0 +1,537 @@
+"""Delta-lite: a minimal ACID transaction log over plain parquet.
+
+The north star (BASELINE.json) names "Delta/Iceberg format support"; the
+real packages are unreachable in this container (pip/jar probe recorded
+in COVERAGE.md), and the reference itself writes plain parquet
+(``spark/jobs/mysql_bronze_ingestion.py:103-106``). This module supplies
+the table-format SEMANTICS those packages exist for, using only public
+protocol ideas (Delta's JSON action log, Iceberg's file-level column
+stats) re-expressed small:
+
+- **Atomic commits** — data files land under the table dir first (they
+  are invisible until referenced); the commit record is then published
+  with an atomic create-if-absent (``os.link``), so a reader replaying
+  the log sees either all of a commit or none of it. Versions are the
+  contiguous integers ``0..latest``, one JSON file per version in
+  ``_txn_log/``.
+- **Time travel** — ``read(version=...)`` / ``read(as_of_ms=...)``
+  replays the log to the requested point; overwritten files stay on disk
+  until ``vacuum`` so old snapshots remain readable.
+- **Optimistic concurrency** — every mutation records the version it
+  read; publish-time collision on the version file triggers blind-append
+  retry or, for read-dependent operations (overwrite / merge / delete),
+  a ``ConcurrentWriteConflict``. Two writers can never both win the same
+  version because hard-link creation is atomic on POSIX (an object-store
+  deployment swaps this single primitive for a conditional PUT).
+- **File-level min/max stats + scan pruning** — each ``add`` action
+  carries per-column min/max/null_count harvested from the parquet
+  FOOTERS (pyarrow metadata — no data scan), and ``read(prune=...)``
+  drops files whose range can't satisfy a predicate driver-side before
+  Spark ever lists them: the 100 TB scan-economics Iceberg manifests
+  exist for. Partition values recorded per file prune the same way.
+
+The log is the source of truth for LIVENESS, not existence: stray data
+files (crashed writers, half-finished jobs) are ignored by readers and
+reaped by ``vacuum``.
+
+Scale notes: the log is driver-side metadata — O(files) JSON, not data;
+snapshot replay is a linear scan of ≤ a few thousand tiny files (a
+checkpoint compaction hook is the known growth path, as in Delta).
+Stats harvesting reads only footers (KBs per file). Data files are
+immutable — every mutation is copy-on-write at file granularity,
+exactly the Delta/Iceberg contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_txn_log"
+_VERSION_DIGITS = 20
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another commit landed between this operation's read and publish."""
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, LOG_DIR)
+
+
+def _version_file(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:0{_VERSION_DIGITS}d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and len(stem) == _VERSION_DIGITS and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _file_stats(fpath: str) -> dict:
+    """Per-column min/max/null_count from the parquet footer (metadata
+    only — no row reads). Values are JSON-normalized; columns whose
+    physical stats are absent or non-orderable are simply omitted, which
+    pruning treats as "may match"."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    stats: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = _jsonable(s.min), _jsonable(s.max)
+            if lo is None or hi is None:
+                continue
+            cur = stats.setdefault(
+                name, {"min": lo, "max": hi, "null_count": 0}
+            )
+            cur["min"] = min(cur["min"], lo)
+            cur["max"] = max(cur["max"], hi)
+            if s.null_count is not None:
+                cur["null_count"] += s.null_count
+    return {"num_rows": md.num_rows, "columns": stats}
+
+
+def _jsonable(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _data_files(root: str) -> list[str]:
+    """Relative paths of parquet part files under ``root`` (skipping the
+    log dir and marker files), recursing through partition dirs."""
+    out = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if d != LOG_DIR]
+        for f in filenames:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, f), root)
+                )
+    return sorted(out)
+
+
+def _partition_values(relpath: str) -> dict[str, str]:
+    """Hive-style ``k=v`` dirs in a file's relative path."""
+    vals = {}
+    for part in relpath.split(os.sep)[:-1]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            vals[k] = v
+    return vals
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: list[dict]  # add actions: path/stats/partition_values
+    schema_json: str | None
+    timestamp_ms: int
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.get("stats", {}).get("num_rows", 0) for f in self.files)
+
+
+@dataclass
+class TxnTable:
+    """A delta-lite table rooted at ``path`` (local or any rename-capable
+    filesystem mount). All state lives in the table dir; the object is a
+    stateless handle, so concurrent handles model concurrent writers."""
+
+    path: str
+
+    # ---------------- snapshot / read side ----------------
+
+    def latest_version(self) -> int:
+        versions = _list_versions(self.path)
+        return versions[-1] if versions else -1
+
+    def history(self) -> list[dict]:
+        """commitInfo of every version, oldest first."""
+        out = []
+        for v in _list_versions(self.path):
+            with open(_version_file(self.path, v)) as fh:
+                for line in fh:
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        out.append(action["commitInfo"])
+        return out
+
+    def snapshot(
+        self, version: int | None = None, as_of_ms: int | None = None
+    ) -> Snapshot:
+        """Replay the log to ``version`` (or to the last commit at or
+        before ``as_of_ms``). Active files = adds minus removes."""
+        versions = _list_versions(self.path)
+        if not versions:
+            raise FileNotFoundError(f"no delta-lite log at {self.path}")
+        if version is None:
+            version = versions[-1]
+        elif version not in versions:
+            raise ValueError(f"version {version} not in log (have {versions})")
+        active: dict[str, dict] = {}
+        schema_json = None
+        ts = 0
+        for v in versions:
+            if v > version:
+                break
+            adds, removes, info, meta = self._read_commit(v)
+            if as_of_ms is not None and info["timestamp_ms"] > as_of_ms:
+                if v == versions[0]:
+                    raise ValueError(
+                        f"no commit at or before as_of_ms={as_of_ms}"
+                    )
+                break
+            for r in removes:
+                active.pop(r["path"], None)
+            for a in adds:
+                active[a["path"]] = a
+            if meta is not None:
+                schema_json = meta.get("schema_json")
+            ts = info["timestamp_ms"]
+            version_seen = v
+        return Snapshot(
+            version=version_seen,
+            files=list(active.values()),
+            schema_json=schema_json,
+            timestamp_ms=ts,
+        )
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ms: int | None = None,
+        prune: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """DataFrame over a snapshot's active files.
+
+        ``prune`` is a list of ``(column, op, value)`` with op in
+        ``= < <= > >=``: files whose stats range (or partition value)
+        can't satisfy EVERY predicate are dropped driver-side — Spark
+        never lists or opens them — and the predicates are ALSO applied
+        as real filters so pruning is purely an IO optimization, never a
+        correctness dependency. Columns with no stats never prune.
+        """
+        snap = self.snapshot(version=version, as_of_ms=as_of_ms)
+        files = snap.files
+        if prune:
+            files = [f for f in files if _file_may_match(f, prune)]
+        if not files:
+            schema = (
+                _schema_from_json(spark, snap.schema_json)
+                if snap.schema_json
+                else None
+            )
+            return spark.createDataFrame([], schema)
+        df = spark.read.parquet(
+            *[os.path.join(self.path, f["path"]) for f in files]
+        )
+        if prune:
+            from pyspark.sql import functions as F
+
+            for col, op, val in prune:
+                if col not in df.columns:
+                    continue
+                c = F.col(col)
+                cond = {
+                    "=": c == val, "<": c < val, "<=": c <= val,
+                    ">": c > val, ">=": c >= val,
+                }[op]
+                df = df.where(cond)
+        return df
+
+    def scan_file_count(
+        self, prune: list[tuple[str, str, object]] | None = None
+    ) -> tuple[int, int]:
+        """(files_scanned, files_total) for a pruned read — the
+        observable the stats exist to shrink."""
+        files = self.snapshot().files
+        kept = (
+            [f for f in files if _file_may_match(f, prune)] if prune else files
+        )
+        return len(kept), len(files)
+
+    # ---------------- write side ----------------
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Append or overwrite; returns the committed version."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode}")
+        read_version = self.latest_version()
+        adds = self._stage_data(df, partition_by)
+        removes = (
+            [{"path": f["path"]} for f in self.snapshot().files]
+            if mode == "overwrite" and read_version >= 0
+            else []
+        )
+        return self._commit(
+            operation=mode,
+            read_version=read_version,
+            adds=adds,
+            removes=removes,
+            schema_json=df.schema.json(),
+            partition_by=partition_by,
+            blind_append=(mode == "append"),
+        )
+
+    def merge(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE (upsert): source wins on key match, else insert —
+        read-dependent, so any concurrent commit conflicts."""
+        from data_lakehouse_project_spark.operators.upsert import merge_upsert
+
+        spark = source.sparkSession
+        read_version = self.latest_version()
+        target = self.read(spark)
+        merged = merge_upsert(target, source, keys)
+        adds = self._stage_data(merged, None)
+        removes = [{"path": f["path"]} for f in self.snapshot().files]
+        return self._commit(
+            operation="merge",
+            read_version=read_version,
+            adds=adds,
+            removes=removes,
+            schema_json=merged.schema.json(),
+            partition_by=None,
+            blind_append=False,
+        )
+
+    def delete_where(self, spark: SparkSession, predicate_sql: str) -> int:
+        """Copy-on-write DELETE of rows matching ``predicate_sql``."""
+        read_version = self.latest_version()
+        kept = self.read(spark).where(f"NOT ({predicate_sql})")
+        adds = self._stage_data(kept, None)
+        removes = [{"path": f["path"]} for f in self.snapshot().files]
+        return self._commit(
+            operation="delete",
+            read_version=read_version,
+            adds=adds,
+            removes=removes,
+            schema_json=kept.schema.json(),
+            partition_by=None,
+            blind_append=False,
+        )
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained snapshot (the last
+        ``keep_versions`` versions stay time-travelable) plus stray
+        files no commit ever referenced. Returns deleted relative paths.
+        Time travel older than the horizon is gone after vacuum — the
+        standard retention trade."""
+        versions = _list_versions(self.path)
+        if not versions:
+            return []
+        retained = versions[-max(1, keep_versions):]
+        live: set[str] = set()
+        for v in retained:
+            live.update(f["path"] for f in self.snapshot(version=v).files)
+        deleted = []
+        for rel in _data_files(self.path):
+            if rel not in live:
+                os.remove(os.path.join(self.path, rel))
+                deleted.append(rel)
+        return deleted
+
+    # ---------------- internals ----------------
+
+    def _read_commit(self, version: int):
+        adds, removes, info, meta = [], [], None, None
+        with open(_version_file(self.path, version)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "add" in action:
+                    adds.append(action["add"])
+                elif "remove" in action:
+                    removes.append(action["remove"])
+                elif "commitInfo" in action:
+                    info = action["commitInfo"]
+                elif "metaData" in action:
+                    meta = action["metaData"]
+        return adds, removes, info, meta
+
+    def _stage_data(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> list[dict]:
+        """Write data files into the table dir under unique names and
+        return their add actions (stats harvested from footers). The
+        files are INVISIBLE to readers until a commit references them —
+        this is what makes publish atomic."""
+        staging = os.path.join(
+            self.path, f"_staging_{uuid.uuid4().hex}"
+        )
+        writer = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staging)
+        adds = []
+        for rel in _data_files(staging):
+            src = os.path.join(staging, rel)
+            parts = rel.split(os.sep)
+            parts[-1] = f"part-{uuid.uuid4().hex}.parquet"
+            dst_rel = os.sep.join(parts)
+            dst = os.path.join(self.path, dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            adds.append(
+                {
+                    "path": dst_rel,
+                    "size_bytes": os.path.getsize(dst),
+                    "partition_values": _partition_values(dst_rel),
+                    "stats": _file_stats(dst),
+                }
+            )
+        _rmtree_quiet(staging)
+        return adds
+
+    def _commit(
+        self,
+        operation: str,
+        read_version: int,
+        adds: list[dict],
+        removes: list[dict],
+        schema_json: str,
+        partition_by: list[str] | None,
+        blind_append: bool,
+        max_retries: int = 20,
+    ) -> int:
+        """Publish: serialize actions to a temp file, then atomically
+        link it to the next version slot. Losing a race means someone
+        else owns that version — blind appends retry at the new tip;
+        read-dependent operations raise ConcurrentWriteConflict."""
+        os.makedirs(_log_path(self.path), exist_ok=True)
+        attempt_version = read_version + 1
+        for _ in range(max_retries):
+            lines = [
+                json.dumps(
+                    {
+                        "commitInfo": {
+                            "version": attempt_version,
+                            "timestamp_ms": int(time.time() * 1000),
+                            "operation": operation,
+                            "read_version": read_version,
+                        }
+                    }
+                ),
+                json.dumps(
+                    {
+                        "metaData": {
+                            "schema_json": schema_json,
+                            "partition_by": partition_by or [],
+                        }
+                    }
+                ),
+            ]
+            lines += [json.dumps({"add": a}) for a in adds]
+            lines += [json.dumps({"remove": r}) for r in removes]
+            tmp = os.path.join(
+                _log_path(self.path), f".tmp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+                fh.flush()
+                os.fsync(fh.fileno())
+            target = _version_file(self.path, attempt_version)
+            try:
+                os.link(tmp, target)  # atomic create-if-absent
+                os.remove(tmp)
+                return attempt_version
+            except FileExistsError:
+                os.remove(tmp)
+                if not blind_append:
+                    raise ConcurrentWriteConflict(
+                        f"{operation} read version {read_version} but "
+                        f"version {attempt_version} was committed by "
+                        "another writer; re-read and retry"
+                    ) from None
+                attempt_version = self.latest_version() + 1
+        raise ConcurrentWriteConflict(
+            f"append lost {max_retries} publish races; giving up"
+        )
+
+
+def _file_may_match(
+    f: dict, prune: list[tuple[str, str, object]]
+) -> bool:
+    """Conservative range check: False only when the file PROVABLY has no
+    matching row. Missing stats → True (never prune blind)."""
+    cols = f.get("stats", {}).get("columns", {})
+    parts = f.get("partition_values", {})
+    for col, op, val in prune:
+        if col in parts:
+            lo = hi = _coerce_like(val, parts[col])
+        elif col in cols:
+            lo, hi = cols[col]["min"], cols[col]["max"]
+        else:
+            continue
+        try:
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue  # incomparable types → may match
+    return True
+
+
+def _coerce_like(template, s: str):
+    """Partition values are stored as strings; compare in the predicate
+    value's type when it parses."""
+    try:
+        return type(template)(s)
+    except (TypeError, ValueError):
+        return s
+
+
+def _schema_from_json(spark: SparkSession, schema_json: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema_json))
+
+
+def _rmtree_quiet(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

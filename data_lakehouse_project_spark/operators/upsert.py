@@ -43,10 +43,22 @@ def merge_into_path(
 ) -> None:
     """Upsert ``source`` into the table at ``path``.
 
-    Delta path: transactional MERGE (file-pruned). Parquet fallback:
-    read → merge_upsert → overwrite (dynamic partition overwrite when
-    partitioned, so only touched partitions rewrite).
+    Delta path: transactional MERGE (file-pruned). ``fmt="delta-lite"``:
+    transactional MERGE through the homegrown commit log (atomic
+    publish + optimistic conflict detection, operators/txnlog.py) — no
+    self-overwrite hazard because data files are immutable. Parquet
+    fallback: read → merge_upsert → overwrite (dynamic partition
+    overwrite when partitioned, so only touched partitions rewrite).
     """
+    if fmt == "delta-lite":
+        from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+        t = TxnTable(path)
+        if t.latest_version() < 0:
+            t.write(source, mode="overwrite", partition_by=partition_by)
+        else:
+            t.merge(source, keys)
+        return
     if fmt == "delta" and delta_available():
         from delta.tables import DeltaTable
 

@@ -1,0 +1,226 @@
+"""Delta-lite ACID semantics (operators/txnlog.py): atomic visibility,
+time travel, optimistic concurrency, copy-on-write mutation, footer-stats
+scan pruning, vacuum retention. These are the Delta/Iceberg behaviors the
+offline container can't get from the real packages (COVERAGE.md)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.txnlog import (
+    ConcurrentWriteConflict,
+    TxnTable,
+)
+
+
+def _df(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.lit(tag).alias("tag"),
+    )
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    v0 = t.write(_df(spark, 0, 100), mode="overwrite")
+    v1 = t.write(_df(spark, 0, 50, tag="b"), mode="overwrite")
+    v2 = t.write(_df(spark, 100, 110, tag="c"), mode="append")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    assert t.read(spark).count() == 60  # 50 overwritten + 10 appended
+    assert t.read(spark, version=0).count() == 100  # pre-overwrite
+    assert t.read(spark, version=1).count() == 50
+    # read-by-timestamp: as of v0's commit time → v0's data
+    hist = t.history()
+    assert [h["operation"] for h in hist] == ["overwrite", "overwrite", "append"]
+    assert t.read(spark, as_of_ms=hist[0]["timestamp_ms"]).count() == 100
+
+    # appended rows really are there; overwritten v0 rows really are not
+    tags = {r.tag for r in t.read(spark).select("tag").distinct().collect()}
+    assert tags == {"b", "c"}
+
+
+def test_atomic_visibility_half_commit_invisible(spark, tmp_path):
+    """A reader never sees a half-commit: data files without a commit
+    record, and temp/garbage files in the log dir, are invisible."""
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 10), mode="overwrite")
+
+    # crashed writer: data files staged into the table dir, no commit
+    stray_adds = t._stage_data(_df(spark, 1000, 2000), None)
+    assert len(stray_adds) >= 1
+    assert t.read(spark).count() == 10  # unchanged
+
+    # torn publish: a temp log file must be ignored by replay
+    with open(os.path.join(path, "_txn_log", ".tmp-dead.json"), "w") as fh:
+        fh.write('{"add": {"path": "nope.parquet"}}\n')
+    assert t.read(spark).count() == 10
+    assert t.latest_version() == 0
+
+
+def test_optimistic_conflict_two_writers(spark, tmp_path):
+    """Two handles to the same table: the slower read-dependent writer
+    must get ConcurrentWriteConflict, never silently clobber."""
+    path = str(tmp_path / "tbl")
+    TxnTable(path).write(_df(spark, 0, 20), mode="overwrite")
+
+    a, b = TxnTable(path), TxnTable(path)
+    # both stage against read_version=0; A publishes first
+    a.write(_df(spark, 0, 5, tag="A"), mode="overwrite")
+    with pytest.raises(ConcurrentWriteConflict):
+        b._commit(
+            operation="overwrite",
+            read_version=0,
+            adds=b._stage_data(_df(spark, 0, 7, tag="B"), None),
+            removes=[],
+            schema_json=_df(spark, 0, 1).schema.json(),
+            partition_by=None,
+            blind_append=False,
+        )
+    # loser's result is intact: A's overwrite, not B's
+    assert TxnTable(path).read(spark).count() == 5
+    # merge is read-dependent too: stale-handle merge conflicts
+    stale = TxnTable(path)
+    stale_rv = 0  # simulate a merge that read long ago
+    with pytest.raises(ConcurrentWriteConflict):
+        stale._commit(
+            operation="merge",
+            read_version=stale_rv,
+            adds=[],
+            removes=[],
+            schema_json=_df(spark, 0, 1).schema.json(),
+            partition_by=None,
+            blind_append=False,
+        )
+
+
+def test_concurrent_blind_appends_both_land(spark, tmp_path):
+    """Blind appends don't conflict: the publish-race loser retries at
+    the new tip and both commits land."""
+    path = str(tmp_path / "tbl")
+    TxnTable(path).write(_df(spark, 0, 10), mode="overwrite")
+    a, b = TxnTable(path), TxnTable(path)
+    rv = a.latest_version()
+    adds_a = a._stage_data(_df(spark, 100, 110), None)
+    adds_b = b._stage_data(_df(spark, 200, 210), None)
+    schema = _df(spark, 0, 1).schema.json()
+    va = a._commit("append", rv, adds_a, [], schema, None, blind_append=True)
+    vb = b._commit("append", rv, adds_b, [], schema, None, blind_append=True)
+    assert {va, vb} == {1, 2}
+    assert TxnTable(path).read(spark).count() == 30
+
+
+def test_merge_and_delete_copy_on_write(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 10), mode="overwrite")
+    # upsert: ids 5..14 get tag='new' (5-9 updated, 10-14 inserted)
+    t.merge(_df(spark, 5, 15, tag="new"), keys=["id"])
+    rows = {r.id: r.tag for r in t.read(spark).collect()}
+    assert len(rows) == 15
+    assert all(rows[i] == "a" for i in range(5))
+    assert all(rows[i] == "new" for i in range(5, 15))
+    # delete
+    t.delete_where(spark, "id >= 10")
+    assert t.read(spark).count() == 10
+    # time travel still sees every prior state
+    assert t.read(spark, version=0).count() == 10
+    assert t.read(spark, version=1).count() == 15
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    """Range-clustered files + footer min/max stats → a selective
+    predicate provably reads fewer files, with identical results."""
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    # range-partition on id so each file covers a disjoint id range
+    t.write(df.repartitionByRange(8, "id").sortWithinPartitions("id"))
+
+    scanned, total = t.scan_file_count(prune=[("id", "<", 1000)])
+    assert total >= 4 and scanned < total, (scanned, total)
+    got = t.read(spark, prune=[("id", "<", 1000)])
+    assert got.count() == 1000
+    # pruned read ≡ unpruned read + filter (pruning is IO-only)
+    full = t.read(spark).where(F.col("id") < 1000)
+    assert {r.id for r in got.collect()} == {r.id for r in full.collect()}
+    # equality predicate on a mid-range value hits exactly one file
+    scanned_eq, _ = t.scan_file_count(prune=[("id", "=", 5000)])
+    assert scanned_eq == 1
+    assert t.read(spark, prune=[("id", "=", 5000)]).count() == 1
+
+
+def test_partition_value_pruning(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")
+    )
+    t.write(df, partition_by=["bucket"])
+    scanned, total = t.scan_file_count(prune=[("bucket", "=", 1)])
+    assert scanned < total
+    assert t.read(spark, prune=[("bucket", "=", 1)]).count() == 100
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 100), mode="overwrite")  # v0
+    t.write(_df(spark, 0, 10), mode="overwrite")  # v1
+    t._stage_data(_df(spark, 0, 5), None)  # stray uncommitted files
+    # keep both versions: only the stray files go
+    t.vacuum(keep_versions=2)
+    assert t.read(spark, version=0).count() == 100
+    assert t.read(spark, version=1).count() == 10
+    # keep only latest: v0's files are reaped, latest still reads clean
+    deleted = t.vacuum(keep_versions=1)
+    assert deleted
+    assert t.read(spark).count() == 10
+    with pytest.raises(Exception):
+        t.read(spark, version=0).count()
+
+
+def test_sink_and_upsert_integration(spark, tmp_path):
+    """write_table(fmt='delta-lite') and merge_into_path(fmt='delta-lite')
+    route through the log with the same call shapes as delta/parquet."""
+    from data_lakehouse_project_spark.operators.sinks import write_table
+    from data_lakehouse_project_spark.operators.upsert import merge_into_path
+
+    path = str(tmp_path / "tbl")
+    n = write_table(
+        _df(spark, 0, 40), path, fmt="delta-lite", verify=True
+    )
+    assert n == 40
+    merge_into_path(
+        spark, path, _df(spark, 30, 50, tag="m"), keys=["id"],
+        fmt="delta-lite",
+    )
+    t = TxnTable(path)
+    assert t.read(spark).count() == 50
+    assert [h["operation"] for h in t.history()] == ["overwrite", "merge"]
+
+
+def test_log_is_json_and_stats_present(spark, tmp_path):
+    """The log format itself is a contract: line-delimited JSON actions
+    with footer-harvested per-column stats on every add."""
+    path = str(tmp_path / "tbl")
+    TxnTable(path).write(_df(spark, 0, 50))
+    log_file = os.path.join(path, "_txn_log", "0" * 20 + ".json")
+    actions = [json.loads(ln) for ln in open(log_file)]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo" and kinds[1] == "metaData"
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds
+    for a in adds:
+        cols = a["stats"]["columns"]
+        assert "id" in cols and cols["id"]["min"] <= cols["id"]["max"]
+        assert a["stats"]["num_rows"] > 0
+        assert a["size_bytes"] > 0
