@@ -173,24 +173,42 @@ def sparse_cosine_pairs(
     degenerates toward the dense pair matmul, where the LSH family
     (ext/similarity.py) is the right tool instead. No crossJoin: pairs
     exist only where a component index collides.
+
+    Determinism: the dot is accumulated in INTEGER micro-units
+    (components × 10^round_to as BIGINT), not as a float sum — float
+    addition is non-associative, so Spark's partial-aggregation order
+    vs any other engine's (or a rerun's) can flip the last rounded
+    digit on boundary pairs. Integer sums are exact and order-free;
+    the threshold compares in the same scaled-integer domain.
+    Assumes components are already rounded to ``round_to`` digits
+    (hashed_tf_components' contract), |v| ≤ 1.
     """
     scale = float(10**round_to)
+    # dot in micro²-units is exact: |vi| ≤ 10^r ⇒ products ≤ 10^2r,
+    # summed over ≤ dim terms — far below int64.
+    thr_scaled = int(round(threshold * 10 ** (2 * round_to)))
+    half = 10**round_to // 2
+    vi = F.floor(F.col("v") * scale + F.lit(0.5)).cast("long")
     a = components.select(
-        F.col(id_col).alias("_ida"), "i", F.col("v").alias("_va")
+        F.col(id_col).alias("_ida"), "i", vi.alias("_va")
     )
     b = components.select(
-        F.col(id_col).alias("_idb"), "i", F.col("v").alias("_vb")
+        F.col(id_col).alias("_idb"), "i", vi.alias("_vb")
     )
     return (
         a.join(b, "i")
         .where(F.col("_ida") < F.col("_idb"))
         .groupBy("_ida", "_idb")
         .agg(F.sum(F.col("_va") * F.col("_vb")).alias("_dot"))
-        .where(F.col("_dot") >= threshold)
+        .where(F.col("_dot") >= thr_scaled)
         .select(
             F.col("_ida").alias("id_a"),
             F.col("_idb").alias("id_b"),
-            (F.floor(F.col("_dot") * scale + F.lit(0.5)).cast("double") / scale
-             ).alias("cosine"),
+            (
+                F.floor((F.col("_dot") + F.lit(half)) / F.lit(scale)).cast(
+                    "double"
+                )
+                / scale
+            ).alias("cosine"),
         )
     )

@@ -1033,14 +1033,21 @@ cnt AS (SELECT doc_id,
                CAST(COUNT(*) AS DOUBLE) AS c
         FROM tok GROUP BY 1, 2),
 nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS n FROM cnt GROUP BY 1),
-comp AS (SELECT doc_id, i, {R("c / n", 6)} AS v
+-- components in exact integer micro-units: a float SUM of ~90 products
+-- is order-dependent in the last ulp (Spark's partial-agg order vs
+-- DuckDB's), which flipped the 6th rounded digit on boundary pairs;
+-- BIGINT sums are exact and order-free on both engines
+comp AS (SELECT doc_id, i,
+                CAST(FLOOR(c / n * 1000000 + 0.5) AS BIGINT) AS vi
          FROM cnt JOIN nrm USING (doc_id)),
 dots AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.v * b.v) AS dot
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.vi * b.vi) AS dot
   FROM comp a JOIN comp b ON a.i = b.i AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
-SELECT id_a, id_b, {R("dot", 6)} AS cosine
-FROM dots WHERE dot >= 0.995
+SELECT id_a, id_b,
+       CAST(FLOOR((dot + 500000) / 1000000.0) AS DOUBLE) / 1000000.0
+         AS cosine
+FROM dots WHERE dot >= 995000000000
 """
 
 
@@ -2503,10 +2510,10 @@ GRADED_WINDOW: list[str] = [
     "supplier_nation_profit",
     "market_share",
     "custdist",
-    # window shapes
+    # window shapes (range_trailing rotated past the window in r4 — same
+    # frame family as order_gaps; still selfchecked)
     "window_topk_per_customer",
     "window_order_gaps",
-    "window_range_trailing",
     # statistical aggregates
     "agg_stats",
     "agg_median_percentile",
@@ -2515,23 +2522,26 @@ GRADED_WINDOW: list[str] = [
     "setop_intersect_all",
     "rollup_status_priority",
     "pivot_status_priority",
-    # dedup family (LLM pipeline)
+    # dedup family (LLM pipeline). Round-4 rotation (verdict #3): the
+    # flagship hashed-TF sparse-cosine path replaces two same-family
+    # rows (tokenset ≈ exact-groups; canonical_docs ≈ clusters' closure)
+    # — the rotated-out rows remain registered and selfchecked.
     "dedup_exact_groups",
-    "dedup_tokenset_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_clusters",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
-    "corpus_canonical_docs",
     "incremental_dedup",
+    "doc_semantic_pairs",
     # similarity / vectors / skew
     "ann_cosine_topk",
     "ann_lsh_topk",  # full-probe grading config vs exact oracle
     "embedding_label_centroids",
     "salted_event_rollup",
-    # text analysis family
+    # text analysis family (+ r4 rotation: posting-list novelty scoring)
     "text_stats",
     "lang_id_heuristic",
+    "ngram_novelty_scores",
     # multimodal family (oracle-checked through the mapInPandas stub)
     "multimodal_features",
     # events / time-series family (JSON extraction is covered in-window
@@ -2542,8 +2552,9 @@ GRADED_WINDOW: list[str] = [
     "events_asof_join",
     "events_session_window",
     "events_funnel",
-    # deterministic-sampling family (training-data pipeline)
+    # deterministic-sampling family (+ r4 rotation: token budgets)
     "sample_stratified_documents",
+    "token_budget_selection",
     # modern-SQL family (previously driver-unchecked)
     "recursive_cte_sql",
     "events_variant_extract",
