@@ -122,6 +122,62 @@ def replicate_universe_docs(base, mult):
     )
 
 
+def replicate_skewed_docs(base, mult):
+    """Replicated documents with a Zipf-skewed ``domain`` column: domain
+    d = BUCKETS // (bucket+1) over the uniform md5 bucket, so domain 1
+    holds ~half of ALL rows, domain 2 ~1/6, ... (mass ∝ 1/(d(d+1))) —
+    one pathologically hot crawl host plus a power-law tail, fully
+    deterministic. Replica ids stay unique so rank/hash caps see real
+    per-row identities."""
+    from data_lakehouse_project_spark.ext.sampling import BUCKETS, hash_bucket
+
+    rep = base.select(
+        F.explode(F.array(*[F.lit(i) for i in range(mult)])).alias("_u"),
+        "doc_id",
+        "text",
+    ).select(
+        (F.col("doc_id") * mult + F.col("_u")).alias("doc_id"), "text"
+    )
+    b = hash_bucket(F.col("doc_id"))
+    return rep.withColumn(
+        "domain", (F.lit(BUCKETS) / (b + F.lit(1))).cast("long")
+    )
+
+
+def shape_skew_cap_sort(df, orders):
+    """Window-rank domain quota — the per-group sort straggles on the
+    hot domain; this is the curve the hash variant should flatten."""
+    from data_lakehouse_project_spark.ext.sampling import cap_per_group
+
+    return cap_per_group(df, "domain", "doc_id", 100)
+
+
+def shape_skew_cap_hash(df, orders):
+    """No-sort hash-bucket domain quota — map-only after a broadcast of
+    per-domain counts; hot domains cost the same as cold ones."""
+    from data_lakehouse_project_spark.ext.sampling import cap_per_group_hash
+
+    return cap_per_group_hash(df, "domain", "doc_id", 100)
+
+
+def shape_skew_rollup_plain(df, orders):
+    return df.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+def shape_skew_rollup_salted(df, orders):
+    from data_lakehouse_project_spark.ext.skew import salted_aggregate
+
+    return salted_aggregate(
+        df.withColumn("_len", F.length("text")),
+        ["domain"],
+        sums={"n_chars": "_len"},
+        count_name="n_docs",
+    )
+
+
 def shape_minhash(df, orders):
     """Production MinHash LSH at rep grain (expand=False): collapse →
     band → bucket join → verify. The collapsed output keeps the probe
@@ -162,6 +218,14 @@ SHAPES = {
     "text": ("documents", shape_text, replicate_union),
     "vector": ("embeddings", shape_vector, replicate_explode),
     "minhash": ("documents", shape_minhash, replicate_universe_docs),
+    "skew_cap_sort": ("documents", shape_skew_cap_sort, replicate_skewed_docs),
+    "skew_cap_hash": ("documents", shape_skew_cap_hash, replicate_skewed_docs),
+    "skew_rollup_plain": (
+        "documents", shape_skew_rollup_plain, replicate_skewed_docs,
+    ),
+    "skew_rollup_salted": (
+        "documents", shape_skew_rollup_salted, replicate_skewed_docs,
+    ),
 }
 
 
@@ -181,7 +245,15 @@ def main() -> None:
         base = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
         n_base = base.count()
         for mult in mults:
-            df = replicate(base, mult) if mult > 1 else base
+            # always through replicate: some replicators also derive
+            # probe columns (e.g. the skewed `domain`) even at mult=1
+            df = replicate(base, mult)
+            if shape.startswith("skew_"):
+                # materialize the synthetic skewed input so the timer
+                # sees the OPERATOR's cost (at scale the input is on
+                # disk; recomputing the explode inside a two-pass
+                # operator would bill generation twice)
+                df = df.localCheckpoint(eager=True)
             t0 = time.perf_counter()
             fn(df, orders).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
