@@ -1,0 +1,188 @@
+"""Streaming training-corpus admission: the online counterpart of
+examples/training_corpus_pipeline.py.
+
+A document stream (files landing in a directory — swap for Kafka by
+changing one ``readStream`` line) is admitted into a living corpus via
+``foreachBatch``, composing the engine's incremental operators:
+
+    micro-batch of raw docs
+      → quality gate (JVM expression filter)   ext/text.py::quality_score
+      → within-batch exact dedup (keep-first)  ext/dedup.py::exact_dedup_groups
+      → batch-vs-CORPUS dedup verdicts         ext/dedup.py::incremental_dedup_report
+        (only 'unique' docs survive; exact and near matches against
+        everything ever admitted are rejected — old×old pairs are never
+        generated, the admission-control cost shape)
+      → ACID append to the corpus table        operators/txnlog.py::TxnTable
+        (one commit per micro-batch: readers see whole batches or
+        nothing, and every batch is a time-travelable version)
+      → IVF index admission under frozen       ext/ivf.py::append_to_ivf_index
+        centroids (dynamic-partition append, no rebuild)
+      → training-shard delivery + verifiable   ext/shards.py::write_training_shards,
+        manifest, re-verified after each batch ext/shards.py::verify_shards
+
+Exactly-once posture: the streaming checkpoint makes batch delivery
+at-least-once; the corpus-level dedup makes re-delivered docs no-ops, so
+the pipeline is idempotent end to end. At scale the per-batch shard
+rewrite becomes an incremental delta-shard append; the corpus re-read
+stays cheap because incremental_dedup probes fingerprints/postings, a
+persisted index in a real deployment.
+
+    python examples/streaming_curation_admission.py [src_dir] [table_root]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.ext.dedup import (
+    exact_dedup_groups,
+    incremental_dedup_report,
+)
+from data_lakehouse_project_spark.ext.ivf import append_to_ivf_index
+from data_lakehouse_project_spark.ext.shards import (
+    verify_shards,
+    write_training_shards,
+)
+from data_lakehouse_project_spark.ext.text import quality_score
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+MIN_QUALITY = 0.2
+DOC_SCHEMA = "doc_id long, source string, text string"
+
+
+def pseudo_embedding(dim: int = 8):
+    """Deterministic per-doc vector (hash projection of doc_id) — stands
+    in for a model embedding so the IVF admission plumbing is real while
+    the example stays model-free."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(1000)) / 1000.0
+        ),
+    )
+
+
+def admit_batch(
+    batch_df: DataFrame,
+    corpus_path: str,
+    ivf_path: str,
+    shards_path: str,
+    centroids: np.ndarray,
+    jaccard_threshold: float = 0.8,
+) -> dict[str, int]:
+    """One micro-batch through the admission funnel. Returns stage
+    counts (arrived/gated/novel) for observability."""
+    spark = batch_df.sparkSession
+    arrived = batch_df.count()
+
+    ok_ids = quality_score(batch_df, "text", "doc_id").where(
+        F.col("quality_score") >= MIN_QUALITY
+    )
+    gated = batch_df.join(ok_ids.select("doc_id"), "doc_id")
+    # within-batch exact dedup: keep each fingerprint group's min id
+    keeps = exact_dedup_groups(gated, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    gated = gated.join(keeps, "doc_id")
+    n_gated = gated.count()
+
+    table = TxnTable(corpus_path)
+    if table.latest_version() >= 0:
+        corpus = table.read(spark).select("doc_id", "text")
+        verdicts = incremental_dedup_report(
+            corpus, gated, "text", "doc_id",
+            jaccard_threshold=jaccard_threshold,
+        )
+        novel = gated.join(
+            verdicts.where(F.col("kind") == "unique").select("doc_id"),
+            "doc_id",
+        )
+    else:
+        novel = gated
+    # stabilize: everything downstream (corpus append, IVF, shards)
+    # must see the SAME novel set even though parquet reads re-plan
+    novel = novel.localCheckpoint(eager=True)
+    n_novel = novel.count()
+
+    if n_novel:
+        table.write(novel, mode="append")  # one atomic commit per batch
+        append_to_ivf_index(
+            novel.withColumn("embedding", pseudo_embedding()),
+            "embedding",
+            ivf_path,
+            centroids,
+        )
+        write_training_shards(
+            table.read(spark), "text", "doc_id", shards_path, n_shards=4
+        )
+        bad = verify_shards(spark, shards_path).where(~F.col("ok")).count()
+        if bad:
+            raise RuntimeError(f"{bad} shard(s) failed verification")
+    return {"arrived": arrived, "gated": n_gated, "novel": n_novel}
+
+
+def run_admission_stream(
+    spark: SparkSession,
+    src_dir: str,
+    root: str,
+    centroids: np.ndarray,
+    jaccard_threshold: float = 0.8,
+) -> list[dict[str, int]]:
+    """Drain everything currently in ``src_dir`` (availableNow trigger)
+    through the admission funnel; returns per-batch stage counts."""
+    stats: list[dict[str, int]] = []
+    paths = {
+        "corpus": os.path.join(root, "corpus"),
+        "ivf": os.path.join(root, "ivf_index"),
+        "shards": os.path.join(root, "shards"),
+    }
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        stats.append(
+            admit_batch(
+                batch_df,
+                paths["corpus"],
+                paths["ivf"],
+                paths["shards"],
+                centroids,
+                jaccard_threshold=jaccard_threshold,
+            )
+        )
+
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one landed file = one batch
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(root, "_checkpoint"))
+        .start()
+    )
+    q.awaitTermination(300)
+    return stats
+
+
+def main() -> None:
+    from data_lakehouse_project_spark import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/curation_stream_src"
+    root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_stream_out"
+    spark = get_spark(app_name="streaming-curation")
+    rng = np.random.RandomState(0)
+    centroids = rng.rand(4, 8)
+    for s in run_admission_stream(spark, src, root, centroids):
+        print(s)
+    t = TxnTable(os.path.join(root, "corpus"))
+    print("corpus rows:", t.read(spark).count(), "versions:", t.history())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
