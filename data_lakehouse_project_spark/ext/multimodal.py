@@ -362,25 +362,43 @@ RESIZED_SCHEMA = (
 
 def resize_images(df: DataFrame, width: int, height: int,
                   batch_hint: int = 1024) -> DataFrame:
-    """Image resize over Arrow batches (mapInPandas). The pixel kernel is
-    a STUB (no image codecs in this container): it deterministically
-    resamples the RAW BYTES to width*height*3 via stride-sampling, which
-    preserves the real plumbing — binary in/binary out, per-batch Arrow
-    transfer, stable output schema with size metadata — so swapping in a
-    PIL/libvips kernel changes one inner function, not the operator.
-    Non-image rows pass through untouched metadata-wise (content kept,
-    out_w/out_h null) so the operator is safe mid-pipeline.
+    """Image resize over Arrow batches (mapInPandas).
+
+    Payloads in a container-decodable format (PPM/PGM/BMP24/PNG — see
+    ``decode_image``) get a REAL nearest-neighbor pixel resize and are
+    re-encoded as binary PPM (P6, the codec-free interchange format —
+    every downstream decode path here reads it). Everything else
+    (JPEG, corrupt, non-image bytes) falls back to the deterministic
+    stride-sampling stub so the operator stays total: binary in/binary
+    out, per-batch Arrow transfer, stable output schema. Non-image rows
+    pass through untouched metadata-wise (content kept, out_w/out_h
+    null) so the operator is safe mid-pipeline.
     """
     import numpy as np
 
     target = width * height * 3
 
     def _resize_bytes(b: bytes) -> bytes:
-        src = np.frombuffer(b, dtype=np.uint8)
-        if len(src) == 0:
-            return bytes(target)
-        idx = (np.arange(target) * len(src) // target) % len(src)
-        return src[idx].tobytes()
+        try:
+            img = decode_image(b)
+        except (ValueError, IndexError):
+            # stub: deterministic stride-resample of the raw bytes
+            src = np.frombuffer(b, dtype=np.uint8)
+            if len(src) == 0:
+                return bytes(target)
+            idx = (np.arange(target) * len(src) // target) % len(src)
+            return src[idx].tobytes()
+        h0, w0 = img.shape[:2]
+        ys = (np.arange(height) * h0) // height
+        xs = (np.arange(width) * w0) // width
+        out = img[ys][:, xs]
+        if out.shape[2] == 1:  # gray → RGB for the fixed P6 contract
+            out = np.repeat(out, 3, axis=2)
+        elif out.shape[2] == 4:  # drop alpha
+            out = out[:, :, :3]
+        return (
+            b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
+        )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

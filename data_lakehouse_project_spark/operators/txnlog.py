@@ -34,12 +34,13 @@ The log is the source of truth for LIVENESS, not existence: stray data
 files (crashed writers, half-finished jobs) are ignored by readers and
 reaped by ``vacuum``.
 
-Scale notes: the log is driver-side metadata — O(files) JSON, not data;
-snapshot replay is a linear scan of ≤ a few thousand tiny files (a
-checkpoint compaction hook is the known growth path, as in Delta).
-Stats harvesting reads only footers (KBs per file). Data files are
-immutable — every mutation is copy-on-write at file granularity,
-exactly the Delta/Iceberg contract.
+Scale notes: the log is driver-side metadata — O(files) JSON, not data.
+Every ``CHECKPOINT_INTERVAL``-th commit also writes a checkpoint (the
+full active file set at that version, Delta-style), so snapshot replay
+reads one checkpoint + at most ``CHECKPOINT_INTERVAL`` commit files
+regardless of table age. Stats harvesting reads only footers (KBs per
+file). Data files are immutable — every mutation is copy-on-write at
+file granularity, exactly the Delta/Iceberg contract.
 """
 
 from __future__ import annotations
@@ -54,6 +55,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_txn_log"
 _VERSION_DIGITS = 20
+# every Nth commit also writes a full-snapshot checkpoint, bounding
+# replay to one checkpoint + <N commit files for any table age
+CHECKPOINT_INTERVAL = 10
 
 
 class ConcurrentWriteConflict(RuntimeError):
@@ -77,6 +81,25 @@ def _list_versions(table: str) -> list[int]:
         stem, ext = os.path.splitext(name)
         if ext == ".json" and len(stem) == _VERSION_DIGITS and stem.isdigit():
             out.append(int(stem))
+    return sorted(out)
+
+
+def _checkpoint_file(table: str, version: int) -> str:
+    return os.path.join(
+        _log_path(table), f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
+    )
+
+
+def _list_checkpoints(table: str) -> list[int]:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".checkpoint.json"):
+            stem = name[: -len(".checkpoint.json")]
+            if len(stem) == _VERSION_DIGITS and stem.isdigit():
+                out.append(int(stem))
     return sorted(out)
 
 
@@ -193,27 +216,39 @@ class TxnTable:
         self, version: int | None = None, as_of_ms: int | None = None
     ) -> Snapshot:
         """Replay the log to ``version`` (or to the last commit at or
-        before ``as_of_ms``). Active files = adds minus removes."""
+        before ``as_of_ms``). Active files = adds minus removes. Replay
+        starts from the newest checkpoint at or before the target, so
+        cost is bounded by CHECKPOINT_INTERVAL commit files, not table
+        age."""
         versions = _list_versions(self.path)
         if not versions:
             raise FileNotFoundError(f"no delta-lite log at {self.path}")
-        if version is None:
+        if as_of_ms is not None:
+            version = self._version_at(as_of_ms)
+        elif version is None:
             version = versions[-1]
         elif version not in versions:
             raise ValueError(f"version {version} not in log (have {versions})")
+
         active: dict[str, dict] = {}
         schema_json = None
         ts = 0
+        version_seen = -1
+        start = versions[0]
+        cps = [c for c in _list_checkpoints(self.path) if c <= version]
+        if cps:
+            cp = self._read_checkpoint(cps[-1])
+            active = {f["path"]: f for f in cp["files"]}
+            schema_json = cp.get("schema_json")
+            ts = cp.get("timestamp_ms", 0)
+            version_seen = cp["version"]
+            start = cp["version"] + 1
         for v in versions:
+            if v < start:
+                continue
             if v > version:
                 break
             adds, removes, info, meta = self._read_commit(v)
-            if as_of_ms is not None and info["timestamp_ms"] > as_of_ms:
-                if v == versions[0]:
-                    raise ValueError(
-                        f"no commit at or before as_of_ms={as_of_ms}"
-                    )
-                break
             for r in removes:
                 active.pop(r["path"], None)
             for a in adds:
@@ -228,6 +263,47 @@ class TxnTable:
             schema_json=schema_json,
             timestamp_ms=ts,
         )
+
+    def _version_at(self, as_of_ms: int) -> int:
+        """Largest version whose commit timestamp is <= as_of_ms (reads
+        only commitInfo lines)."""
+        best = None
+        for v in _list_versions(self.path):
+            _, _, info, _ = self._read_commit(v)
+            if info["timestamp_ms"] <= as_of_ms:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(f"no commit at or before as_of_ms={as_of_ms}")
+        return best
+
+    def _read_checkpoint(self, version: int) -> dict:
+        with open(_checkpoint_file(self.path, version)) as fh:
+            return json.load(fh)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Best-effort checkpoint write after every Nth commit — a
+        failure here never fails the commit (the linear log remains the
+        source of truth; the checkpoint only accelerates replay)."""
+        if version <= 0 or version % CHECKPOINT_INTERVAL:
+            return
+        try:
+            snap = self.snapshot(version=version)
+            payload = {
+                "version": version,
+                "timestamp_ms": snap.timestamp_ms,
+                "schema_json": snap.schema_json,
+                "files": snap.files,
+            }
+            tmp = os.path.join(
+                _log_path(self.path), f".tmpcp-{uuid.uuid4().hex}.json"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, _checkpoint_file(self.path, version))
+        except OSError:
+            pass
 
     def read(
         self,
@@ -471,6 +547,7 @@ class TxnTable:
             try:
                 os.link(tmp, target)  # atomic create-if-absent
                 os.remove(tmp)
+                self._maybe_checkpoint(attempt_version)
                 return attempt_version
             except FileExistsError:
                 os.remove(tmp)

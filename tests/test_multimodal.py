@@ -4,6 +4,8 @@ test container) — these tests pin the distributed mechanics."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_lakehouse_project_spark.ext import multimodal as mm
 
 
@@ -285,3 +287,51 @@ def test_extract_features_decodes_png(spark):
     assert row.features[7] == 1.0
     assert abs(row.features[3] - flat.mean()) < 1e-12
     assert abs(row.features[4] - flat.std()) < 1e-12
+
+
+def test_resize_images_real_pixels(spark):
+    """Decodable payloads get a REAL nearest-neighbor resize re-encoded
+    as P6; undecodable ones keep the stride stub."""
+    import numpy as np
+
+    ppm, img = _ppm_bytes(6, 4)
+    rng = np.random.RandomState(5)
+    pimg = rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    png = _png_bytes(pimg, color_type=2, filters=[0, 1, 2, 4])
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm), 6, 4, 0, "image/x-ppm"),
+            (2, "image", bytearray(png), 6, 4, 0, "image/png"),
+            (3, "image", bytearray(b"garbage bytes"), 0, 0, 0, "x/bin"),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.resize_images(df, 3, 2).collect()}
+
+    def expect(src):
+        ys = (np.arange(2) * src.shape[0]) // 2
+        xs = (np.arange(3) * src.shape[1]) // 3
+        return src[ys][:, xs]
+
+    got1 = mm.decode_image(bytes(out[1].content))
+    assert np.array_equal(got1, expect(img))
+    got2 = mm.decode_image(bytes(out[2].content))
+    assert np.array_equal(got2, expect(pimg))
+    # resize then decode == full real pipeline: features flag 1.0
+    feats = {
+        r.media_id: r.features
+        for r in mm.extract_features(
+            mm.resize_images(df, 3, 2).select(
+                "media_id",
+                F.lit("image").alias("media_type"),
+                "content",
+                F.lit(3).alias("width"),
+                F.lit(2).alias("height"),
+                F.lit(0).alias("duration_ms"),
+                F.lit("image/x-ppm").alias("mime"),
+            )
+        ).collect()
+    }
+    assert feats[1][:3] == [3.0, 2.0, 3.0] and feats[1][7] == 1.0
+    # undecodable payload keeps the stub (content is raw resampled bytes)
+    assert out[3].n_bytes == 3 * 2 * 3

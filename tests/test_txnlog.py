@@ -224,3 +224,56 @@ def test_log_is_json_and_stats_present(spark, tmp_path):
         assert "id" in cols and cols["id"]["min"] <= cols["id"]["max"]
         assert a["stats"]["num_rows"] > 0
         assert a["size_bytes"] > 0
+
+
+def test_checkpoint_compaction_bounds_replay(spark, tmp_path):
+    """Every CHECKPOINT_INTERVAL-th commit writes a checkpoint; replay
+    from it must agree exactly with linear replay, and time travel on
+    both sides of the checkpoint keeps working."""
+    from data_lakehouse_project_spark.operators import txnlog as tl
+
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 10), mode="overwrite")  # v0
+    for i in range(1, 13):  # v1..v12 appends of 5 rows each
+        t.write(_df(spark, 100 * i, 100 * i + 5), mode="append")
+    assert t.latest_version() == 12
+    # checkpoint landed at v10
+    assert tl._list_checkpoints(path) == [10]
+
+    # checkpointed replay ≡ linear replay: delete the checkpoint and
+    # compare the full snapshot file sets
+    snap_fast = t.snapshot()
+    os.remove(tl._checkpoint_file(path, 10))
+    snap_linear = t.snapshot()
+    assert {f["path"] for f in snap_fast.files} == {
+        f["path"] for f in snap_linear.files
+    }
+    assert snap_fast.version == snap_linear.version == 12
+
+    # restore a checkpoint by committing past the next interval
+    for i in range(13, 21):
+        t.write(_df(spark, 1000 * i, 1000 * i + 2), mode="append")
+    assert tl._list_checkpoints(path) == [20]
+    # time travel BEFORE the checkpoint (linear replay region)
+    assert t.read(spark, version=3).count() == 10 + 3 * 5
+    # at and after it (checkpoint-started replay)
+    assert t.read(spark, version=20).count() == 10 + 12 * 5 + 8 * 2
+    assert t.read(spark).count() == 10 + 12 * 5 + 8 * 2
+
+
+def test_checkpoint_corruption_is_nonfatal(spark, tmp_path):
+    """The linear log stays the source of truth: a corrupt checkpoint
+    can be deleted and every read still works (checkpoints only
+    accelerate replay)."""
+    from data_lakehouse_project_spark.operators import txnlog as tl
+
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 10), mode="overwrite")
+    for i in range(1, 11):
+        t.write(_df(spark, 100 * i, 100 * i + 1), mode="append")
+    (cp,) = tl._list_checkpoints(path)
+    os.remove(tl._checkpoint_file(path, cp))
+    assert t.read(spark).count() == 20
+    assert t.read(spark, version=0).count() == 10
