@@ -638,11 +638,59 @@ def incremental_dedup_report(
     fingerprints and posting lists are the persisted index this
     operator probes, not something recomputed per batch.
     """
+    old_fp, sh_old = build_dedup_index(old_df, text_col, id_col, n=n)
+    return incremental_dedup_report_indexed(
+        old_fp,
+        sh_old,
+        new_df,
+        text_col,
+        id_col,
+        n=n,
+        jaccard_threshold=jaccard_threshold,
+        round_to=round_to,
+    )
+
+
+def build_dedup_index(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side dedup index as two persistable tables:
+    fingerprints ``(old_id, fp)`` and shingle postings ``(old_id, sh)``.
+
+    This is the state a production admission pipeline APPENDS per
+    admitted batch (e.g. into delta-lite tables) instead of re-deriving
+    md5 + shingles over the whole corpus text on every micro-batch —
+    the probe then scans two narrow index tables, never the corpus
+    text. ``incremental_dedup_report`` is the recompute-wrapper over
+    this; ``incremental_dedup_report_indexed`` is the probe."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    fp_df = df.select(F.col(id_col).alias("old_id"), fp.alias("fp"))
+    postings = df.select(
+        F.col(id_col).alias("old_id"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    return fp_df, postings
+
+
+def incremental_dedup_report_indexed(
+    old_fp: DataFrame,
+    old_postings: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    jaccard_threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """``incremental_dedup_report`` probing a PERSISTED corpus index
+    (``build_dedup_index`` schemas: ``(old_id, fp)`` / ``(old_id, sh)``)
+    instead of recomputing fingerprints+shingles from corpus text. Same
+    verdict semantics, but per-batch cost no longer touches corpus text
+    at all — the 100 TB admission-control shape."""
     from pyspark.sql import Window
 
     fp = F.md5(normalize_text(F.col(text_col)))
     new_fp = new_df.select(F.col(id_col), fp.alias("fp"))
-    old_fp = old_df.select(F.col(id_col).alias("old_id"), fp.alias("fp"))
     exact = (
         new_fp.join(old_fp, "fp")
         .groupBy(id_col)
@@ -652,10 +700,7 @@ def incremental_dedup_report(
     sh_new = new_df.select(
         F.col(id_col), F.explode(char_shingles(F.col(text_col), n)).alias("sh")
     )
-    sh_old = old_df.select(
-        F.col(id_col).alias("old_id"),
-        F.explode(char_shingles(F.col(text_col), n)).alias("sh"),
-    )
+    sh_old = old_postings
     n_new = sh_new.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
     n_old = sh_old.groupBy("old_id").agg(F.count(F.lit(1)).alias("n_b"))
     shared = (

@@ -64,6 +64,10 @@ class ConcurrentWriteConflict(RuntimeError):
     """Another commit landed between this operation's read and publish."""
 
 
+class SchemaMismatchError(ValueError):
+    """Append schema differs from the table schema (schema-on-write)."""
+
+
 def _log_path(table: str) -> str:
     return os.path.join(table, LOG_DIR)
 
@@ -325,14 +329,23 @@ class TxnTable:
         files = snap.files
         if prune:
             files = [f for f in files if _file_may_match(f, prune)]
+        schema = (
+            _schema_from_json(spark, snap.schema_json)
+            if snap.schema_json
+            else None
+        )
         if not files:
-            schema = (
-                _schema_from_json(spark, snap.schema_json)
-                if snap.schema_json
-                else None
-            )
             return spark.createDataFrame([], schema)
-        df = spark.read.parquet(
+        reader = spark.read
+        if schema is not None:
+            # the SNAPSHOT's schema governs the read (Delta semantics):
+            # after an additive schema change, older files in the same
+            # snapshot surface the new column as null instead of the
+            # union-by-position guesswork of bare multi-path parquet
+            reader = reader.schema(schema)
+        # basePath keeps hive partition columns when reading explicit
+        # file paths (without it Spark drops k=v dir columns entirely)
+        df = reader.option("basePath", self.path).parquet(
             *[os.path.join(self.path, f["path"]) for f in files]
         )
         if prune:
@@ -367,11 +380,22 @@ class TxnTable:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        allow_schema_evolution: bool = False,
     ) -> int:
-        """Append or overwrite; returns the committed version."""
+        """Append or overwrite; returns the committed version.
+
+        Appends enforce schema-on-write (exact field name/type match
+        with the table schema). ``allow_schema_evolution=True`` permits
+        ADDITIVE appends — every existing field kept, new fields
+        allowed; the snapshot schema advances and older files surface
+        the new columns as null (the explicit-schema read guarantees
+        it). Overwrite replaces the schema outright, like Delta.
+        """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
         read_version = self.latest_version()
+        if mode == "append" and read_version >= 0:
+            self._check_append_schema(df, allow_schema_evolution)
         adds = self._stage_data(df, partition_by)
         removes = (
             [{"path": f["path"]} for f in self.snapshot().files]
@@ -446,6 +470,35 @@ class TxnTable:
         return deleted
 
     # ---------------- internals ----------------
+
+    def _check_append_schema(
+        self, df: DataFrame, allow_evolution: bool
+    ) -> None:
+        current = self.snapshot().schema_json
+        if not current:
+            return
+        old = {
+            f["name"]: json.dumps(f["type"], sort_keys=True)
+            for f in json.loads(current)["fields"]
+        }
+        new = {
+            f["name"]: json.dumps(f["type"], sort_keys=True)
+            for f in json.loads(df.schema.json())["fields"]
+        }
+        dropped = {n for n in old if n not in new}
+        changed = {n for n in old if n in new and old[n] != new[n]}
+        added = {n for n in new if n not in old}
+        if dropped or changed:
+            raise SchemaMismatchError(
+                f"append would drop {sorted(dropped)} / retype "
+                f"{sorted(changed)}; use mode='overwrite' to replace "
+                "the schema"
+            )
+        if added and not allow_evolution:
+            raise SchemaMismatchError(
+                f"append adds fields {sorted(added)}; pass "
+                "allow_schema_evolution=True for additive evolution"
+            )
 
     def _read_commit(self, version: int):
         adds, removes, info, meta = [], [], None, None

@@ -8,10 +8,11 @@ changing one ``readStream`` line) is admitted into a living corpus via
     micro-batch of raw docs
       → quality gate (JVM expression filter)   ext/text.py::quality_score
       → within-batch exact dedup (keep-first)  ext/dedup.py::exact_dedup_groups
-      → batch-vs-CORPUS dedup verdicts         ext/dedup.py::incremental_dedup_report
-        (only 'unique' docs survive; exact and near matches against
-        everything ever admitted are rejected — old×old pairs are never
-        generated, the admission-control cost shape)
+      → batch-vs-CORPUS dedup verdicts         ext/dedup.py::incremental_dedup_report_indexed
+        probing a PERSISTED index (fingerprints + shingle postings,
+        two delta-lite tables APPENDED per admitted batch) — corpus
+        text is never re-scanned per batch, old×old pairs are never
+        generated, and only 'unique' docs survive
       → ACID append to the corpus table        operators/txnlog.py::TxnTable
         (one commit per micro-batch: readers see whole batches or
         nothing, and every batch is a time-travelable version)
@@ -42,8 +43,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_lakehouse_project_spark.ext.dedup import (
+    build_dedup_index,
     exact_dedup_groups,
-    incremental_dedup_report,
+    incremental_dedup_report_indexed,
 )
 from data_lakehouse_project_spark.ext.ivf import append_to_ivf_index
 from data_lakehouse_project_spark.ext.shards import (
@@ -94,10 +96,15 @@ def admit_batch(
     n_gated = gated.count()
 
     table = TxnTable(corpus_path)
+    fp_table = TxnTable(corpus_path + "_fp_index")
+    sh_table = TxnTable(corpus_path + "_postings")
     if table.latest_version() >= 0:
-        corpus = table.read(spark).select("doc_id", "text")
-        verdicts = incremental_dedup_report(
-            corpus, gated, "text", "doc_id",
+        verdicts = incremental_dedup_report_indexed(
+            fp_table.read(spark),
+            sh_table.read(spark),
+            gated,
+            "text",
+            "doc_id",
             jaccard_threshold=jaccard_threshold,
         )
         novel = gated.join(
@@ -113,6 +120,10 @@ def admit_batch(
 
     if n_novel:
         table.write(novel, mode="append")  # one atomic commit per batch
+        # grow the persisted dedup index by exactly the admitted docs
+        new_fp, new_sh = build_dedup_index(novel, "text", "doc_id")
+        fp_table.write(new_fp, mode="append")
+        sh_table.write(new_sh, mode="append")
         append_to_ivf_index(
             novel.withColumn("embedding", pseudo_embedding()),
             "embedding",

@@ -128,3 +128,41 @@ def test_redelivery_is_idempotent(spark, tmp_path):
     assert sum(s["novel"] for s in stats) == 0
     assert t.latest_version() == v_before  # no new commit, no new shards
     assert {r.doc_id for r in t.read(spark).collect()} == {1, 2, 3}
+
+
+def test_indexed_report_equals_recompute(spark):
+    """The persisted-index probe is semantics-identical to the
+    recompute-from-text wrapper (same verdicts row for row)."""
+    from data_lakehouse_project_spark.ext.dedup import (
+        build_dedup_index,
+        incremental_dedup_report,
+        incremental_dedup_report_indexed,
+    )
+
+    old = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([
+            "the quick brown fox jumps over the lazy dog tonight",
+            "a completely different story about mountain weather",
+            "yet another corpus document with plenty of words here",
+        ])],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "the quick brown fox jumps over the lazy cat tonight"),
+            (12, "something entirely novel that matches no corpus doc"),
+        ],
+        "doc_id long, text string",
+    )
+    direct = incremental_dedup_report(
+        old, new, "text", "doc_id", jaccard_threshold=0.6
+    )
+    fp, sh = build_dedup_index(old, "text", "doc_id")
+    probed = incremental_dedup_report_indexed(
+        fp, sh, new, "text", "doc_id", jaccard_threshold=0.6
+    )
+    as_rows = lambda df: sorted(map(tuple, df.collect()))
+    assert as_rows(direct) == as_rows(probed)
+    kinds = {r.doc_id: r.kind for r in probed.collect()}
+    assert kinds == {10: "exact", 11: "near", 12: "unique"}

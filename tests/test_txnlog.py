@@ -277,3 +277,94 @@ def test_checkpoint_corruption_is_nonfatal(spark, tmp_path):
     os.remove(tl._checkpoint_file(path, cp))
     assert t.read(spark).count() == 20
     assert t.read(spark, version=0).count() == 10
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    """Appends are schema-on-write; additive evolution is opt-in and
+    older files surface the new column as null under the snapshot
+    schema (explicit-schema read)."""
+    from data_lakehouse_project_spark.operators.txnlog import (
+        SchemaMismatchError,
+    )
+
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 10), mode="overwrite")
+
+    # incompatible appends rejected: missing column / retyped column
+    with pytest.raises(SchemaMismatchError):
+        t.write(_df(spark, 10, 20).drop("tag"), mode="append")
+    with pytest.raises(SchemaMismatchError):
+        t.write(
+            _df(spark, 10, 20).withColumn(
+                "v", F.col("v").cast("string")
+            ),
+            mode="append",
+        )
+    # extra column rejected unless evolution is opted in
+    extra = _df(spark, 10, 20).withColumn("lang", F.lit("en"))
+    with pytest.raises(SchemaMismatchError):
+        t.write(extra, mode="append")
+    t.write(extra, mode="append", allow_schema_evolution=True)
+
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "v", "tag", "lang"}
+    by_id = {r.id: r.lang for r in got.collect()}
+    assert len(by_id) == 20
+    assert all(by_id[i] is None for i in range(10))  # old files null-fill
+    assert all(by_id[i] == "en" for i in range(10, 20))
+    # time travel to v0 shows the ORIGINAL schema
+    assert set(t.read(spark, version=0).columns) == {"id", "v", "tag"}
+
+
+def test_partition_column_survives_read(spark, tmp_path):
+    """Explicit-file-path reads keep hive partition columns (basePath)."""
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    df = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")
+    )
+    t.write(df, partition_by=["bucket"])
+    got = t.read(spark)
+    assert "bucket" in got.columns
+    assert {r.bucket for r in got.select("bucket").distinct().collect()} == {
+        0, 1, 2,
+    }
+    pruned = t.read(spark, prune=[("bucket", "=", 2)])
+    assert {r.bucket for r in pruned.select("bucket").distinct().collect()} == {2}
+
+
+def test_truly_concurrent_appends_from_threads(spark, tmp_path):
+    """Four writer threads racing real appends: the hard-link publish
+    serializes them into distinct contiguous versions and no rows are
+    lost (the POSIX-atomicity claim under actual concurrency, not a
+    staged race)."""
+    import threading
+
+    path = str(tmp_path / "tbl")
+    TxnTable(path).write(_df(spark, 0, 10), mode="overwrite")
+    errors = []
+
+    def appender(k):
+        try:
+            for j in range(3):
+                lo = 1000 * k + 10 * j
+                TxnTable(path).write(
+                    _df(spark, lo, lo + 5), mode="append"
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(k,)) for k in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = TxnTable(path)
+    assert t.latest_version() == 12  # 1 overwrite + 12 appends, no gaps
+    assert t.read(spark).count() == 10 + 12 * 5
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["overwrite"] + ["append"] * 12
