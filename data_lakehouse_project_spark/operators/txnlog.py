@@ -449,6 +449,137 @@ class TxnTable:
             blind_append=False,
         )
 
+    def optimize(
+        self, spark: SparkSession, target_size_bytes: int = 128 << 20
+    ) -> int:
+        """Compact small files (Delta OPTIMIZE): within each partition,
+        groups of files totalling less than ``target_size_bytes`` apiece
+        are rewritten into ceil(total/target) files in ONE atomic commit
+        (remove smalls + add compacted), so readers always see identical
+        rows and every prior version stays time-travelable until vacuum.
+
+        Content-preserving but read-dependent: a concurrent commit of any
+        kind raises ConcurrentWriteConflict (conservative — a production
+        log could admit concurrent appends to untouched partitions).
+        Returns the committed version, or the current version unchanged
+        when no group would shrink.
+        """
+        import math
+        from collections import defaultdict
+
+        read_version = self.latest_version()
+        snap = self.snapshot()
+        partition_by = self._current_partition_by()
+        groups: dict[tuple, list[dict]] = defaultdict(list)
+        for f in snap.files:
+            groups[tuple(sorted(f.get("partition_values", {}).items()))].append(f)
+        adds: list[dict] = []
+        removes: list[dict] = []
+        for fs in groups.values():
+            total = sum(f.get("size_bytes", 0) for f in fs)
+            n_out = max(1, math.ceil(total / target_size_bytes))
+            if n_out >= len(fs):
+                continue  # already at or below the target layout
+            df = self._read_files(spark, fs, snap.schema_json)
+            adds += self._stage_data(df.coalesce(n_out), partition_by)
+            removes += [{"path": f["path"]} for f in fs]
+        if not adds:
+            return read_version
+        return self._commit(
+            operation="optimize",
+            read_version=read_version,
+            adds=adds,
+            removes=removes,
+            schema_json=snap.schema_json,
+            partition_by=partition_by,
+            blind_append=False,
+        )
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        starting_version: int = 0,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed over ``[starting_version, ending_version]``
+        (Delta CDF semantics, derived at read time from the commit log):
+
+        - ``append``: added files' rows as ``insert``;
+        - ``overwrite``: removed files' rows as ``delete`` + added
+          files' rows as ``insert`` (an overwrite IS a full replace);
+        - ``merge`` / ``delete``: the ROW-LEVEL net diff — inserts =
+          added rows ``exceptAll`` removed rows, deletes = the reverse —
+          so an updated row surfaces as one delete (pre-image) + one
+          insert (post-image) and untouched rewritten rows surface as
+          nothing;
+        - ``optimize``: no changes by construction (diff is empty).
+
+        Appends ``_change_type`` / ``_commit_version`` /
+        ``_commit_timestamp`` columns. Both diff sides read with the
+        commit's own schema, so additive evolution aligns (older
+        pre-images surface new columns as null). Requires the removed
+        files to still exist — i.e. a vacuum horizon at or before
+        ``starting_version``. The per-commit diff is a distributed
+        ``exceptAll`` (one hash shuffle of only the rewritten files);
+        a write-time change-file journal is the at-scale alternative and
+        is noted, not needed, at this table's granularity.
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        versions = [
+            v
+            for v in _list_versions(self.path)
+            if v >= starting_version
+            and (ending_version is None or v <= ending_version)
+        ]
+        if not versions:
+            raise ValueError(
+                f"no commits in [{starting_version}, {ending_version}]"
+            )
+        pieces: list[DataFrame] = []
+        for v in versions:
+            adds, removes, info, meta = self._read_commit(v)
+            schema_json = meta.get("schema_json") if meta else None
+            tag = lambda df, kind: df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.lit(info["timestamp_ms"])
+                .cast("long")
+                .alias("_commit_timestamp"),
+            )
+            op = info.get("operation", "")
+            if op in ("merge", "delete", "optimize") and removes and adds:
+                added_df = self._read_files(spark, adds, schema_json)
+                removed_df = self._read_files(
+                    spark, removes, schema_json
+                )
+                pieces.append(tag(added_df.exceptAll(removed_df), "insert"))
+                pieces.append(tag(removed_df.exceptAll(added_df), "delete"))
+            elif op in ("merge", "delete") and removes:
+                # delete-everything commit staged zero data files: every
+                # pre-image row is a delete
+                pieces.append(
+                    tag(self._read_files(spark, removes, schema_json), "delete")
+                )
+            else:
+                if removes:
+                    pieces.append(
+                        tag(
+                            self._read_files(spark, removes, schema_json),
+                            "delete",
+                        )
+                    )
+                if adds:
+                    pieces.append(
+                        tag(self._read_files(spark, adds, schema_json), "insert")
+                    )
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), pieces
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced by NO retained snapshot (the last
         ``keep_versions`` versions stay time-travelable) plus stray
@@ -470,6 +601,30 @@ class TxnTable:
         return deleted
 
     # ---------------- internals ----------------
+
+    def _read_files(
+        self, spark: SparkSession, files: list[dict], schema_json: str | None
+    ) -> DataFrame:
+        """DataFrame over explicit file actions (each a dict with at
+        least ``path``), read with the given table schema so partition
+        columns survive and evolved-away columns surface as null."""
+        schema = (
+            _schema_from_json(spark, schema_json) if schema_json else None
+        )
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, f["path"]) for f in files]
+        )
+
+    def _current_partition_by(self) -> list[str]:
+        """partition_by recorded by the newest commit that declared one."""
+        for v in reversed(_list_versions(self.path)):
+            _, _, _, meta = self._read_commit(v)
+            if meta is not None:
+                return meta.get("partition_by") or []
+        return []
 
     def _check_append_schema(
         self, df: DataFrame, allow_evolution: bool

@@ -2078,6 +2078,58 @@ _BUCKET_SQL = (
     " % 10000"
 )
 
+
+def q_bloom_admission(spark, sf_dir):
+    """Bloom-prefiltered corpus admission, end-to-end EXACT: the arriving
+    20% hash-slice probes a Bloom filter built over the other 80%'s
+    fingerprints (ext/bloom.py — broadcast ≤1 MiB bitset, map-side,
+    xxhash64-only); only maybe-members pay the exact fingerprint join,
+    definite-news skip it entirely (the no-false-negative guarantee).
+    The returned verdicts are therefore independent of the filter's FPR
+    — which is what lets DuckDB oracle-check a sketch-routed plan."""
+    from data_lakehouse_project_spark.ext.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from data_lakehouse_project_spark.ext.sampling import hash_bucket
+
+    bits, k = 1 << 20, 5
+    (documents,) = _t(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    fp = F.md5(F.col("text")).alias("fp")
+    batch = documents.where(bucket < 2000).select("doc_id", fp)
+    corpus = documents.where(bucket >= 2000).select(fp).distinct()
+
+    bloom = bloom_build(corpus, "fp", bits, k)
+    flagged = bloom_probe(batch, "fp", bloom, bits, k)
+    maybes = flagged.where("maybe_member").select("doc_id", "fp")
+    dup = maybes.join(corpus, "fp", "semi").select(
+        "doc_id", F.lit("duplicate").alias("verdict")
+    )
+    new_definite = flagged.where("NOT maybe_member").select(
+        "doc_id", F.lit("new").alias("verdict")
+    )
+    new_fp = maybes.join(corpus, "fp", "anti").select(
+        "doc_id", F.lit("new").alias("verdict")
+    )
+    return (
+        dup.unionAll(new_definite).unionAll(new_fp).orderBy("doc_id")
+    )
+
+
+SQL_BLOOM_ADMISSION = f"""
+WITH batch AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE {_BUCKET_SQL} < 2000
+),
+corpus AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE {_BUCKET_SQL} >= 2000
+)
+SELECT b.doc_id,
+       CASE WHEN c.fp IS NOT NULL THEN 'duplicate' ELSE 'new' END AS verdict
+FROM batch b LEFT JOIN corpus c USING (fp)
+ORDER BY b.doc_id
+"""
+
 _SHINGLE_SQL = _SHINGLE3  # same {side}-parameterized per-row-length shape
 
 SQL_INCREMENTAL_DEDUP = f"""
@@ -2383,6 +2435,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "bloom_admission_verdicts": (q_bloom_admission, SQL_BLOOM_ADMISSION),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),
     "source_curation_report": (q_source_curation_report, SQL_SOURCE_CURATION),

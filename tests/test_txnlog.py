@@ -368,3 +368,117 @@ def test_truly_concurrent_appends_from_threads(spark, tmp_path):
     assert t.read(spark).count() == 10 + 12 * 5
     ops = [h["operation"] for h in t.history()]
     assert ops == ["overwrite"] + ["append"] * 12
+
+
+def test_optimize_compacts_preserving_rows_and_history(spark, tmp_path):
+    """OPTIMIZE rewrites many small files into few in one atomic commit:
+    identical rows before/after, fewer active files, and the
+    pre-compaction version still time-travels until vacuum."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).repartition(8), mode="overwrite")
+    t.write(_df(spark, 100, 120, tag="b").repartition(4), mode="append")
+    before_files = len(t.snapshot().files)
+    assert before_files >= 12
+    before_rows = sorted(
+        (r.id, r.v, r.tag) for r in t.read(spark).collect()
+    )
+
+    v = t.optimize(spark)  # default target >> file sizes → 1 file
+    assert v == t.latest_version()
+    assert t.history()[-1]["operation"] == "optimize"
+    assert len(t.snapshot().files) < before_files
+    after_rows = sorted((r.id, r.v, r.tag) for r in t.read(spark).collect())
+    assert after_rows == before_rows
+    # pre-optimize snapshot still readable (old files not yet vacuumed)
+    assert t.read(spark, version=v - 1).count() == 120
+    # idempotent: nothing left to compact → same version, no new commit
+    assert t.optimize(spark) == v
+
+    # vacuum reaps the compacted-away smalls; latest still intact
+    deleted = t.vacuum(keep_versions=1)
+    assert len(deleted) >= before_files
+    assert t.read(spark).count() == 120
+
+
+def test_optimize_respects_partitions(spark, tmp_path):
+    """Compaction groups by partition: files never merge across hive
+    partition dirs, and partition columns survive the rewrite."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    df = _df(spark, 0, 100).withColumn("pk", (F.col("id") % 2).cast("int"))
+    t.write(df.repartition(6), mode="overwrite", partition_by=["pk"])
+    t.write(
+        df.where("id < 20").repartition(3), mode="append", partition_by=["pk"]
+    )
+    t.optimize(spark)
+    parts = {
+        frozenset(f["partition_values"].items()) for f in t.snapshot().files
+    }
+    assert parts == {frozenset({("pk", "0")}), frozenset({("pk", "1")})}
+    per_part = {}
+    for f in t.snapshot().files:
+        key = f["partition_values"]["pk"]
+        per_part[key] = per_part.get(key, 0) + 1
+    assert all(n == 1 for n in per_part.values())
+    got = t.read(spark).groupBy("pk").count().collect()
+    assert {(r.pk, r["count"]) for r in got} == {(0, 60), (1, 60)}
+
+
+def test_change_data_feed_row_level(spark, tmp_path):
+    """CDF: append → inserts; merge → net row-level delete+insert pairs;
+    delete → deletes; optimize → no changes. Replaying the full feed
+    (inserts exceptAll deletes) reconstructs the latest snapshot."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 5), mode="overwrite")  # v0: 5 inserts
+    t.write(_df(spark, 5, 7), mode="append")  # v1: 2 inserts
+
+    # v2: merge — update id=3 (v=999), insert id=100
+    src = spark.createDataFrame(
+        [(3, 999, "a"), (100, 200, "a")], "id long, v long, tag string"
+    )
+    t.merge(src, keys=["id"])
+    # v3: delete id=0
+    t.delete_where(spark, "id = 0")
+    # v4: optimize — must contribute NOTHING to the feed
+    t.optimize(spark)
+
+    feed = t.read_changes(spark, starting_version=0)
+    f = feed.toPandas()
+
+    v0 = f[f._commit_version == 0]
+    assert set(v0._change_type) == {"insert"} and len(v0) == 5
+    v1 = f[f._commit_version == 1]
+    assert set(v1._change_type) == {"insert"} and len(v1) == 2
+    v2 = f[f._commit_version == 2].sort_values(["_change_type", "id"])
+    # net diff: insert(3,999) + insert(100,200) + delete(3,6-pre-image)
+    assert [
+        (r.id, r.v, r._change_type) for _, r in v2.iterrows()
+    ] == [(3, 6, "delete"), (3, 999, "insert"), (100, 200, "insert")]
+    v3 = f[f._commit_version == 3]
+    assert [(r.id, r._change_type) for _, r in v3.iterrows()] == [
+        (0, "delete")
+    ]
+    assert len(f[f._commit_version == 4]) == 0
+
+    # multiset replay of the feed ≡ latest snapshot
+    data_cols = ["id", "v", "tag"]
+    ins = feed.where("_change_type = 'insert'").select(*data_cols)
+    dels = feed.where("_change_type = 'delete'").select(*data_cols)
+    replayed = sorted(map(tuple, ins.exceptAll(dels).collect()))
+    latest = sorted(map(tuple, t.read(spark).select(*data_cols).collect()))
+    assert replayed == latest
+
+
+def test_change_data_feed_window_and_overwrite(spark, tmp_path):
+    """Version-windowed CDF; overwrite emits file-level delete+insert."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 4), mode="overwrite")  # v0
+    t.write(_df(spark, 0, 3, tag="b"), mode="overwrite")  # v1
+    t.write(_df(spark, 10, 12, tag="c"), mode="append")  # v2
+
+    w = t.read_changes(spark, starting_version=1, ending_version=1).toPandas()
+    assert len(w[w._change_type == "delete"]) == 4  # v0's rows replaced
+    assert len(w[w._change_type == "insert"]) == 3
+    assert set(w._commit_version) == {1}
+
+    with pytest.raises(ValueError):
+        t.read_changes(spark, starting_version=99)
