@@ -595,6 +595,46 @@ def q_events_hll_daily_users(spark, sf_dir):
     )
 
 
+def q_events_kll_monthly_quantiles(spark, sf_dir):
+    """Monthly p50/p95/p99 of event value MERGED from daily KLL quantile
+    sketches (streaming/rollup.py) — quantiles are not summable, so the
+    hierarchy needs mergeable sketch partials; rows-only check (KLL
+    estimates are impl-specific). Rank-error accuracy and
+    merge-completeness are pinned in test_sketch_rollups.py."""
+    from data_lakehouse_project_spark.streaming.rollup import (
+        kll_daily_value_sketch,
+        kll_monthly_quantiles,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = kll_monthly_quantiles(kll_daily_value_sketch(events))
+    return out.select(
+        F.date_format("month", _FMT).alias("month"), "n", "p50", "p95", "p99"
+    ).orderBy("month")
+
+
+def q_events_theta_returning_users(spark, sf_dir):
+    """Day-over-day returning/new/churned user estimates from theta
+    sketch set algebra (intersection/difference — the operations HLL
+    can't do) over the daily sketch rollup; the raw events are scanned
+    once for the whole report. Rows-only (sketch estimates are
+    impl-specific); flow-conservation accuracy is pinned in
+    test_sketch_rollups.py."""
+    from data_lakehouse_project_spark.streaming.rollup import (
+        theta_daily_users,
+        theta_returning_users,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = theta_returning_users(theta_daily_users(events))
+    return out.select(
+        F.date_format("day", _FMT).alias("day"),
+        "returning_est",
+        "new_est",
+        "churned_est",
+    ).orderBy("day")
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     R = helpers["R"]
@@ -615,6 +655,14 @@ def build(helpers: dict) -> dict:
         "date_functions_extended": (q_date_functions_extended, SQL_DATE_EXTENDED),
         "map_functions_surface": (q_map_functions_surface, SQL_MAP_SURFACE),
         "events_hll_daily_users": (q_events_hll_daily_users, None),
+        "events_kll_monthly_quantiles": (
+            q_events_kll_monthly_quantiles,
+            None,
+        ),
+        "events_theta_returning_users": (
+            q_events_theta_returning_users,
+            None,
+        ),
         "percentile_cont_qty": (
             q_percentile_cont_qty,
             SQL_PERCENTILE_CONT.format(

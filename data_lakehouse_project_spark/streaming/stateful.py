@@ -71,3 +71,67 @@ def running_user_profile(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# transformWithState (Spark 4.x): the successor API to
+# applyInPandasWithState — typed composable state primitives (value /
+# list / map state), timers, and TTL, instead of one opaque state tuple.
+# Same operator semantics as running_user_profile above, expressed in
+# the new API so both stateful surfaces are covered.
+# ---------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningProfileProcessor(StatefulProcessor):
+    """Per-user running profile in a typed ValueState. State store size
+    is O(distinct users) — one fixed-width row each; the group shuffle
+    is the only exchange, identical to the applyInPandasWithState
+    formulation."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._profile = handle.getValueState(
+            "profile", "n long, s double, last string"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._profile.exists():
+            n, s, last = self._profile.get()
+        else:
+            n, s, last = 0, 0.0, ""
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last = max(last, str(pdf["ts"].max()))
+        self._profile.update((n, s, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [s],
+                "last_ts": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_profile_tws(stream_df: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` form of ``running_user_profile``
+    — identical semantics, giving a migration path between the two
+    stateful APIs. NOTE: the TWS Python runner requires
+    ``google.protobuf`` (its state-server wire protocol), which this
+    container does not ship — the end-to-end test skips here (probe
+    recorded in COVERAGE.md) and the processor's folding logic is
+    pinned by a runtime-free unit test instead."""
+    return stream_df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningProfileProcessor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

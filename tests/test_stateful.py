@@ -46,3 +46,120 @@ def test_running_user_profile_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_running_user_profile_tws_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas (the Spark 4 typed-state API) must
+    produce the same running profiles as the batch aggregate and as the
+    applyInPandasWithState formulation, across TWO micro-batches so
+    ValueState really persists between triggers."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    # the TWS Python runner speaks protobuf to the JVM state server;
+    # this container ships no google.protobuf (recorded in COVERAGE.md)
+    _pytest.importorskip("google.protobuf")
+
+    from data_lakehouse_project_spark.streaming.stateful import (
+        running_user_profile_tws,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), i % 4, float(i))
+        for i in range(40)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    src = str(tmp_path / "events_tws_src")
+    ckpt = str(tmp_path / "ckpt_tws")
+    events.where("event_id < 25").write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            running_user_profile_tws(stream)
+            .writeStream.format("memory")
+            .queryName("profiles_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # batch 1: events 0-24
+    events.where("event_id >= 25").write.mode("append").parquet(src)
+    run_once()  # batch 2: events 25-39 fold into persisted state
+
+    got = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in spark.sql(
+            "SELECT user_id, n_events, value_sum FROM profiles_tws"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_running_profile_processor_logic_without_runtime():
+    """The TWS runtime needs protobuf (absent here), but the processor's
+    state-folding logic is plain Python — drive it with a fake
+    ValueState across two 'micro-batches' and pin the semantics the
+    skipped end-to-end test would check."""
+    import pandas as pd
+
+    from data_lakehouse_project_spark.streaming.stateful import (
+        RunningProfileProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            assert name == "profile"
+            return self.state
+
+    proc = RunningProfileProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    b1 = pd.DataFrame({"ts": ["2024-01-01 00:00:00"], "value": [2.5]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    assert out1[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 1, "value_sum": 2.5,
+        "last_ts": "2024-01-01 00:00:00",
+    }
+
+    # second micro-batch folds into persisted state (2 rows, later ts)
+    b2 = pd.DataFrame(
+        {"ts": ["2024-01-02 00:00:00", "2024-01-01 12:00:00"],
+         "value": [1.0, 4.0]}
+    )
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))
+    assert out2[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "value_sum": 7.5,
+        "last_ts": "2024-01-02 00:00:00",
+    }
+    assert handle.state.v == (3, 7.5, "2024-01-02 00:00:00")
