@@ -2102,18 +2102,24 @@ def q_bloom_admission(spark, sf_dir):
 
     bloom = bloom_build(corpus, "fp", bits, k)
     flagged = bloom_probe(batch, "fp", bloom, bits, k)
-    maybes = flagged.where("maybe_member").select("doc_id", "fp")
-    dup = maybes.join(corpus, "fp", "semi").select(
-        "doc_id", F.lit("duplicate").alias("verdict")
-    )
-    new_definite = flagged.where("NOT maybe_member").select(
-        "doc_id", F.lit("new").alias("verdict")
-    )
-    new_fp = maybes.join(corpus, "fp", "anti").select(
-        "doc_id", F.lit("new").alias("verdict")
-    )
+    # single-tree plan: one exact left join + CASE verdict (no union →
+    # no recomputed probe/corpus subtrees). The sliver-gated form —
+    # filter maybes BEFORE the join, persist `flagged` across branches
+    # — is the production admission composition, exercised in
+    # test_bloom.py and the streaming-admission example; here the whole
+    # batch is the probe workload so the single join is the right plan.
     return (
-        dup.unionAll(new_definite).unionAll(new_fp).orderBy("doc_id")
+        flagged.join(
+            corpus.withColumn("in_corpus", F.lit(True)), "fp", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(~F.col("maybe_member"), F.lit("new"))
+            .when(F.col("in_corpus"), F.lit("duplicate"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -61,6 +61,13 @@ EXPECT_MANY_EXCHANGES = {
     # inverted-index pair join + pair-grain agg — 4 logical shuffles,
     # doubled in the plan text by AQE stage reuse
     "doc_semantic_pairs",
+    # staged sketch-index pipeline: corpus distinct + bloom build
+    # groupBy(word) + probe groupBy + final sort = 5 real shuffles,
+    # every grain bounded (filter words / batch rows); BOTH joins are
+    # broadcast (map-side probe + broadcast verify). The count trips
+    # only because AQE's toString prints initial+final plans, doubling
+    # every exchange line.
+    "bloom_admission_verdicts",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
