@@ -381,6 +381,7 @@ class TxnTable:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         allow_schema_evolution: bool = False,
+        commit_info: dict | None = None,
     ) -> int:
         """Append or overwrite; returns the committed version.
 
@@ -410,6 +411,7 @@ class TxnTable:
             schema_json=df.schema.json(),
             partition_by=partition_by,
             blind_append=(mode == "append"),
+            info_extra=commit_info,
         )
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
@@ -714,6 +716,7 @@ class TxnTable:
         partition_by: list[str] | None,
         blind_append: bool,
         max_retries: int = 20,
+        info_extra: dict | None = None,
     ) -> int:
         """Publish: serialize actions to a temp file, then atomically
         link it to the next version slot. Losing a race means someone
@@ -730,6 +733,7 @@ class TxnTable:
                             "timestamp_ms": int(time.time() * 1000),
                             "operation": operation,
                             "read_version": read_version,
+                            **(info_extra or {}),
                         }
                     }
                 ),
