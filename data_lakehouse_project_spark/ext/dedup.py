@@ -681,18 +681,37 @@ def incremental_dedup_report_indexed(
     n: int = 3,
     jaccard_threshold: float = 0.8,
     round_to: int = 6,
+    bloom: DataFrame | None = None,
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """``incremental_dedup_report`` probing a PERSISTED corpus index
     (``build_dedup_index`` schemas: ``(old_id, fp)`` / ``(old_id, sh)``)
     instead of recomputing fingerprints+shingles from corpus text. Same
     verdict semantics, but per-batch cost no longer touches corpus text
-    at all — the 100 TB admission-control shape."""
+    at all — the 100 TB admission-control shape.
+
+    ``bloom``: optional ``(word, bits)`` filter (ext/bloom.py) covering
+    every fp in ``old_fp``. When given, the exact-fingerprint join is
+    gated map-side: definite-new fps (no false negatives) never reach
+    the fp-index shuffle, so the exact branch's join input shrinks to
+    the maybe-member sliver. Verdicts are unchanged — the filter only
+    prunes rows that provably cannot match."""
     from pyspark.sql import Window
 
     fp = F.md5(normalize_text(F.col(text_col)))
     new_fp = new_df.select(F.col(id_col), fp.alias("fp"))
+    exact_probe = new_fp
+    if bloom is not None:
+        from data_lakehouse_project_spark.ext.bloom import bloom_probe
+
+        exact_probe = (
+            bloom_probe(new_fp, "fp", bloom, bloom_bits, bloom_hashes)
+            .where(F.col("maybe_member"))
+            .select(id_col, "fp")
+        )
     exact = (
-        new_fp.join(old_fp, "fp")
+        exact_probe.join(old_fp, "fp")
         .groupBy(id_col)
         .agg(F.min("old_id").alias("exact_match"))
     )

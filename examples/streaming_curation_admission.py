@@ -12,7 +12,10 @@ changing one ``readStream`` line) is admitted into a living corpus via
         probing a PERSISTED index (fingerprints + shingle postings,
         two delta-lite tables APPENDED per admitted batch) — corpus
         text is never re-scanned per batch, old×old pairs are never
-        generated, and only 'unique' docs survive
+        generated, and only 'unique' docs survive; the exact branch is
+        gated by a PERSISTED Bloom filter (ext/bloom.py, ≤1 MiB,
+        bit_or-merged per batch), so definite-new fingerprints never
+        enter the fp-index join at all
       → ACID append to the corpus table        operators/txnlog.py::TxnTable
         (one commit per micro-batch: readers see whole batches or
         nothing, and every batch is a time-travelable version)
@@ -42,6 +45,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_lakehouse_project_spark.ext.bloom import bloom_build, bloom_merge
 from data_lakehouse_project_spark.ext.dedup import (
     build_dedup_index,
     exact_dedup_groups,
@@ -57,6 +61,8 @@ from data_lakehouse_project_spark.operators.txnlog import TxnTable
 
 MIN_QUALITY = 0.2
 DOC_SCHEMA = "doc_id long, source string, text string"
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 5
 
 
 def pseudo_embedding(dim: int = 8):
@@ -98,6 +104,7 @@ def admit_batch(
     table = TxnTable(corpus_path)
     fp_table = TxnTable(corpus_path + "_fp_index")
     sh_table = TxnTable(corpus_path + "_postings")
+    bloom_table = TxnTable(corpus_path + "_bloom")
     if table.latest_version() >= 0:
         verdicts = incremental_dedup_report_indexed(
             fp_table.read(spark),
@@ -106,6 +113,11 @@ def admit_batch(
             "text",
             "doc_id",
             jaccard_threshold=jaccard_threshold,
+            # persisted Bloom gate: definite-new fingerprints skip the
+            # exact fp-index join entirely (ext/bloom.py, ≤1 MiB bitset)
+            bloom=bloom_table.read(spark),
+            bloom_bits=BLOOM_BITS,
+            bloom_hashes=BLOOM_HASHES,
         )
         novel = gated.join(
             verdicts.where(F.col("kind") == "unique").select("doc_id"),
@@ -124,6 +136,14 @@ def admit_batch(
         new_fp, new_sh = build_dedup_index(novel, "text", "doc_id")
         fp_table.write(new_fp, mode="append")
         sh_table.write(new_sh, mode="append")
+        # fold the admitted fingerprints into the persisted Bloom gate
+        # (lossless bit_or merge; the table stays <= BLOOM_BITS/64 rows)
+        batch_bloom = bloom_build(
+            new_fp.select("fp"), "fp", BLOOM_BITS, BLOOM_HASHES
+        )
+        if bloom_table.latest_version() >= 0:
+            batch_bloom = bloom_merge(bloom_table.read(spark), batch_bloom)
+        bloom_table.write(batch_bloom, mode="overwrite")
         append_to_ivf_index(
             novel.withColumn("embedding", pseudo_embedding()),
             "embedding",

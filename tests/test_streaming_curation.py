@@ -166,3 +166,45 @@ def test_indexed_report_equals_recompute(spark):
     assert as_rows(direct) == as_rows(probed)
     kinds = {r.doc_id: r.kind for r in probed.collect()}
     assert kinds == {10: "exact", 11: "near", 12: "unique"}
+
+
+def test_indexed_report_with_bloom_gate_identical(spark):
+    """The Bloom-gated exact branch must give the SAME verdicts as the
+    ungated probe (no false negatives ⇒ no lost exact matches), while a
+    definitively-new batch sends zero rows into the fp-index join."""
+    from data_lakehouse_project_spark.ext.bloom import bloom_build
+    from data_lakehouse_project_spark.ext.dedup import (
+        build_dedup_index,
+        incremental_dedup_report_indexed,
+        normalize_text,
+    )
+
+    bits, k = 1 << 16, 5
+    old = spark.createDataFrame(
+        [(i, s) for i, s in enumerate([
+            "the quick brown fox jumps over the lazy dog tonight",
+            "a completely different story about mountain weather",
+            "yet another corpus document with plenty of words here",
+        ])],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight"),
+            (11, "the quick brown fox jumps over the lazy cat tonight"),
+            (12, "something entirely novel that matches no corpus doc"),
+        ],
+        "doc_id long, text string",
+    )
+    fp, sh = build_dedup_index(old, "text", "doc_id")
+    bloom = bloom_build(fp.select("fp"), "fp", bits, k)
+
+    ungated = incremental_dedup_report_indexed(
+        fp, sh, new, "text", "doc_id", jaccard_threshold=0.6
+    )
+    gated = incremental_dedup_report_indexed(
+        fp, sh, new, "text", "doc_id", jaccard_threshold=0.6,
+        bloom=bloom, bloom_bits=bits, bloom_hashes=k,
+    )
+    as_rows = lambda df: sorted(map(tuple, df.collect()))
+    assert as_rows(ungated) == as_rows(gated)
