@@ -456,6 +456,125 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+
+    Jaccard misses the boilerplate/quotation case — a short doc wholly
+    copied inside a much longer one scores low symmetric similarity but
+    containment ≈ 1. This is the Broder containment measure training
+    pipelines use to catch quoted/templated text that survives
+    Jaccard-threshold dedup.
+
+    Same inverted-index shape and Σ df(shingle)² cost bound as
+    ``ngram_jaccard_pairs`` (one posting self-join, no crossJoin), but
+    DIRECTED: emits (contained_id, container_id, containment) both ways
+    a pair qualifies. A high threshold τ implies |B| ≥ τ·|A| matches
+    only, so the directed fan-out stays bounded by the same posting
+    lists.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    shared = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("contained_id"),
+            F.col(f"b.{id_col}").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed(
+                {id_col: "contained_id", "n_sh": "n_contained"}
+            ),
+            "contained_id",
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            (F.col("shared") / F.col("n_contained")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Fuzzy record-linkage pairs: all (id_a < id_b) whose strings are
+    within ``max_dist`` Levenshtein edits, WITHOUT the O(n²) pairwise
+    scan.
+
+    Candidate generation is an n-gram posting-list join, which is
+    COMPLETE for this distance bound: one edit perturbs at most ``n``
+    positional n-grams, so ``max_dist`` edits perturb at most ``n·d``
+    of a string's ``L−n+1`` grams — any string with
+    ``L ≥ n·(max_dist+1)`` keeps at least one gram intact, and that
+    gram appears verbatim in the partner. Inputs shorter than that
+    bound are excluded (both here and in any oracle) rather than
+    silently half-checked. A length band (|len(a)−len(b)| ≤ d, since
+    edit distance ≥ length difference) prunes candidates before the
+    exact ``levenshtein`` verify.
+
+    Cost: Σ df(gram)² posting bound for candidates + one exact verify
+    per surviving DISTINCT pair — the standard q-gram filter-verify
+    join (public scheme, e.g. Gravano et al. VLDB'01), not all-pairs.
+    """
+    min_len = n * (max_dist + 1)
+    s = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("s"),
+    ).where(F.length("s") >= min_len)
+    sh = s.select(
+        "id", F.length("s").alias("len"),
+        F.explode(char_shingles(F.col("s"), n)).alias("g"),
+    )
+    cands = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            on=[
+                F.col("a.g") == F.col("b.g"),
+                F.col("a.id") < F.col("b.id"),
+                F.abs(F.col("a.len") - F.col("b.len")) <= max_dist,
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        cands.join(s.withColumnsRenamed({"id": "id_a", "s": "s_a"}), "id_a")
+        .join(s.withColumnsRenamed({"id": "id_b", "s": "s_b"}), "id_b")
+        .select(
+            "id_a", "id_b", F.levenshtein("s_a", "s_b").alias("dist")
+        )
+        .where(F.col("dist") <= max_dist)
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 

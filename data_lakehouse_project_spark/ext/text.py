@@ -370,3 +370,57 @@ def length_outlier_filter(
         .drop("_lo", "_hi")
     )
     return out.drop("_g") if group_col is None else out
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Keyword retrieval: top-k documents by TF-IDF score for a constant
+    query-term set — the lexical-search primitive of a corpus engine.
+
+    score(d) = Σ_{t ∈ query} tf(t, d) · ln(N / df(t)), tf raw counts,
+    smoothed as ln((N+1)/(df+1)) so unseen terms contribute 0 rather
+    than dividing by zero.
+
+    Scale shape: the exploded token stream is filtered to the query
+    terms FIRST (an ``isin`` over literals — Catalyst folds it into the
+    scan-side filter), so all shuffles are on the sliver of matching
+    tokens, never the whole vocabulary. N (corpus size) and the per-term
+    document frequencies ride a 1-row/|query|-row broadcast. Final
+    top-k is orderBy+limit → TakeOrderedAndProject, no global sort.
+    Ties break on ascending id for determinism.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+    ).where(F.col("t").isin(terms))
+
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    idf = (
+        toks.groupBy("t")
+        .agg(F.count_distinct(id_col).cast("double").alias("df_t"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t",
+            F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)).alias(
+                "idf"
+            ),
+        )
+    )
+    tf = toks.groupBy(id_col, "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    return (
+        tf.join(F.broadcast(idf), "t")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

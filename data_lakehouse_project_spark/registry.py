@@ -2123,6 +2123,118 @@ def q_bloom_admission(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment |A∩B|/|A| ≥ 0.9 over char-3-gram shingle
+    sets (ext/dedup.py::containment_pairs) — catches boilerplate/quoted
+    text that symmetric Jaccard misses. Directed posting-list join,
+    Σ df(shingle)² bound, no crossJoin."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.containment_pairs(
+        documents, "text", "doc_id", n=3, threshold=0.9
+    )
+
+
+SQL_CONTAINMENT = f"""
+WITH sh AS ({{SH}}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+         COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT contained_id, container_id, containment FROM (
+  SELECT contained_id, container_id,
+         CAST(shared AS DOUBLE) / s.n_sh AS containment
+  FROM shared JOIN sizes s ON s.doc_id = contained_id)
+WHERE containment >= 0.9
+"""
+
+
+def q_fuzzy_edit_pairs(spark, sf_dir):
+    """Levenshtein ≤ 2 record-linkage pairs on 32-char normalized
+    prefixes (ext/dedup.py::edit_distance_pairs): q-gram filter-verify
+    join — candidates only where a 3-gram survives the edits (complete
+    for strings ≥ 9 chars, shorter excluded by contract), length-banded,
+    then ONE exact levenshtein per distinct candidate. The oracle pays
+    the O(n²) scan the filter exists to avoid."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    prefixed = documents.select(
+        "doc_id",
+        F.substring(
+            normalize_text(F.col("text")), 1, 32
+        ).alias("prefix"),
+    )
+    return X_dedup.edit_distance_pairs(
+        prefixed, "prefix", "doc_id", max_dist=2, n=3
+    )
+
+
+_PFX32 = (
+    "trim(regexp_replace(lower(substr(" + NORM + ", 1, 32)),"
+    " '\\s+', ' ', 'g'))"
+)
+
+SQL_FUZZY_EDIT = f"""
+WITH s AS (
+  SELECT doc_id, {_PFX32} AS s FROM documents
+  WHERE length({_PFX32}) >= 9
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s) AS dist
+FROM s a JOIN s b
+  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
+def q_tfidf_search_topk(spark, sf_dir):
+    """Top-25 documents by TF-IDF for a constant keyword query
+    (ext/text.py::tfidf_topk): token stream filtered to the query terms
+    before any shuffle, smoothed idf ln((N+1)/(df+1)) on a broadcast
+    scalar, TakeOrderedAndProject top-k. Score rounded to 6 decimals on
+    BOTH engines so the k-boundary ordering is identical; one query
+    term is deliberately absent from the corpus (contributes nothing)."""
+    from data_lakehouse_project_spark.ext.text import tfidf_topk
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = tfidf_topk(
+        documents,
+        "text",
+        "doc_id",
+        ["spark", "broadcast", "zzz_absent_term"],
+        k=25,
+    )
+    return (
+        out.select("doc_id", _rn(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+SQL_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS}) AS t FROM documents
+),
+q AS (
+  SELECT doc_id, t FROM toks
+  WHERE t IN ('spark', 'broadcast', 'zzz_absent_term')
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+idf AS (
+  SELECT t, ln((n.n_docs + 1.0) / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+              + 1.0)) AS idf
+  FROM q, n GROUP BY t, n.n_docs
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM q GROUP BY 1, 2
+)
+SELECT doc_id, {R("SUM(tf.tf * idf.idf)", 6)} AS score
+FROM tf JOIN idf USING (t)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 25
+"""
+
+
 SQL_BLOOM_ADMISSION = f"""
 WITH batch AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE {_BUCKET_SQL} < 2000
@@ -2442,6 +2554,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "bloom_admission_verdicts": (q_bloom_admission, SQL_BLOOM_ADMISSION),
+    "containment_pairs": (
+        q_containment_pairs,
+        SQL_CONTAINMENT.format(SH=_SHINGLE3.format(side="documents")),
+    ),
+    "fuzzy_edit_pairs": (q_fuzzy_edit_pairs, SQL_FUZZY_EDIT),
+    "tfidf_search_topk": (q_tfidf_search_topk, SQL_TFIDF),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),
     "source_curation_report": (q_source_curation_report, SQL_SOURCE_CURATION),

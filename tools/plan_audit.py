@@ -40,6 +40,8 @@ EXPECT_NESTED_LOOP = {
     "unigram_xentropy_scores",
     # same shape: Q11 global revenue threshold
     "supplier_value_concentration",
+    # same shape: corpus size N feeding the smoothed idf
+    "tfidf_search_topk",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
@@ -68,6 +70,10 @@ EXPECT_MANY_EXCHANGES = {
     # only because AQE's toString prints initial+final plans, doubling
     # every exchange line.
     "bloom_admission_verdicts",
+    # ~4 real shuffles (idf groupBy(term), tf groupBy(id,term), score
+    # groupBy(id), top-k), every one on the query-term sliver; doubled
+    # in the adaptive plan text as above
+    "tfidf_search_topk",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
