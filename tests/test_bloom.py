@@ -44,8 +44,16 @@ def test_merge_equals_build_of_union(spark):
         bloom_build(a, "fp", BITS, K), bloom_build(b, "fp", BITS, K)
     )
     direct = bloom_build(a.unionAll(b), "fp", BITS, K)
-    diff = merged.alias("m").join(direct.alias("d"), "word", "full").where(
-        "m.bits IS DISTINCT FROM d.bits"
+
+    def lanes(df):  # packed map -> comparable (blk, lane, bits) rows
+        return df.select(
+            "blk", F.explode("lanes").alias("lane", "bits")
+        )
+
+    diff = (
+        lanes(merged).alias("m")
+        .join(lanes(direct).alias("d"), ["blk", "lane"], "full")
+        .where("m.bits IS DISTINCT FROM d.bits")
     )
     assert diff.count() == 0  # bit-identical filters
 
@@ -55,8 +63,11 @@ def test_merge_equals_build_of_union(spark):
 
 
 def test_filter_is_bounded_and_probe_is_broadcast(spark):
+    from data_lakehouse_project_spark.ext.bloom import BITS_PER_BLOCK
+
     bloom = bloom_build(_keys(spark, 0, 50000), "fp", BITS, K)
-    assert bloom.count() <= BITS // 64  # fixed size regardless of input
+    # packed layout: fixed row bound regardless of input size
+    assert bloom.count() <= BITS // BITS_PER_BLOCK
 
     plan = bloom_probe(
         _keys(spark, 0, 100), "fp", bloom, BITS, K
