@@ -229,3 +229,52 @@ def token_budget_selection(
             F.sum("_n_tok").alias("tokens_kept"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (per group):
+    the Efraimidis–Spirakis A-ES scheme — each row gets key =
+    ln(u) / w with u uniform and w its weight; the k LARGEST keys are a
+    weighted sample without replacement. Rows with non-positive weight
+    are ineligible.
+
+    Determinism + portability: u derives from the md5 hash bucket
+    (u = (bucket + 0.5) / buckets), so the same rows are chosen on any
+    engine and on every run — the reproducibility contract the rest of
+    ext/sampling.py keeps. The key is ROUNDED to 9 decimals and ties
+    break on ascending id, so the top-k boundary is identical across
+    engines' libm implementations.
+
+    Scale shape: one window rank per group (single shuffle on
+    group_cols); no global sort, no driver iteration. This is the
+    quality-weighted corpus subset selector ("sample 1M docs ∝ quality
+    score") the uniform hash_sample can't express.
+    """
+    from pyspark.sql.window import Window
+
+    u = (hash_bucket(F.col(id_col), buckets) + F.lit(0.5)) / F.lit(
+        float(buckets)
+    )
+    w = F.col(weight_col).cast("double")
+    scale = float(10**9)
+    key = F.floor(F.log(u) / w * scale + F.lit(0.5)).cast(
+        "double"
+    ) / F.lit(scale)
+    parts = [F.col(c) for c in (group_cols or [])]
+    rank_w = Window.partitionBy(*parts).orderBy(
+        F.desc("es_key"), F.col(id_col)
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("es_key", key)
+        .withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -2235,6 +2235,50 @@ LIMIT 25
 """
 
 
+def q_weighted_sample_documents(spark, sf_dir):
+    """Per-source weighted sample WITHOUT replacement, 20 docs ∝ token
+    count (ext/sampling.py::weighted_sample — deterministic
+    Efraimidis–Spirakis keys from the md5 bucket, one window rank per
+    source, 9-decimal key rounding pins the k-boundary across
+    engines)."""
+    from data_lakehouse_project_spark.ext.sampling import weighted_sample
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    d = documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    out = weighted_sample(d, "doc_id", "n_tokens", 20, ["source"])
+    return out.select("source", "doc_id", "n_tokens", "es_key").orderBy(
+        "source", F.desc("es_key"), "doc_id"
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, source, len({TOKS}) AS n_tokens,
+         ({_BUCKET_SQL} + 0.5) / 10000.0 AS u
+  FROM documents
+),
+keyed AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(FLOOR(ln(u) / CAST(n_tokens AS DOUBLE) * 1000000000 + 0.5)
+              AS DOUBLE) / 1000000000.0 AS es_key
+  FROM d WHERE n_tokens > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_tokens, es_key FROM ranked WHERE rn <= 20
+ORDER BY source, es_key DESC, doc_id
+"""
+
+
 SQL_BLOOM_ADMISSION = f"""
 WITH batch AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE {_BUCKET_SQL} < 2000
@@ -2559,6 +2603,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_CONTAINMENT.format(SH=_SHINGLE3.format(side="documents")),
     ),
     "fuzzy_edit_pairs": (q_fuzzy_edit_pairs, SQL_FUZZY_EDIT),
+    "weighted_sample_documents": (
+        q_weighted_sample_documents,
+        SQL_WEIGHTED_SAMPLE,
+    ),
     "tfidf_search_topk": (q_tfidf_search_topk, SQL_TFIDF),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),

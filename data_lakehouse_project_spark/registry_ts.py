@@ -635,6 +635,70 @@ def q_events_theta_returning_users(spark, sf_dir):
     ).orderBy("day")
 
 
+def q_events_rolling_anomaly(spark, sf_dir):
+    """Hourly event-count anomaly detection: z-score of each hour's
+    count against its event type's TRAILING 24-hour window (current
+    hour excluded — an anomaly must not contaminate its own baseline).
+    Frames shorter than 12 observations emit no score (cold start).
+    One shuffle (hourly rollup) + one partitioned window; no global
+    sort. z rounded to 4 decimals on both engines."""
+    from pyspark.sql.window import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    mu = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    obs = F.count("n").over(w)
+    z = F.when(
+        (obs >= 12) & (sd > 0), (F.col("n") - mu) / sd
+    )
+    return (
+        hourly.select(
+            "event_type",
+            F.date_format("hour", _FMT).alias("hour"),
+            F.col("n").cast("long").alias("n"),
+            _rn(z, 4).alias("z"),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("z").isNotNull(), F.abs("z") >= 3.0),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_ROLLING_ANOMALY = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, n,
+         AVG(n) OVER w AS mu,
+         STDDEV_SAMP(n) OVER w AS sd,
+         COUNT(n) OVER w AS obs
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(hour, '{FMT}') AS hour,
+       CAST(n AS BIGINT) AS n,
+       {Z} AS z,
+       CASE WHEN {Z} IS NOT NULL THEN abs({Z}) >= 3.0 END AS is_anomaly
+FROM scored
+ORDER BY event_type, hour
+"""
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     R = helpers["R"]
@@ -662,6 +726,17 @@ def build(helpers: dict) -> dict:
         "events_theta_returning_users": (
             q_events_theta_returning_users,
             None,
+        ),
+        "events_rolling_anomaly": (
+            q_events_rolling_anomaly,
+            SQL_ROLLING_ANOMALY.format(
+                FMT=_FMT_DUCK,
+                Z=R(
+                    "CASE WHEN obs >= 12 AND sd > 0"
+                    " THEN (n - mu) / sd END",
+                    4,
+                ),
+            ),
         ),
         "percentile_cont_qty": (
             q_percentile_cont_qty,

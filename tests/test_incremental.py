@@ -107,3 +107,37 @@ def test_derived_average_at_read_time(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_keeps_view_current(spark, tmp_path):
+    """Streaming composition: each micro-batch appends to the delta-lite
+    base (one atomic commit) and then refreshes the aggregate view from
+    the CDF — after the stream drains, the view equals a full recompute
+    and reflects the base's latest version."""
+    src = str(tmp_path / "stream_src")
+    base = TxnTable(str(tmp_path / "base"))
+    view = TxnTable(str(tmp_path / "view"))
+
+    _df(spark, 0, 30).write.mode("overwrite").parquet(src)
+    _df(spark, 30, 55).write.mode("append").parquet(src)
+
+    def _apply(batch_df, _batch_id):
+        base.write(batch_df, mode="append")
+        refresh_aggregate_view(
+            spark, base, view, ["tag"], {"v_sum": "v"}
+        )
+
+    q = (
+        spark.readStream.schema("id long, tag string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert base.latest_version() >= 1  # several micro-batch commits
+    assert view.history()[-1]["source_version"] == base.latest_version()
+    assert _got(view, spark) == _expected(base, spark)

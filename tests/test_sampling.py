@@ -191,3 +191,46 @@ def test_ngram_novelty_bounds_and_uniqueness(spark):
     # doc1: grams {alpha beta gamma, beta gamma delta} — first shared → 0.5
     assert out[1].n_grams == 2 and out[1].novel_frac == 0.5
     assert all(0.0 <= r.novel_frac <= 1.0 for r in out.values())
+
+
+def test_weighted_sample_without_replacement_properties(spark):
+    """A-ES weighted sampling: per-group size cap, no duplicates,
+    ineligible weights excluded, dominant weight always selected, and
+    bit-for-bit determinism across invocations."""
+    from data_lakehouse_project_spark.ext.sampling import weighted_sample
+
+    rows = [(i, "s" + str(i % 2), float(1 + i % 7)) for i in range(200)]
+    rows.append((999, "s0", 1e9))  # dominant weight
+    rows.append((998, "s0", 0.0))  # ineligible
+    rows.append((997, "s1", -3.0))  # ineligible
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+
+    out = weighted_sample(df, "doc_id", "w", 15, ["source"])
+    got = [(r.source, r.doc_id) for r in out.collect()]
+    per_group: dict = {}
+    for s, d in got:
+        per_group.setdefault(s, []).append(d)
+    assert all(len(v) == 15 for v in per_group.values())
+    assert all(len(set(v)) == len(v) for v in per_group.values())
+    assert 999 in per_group["s0"]  # key = ln(u)/1e9 ~ 0 beats everything
+    assert 998 not in per_group["s0"] and 997 not in per_group["s1"]
+
+    again = weighted_sample(df, "doc_id", "w", 15, ["source"])
+    assert sorted(got) == sorted(
+        (r.source, r.doc_id) for r in again.collect()
+    )
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Statistical sanity on the deterministic keys: rows with weight 10
+    must be selected far more often than weight-1 rows when both
+    populations are large and k covers a minority."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.ext.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = weighted_sample(df, "doc_id", "w", 200, None)
+    heavy = picked.where("w = 10.0").count()
+    assert heavy > 140  # expectation ~ 190/200; 140 is a safe floor

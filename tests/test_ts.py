@@ -96,3 +96,46 @@ def test_funnel_monotone_and_cohort_conserves_users(spark):
     )
     assert week0_users == n_users
     assert all(r.weeks_since >= 0 for r in cohort)
+
+
+def test_rolling_anomaly_flags_injected_spike(spark, tmp_path):
+    """A flat hourly baseline with one 10x spike: the spike hour (and
+    only it) must be flagged, and its own count must not contaminate
+    its baseline (trailing frame excludes the current row)."""
+    import datetime
+
+    from data_lakehouse_project_spark.registry_ts import (
+        q_events_rolling_anomaly,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        # varying baseline (4/5/6) so the trailing sd is nonzero —
+        # a perfectly flat baseline has sd=0 and emits no score by design
+        burst = 50 if h == 40 else 4 + (h % 3)
+        for i in range(burst):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=h, minutes=i % 60),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf_dir = str(tmp_path / "sfanom")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+
+    out = q_events_rolling_anomaly(spark, sf_dir).collect()
+    flagged = [r.hour for r in out if r.is_anomaly]
+    assert flagged == ["2024-03-02 16:00:00"]  # hour 40 = Mar 2, 16:00
+    # hours right after the spike are NOT flagged (baseline absorbs it)
+    zs = {r.hour: r.z for r in out}
+    assert zs["2024-03-02 17:00:00"] is not None
+    assert abs(zs["2024-03-02 17:00:00"]) < 3
