@@ -6,13 +6,16 @@ typed metadata struct; decode / feature-extraction runs as Arrow-batched
 pipeline around them (partitioning, schema, pushdown on metadata) stays
 native Spark.
 
-Image decode is REAL for the formats decodable without codec libraries
-(``decode_image``: binary PPM/PGM and uncompressed 24-bit BMP, pure
-numpy); JPEG/PNG/audio/video need libjpeg/zlib/libav, which this
-container doesn't ship, so those payloads fall back to a clearly-marked
-deterministic STUB (``_decode_stub``). The Spark-side plumbing — schema
-contract, batch iteration, partition sizing — is identical either way;
-swapping in PIL/libav extends one kernel function.
+Decode is REAL for every format feasible without codec libraries:
+images via ``decode_image`` (binary PPM/PGM, uncompressed 24-bit BMP,
+8-bit non-interlaced PNG — pure numpy + stdlib zlib) and audio via
+``decode_wav`` (RIFF/WAVE integer PCM — pure numpy). JPEG and
+compressed audio/video containers (MP3/OGG/H.264...) genuinely need
+libjpeg/libav, which this container doesn't ship, so those payloads
+fall back to a clearly-marked deterministic STUB (``_decode_stub``).
+The Spark-side plumbing — schema contract, batch iteration, partition
+sizing — is identical either way; swapping in PIL/libav extends one
+kernel function.
 """
 
 from __future__ import annotations
@@ -270,6 +273,76 @@ def decode_image(content: bytes):
     raise ValueError(f"unsupported image magic {magic!r}")
 
 
+def decode_wav(content: bytes):
+    """REAL audio decode for RIFF/WAVE PCM — the codec-free audio
+    format (plain integer samples; no libav needed, exactly like
+    PPM/BMP/PNG on the image side). Supports 8-bit unsigned and 16-bit
+    signed little-endian PCM, any channel count. Returns
+    ``(samples, sample_rate)`` with samples float64 in [-1, 1], shape
+    (n_frames, channels). Raises ValueError for compressed/float WAV
+    and other containers (MP3/OGG/AAC genuinely need codec libraries
+    this container doesn't ship)."""
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or channels < 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        raw = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype("float64") / 32768.0
+    else:
+        raw = (
+            np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0
+        ) / 128.0
+    frames = len(raw) // channels
+    return raw[: frames * channels].reshape(frames, channels), sample_rate
+
+
+def _audio_features(content: bytes) -> list[float]:
+    """8-dim audio features mirroring the image layout:
+    [duration_s, sample_rate, channels, rms, zero_crossing_rate, peak,
+    mean_abs, 1.0] — trailing real-decode flag, stub pins -1.0."""
+    import numpy as np
+
+    samples, rate = decode_wav(content)
+    mono = samples.mean(axis=1)
+    zc = (
+        float(np.count_nonzero(np.diff(np.signbit(mono)))) / max(len(mono) - 1, 1)
+        if len(mono) > 1
+        else 0.0
+    )
+    return [
+        float(len(mono)) / rate,
+        float(rate),
+        float(samples.shape[1]),
+        float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+        zc,
+        float(np.abs(mono).max()) if len(mono) else 0.0,
+        float(np.abs(mono).mean()) if len(mono) else 0.0,
+        1.0,
+    ]
+
+
 def _decode(content: bytes, media_type: str) -> list[float]:
     """Decode kernel: REAL pixel decode when the payload is a supported
     image format, deterministic stub otherwise (and for audio/video —
@@ -293,6 +366,11 @@ def _decode(content: bytes, media_type: str) -> list[float]:
             float(flat.max()),
             1.0,
         ]
+    if media_type == "audio":
+        try:
+            return _audio_features(content)
+        except (ValueError, IndexError):
+            return _decode_stub(content, media_type)
     return _decode_stub(content, media_type)
 
 

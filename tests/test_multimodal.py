@@ -335,3 +335,75 @@ def test_resize_images_real_pixels(spark):
     assert feats[1][:3] == [3.0, 2.0, 3.0] and feats[1][7] == 1.0
     # undecodable payload keeps the stub (content is raw resampled bytes)
     assert out[3].n_bytes == 3 * 2 * 3
+
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5, bits=16, channels=1):
+    """Synthesize a PCM WAV in-memory (pure struct/numpy)."""
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    mono = 0.5 * np.sin(2 * np.pi * freq * t)
+    sig = np.repeat(mono[:, None], channels, axis=1).ravel()
+    if bits == 16:
+        data = (sig * 32767).astype("<i2").tobytes()
+    else:
+        data = ((sig * 127) + 128).astype("uint8").tobytes()
+    block = channels * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_decode_wav_real_signal_features():
+    import math
+
+    from data_lakehouse_project_spark.ext.multimodal import (
+        _audio_features,
+        decode_wav,
+    )
+
+    wav = _wav_bytes(freq=440.0, rate=8000, seconds=0.5)
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and samples.shape == (4000, 1)
+
+    f = _audio_features(wav)
+    dur, sr, ch, rms, zcr, peak, mean_abs, flag = f
+    assert abs(dur - 0.5) < 1e-9 and sr == 8000 and ch == 1
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01  # sine rms = A/sqrt(2)
+    assert abs(zcr - 2 * 440 / 8000) < 0.02  # 2 crossings per cycle
+    assert 0.49 < peak <= 0.5 and flag == 1.0
+
+    # stereo 8-bit also decodes
+    s2, r2 = decode_wav(_wav_bytes(rate=4000, seconds=0.25, bits=8, channels=2))
+    assert r2 == 4000 and s2.shape == (1000, 2)
+
+
+def test_extract_features_real_audio_through_arrow_path(spark):
+    from data_lakehouse_project_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = [
+        (1, "audio", bytearray(_wav_bytes())),
+        (2, "audio", bytearray(b"\xff\xfb garbage mp3-ish payload")),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, c, len(c)) for i, t, c in rows],
+        "media_id long, media_type string, content binary, n_bytes long",
+    )
+    got = {
+        r.media_id: r.features
+        for r in extract_features(df, decoder="auto").collect()
+    }
+    assert got[1][-1] == 1.0  # real WAV decode flag
+    assert got[2][-1] == -1.0  # undecodable -> stub sentinel
