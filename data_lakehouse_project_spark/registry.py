@@ -1982,6 +1982,38 @@ GROUP BY band
 """
 
 
+def q_join_range_bands_binned(spark, sf_dir):
+    """SAME semantics and oracle as ``join_range_bands``, through the
+    binned equi-join rewrite (ext/rangejoin.py) instead of
+    BroadcastNestedLoopJoin — the plan that survives when the interval
+    side is too big to broadcast. The open-ended top band (hi=1e12) is
+    clamped to 200k for the explode only (TPC-H extendedprice is
+    qty≤50 × retailprice<2101 < 110k, so no point exceeds the clamp);
+    the exact predicate keeps the original bound. Hash-equal output
+    proves rewrite correctness at the driver level."""
+    from data_lakehouse_project_spark.ext.rangejoin import (
+        interval_bin_join,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo double, hi double"
+    )
+    joined = interval_bin_join(
+        lineitem.select("l_extendedprice", "l_quantity"),
+        bands,
+        "l_extendedprice",
+        "lo",
+        "hi",
+        bin_width=10000.0,
+        clamp_hi=200000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        _r2(F.sum("l_quantity")).alias("total_qty"),
+    )
+
+
 def q_agg_approx_distinct(spark, sf_dir):
     """HLL approximate count-distinct next to the exact count (rows-only:
     sketch estimates are engine-specific by nature)."""
@@ -2665,6 +2697,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_gapfill_hourly": (q_events_gapfill, SQL_EVENTS_GAPFILL),
     "events_asof_join": (q_events_asof_join, SQL_ASOF),
     "join_range_bands": (q_join_range_bands, SQL_RANGE_BANDS),
+    "join_range_bands_binned": (q_join_range_bands_binned, SQL_RANGE_BANDS),
     "agg_approx_distinct": (q_agg_approx_distinct, None),
     "events_daily_from_hourly": (q_events_daily_from_hourly, SQL_DAILY_FROM_HOURLY),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
