@@ -281,3 +281,44 @@ def test_checkpoint_recovery_exactly_once(spark, events, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == events.count()  # no loss
     assert out.select("event_id").distinct().count() == events.count()  # no dups
+
+
+def test_stream_static_enrichment_join(spark, events, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (broadcast per micro-batch, no state store, no watermark
+    needed) — the bronze-enrichment shape. Result must equal the batch
+    join, and unmatched stream rows survive via left join."""
+    dim = spark.createDataFrame(
+        [(0, "segment_a"), (1, "segment_b")], "user_id int, segment string"
+    )  # user_id 2 deliberately missing
+
+    src = str(tmp_path / "ss_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").groupBy(
+        F.coalesce("segment", F.lit("unknown")).alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ss_enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.segment: r.n
+        for r in spark.sql("SELECT * FROM ss_enriched").collect()
+    }
+    want = {
+        r.segment: r.n
+        for r in events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.coalesce("segment", F.lit("unknown")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and "unknown" in got  # user 2 rows kept
