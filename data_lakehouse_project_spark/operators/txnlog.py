@@ -452,7 +452,10 @@ class TxnTable:
         )
 
     def optimize(
-        self, spark: SparkSession, target_size_bytes: int = 128 << 20
+        self,
+        spark: SparkSession,
+        target_size_bytes: int = 128 << 20,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Compact small files (Delta OPTIMIZE): within each partition,
         groups of files totalling less than ``target_size_bytes`` apiece
@@ -460,11 +463,21 @@ class TxnTable:
         (remove smalls + add compacted), so readers always see identical
         rows and every prior version stays time-travelable until vacuum.
 
+        ``cluster_by`` (Iceberg sort-order / Delta OPTIMIZE ZORDER
+        analog): range-partition + sort the rewrite on those columns, so
+        each output file owns a DISJOINT value range and the footer
+        min/max stats actually prune — randomly-arrived data has every
+        file spanning the full range, making stats useless until a
+        clustered rewrite (the test pins scans dropping from all-files
+        to one file). With ``cluster_by`` the rewrite always proceeds
+        (clustering is the point even when the file count wouldn't
+        shrink).
+
         Content-preserving but read-dependent: a concurrent commit of any
         kind raises ConcurrentWriteConflict (conservative — a production
         log could admit concurrent appends to untouched partitions).
         Returns the committed version, or the current version unchanged
-        when no group would shrink.
+        when nothing would change.
         """
         import math
         from collections import defaultdict
@@ -480,10 +493,16 @@ class TxnTable:
         for fs in groups.values():
             total = sum(f.get("size_bytes", 0) for f in fs)
             n_out = max(1, math.ceil(total / target_size_bytes))
-            if n_out >= len(fs):
+            if n_out >= len(fs) and not cluster_by:
                 continue  # already at or below the target layout
             df = self._read_files(spark, fs, snap.schema_json)
-            adds += self._stage_data(df.coalesce(n_out), partition_by)
+            if cluster_by:
+                df = df.repartitionByRange(
+                    n_out, *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                df = df.coalesce(n_out)
+            adds += self._stage_data(df, partition_by)
             removes += [{"path": f["path"]} for f in fs]
         if not adds:
             return read_version

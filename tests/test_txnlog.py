@@ -482,3 +482,35 @@ def test_change_data_feed_window_and_overwrite(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.read_changes(spark, starting_version=99)
+
+
+def test_optimize_cluster_by_makes_stats_prune(spark, tmp_path):
+    """Randomly-arrived data spreads every value range across every
+    file, so footer min/max stats prune nothing; OPTIMIZE with
+    cluster_by range-sorts the rewrite into disjoint-range files and
+    the same predicate then skips all but one — the Iceberg
+    sort-order / ZORDER economics, observable via scan_file_count."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    # v is decorrelated from insertion order -> every file spans ~full range
+    df = spark.range(0, 4000).select(
+        F.col("id"), F.pmod(F.col("id") * 2654435761, F.lit(4000)).alias("v")
+    )
+    t.write(df.repartition(8), mode="overwrite")
+
+    pred = [("v", "<", 500)]
+    scanned, total = t.scan_file_count(prune=pred)
+    assert total == 8 and scanned == 8  # stats useless before clustering
+
+    # force a multi-file clustered rewrite (tiny target size)
+    v = t.optimize(spark, target_size_bytes=16 << 10, cluster_by=["v"])
+    assert t.history()[-1]["operation"] == "optimize"
+    scanned2, total2 = t.scan_file_count(prune=pred)
+    assert total2 >= 3  # really multiple files
+    assert scanned2 <= max(1, total2 // 3)  # most files skipped
+
+    # clustering is content-preserving and the pruned read is exact
+    assert t.read(spark).count() == 4000
+    got = t.read(spark, prune=pred).count()
+    assert got == df.where("v < 500").count()
+    # pre-clustering version still time-travels
+    assert t.read(spark, version=v - 1).count() == 4000
