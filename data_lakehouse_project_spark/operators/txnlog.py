@@ -60,6 +60,18 @@ _VERSION_DIGITS = 20
 CHECKPOINT_INTERVAL = 10
 
 
+# lossless type promotions allowed as additive schema evolution; every
+# pair is readable by Spark's parquet upcast path (probe pinned in
+# test_txnlog.py). Narrowing is never in this set.
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+}
+
+
 class ConcurrentWriteConflict(RuntimeError):
     """Another commit landed between this operation's read and publish."""
 
@@ -663,17 +675,28 @@ class TxnTable:
         }
         dropped = {n for n in old if n not in new}
         changed = {n for n in old if n in new and old[n] != new[n]}
+        # type WIDENING (Delta's type-widening evolution) is additive:
+        # older files' narrower physical types read losslessly under the
+        # wider snapshot schema (parquet upcast verified in tests);
+        # narrowing stays a conflict
+        widened = {
+            n
+            for n in changed
+            if (json.loads(old[n]), json.loads(new[n])) in _WIDENINGS
+        }
+        conflict = changed - widened
         added = {n for n in new if n not in old}
-        if dropped or changed:
+        if dropped or conflict:
             raise SchemaMismatchError(
                 f"append would drop {sorted(dropped)} / retype "
-                f"{sorted(changed)}; use mode='overwrite' to replace "
+                f"{sorted(conflict)}; use mode='overwrite' to replace "
                 "the schema"
             )
-        if added and not allow_evolution:
+        if (added or widened) and not allow_evolution:
             raise SchemaMismatchError(
-                f"append adds fields {sorted(added)}; pass "
-                "allow_schema_evolution=True for additive evolution"
+                f"append adds fields {sorted(added)} / widens "
+                f"{sorted(widened)}; pass allow_schema_evolution=True "
+                "for additive evolution"
             )
 
     def _read_commit(self, version: int):

@@ -514,3 +514,38 @@ def test_optimize_cluster_by_makes_stats_prune(spark, tmp_path):
     assert got == df.where("v < 500").count()
     # pre-clustering version still time-travels
     assert t.read(spark, version=v - 1).count() == 4000
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """Append with WIDENED column types (int->long, float->double) is
+    additive evolution: older files' narrower physical types read
+    losslessly under the new snapshot schema; narrowing still
+    conflicts; widening without the opt-in flag is rejected."""
+    from data_lakehouse_project_spark.operators.txnlog import (
+        SchemaMismatchError,
+    )
+
+    t = TxnTable(str(tmp_path / "tbl"))
+    narrow = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(1.5).cast("float").alias("x"),
+    )
+    wide = spark.range(5, 8).select(
+        (F.col("id") + 10_000_000_000).alias("k"),  # needs long
+        F.lit(2.25).cast("double").alias("x"),
+    )
+    t.write(narrow, mode="overwrite")
+
+    with pytest.raises(SchemaMismatchError):  # opt-in required
+        t.write(wide, mode="append")
+    t.write(wide, mode="append", allow_schema_evolution=True)
+
+    got = t.read(spark)
+    assert dict(got.dtypes) == {"k": "bigint", "x": "double"}
+    ks = sorted(r.k for r in got.collect())
+    assert ks == [0, 1, 2, 3, 4] + [10_000_000_005 + i for i in range(3)]
+    assert {r.x for r in got.collect()} == {1.5, 2.25}
+
+    # narrowing back is NOT evolution
+    with pytest.raises(SchemaMismatchError):
+        t.write(narrow, mode="append", allow_schema_evolution=True)
