@@ -2311,6 +2311,36 @@ ORDER BY source, es_key DESC, doc_id
 """
 
 
+def q_bpe_trained_compression(spark, sf_dir):
+    """REAL BPE training (ext/bpe.py — Sennrich merges learned on the
+    word-frequency table, 8 rules, deterministic lexicographic
+    tie-break) applied back to the corpus; per-source token totals
+    before/after show the learned compression. Rows-only: the trainer
+    is iterative with a 1-row driver collect per merge — not
+    SQL-expressible; merge order and application semantics are pinned
+    in test_bpe.py."""
+    from data_lakehouse_project_spark.ext.bpe import apply_bpe, train_bpe
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    merges = train_bpe(documents, "text", 8)
+    seg = apply_bpe(documents, "text", merges)
+    base = apply_bpe(documents, "text", [])
+    return (
+        seg.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        )
+        .join(
+            base.groupBy("source").agg(
+                F.sum("n_bpe_tokens").alias("char_tokens")
+            ),
+            "source",
+        )
+        .orderBy("source")
+    )
+
+
 SQL_BLOOM_ADMISSION = f"""
 WITH batch AS (
   SELECT doc_id, md5(text) AS fp FROM documents WHERE {_BUCKET_SQL} < 2000
@@ -2640,6 +2670,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_WEIGHTED_SAMPLE,
     ),
     "tfidf_search_topk": (q_tfidf_search_topk, SQL_TFIDF),
+    "bpe_trained_compression": (q_bpe_trained_compression, None),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),
     "source_curation_report": (q_source_curation_report, SQL_SOURCE_CURATION),
