@@ -192,3 +192,72 @@ def test_token_budget_never_exceeded(spark, rows, budget):
     for r in out.collect():
         assert 0 < r.tokens_kept <= budget
         assert r.docs_kept >= 1
+
+
+@_hyp
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet="abcdefgh0123456789", min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    split=st.integers(min_value=0, max_value=40),
+)
+def test_bloom_never_false_negative(spark, keys, split):
+    """For ANY key set and split, every indexed key probes
+    maybe_member=True (the guarantee admission control builds on)."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.ext.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    indexed = keys[: max(1, min(split, len(keys)))]
+    df = spark.createDataFrame([(k,) for k in indexed], "fp string")
+    bloom = bloom_build(df, "fp", 1 << 14, 4)
+    probed = bloom_probe(df, "fp", bloom, 1 << 14, 4)
+    assert probed.where("NOT maybe_member").count() == 0
+
+
+@_hyp
+@given(
+    points=st.lists(
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=25,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.floats(min_value=0, max_value=30, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.sampled_from([3.0, 10.0, 50.0]),
+)
+def test_interval_bin_join_equals_nested_loop(spark, points, intervals, width):
+    """Bin-grid rewrite ≡ nested-loop inequality join for arbitrary
+    points, interval layouts, and bin widths (incl. empty intervals and
+    bin-edge alignment)."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.ext.rangejoin import interval_bin_join
+
+    pts = spark.createDataFrame(
+        list(enumerate(points)), "id long, v double"
+    )
+    ivs = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    binned = interval_bin_join(pts, ivs, "v", "lo", "hi", width)
+    bnlj = pts.join(
+        ivs, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    key = lambda df: sorted((r.id, r.iid) for r in df.collect())
+    assert key(binned) == key(bnlj)
