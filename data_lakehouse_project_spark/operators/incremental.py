@@ -45,34 +45,53 @@ def refresh_aggregate_view(
     view: TxnTable,
     group_cols: list[str],
     sum_cols: dict[str, str],
+    max_cols: dict[str, str] | None = None,
+    min_cols: dict[str, str] | None = None,
 ) -> int:
-    """Bring ``view`` (group_cols → cnt + Σ sum_cols) up to date with
-    ``base``; returns the base version the view now reflects.
+    """Bring ``view`` (group_cols → cnt + Σ sum_cols [+ min/max]) up to
+    date with ``base``; returns the base version the view now reflects.
 
     First call (no view log yet) computes the full aggregate from the
     base snapshot; later calls apply only ``read_changes`` deltas since
     the last recorded ``source_version``.
+
+    min/max are only SEMI-decomposable: inserts merge via
+    greatest/least, but a delete can retire the current extreme and the
+    view alone can't know the runner-up. So when min/max columns are
+    requested, the delta path applies only while every commit in the
+    catch-up range is an ``append`` (or ``optimize`` — content-
+    preserving); any merge/delete/overwrite in range triggers a FULL
+    recompute of that refresh (correctness over cleverness — the
+    standard IVM limitation, stated rather than silently wrong).
     """
+    max_cols = max_cols or {}
+    min_cols = min_cols or {}
     base_version = base.latest_version()
     if base_version < 0:
         raise FileNotFoundError(f"base table has no commits: {base.path}")
 
-    applied = _last_source_version(view)
-    if applied is None:
-        full = (
+    def _full_aggregate():
+        return (
             base.read(spark)
             .groupBy(*group_cols)
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                *[
-                    F.sum(src).alias(out)
-                    for out, src in sum_cols.items()
-                ],
+                *[F.sum(src).alias(out) for out, src in sum_cols.items()],
+                *[F.max(src).alias(out) for out, src in max_cols.items()],
+                *[F.min(src).alias(out) for out, src in min_cols.items()],
             )
         )
-        return _commit_view(view, full, base_version)
+
+    applied = _last_source_version(view)
+    if applied is None:
+        return _commit_view(view, _full_aggregate(), base_version)
     if applied >= base_version:
         return applied  # idempotent at head
+
+    if max_cols or min_cols:
+        ops = _ops_in_range(base, applied + 1, base_version)
+        if any(op not in ("append", "optimize") for op in ops):
+            return _commit_view(view, _full_aggregate(), base_version)
 
     sign = F.when(
         F.col("_change_type") == "insert", F.lit(1)
@@ -85,6 +104,15 @@ def refresh_aggregate_view(
         *[
             F.sum(sign * F.col(src)).alias(f"_d_{out}")
             for out, src in sum_cols.items()
+        ],
+        # append-only by the gate above, so delta extremes merge safely
+        *[
+            F.max(src).alias(f"_d_{out}")
+            for out, src in max_cols.items()
+        ],
+        *[
+            F.min(src).alias(f"_d_{out}")
+            for out, src in min_cols.items()
         ],
     )
     z = F.lit(0)
@@ -101,10 +129,29 @@ def refresh_aggregate_view(
                 ).alias(out)
                 for out in sum_cols
             ],
+            # greatest/least skip nulls, so new groups and untouched
+            # groups both resolve to the surviving side
+            *[
+                F.greatest(F.col(out), F.col(f"_d_{out}")).alias(out)
+                for out in max_cols
+            ],
+            *[
+                F.least(F.col(out), F.col(f"_d_{out}")).alias(out)
+                for out in min_cols
+            ],
         )
         .where(F.col("cnt") > 0)  # groups whose last member was deleted
     )
     return _commit_view(view, merged, base_version)
+
+
+def _ops_in_range(base: TxnTable, lo: int, hi: int) -> list[str]:
+    """commitInfo operations for versions in [lo, hi]."""
+    return [
+        h["operation"]
+        for h in base.history()
+        if lo <= h.get("version", -1) <= hi
+    ]
 
 
 def read_aggregate_view(

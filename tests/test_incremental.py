@@ -141,3 +141,55 @@ def test_streaming_ingest_keeps_view_current(spark, tmp_path):
     assert base.latest_version() >= 1  # several micro-batch commits
     assert view.history()[-1]["source_version"] == base.latest_version()
     assert _got(view, spark) == _expected(base, spark)
+
+
+def test_min_max_maintenance_append_fast_path_and_fallback(spark, tmp_path):
+    """min/max views: appends merge via greatest/least (delta path);
+    a delete that retires the current maximum forces the documented
+    full-recompute fallback and still lands the right answer."""
+    base = TxnTable(str(tmp_path / "base"))
+    view = TxnTable(str(tmp_path / "view"))
+    base.write(_df(spark, 0, 20, tag_mod=2), mode="overwrite")
+
+    kw = dict(
+        group_cols=["tag"],
+        sum_cols={"v_sum": "v"},
+        max_cols={"v_max": "v"},
+        min_cols={"v_min": "v"},
+    )
+    refresh_aggregate_view(spark, base, view, **kw)
+
+    def want():
+        return {
+            r.tag: (r.cnt, r.v_sum, r.v_max, r.v_min)
+            for r in base.read(spark)
+            .groupBy("tag")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("v").alias("v_sum"),
+                F.max("v").alias("v_max"),
+                F.min("v").alias("v_min"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r.tag: (r.cnt, r.v_sum, r.v_max, r.v_min)
+            for r in view.read(spark).collect()
+        }
+
+    # append-only churn: new global max arrives -> delta path suffices
+    base.write(_df(spark, 20, 30, tag_mod=2), mode="append")
+    refresh_aggregate_view(spark, base, view, **kw)
+    assert got() == want()
+
+    # delete the current maxima -> runner-up must surface (full path)
+    base.delete_where(spark, "id >= 24")
+    refresh_aggregate_view(spark, base, view, **kw)
+    assert got() == want()
+
+    # and sums stay correct through both paths
+    base.write(_df(spark, 100, 105, tag_mod=2), mode="append")
+    refresh_aggregate_view(spark, base, view, **kw)
+    assert got() == want()
