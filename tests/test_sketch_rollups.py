@@ -96,3 +96,55 @@ def test_theta_union_matches_hll_story(spark, sketch_events):
     ).first()
     exact = sketch_events.select("user_id").distinct().count()  # 900
     assert abs(est.est - exact) / exact < 0.02
+
+
+def test_streaming_maintained_theta_rollup_equals_batch(
+    spark, sketch_events, tmp_path
+):
+    """Sketches are the streaming-friendly aggregate: per micro-batch,
+    daily theta sketches merge (theta_union_agg) into a persisted
+    delta-lite rollup — no raw-event state retained — and the drained
+    rollup's estimates equal computing over all events at once."""
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+    from data_lakehouse_project_spark.streaming.rollup import (
+        theta_daily_users,
+    )
+
+    src = str(tmp_path / "sk_src")
+    rollup = TxnTable(str(tmp_path / "sk_rollup"))
+    sketch_events.where("user_id % 2 = 0").write.mode("overwrite").parquet(src)
+    sketch_events.where("user_id % 2 = 1").write.mode("append").parquet(src)
+
+    def _apply(batch_df, _bid):
+        daily = theta_daily_users(batch_df).select("day", "user_sketch")
+        if rollup.latest_version() >= 0:
+            daily = rollup.read(batch_df.sparkSession).unionByName(daily)
+        merged = daily.groupBy("day").agg(
+            F.theta_union_agg("user_sketch").alias("user_sketch")
+        )
+        rollup.write(merged, mode="overwrite")
+
+    q = (
+        spark.readStream.schema(sketch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sk_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.day: round(r.est)
+        for r in rollup.read(spark)
+        .select("day", F.theta_sketch_estimate("user_sketch").alias("est"))
+        .collect()
+    }
+    want = {
+        r.day: round(r.est)
+        for r in theta_daily_users(sketch_events)
+        .select("day", F.col("users_est").alias("est"))
+        .collect()
+    }
+    assert got == want and len(got) == 6
