@@ -131,3 +131,76 @@ class _XMLReader(DataSourceReader):
 def register_python_datasources(spark) -> None:
     """Idempotently register all custom Python data sources."""
     spark.dataSource.register(XMLPythonDataSource)
+    spark.dataSource.register(JSONLPythonDataSource)
+
+
+# ---------------------------------------------------------------------
+# Writer side of the Spark 4 Python DataSource API: a JSONL sink
+# (format("jsonl_py")). Each executor's Python worker serializes its
+# partition to a uniquely-named part file; the driver-side commit drops
+# a _SUCCESS marker only after every partition reported success, so a
+# half-written job is detectable (the same two-phase contract the JVM
+# FileOutputCommitter gives parquet writes). Exists to cover the WRITE
+# half of the custom-datasource surface the XML source covers for reads.
+# ---------------------------------------------------------------------
+
+import json as _json
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _JSONLCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JSONLPythonDataSource(DataSource):
+    """``df.write.format("jsonl_py").option("path", p).save()`` — one
+    JSON object per line, UTF-8, one file per partition."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_py"
+
+    def writer(self, schema, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_py requires option('path', ...)")
+        # driver-side: prepare the target dir; overwrite clears it
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                os.remove(os.path.join(path, f))
+        os.makedirs(path, exist_ok=True)
+        return _JSONLWriter(path, [f.name for f in schema.fields])
+
+
+class _JSONLWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list[str]):
+        self.path = path
+        self.columns = columns
+
+    def write(self, iterator):  # executor-side, one call per partition
+        out = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(
+                        {c: row[c] for c in self.columns}, default=str
+                    )
+                )
+                fh.write("\n")
+                n += 1
+        return _JSONLCommit(out, n)
+
+    def commit(self, messages):  # driver-side, after ALL partitions
+        total = sum(m.rows for m in messages if m is not None)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages):  # driver-side on job failure
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -100,3 +100,38 @@ def test_xml_py_distributes_one_partition_per_file(spark, xml_dir):
         .load(xml_dir)
     )
     assert df.rdd.getNumPartitions() == 2
+
+
+def test_jsonl_python_datasource_write_round_trip(spark, tmp_path):
+    """Writer half of the Python DataSource API: partitioned JSONL
+    write with two-phase commit (_SUCCESS only after all partitions),
+    readable back by the native JSON reader; overwrite clears."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("tag")
+    ).repartition(4)
+    df.write.format("jsonl_py").option("path", out).mode("append").save()
+
+    files = os.listdir(out)
+    assert "_SUCCESS" in files
+    assert sum(f.endswith(".jsonl") for f in files) == 4  # one per partition
+    assert open(os.path.join(out, "_SUCCESS")).read() == "100"
+
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r.id for r in back.collect()} == set(range(100))
+
+    # overwrite replaces prior contents
+    spark.range(0, 7).select(
+        F.col("id"), F.lit("x").alias("tag")
+    ).write.format("jsonl_py").option("path", out).mode("overwrite").save()
+    assert spark.read.json(out).count() == 7
