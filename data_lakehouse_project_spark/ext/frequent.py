@@ -1,0 +1,124 @@
+"""Heavy hitters / frequent items (SURVEY §2.8 — corpus analytics).
+
+Two tiers, mirroring the dedup family's exact-anchor + scale-path
+pattern:
+
+- ``frequent_items_exact``: the oracle-checkable anchor — one groupBy
+  over the item stream, threshold filter on support. One shuffle on the
+  item key; at 100 TB the map-side partial aggregation means the
+  exchange carries one row per distinct item per task, not per
+  occurrence.
+- ``misra_gries_topk``: the mergeable-summary scale path for when even
+  the distinct-item exchange is too wide (e.g. heavy-hitter URLs over
+  a trillion-row log with billions of distinct keys). Per-partition
+  Misra–Gries summaries of capacity ``k`` are built in one Arrow pass
+  (``mapInPandas`` — the counters dict is bounded at k entries however
+  large the partition), merged by an itemwise sum (rows exchanged:
+  ≤ partitions·k, independent of data size), then trimmed by the
+  standard mergeable-summaries rule: subtract the (k+1)-th largest
+  merged weight and drop non-positive remainders (Agarwal et al.,
+  "Mergeable Summaries", PODS'12). Guarantee: every item with true
+  count > n/(k+1) survives, and each surviving estimate is within
+  n/(k+1) below its true count. Property-tested in
+  tests/test_frequent.py; kept out of the oracle registry because the
+  surviving *sub-threshold* items depend on partitioning.
+
+No counterpart in the reference (its aggregations are plain groupBys —
+``mysql_gold_aggregation.py:117-125``); this is north-star surface for
+trillion-row log analytics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frequent_items_exact(
+    df: DataFrame, item_col: str, min_support: float
+) -> DataFrame:
+    """Items occurring in at least ``min_support`` fraction of rows,
+    with exact count and share. One shuffle (map-side combined); the
+    total-count scalar rides a 1-row broadcast so no second pass."""
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        df.groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.col("n_total") * min_support)
+        .select(
+            "item",
+            "cnt",
+            (F.col("cnt") / F.col("n_total")).alias("share"),
+        )
+    )
+
+
+def _mg_partial(item_iter: Iterator[pd.DataFrame], k: int):
+    """One bounded Misra–Gries pass over a partition's Arrow batches.
+
+    At most ``k`` counters live at any time: an incoming item either
+    increments its counter, claims a free slot, or decrements ALL
+    counters by the minimum counter value (the classic batched
+    decrement — equivalent to repeated unit decrements and O(1)
+    amortized via the min subtraction).
+    """
+    counters: dict = {}
+    for pdf in item_iter:
+        for item in pdf["item"]:
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < k:
+                counters[item] = 1
+            else:
+                dec = min(counters.values())
+                counters = {
+                    i: c - dec for i, c in counters.items() if c > dec
+                }
+                if len(counters) < k:
+                    counters[item] = 1
+    if counters:
+        yield pd.DataFrame(
+            {"item": list(counters), "wt": list(counters.values())}
+        )
+
+
+def misra_gries_topk(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Mergeable Misra–Gries heavy-hitter summary of capacity ``k``.
+
+    Returns ≤ k rows (item, est) where est underestimates the true
+    count by at most n/(k+1); any item with true count > n/(k+1) is
+    guaranteed present. Scale shape: one Arrow pass per partition with
+    O(k) state, one exchange of ≤ partitions·k summary rows, and the
+    final trim runs on that tiny merged table (window over ≤ P·k rows).
+    """
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+    partials = items.mapInPandas(
+        lambda it: _mg_partial(it, k), "item string, wt long"
+    )
+    merged = partials.groupBy("item").agg(F.sum("wt").alias("wt"))
+    # mergeable-summaries trim: subtract the (k+1)-th largest weight
+    ranked = merged.withColumn(
+        "_rk", F.row_number().over(Window.orderBy(F.desc("wt"), "item"))
+    )
+    kth = ranked.where(F.col("_rk") == k + 1).select(
+        F.col("wt").alias("_kth")
+    )
+    return (
+        ranked.where(F.col("_rk") <= k)
+        .crossJoin(
+            F.broadcast(
+                kth.unionByName(
+                    kth.sparkSession.range(1).select(
+                        F.lit(0).cast("long").alias("_kth")
+                    )
+                ).agg(F.max("_kth").alias("_kth"))
+            )
+        )
+        .select("item", (F.col("wt") - F.col("_kth")).alias("est"))
+        .where(F.col("est") > 0)
+    )

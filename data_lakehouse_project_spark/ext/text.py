@@ -424,3 +424,80 @@ def tfidf_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a constant query-term set — the
+    production lexical ranker (tfidf_topk is the unsaturated baseline).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene non-negative idf ln(1 + (N − df + 0.5)/(df + 0.5)).
+    Term saturation (k1) caps the reward for repeating a term; length
+    normalization (b) stops long documents from dominating on raw tf.
+
+    Scale shape: two column-pruned scans of the corpus. Scan 1 explodes
+    tokens and filters to the query terms FIRST (isin over literals →
+    scan-side filter), so tf/df shuffles touch only matching tokens.
+    Scan 2 is map-only: per-doc token count dl; N and avgdl ride a
+    1-row broadcast. The dl join keys on the ids of matching docs only —
+    the tf side is a sliver, so AQE turns it into a broadcast hash join
+    against the full-length table at scale. Final top-k is
+    orderBy+limit → TakeOrderedAndProject. Ties break on ascending id.
+    """
+    terms = [t.lower() for t in query_terms]
+    lengths = df.select(
+        F.col(id_col),
+        F.size(ws_tokens(F.col(text_col))).cast("double").alias("dl"),
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(ws_tokens(F.col(text_col))).alias("t"),
+    ).where(F.col("t").isin(terms))
+    idf = (
+        toks.groupBy("t")
+        .agg(F.count_distinct(id_col).cast("double").alias("df_t"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "t",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    tf = toks.groupBy(id_col, "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    return (
+        tf.join(F.broadcast(idf), "t")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -2267,6 +2267,102 @@ LIMIT 25
 """
 
 
+def q_bm25_search_topk(spark, sf_dir):
+    """Top-25 documents by Okapi BM25 for a constant keyword query
+    (ext/text.py::bm25_topk): query-term filter pushed before any
+    shuffle, per-doc length + corpus avgdl from a second map-only scan,
+    Lucene idf ln(1+(N−df+.5)/(df+.5)), saturation k1=1.2 / length
+    norm b=0.75, TakeOrderedAndProject top-k. Score rounded to 6
+    decimals on both engines; one query term is deliberately absent
+    (idf defined, tf empty → contributes nothing)."""
+    from data_lakehouse_project_spark.ext.text import bm25_topk
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = bm25_topk(
+        documents,
+        "text",
+        "doc_id",
+        ["filter", "vector", "stream", "zzz_absent_term"],
+        k=25,
+    )
+    return (
+        out.select("doc_id", _rn(F.col("score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+SQL_BM25 = f"""
+WITH lengths AS (
+  SELECT doc_id, CAST(len({TOKS}) AS DOUBLE) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+  FROM lengths
+),
+q AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest({TOKS}) AS t FROM documents
+  ) WHERE t IN ('filter', 'vector', 'stream', 'zzz_absent_term')
+),
+idf AS (
+  SELECT t,
+         ln(1.0 + (s.n_docs - CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                   + 0.5)
+               / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5)) AS idf
+  FROM q, stats s GROUP BY t, s.n_docs
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM q GROUP BY 1, 2
+)
+SELECT doc_id,
+       {R("SUM(idf.idf * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lengths.dl / s.avgdl)))", 6)} AS score
+FROM tf
+JOIN idf USING (t)
+JOIN lengths USING (doc_id)
+CROSS JOIN stats s
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 25
+"""
+
+
+def q_corpus_frequent_tokens(spark, sf_dir):
+    """Exact heavy hitters over the corpus token stream
+    (ext/frequent.py::frequent_items_exact): tokens covering ≥ 0.4% of
+    all token occurrences, with count and share. One map-side-combined
+    shuffle on the token; the total-count scalar rides a 1-row
+    broadcast. The anchor for the Misra–Gries mergeable-summary scale
+    path (property-tested in tests/test_frequent.py, which is the
+    distinct-key-explosion fallback at trillion-row scale)."""
+    from data_lakehouse_project_spark.ext.frequent import (
+        frequent_items_exact,
+    )
+    from data_lakehouse_project_spark.ext.text import ws_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.explode(ws_tokens(F.col("text"))).alias("tok")
+    )
+    out = frequent_items_exact(toks, "tok", 0.004)
+    return out.select(
+        "item", "cnt", _rn(F.col("share"), 8).alias("share")
+    ).orderBy(F.desc("cnt"), "item")
+
+
+SQL_FREQ_TOKENS = f"""
+WITH toks AS (
+  SELECT unnest({TOKS}) AS item FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks)
+SELECT item, COUNT(*) AS cnt,
+       {R("COUNT(*) / ANY_VALUE(n.n_total)", 8)} AS share
+FROM toks, n
+GROUP BY item
+HAVING COUNT(*) >= ANY_VALUE(n.n_total) * 0.004
+ORDER BY cnt DESC, item
+"""
+
+
 def q_weighted_sample_documents(spark, sf_dir):
     """Per-source weighted sample WITHOUT replacement, 20 docs ∝ token
     count (ext/sampling.py::weighted_sample — deterministic
@@ -2670,6 +2766,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_WEIGHTED_SAMPLE,
     ),
     "tfidf_search_topk": (q_tfidf_search_topk, SQL_TFIDF),
+    "bm25_search_topk": (q_bm25_search_topk, SQL_BM25),
+    "corpus_frequent_tokens": (q_corpus_frequent_tokens, SQL_FREQ_TOKENS),
     "bpe_trained_compression": (q_bpe_trained_compression, None),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),

@@ -116,3 +116,62 @@ def test_tfidf_topk_plan_is_pruned_and_take_ordered(spark):
     q = tfidf_topk(df, "text", "doc_id", ["spark"], k=5)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_bm25_topk_hand_checked(spark):
+    import math
+
+    from data_lakehouse_project_spark.ext.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),
+            (2, "spark join filter"),
+            (3, "filter scan merge"),
+            (4, "join join join join"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "text", "doc_id", ["spark", "missing"], k=3)
+    rows = out.collect()
+    # only docs containing 'spark' score; 'missing' contributes nothing
+    assert [r.doc_id for r in rows] == [1, 2]
+    n, avgdl, k1, b = 4.0, (4 + 3 + 3 + 4) / 4.0, 1.2, 0.75
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(rows[0].score - score(3, 4)) < 1e-12
+    assert abs(rows[1].score - score(1, 3)) < 1e-12
+    # saturation: tripled tf scores < 3x once, and below the idf*(k1+1) cap
+    assert rows[0].score < 3 * rows[1].score * (4 / 3)  # loose but real
+    assert rows[0].score < idf * (k1 + 1)
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    from data_lakehouse_project_spark.ext.text import bm25_topk
+
+    # same tf for the query term; the shorter doc must rank first
+    df = spark.createDataFrame(
+        [
+            (1, "spark " + "pad " * 40),
+            (2, "spark scan"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, "text", "doc_id", ["spark"], k=2).collect()
+    assert [r.doc_id for r in rows] == [2, 1]
+    assert rows[0].score > rows[1].score
+
+
+def test_bm25_plan_take_ordered(spark):
+    from data_lakehouse_project_spark.ext.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "spark join scan filter") for i in range(50)],
+        "doc_id long, text string",
+    )
+    q = bm25_topk(df, "text", "doc_id", ["spark"], k=5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
