@@ -54,6 +54,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_txn_log"
+DV_DIR = "_dv"
 _VERSION_DIGITS = 20
 # every Nth commit also writes a full-snapshot checkpoint, bounding
 # replay to one checkpoint + <N commit files for any table age
@@ -172,7 +173,9 @@ def _data_files(root: str) -> list[str]:
     log dir and marker files), recursing through partition dirs."""
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
-        dirnames[:] = [d for d in dirnames if d != LOG_DIR]
+        # skip the log, deletion-vector, and in-flight staging dirs;
+        # hive partition dirs are k=v and never lead with "_"
+        dirnames[:] = [d for d in dirnames if not d.startswith("_")]
         for f in filenames:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(
@@ -200,7 +203,11 @@ class Snapshot:
 
     @property
     def num_rows(self) -> int:
-        return sum(f.get("stats", {}).get("num_rows", 0) for f in self.files)
+        return sum(
+            f.get("stats", {}).get("num_rows", 0)
+            - f.get("dv", {}).get("deleted_rows", 0)
+            for f in self.files
+        )
 
 
 @dataclass
@@ -348,18 +355,13 @@ class TxnTable:
         )
         if not files:
             return spark.createDataFrame([], schema)
-        reader = spark.read
-        if schema is not None:
-            # the SNAPSHOT's schema governs the read (Delta semantics):
-            # after an additive schema change, older files in the same
-            # snapshot surface the new column as null instead of the
-            # union-by-position guesswork of bare multi-path parquet
-            reader = reader.schema(schema)
-        # basePath keeps hive partition columns when reading explicit
-        # file paths (without it Spark drops k=v dir columns entirely)
-        df = reader.option("basePath", self.path).parquet(
-            *[os.path.join(self.path, f["path"]) for f in files]
-        )
+        # the SNAPSHOT's schema governs the read (Delta semantics):
+        # after an additive schema change, older files in the same
+        # snapshot surface the new column as null instead of the
+        # union-by-position guesswork of bare multi-path parquet;
+        # basePath (inside _read_files) keeps hive partition columns
+        # and any deletion vectors are applied merge-on-read
+        df = self._read_files(spark, files, snap.schema_json)
         if prune:
             from pyspark.sql import functions as F
 
@@ -411,7 +413,7 @@ class TxnTable:
             self._check_append_schema(df, allow_schema_evolution)
         adds = self._stage_data(df, partition_by)
         removes = (
-            [{"path": f["path"]} for f in self.snapshot().files]
+            [_remove_action(f) for f in self.snapshot().files]
             if mode == "overwrite" and read_version >= 0
             else []
         )
@@ -436,7 +438,7 @@ class TxnTable:
         target = self.read(spark)
         merged = merge_upsert(target, source, keys)
         adds = self._stage_data(merged, None)
-        removes = [{"path": f["path"]} for f in self.snapshot().files]
+        removes = [_remove_action(f) for f in self.snapshot().files]
         return self._commit(
             operation="merge",
             read_version=read_version,
@@ -447,20 +449,132 @@ class TxnTable:
             blind_append=False,
         )
 
-    def delete_where(self, spark: SparkSession, predicate_sql: str) -> int:
-        """Copy-on-write DELETE of rows matching ``predicate_sql``."""
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate_sql: str,
+        prune: list[tuple[str, str, object]] | None = None,
+        dv: bool = False,
+    ) -> int:
+        """DELETE rows matching ``predicate_sql`` — at FILE granularity,
+        like Delta: one scan (optionally ``prune``-narrowed by file
+        stats) finds the files that actually contain matching rows via
+        ``_metadata.file_path``; every other file's add action is left
+        untouched, so a selective delete on a clustered table rewrites
+        O(matching files), not O(table). The touched-path collect is
+        bounded by the file count the driver already holds.
+
+        ``dv=False`` (copy-on-write): touched files are rewritten
+        without the matching rows; old versions stay time-travelable.
+
+        ``dv=True`` (merge-on-read, Delta deletion vectors): NO data
+        file is rewritten. The matching (file, row-position) pairs —
+        unioned with any positions already deleted from those files —
+        are written once to ``_dv/dv-<uuid>/`` and the touched files are
+        re-added pointing at it; readers apply the DV as a broadcast
+        anti-join. The at-scale trade: deletes cost O(deleted rows)
+        IO instead of O(touched files), at a small per-read filter cost
+        until ``optimize`` materializes the deletions away.
+
+        Returns the committed version, or the current version unchanged
+        when no row matches (no empty commits).
+        """
+        from pyspark.sql import functions as F
+
         read_version = self.latest_version()
-        kept = self.read(spark).where(f"NOT ({predicate_sql})")
-        adds = self._stage_data(kept, None)
-        removes = [{"path": f["path"]} for f in self.snapshot().files]
+        snap = self.snapshot()
+        partition_by = self._current_partition_by()
+        candidates = (
+            [f for f in snap.files if _file_may_match(f, prune)]
+            if prune
+            else list(snap.files)
+        )
+        if not candidates:
+            return read_version
+        scan = self._read_files(
+            spark, candidates, snap.schema_json, with_lineage=True
+        )
+        matches = scan.where(predicate_sql)
+        hit_paths = {
+            r.p
+            for r in matches.select(F.col("_dl_path").alias("p"))
+            .distinct()
+            .collect()
+        }
+        touched = [f for f in candidates if f["path"] in hit_paths]
+        if not touched:
+            return read_version
+        removes = [_remove_action(f) for f in touched]
+        if not dv:
+            # NULL-predicate rows are NOT deleted (SQL DELETE
+            # semantics), so keep = NOT coalesce(pred, false)
+            kept = (
+                scan.where(
+                    ~F.coalesce(
+                        F.expr(f"({predicate_sql})"), F.lit(False)
+                    )
+                )
+                .where(F.col("_dl_path").isin(sorted(hit_paths)))
+                .drop("_dl_path", "_dl_pos")
+            )
+            adds = self._stage_data(kept, partition_by)
+            info = {
+                "files_rewritten": len(touched),
+                "files_skipped": len(snap.files) - len(touched),
+            }
+        else:
+            new_dv = matches.select(
+                F.col("_dl_path").alias("path"),
+                F.col("_dl_pos").alias("pos"),
+            )
+            old_dirs = sorted(
+                {f["dv"]["path"] for f in touched if f.get("dv")}
+            )
+            if old_dirs:
+                old = spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in old_dirs]
+                ).where(F.col("path").isin(sorted(hit_paths)))
+                new_dv = new_dv.unionByName(old).distinct()
+            dv_rel = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex}")
+            new_dv.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.path, dv_rel)
+            )
+            counts = {
+                r.path: r.cnt
+                for r in spark.read.parquet(
+                    os.path.join(self.path, dv_rel)
+                )
+                .groupBy("path")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            adds = [
+                {
+                    **f,
+                    "dv": {
+                        "path": dv_rel,
+                        "deleted_rows": int(counts.get(f["path"], 0)),
+                    },
+                }
+                for f in touched
+            ]
+            info = {
+                "mode": "dv",
+                "files_with_dv": len(touched),
+                "rows_deleted": sum(counts.values())
+                - sum(
+                    f.get("dv", {}).get("deleted_rows", 0) for f in touched
+                ),
+            }
         return self._commit(
             operation="delete",
             read_version=read_version,
             adds=adds,
             removes=removes,
-            schema_json=kept.schema.json(),
-            partition_by=None,
+            schema_json=snap.schema_json,
+            partition_by=partition_by,
             blind_append=False,
+            info_extra=info,
         )
 
     def optimize(
@@ -515,7 +629,7 @@ class TxnTable:
             else:
                 df = df.coalesce(n_out)
             adds += self._stage_data(df, partition_by)
-            removes += [{"path": f["path"]} for f in fs]
+            removes += [_remove_action(f) for f in fs]
         if not adds:
             return read_version
         return self._commit(
@@ -624,32 +738,100 @@ class TxnTable:
             return []
         retained = versions[-max(1, keep_versions):]
         live: set[str] = set()
+        live_dv: set[str] = set()
         for v in retained:
-            live.update(f["path"] for f in self.snapshot(version=v).files)
+            for f in self.snapshot(version=v).files:
+                live.add(f["path"])
+                if f.get("dv"):
+                    live_dv.add(f["dv"]["path"])
         deleted = []
         for rel in _data_files(self.path):
             if rel not in live:
                 os.remove(os.path.join(self.path, rel))
                 deleted.append(rel)
+        # deletion-vector dirs referenced by no retained snapshot
+        dv_root = os.path.join(self.path, DV_DIR)
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                rel = os.path.join(DV_DIR, name)
+                if rel not in live_dv:
+                    _rmtree_quiet(os.path.join(dv_root, name))
+                    deleted.append(rel)
         return deleted
 
     # ---------------- internals ----------------
 
+    def _rel_path_col(self):
+        """``_metadata.file_path`` normalized to a table-relative path —
+        the key deletion vectors are stored under. Chained prefix strips
+        cover the ``file://`` / ``file:`` / bare forms Spark emits."""
+        from pyspark.sql import functions as F
+
+        root = os.path.abspath(self.path)
+        c = F.col("_metadata.file_path")
+        for pref in (f"file://{root}/", f"file:{root}/", f"{root}/"):
+            c = F.replace(c, F.lit(pref), F.lit(""))
+        return c
+
     def _read_files(
-        self, spark: SparkSession, files: list[dict], schema_json: str | None
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        schema_json: str | None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """DataFrame over explicit file actions (each a dict with at
         least ``path``), read with the given table schema so partition
-        columns survive and evolved-away columns surface as null."""
+        columns survive and evolved-away columns surface as null.
+
+        File actions carrying a deletion vector (``dv``) have their
+        deleted positions filtered out via a BROADCAST left-anti join on
+        (relative path, ``_metadata.row_index``) — merge-on-read, a
+        map-side hash filter with no shuffle of the data. DV rows for
+        paths not in ``files`` never match (rewrites always mint fresh
+        file names), so unioning every referenced DV dir is safe.
+
+        ``with_lineage=True`` keeps ``_dl_path`` / ``_dl_pos`` columns
+        (table-relative file path, row position) for callers that need
+        row provenance — the delete paths derive both touched-file sets
+        and new DV positions from ONE scan this way.
+        """
+        from pyspark.sql import functions as F
+
         schema = (
             _schema_from_json(spark, schema_json) if schema_json else None
         )
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.option("basePath", self.path).parquet(
+        df = reader.option("basePath", self.path).parquet(
             *[os.path.join(self.path, f["path"]) for f in files]
         )
+        dv_dirs = sorted({f["dv"]["path"] for f in files if f.get("dv")})
+        if not dv_dirs and not with_lineage:
+            return df
+        df = df.withColumns(
+            {
+                "_dl_path": self._rel_path_col(),
+                "_dl_pos": F.col("_metadata.row_index"),
+            }
+        )
+        if dv_dirs:
+            dv = (
+                spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in dv_dirs]
+                )
+                .selectExpr(
+                    "path as _dl_dv_path", "pos as _dl_dv_pos"
+                )
+            )
+            df = df.join(
+                F.broadcast(dv),
+                (F.col("_dl_path") == F.col("_dl_dv_path"))
+                & (F.col("_dl_pos") == F.col("_dl_dv_pos")),
+                "left_anti",
+            )
+        return df if with_lineage else df.drop("_dl_path", "_dl_pos")
 
     def _current_partition_by(self) -> list[str]:
         """partition_by recorded by the newest commit that declared one."""
@@ -815,6 +997,16 @@ class TxnTable:
         raise ConcurrentWriteConflict(
             f"append lost {max_retries} publish races; giving up"
         )
+
+
+def _remove_action(f: dict) -> dict:
+    """Remove action for a file action — carries the file's deletion
+    vector (when present) so CDF pre-images exclude already-deleted
+    rows. Snapshot replay keys removes by path only."""
+    out = {"path": f["path"]}
+    if f.get("dv"):
+        out["dv"] = f["dv"]
+    return out
 
 
 def _file_may_match(

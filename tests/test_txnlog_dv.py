@@ -1,0 +1,167 @@
+"""Deletion vectors (merge-on-read) + file-granularity copy-on-write
+DELETE (operators/txnlog.py) — the Delta DV / selective-rewrite
+semantics: a delete touches O(matching files) (CoW) or O(deleted rows)
+(DV), never O(table). Time travel, CDF, optimize-materialization and
+vacuum retention all stay consistent."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _df(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.lit(tag).alias("tag"),
+    )
+
+
+def _paths(t):
+    return {f["path"] for f in t.snapshot().files}
+
+
+def test_cow_delete_rewrites_only_matching_files(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).coalesce(1), mode="overwrite")
+    t.write(_df(spark, 100, 200).coalesce(1), mode="append")
+    before = _paths(t)
+    assert len(before) == 2
+    lo_file = next(
+        f["path"]
+        for f in t.snapshot().files
+        if f["stats"]["columns"]["id"]["max"] < 100
+    )
+
+    t.delete_where(spark, "id = 150", prune=[("id", "=", 150)])
+    after = _paths(t)
+    # the low-range file is untouched byte-for-byte (same add entry)
+    assert lo_file in after
+    assert len(after) == 2
+    assert t.read(spark).count() == 199
+    info = t.history()[-1]
+    assert info["operation"] == "delete"
+    assert info["files_rewritten"] == 1
+    assert info["files_skipped"] == 1
+
+
+def test_cow_delete_no_match_is_a_noop_commit_free(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    v = t.write(_df(spark, 0, 10), mode="overwrite")
+    assert t.delete_where(spark, "id = 12345") == v
+    assert t.latest_version() == v  # no empty commit
+    assert t.read(spark).count() == 10
+
+
+def test_cow_delete_null_predicate_rows_survive(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 99)], "id long, v long"
+    )
+    t.write(df, mode="overwrite")
+    t.delete_where(spark, "v = 99")
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == [1, 2]  # NULL-predicate row kept (SQL DELETE)
+
+
+def test_dv_delete_rewrites_no_data_file(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).coalesce(1), mode="overwrite")
+    t.write(_df(spark, 100, 200).coalesce(1), mode="append")
+    before = _paths(t)
+
+    v = t.delete_where(spark, "id % 10 = 3", dv=True)
+    assert _paths(t) == before  # zero files rewritten
+    assert t.read(spark).count() == 180
+    assert {r.id for r in t.read(spark).where("id % 10 = 3").collect()} == set()
+    assert t.snapshot().num_rows == 180  # stats net of DV
+    # time travel to before the delete still sees every row
+    assert t.read(spark, version=v - 1).count() == 200
+    info = t.history()[-1]
+    assert info["mode"] == "dv" and info["rows_deleted"] == 20
+    assert all(
+        f["dv"]["deleted_rows"] == 10 for f in t.snapshot().files
+    )
+
+
+def test_dv_second_delete_unions_positions(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 50).coalesce(1), mode="overwrite")
+    t.delete_where(spark, "id < 5", dv=True)
+    t.delete_where(spark, "id >= 45", dv=True)
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == list(range(5, 45))
+    assert t.snapshot().num_rows == 40
+    [f] = t.snapshot().files
+    assert f["dv"]["deleted_rows"] == 10
+
+
+def test_dv_then_cow_and_merge_preserve_dv_preimages(spark, tmp_path):
+    """CDF pre-images of later rewrites must exclude DV-deleted rows."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 10).coalesce(1), mode="overwrite")  # v0
+    t.delete_where(spark, "id = 7", dv=True)  # v1
+    t.delete_where(spark, "id = 3")  # v2: CoW rewrite of the dv file
+
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        0, 1, 2, 4, 5, 6, 8, 9,
+    ]
+    feed = t.read_changes(spark, starting_version=1).toPandas()
+    v1 = feed[feed._commit_version == 1]
+    assert list(v1.id) == [7] and set(v1._change_type) == {"delete"}
+    v2 = feed[feed._commit_version == 2]
+    # ONLY id=3 is deleted at v2 — id=7 was already gone (old dv rode
+    # the remove action), and no spurious inserts appear
+    assert list(v2.id) == [3] and set(v2._change_type) == {"delete"}
+
+
+def test_optimize_materializes_deletion_vectors(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).repartition(4), mode="overwrite")
+    t.delete_where(spark, "id < 10", dv=True)
+    assert any(f.get("dv") for f in t.snapshot().files)
+
+    t.optimize(spark, target_size_bytes=1 << 30)  # compact all → 1 file
+    assert not any(f.get("dv") for f in t.snapshot().files)
+    assert sorted(r.id for r in t.read(spark).collect()) == list(
+        range(10, 100)
+    )
+    # optimize still contributes nothing to the change feed
+    feed = t.read_changes(
+        spark, starting_version=t.latest_version()
+    ).toPandas()
+    assert len(feed) == 0
+
+
+def test_vacuum_reaps_unreferenced_dv_dirs(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 50).coalesce(1), mode="overwrite")  # v0
+    t.delete_where(spark, "id < 5", dv=True)  # v1 → dv A
+    t.delete_where(spark, "id < 10", dv=True)  # v2 → dv B (supersedes)
+    dv_root = os.path.join(path, "_dv")
+    assert len(os.listdir(dv_root)) == 2
+
+    deleted = t.vacuum(keep_versions=1)
+    # dv A unreferenced by the only retained snapshot → reaped
+    assert len(os.listdir(dv_root)) == 1
+    assert any(rel.startswith("_dv") for rel in deleted)
+    assert sorted(r.id for r in t.read(spark).collect()) == list(
+        range(10, 50)
+    )
+
+
+def test_dv_equals_cow_result(spark, tmp_path):
+    """Merge-on-read and copy-on-write are observationally identical."""
+    a, b = TxnTable(str(tmp_path / "a")), TxnTable(str(tmp_path / "b"))
+    for t in (a, b):
+        t.write(_df(spark, 0, 200).repartition(3), mode="overwrite")
+    a.delete_where(spark, "id % 7 = 0", dv=True)
+    b.delete_where(spark, "id % 7 = 0")
+    got_a = sorted(r.id for r in a.read(spark).collect())
+    got_b = sorted(r.id for r in b.read(spark).collect())
+    assert got_a == got_b == [i for i in range(200) if i % 7]
