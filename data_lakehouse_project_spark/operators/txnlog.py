@@ -577,6 +577,129 @@ class TxnTable:
             info_extra=info,
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate_sql: str,
+        set_exprs: dict[str, str],
+        prune: list[tuple[str, str, object]] | None = None,
+    ) -> int:
+        """UPDATE rows matching ``predicate_sql``, assigning each column
+        in ``set_exprs`` its SQL expression (evaluated against the OLD
+        row, like SQL UPDATE — ``{"v": "v + 1"}``). File-granularity
+        copy-on-write, same as ``delete_where``: one (optionally
+        stats-pruned) scan finds the files containing matching rows and
+        ONLY those are rewritten; NULL-predicate rows are untouched.
+        Returns the committed version, or the current version when no
+        row matches."""
+        from pyspark.sql import functions as F
+
+        unknown = set(set_exprs) - set(
+            f.name
+            for f in _schema_from_json(
+                spark, self.snapshot().schema_json
+            ).fields
+        )
+        if unknown:
+            raise ValueError(f"SET on unknown columns: {sorted(unknown)}")
+        read_version = self.latest_version()
+        snap = self.snapshot()
+        partition_by = self._current_partition_by()
+        candidates = (
+            [f for f in snap.files if _file_may_match(f, prune)]
+            if prune
+            else list(snap.files)
+        )
+        if not candidates:
+            return read_version
+        scan = self._read_files(
+            spark, candidates, snap.schema_json, with_lineage=True
+        )
+        hit = F.coalesce(F.expr(f"({predicate_sql})"), F.lit(False))
+        hit_paths = {
+            r.p
+            for r in scan.where(hit)
+            .select(F.col("_dl_path").alias("p"))
+            .distinct()
+            .collect()
+        }
+        touched = [f for f in candidates if f["path"] in hit_paths]
+        if not touched:
+            return read_version
+        rewritten = (
+            scan.where(F.col("_dl_path").isin(sorted(hit_paths)))
+            .withColumns(
+                {
+                    c: F.when(hit, F.expr(e)).otherwise(F.col(c))
+                    for c, e in set_exprs.items()
+                }
+            )
+            .drop("_dl_path", "_dl_pos")
+        )
+        return self._commit(
+            operation="update",
+            read_version=read_version,
+            adds=self._stage_data(rewritten, partition_by),
+            removes=[_remove_action(f) for f in touched],
+            schema_json=snap.schema_json,
+            partition_by=partition_by,
+            blind_append=False,
+            info_extra={
+                "files_rewritten": len(touched),
+                "files_skipped": len(snap.files) - len(touched),
+            },
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier ``version`` (Delta RESTORE):
+        ONE new commit whose active set becomes that snapshot's — no
+        data is copied, and history after ``version`` stays
+        time-travelable. Restored files must still exist (i.e. not
+        vacuumed past), which is the standard retention caveat."""
+        read_version = self.latest_version()
+        target = self.snapshot(version=version)
+        missing = [
+            f["path"]
+            for f in target.files
+            if not os.path.exists(os.path.join(self.path, f["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore to v{version} needs vacuumed files: {missing}"
+            )
+        current = self.snapshot()
+        target_paths = {f["path"] for f in target.files}
+        cur_by_path = {f["path"]: f for f in current.files}
+        adds: list[dict] = []
+        removes: list[dict] = []
+        for f in target.files:
+            c = cur_by_path.get(f["path"])
+            if c is None:
+                adds.append(f)
+            elif c != f:
+                # same path, different action (e.g. a DV grew since):
+                # remove the current action so CDF pre-images are right,
+                # then re-add the target's
+                removes.append(_remove_action(c))
+                adds.append(f)
+        removes += [
+            _remove_action(f)
+            for f in current.files
+            if f["path"] not in target_paths
+        ]
+        if not adds and not removes:
+            return read_version
+        return self._commit(
+            operation="restore",
+            read_version=read_version,
+            adds=adds,
+            removes=removes,
+            schema_json=target.schema_json,
+            partition_by=self._current_partition_by(),
+            blind_append=False,
+            info_extra={"restored_version": version},
+        )
+
     def optimize(
         self,
         spark: SparkSession,
@@ -698,14 +821,15 @@ class TxnTable:
                 .alias("_commit_timestamp"),
             )
             op = info.get("operation", "")
-            if op in ("merge", "delete", "optimize") and removes and adds:
+            if (op in ("merge", "delete", "optimize", "update", "restore")
+                    and removes and adds):
                 added_df = self._read_files(spark, adds, schema_json)
                 removed_df = self._read_files(
                     spark, removes, schema_json
                 )
                 pieces.append(tag(added_df.exceptAll(removed_df), "insert"))
                 pieces.append(tag(removed_df.exceptAll(added_df), "delete"))
-            elif op in ("merge", "delete") and removes:
+            elif op in ("merge", "delete", "update", "restore") and removes:
                 # delete-everything commit staged zero data files: every
                 # pre-image row is a delete
                 pieces.append(

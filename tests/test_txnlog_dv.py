@@ -165,3 +165,89 @@ def test_dv_equals_cow_result(spark, tmp_path):
     got_a = sorted(r.id for r in a.read(spark).collect())
     got_b = sorted(r.id for r in b.read(spark).collect())
     assert got_a == got_b == [i for i in range(200) if i % 7]
+
+
+def test_update_where_rewrites_only_matching_files(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).coalesce(1), mode="overwrite")
+    t.write(_df(spark, 100, 200).coalesce(1), mode="append")
+    before = _paths(t)
+    lo_file = next(
+        f["path"]
+        for f in t.snapshot().files
+        if f["stats"]["columns"]["id"]["max"] < 100
+    )
+
+    t.update_where(
+        spark,
+        "id >= 150",
+        {"v": "v + 1000", "tag": "'bumped'"},
+        prune=[("id", ">=", 150)],
+    )
+    assert lo_file in _paths(t)  # low file untouched
+    got = {r.id: (r.v, r.tag) for r in t.read(spark).collect()}
+    assert len(got) == 200
+    assert got[160] == (160 * 2 + 1000, "bumped")
+    assert got[140] == (140 * 2, "a")  # same file, non-matching row
+    assert got[50] == (50 * 2, "a")  # untouched file
+    info = t.history()[-1]
+    assert info["operation"] == "update"
+    assert info["files_rewritten"] == 1 and info["files_skipped"] == 1
+
+    # CDF: exactly the 50 updated rows surface as delete+insert pairs
+    feed = t.read_changes(
+        spark, starting_version=t.latest_version()
+    ).toPandas()
+    assert len(feed) == 100
+    assert set(feed[feed._change_type == "insert"].tag) == {"bumped"}
+    assert set(feed[feed._change_type == "delete"].tag) == {"a"}
+
+
+def test_update_where_unknown_column_raises(spark, tmp_path):
+    import pytest
+
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 10), mode="overwrite")
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, "id = 1", {"nope": "1"})
+
+
+def test_restore_points_back_without_copying(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 50).coalesce(1), mode="overwrite")  # v0
+    v0_paths = _paths(t)
+    t.delete_where(spark, "id < 10")  # v1
+    t.write(_df(spark, 500, 510), mode="append")  # v2
+    assert t.read(spark).count() == 50
+
+    v = t.restore(0)
+    assert v == 3
+    assert _paths(t) == v0_paths  # the ORIGINAL files, not copies
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(50))
+    # post-restore history still time-travels to the undone states
+    assert t.read(spark, version=2).count() == 50
+    assert t.history()[-1]["restored_version"] == 0
+
+    # CDF of the restore = net diff (re-inserted 0..9, dropped 500..509)
+    feed = t.read_changes(spark, starting_version=v).toPandas()
+    ins = sorted(feed[feed._change_type == "insert"].id)
+    dels = sorted(feed[feed._change_type == "delete"].id)
+    assert ins == list(range(10))
+    assert dels == list(range(500, 510))
+
+
+def test_restore_undoes_a_deletion_vector(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 30).coalesce(1), mode="overwrite")  # v0
+    t.delete_where(spark, "id < 5", dv=True)  # v1
+    assert t.read(spark).count() == 25
+    t.restore(0)
+    assert t.read(spark).count() == 30
+    assert not any(f.get("dv") for f in t.snapshot().files)
+
+
+def test_restore_to_identical_state_is_noop(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    v = t.write(_df(spark, 0, 10), mode="overwrite")
+    assert t.restore(v) == v
+    assert t.latest_version() == v
