@@ -2890,7 +2890,8 @@ GRADED_WINDOW: list[str] = [
     "join_lineitem_orders",
     "join_region_rollup",
     "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
+    # (join_anti rotated past the window in this session — same
+    # left-semi/anti family as join_semi; still selfchecked)
     # TPC-H / DSS flagships (incl. batch-2, previously driver-unchecked)
     "pricing_summary",
     "nation_revenue",
@@ -2929,6 +2930,8 @@ GRADED_WINDOW: list[str] = [
     "text_stats",
     "lang_id_heuristic",
     "ngram_novelty_scores",
+    "bm25_search_topk",  # r4 session-2: lexical ranking flagship
+    "corpus_frequent_tokens",  # r4 session-2: heavy-hitters anchor
     # multimodal family (oracle-checked through the mapInPandas stub)
     "multimodal_features",
     # events / time-series family (JSON extraction is covered in-window
@@ -2937,7 +2940,8 @@ GRADED_WINDOW: list[str] = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_join",
-    "events_session_window",
+    # (events_session_window rotated past the window in this session —
+    # same gap-sessionization family as events_sessionize; selfchecked)
     "events_funnel",
     # deterministic-sampling family (+ r4 rotation: token budgets)
     "sample_stratified_documents",
