@@ -81,6 +81,10 @@ class SchemaMismatchError(ValueError):
     """Append schema differs from the table schema (schema-on-write)."""
 
 
+class ConstraintViolation(ValueError):
+    """Written data violates a table CHECK constraint."""
+
+
 def _log_path(table: str) -> str:
     return os.path.join(table, LOG_DIR)
 
@@ -200,6 +204,7 @@ class Snapshot:
     files: list[dict]  # add actions: path/stats/partition_values
     schema_json: str | None
     timestamp_ms: int
+    constraints: dict = field(default_factory=dict)  # name -> CHECK sql
 
     @property
     def num_rows(self) -> int:
@@ -255,6 +260,7 @@ class TxnTable:
 
         active: dict[str, dict] = {}
         schema_json = None
+        constraints: dict = {}
         ts = 0
         version_seen = -1
         start = versions[0]
@@ -263,6 +269,7 @@ class TxnTable:
             cp = self._read_checkpoint(cps[-1])
             active = {f["path"]: f for f in cp["files"]}
             schema_json = cp.get("schema_json")
+            constraints = cp.get("constraints", {})
             ts = cp.get("timestamp_ms", 0)
             version_seen = cp["version"]
             start = cp["version"] + 1
@@ -278,6 +285,10 @@ class TxnTable:
                 active[a["path"]] = a
             if meta is not None:
                 schema_json = meta.get("schema_json")
+                # commits predating the constraints feature carry no
+                # key → the prior state persists (compat)
+                if meta.get("constraints") is not None:
+                    constraints = meta["constraints"]
             ts = info["timestamp_ms"]
             version_seen = v
         return Snapshot(
@@ -285,6 +296,7 @@ class TxnTable:
             files=list(active.values()),
             schema_json=schema_json,
             timestamp_ms=ts,
+            constraints=constraints,
         )
 
     def _version_at(self, as_of_ms: int) -> int:
@@ -317,6 +329,7 @@ class TxnTable:
                 "version": version,
                 "timestamp_ms": snap.timestamp_ms,
                 "schema_json": snap.schema_json,
+                "constraints": snap.constraints,
                 "files": snap.files,
             }
             tmp = os.path.join(
@@ -411,6 +424,8 @@ class TxnTable:
         read_version = self.latest_version()
         if mode == "append" and read_version >= 0:
             self._check_append_schema(df, allow_schema_evolution)
+        if read_version >= 0:
+            self._enforce_constraints(df)
         adds = self._stage_data(df, partition_by)
         removes = (
             [_remove_action(f) for f in self.snapshot().files]
@@ -437,6 +452,7 @@ class TxnTable:
         read_version = self.latest_version()
         target = self.read(spark)
         merged = merge_upsert(target, source, keys)
+        self._enforce_constraints(merged)
         adds = self._stage_data(merged, None)
         removes = [_remove_action(f) for f in self.snapshot().files]
         return self._commit(
@@ -636,6 +652,7 @@ class TxnTable:
             )
             .drop("_dl_path", "_dl_pos")
         )
+        self._enforce_constraints(rewritten)
         return self._commit(
             operation="update",
             read_version=read_version,
@@ -647,6 +664,119 @@ class TxnTable:
             info_extra={
                 "files_rewritten": len(touched),
                 "files_skipped": len(snap.files) - len(touched),
+            },
+        )
+
+    def _current_constraints(self) -> dict:
+        try:
+            return self.snapshot().constraints
+        except FileNotFoundError:
+            return {}
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """Validate ``df`` against every table CHECK constraint in ONE
+        aggregate pass (all violation counts in a single job — no
+        per-constraint scans). CHECK semantics: a row violates only
+        when the expression is FALSE; NULL passes (SQL standard), so
+        NOT NULL is spelled ``col IS NOT NULL``. An expression that no
+        longer analyzes (e.g. after an overwrite dropped its column)
+        surfaces as Spark's analysis error — drop the constraint
+        first."""
+        from pyspark.sql import functions as F
+
+        constraints = self._current_constraints()
+        if not constraints:
+            return
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(f"({expr})"), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(name)
+                for name, expr in constraints.items()
+            ]
+        ).collect()[0]
+        bad = {
+            name: int(counts[name] or 0)
+            for name in constraints
+            if (counts[name] or 0) > 0
+        }
+        if bad:
+            detail = ", ".join(
+                f"{n} [{constraints[n]}]: {c} rows" for n, c in bad.items()
+            )
+            raise ConstraintViolation(f"CHECK constraint(s) failed: {detail}")
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, check_sql: str
+    ) -> int:
+        """ADD a named CHECK constraint (Delta `ALTER TABLE ... ADD
+        CONSTRAINT`): the EXISTING table data is validated first (one
+        aggregate pass), then a metadata-only commit records it; every
+        subsequent write/merge/update validates its written rows before
+        publishing, so the table invariant can never regress. NULL
+        evaluations pass (SQL CHECK); restore is the one documented
+        bypass (restored data predates the constraint)."""
+        current = self._current_constraints()
+        if name in current:
+            raise ValueError(f"constraint {name!r} already exists")
+        read_version = self.latest_version()
+        snap = self.snapshot()
+        probe = {**current, name: check_sql}
+        if snap.files:
+            from pyspark.sql import functions as F
+
+            cnt = (
+                self.read(spark)
+                .agg(
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(
+                                F.expr(f"({check_sql})"), F.lit(True)
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n")
+                )
+                .collect()[0]["n"]
+                or 0
+            )
+            if cnt > 0:
+                raise ConstraintViolation(
+                    f"existing data violates {name!r} "
+                    f"[{check_sql}]: {cnt} rows"
+                )
+        return self._commit(
+            operation="add constraint",
+            read_version=read_version,
+            adds=[],
+            removes=[],
+            schema_json=snap.schema_json,
+            partition_by=self._current_partition_by(),
+            blind_append=False,
+            info_extra={"constraint": name},
+            constraints=probe,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP a named CHECK constraint (metadata-only commit)."""
+        current = self._current_constraints()
+        if name not in current:
+            raise ValueError(f"no constraint {name!r}")
+        read_version = self.latest_version()
+        snap = self.snapshot()
+        return self._commit(
+            operation="drop constraint",
+            read_version=read_version,
+            adds=[],
+            removes=[],
+            schema_json=snap.schema_json,
+            partition_by=self._current_partition_by(),
+            blind_append=False,
+            info_extra={"constraint": name},
+            constraints={
+                k: v for k, v in current.items() if k != name
             },
         )
 
@@ -1065,12 +1195,15 @@ class TxnTable:
         blind_append: bool,
         max_retries: int = 20,
         info_extra: dict | None = None,
+        constraints: dict | None = None,
     ) -> int:
         """Publish: serialize actions to a temp file, then atomically
         link it to the next version slot. Losing a race means someone
         else owns that version — blind appends retry at the new tip;
         read-dependent operations raise ConcurrentWriteConflict."""
         os.makedirs(_log_path(self.path), exist_ok=True)
+        if constraints is None:  # carry the table's current constraints
+            constraints = self._current_constraints()
         attempt_version = read_version + 1
         for _ in range(max_retries):
             lines = [
@@ -1090,6 +1223,7 @@ class TxnTable:
                         "metaData": {
                             "schema_json": schema_json,
                             "partition_by": partition_by or [],
+                            "constraints": constraints,
                         }
                     }
                 ),

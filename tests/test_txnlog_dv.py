@@ -251,3 +251,81 @@ def test_restore_to_identical_state_is_noop(spark, tmp_path):
     v = t.write(_df(spark, 0, 10), mode="overwrite")
     assert t.restore(v) == v
     assert t.latest_version() == v
+
+
+def test_check_constraint_blocks_bad_append(spark, tmp_path):
+    import pytest
+
+    from data_lakehouse_project_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 10), mode="overwrite")
+    t.add_constraint(spark, "id_nonneg", "id >= 0")
+    t.add_constraint(spark, "tag_set", "tag IN ('a', 'b')")
+    assert set(t.snapshot().constraints) == {"id_nonneg", "tag_set"}
+
+    # good append passes
+    v = t.write(_df(spark, 10, 12), mode="append")
+
+    # violating append raises BEFORE any commit (atomicity preserved)
+    bad = spark.createDataFrame(
+        [(-1, 0, "a"), (5, 0, "zzz")], "id long, v long, tag string"
+    )
+    with pytest.raises(ConstraintViolation, match="tag_set"):
+        t.write(bad, mode="append")
+    assert t.latest_version() == v
+    assert t.read(spark).count() == 12
+
+    # NULL evaluations pass (SQL CHECK semantics)
+    nullish = spark.createDataFrame(
+        [(99, None, None)], "id long, v long, tag string"
+    )
+    t.write(nullish, mode="append")
+    assert t.read(spark).count() == 13
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    import pytest
+
+    from data_lakehouse_project_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 10), mode="overwrite")
+    with pytest.raises(ConstraintViolation, match="existing data"):
+        t.add_constraint(spark, "id_big", "id >= 5")
+    assert t.snapshot().constraints == {}
+
+
+def test_constraints_gate_update_and_merge_and_drop(spark, tmp_path):
+    import pytest
+
+    from data_lakehouse_project_spark.operators.txnlog import (
+        ConstraintViolation,
+    )
+
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 10), mode="overwrite")
+    t.add_constraint(spark, "v_cap", "v < 1000")
+
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        t.update_where(spark, "id = 3", {"v": "5000"})
+    with pytest.raises(ConstraintViolation, match="v_cap"):
+        t.merge(
+            spark.createDataFrame(
+                [(3, 5000, "a")], "id long, v long, tag string"
+            ),
+            keys=["id"],
+        )
+    assert {r.v for r in t.read(spark).where("id = 3").collect()} == {6}
+
+    # after DROP the same mutations go through
+    t.drop_constraint("v_cap")
+    t.update_where(spark, "id = 3", {"v": "5000"})
+    assert {r.v for r in t.read(spark).where("id = 3").collect()} == {5000}
+    # constraint state is itself time-travelable metadata
+    assert "v_cap" in t.snapshot(version=1).constraints
+    assert "v_cap" not in t.snapshot().constraints
