@@ -324,6 +324,67 @@ def run_admit_probe(spark, sf_dir: str, mults: tuple[int, ...]) -> None:
     shutil.rmtree(idx_root, ignore_errors=True)
 
 
+def run_dv_probe(spark, mults: tuple[int, ...]) -> None:
+    """Delete-cost scaling: CoW-selective vs deletion-vector DELETE as
+    the table grows, against the full-rewrite upper bound.
+
+    Table = ``mult`` files × 100k rows (range-clustered ids so stats
+    prune); the delete always matches the SAME 5k rows confined to the
+    first file. Expected: full-rewrite wall grows ~linearly with mult;
+    file-pruned CoW and DV stay ~flat (their work is O(matched file) /
+    O(deleted rows) — the probe includes each mode's find-touched-files
+    scan, which IS stats-pruned via the prune hints)."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    rows_per_file = 100_000
+    for mult in mults:
+        root = tempfile.mkdtemp(prefix="dvprobe-")
+        try:
+            results = {}
+            for mode in ("full", "cow", "dv"):
+                path = os.path.join(root, mode)
+                t = TxnTable(path)
+                # ~200B payload per row so file IO is the real cost;
+                # one range-clustered write → mult disjoint-range files
+                t.write(
+                    spark.range(0, mult * rows_per_file)
+                    .select(
+                        F.col("id"),
+                        (F.col("id") % 97).alias("v"),
+                        F.repeat(F.sha2(F.col("id").cast("string"), 256), 3)
+                        .alias("pad"),
+                    )
+                    .repartitionByRange(mult, "id")
+                    .sortWithinPartitions("id"),
+                    mode="overwrite",
+                )
+                t0 = time.perf_counter()
+                if mode == "full":
+                    # the pre-session behavior: rewrite every file
+                    kept = t.read(spark).where("NOT (id < 5000)")
+                    t.write(kept, mode="overwrite")
+                else:
+                    t.delete_where(
+                        spark,
+                        "id < 5000",
+                        prune=[("id", "<", 5000)],
+                        dv=(mode == "dv"),
+                    )
+                results[mode] = time.perf_counter() - t0
+                assert t.read(spark).count() == mult * rows_per_file - 5000
+            print(
+                f"dv_probe mult={mult:3d} rows={mult * rows_per_file:>11,} "
+                f"full={results['full']:6.2f}s cow={results['cow']:6.2f}s "
+                f"dv={results['dv']:6.2f}s",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     shapes = sys.argv[2:] or list(SHAPES)
@@ -338,6 +399,10 @@ def main() -> None:
     if "admit" in shapes:
         shapes = [s for s in shapes if s != "admit"]
         run_admit_probe(spark, sf_dir, mults)
+
+    if "dv" in shapes:
+        shapes = [s for s in shapes if s != "dv"]
+        run_dv_probe(spark, mults)
 
     for shape in shapes:
         table, fn, replicate = SHAPES[shape]
