@@ -3,6 +3,7 @@ from data_lakehouse_project_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_jdbc,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
     read_xml,

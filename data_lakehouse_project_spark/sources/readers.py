@@ -52,6 +52,25 @@ def read_parquet(
     return reader.load(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """ORC scan — same columnar posture as parquet (S5/S6 family):
+    vectorized reader, predicate pushdown into ORC's row-group
+    min/max/bloom indexes, column pruning, mergeSchema evolution.
+    Completes the columnar format matrix; avro remains external-module
+    blocked in this container (probe like delta's, COVERAGE.md)."""
+    reader = spark.read.format("orc")
+    if schema is not None:
+        reader = reader.schema(schema)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -187,3 +187,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "v", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_orc_roundtrip_pushdown_and_evolution(spark, tmp_path):
+    """ORC completes the columnar format matrix: write via the sink's
+    fmt passthrough, read back identically, predicate pushdown reaches
+    the ORC scan, and mergeSchema unions evolved appends."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.operators.sinks import write_table
+    from data_lakehouse_project_spark.sources import read_orc
+
+    path = str(tmp_path / "orc_tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    write_table(df, path, fmt="orc")
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    assert [f.name for f in back.schema.fields] == ["id", "v"]
+
+    plan = (
+        back.where(F.col("id") > 990)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "id" in plan  # pushdown reaches scan
+
+    # schema evolution across appends, parquet-posture parity
+    df2 = df.withColumn("extra", F.lit("x"))
+    df2.write.mode("append").format("orc").save(path)
+    evolved = read_orc(spark, path, merge_schema=True)
+    assert "extra" in evolved.columns
+    assert evolved.count() == 2000
+    assert evolved.where(F.col("extra").isNull()).count() == 1000
