@@ -1,9 +1,14 @@
-"""Column profiling — data-quality statistics for every column in one pass.
+"""Column profiling: the one-pass data-quality summary every ingestion
+pipeline runs before trusting a feed (the reference's quality checks
+stop at per-rule flags — ``silver_transformation.py:47-55``; this is
+the table-level generalization).
 
-A lakehouse staple (Deequ/Great Expectations shape): null counts,
-distinct counts, min/max per column, computed as a SINGLE aggregate job —
-one scan regardless of column count — then unpivoted to one row per
-column via stack().
+Scale shape: ONE aggregate job computes every metric for every column
+(map-side partial aggregation; no per-column scans), then the 1-row
+result is unpivoted driver-free with ``stack`` into the long format
+dashboards join against. ``count_distinct`` is exact — at trillion-row
+scale swap ``approx=True`` to route NDV through HyperLogLog
+(``approx_count_distinct``) and keep the same single-pass shape.
 """
 
 from __future__ import annotations
@@ -12,29 +17,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """One row per column: (column, n_rows, n_nulls, n_distinct,
-    min_value, max_value) — min/max stringified for a uniform schema.
-
-    All statistics for all columns ride in one aggregate (single scan,
-    single shuffle-free reduce); the stack() unpivot is driver-cheap.
-    """
-    cols = columns or df.columns
-    aggs = [F.count(F.lit(1)).alias("_n")]
+def profile_columns(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
+    """Long-format numeric profile: one row per column with
+    (non_null, nulls, ndv, min, max, mean, stddev) — sample stddev,
+    engine-portable. All metrics surface as double so the unpivot is
+    type-uniform."""
+    ndv = F.approx_count_distinct if approx else F.count_distinct
+    aggs = []
     for c in cols:
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
-        aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
-        aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
-    wide = df.agg(*aggs)
-
+        aggs += [
+            F.count(F.col(c)).cast("double").alias(f"{c}__non_null"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("double")
+            .alias(f"{c}__nulls"),
+            ndv(F.col(c)).cast("double").alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            F.avg(F.col(c)).cast("double").alias(f"{c}__mean"),
+            F.stddev_samp(F.col(c)).cast("double").alias(f"{c}__stddev"),
+        ]
+    one = df.agg(*aggs)
+    metrics = ["non_null", "nulls", "ndv", "min", "max", "mean", "stddev"]
     stack_args = ", ".join(
-        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols
+        "'{c}', {parts}".format(
+            c=c,
+            parts=", ".join(f"`{c}__{m}`" for m in metrics),
+        )
+        for c in cols
     )
-    return wide.select(
-        F.col("_n").alias("n_rows"),
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(column, n_nulls, n_distinct, min_value, max_value)"
-        ),
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        f"(column, {', '.join(metrics)})"
+    )

@@ -2363,6 +2363,55 @@ ORDER BY cnt DESC, item
 """
 
 
+def q_lineitem_profile(spark, sf_dir):
+    """One-pass column profile of lineitem's numeric measures
+    (operators/profile.py::profile_columns): non_null/nulls/ndv/min/
+    max/mean/stddev per column from a SINGLE aggregate job, unpivoted
+    with stack — the ingestion-gate summary, exact-NDV variant (the
+    approx=True HLL routing is the at-scale swap, rows-only by
+    nature)."""
+    from data_lakehouse_project_spark.operators.profile import (
+        profile_columns,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = profile_columns(lineitem, cols)
+    return out.select(
+        "column",
+        "non_null",
+        "nulls",
+        "ndv",
+        _rn(F.col("min"), 6).alias("min"),
+        _rn(F.col("max"), 6).alias("max"),
+        _rn(F.col("mean"), 6).alias("mean"),
+        _rn(F.col("stddev"), 6).alias("stddev"),
+    ).orderBy("column")
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+  SELECT '{c}' AS "column",
+         CAST(COUNT({c}) AS DOUBLE) AS non_null,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS nulls,
+         CAST(COUNT(DISTINCT {c}) AS DOUBLE) AS ndv,
+         {R(f"CAST(MIN({c}) AS DOUBLE)", 6)} AS min,
+         {R(f"CAST(MAX({c}) AS DOUBLE)", 6)} AS max,
+         {R(f"AVG(CAST({c} AS DOUBLE))", 6)} AS mean,
+         {R(f"STDDEV_SAMP(CAST({c} AS DOUBLE))", 6)} AS stddev
+  FROM lineitem"""
+
+
+SQL_LINEITEM_PROFILE = (
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+    + ' ORDER BY "column"'
+)
+
+
 def q_weighted_sample_documents(spark, sf_dir):
     """Per-source weighted sample WITHOUT replacement, 20 docs ∝ token
     count (ext/sampling.py::weighted_sample — deterministic
@@ -2768,6 +2817,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tfidf_search_topk": (q_tfidf_search_topk, SQL_TFIDF),
     "bm25_search_topk": (q_bm25_search_topk, SQL_BM25),
     "corpus_frequent_tokens": (q_corpus_frequent_tokens, SQL_FREQ_TOKENS),
+    "lineitem_profile": (q_lineitem_profile, SQL_LINEITEM_PROFILE),
     "bpe_trained_compression": (q_bpe_trained_compression, None),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),

@@ -255,3 +255,39 @@ def test_schema_evolution_silver_to_gold(spark, tmp_path):
         for r in gold.collect()
     }
     assert got == {"2025-08-15": (30.0, 2), "2025-08-16": (67.0, 2)}
+
+
+def test_profile_columns_single_pass_and_values(spark):
+    """profile_columns: one aggregate job, hand-checked metrics, and
+    the approx=True HLL routing stays within its error envelope."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0), (3.0, 30.0)],
+        "a double, b double",
+    )
+    prof = {r.column: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert prof["a"].non_null == 4 and prof["a"].nulls == 0
+    assert prof["a"].ndv == 3 and prof["a"].min == 1.0
+    assert prof["b"].non_null == 3 and prof["b"].nulls == 1
+    assert abs(prof["b"].mean - (70.0 / 3)) < 1e-9
+
+    # single-pass: the SOURCE is scanned exactly once (the distinct-agg
+    # expand + 1-row gather add exchanges, but never a second scan)
+    plan = (
+        profile_columns(df, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1
+
+    hll = {
+        r.column: r.ndv
+        for r in profile_columns(df, ["a", "b"], approx=True).collect()
+    }
+    assert abs(hll["a"] - 3) <= 1 and abs(hll["b"] - 2) <= 1
