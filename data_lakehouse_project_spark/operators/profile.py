@@ -51,3 +51,31 @@ def profile_columns(
         f"stack({len(cols)}, {stack_args}) AS "
         f"(column, {', '.join(metrics)})"
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max stringified for a uniform schema.
+
+    All statistics for all columns ride in one aggregate (single scan,
+    single shuffle-free reduce); the stack() unpivot is driver-cheap.
+    """
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_dist_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return wide.select(
+        F.col("_n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

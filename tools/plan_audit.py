@@ -42,6 +42,10 @@ EXPECT_NESTED_LOOP = {
     "supplier_value_concentration",
     # same shape: corpus size N feeding the smoothed idf
     "tfidf_search_topk",
+    # same shape twice: N and avgdl ride 1-row broadcasts into BM25
+    "bm25_search_topk",
+    # same shape: total-occurrence count feeding the support threshold
+    "corpus_frequent_tokens",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
@@ -74,6 +78,9 @@ EXPECT_MANY_EXCHANGES = {
     # groupBy(id), top-k), every one on the query-term sliver; doubled
     # in the adaptive plan text as above
     "tfidf_search_topk",
+    # tfidf's shuffles + the doc-length join grain (dl groupBy + join +
+    # final agg) — all on the term sliver or the 1-row stats broadcast
+    "bm25_search_topk",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
