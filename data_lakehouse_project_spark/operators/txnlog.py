@@ -539,17 +539,36 @@ class TxnTable:
                 "files_skipped": len(snap.files) - len(touched),
             }
         else:
+            # DV rows key on the file BASENAME — part files are minted
+            # with uuid names, so the basename is globally unique and
+            # stays stable whether the action holds the file by relative
+            # path or (shallow clone) by absolute path. Older DVs that
+            # stored full paths still read back (the anti-join splits on
+            # '/' either way); normalizing here also makes the dedupe
+            # distinct() exact across path styles.
+            base = F.element_at(F.split(F.col("_dl_path"), "/"), -1)
             new_dv = matches.select(
-                F.col("_dl_path").alias("path"),
-                F.col("_dl_pos").alias("pos"),
+                base.alias("path"), F.col("_dl_pos").alias("pos")
             )
             old_dirs = sorted(
                 {f["dv"]["path"] for f in touched if f.get("dv")}
             )
+            hit_files = sorted(
+                {p.rsplit("/", 1)[-1] for p in hit_paths}
+            )
             if old_dirs:
-                old = spark.read.parquet(
-                    *[os.path.join(self.path, d) for d in old_dirs]
-                ).where(F.col("path").isin(sorted(hit_paths)))
+                old = (
+                    spark.read.parquet(
+                        *[os.path.join(self.path, d) for d in old_dirs]
+                    )
+                    .select(
+                        F.element_at(
+                            F.split(F.col("path"), "/"), -1
+                        ).alias("path"),
+                        "pos",
+                    )
+                    .where(F.col("path").isin(hit_files))
+                )
                 new_dv = new_dv.unionByName(old).distinct()
             dv_rel = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex}")
             new_dv.coalesce(1).write.mode("overwrite").parquet(
@@ -569,7 +588,9 @@ class TxnTable:
                     **f,
                     "dv": {
                         "path": dv_rel,
-                        "deleted_rows": int(counts.get(f["path"], 0)),
+                        "deleted_rows": int(
+                            counts.get(f["path"].rsplit("/", 1)[-1], 0)
+                        ),
                     },
                 }
                 for f in touched
@@ -666,6 +687,71 @@ class TxnTable:
                 "files_skipped": len(snap.files) - len(touched),
             },
         )
+
+    def clone_to(self, target_path: str, version: int | None = None) -> "TxnTable":
+        """Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
+        table whose first commit REFERENCES this table's data files (and
+        deletion vectors) by absolute path — zero bytes copied, O(files)
+        metadata. The clone then evolves independently: its mutations
+        stage files locally and only drop references to source files,
+        never delete them; its ``vacuum`` reaps only files under its own
+        root. Standard caveat (same as Delta): vacuuming the SOURCE past
+        the cloned version breaks the clone's unrewritten references.
+        ``version`` clones a historical snapshot (time-travel clone)."""
+        snap = self.snapshot(version=version)
+        src_root = os.path.abspath(self.path)
+
+        def _abs(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(src_root, p)
+
+        adds = []
+        for f in snap.files:
+            g = dict(f)
+            g["path"] = _abs(g["path"])
+            if g.get("dv"):
+                g["dv"] = {**g["dv"], "path": _abs(g["dv"]["path"])}
+            adds.append(g)
+        clone = TxnTable(target_path)
+        if clone.latest_version() >= 0:
+            raise FileExistsError(f"{target_path} already has a log")
+        clone._commit(
+            operation="clone",
+            read_version=-1,
+            adds=adds,
+            removes=[],
+            schema_json=snap.schema_json,
+            partition_by=self._current_partition_by(),
+            blind_append=False,
+            info_extra={
+                "source": src_root,
+                "source_version": snap.version,
+            },
+            constraints=dict(snap.constraints),
+        )
+        return clone
+
+    def describe_detail(self) -> dict:
+        """Table-level metadata summary (Delta DESCRIBE DETAIL): file
+        and byte counts, live rows net of deletion vectors, partition
+        columns, constraints, version/timestamp — all from the log, no
+        data scan."""
+        snap = self.snapshot()
+        return {
+            "location": os.path.abspath(self.path),
+            "version": snap.version,
+            "timestamp_ms": snap.timestamp_ms,
+            "num_files": len(snap.files),
+            "size_bytes": sum(
+                f.get("size_bytes", 0) for f in snap.files
+            ),
+            "num_rows": snap.num_rows,
+            "files_with_dv": sum(
+                1 for f in snap.files if f.get("dv")
+            ),
+            "partition_by": self._current_partition_by(),
+            "constraints": dict(snap.constraints),
+            "num_commits": len(_list_versions(self.path)),
+        }
 
     def _current_constraints(self) -> dict:
         try:
@@ -1016,14 +1102,23 @@ class TxnTable:
     # ---------------- internals ----------------
 
     def _rel_path_col(self):
-        """``_metadata.file_path`` normalized to a table-relative path —
-        the key deletion vectors are stored under. Chained prefix strips
-        cover the ``file://`` / ``file:`` / bare forms Spark emits."""
+        """``_metadata.file_path`` normalized to the form file actions
+        store: table-relative for files under this table's root,
+        absolute for external files (shallow clones). Chained prefix
+        strips cover the ``file://`` / ``file:`` / bare forms Spark
+        emits; the trailing bare-scheme strips leave external absolute
+        paths comparable to their stored ``/abs/...`` actions."""
         from pyspark.sql import functions as F
 
         root = os.path.abspath(self.path)
         c = F.col("_metadata.file_path")
-        for pref in (f"file://{root}/", f"file:{root}/", f"{root}/"):
+        for pref in (
+            f"file://{root}/",
+            f"file:{root}/",
+            f"{root}/",
+            "file://",
+            "file:",
+        ):
             c = F.replace(c, F.lit(pref), F.lit(""))
         return c
 
@@ -1050,38 +1145,74 @@ class TxnTable:
         row provenance — the delete paths derive both touched-file sets
         and new DV positions from ONE scan this way.
         """
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
         schema = (
             _schema_from_json(spark, schema_json) if schema_json else None
         )
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.option("basePath", self.path).parquet(
-            *[os.path.join(self.path, f["path"]) for f in files]
-        )
+
+        def _reader():
+            r = spark.read
+            return r.schema(schema) if schema is not None else r
+
+        # group by base dir: basePath keeps hive partition columns, and
+        # Spark requires every path under it. Table-local (relative)
+        # files share self.path; shallow-cloned (absolute) files group
+        # under their OWN base = path minus partition dirs + filename.
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            p = f["path"]
+            if os.path.isabs(p):
+                strip = len(f.get("partition_values", {})) + 1
+                base = os.sep.join(p.split(os.sep)[:-strip]) or os.sep
+                groups.setdefault(base, []).append(p)
+            else:
+                groups.setdefault(self.path, []).append(
+                    os.path.join(self.path, p)
+                )
         dv_dirs = sorted({f["dv"]["path"] for f in files if f.get("dv")})
-        if not dv_dirs and not with_lineage:
-            return df
-        df = df.withColumns(
-            {
-                "_dl_path": self._rel_path_col(),
-                "_dl_pos": F.col("_metadata.row_index"),
-            }
+        lineage = bool(dv_dirs) or with_lineage
+        parts = []
+        for base, paths in sorted(groups.items()):
+            part = _reader().option("basePath", base).parquet(*paths)
+            if lineage:
+                # metadata pseudo-columns resolve only on the scan
+                # relation — materialize them per group, pre-union
+                part = part.withColumns(
+                    {
+                        "_dl_path": self._rel_path_col(),
+                        "_dl_pos": F.col("_metadata.row_index"),
+                    }
+                )
+            parts.append(part)
+        df = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+        if not lineage:
+            return df
         if dv_dirs:
+            # keys match on FILE BASENAME: part files are minted with a
+            # uuid name at stage time, so the basename is globally
+            # unique — and stays comparable when a shallow clone holds
+            # the file by absolute path while its DV (recorded by the
+            # source) stores the source-relative form
             dv = (
                 spark.read.parquet(
                     *[os.path.join(self.path, d) for d in dv_dirs]
                 )
                 .selectExpr(
-                    "path as _dl_dv_path", "pos as _dl_dv_pos"
+                    "element_at(split(path, '/'), -1) AS _dl_dv_file",
+                    "pos as _dl_dv_pos",
                 )
             )
             df = df.join(
                 F.broadcast(dv),
-                (F.col("_dl_path") == F.col("_dl_dv_path"))
+                (
+                    F.element_at(F.split(F.col("_dl_path"), "/"), -1)
+                    == F.col("_dl_dv_file")
+                )
                 & (F.col("_dl_pos") == F.col("_dl_dv_pos")),
                 "left_anti",
             )

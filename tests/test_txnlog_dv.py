@@ -329,3 +329,79 @@ def test_constraints_gate_update_and_merge_and_drop(spark, tmp_path):
     # constraint state is itself time-travelable metadata
     assert "v_cap" in t.snapshot(version=1).constraints
     assert "v_cap" not in t.snapshot().constraints
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    src = TxnTable(str(tmp_path / "src"))
+    src.write(_df(spark, 0, 100).coalesce(1), mode="overwrite")
+    src.write(_df(spark, 100, 200).coalesce(1), mode="append")
+    src.add_constraint(spark, "id_nonneg", "id >= 0")
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero data bytes under the clone root
+    import os as _os
+
+    clone_files = [
+        f
+        for _, _, fs in _os.walk(str(tmp_path / "clone"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert clone_files == []
+    assert clone.read(spark).count() == 200
+    assert clone.snapshot().constraints == {"id_nonneg": "id >= 0"}
+    assert clone.describe_detail()["num_files"] == 2
+
+    # clone mutations never touch the source
+    clone.delete_where(spark, "id < 50")
+    clone.write(_df(spark, 900, 910), mode="append")
+    assert clone.read(spark).count() == 160
+    assert src.read(spark).count() == 200
+
+    # clone vacuum reaps nothing under the source root
+    before = {
+        f
+        for _, _, fs in _os.walk(str(tmp_path / "src"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    clone.vacuum(keep_versions=1)
+    after = {
+        f
+        for _, _, fs in _os.walk(str(tmp_path / "src"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert before == after
+    assert clone.read(spark).count() == 160
+
+
+def test_clone_historical_version_and_dv(spark, tmp_path):
+    src = TxnTable(str(tmp_path / "src"))
+    src.write(_df(spark, 0, 50).coalesce(1), mode="overwrite")  # v0
+    src.delete_where(spark, "id < 5", dv=True)  # v1
+    src.write(_df(spark, 50, 60), mode="append")  # v2
+
+    c1 = src.clone_to(str(tmp_path / "c1"), version=1)
+    assert sorted(r.id for r in c1.read(spark).collect()) == list(
+        range(5, 50)
+    )  # the DV rides the clone by absolute reference
+    c0 = src.clone_to(str(tmp_path / "c0"), version=0)
+    assert c0.read(spark).count() == 50
+
+    # DV delete ON the clone over external files (abs-path DV keys)
+    c1.delete_where(spark, "id >= 45", dv=True)
+    assert sorted(r.id for r in c1.read(spark).collect()) == list(
+        range(5, 45)
+    )
+    assert src.read(spark).count() == 55  # source untouched
+
+
+def test_describe_detail_counts(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).coalesce(1), mode="overwrite")
+    t.delete_where(spark, "id < 10", dv=True)
+    d = t.describe_detail()
+    assert d["num_files"] == 1 and d["files_with_dv"] == 1
+    assert d["num_rows"] == 90
+    assert d["num_commits"] == 2 and d["version"] == 1
