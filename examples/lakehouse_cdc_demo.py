@@ -81,7 +81,36 @@ def main() -> None:
     scanned, total = orders.scan_file_count(prune=[("amount", "<", 30.0)])
     print(f"pruned scan reads {scanned}/{total} files")
 
+    # session-2 surface: constraints, UPDATE, deletion vectors,
+    # RESTORE, shallow clone, DESCRIBE DETAIL
+    orders.add_constraint(spark, "amount_nonneg", "amount >= 0")
+    orders.update_where(
+        spark, "status = 'closed'", {"amount": "amount * 0.9"}
+    )  # file-granularity rewrite, constraint-checked
+    v_before_dv = orders.latest_version()
+    orders.delete_where(spark, "order_id % 10 = 9", dv=True)
+    print(
+        "dv delete:",
+        orders.history()[-1]["rows_deleted"],
+        "rows gone,",
+        orders.describe_detail()["files_with_dv"],
+        "file(s) carry a deletion vector, zero rewritten",
+    )
+    orders.restore(v_before_dv)  # undo it — one metadata commit
+    print("restored rows:", orders.read(spark).count())
+
+    audit = orders.clone_to(os.path.join(root, "orders_audit"))
+    audit.delete_where(spark, "status = 'closed'")  # clone diverges
+    print(
+        "clone rows vs source:",
+        audit.read(spark).count(),
+        "/",
+        orders.read(spark).count(),
+        "(zero data bytes copied)",
+    )
+
     print("history:", [h["operation"] for h in orders.history()])
+    print("detail:", orders.describe_detail())
     spark.stop()
 
 
