@@ -47,6 +47,10 @@ HEADLINE = [
     "bpe_token_count",
     "events_hourly_rollup",
     "events_sessionize",
+    # session-2 additions: lexical ranking + one-pass profiling (new
+    # slots — no prior-round baseline; tracked from BENCH_r04 on)
+    "bm25_search_topk",
+    "lineitem_profile",
 ]
 
 
