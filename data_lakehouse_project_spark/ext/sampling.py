@@ -231,6 +231,58 @@ def token_budget_selection(
     )
 
 
+def token_budget_skip_selection(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Greedy SKIP-OVER selection under a per-group token budget — the
+    knapsack-style refinement of ``token_budget_selection``: documents
+    are visited in the same priority order (longest first, ties by id),
+    but a document that would overflow the remaining budget is SKIPPED
+    and the walk continues, so a group whose longest doc exceeds the
+    budget still fills it with shorter ones (strict prefix-truncation
+    keeps nothing in that case). Returns (group, doc_id, n_tokens) for
+    every selected document — the selection itself, joinable back to
+    content; the (group, docs_kept, tokens_kept) accounting is one
+    groupBy away.
+
+    The taken-set depends on which earlier docs were taken — a
+    sequential recurrence no window frame expresses — so each group
+    runs one Arrow-batched pass (``applyInPandas``; state is two ints).
+    Scale: one shuffle on ``group_col``, groups stream through pandas
+    at Arrow batch granularity; the walk is O(group size). Same cost
+    envelope as the window variant plus the Python hop — use it when
+    budget fill matters more than pure JVM residency.
+    """
+    import pandas as pd
+
+    from data_lakehouse_project_spark.ext.text import token_count
+
+    sized = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        )
+        taken = 0
+        keep = []
+        for n in pdf["n_tokens"]:
+            ok = taken + n <= budget_tokens
+            keep.append(ok)
+            if ok:
+                taken += n
+        return pdf[keep]
+
+    return sized.groupBy(group_col).applyInPandas(_walk, sized.schema)
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -2412,6 +2412,56 @@ SQL_LINEITEM_PROFILE = (
 )
 
 
+def q_token_budget_skip_selection(spark, sf_dir):
+    """Knapsack-style greedy SKIP-OVER budget fill per source
+    (ext/sampling.py::token_budget_skip_selection): a doc that would
+    overflow the remaining 2000-token budget is skipped and the walk
+    continues — the sequential recurrence no window frame expresses
+    (Arrow applyInPandas per group; the DuckDB oracle replays the SAME
+    walk as a recursive CTE stepping every group in parallel)."""
+    from data_lakehouse_project_spark.ext.sampling import (
+        token_budget_skip_selection,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = token_budget_skip_selection(
+        documents, "text", "doc_id", "source", budget_tokens=2000
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("source", "doc_id")
+
+
+SQL_TOKEN_BUDGET_SKIP = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id, len({TOKS}) AS n_tokens FROM documents
+),
+o AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM t
+),
+walk AS (
+  SELECT source, rn, doc_id, n_tokens,
+         CASE WHEN n_tokens <= 2000 THEN n_tokens ELSE 0 END AS taken,
+         (n_tokens <= 2000) AS keep
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.rn, o.doc_id, o.n_tokens,
+         w.taken + CASE WHEN w.taken + o.n_tokens <= 2000
+                        THEN o.n_tokens ELSE 0 END,
+         (w.taken + o.n_tokens <= 2000)
+  FROM walk w JOIN o ON o.source = w.source AND o.rn = w.rn + 1
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM walk WHERE keep
+ORDER BY source, doc_id
+"""
+
+
 def q_weighted_sample_documents(spark, sf_dir):
     """Per-source weighted sample WITHOUT replacement, 20 docs ∝ token
     count (ext/sampling.py::weighted_sample — deterministic
@@ -2818,6 +2868,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_search_topk": (q_bm25_search_topk, SQL_BM25),
     "corpus_frequent_tokens": (q_corpus_frequent_tokens, SQL_FREQ_TOKENS),
     "lineitem_profile": (q_lineitem_profile, SQL_LINEITEM_PROFILE),
+    "token_budget_skip_selection": (
+        q_token_budget_skip_selection,
+        SQL_TOKEN_BUDGET_SKIP,
+    ),
     "bpe_trained_compression": (q_bpe_trained_compression, None),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),
     "corpus_mix_weights": (q_corpus_mix_weights, SQL_MIX_WEIGHTS),

@@ -234,3 +234,49 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     picked = weighted_sample(df, "doc_id", "w", 200, None)
     heavy = picked.where("w = 10.0").count()
     assert heavy > 140  # expectation ~ 190/200; 140 is a safe floor
+
+
+def test_token_budget_skip_fills_past_oversized_docs(spark):
+    """The knapsack-style walk keeps filling where strict
+    prefix-truncation stops: a group whose longest doc exceeds the
+    budget still spends it on shorter docs."""
+    from data_lakehouse_project_spark.ext.sampling import (
+        token_budget_selection,
+        token_budget_skip_selection,
+    )
+
+    rows = [
+        # group 'a': 30-token giant + three 4-token docs, budget 10
+        (1, "a", "w " * 30),
+        (2, "a", "w " * 4),
+        (3, "a", "w " * 4),
+        (4, "a", "w " * 4),
+        # group 'b': plain prefix case, no skipping needed
+        (5, "b", "w " * 6),
+        (6, "b", "w " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    skip = token_budget_skip_selection(
+        df, "text", "doc_id", "source", budget_tokens=10
+    )
+    got = {(r.source, r.doc_id) for r in skip.collect()}
+    # giant (30) skipped; docs 2 and 3 fit (8 ≤ 10); doc 4 would reach
+    # 12 → skipped. group b: 6 then 3 both fit.
+    assert got == {("a", 2), ("a", 3), ("b", 5), ("b", 6)}
+
+    # strict prefix keeps NOTHING in group 'a' (giant first overflows)
+    prefix = {
+        r.source: r.docs_kept
+        for r in token_budget_selection(
+            df, "text", "doc_id", "source", budget_tokens=10
+        ).collect()
+    }
+    assert "a" not in prefix
+    assert prefix["b"] == 2
+
+    # invariant: per-group token totals never exceed the budget
+    from pyspark.sql import functions as F
+
+    totals = skip.groupBy("source").agg(F.sum("n_tokens").alias("t"))
+    assert all(r.t <= 10 for r in totals.collect())
