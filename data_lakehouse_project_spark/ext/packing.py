@@ -109,3 +109,55 @@ def pack_greedy(
         _pack, "gid long, group_id long, pack_id long, length long"
     )
     return out.withColumnRenamed("gid", id_col)
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split each document into token-window chunks with overlap — the
+    RAG-ingestion primitive (sliding windows keep context across chunk
+    boundaries). Returns (id, chunk_idx, n_tokens, chunk_text).
+
+    Stride = chunk − overlap; chunk i covers tokens
+    [i·stride, i·stride + chunk) and the last chunk is the remainder
+    (never empty, never duplicated: a doc with ≤ chunk tokens yields
+    exactly one chunk).
+
+    Scale shape: pure JVM expression tree — tokenize once, build the
+    chunk index with ``sequence``, slice per index with ``transform`` +
+    ``slice``, then ONE posexplode. Map-only: no shuffle, no Python,
+    no UDF; ~(n/stride) output rows per doc, each carrying only its
+    slice (not the whole doc).
+    """
+    from data_lakehouse_project_spark.functions.scalar import normalize_text
+
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap must be smaller than the chunk size")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_toks"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.array_join("_toks", " ").alias("chunk_text"),
+    )

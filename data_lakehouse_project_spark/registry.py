@@ -2462,6 +2462,42 @@ ORDER BY source, doc_id
 """
 
 
+def q_chunk_documents_overlap(spark, sf_dir):
+    """RAG-prep sliding-window chunking, 64-token chunks with 16-token
+    overlap (ext/packing.py::chunk_with_overlap): tokenize once,
+    sequence+transform+slice builds every window JVM-side, ONE
+    posexplode — map-only, no shuffle, no Python."""
+    from data_lakehouse_project_spark.ext.packing import chunk_with_overlap
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = chunk_with_overlap(
+        documents, "text", "doc_id", chunk_tokens=64, overlap_tokens=16
+    )
+    return out.orderBy("doc_id", "chunk_idx")
+
+
+SQL_CHUNK_OVERLAP = f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT)
+           AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM s
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * 48 + 1,
+                           chunk_idx * 48 + 64)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+                                  chunk_idx * 48 + 64), ' ') AS chunk_text
+FROM e
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_weighted_sample_documents(spark, sf_dir):
     """Per-source weighted sample WITHOUT replacement, 20 docs ∝ token
     count (ext/sampling.py::weighted_sample — deterministic
@@ -2871,6 +2907,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "token_budget_skip_selection": (
         q_token_budget_skip_selection,
         SQL_TOKEN_BUDGET_SKIP,
+    ),
+    "chunk_documents_overlap": (
+        q_chunk_documents_overlap,
+        SQL_CHUNK_OVERLAP,
     ),
     "bpe_trained_compression": (q_bpe_trained_compression, None),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),

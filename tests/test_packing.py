@@ -72,3 +72,52 @@ def test_chunk_straddle_flag_matches_offsets(spark):
         expect = (start // BUDGET) != ((start + max(r.length, 1) - 1) // BUDGET)
         assert r.straddles == expect, r
         start += max(r.length, 1)
+
+
+def test_chunk_with_overlap_windows_and_edges(spark):
+    from data_lakehouse_project_spark.ext.packing import chunk_with_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),  # under one chunk
+            (3, " ".join(f"x{i}" for i in range(8))),  # exactly 2 strides
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_with_overlap(df, "text", "doc_id", 4, overlap_tokens=2)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    # doc 1: stride 2 → windows at 0,2,4,6 cover all 10 tokens
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert got[(1, 3)] == (4, "t6 t7 t8 t9")
+    assert (1, 4) not in got  # no empty trailing window
+    # doc 2: single chunk, remainder length
+    assert got[(2, 0)] == (3, "a b c")
+    assert (2, 1) not in got
+    # doc 3 (8 tokens): windows 0,2,4 — last is full, no phantom
+    assert got[(3, 2)] == (4, "x4 x5 x6 x7")
+    assert (3, 3) not in got
+
+    # overlap reconstruction: dropping each chunk's first `overlap`
+    # tokens (except chunk 0) re-concatenates to the original doc
+    parts = [got[(1, i)][1].split() for i in range(4)]
+    rebuilt = parts[0] + [t for p in parts[1:] for t in p[2:]]
+    assert rebuilt == [f"t{i}" for i in range(10)]
+
+    # map-only plan: no shuffle anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_with_overlap_rejects_bad_overlap(spark):
+    import pytest
+
+    from data_lakehouse_project_spark.ext.packing import chunk_with_overlap
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_with_overlap(df, "text", "doc_id", 4, overlap_tokens=4)
