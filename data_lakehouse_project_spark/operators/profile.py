@@ -79,3 +79,44 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             "(column, n_nulls, n_distinct, min_value, max_value)"
         ),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """Equi-width histogram: (bin, bin_lo, bin_hi, cnt) for the
+    ``bins`` intervals spanning [min, max]; the max value lands in the
+    last bin (closed upper edge); nulls are dropped; only non-empty
+    bins return. Single-column companion to ``profile_columns``.
+
+    Scale: one agg for the (min, max) bounds riding a 1-row broadcast,
+    then one map-side-combined groupBy on the bin index — two scans,
+    no driver arithmetic, any row count."""
+    bounds = df.agg(
+        F.min(F.col(col)).cast("double").alias("_lo"),
+        F.max(F.col(col)).cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    bin_ix = F.least(
+        F.floor((F.col(col).cast("double") - F.col("_lo")) / width),
+        F.lit(bins - 1),
+    ).cast("long")
+    return (
+        df.where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bin_ix.alias("bin"), "_lo", "_hi")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / bins)
+            .alias("bin_lo"),
+            (
+                F.col("_lo")
+                + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / bins
+            ).alias("bin_hi"),
+            "cnt",
+        )
+    )

@@ -921,6 +921,7 @@ class TxnTable:
         spark: SparkSession,
         target_size_bytes: int = 128 << 20,
         cluster_by: list[str] | None = None,
+        purge_dv: bool = False,
     ) -> int:
         """Compact small files (Delta OPTIMIZE): within each partition,
         groups of files totalling less than ``target_size_bytes`` apiece
@@ -959,6 +960,16 @@ class TxnTable:
             total = sum(f.get("size_bytes", 0) for f in fs)
             n_out = max(1, math.ceil(total / target_size_bytes))
             if n_out >= len(fs) and not cluster_by:
+                # layout already at target — but REORG (purge_dv=True)
+                # still materializes deletion vectors away: rewrite
+                # JUST the DV-carrying files, keeping their count
+                if purge_dv:
+                    fs = [f for f in fs if f.get("dv")]
+                    if not fs:
+                        continue
+                    df = self._read_files(spark, fs, snap.schema_json)
+                    adds += self._stage_data(df.coalesce(len(fs)), partition_by)
+                    removes += [_remove_action(f) for f in fs]
                 continue  # already at or below the target layout
             df = self._read_files(spark, fs, snap.schema_json)
             if cluster_by:

@@ -2498,6 +2498,48 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_orders_price_histogram(spark, sf_dir):
+    """20-bin equi-width histogram of o_totalprice
+    (operators/profile.py::histogram): (min,max) bounds on a 1-row
+    broadcast, bin index = floor((v-lo)/width) clamped so max lands in
+    the last bin, one map-side-combined groupBy. Edges rounded to 4
+    decimals on both engines (identical IEEE arithmetic either side)."""
+    from data_lakehouse_project_spark.operators.profile import histogram
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = histogram(orders, "o_totalprice", 20)
+    return out.select(
+        "bin",
+        _rn(F.col("bin_lo"), 4).alias("bin_lo"),
+        _rn(F.col("bin_hi"), 4).alias("bin_hi"),
+        "cnt",
+    ).orderBy("bin")
+
+
+SQL_PRICE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+  FROM orders
+),
+binned AS (
+  SELECT LEAST(CAST(floor((CAST(o_totalprice AS DOUBLE) - b.lo)
+                           / ((b.hi - b.lo) / 20)) AS BIGINT),
+               19) AS bin,
+         b.lo AS lo, b.hi AS hi
+  FROM orders, b
+  WHERE o_totalprice IS NOT NULL
+)
+SELECT bin,
+       {R("ANY_VALUE(lo) + bin * (ANY_VALUE(hi) - ANY_VALUE(lo)) / 20", 4)} AS bin_lo,
+       {R("ANY_VALUE(lo) + (bin + 1) * (ANY_VALUE(hi) - ANY_VALUE(lo)) / 20", 4)} AS bin_hi,
+       COUNT(*) AS cnt
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 def q_weighted_sample_documents(spark, sf_dir):
     """Per-source weighted sample WITHOUT replacement, 20 docs ∝ token
     count (ext/sampling.py::weighted_sample — deterministic
@@ -2911,6 +2953,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chunk_documents_overlap": (
         q_chunk_documents_overlap,
         SQL_CHUNK_OVERLAP,
+    ),
+    "orders_price_histogram": (
+        q_orders_price_histogram,
+        SQL_PRICE_HISTOGRAM,
     ),
     "bpe_trained_compression": (q_bpe_trained_compression, None),
     "corpus_shard_manifest": (q_corpus_shard_manifest, SQL_SHARD_MANIFEST),

@@ -291,3 +291,20 @@ def test_profile_columns_single_pass_and_values(spark):
         for r in profile_columns(df, ["a", "b"], approx=True).collect()
     }
     assert abs(hll["a"] - 3) <= 1 and abs(hll["b"] - 2) <= 1
+
+
+def test_histogram_bins_hand_checked(spark):
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (2.5,), (5.0,), (7.5,), (10.0,), (None,)], "v double"
+    )
+    got = {r.bin: (r.bin_lo, r.bin_hi, r.cnt) for r in histogram(df, "v", 4).collect()}
+    # width 2.5: [0,2.5)→{0}, [2.5,5)→{2.5}, [5,7.5)→{5}, [7.5,10]→{7.5,10}
+    assert got[0] == (0.0, 2.5, 1)
+    assert got[1] == (2.5, 5.0, 1)
+    assert got[2] == (5.0, 7.5, 1)
+    assert got[3] == (7.5, 10.0, 2)  # max closed into last bin
+    assert sum(c for _, _, c in got.values()) == 5  # null dropped

@@ -405,3 +405,26 @@ def test_describe_detail_counts(spark, tmp_path):
     assert d["num_files"] == 1 and d["files_with_dv"] == 1
     assert d["num_rows"] == 90
     assert d["num_commits"] == 2 and d["version"] == 1
+
+
+def test_optimize_purge_dv_reorg(spark, tmp_path):
+    """REORG-style purge: optimize(purge_dv=True) rewrites a file that
+    compaction alone would skip, solely to materialize its DV."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    t.write(_df(spark, 0, 100).coalesce(1), mode="overwrite")
+    t.delete_where(spark, "id < 10", dv=True)
+
+    # plain optimize: single file at target layout → no-op, DV kept
+    v = t.optimize(spark, target_size_bytes=1)
+    assert any(f.get("dv") for f in t.snapshot().files)
+
+    v2 = t.optimize(spark, target_size_bytes=1, purge_dv=True)
+    assert v2 > v
+    assert not any(f.get("dv") for f in t.snapshot().files)
+    assert sorted(r.id for r in t.read(spark).collect()) == list(
+        range(10, 100)
+    )
+    # still contributes nothing to the change feed
+    assert (
+        t.read_changes(spark, starting_version=v2).toPandas().shape[0] == 0
+    )
