@@ -409,6 +409,7 @@ class TxnTable:
         partition_by: list[str] | None = None,
         allow_schema_evolution: bool = False,
         commit_info: dict | None = None,
+        bloom_cols: dict[str, int] | None = None,
     ) -> int:
         """Append or overwrite; returns the committed version.
 
@@ -427,6 +428,10 @@ class TxnTable:
         if read_version >= 0:
             self._enforce_constraints(df)
         adds = self._stage_data(df, partition_by)
+        if bloom_cols:
+            # per-file point-lookup index (string/int columns only —
+            # the md5-of-str contract, see _bloom_positions_py)
+            self._attach_blooms(df.sparkSession, adds, bloom_cols)
         removes = (
             [_remove_action(f) for f in self.snapshot().files]
             if mode == "overwrite" and read_version >= 0
@@ -752,6 +757,82 @@ class TxnTable:
             "constraints": dict(snap.constraints),
             "num_commits": len(_list_versions(self.path)),
         }
+
+    def _attach_blooms(
+        self, spark: SparkSession, adds: list[dict], bloom_cols: dict
+    ) -> None:
+        """Attach a per-file Bloom filter for each ``bloom_cols`` column
+        (name → num_bits) to the freshly staged add actions — the
+        Iceberg/Delta bloom-index analog for point-lookup pruning where
+        min/max ranges can't help (high-cardinality keys in unsorted
+        files). One Spark job for ALL files × columns: k=5 md5-derived
+        bit positions per value, exploded, collect_set per (file, col)
+        — ≤ num_bits distinct positions per cell, driver-bounded by
+        ``_BLOOM_MAX_BITS``. Stored hex in the add action (m/8 bytes →
+        2 hex chars/byte), so the filter rides the commit log and every
+        checkpoint. NULLs contribute no bits (NULL never equals a
+        probe literal)."""
+        from pyspark.sql import functions as F
+
+        for c, m in bloom_cols.items():
+            if not 64 <= m <= _BLOOM_MAX_BITS:
+                raise ValueError(
+                    f"bloom bits for {c!r} must be in [64, {_BLOOM_MAX_BITS}]"
+                )
+        df = self._read_files(spark, adds, None, with_lineage=True)
+        parts = []
+        for c, m in bloom_cols.items():
+            poss = F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(c).cast("string"),
+                                    F.lit(f"|{s}"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+            parts.append(
+                df.where(F.col(c).isNotNull()).select(
+                    F.col("_dl_path").alias("p"),
+                    F.lit(c).alias("c"),
+                    F.explode(poss).alias("pos"),
+                )
+            )
+        from functools import reduce
+
+        allpos = reduce(lambda a, b: a.unionByName(b), parts)
+        rows = (
+            allpos.groupBy("p", "c")
+            .agg(F.collect_set("pos").alias("bits"))
+            .collect()
+        )
+        packed: dict[tuple, str] = {}
+        for r in rows:
+            m = bloom_cols[r.c]
+            buf = bytearray(m // 8)
+            for pos in r.bits:
+                buf[pos // 8] |= 1 << (pos % 8)
+            packed[(r.p.rsplit("/", 1)[-1], r.c)] = bytes(buf).hex()
+        for f in adds:
+            base = f["path"].rsplit("/", 1)[-1]
+            blooms = {}
+            for c, m in bloom_cols.items():
+                hexbits = packed.get((base, c))
+                if hexbits is not None:
+                    blooms[c] = {"m": m, "hex": hexbits}
+            if blooms:
+                f["bloom"] = blooms
 
     def _current_constraints(self) -> dict:
         try:
@@ -1399,6 +1480,26 @@ class TxnTable:
         )
 
 
+_BLOOM_SEEDS = (1, 2, 3, 4, 5)  # k = 5 hash functions
+_BLOOM_MAX_BITS = 1 << 20  # driver-memory bound per (file, column)
+
+
+def _bloom_positions_py(value, num_bits: int) -> list[int]:
+    """Driver-side twin of the JVM bloom-bit derivation — md5 of
+    ``"{value}|{seed}"`` (md5 exists identically on both sides; the
+    formatting contract is str() of the literal, so bloom columns are
+    restricted to string/integer types)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{value}|{s}".encode()).hexdigest()[:15], 16
+        )
+        % num_bits
+        for s in _BLOOM_SEEDS
+    ]
+
+
 def _remove_action(f: dict) -> dict:
     """Remove action for a file action — carries the file's deletion
     vector (when present) so CDF pre-images exclude already-deleted
@@ -1416,7 +1517,16 @@ def _file_may_match(
     matching row. Missing stats → True (never prune blind)."""
     cols = f.get("stats", {}).get("columns", {})
     parts = f.get("partition_values", {})
+    blooms = f.get("bloom", {})
     for col, op, val in prune:
+        if op == "=" and col in blooms:
+            b = blooms[col]
+            raw = bytes.fromhex(b["hex"])
+            if any(
+                not raw[pos // 8] & (1 << (pos % 8))
+                for pos in _bloom_positions_py(val, b["m"])
+            ):
+                return False  # definite miss — no false negatives
         if col in parts:
             lo = hi = _coerce_like(val, parts[col])
         elif col in cols:

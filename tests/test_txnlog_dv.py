@@ -428,3 +428,67 @@ def test_optimize_purge_dv_reorg(spark, tmp_path):
     assert (
         t.read_changes(spark, starting_version=v2).toPandas().shape[0] == 0
     )
+
+
+def test_per_file_bloom_prunes_point_lookups(spark, tmp_path):
+    """Per-file bloom index: high-cardinality point lookups prune files
+    min/max ranges can't (unsorted ids overlap every file), with NO
+    false negatives ever."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    # interleaved ids → every file spans the whole id range: min/max
+    # stats are useless for id = X, the bloom is the only pruner
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 4).alias("shard")
+    )
+    for s in range(4):
+        t.write(
+            df.where(F.col("shard") == s).coalesce(1),
+            mode="overwrite" if s == 0 else "append",
+            bloom_cols={"id": 1 << 14},
+        )
+
+    # every present id must be found (no false negatives), and the
+    # pruned scan must read FEWER files than the min/max-only path
+    hits = 0
+    for probe in (0, 1, 2, 3, 997, 1998, 2999, 3997):
+        scanned, total = t.scan_file_count(prune=[("id", "=", probe)])
+        assert total == 4
+        hits += scanned
+        got = t.read(spark, prune=[("id", "=", probe)]).collect()
+        assert [r.id for r in got] == [probe]
+    # 8 probes × 4 files = 32 naive reads; bloom k=5 m=16384 on 1000
+    # keys/file has FPR ~1e-9 — expect essentially 8 file reads
+    assert hits <= 12
+
+    # absent ids: bloom says definite miss → zero files scanned
+    scanned, _ = t.scan_file_count(prune=[("id", "=", 999_999)])
+    assert scanned == 0
+    assert t.read(spark, prune=[("id", "=", 999_999)]).count() == 0
+
+    # the bloom rides the log: a fresh handle (log replay) still prunes
+    t2 = TxnTable(str(tmp_path / "tbl"))
+    scanned, _ = t2.scan_file_count(prune=[("id", "=", 42)])
+    assert scanned == 1
+
+
+def test_bloom_string_column_and_bounds(spark, tmp_path):
+    import pytest
+
+    t = TxnTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(i, f"user_{i}") for i in range(100)], "id long, name string"
+    )
+    t.write(df, mode="overwrite", bloom_cols={"name": 4096})
+    scanned, total = t.scan_file_count(prune=[("name", "=", "user_7")])
+    assert scanned >= 1
+    assert [
+        r.id
+        for r in t.read(spark, prune=[("name", "=", "user_7")])
+        .where("name = 'user_7'")
+        .collect()
+    ] == [7]
+    scanned, _ = t.scan_file_count(prune=[("name", "=", "nobody")])
+    assert scanned == 0
+
+    with pytest.raises(ValueError, match="bloom bits"):
+        t.write(df, mode="overwrite", bloom_cols={"name": 8})
