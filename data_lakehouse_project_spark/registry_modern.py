@@ -227,12 +227,54 @@ def q_agg_approx_percentile(spark, sf_dir):
     )
 
 
+# --- SQL pipe syntax (Spark 4) + parameterized SQL -------------------------
+
+# the same logical query three ways: Spark runs the PIPE form and a
+# named-parameter form; DuckDB oracles the equivalent ANSI text. Shape:
+# filtered scan → per-status aggregate → projection → order.
+SQL_PIPE_SPARK = """
+FROM orders
+|> WHERE o_totalprice > :minprice
+|> AGGREGATE COUNT(*) AS n, SUM(o_totalprice) AS total
+   GROUP BY o_orderstatus
+|> SELECT o_orderstatus, n, {R_TOT} AS total
+|> ORDER BY o_orderstatus
+"""
+
+SQL_PIPE_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n, {R_TOT} AS total
+FROM orders
+WHERE o_totalprice > 50000.0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_pipe_syntax_orders(spark, sf_dir):
+    """Spark 4 SQL PIPE syntax (`|>` chained relational steps) PLUS
+    named-parameter binding (`:minprice` via spark.sql args) — the
+    modern composable-SQL surface; the oracle proves the pipe program ≡
+    the ANSI form. Same plan shape as any filtered agg: pushed filter,
+    partial/final HashAggregate."""
+    load_testdata(spark, sf_dir, register_views=True)
+    return spark.sql(
+        _helpers["SQL_PIPE_SPARK_FMT"], args={"minprice": 50000.0}
+    )
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     R = helpers["R"]
     gball = SQL_GROUP_BY_ALL.format(R_TOT=R("SUM(o_totalprice)"))
     _helpers["SQL_GROUP_BY_ALL_FMT"] = gball
+    _helpers["SQL_PIPE_SPARK_FMT"] = SQL_PIPE_SPARK.format(
+        R_TOT=R("total", 2)
+    )
     return {
+        "pipe_syntax_orders": (
+            q_pipe_syntax_orders,
+            SQL_PIPE_ORACLE.format(R_TOT=R("SUM(o_totalprice)", 2)),
+        ),
         "recursive_cte_sql": (q_recursive_cte_sql, SQL_RECURSIVE_MONTHS),
         "events_variant_extract": (q_events_variant_extract, SQL_VARIANT),
         "group_by_all_sql": (q_group_by_all_sql, gball),
