@@ -261,11 +261,14 @@ def token_budget_skip_selection(
 
     from data_lakehouse_project_spark.ext.text import token_count
 
+    # a doc longer than the whole budget can NEVER be taken — drop it
+    # map-side so it doesn't shuffle or sit in the pandas group (the
+    # pathological giant-doc group shrinks before the Python hop)
     sized = df.select(
         F.col(group_col),
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
-    )
+    ).where(F.col("n_tokens") <= budget_tokens)
 
     def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
