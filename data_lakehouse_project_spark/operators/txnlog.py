@@ -205,6 +205,7 @@ class Snapshot:
     schema_json: str | None
     timestamp_ms: int
     constraints: dict = field(default_factory=dict)  # name -> CHECK sql
+    txns: dict = field(default_factory=dict)  # app_id -> last batch_id
 
     @property
     def num_rows(self) -> int:
@@ -261,6 +262,7 @@ class TxnTable:
         active: dict[str, dict] = {}
         schema_json = None
         constraints: dict = {}
+        txns: dict = {}
         ts = 0
         version_seen = -1
         start = versions[0]
@@ -270,6 +272,7 @@ class TxnTable:
             active = {f["path"]: f for f in cp["files"]}
             schema_json = cp.get("schema_json")
             constraints = cp.get("constraints", {})
+            txns = dict(cp.get("txns", {}))
             ts = cp.get("timestamp_ms", 0)
             version_seen = cp["version"]
             start = cp["version"] + 1
@@ -278,7 +281,7 @@ class TxnTable:
                 continue
             if v > version:
                 break
-            adds, removes, info, meta = self._read_commit(v)
+            adds, removes, info, meta, txn = self._read_commit(v)
             for r in removes:
                 active.pop(r["path"], None)
             for a in adds:
@@ -289,6 +292,10 @@ class TxnTable:
                 # key → the prior state persists (compat)
                 if meta.get("constraints") is not None:
                     constraints = meta["constraints"]
+            if txn is not None:
+                txns[txn["app_id"]] = max(
+                    txns.get(txn["app_id"], -1), txn["batch_id"]
+                )
             ts = info["timestamp_ms"]
             version_seen = v
         return Snapshot(
@@ -297,6 +304,7 @@ class TxnTable:
             schema_json=schema_json,
             timestamp_ms=ts,
             constraints=constraints,
+            txns=txns,
         )
 
     def _version_at(self, as_of_ms: int) -> int:
@@ -304,7 +312,7 @@ class TxnTable:
         only commitInfo lines)."""
         best = None
         for v in _list_versions(self.path):
-            _, _, info, _ = self._read_commit(v)
+            _, _, info, _, _ = self._read_commit(v)
             if info["timestamp_ms"] <= as_of_ms:
                 best = v
             else:
@@ -330,6 +338,7 @@ class TxnTable:
                 "timestamp_ms": snap.timestamp_ms,
                 "schema_json": snap.schema_json,
                 "constraints": snap.constraints,
+                "txns": snap.txns,
                 "files": snap.files,
             }
             tmp = os.path.join(
@@ -410,6 +419,7 @@ class TxnTable:
         allow_schema_evolution: bool = False,
         commit_info: dict | None = None,
         bloom_cols: dict[str, int] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Append or overwrite; returns the committed version.
 
@@ -423,6 +433,11 @@ class TxnTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
         read_version = self.latest_version()
+        if txn is not None and read_version >= 0:
+            # exactly-once: a replayed micro-batch (same app_id with
+            # batch_id at or below the last recorded) is a no-op
+            if self.snapshot().txns.get(txn[0], -1) >= txn[1]:
+                return read_version
         if mode == "append" and read_version >= 0:
             self._check_append_schema(df, allow_schema_evolution)
         if read_version >= 0:
@@ -446,6 +461,7 @@ class TxnTable:
             partition_by=partition_by,
             blind_append=(mode == "append"),
             info_extra=commit_info,
+            txn=txn,
         )
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
@@ -692,6 +708,31 @@ class TxnTable:
                 "files_skipped": len(snap.files) - len(touched),
             },
         )
+
+    def streaming_append(self, app_id: str, **write_kwargs):
+        """Exactly-once Structured-Streaming sink: a ``foreachBatch``
+        callable that appends each micro-batch under a Delta-style
+        ``txn`` action ``(app_id, batch_id)``. After a crash the stream
+        replays its last micro-batch from the checkpoint — the replay's
+        batch_id is at or below the last recorded one, so the append is
+        a no-op and rows are never duplicated; the publish-race path
+        re-checks too (losing a version race to our own replay also
+        no-ops). Usage::
+
+            q = (stream.writeStream
+                 .foreachBatch(table.streaming_append("my-query"))
+                 .option("checkpointLocation", ckpt).start())
+        """
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.write(
+                batch_df,
+                mode="append",
+                txn=(app_id, int(batch_id)),
+                **write_kwargs,
+            )
+
+        return _apply
 
     def clone_to(self, target_path: str, version: int | None = None) -> "TxnTable":
         """Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
@@ -1118,7 +1159,7 @@ class TxnTable:
             )
         pieces: list[DataFrame] = []
         for v in versions:
-            adds, removes, info, meta = self._read_commit(v)
+            adds, removes, info, meta, txn = self._read_commit(v)
             schema_json = meta.get("schema_json") if meta else None
             tag = lambda df, kind: df.select(
                 "*",
@@ -1313,7 +1354,7 @@ class TxnTable:
     def _current_partition_by(self) -> list[str]:
         """partition_by recorded by the newest commit that declared one."""
         for v in reversed(_list_versions(self.path)):
-            _, _, _, meta = self._read_commit(v)
+            _, _, _, meta, _ = self._read_commit(v)
             if meta is not None:
                 return meta.get("partition_by") or []
         return []
@@ -1360,6 +1401,7 @@ class TxnTable:
 
     def _read_commit(self, version: int):
         adds, removes, info, meta = [], [], None, None
+        txn = None
         with open(_version_file(self.path, version)) as fh:
             for line in fh:
                 action = json.loads(line)
@@ -1371,7 +1413,9 @@ class TxnTable:
                     info = action["commitInfo"]
                 elif "metaData" in action:
                     meta = action["metaData"]
-        return adds, removes, info, meta
+                elif "txn" in action:
+                    txn = action["txn"]
+        return adds, removes, info, meta, txn
 
     def _stage_data(
         self, df: DataFrame, partition_by: list[str] | None
@@ -1419,6 +1463,7 @@ class TxnTable:
         max_retries: int = 20,
         info_extra: dict | None = None,
         constraints: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Publish: serialize actions to a temp file, then atomically
         link it to the next version slot. Losing a race means someone
@@ -1451,6 +1496,12 @@ class TxnTable:
                     }
                 ),
             ]
+            if txn is not None:
+                lines.append(
+                    json.dumps(
+                        {"txn": {"app_id": txn[0], "batch_id": txn[1]}}
+                    )
+                )
             lines += [json.dumps({"add": a}) for a in adds]
             lines += [json.dumps({"remove": r}) for r in removes]
             tmp = os.path.join(
@@ -1474,6 +1525,12 @@ class TxnTable:
                         f"version {attempt_version} was committed by "
                         "another writer; re-read and retry"
                     ) from None
+                if txn is not None:
+                    # the commit we lost to may have been our own
+                    # replayed micro-batch — exactly-once re-check
+                    seen = self.snapshot().txns.get(txn[0], -1)
+                    if seen >= txn[1]:
+                        return self.latest_version()
                 attempt_version = self.latest_version() + 1
         raise ConcurrentWriteConflict(
             f"append lost {max_retries} publish races; giving up"

@@ -492,3 +492,44 @@ def test_bloom_string_column_and_bounds(spark, tmp_path):
 
     with pytest.raises(ValueError, match="bloom bits"):
         t.write(df, mode="overwrite", bloom_cols={"name": 8})
+
+
+def test_txn_exactly_once_replay_protection(spark, tmp_path):
+    """Delta-style txn actions: a replayed micro-batch (same app_id,
+    batch_id ≤ last recorded) is a no-op — across handles, and through
+    checkpoint compaction."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    apply_batch = t.streaming_append("etl-query")
+    apply_batch(_df(spark, 0, 10), 0)
+    apply_batch(_df(spark, 10, 20), 1)
+    v = t.latest_version()
+
+    # crash-replay of batch 1: no new rows, no new version
+    apply_batch(_df(spark, 10, 20), 1)
+    assert t.latest_version() == v
+    assert t.read(spark).count() == 20
+
+    # an old batch id is also skipped; a NEW id commits
+    apply_batch(_df(spark, 0, 10), 0)
+    assert t.read(spark).count() == 20
+    apply_batch(_df(spark, 20, 25), 2)
+    assert t.read(spark).count() == 25
+    assert t.snapshot().txns == {"etl-query": 2}
+
+    # a fresh handle (restarted driver) sees the same txn state
+    t2 = TxnTable(str(tmp_path / "tbl"))
+    t2.streaming_append("etl-query")(_df(spark, 20, 25), 2)
+    assert t2.read(spark).count() == 25
+
+    # independent apps don't interfere
+    t2.streaming_append("other-query")(_df(spark, 100, 102), 0)
+    assert t2.read(spark).count() == 27
+
+    # txn state survives checkpoint compaction (>10 commits)
+    for b in range(3, 12):
+        t2.streaming_append("etl-query")(_df(spark, 0, 1, tag=f"b{b}"), b)
+    t3 = TxnTable(str(tmp_path / "tbl"))
+    assert t3.snapshot().txns["etl-query"] == 11
+    n = t3.read(spark).count()
+    t3.streaming_append("etl-query")(_df(spark, 0, 1), 11)  # replay
+    assert t3.read(spark).count() == n

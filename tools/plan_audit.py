@@ -46,6 +46,8 @@ EXPECT_NESTED_LOOP = {
     "bm25_search_topk",
     # same shape: total-occurrence count feeding the support threshold
     "corpus_frequent_tokens",
+    # same shape: (min,max) bounds broadcast into the bin expression
+    "orders_price_histogram",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
