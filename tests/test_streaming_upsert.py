@@ -189,3 +189,64 @@ def test_foreachbatch_streaming_ivf_admission(spark, tmp_path, testdata):
         k=1, nprobe=8,
     ).first()
     assert top.vec_id == 470
+
+
+def test_streaming_append_exactly_once_through_crash_replay(
+    spark, tmp_path
+):
+    """REAL crash-replay: the foreachBatch sink commits to the
+    delta-lite table, then the stream dies BEFORE the checkpoint marks
+    the batch complete (injected failure). The restarted stream replays
+    that micro-batch from the checkpoint — the txn action makes the
+    replay a no-op, so the table holds each row exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable(str(tmp_path / "tbl"))
+    crash_flag = str(tmp_path / "crash_once")
+    open(crash_flag, "w").write("1")
+
+    spark.range(0, 50).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.mode("overwrite").parquet(src)
+
+    inner = t.streaming_append("crash-test")
+
+    def apply_batch(batch_df, batch_id):
+        inner(batch_df, batch_id)  # commit lands in the table...
+        if os.path.exists(crash_flag):
+            os.remove(crash_flag)
+            raise RuntimeError("injected crash AFTER table commit")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            pass  # the injected crash surfaces here on run 1
+
+    run_once()  # commits batch 0, then dies pre-checkpoint
+    assert t.read(spark).count() == 50
+
+    run_once()  # restart: batch 0 REPLAYED from the checkpoint
+    assert t.read(spark).count() == 50  # exactly once, no duplicates
+    assert t.snapshot().txns == {"crash-test": 0}
+
+    # new data still flows after recovery
+    spark.range(50, 60).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.mode("append").parquet(src)
+    run_once()
+    assert t.read(spark).count() == 60
