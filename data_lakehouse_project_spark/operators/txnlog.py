@@ -1044,6 +1044,7 @@ class TxnTable:
         target_size_bytes: int = 128 << 20,
         cluster_by: list[str] | None = None,
         purge_dv: bool = False,
+        zorder: bool = False,
     ) -> int:
         """Compact small files (Delta OPTIMIZE): within each partition,
         groups of files totalling less than ``target_size_bytes`` apiece
@@ -1094,7 +1095,34 @@ class TxnTable:
                     removes += [_remove_action(f) for f in fs]
                 continue  # already at or below the target layout
             df = self._read_files(spark, fs, snap.schema_json)
-            if cluster_by:
+            if cluster_by and zorder:
+                # OPTIMIZE ZORDER BY (Delta) / Z-curve sort order
+                # (Iceberg): interleave the two columns' bits so files
+                # own compact 2-D tiles and min/max stats prune on
+                # EITHER column — lexicographic range sort only prunes
+                # the lead column
+                from pyspark.sql import functions as F
+
+                from data_lakehouse_project_spark.operators.maintenance import (
+                    zorder_key,
+                )
+
+                if len(cluster_by) != 2:
+                    raise ValueError(
+                        "zorder clustering takes exactly two columns"
+                    )
+                df = (
+                    df.withColumn(
+                        "_zk",
+                        zorder_key(
+                            F.col(cluster_by[0]), F.col(cluster_by[1])
+                        ),
+                    )
+                    .repartitionByRange(max(n_out, len(fs)), "_zk")
+                    .sortWithinPartitions("_zk")
+                    .drop("_zk")
+                )
+            elif cluster_by:
                 df = df.repartitionByRange(
                     n_out, *cluster_by
                 ).sortWithinPartitions(*cluster_by)

@@ -533,3 +533,53 @@ def test_txn_exactly_once_replay_protection(spark, tmp_path):
     n = t3.read(spark).count()
     t3.streaming_append("etl-query")(_df(spark, 0, 1), 11)  # replay
     assert t3.read(spark).count() == n
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after a Z-curve rewrite, point predicates on
+    EITHER column prune files; lexicographic clustering only prunes its
+    lead column."""
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    # size the rewrite to ~16 files: with 16 lexicographic (x,y) range
+    # files each covers ~4 consecutive x values and the FULL y range;
+    # with 16 Z-curve files each covers a compact 2-D tile
+    zt = TxnTable(str(tmp_path / "z"))
+    zt.write(grid.coalesce(1), mode="overwrite")
+    total = sum(f["size_bytes"] for f in zt.snapshot().files)
+    target = max(1, total // 16)
+    zt.optimize(
+        spark, target_size_bytes=target, cluster_by=["x", "y"], zorder=True
+    )
+    n_files = len(zt.snapshot().files)
+    assert n_files >= 8
+
+    lex = TxnTable(str(tmp_path / "lex"))
+    lex.write(grid.coalesce(1), mode="overwrite")
+    lex.optimize(spark, target_size_bytes=target, cluster_by=["x", "y"])
+    lex_files = len(lex.snapshot().files)
+
+    def frac(t, col, val):
+        scanned, tot = t.scan_file_count(prune=[(col, "=", val)])
+        return scanned / tot
+
+    # lead column: both cluster layouts prune
+    assert frac(zt, "x", 7) < 1.0
+    assert frac(lex, "x", 7) < 1.0
+    # SECOND column: only the Z-order layout prunes — every
+    # lexicographic file spans y's full range
+    z_y = frac(zt, "y", 7)
+    lex_y = frac(lex, "y", 7)
+    assert z_y <= 0.5
+    assert lex_y == 1.0
+    # correctness unchanged
+    assert (
+        zt.read(spark, prune=[("y", "=", 7)]).where("y = 7").count() == 64
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="two columns"):
+        zt.optimize(spark, cluster_by=["x"], zorder=True)
