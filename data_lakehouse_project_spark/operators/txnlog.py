@@ -821,6 +821,15 @@ class TxnTable:
                     f"bloom bits for {c!r} must be in [64, {_BLOOM_MAX_BITS}]"
                 )
         df = self._read_files(spark, adds, None, with_lineage=True)
+        ok_types = ("string", "tinyint", "smallint", "int", "bigint")
+        for c in bloom_cols:
+            t = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get(c)
+            if t not in ok_types:
+                raise ValueError(
+                    f"bloom column {c!r} has type {t}; only string/"
+                    "integer columns have a stable str() contract "
+                    "between the JVM builder and the driver prober"
+                )
         parts = []
         for c, m in bloom_cols.items():
             poss = F.array(
@@ -1368,8 +1377,16 @@ class TxnTable:
                     "pos as _dl_dv_pos",
                 )
             )
+            # broadcast the DV only while it's broadcast-sized (the
+            # recorded cardinalities are driver-known); a huge deletion
+            # set falls back to a plain anti-join and AQE decides
+            n_deleted = sum(
+                f.get("dv", {}).get("deleted_rows", 0) for f in files
+            )
+            if n_deleted <= 5_000_000:
+                dv = F.broadcast(dv)
             df = df.join(
-                F.broadcast(dv),
+                dv,
                 (
                     F.element_at(F.split(F.col("_dl_path"), "/"), -1)
                     == F.col("_dl_dv_file")
