@@ -84,9 +84,18 @@ def admit_batch(
     shards_path: str,
     centroids: np.ndarray,
     jaccard_threshold: float = 0.8,
+    batch_id: int | None = None,
 ) -> dict[str, int]:
     """One micro-batch through the admission funnel. Returns stage
-    counts (arrived/gated/novel) for observability."""
+    counts (arrived/gated/novel) for observability.
+
+    ``batch_id`` arms Delta-style ``txn`` exactly-once on the corpus
+    and dedup-index appends: a checkpoint replay of an already-admitted
+    micro-batch no-ops those commits instead of re-appending. (The
+    dedup gate ALSO self-heals replays — replayed docs read as
+    duplicates once the index write landed — but the txn action closes
+    the crash window between the corpus commit and the index commit.)
+    """
     spark = batch_df.sparkSession
     arrived = batch_df.count()
 
@@ -130,12 +139,16 @@ def admit_batch(
     novel = novel.localCheckpoint(eager=True)
     n_novel = novel.count()
 
+    txn = (
+        lambda name: (name, batch_id) if batch_id is not None else None
+    )
     if n_novel:
-        table.write(novel, mode="append")  # one atomic commit per batch
+        # one atomic commit per batch, replay-proof via the txn action
+        table.write(novel, mode="append", txn=txn("corpus"))
         # grow the persisted dedup index by exactly the admitted docs
         new_fp, new_sh = build_dedup_index(novel, "text", "doc_id")
-        fp_table.write(new_fp, mode="append")
-        sh_table.write(new_sh, mode="append")
+        fp_table.write(new_fp, mode="append", txn=txn("fp"))
+        sh_table.write(new_sh, mode="append", txn=txn("sh"))
         # fold the admitted fingerprints into the persisted Bloom gate
         # (lossless bit_or merge; the table stays <= BLOOM_BITS/64 rows)
         batch_bloom = bloom_build(
@@ -175,7 +188,7 @@ def run_admission_stream(
         "shards": os.path.join(root, "shards"),
     }
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         stats.append(
             admit_batch(
                 batch_df,
@@ -184,6 +197,7 @@ def run_admission_stream(
                 paths["shards"],
                 centroids,
                 jaccard_threshold=jaccard_threshold,
+                batch_id=int(batch_id),
             )
         )
 
