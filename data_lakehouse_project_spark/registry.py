@@ -789,6 +789,47 @@ WHERE jaccard >= 0.8
 """
 
 
+def q_neardup_degree_distribution(spark, sf_dir):
+    """Similarity-graph degree distribution: for every document in at
+    least one char-3-gram Jaccard ≥ 0.8 pair, its edge count, then
+    (degree → n_docs) — the shape report that tells a curation run
+    whether near-dups are isolated pairs or a giant boilerplate hub
+    (hub degree drives the Σ|cluster|² pair-expansion bound)."""
+    pairs = X_dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents")[0],
+        "text",
+        "doc_id",
+        n=3,
+        jaccard_threshold=0.8,
+    )
+    ends = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return (
+        ends.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+SQL_NEARDUP_DEGREE = (
+    "WITH jp AS ("
+    + SQL_NGRAM_JACCARD
+    + """),
+ends AS (
+  SELECT id_a AS doc_id FROM jp
+  UNION ALL
+  SELECT id_b AS doc_id FROM jp
+),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
+ORDER BY degree
+"""
+)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → dedup clusters via connected components (min-label
     propagation, ext/graph.py). Edges = the char-3-gram Jaccard >= 0.8
@@ -2929,6 +2970,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_tokenset_groups": (q_dedup_tokenset_groups, SQL_DEDUP_TOKENSET),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "neardup_degree_distribution": (
+        q_neardup_degree_distribution,
+        SQL_NEARDUP_DEGREE,
+    ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
