@@ -30,9 +30,29 @@ stats) re-expressed small:
   Spark ever lists them: the 100 TB scan-economics Iceberg manifests
   exist for. Partition values recorded per file prune the same way.
 
+Round-4 session 2 widens the surface to the full modern-lakehouse DML
+set, each Delta/Iceberg-documented semantics re-expressed small:
+
+- **File-granularity DELETE/UPDATE** — one (stats-prunable) scan finds
+  the files actually containing matches via ``_metadata.file_path``;
+  only those rewrite. **Deletion vectors** (``delete_where(dv=True)``)
+  rewrite nothing: positions land in ``_dv/`` and readers apply a
+  size-gated broadcast anti-join on ``_metadata.row_index``;
+  ``optimize(purge_dv=True)`` is REORG-style materialization.
+- **RESTORE** to any retained version (metadata-only re-point),
+  **shallow CLONE** (zero-copy absolute-path references, DV-aware),
+  **CHECK constraints** (validated pre-publish in one combined
+  aggregate), **DESCRIBE DETAIL**.
+- **Exactly-once streaming** — Delta-style ``txn`` actions
+  (``streaming_append``): checkpoint-replayed micro-batches no-op.
+- **Per-file Bloom indexes** (``write(bloom_cols=...)``) for point
+  lookups min/max ranges can't prune; **OPTIMIZE ZORDER** (2-D bit
+  interleave) so either clustered column prunes.
+
 The log is the source of truth for LIVENESS, not existence: stray data
 files (crashed writers, half-finished jobs) are ignored by readers and
-reaped by ``vacuum``.
+reaped by ``vacuum``. Checkpoints only accelerate replay — corrupt ones
+are skipped (older checkpoint, then linear replay).
 
 Scale notes: the log is driver-side metadata — O(files) JSON, not data.
 Every ``CHECKPOINT_INTERVAL``-th commit also writes a checkpoint (the
@@ -266,16 +286,26 @@ class TxnTable:
         ts = 0
         version_seen = -1
         start = versions[0]
-        cps = [c for c in _list_checkpoints(self.path) if c <= version]
-        if cps:
-            cp = self._read_checkpoint(cps[-1])
-            active = {f["path"]: f for f in cp["files"]}
-            schema_json = cp.get("schema_json")
-            constraints = cp.get("constraints", {})
-            txns = dict(cp.get("txns", {}))
-            ts = cp.get("timestamp_ms", 0)
-            version_seen = cp["version"]
-            start = cp["version"] + 1
+        # checkpoints only ACCELERATE replay — a torn/corrupt one (crash
+        # mid-write predates the tmp+rename, disk corruption after) must
+        # never brick the table: fall back to the next older checkpoint,
+        # then to pure linear replay. The commit files stay the source
+        # of truth.
+        for c in reversed(
+            [c for c in _list_checkpoints(self.path) if c <= version]
+        ):
+            try:
+                cp = self._read_checkpoint(c)
+                active = {f["path"]: f for f in cp["files"]}
+                schema_json = cp.get("schema_json")
+                constraints = cp.get("constraints", {})
+                txns = dict(cp.get("txns", {}))
+                ts = cp.get("timestamp_ms", 0)
+                version_seen = cp["version"]
+                start = cp["version"] + 1
+                break
+            except (OSError, ValueError, KeyError, TypeError):
+                continue  # corrupt checkpoint: try the next older one
         for v in versions:
             if v < start:
                 continue

@@ -583,3 +583,54 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="two columns"):
         zt.optimize(spark, cluster_by=["x"], zorder=True)
+
+
+def test_corrupt_checkpoint_falls_back_to_linear_replay(spark, tmp_path):
+    """A torn/corrupt checkpoint must never brick the table — replay
+    falls back to older checkpoints, then to the raw commit files."""
+    import glob
+    import os as _os
+
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 10), mode="overwrite")
+    for i in range(12):  # crosses the 10-commit checkpoint boundary
+        t.write(_df(spark, 100 + i, 101 + i), mode="append")
+    cps = glob.glob(_os.path.join(path, "_txn_log", "*.checkpoint.json"))
+    assert cps
+    for cp in cps:
+        with open(cp, "w") as fh:
+            fh.write("{ torn half-written j")  # corrupt ALL checkpoints
+
+    t2 = TxnTable(path)
+    assert t2.read(spark).count() == 22  # linear replay still exact
+    assert t2.latest_version() == 12
+    t2.write(_df(spark, 500, 505), mode="append")  # and still writable
+    assert t2.read(spark).count() == 27
+
+
+def test_dv_on_hive_partitioned_table(spark, tmp_path):
+    """Deletion vectors key on file basenames — partition dirs in the
+    path don't confuse the anti-join, and partition-pruned DV deletes
+    leave other partitions' files untouched."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    df = _df(spark, 0, 100).withColumn(
+        "part", (F.col("id") % 2).cast("string")
+    )
+    t.write(df, mode="overwrite", partition_by=["part"])
+    before = _paths(t)
+
+    t.delete_where(
+        spark, "id < 10 AND part = '0'", prune=[("part", "=", "0")], dv=True
+    )
+    assert _paths(t) == before  # no file rewritten
+    assert t.read(spark).count() == 95  # ids 0,2,4,6,8 gone
+    assert t.read(spark).where("part = '1'").count() == 50
+    got = sorted(
+        r.id for r in t.read(spark).where("part = '0'").collect()
+    )
+    assert got == [i for i in range(100) if i % 2 == 0 and i >= 10]
+    # partition files of part=1 never even carry a DV
+    for f in t.snapshot().files:
+        if f["partition_values"].get("part") == "1":
+            assert "dv" not in f
