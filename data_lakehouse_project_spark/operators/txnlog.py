@@ -158,19 +158,29 @@ def _file_stats(fpath: str) -> dict:
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
             s = col.statistics
-            if s is None or not s.has_min_max:
+            if s is None:
                 continue
             name = col.path_in_schema
+            if not s.has_min_max:
+                # all-null (or stats-less) column chunk: keep the null
+                # count — it powers IS [NOT] NULL pruning even when no
+                # min/max exists
+                if s.null_count is not None:
+                    cur = stats.setdefault(name, {"null_count": 0})
+                    cur["null_count"] = (
+                        cur.get("null_count", 0) + s.null_count
+                    )
+                continue
             lo, hi = _jsonable(s.min), _jsonable(s.max)
             if lo is None or hi is None:
                 continue
             cur = stats.setdefault(
                 name, {"min": lo, "max": hi, "null_count": 0}
             )
-            cur["min"] = min(cur["min"], lo)
-            cur["max"] = max(cur["max"], hi)
+            cur["min"] = min(cur.get("min", lo), lo)
+            cur["max"] = max(cur.get("max", hi), hi)
             if s.null_count is not None:
-                cur["null_count"] += s.null_count
+                cur["null_count"] = cur.get("null_count", 0) + s.null_count
     return {"num_rows": md.num_rows, "columns": stats}
 
 
@@ -424,6 +434,7 @@ class TxnTable:
                 cond = {
                     "=": c == val, "<": c < val, "<=": c <= val,
                     ">": c > val, ">=": c >= val,
+                    "isnull": c.isNull(), "isnotnull": c.isNotNull(),
                 }[op]
                 df = df.where(cond)
         return df
@@ -1650,7 +1661,25 @@ def _file_may_match(
     cols = f.get("stats", {}).get("columns", {})
     parts = f.get("partition_values", {})
     blooms = f.get("bloom", {})
+    num_rows = f.get("stats", {}).get("num_rows")
     for col, op, val in prune:
+        # null-count pruning: footer null_count is exact, so IS NULL
+        # prunes files with zero nulls and IS NOT NULL prunes all-null
+        # files. A column with rows but NO stats entry may be all-null
+        # (footers omit min/max then) — never prune is-null blind.
+        if op in ("isnull", "isnotnull"):
+            nc = cols.get(col, {}).get("null_count")
+            if nc is None:
+                continue
+            if op == "isnull" and nc == 0:
+                return False
+            if (
+                op == "isnotnull"
+                and num_rows is not None
+                and nc >= num_rows
+            ):
+                return False
+            continue
         if op == "=" and col in blooms:
             b = blooms[col]
             raw = bytes.fromhex(b["hex"])
@@ -1661,7 +1690,7 @@ def _file_may_match(
                 return False  # definite miss — no false negatives
         if col in parts:
             lo = hi = _coerce_like(val, parts[col])
-        elif col in cols:
+        elif col in cols and "min" in cols[col]:
             lo, hi = cols[col]["min"], cols[col]["max"]
         else:
             continue

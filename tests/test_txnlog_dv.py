@@ -634,3 +634,30 @@ def test_dv_on_hive_partitioned_table(spark, tmp_path):
     for f in t.snapshot().files:
         if f["partition_values"].get("part") == "1":
             assert "dv" not in f
+
+
+def test_null_count_pruning(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    no_nulls = spark.createDataFrame([(1, 5), (2, 6)], "id long, v long")
+    some_nulls = spark.createDataFrame(
+        [(3, None), (4, 9)], "id long, v long"
+    )
+    all_nulls = spark.createDataFrame(
+        [(5, None), (6, None)], "id long, v long"
+    )
+    t.write(no_nulls.coalesce(1), mode="overwrite")
+    t.write(some_nulls.coalesce(1), mode="append")
+    t.write(all_nulls.coalesce(1), mode="append")
+
+    scanned, total = t.scan_file_count(prune=[("v", "isnull", None)])
+    assert (scanned, total) == (2, 3)  # zero-null file skipped
+    assert sorted(
+        r.id for r in t.read(spark, prune=[("v", "isnull", None)]).collect()
+    ) == [3, 5, 6]
+
+    scanned, _ = t.scan_file_count(prune=[("v", "isnotnull", None)])
+    assert scanned == 2  # all-null file skipped
+    assert sorted(
+        r.id
+        for r in t.read(spark, prune=[("v", "isnotnull", None)]).collect()
+    ) == [1, 2, 4]
