@@ -207,9 +207,12 @@ def _data_files(root: str) -> list[str]:
     log dir and marker files), recursing through partition dirs."""
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
-        # skip the log, deletion-vector, and in-flight staging dirs;
-        # hive partition dirs are k=v and never lead with "_"
-        dirnames[:] = [d for d in dirnames if not d.startswith("_")]
+        # skip the log, deletion-vector, and in-flight staging dirs —
+        # but NEVER a hive partition dir (k=v): hidden-partition dirs
+        # are named _pt_<transform>_<col>=<value>
+        dirnames[:] = [
+            d for d in dirnames if "=" in d or not d.startswith("_")
+        ]
         for f in filenames:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(
@@ -400,15 +403,22 @@ class TxnTable:
         """DataFrame over a snapshot's active files.
 
         ``prune`` is a list of ``(column, op, value)`` with op in
-        ``= < <= > >=``: files whose stats range (or partition value)
-        can't satisfy EVERY predicate are dropped driver-side — Spark
-        never lists or opens them — and the predicates are ALSO applied
-        as real filters so pruning is purely an IO optimization, never a
-        correctness dependency. Columns with no stats never prune.
+        ``= < <= > >= isnull isnotnull``: files whose stats range,
+        partition value, null count, or bloom index can't satisfy EVERY
+        predicate are dropped driver-side — Spark never lists or opens
+        them — and the predicates are ALSO applied as real filters so
+        pruning is purely an IO optimization, never a correctness
+        dependency. Columns with no stats never prune. Predicates on a
+        hidden-partition SOURCE column (``partition_by=["day(ts)"]``)
+        additionally prune through the transform.
         """
         snap = self.snapshot(version=version, as_of_ms=as_of_ms)
         files = snap.files
         if prune:
+            _, transforms = _parse_partition_spec(
+                self._current_partition_by()
+            )
+            prune = _expand_prune(prune, transforms)
             files = [f for f in files if _file_may_match(f, prune)]
         schema = (
             _schema_from_json(spark, snap.schema_json)
@@ -445,6 +455,11 @@ class TxnTable:
         """(files_scanned, files_total) for a pruned read — the
         observable the stats exist to shrink."""
         files = self.snapshot().files
+        if prune:
+            _, transforms = _parse_partition_spec(
+                self._current_partition_by()
+            )
+            prune = _expand_prune(prune, transforms)
         kept = (
             [f for f in files if _file_may_match(f, prune)] if prune else files
         )
@@ -1388,6 +1403,13 @@ class TxnTable:
         parts = []
         for base, paths in sorted(groups.items()):
             part = _reader().option("basePath", base).parquet(*paths)
+            # hidden-partition columns (reserved _pt_ prefix) exist only
+            # in the dir layout; Spark appends partition columns even
+            # under an explicit schema, so strip them here — readers and
+            # rewrite paths must never see (or restage) them as data
+            hidden = [c for c in part.columns if c.startswith("_pt_")]
+            if hidden:
+                part = part.drop(*hidden)
             if lineage:
                 # metadata pseudo-columns resolve only on the scan
                 # relation — materialize them per group, pre-union
@@ -1513,9 +1535,17 @@ class TxnTable:
         staging = os.path.join(
             self.path, f"_staging_{uuid.uuid4().hex}"
         )
+        physical, transforms = _parse_partition_spec(partition_by)
+        for t in transforms:
+            # hidden-partitioning: derive the transform value for the
+            # layout; it lives in the dirs only (the snapshot schema —
+            # recorded from the PRE-derivation df — governs reads, so
+            # readers never see it)
+            df = df.withColumn(t["hidden"], _transform_expr(t, df))
+        part_cols = physical + [t["hidden"] for t in transforms]
         writer = df.write.mode("overwrite").format("parquet")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
         writer.save(staging)
         adds = []
         for rel in _data_files(staging):
@@ -1621,6 +1651,129 @@ class TxnTable:
         raise ConcurrentWriteConflict(
             f"append lost {max_retries} publish races; giving up"
         )
+
+
+# ---- Iceberg-style hidden partitioning (partition transforms) ----
+#
+# ``partition_by`` entries may be TRANSFORMS of a source column —
+# ``day(ts)``, ``month(ts)``, ``bucket(8, user_id)``,
+# ``truncate(4, name)`` — not just raw columns. The derived value
+# partitions the layout (hive dirs) but NEVER appears in the read
+# schema (the snapshot schema governs reads), and predicates on the
+# SOURCE column prune files driver-side via the recorded partition
+# values: Iceberg's "hidden partitioning" — users query ``ts``, never a
+# manually-maintained ``ts_day`` twin that silently desyncs. The bucket
+# hash is the same md5-of-str contract as the bloom index, computable
+# identically JVM-side and driver-side.
+
+_TRANSFORM_RE = None  # compiled lazily (keeps `re` out of module scope)
+
+
+def _parse_partition_spec(partition_by):
+    """Split ``partition_by`` into (physical passthrough columns,
+    transform dicts {hidden, transform, n, col})."""
+    global _TRANSFORM_RE
+    if _TRANSFORM_RE is None:
+        import re
+
+        _TRANSFORM_RE = re.compile(
+            r"^(day|month|bucket|truncate)\("
+            r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\)$"
+        )
+    physical, transforms = [], []
+    for spec in partition_by or []:
+        m = _TRANSFORM_RE.match(spec.strip())
+        if not m:
+            physical.append(spec)
+            continue
+        kind, n, col = m.group(1), m.group(2), m.group(3)
+        if kind in ("bucket", "truncate"):
+            if not n or int(n) < 1:
+                raise ValueError(f"{kind} transform needs a width: {spec}")
+        hidden = (
+            f"_pt_{kind}{n}_{col}" if n else f"_pt_{kind}_{col}"
+        )
+        transforms.append(
+            {
+                "hidden": hidden,
+                "transform": kind,
+                "n": int(n) if n else None,
+                "col": col,
+            }
+        )
+    return physical, transforms
+
+
+def _transform_expr(t: dict, df: DataFrame):
+    """JVM expression deriving the hidden partition value."""
+    from pyspark.sql import functions as F
+
+    c = F.col(t["col"])
+    kind = t["transform"]
+    if kind == "day":
+        return F.date_format(c.cast("timestamp"), "yyyy-MM-dd")
+    if kind == "month":
+        return F.date_format(c.cast("timestamp"), "yyyy-MM")
+    if kind == "bucket":
+        return (
+            F.conv(
+                F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % t["n"]
+        )
+    # truncate: prefix for strings, floor-to-width for integers
+    dtype = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ).get(t["col"], "string")
+    if dtype == "string":
+        return F.substring(c, 1, t["n"])
+    return c - F.pmod(c, F.lit(t["n"]))
+
+
+def _transform_literal(t: dict, val):
+    """Driver-side twin of ``_transform_expr`` for a predicate literal."""
+    import datetime
+    import hashlib
+
+    kind = t["transform"]
+    if kind in ("day", "month"):
+        if isinstance(val, (datetime.date, datetime.datetime)):
+            s = val.isoformat()
+        else:
+            s = str(val)
+        return s[:10] if kind == "day" else s[:7]
+    if kind == "bucket":
+        return (
+            int(hashlib.md5(str(val).encode()).hexdigest()[:15], 16)
+            % t["n"]
+        )
+    if isinstance(val, str):
+        return val[: t["n"]]
+    return val - (val % t["n"])
+
+
+def _expand_prune(prune, transforms):
+    """Map source-column predicates onto hidden partition columns.
+
+    Transforms are monotone but NOT strictly — ``v < X`` only implies
+    ``day(v) <= day(X)`` — so strict ops weaken to inclusive on the
+    transformed value; bucket supports equality only. The ORIGINAL
+    predicate is always kept (and applied as a real filter), so pruning
+    stays a pure IO optimization."""
+    if not transforms or not prune:
+        return list(prune or [])
+    weaken = {"=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+    out = list(prune)
+    for col, op, val in prune:
+        for t in transforms:
+            if t["col"] != col or op not in weaken:
+                continue
+            if t["transform"] == "bucket" and op != "=":
+                continue
+            out.append(
+                (t["hidden"], weaken[op], _transform_literal(t, val))
+            )
+    return out
 
 
 _BLOOM_SEEDS = (1, 2, 3, 4, 5)  # k = 5 hash functions
