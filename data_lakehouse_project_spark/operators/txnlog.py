@@ -1677,7 +1677,7 @@ def _parse_partition_spec(partition_by):
         import re
 
         _TRANSFORM_RE = re.compile(
-            r"^(day|month|bucket|truncate)\("
+            r"^(year|month|day|hour|bucket|truncate)\("
             r"(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\)$"
         )
     physical, transforms = [], []
@@ -1710,10 +1710,14 @@ def _transform_expr(t: dict, df: DataFrame):
 
     c = F.col(t["col"])
     kind = t["transform"]
-    if kind == "day":
-        return F.date_format(c.cast("timestamp"), "yyyy-MM-dd")
+    if kind == "year":
+        return F.date_format(c.cast("timestamp"), "yyyy")
     if kind == "month":
         return F.date_format(c.cast("timestamp"), "yyyy-MM")
+    if kind == "day":
+        return F.date_format(c.cast("timestamp"), "yyyy-MM-dd")
+    if kind == "hour":
+        return F.date_format(c.cast("timestamp"), "yyyy-MM-dd-HH")
     if kind == "bucket":
         return (
             F.conv(
@@ -1736,12 +1740,17 @@ def _transform_literal(t: dict, val):
     import hashlib
 
     kind = t["transform"]
-    if kind in ("day", "month"):
+    if kind in ("year", "month", "day", "hour"):
         if isinstance(val, (datetime.date, datetime.datetime)):
-            s = val.isoformat()
+            s = val.isoformat(sep=" ") if isinstance(
+                val, datetime.datetime
+            ) else val.isoformat()
         else:
             s = str(val)
-        return s[:10] if kind == "day" else s[:7]
+        if kind == "hour":
+            # "2024-03-04 10:..." / "2024-03-04T10" → "2024-03-04-10"
+            return s[:10] + "-" + s[11:13] if len(s) >= 13 else s[:10]
+        return {"year": s[:4], "month": s[:7], "day": s[:10]}[kind]
     if kind == "bucket":
         return (
             int(hashlib.md5(str(val).encode()).hexdigest()[:15], 16)

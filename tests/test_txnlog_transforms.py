@@ -126,3 +126,21 @@ def test_transform_spec_parsing_and_literals():
 
     with pytest.raises(ValueError, match="width"):
         _parse_partition_spec(["bucket(ts)"])
+
+
+def test_year_and_hour_transforms(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tbl"))
+    rows = [
+        (i, datetime.datetime(2023 + (i % 2), 3, 1, i % 4)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    t.write(df, mode="overwrite", partition_by=["year(ts)", "hour(ts)"])
+    assert set(t.read(spark).columns) == {"id", "ts"}
+
+    probe = datetime.datetime(2024, 3, 1, 2, 30)
+    scanned, total = t.scan_file_count(prune=[("ts", "=", probe)])
+    assert total >= 8 and scanned <= total // 8 + 1  # 1 of 2y×4h dirs
+    got = t.read(
+        spark, prune=[("ts", "=", datetime.datetime(2024, 3, 1, 3))]
+    ).where("ts = timestamp'2024-03-01 03:00:00'")
+    assert got.count() == 20  # i ≡ 3 (mod 4) → 20 of 80, all year 2024
