@@ -83,6 +83,10 @@ EXPECT_MANY_EXCHANGES = {
     # tfidf's shuffles + the doc-length join grain (dl groupBy + join +
     # final agg) — all on the term sliver or the 1-row stats broadcast
     "bm25_search_topk",
+    # the ngram-jaccard posting-list pipeline (shingle join + size join
+    # + pair agg) feeding two more bounded-grain groupBys (per-doc
+    # degree, then degree histogram); doubled in the adaptive plan text
+    "neardup_degree_distribution",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
