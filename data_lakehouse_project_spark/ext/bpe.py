@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from data_lakehouse_project_spark.cacheutil import free_local_checkpoint
 from data_lakehouse_project_spark.functions.scalar import normalize_text
 
 
@@ -98,9 +99,15 @@ def train_bpe(
             break
         a, b = top[0].a, top[0].b
         merges.append((a, b))
-        words = words.withColumn(
+        folded = words.withColumn(
             "toks", _merge_fold(F.col("toks"), a, b)
         ).localCheckpoint(eager=True)
+        # the new checkpoint has materialized — the previous round's
+        # blocks have no readers left; free them now (they otherwise
+        # accumulate one pinned table per merge for the session's life)
+        free_local_checkpoint(words)
+        words = folded
+    free_local_checkpoint(words)  # only the merge list leaves this fn
     return merges
 
 

@@ -32,6 +32,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_lakehouse_project_spark.cacheutil import release_on_gc
 from data_lakehouse_project_spark.ext.similarity import _as_double, cosine
 
 
@@ -154,13 +155,12 @@ def semantic_dedup_prune(
     if centroids is None:
         centroids = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
     # One materialization serves both sides of the pair join and the
-    # final anti-join. localCheckpoint (not persist): checkpoint blocks
-    # are released by the ContextCleaner once the result is unreferenced,
-    # whereas a bare .persist() with no unpersist point accumulated
-    # cached partitions for the life of the session.
-    clustered = assign_clusters(df, vec_col, centroids).localCheckpoint(
-        eager=True
-    )
+    # final anti-join. persist + release_on_gc (cacheutil): the cache is
+    # unpersisted when the caller drops the result — a bare .persist()
+    # with no unpersist point accumulated cached partitions for the life
+    # of the session, and localCheckpoint blocks turned out to be pinned
+    # by the py4j bridge forever (r5 measurement; cacheutil docstring).
+    clustered = assign_clusters(df, vec_col, centroids).persist()
 
     a = clustered.select(
         F.col("cluster"),
@@ -181,4 +181,7 @@ def semantic_dedup_prune(
         .select(F.col("_idb").alias(id_col))
         .distinct()
     )
-    return clustered.join(dropped, id_col, "left_anti").drop("cluster")
+    return release_on_gc(
+        clustered.join(dropped, id_col, "left_anti").drop("cluster"),
+        clustered,
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_lakehouse_project_spark.cacheutil import release_on_gc
 from data_lakehouse_project_spark.functions.scalar import normalize_text
 
 # Mersenne prime 2^31-1 for affine rehashing: keeps a*h+b well inside
@@ -195,6 +196,11 @@ def minhash_near_duplicates(
     )
     # vocab fingerprint = xxhash64 of the SORTED token-hash array value —
     # no giant join-to-string + md5; the group key is 8 bytes on the wire
+    # persist + release_on_gc (see cacheutil): the result is returned
+    # lazily, so the caches are unpersisted when the caller drops the
+    # result — a bare .persist() leaked two cached tables per call for
+    # the life of the session, and localCheckpoint blocks are pinned by
+    # the py4j bridge forever (measured; cacheutil docstring).
     grouped = (
         toh.withColumn("vocab_fp", F.xxhash64(F.array_sort("toh")))
         .groupBy("vocab_fp")
@@ -237,8 +243,8 @@ def minhash_near_duplicates(
                 )
             ).alias("band", "bucket"),
         )
-        .persist()
-    )
+        .persist()  # one materialization feeds both sides of the
+    )  # self-join; released with the result (release_on_gc below)
 
     cand = (
         banded.alias("a")
@@ -337,7 +343,9 @@ def minhash_near_duplicates(
             F.lit(1.0).alias("jaccard"),
             (n * (n - 1) / 2).cast("long").alias("pairs"),
         )
-        return inter_c.unionByName(intra_c)
+        return release_on_gc(
+            inter_c.unionByName(intra_c), grouped, banded
+        )
 
     # --- stage 3: expand back to member pairs ----------------------------
     rep_groups = grouped.select("rep_id", "members")
@@ -388,7 +396,11 @@ def minhash_near_duplicates(
     out = inter.unionByName(intra)
     if jaccard_threshold > 1.0:
         out = out.where(F.col("jaccard") >= jaccard_threshold)
-    return out.select("id_a", "id_b", _rd("jaccard").alias("jaccard"))
+    return release_on_gc(
+        out.select("id_a", "id_b", _rd("jaccard").alias("jaccard")),
+        grouped,
+        banded,
+    )
 
 
 def char_shingles(text: Column, n: int = 3) -> Column:

@@ -61,11 +61,13 @@ def frequent_items_exact(
 def _mg_partial(item_iter: Iterator[pd.DataFrame], k: int):
     """One bounded Misra–Gries pass over a partition's Arrow batches.
 
-    At most ``k`` counters live at any time: an incoming item either
-    increments its counter, claims a free slot, or decrements ALL
-    counters by the minimum counter value (the classic batched
-    decrement — equivalent to repeated unit decrements and O(1)
-    amortized via the min subtraction).
+    Classic MG: an incoming item either increments its counter, claims
+    a free slot, or triggers a decrement round — ALL counters drop by 1
+    and the arriving occurrence is DISCARDED. Each decrement round thus
+    removes k+1 units of mass (k counters + the arrival), which is what
+    makes the n/(k+1) undercount bound hold; inserting the arrival
+    instead would weaken it to n/k. Rounds are ≤ n/(k+1) and cost O(k)
+    each, so the pass stays O(n) overall with O(k) state.
     """
     counters: dict = {}
     for pdf in item_iter:
@@ -75,12 +77,9 @@ def _mg_partial(item_iter: Iterator[pd.DataFrame], k: int):
             elif len(counters) < k:
                 counters[item] = 1
             else:
-                dec = min(counters.values())
                 counters = {
-                    i: c - dec for i, c in counters.items() if c > dec
+                    i: c - 1 for i, c in counters.items() if c > 1
                 }
-                if len(counters) < k:
-                    counters[item] = 1
     if counters:
         yield pd.DataFrame(
             {"item": list(counters), "wt": list(counters.values())}

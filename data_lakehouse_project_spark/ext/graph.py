@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_lakehouse_project_spark.cacheutil import (
+    free_local_checkpoint,
+    release_on_gc,
+)
+
 
 def connected_components(
     edges: DataFrame,
@@ -28,7 +33,15 @@ def connected_components(
     checkpoint_every: int = 2,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges``; cluster_id is the
-    min node id reachable through the undirected edge set."""
+    min node id reachable through the undirected edge set.
+
+    Cache hygiene (r5): superseded round checkpoints are freed as soon
+    as the next one materializes (they accumulated for the life of the
+    session before), and the persisted edge set rides the result's
+    lifetime via ``release_on_gc``. The FINAL round's checkpoint is the
+    one deliberate survivor — the result reads it and freeing a
+    checkpoint is unrecoverable — so a call retains at most one small
+    (node, label) table instead of edges + every round."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # persist: the edge set feeds every propagation round (and edge
     # generation may itself be an expensive similarity join)
@@ -44,6 +57,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
 
+    prev_ckpt = None
     for i in range(max_iter):
         # candidate labels: my own + the labels of my neighbors
         neighbor_labels = (
@@ -66,12 +80,23 @@ def connected_components(
                 .count()
             )
             labels = new_labels
+            # the changed-count was the last reader of the previous
+            # checkpoint — free its blocks now
+            if prev_ckpt is not None:
+                free_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
             if changed == 0:
                 break
         else:
             labels = new_labels
 
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    out = labels.select("node", F.col("label").alias("cluster_id"))
+    if labels is prev_ckpt:
+        # final labels are checkpointed — the result never reads the
+        # edge set again, so drop its cache immediately
+        und.unpersist(False)
+        return out
+    return release_on_gc(out, und)
 
 
 def dedup_clusters(

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from data_lakehouse_project_spark.cacheutil import release_on_gc
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -206,7 +208,7 @@ def cosine_pairs_lsh(
     seed: int = 42,
     round_to: int = 6,
     verify: str = "auto",
-    broadcast_max_rows: int = 500_000,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via multi-table LSH (the scale path).
 
@@ -229,8 +231,13 @@ def cosine_pairs_lsh(
       broadcast it; score candidates with one map-only `mapInPandas`
       (einsum over the batch), no vector ever enters a shuffle. Wins
       whenever the vector table fits in executor memory.
-    - ``auto`` (default) — ``broadcast`` when a cheap count() shows at
-      most ``broadcast_max_rows`` vectors, else ``join``.
+    - ``auto`` (default) — ``broadcast`` when Catalyst's optimized-plan
+      size estimate is at most ``broadcast_max_bytes``, else ``join``.
+      The estimate is free (no job): a count() gate here cost a full
+      extra pass over the vector table before any work, at exactly the
+      scale where the answer is always "join" (round-4 verdict). The
+      estimate errs large on unknown sources, which safely degrades to
+      the distributed path.
 
     Note: the broadcast path rounds with numpy (half-even) vs Spark's
     HALF_UP — they differ only when a score lands exactly on a 1e-6
@@ -239,10 +246,13 @@ def cosine_pairs_lsh(
     """
     # resolve the verify strategy FIRST so the broadcast path needs just
     # one driver job (the toPandas collect yields count, dim, and the
-    # matrix together instead of count() + first() + collect())
+    # matrix together instead of stats + first() + collect())
     pdf = None
     if verify == "auto":
-        verify = "broadcast" if df.count() <= broadcast_max_rows else "join"
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        verify = "broadcast" if est <= broadcast_max_bytes else "join"
     if verify == "broadcast":
         pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col)).toPandas()
         dim = len(pdf[vec_col].iloc[0])
@@ -308,13 +318,16 @@ def cosine_pairs_lsh(
                 out = pb.assign(score=np.round(sc, round_to))
                 yield out[out["score"] >= threshold]
 
-        return cand.mapInPandas(
-            score_batches,
-            f"id_a {id_type}, id_b {id_type}, score double",
+        return release_on_gc(
+            cand.mapInPandas(
+                score_batches,
+                f"id_a {id_type}, id_b {id_type}, score double",
+            ),
+            banded,
         )
 
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    return (
+    return release_on_gc(
         cand.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a"
         )
@@ -325,7 +338,8 @@ def cosine_pairs_lsh(
             "score", F.round(_cosine_batch()(F.col("va"), F.col("vb")), round_to)
         )
         .where(F.col("score") >= threshold)
-        .select("id_a", "id_b", "score")
+        .select("id_a", "id_b", "score"),
+        banded,
     )
 
 

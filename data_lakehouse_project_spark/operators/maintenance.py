@@ -16,6 +16,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_lakehouse_project_spark.cacheutil import free_local_checkpoint
+
 
 def _dir_size_bytes(path: str) -> int:
     total = 0
@@ -51,6 +53,7 @@ def compact(
     df = spark.read.format(fmt).load(path).repartition(n_files)
     df = df.localCheckpoint(eager=True)
     df.write.mode("overwrite").format(fmt).save(path)
+    free_local_checkpoint(df)  # the write was the last reader
     return data_file_count(path)
 
 
@@ -105,6 +108,7 @@ def cluster_by(
         df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     df = df.localCheckpoint(eager=True)
     df.write.mode("overwrite").format(fmt).save(path)
+    free_local_checkpoint(df)  # the write was the last reader
 
 
 def delete_where(

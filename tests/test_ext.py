@@ -48,6 +48,29 @@ def test_minhash_finds_near_duplicates(docs):
     assert (0, 3) not in got
 
 
+def test_minhash_leaves_no_cached_rdds(spark, docs):
+    """Regression (r5): minhash persisted two intermediates and never
+    unpersisted — every call leaked cached tables for the life of the
+    session. release_on_gc now unpersists them the moment the caller
+    drops the result (deterministic under CPython refcounting)."""
+    import gc
+
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = persistent_ids()
+    pairs = dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", num_hashes=64, bands=32
+    )
+    assert pairs.count() > 0  # materialize the output
+    assert len(persistent_ids() - before) == 2  # both caches live
+    del pairs
+    gc.collect()
+    leaked = persistent_ids() - before
+    assert not leaked, f"cached RDDs leaked by minhash: {leaked}"
+
+
 def test_minhash_jaccard_estimate_close_to_exact(docs):
     """Property: signature agreement ≈ true Jaccard (within MC error)."""
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=128)

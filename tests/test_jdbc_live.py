@@ -79,3 +79,98 @@ def test_jdbc_predicate_pushdown_reaches_database(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "category_id" in plan
     assert out.count() == 20
+
+
+def _seed_sales(spark, url, table="sales", n=100):
+    """Typed source table: DATE + DECIMAL(10,2) columns — the standard
+    incremental-extract shape (reference's transactions table is
+    decimal(10,2) + datetime, ``db/init.sql:8-9``)."""
+    df = spark.range(1, n + 1).select(
+        F.col("id").cast("int").alias("sale_id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("sold_on"),
+        (F.col("id") * 1.25).cast("decimal(10,2)").alias("amount"),
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+
+
+def test_jdbc_date_and_decimal_pushdown(spark, tmp_path):
+    """Date- and decimal-typed predicates also reach the database
+    (r4 verdict #7): PushedFilters shows both, and the DB prunes."""
+    url = _derby_url(tmp_path)
+    _seed_sales(spark, url)
+    out = read_jdbc(spark, url, "sales", driver=DERBY_DRIVER).where(
+        (F.col("sold_on") >= F.lit("2024-03-01").cast("date"))
+        & (F.col("amount") > 100.00)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "sold_on" in plan and "amount" in plan
+    # sold_on >= 2024-03-01 → id >= 60; amount > 100.00 → id >= 81
+    assert out.count() == 20
+
+
+def test_jdbc_partition_column_on_date(spark, tmp_path):
+    """Range-partitioned read keyed on a DATE column — the standard
+    incremental-ingest split (bounds are date strings, each partition
+    pulls a disjoint date range; bounds never filter rows)."""
+    url = _derby_url(tmp_path)
+    _seed_sales(spark, url)
+    out = read_jdbc(
+        spark,
+        url,
+        "sales",
+        driver=DERBY_DRIVER,
+        partition_column="sold_on",
+        num_partitions=4,
+        lower_bound="2024-01-02",
+        upper_bound="2024-04-10",
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 100
+    single = read_jdbc(spark, url, "sales", driver=DERBY_DRIVER)
+    assert (
+        out.agg(F.sum("amount")).first()[0]
+        == single.agg(F.sum("amount")).first()[0]
+    )
+
+
+def test_jdbc_predicates_path_carries_options(spark, tmp_path, monkeypatch):
+    """Regression (r5): the predicates branch rebuilt the properties
+    dict from scratch and silently dropped **options — a caller passing
+    e.g. sessionInitStatement or queryTimeout plus predicates lost them
+    without error. Captures the properties Spark receives and asserts
+    the extras survive."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    captured = {}
+    real_jdbc = DataFrameReader.jdbc
+
+    def spy(self, url, table, *args, **kwargs):
+        captured.update(kwargs.get("properties") or {})
+        return real_jdbc(self, url, table, *args, **kwargs)
+
+    monkeypatch.setattr(DataFrameReader, "jdbc", spy)
+    url = _derby_url(tmp_path)
+    _seed(spark, url)
+    out = read_jdbc(
+        spark,
+        url,
+        "products",
+        driver=DERBY_DRIVER,
+        predicates=['"category_id" < 2', '"category_id" >= 2'],
+        queryTimeout="30",
+        isolationLevel="READ_COMMITTED",
+    )
+    assert captured["queryTimeout"] == "30"
+    assert captured["isolationLevel"] == "READ_COMMITTED"
+    assert captured["driver"] == DERBY_DRIVER
+    assert out.rdd.getNumPartitions() == 2  # one per predicate
+    assert out.count() == 100  # predicates partition, never filter

@@ -308,3 +308,18 @@ def test_histogram_bins_hand_checked(spark):
     assert got[2] == (5.0, 7.5, 1)
     assert got[3] == (7.5, 10.0, 2)  # max closed into last bin
     assert sum(c for _, _, c in got.values()) == 5  # null dropped
+
+
+def test_histogram_constant_column_single_bin(spark):
+    """Regression (r5 ADVICE): min == max made the bin width 0 and
+    raised DIVIDE_BY_ZERO under ANSI mode (Spark 4 default); a constant
+    column must degrade to one bin holding every non-null row."""
+    from data_lakehouse_project_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(7.0,), (7.0,), (7.0,), (None,)], "v double"
+    )
+    rows = histogram(df, "v", 4).collect()
+    assert len(rows) == 1
+    assert rows[0].bin == 0 and rows[0].cnt == 3
+    assert rows[0].bin_lo == 7.0 and rows[0].bin_hi == 7.0
