@@ -73,12 +73,184 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-LOG_DIR = "_txn_log"
+LOG_DIR = "_delta_log"
 DV_DIR = "_dv"
 _VERSION_DIGITS = 20
 # every Nth commit also writes a full-snapshot checkpoint, bounding
 # replay to one checkpoint + <N commit files for any table age
 CHECKPOINT_INTERVAL = 10
+
+# ---- Delta-protocol serialization boundary (round 5) ----
+#
+# Commit files are written in the PUBLISHED Delta transaction-protocol
+# shape (delta-io PROTOCOL.md): ``_delta_log/%020d.json`` holding one
+# action per line with the spec's field names — ``protocol``,
+# ``metaData`` (id/format/schemaString/partitionColumns/configuration),
+# ``add`` (path/partitionValues/size/modificationTime/dataChange/stats
+# as a JSON string of numRecords+minValues+maxValues+nullCount),
+# ``remove`` (path/deletionTimestamp/dataChange), ``txn``
+# (appId/version), ``commitInfo`` (freeform; carries ``timestamp``).
+# A stock Delta reader can replay this log; the offline harness pins
+# conformance with an independent spec-replay reader in
+# tests/test_delta_protocol.py (the delta-spark jar and duckdb's delta
+# extension are download-gated, probe recorded there).
+#
+# In-memory the module keeps its compact internal dicts (path /
+# size_bytes / partition_values / stats{num_rows, columns} / dv /
+# bloom); ``_serialize_*`` / ``_parse_*`` convert at the log boundary
+# only, so pruning, DV, bloom and CDF code paths are untouched.
+#
+# Non-protocol extensions ride in spec-sanctioned extension points:
+# CHECK constraints in ``metaData.configuration`` under
+# ``delta.constraints.<name>`` (exactly where Delta itself stores
+# them), the hidden-partition transform spec under a ``lakehouse.*``
+# configuration key, and per-file bloom/deletion-vector payloads in
+# ``add.tags`` (a spec-defined string map). Tables that use deletion
+# vectors publish ``minReaderVersion 3 + readerFeatures
+# ["deletionVectors"]`` so a protocol-compliant external reader REFUSES
+# them (our DV layout is not Delta's roaring-bitmap format) instead of
+# silently resurrecting deleted rows; DV-free tables stay at
+# reader 1 / writer 2 and are externally readable.
+
+_PROTOCOL_BASE = {"minReaderVersion": 1, "minWriterVersion": 2}
+_PROTOCOL_DV = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+_CONSTRAINT_CONF_PREFIX = "delta.constraints."
+_PARTITION_SPEC_CONF_KEY = "lakehouse.partitionBy"
+_TAG_DV = "lakehouse.dv"
+_TAG_BLOOM = "lakehouse.bloom"
+
+
+def _serialize_add(a: dict, ts_ms: int) -> dict:
+    from urllib.parse import quote
+
+    st = a.get("stats")
+    out = {
+        "path": quote(a["path"]),
+        "partitionValues": a.get("partition_values", {}),
+        "size": a.get("size_bytes", 0),
+        "modificationTime": ts_ms,
+        "dataChange": True,
+    }
+    if st is not None:
+        cols = st.get("columns", {})
+        out["stats"] = json.dumps(
+            {
+                "numRecords": st.get("num_rows", 0),
+                "minValues": {
+                    c: v["min"] for c, v in cols.items() if "min" in v
+                },
+                "maxValues": {
+                    c: v["max"] for c, v in cols.items() if "max" in v
+                },
+                "nullCount": {
+                    c: v["null_count"]
+                    for c, v in cols.items()
+                    if "null_count" in v
+                },
+            }
+        )
+    tags = {}
+    if a.get("dv"):
+        tags[_TAG_DV] = json.dumps(a["dv"])
+    if a.get("bloom"):
+        tags[_TAG_BLOOM] = json.dumps(a["bloom"])
+    if tags:
+        out["tags"] = tags
+    return out
+
+
+def _parse_add(d: dict) -> dict:
+    from urllib.parse import unquote
+
+    a = {
+        "path": unquote(d["path"]),
+        "partition_values": d.get("partitionValues", {}),
+        "size_bytes": d.get("size", 0),
+    }
+    raw = d.get("stats")
+    if raw:
+        st = json.loads(raw) if isinstance(raw, str) else raw
+        cols: dict[str, dict] = {}
+        for c, v in (st.get("minValues") or {}).items():
+            cols.setdefault(c, {})["min"] = v
+        for c, v in (st.get("maxValues") or {}).items():
+            cols.setdefault(c, {})["max"] = v
+        for c, v in (st.get("nullCount") or {}).items():
+            cols.setdefault(c, {})["null_count"] = v
+        a["stats"] = {"num_rows": st.get("numRecords", 0), "columns": cols}
+    tags = d.get("tags") or {}
+    if _TAG_DV in tags:
+        a["dv"] = json.loads(tags[_TAG_DV])
+    if _TAG_BLOOM in tags:
+        a["bloom"] = json.loads(tags[_TAG_BLOOM])
+    return a
+
+
+def _serialize_remove(r: dict, ts_ms: int) -> dict:
+    from urllib.parse import quote
+
+    out = {
+        "path": quote(r["path"]),
+        "deletionTimestamp": ts_ms,
+        "dataChange": True,
+    }
+    if r.get("dv"):
+        out["tags"] = {_TAG_DV: json.dumps(r["dv"])}
+    return out
+
+
+def _parse_remove(d: dict) -> dict:
+    from urllib.parse import unquote
+
+    r = {"path": unquote(d["path"])}
+    tags = d.get("tags") or {}
+    if _TAG_DV in tags:
+        r["dv"] = json.loads(tags[_TAG_DV])
+    return r
+
+
+def _serialize_meta(
+    schema_json: str,
+    partition_by: list[str] | None,
+    constraints: dict,
+    table_id: str,
+    ts_ms: int,
+) -> dict:
+    conf = {_PARTITION_SPEC_CONF_KEY: json.dumps(partition_by or [])}
+    for name, sql in (constraints or {}).items():
+        conf[_CONSTRAINT_CONF_PREFIX + name] = sql
+    physical, _ = _parse_partition_spec(partition_by)
+    return {
+        "id": table_id,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json,
+        "partitionColumns": physical,
+        "configuration": conf,
+        "createdTime": ts_ms,
+    }
+
+
+def _parse_meta(m: dict) -> dict:
+    conf = m.get("configuration") or {}
+    spec = conf.get(_PARTITION_SPEC_CONF_KEY)
+    partition_by = (
+        json.loads(spec) if spec else list(m.get("partitionColumns") or [])
+    )
+    constraints = {
+        k[len(_CONSTRAINT_CONF_PREFIX):]: v
+        for k, v in conf.items()
+        if k.startswith(_CONSTRAINT_CONF_PREFIX)
+    }
+    return {
+        "schema_json": m.get("schemaString"),
+        "partition_by": partition_by,
+        "constraints": constraints,
+    }
 
 
 # lossless type promotions allowed as additive schema evolution; every
@@ -126,8 +298,12 @@ def _list_versions(table: str) -> list[int]:
 
 
 def _checkpoint_file(table: str, version: int) -> str:
+    # NOT a Delta checkpoint: this is the module's private replay
+    # accelerator. The name deliberately matches no pattern in the Delta
+    # spec (%020d.checkpoint.parquet / .checkpoint.<uuid>.json), so
+    # protocol-compliant readers ignore it and replay the JSON commits.
     return os.path.join(
-        _log_path(table), f"{version:0{_VERSION_DIGITS}d}.checkpoint.json"
+        _log_path(table), f"{version:0{_VERSION_DIGITS}d}.snapcache.json"
     )
 
 
@@ -137,8 +313,8 @@ def _list_checkpoints(table: str) -> list[int]:
         return []
     out = []
     for name in os.listdir(log):
-        if name.endswith(".checkpoint.json"):
-            stem = name[: -len(".checkpoint.json")]
+        if name.endswith(".snapcache.json"):
+            stem = name[: -len(".snapcache.json")]
             if len(stem) == _VERSION_DIGITS and stem.isdigit():
                 out.append(int(stem))
     return sorted(out)
@@ -339,7 +515,7 @@ class TxnTable:
                 txns[txn["app_id"]] = max(
                     txns.get(txn["app_id"], -1), txn["batch_id"]
                 )
-            ts = info["timestamp_ms"]
+            ts = info["timestamp"]
             version_seen = v
         return Snapshot(
             version=version_seen,
@@ -356,7 +532,7 @@ class TxnTable:
         best = None
         for v in _list_versions(self.path):
             _, _, info, _, _ = self._read_commit(v)
-            if info["timestamp_ms"] <= as_of_ms:
+            if info["timestamp"] <= as_of_ms:
                 best = v
             else:
                 break
@@ -371,7 +547,15 @@ class TxnTable:
     def _maybe_checkpoint(self, version: int) -> None:
         """Best-effort checkpoint write after every Nth commit — a
         failure here never fails the commit (the linear log remains the
-        source of truth; the checkpoint only accelerates replay)."""
+        source of truth; checkpoints only accelerate replay).
+
+        Two artifacts per checkpoint version: the private
+        ``.snapcache.json`` (the internal reader's fast path) and a
+        SPEC-SHAPED Delta checkpoint — ``%020d.checkpoint.parquet``
+        holding one action per row (protocol / metaData / txn / add
+        struct columns) plus the ``_last_checkpoint`` pointer — so an
+        external Delta reader can bootstrap replay from the parquet
+        checkpoint exactly as it would on a real Delta table."""
         if version <= 0 or version % CHECKPOINT_INTERVAL:
             return
         try:
@@ -392,6 +576,129 @@ class TxnTable:
             os.replace(tmp, _checkpoint_file(self.path, version))
         except OSError:
             pass
+        try:
+            self._write_delta_checkpoint(version)
+        except Exception:
+            pass  # spec checkpoint is an interop nicety, never load-bearing
+
+    def _write_delta_checkpoint(self, version: int) -> None:
+        """Delta-spec parquet checkpoint: the full replay state at
+        ``version`` as one action per row, then the ``_last_checkpoint``
+        pointer. Readers that honor it skip every compacted JSON commit;
+        the JSON log stays authoritative for ours."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # raw (already Delta-shaped) protocol/metaData from the commit
+        # file at `version` — every commit carries both
+        protocol = metadata = None
+        with open(_version_file(self.path, version)) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if "protocol" in action:
+                    protocol = action["protocol"]
+                elif "metaData" in action:
+                    metadata = action["metaData"]
+        snap = self.snapshot(version=version)
+        ts = snap.timestamp_ms
+
+        def _m(d):  # map<string,string> as tuple list for pyarrow
+            return [(str(k), str(v)) for k, v in (d or {}).items()]
+
+        rows = [{"protocol": protocol}, {"metaData": {
+            **metadata, "configuration": _m(metadata.get("configuration")),
+            "format": {
+                "provider": metadata["format"]["provider"],
+                "options": _m(metadata["format"].get("options")),
+            },
+        }}]
+        rows += [
+            {"txn": {"appId": app, "version": batch, "lastUpdated": ts}}
+            for app, batch in sorted(snap.txns.items())
+        ]
+        for f in snap.files:
+            add = _serialize_add(f, ts)
+            add["partitionValues"] = _m(add.get("partitionValues"))
+            if "tags" in add:
+                add["tags"] = _m(add["tags"])
+            rows.append({"add": add})
+
+        str_map = pa.map_(pa.string(), pa.string())
+        schema = pa.schema(
+            [
+                (
+                    "protocol",
+                    pa.struct(
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
+                        ]
+                    ),
+                ),
+                (
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            (
+                                "format",
+                                pa.struct(
+                                    [
+                                        ("provider", pa.string()),
+                                        ("options", str_map),
+                                    ]
+                                ),
+                            ),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", str_map),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                (
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
+                            ("lastUpdated", pa.int64()),
+                        ]
+                    ),
+                ),
+                (
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", str_map),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                            ("stats", pa.string()),
+                            ("tags", str_map),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        table = pa.Table.from_pylist(rows, schema=schema)
+        log = _log_path(self.path)
+        tmp = os.path.join(log, f".tmpdcp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.replace(
+            tmp,
+            os.path.join(
+                log, f"{version:0{_VERSION_DIGITS}d}.checkpoint.parquet"
+            ),
+        )
+        last = {"version": version, "size": len(rows)}
+        tmp2 = os.path.join(log, f".tmplast-{uuid.uuid4().hex}.json")
+        with open(tmp2, "w") as fh:
+            json.dump(last, fh)
+        os.replace(tmp2, os.path.join(log, "_last_checkpoint"))
 
     def read(
         self,
@@ -434,6 +741,12 @@ class TxnTable:
         # basePath (inside _read_files) keeps hive partition columns
         # and any deletion vectors are applied merge-on-read
         df = self._read_files(spark, files, snap.schema_json)
+        if schema is not None:
+            # Spark appends hive partition columns after the data
+            # columns even under an explicit schema; present the
+            # snapshot schema's declared order (what a Delta reader
+            # shows from schemaString)
+            df = df.select(*schema.names)
         if prune:
             from pyspark.sql import functions as F
 
@@ -1258,7 +1571,7 @@ class TxnTable:
                 "*",
                 F.lit(kind).alias("_change_type"),
                 F.lit(v).cast("long").alias("_commit_version"),
-                F.lit(info["timestamp_ms"])
+                F.lit(info["timestamp"])
                 .cast("long")
                 .alias("_commit_timestamp"),
             )
@@ -1508,22 +1821,51 @@ class TxnTable:
             )
 
     def _read_commit(self, version: int):
+        """Parse one Delta-protocol commit file back into the module's
+        internal action dicts (``_parse_*`` at the boundary)."""
         adds, removes, info, meta = [], [], None, None
         txn = None
         with open(_version_file(self.path, version)) as fh:
             for line in fh:
                 action = json.loads(line)
                 if "add" in action:
-                    adds.append(action["add"])
+                    adds.append(_parse_add(action["add"]))
                 elif "remove" in action:
-                    removes.append(action["remove"])
+                    removes.append(_parse_remove(action["remove"]))
                 elif "commitInfo" in action:
                     info = action["commitInfo"]
                 elif "metaData" in action:
-                    meta = action["metaData"]
+                    meta = _parse_meta(action["metaData"])
                 elif "txn" in action:
-                    txn = action["txn"]
+                    txn = {
+                        "app_id": action["txn"]["appId"],
+                        "batch_id": action["txn"]["version"],
+                    }
         return adds, removes, info, meta, txn
+
+    def _prev_commit_identity(self, prev_version: int):
+        """(table_id, dv_protocol_active) from the previous commit —
+        one O(1) file scan; every commit carries metaData + protocol.
+        The DV protocol flag is STICKY: once a table publishes
+        readerFeatures=["deletionVectors"] it never downgrades while
+        our non-Delta DV layout may still be referenced by live or
+        time-travel snapshots."""
+        table_id, dv_active = None, False
+        if prev_version >= 0:
+            try:
+                with open(_version_file(self.path, prev_version)) as fh:
+                    for line in fh:
+                        action = json.loads(line)
+                        if "metaData" in action:
+                            table_id = action["metaData"].get("id")
+                        elif "protocol" in action:
+                            dv_active = (
+                                action["protocol"].get("minReaderVersion", 1)
+                                >= 3
+                            )
+            except OSError:
+                pass
+        return table_id, dv_active
 
     def _stage_data(
         self, df: DataFrame, partition_by: list[str] | None
@@ -1588,38 +1930,66 @@ class TxnTable:
         os.makedirs(_log_path(self.path), exist_ok=True)
         if constraints is None:  # carry the table's current constraints
             constraints = self._current_constraints()
+        dv_in_commit = any(a.get("dv") for a in adds) or any(
+            r.get("dv") for r in removes
+        )
+        fresh_table_id = str(uuid.uuid4())  # used only for version 0
         attempt_version = read_version + 1
         for _ in range(max_retries):
+            ts_ms = int(time.time() * 1000)
+            table_id, dv_active = self._prev_commit_identity(
+                attempt_version - 1
+            )
+            protocol = (
+                dict(_PROTOCOL_DV)
+                if (dv_in_commit or dv_active)
+                else dict(_PROTOCOL_BASE)
+            )
             lines = [
                 json.dumps(
                     {
                         "commitInfo": {
                             "version": attempt_version,
-                            "timestamp_ms": int(time.time() * 1000),
+                            "timestamp": ts_ms,
                             "operation": operation,
-                            "read_version": read_version,
+                            "readVersion": read_version,
+                            "engineInfo": "delta-lite/pyspark",
                             **(info_extra or {}),
                         }
                     }
                 ),
+                json.dumps({"protocol": protocol}),
                 json.dumps(
                     {
-                        "metaData": {
-                            "schema_json": schema_json,
-                            "partition_by": partition_by or [],
-                            "constraints": constraints,
-                        }
+                        "metaData": _serialize_meta(
+                            schema_json,
+                            partition_by,
+                            constraints,
+                            table_id or fresh_table_id,
+                            ts_ms,
+                        )
                     }
                 ),
             ]
             if txn is not None:
                 lines.append(
                     json.dumps(
-                        {"txn": {"app_id": txn[0], "batch_id": txn[1]}}
+                        {
+                            "txn": {
+                                "appId": txn[0],
+                                "version": txn[1],
+                                "lastUpdated": ts_ms,
+                            }
+                        }
                     )
                 )
-            lines += [json.dumps({"add": a}) for a in adds]
-            lines += [json.dumps({"remove": r}) for r in removes]
+            lines += [
+                json.dumps({"add": _serialize_add(a, ts_ms)}) for a in adds
+            ]
+            lines += [
+                json.dumps({"remove": _serialize_remove(r, ts_ms)})
+                for r in removes
+            ]
             tmp = os.path.join(
                 _log_path(self.path), f".tmp-{uuid.uuid4().hex}.json"
             )
@@ -1734,8 +2104,19 @@ def _transform_expr(t: dict, df: DataFrame):
     return c - F.pmod(c, F.lit(t["n"]))
 
 
+# Full grain length of each temporal transform's hidden value
+# ("2024" / "2024-03" / "2024-03-04" / "2024-03-04-10").
+_GRAIN_LEN = {"year": 4, "month": 7, "day": 10, "hour": 13}
+
+
 def _transform_literal(t: dict, val):
-    """Driver-side twin of ``_transform_expr`` for a predicate literal."""
+    """Driver-side twin of ``_transform_expr`` for a predicate literal.
+
+    May return a value COARSER than the transform's grain when the
+    literal itself is coarse (e.g. a date literal against an hour(ts)
+    transform yields day grain) — ``_expand_prune`` detects that via
+    ``_GRAIN_LEN`` and widens equality to a prefix range instead of a
+    never-matching exact compare."""
     import datetime
     import hashlib
 
@@ -1768,7 +2149,16 @@ def _expand_prune(prune, transforms):
     ``day(v) <= day(X)`` — so strict ops weaken to inclusive on the
     transformed value; bucket supports equality only. The ORIGINAL
     predicate is always kept (and applied as a real filter), so pruning
-    stays a pure IO optimization."""
+    stays a pure IO optimization.
+
+    When the literal is COARSER-grained than the transform (a date
+    literal against ``hour(ts)`` yields day grain "2024-03-04" while
+    hidden values are "2024-03-04-00".."-23"), an exact/upper-bound
+    compare would wrongly prune every matching file. Such literals are
+    widened to a lexicographic prefix range: ``=`` becomes
+    ``hidden >= P AND hidden <= P+"~"`` ("~" sorts after "-" and all
+    digits, so it upper-bounds every finer suffix of P), and weakened
+    ``<=`` uses the same padded upper bound."""
     if not transforms or not prune:
         return list(prune or [])
     weaken = {"=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
@@ -1779,9 +2169,22 @@ def _expand_prune(prune, transforms):
                 continue
             if t["transform"] == "bucket" and op != "=":
                 continue
-            out.append(
-                (t["hidden"], weaken[op], _transform_literal(t, val))
+            lit = _transform_literal(t, val)
+            grain = _GRAIN_LEN.get(t["transform"])
+            coarse = (
+                grain is not None
+                and isinstance(lit, str)
+                and len(lit) < grain
             )
+            if not coarse:
+                out.append((t["hidden"], weaken[op], lit))
+            elif op == "=":
+                out.append((t["hidden"], ">=", lit))
+                out.append((t["hidden"], "<=", lit + "~"))
+            elif weaken[op] == "<=":
+                out.append((t["hidden"], "<=", lit + "~"))
+            else:  # >= / > — a coarse lower bound is already safe
+                out.append((t["hidden"], ">=", lit))
     return out
 
 

@@ -38,7 +38,7 @@ def test_time_travel_and_history(spark, tmp_path):
     # read-by-timestamp: as of v0's commit time → v0's data
     hist = t.history()
     assert [h["operation"] for h in hist] == ["overwrite", "overwrite", "append"]
-    assert t.read(spark, as_of_ms=hist[0]["timestamp_ms"]).count() == 100
+    assert t.read(spark, as_of_ms=hist[0]["timestamp"]).count() == 100
 
     # appended rows really are there; overwritten v0 rows really are not
     tags = {r.tag for r in t.read(spark).select("tag").distinct().collect()}
@@ -58,7 +58,7 @@ def test_atomic_visibility_half_commit_invisible(spark, tmp_path):
     assert t.read(spark).count() == 10  # unchanged
 
     # torn publish: a temp log file must be ignored by replay
-    with open(os.path.join(path, "_txn_log", ".tmp-dead.json"), "w") as fh:
+    with open(os.path.join(path, "_delta_log", ".tmp-dead.json"), "w") as fh:
         fh.write('{"add": {"path": "nope.parquet"}}\n')
     assert t.read(spark).count() == 10
     assert t.latest_version() == 0
@@ -210,20 +210,29 @@ def test_sink_and_upsert_integration(spark, tmp_path):
 
 def test_log_is_json_and_stats_present(spark, tmp_path):
     """The log format itself is a contract: line-delimited JSON actions
-    with footer-harvested per-column stats on every add."""
+    in the published Delta protocol shape (r5) — protocol + metaData on
+    every commit, adds carrying footer-harvested stats as a JSON string
+    of numRecords/minValues/maxValues/nullCount."""
     path = str(tmp_path / "tbl")
     TxnTable(path).write(_df(spark, 0, 50))
-    log_file = os.path.join(path, "_txn_log", "0" * 20 + ".json")
+    log_file = os.path.join(path, "_delta_log", "0" * 20 + ".json")
     actions = [json.loads(ln) for ln in open(log_file)]
     kinds = [next(iter(a)) for a in actions]
-    assert kinds[0] == "commitInfo" and kinds[1] == "metaData"
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 1  # no DVs → externally readable
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["schemaString"] and meta["id"]
     adds = [a["add"] for a in actions if "add" in a]
     assert adds
     for a in adds:
-        cols = a["stats"]["columns"]
-        assert "id" in cols and cols["id"]["min"] <= cols["id"]["max"]
-        assert a["stats"]["num_rows"] > 0
-        assert a["size_bytes"] > 0
+        st = json.loads(a["stats"])
+        assert st["minValues"]["id"] <= st["maxValues"]["id"]
+        assert st["numRecords"] > 0
+        assert a["size"] > 0 and a["dataChange"] is True
+        assert "modificationTime" in a and "partitionValues" in a
 
 
 def test_checkpoint_compaction_bounds_replay(spark, tmp_path):

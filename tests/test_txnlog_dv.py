@@ -596,7 +596,7 @@ def test_corrupt_checkpoint_falls_back_to_linear_replay(spark, tmp_path):
     t.write(_df(spark, 0, 10), mode="overwrite")
     for i in range(12):  # crosses the 10-commit checkpoint boundary
         t.write(_df(spark, 100 + i, 101 + i), mode="append")
-    cps = glob.glob(_os.path.join(path, "_txn_log", "*.checkpoint.json"))
+    cps = glob.glob(_os.path.join(path, "_delta_log", "*.snapcache.json"))
     assert cps
     for cp in cps:
         with open(cp, "w") as fh:

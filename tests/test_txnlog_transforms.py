@@ -144,3 +144,46 @@ def test_year_and_hour_transforms(spark, tmp_path):
         spark, prune=[("ts", "=", datetime.datetime(2024, 3, 1, 3))]
     ).where("ts = timestamp'2024-03-01 03:00:00'")
     assert got.count() == 20  # i ≡ 3 (mod 4) → 20 of 80, all year 2024
+
+
+def test_coarse_literal_never_over_prunes_hour_transform(spark, tmp_path):
+    """Regression (r5): a date-only literal against an hour(ts) transform
+    yields day grain, which must widen to a prefix range — equality
+    against the full hour grain would prune EVERY file, including the
+    midnight partition whose rows satisfy ``ts = DATE'...'``."""
+    t = TxnTable(str(tmp_path / "tbl"))
+    rows = [
+        (i, datetime.datetime(2024, 3, 4 + (i % 2), i % 4)) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    t.write(df, mode="overwrite", partition_by=["hour(ts)"])
+
+    # ts = DATE'2024-03-04' matches only midnight rows of that day; the
+    # midnight file MUST survive pruning (the real filter does the rest)
+    probe = datetime.date(2024, 3, 4)
+    scanned, total = t.scan_file_count(prune=[("ts", "=", probe)])
+    assert scanned >= 1  # was 0 before the fix
+    assert scanned < total  # still prunes the other day's dirs
+    got = t.read(spark, prune=[("ts", "=", probe)]).where(
+        "ts = date'2024-03-04'"
+    )
+    assert got.count() == 20  # i%4==0 → 20 midnight rows of 03-04
+
+    # coarse upper bound keeps the whole matching day (<= includes the
+    # midnight boundary of 03-04 and everything finer under it)
+    got = t.read(spark, prune=[("ts", "<=", probe)]).where(
+        "ts <= date'2024-03-04'"
+    )
+    assert got.count() == 20
+    # coarse lower bound keeps all of day 03-05
+    got = t.read(spark, prune=[("ts", ">=", "2024-03-05")]).where(
+        "ts >= date'2024-03-05'"
+    )
+    assert got.count() == 40
+
+    # unit-level: coarse "=" widens to a range, never an exact compare
+    _, transforms = _parse_partition_spec(["hour(ts)"])
+    out = _expand_prune([("ts", "=", "2024-03-04")], transforms)
+    assert ("_pt_hour_ts", ">=", "2024-03-04") in out
+    assert ("_pt_hour_ts", "<=", "2024-03-04~") in out
+    assert not any(p[1] == "=" and p[0] == "_pt_hour_ts" for p in out)
