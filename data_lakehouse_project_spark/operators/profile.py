@@ -17,13 +17,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Above this many profiled columns, approx="auto" routes NDV through
+# HyperLogLog: every EXACT count_distinct adds a full row replication
+# (Spark's Expand) before the shuffle, so a wide exact profile ships
+# #cols copies of the table through the exchange — the wrong default at
+# 100 TB, where a ±2% NDV answers the ingestion-gate question anyway.
+WIDE_PROFILE_COLS = 5
+
+
 def profile_columns(
-    df: DataFrame, cols: list[str], approx: bool = False
+    df: DataFrame, cols: list[str], approx: bool | str = "auto"
 ) -> DataFrame:
     """Long-format numeric profile: one row per column with
     (non_null, nulls, ndv, min, max, mean, stddev) — sample stddev,
     engine-portable. All metrics surface as double so the unpivot is
-    type-uniform."""
+    type-uniform.
+
+    ``approx``: True → HLL NDV, False → exact NDV, "auto" (default) →
+    HLL when profiling ``WIDE_PROFILE_COLS`` or more columns (see
+    constant above for why exact NDV is the wrong wide-table default).
+    """
+    if approx == "auto":
+        approx = len(cols) >= WIDE_PROFILE_COLS
     ndv = F.approx_count_distinct if approx else F.count_distinct
     aggs = []
     for c in cols:

@@ -2417,7 +2417,7 @@ def q_lineitem_profile(spark, sf_dir):
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    out = profile_columns(lineitem, cols)
+    out = profile_columns(lineitem, cols, approx=False)  # oracle anchor
     return out.select(
         "column",
         "non_null",
@@ -2428,6 +2428,44 @@ def q_lineitem_profile(spark, sf_dir):
         _rn(F.col("mean"), 6).alias("mean"),
         _rn(F.col("stddev"), 6).alias("stddev"),
     ).orderBy("column")
+
+
+def q_lineitem_profile_wide(spark, sf_dir):
+    """Wide (7-column) profile on the HLL path — what ``approx="auto"``
+    routes to at this width. Exact NDV across many columns forces
+    Spark's Expand (one input-row replica per distinct agg before the
+    shuffle); HLL keeps the single partial+final aggregate with O(cols)
+    sketch state per task. Rows-only by nature (±2% NDV); the 4-column
+    exact ``lineitem_profile`` above is the oracle anchor for every
+    non-NDV metric on the same code path."""
+    from data_lakehouse_project_spark.operators.profile import (
+        profile_columns,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ]
+    return (
+        profile_columns(lineitem, cols, approx="auto")
+        .select(
+            "column",
+            "non_null",
+            "nulls",
+            "ndv",
+            _rn(F.col("min"), 6).alias("min"),
+            _rn(F.col("max"), 6).alias("max"),
+            _rn(F.col("mean"), 6).alias("mean"),
+            _rn(F.col("stddev"), 6).alias("stddev"),
+        )
+        .orderBy("column")
+    )
 
 
 def _profile_col_sql(c: str) -> str:
@@ -2991,6 +3029,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bm25_search_topk": (q_bm25_search_topk, SQL_BM25),
     "corpus_frequent_tokens": (q_corpus_frequent_tokens, SQL_FREQ_TOKENS),
     "lineitem_profile": (q_lineitem_profile, SQL_LINEITEM_PROFILE),
+    "lineitem_profile_wide": (q_lineitem_profile_wide, None),
     "token_budget_skip_selection": (
         q_token_budget_skip_selection,
         SQL_TOKEN_BUDGET_SKIP,
@@ -3111,79 +3150,79 @@ REGISTRY.update(registry_modern.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
 # queries stay registered after the window, in original order.
 # ---------------------------------------------------------------------
 GRADED_WINDOW: list[str] = [
-    # medallion / reference shapes (P, F, A, O families)
+    # medallion / reference shapes (P, F, A, O families). r5 rotation
+    # (verdict #4): rotated-out names remain registered and selfchecked;
+    # every swap keeps one-per-family coverage.
     "daily_sales_summary",
     "category_summary",
     "monthly_order_growth",
     "silver_events_cleanse",
-    "dq_orders_report",
-    "date_parts",
-    "string_normalize",
     "filter_lineitem",
     "topk_orders",
-    # join shapes
+    # join shapes (r5: + the binned range-join; semi rotated out, family
+    # still covered by the semi/anti selfcheck rows)
     "join_lineitem_orders",
     "join_region_rollup",
-    "join_semi_customers_with_orders",
-    # (join_anti rotated past the window in this session — same
-    # left-semi/anti family as join_semi; still selfchecked)
-    # TPC-H / DSS flagships (incl. batch-2, previously driver-unchecked)
+    "join_range_bands_binned",
+    # TPC-H / DSS flagships
     "pricing_summary",
     "nation_revenue",
     "supplier_nation_profit",
     "market_share",
-    "custdist",
-    # window shapes (range_trailing rotated past the window in r4 — same
-    # frame family as order_gaps; still selfchecked)
+    # window shapes (r5: + IGNORE NULLS navigation; order_gaps rotated
+    # out, frame family still selfchecked)
     "window_topk_per_customer",
-    "window_order_gaps",
-    # statistical aggregates
+    "window_ignore_nulls",
+    # statistical aggregates (r5: continuous percentile replaces the
+    # median/percentile pair — exact companion of the KLL sketch slot)
     "agg_stats",
-    "agg_median_percentile",
-    "agg_entropy",
+    "percentile_cont_qty",
     # set ops / grouping surfaces
     "setop_intersect_all",
     "rollup_status_priority",
     "pivot_status_priority",
-    # dedup family (LLM pipeline). Round-4 rotation (verdict #3): the
-    # flagship hashed-TF sparse-cosine path replaces two same-family
-    # rows (tokenset ≈ exact-groups; canonical_docs ≈ clusters' closure)
-    # — the rotated-out rows remain registered and selfchecked.
+    # dedup family (LLM pipeline); r5 adds the pair-graph degree
+    # distribution (r4 addition, previously selfcheck-only)
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     "dedup_clusters",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
-    "incremental_dedup",
     "doc_semantic_pairs",
-    # similarity / vectors / skew
+    "neardup_degree_distribution",
+    # similarity / vectors / skew (r5: + one-pass batch ANN)
     "ann_cosine_topk",
     "ann_lsh_topk",  # full-probe grading config vs exact oracle
+    "ann_batch_topk",
     "embedding_label_centroids",
     "salted_event_rollup",
-    # text analysis family (+ r4 rotation: posting-list novelty scoring)
+    # text analysis family (r5: + unigram cross-entropy quality scoring,
+    # rolling-hash fingerprints, PII redaction)
     "text_stats",
-    "lang_id_heuristic",
     "ngram_novelty_scores",
-    "bm25_search_topk",  # r4 session-2: lexical ranking flagship
-    "corpus_frequent_tokens",  # r4 session-2: heavy-hitters anchor
+    "unigram_xentropy_scores",
+    "text_fingerprint",
+    "redact_pii_documents",
+    "bm25_search_topk",
+    "corpus_frequent_tokens",
     # multimodal family (oracle-checked through the mapInPandas stub)
     "multimodal_features",
-    # events / time-series family (JSON extraction is covered in-window
-    # by events_variant_extract; cohort_retention and json_extract moved
-    # past the window to make room for the round-2 dedup capstones)
+    # events / time-series family (r5: + gap-filled hourly spine)
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_join",
-    # (events_session_window rotated past the window in this session —
-    # same gap-sessionization family as events_sessionize; selfchecked)
-    "events_funnel",
-    # deterministic-sampling family (+ r4 rotation: token budgets)
-    "sample_stratified_documents",
-    "token_budget_selection",
-    # modern-SQL family (previously driver-unchecked)
-    "recursive_cte_sql",
+    "events_gapfill_hourly",
     "events_variant_extract",
+    # curation / packing family (r5: + length-band outlier filter and
+    # greedy sequence packing)
+    "token_budget_selection",
+    "length_outlier_filter",
+    "pack_chunks_documents",
+    # admission-index family (r5: bloom verdicts, previously pytest-only
+    # in the graded window sense)
+    "bloom_admission_verdicts",
+    # modern-SQL family
+    "recursive_cte_sql",
 ]
 
 

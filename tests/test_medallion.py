@@ -310,6 +310,45 @@ def test_histogram_bins_hand_checked(spark):
     assert sum(c for _, _, c in got.values()) == 5  # null dropped
 
 
+def test_wide_profile_auto_routes_to_hll(spark):
+    """approx="auto" flips to HLL at WIDE_PROFILE_COLS: the physical
+    plan loses the Expand node (exact multi-NDV replicates every input
+    row per distinct agg), and HLL NDV stays within its documented
+    error of exact."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.range(0, 5000).select(
+        *[
+            ((F.col("id") * (i + 3)) % (50 * (i + 1))).alias(f"c{i}")
+            for i in range(5)
+        ]
+    )
+    cols = [f"c{i}" for i in range(5)]
+    wide = profile_columns(df, cols)  # auto → HLL at 5 cols
+    narrow = profile_columns(df, cols[:2])  # auto → exact below cutoff
+    assert "Expand" not in wide._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in narrow._jdf.queryExecution().executedPlan().toString()
+
+    exact = {
+        r.column: r.ndv
+        for r in profile_columns(df, cols, approx=False).collect()
+    }
+    got = {r.column: r.ndv for r in wide.collect()}
+    for c in cols:
+        assert abs(got[c] - exact[c]) <= max(3.0, 0.10 * exact[c])
+    # non-NDV metrics are identical on both routes
+    e = {
+        r.column: (r.non_null, r.min, r.max, r.mean)
+        for r in profile_columns(df, cols, approx=False).collect()
+    }
+    g = {r.column: (r.non_null, r.min, r.max, r.mean) for r in wide.collect()}
+    assert e == g
+
+
 def test_histogram_constant_column_single_bin(spark):
     """Regression (r5 ADVICE): min == max made the bin width 0 and
     raised DIVIDE_BY_ZERO under ANSI mode (Spark 4 default); a constant
