@@ -1,0 +1,485 @@
+"""Iceberg table-spec metadata export for delta-lite tables (round 5).
+
+The north star (BASELINE.json) names "Delta/Iceberg format support". The
+commit log itself now speaks the Delta protocol (txnlog.py); this module
+covers the OTHER format family: it emits Apache Iceberg table-spec
+metadata — ``metadata/vN.metadata.json``, an avro manifest list
+(``snap-*.avro``) and an avro manifest (``*-m0.avro``) — describing a
+delta-lite table's snapshot, so an Iceberg catalog/reader pointed at the
+table location sees a spec-shaped v2 table.
+
+Why this maps cleanly: delta-lite's hidden partition transforms
+(``day(ts)``, ``bucket(8, id)``, ``truncate(4, s)``, ...) ARE Iceberg's
+partition transforms — the export declares them with their native
+Iceberg names and a field-id'd schema, instead of flattening to
+identity partitioning.
+
+Format notes (all public spec, iceberg.apache.org/spec):
+- v2 metadata.json: format-version, table-uuid, schemas (field ids),
+  partition-specs (source-id/field-id/transform), snapshots,
+  current-snapshot-id, refs.
+- manifest list + manifest are AVRO container files — written through
+  the Java avro library already on Spark's driver classpath
+  (avro-1.12.1.jar) via py4j; no Python avro package exists offline.
+- partition values in manifests are TYPED per transform result type
+  (day → days-from-epoch int, month → months-from-epoch, hour →
+  hours-from-epoch, year → years-from-1970, bucket/truncate → int /
+  source type).
+
+Neither pyiceberg nor duckdb's iceberg extension is installable in this
+container (probes in tests/test_delta_protocol.py and
+tests/test_iceberg_export.py), so conformance is pinned by an
+independent spec-replay reader in the test that parses metadata.json
+and decodes the avro manifests, then scans the manifest's data files
+with DuckDB against ``TxnTable.read``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from data_lakehouse_project_spark.operators.txnlog import (
+    TxnTable,
+    _parse_partition_spec,
+)
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+_ICEBERG_TYPES = {
+    "integer": "int",
+    "int": "int",
+    "long": "long",
+    "short": "int",
+    "byte": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _iceberg_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return spark_type  # decimal(p,s) spells identically
+    return _ICEBERG_TYPES.get(spark_type, "string")
+
+
+def _schema_fields(schema_json: str) -> list[dict]:
+    """Spark schema JSON → Iceberg field list with stable field ids
+    (1-based positional — append-only schema evolution keeps them
+    stable because delta-lite only ever adds columns at the end)."""
+    fields = json.loads(schema_json)["fields"]
+    return [
+        {
+            "id": i + 1,
+            "name": f["name"],
+            "required": not f.get("nullable", True),
+            "type": _iceberg_type(
+                f["type"] if isinstance(f["type"], str) else "string"
+            ),
+        }
+        for i, f in enumerate(fields)
+    ]
+
+
+def _partition_spec_fields(
+    partition_by: list[str] | None, fields: list[dict]
+) -> list[dict]:
+    """delta-lite partition_by → Iceberg partition-spec fields with the
+    spec's native transform names. Field ids start at 1000 (Iceberg's
+    convention for partition field ids)."""
+    ids = {f["name"]: f["id"] for f in fields}
+    physical, transforms = _parse_partition_spec(partition_by)
+    out = []
+    fid = 1000
+    for col in physical:
+        out.append(
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": ids[col],
+                "field-id": fid,
+            }
+        )
+        fid += 1
+    for t in transforms:
+        name = t["transform"]
+        if name == "bucket":
+            transform = f"bucket[{t['n']}]"
+        elif name == "truncate":
+            transform = f"truncate[{t['n']}]"
+        else:
+            transform = name  # year / month / day / hour
+        out.append(
+            {
+                "name": t["hidden"].lstrip("_"),
+                "transform": transform,
+                "source-id": ids[t["col"]],
+                "field-id": fid,
+            }
+        )
+        fid += 1
+    return out
+
+
+def _partition_result_type(transform: str, source_type: str) -> str:
+    """Iceberg result type of a transform (spec table: year/month/day/
+    hour → int; bucket → int; truncate/identity → source type)."""
+    if transform in ("year", "month", "day", "hour") or transform.startswith(
+        "bucket"
+    ):
+        return "int"
+    return source_type
+
+
+def _partition_value(transform: str, raw: str | None, source_type: str):
+    """Typed partition value for the manifest's partition struct from
+    the hive-dir string delta-lite records."""
+    if raw is None:
+        return None
+    if transform == "year":
+        return int(raw[:4]) - 1970
+    if transform == "month":
+        y, m = int(raw[:4]), int(raw[5:7])
+        return (y - 1970) * 12 + (m - 1)
+    if transform == "day":
+        d = datetime.date(int(raw[:4]), int(raw[5:7]), int(raw[8:10]))
+        return (d - _EPOCH).days
+    if transform == "hour":
+        d = datetime.date(int(raw[:4]), int(raw[5:7]), int(raw[8:10]))
+        return (d - _EPOCH).days * 24 + int(raw[11:13])
+    if transform.startswith("bucket"):
+        return int(raw)
+    if source_type in ("int", "long"):
+        return int(raw)
+    if source_type == "double":
+        return float(raw)
+    return raw
+
+
+_AVRO_OF = {"int": "int", "long": "long", "double": "double", "string": "string"}
+
+
+class _AvroWriter:
+    """Minimal avro container-file writer over the Java avro library on
+    Spark's driver classpath (py4j) — metadata-sized payloads only."""
+
+    def __init__(self, spark: SparkSession, schema_json: str, path: str,
+                 meta: dict[str, str]):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self.schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+        datum = jvm.org.apache.avro.generic.GenericDatumWriter(self.schema)
+        self.writer = jvm.org.apache.avro.file.DataFileWriter(datum)
+        for k, v in meta.items():
+            self.writer.setMeta(k, v)
+        self.writer.create(self.schema, jvm.java.io.File(path))
+
+    def _avro_json(self, schema, v):
+        """Python value → avro JSON-encoding shape (unions wrapped with
+        their branch name). Needed because py4j cannot hold boxed Java
+        numerics — it auto-converts Long returns back to Python int —
+        so records are materialized Java-side via jsonDecoder instead
+        of field-by-field puts."""
+        t = schema.getType().getName()
+        if t == "union":
+            if v is None:
+                return None
+            for i in range(schema.getTypes().size()):
+                b = schema.getTypes().get(i)
+                if b.getType().getName() != "null":
+                    name = (
+                        b.getFullName()
+                        if b.getType().getName() == "record"
+                        else b.getType().getName()
+                    )
+                    return {name: self._avro_json(b, v)}
+        if t == "record":
+            out = {}
+            for i in range(schema.getFields().size()):
+                f = schema.getFields().get(i)
+                out[str(f.name())] = self._avro_json(
+                    f.schema(), (v or {}).get(str(f.name()))
+                )
+            return out
+        return v
+
+    def append_dict(self, values: dict) -> None:
+        jvm = self._jvm
+        payload = json.dumps(self._avro_json(self.schema, values))
+        decoder = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+            self.schema, payload
+        )
+        rec = jvm.org.apache.avro.generic.GenericDatumReader(
+            self.schema
+        ).read(None, decoder)
+        self.writer.append(rec)
+
+    def close(self) -> None:
+        self.writer.close()
+
+
+def export_iceberg_metadata(
+    table: TxnTable, spark: SparkSession, version: int | None = None
+) -> str:
+    """Emit Iceberg v2 metadata for the table's snapshot under
+    ``<table>/metadata/``; returns the metadata.json path. Re-export
+    after new commits appends a new snapshot + metadata version."""
+    snap = table.snapshot(version=version)
+    meta_dir = os.path.join(table.path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    fields = _schema_fields(snap.schema_json)
+    partition_by = table._current_partition_by()
+    spec_fields = _partition_spec_fields(partition_by, fields)
+    src_type = {f["id"]: f["type"] for f in fields}
+
+    snapshot_id = snap.version + 1  # spec: any unique long
+    seq = snap.version + 1
+    location = os.path.abspath(table.path)
+
+    # ---- manifest (avro): one entry per live data file ----
+    part_fields_avro = []
+    for pf in spec_fields:
+        rtype = _partition_result_type(
+            pf["transform"], src_type[pf["source-id"]]
+        )
+        part_fields_avro.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _AVRO_OF.get(rtype, "string")],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+        )
+    partition_avro = {
+        "type": "record",
+        "name": "r102",
+        "fields": part_fields_avro,
+    }
+    data_file_avro = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_avro, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    manifest_entry_avro = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {
+                    "name": "snapshot_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 1,
+                },
+                {
+                    "name": "sequence_number",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 3,
+                },
+                {
+                    "name": "file_sequence_number",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 4,
+                },
+                {"name": "data_file", "type": data_file_avro, "field-id": 2},
+            ],
+        }
+    )
+    manifest_name = f"{uuid.uuid4().hex}-m0.avro"
+    manifest_path = os.path.join(meta_dir, manifest_name)
+    iceberg_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+    }
+    spec_json = json.dumps(spec_fields)
+    w = _AvroWriter(
+        spark,
+        manifest_entry_avro,
+        manifest_path,
+        {
+            "schema": json.dumps(iceberg_schema),
+            "partition-spec": spec_json,
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    total_rows = 0
+    by_hidden = {
+        pf["name"]: pf for pf in spec_fields
+    }
+    for f in snap.files:
+        rows = f.get("stats", {}).get("num_rows", 0)
+        total_rows += rows
+        part_vals = {}
+        for raw_name, raw_val in (f.get("partition_values") or {}).items():
+            pf = by_hidden.get(raw_name.lstrip("_")) or by_hidden.get(raw_name)
+            if pf is None:
+                continue
+            part_vals[pf["name"]] = _partition_value(
+                pf["transform"], raw_val, src_type[pf["source-id"]]
+            )
+        fpath = f["path"]
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(location, fpath)
+        w.append_dict(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fpath,
+                    "file_format": "PARQUET",
+                    "partition": part_vals,
+                    "record_count": rows,
+                    "file_size_in_bytes": f.get("size_bytes", 0),
+                },
+            }
+        )
+    w.close()
+
+    # ---- manifest list (avro) ----
+    manifest_file_avro = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string", "field-id": 500},
+                {"name": "manifest_length", "type": "long", "field-id": 501},
+                {"name": "partition_spec_id", "type": "int", "field-id": 502},
+                {"name": "content", "type": "int", "field-id": 517},
+                {"name": "sequence_number", "type": "long", "field-id": 515},
+                {
+                    "name": "min_sequence_number",
+                    "type": "long",
+                    "field-id": 516,
+                },
+                {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+                {"name": "added_files_count", "type": "int", "field-id": 504},
+                {
+                    "name": "existing_files_count",
+                    "type": "int",
+                    "field-id": 505,
+                },
+                {"name": "deleted_files_count", "type": "int", "field-id": 506},
+                {"name": "added_rows_count", "type": "long", "field-id": 512},
+                {
+                    "name": "existing_rows_count",
+                    "type": "long",
+                    "field-id": 513,
+                },
+                {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+            ],
+        }
+    )
+    list_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    list_path = os.path.join(meta_dir, list_name)
+    wl = _AvroWriter(
+        spark,
+        manifest_file_avro,
+        list_path,
+        {"format-version": "2"},
+    )
+    wl.append_dict(
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(snap.files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+    wl.close()
+
+    # ---- metadata.json ----
+    existing = sorted(
+        int(n[1:].split(".")[0])
+        for n in os.listdir(meta_dir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    prev = None
+    if existing:
+        with open(
+            os.path.join(meta_dir, f"v{existing[-1]}.metadata.json")
+        ) as fh:
+            prev = json.load(fh)
+    mv = (existing[-1] + 1) if existing else 1
+    snapshot_entry = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": snap.timestamp_ms,
+        "sequence-number": seq,
+        "manifest-list": list_path,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(snap.files)),
+            "added-records": str(total_rows),
+        },
+        "schema-id": 0,
+    }
+    snapshots = (prev or {}).get("snapshots", [])
+    snapshots = [
+        s for s in snapshots if s["snapshot-id"] != snapshot_id
+    ] + [snapshot_entry]
+    metadata = {
+        "format-version": 2,
+        "table-uuid": (prev or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": location,
+        "last-sequence-number": seq,
+        "last-updated-ms": snap.timestamp_ms,
+        "last-column-id": len(fields),
+        "schemas": [iceberg_schema],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "last-partition-id": max(
+            (pf["field-id"] for pf in spec_fields), default=999
+        ),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"write.format.default": "parquet"},
+        "snapshots": snapshots,
+        "current-snapshot-id": snapshot_id,
+        "refs": {
+            "main": {"snapshot-id": snapshot_id, "type": "branch"}
+        },
+    }
+    out = os.path.join(meta_dir, f"v{mv}.metadata.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=2)
+    os.replace(tmp, out)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(mv))
+    return out

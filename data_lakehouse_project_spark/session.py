@@ -50,6 +50,66 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = False,
+    magic_committer: bool = True,
+    session_token: str | None = None,
+) -> dict[str, str]:
+    """Object-store (S3A) configuration block — pass as ``extra_conf``.
+
+    Mirrors the reference's S3A wiring (``mysql_bronze_ingestion.py:
+    22-26``: endpoint, access/secret key, path-style access for
+    MinIO-style endpoints) and adds the two settings any real S3
+    deployment needs that the reference lacks:
+
+    - **magic committer** (``fs.s3a.committer.name=magic``): S3 has no
+      atomic rename, so the default FileOutputCommitter's
+      rename-into-place is both slow (copy+delete per file) and unsafe
+      (partial results visible on failure). The S3A "magic" committer
+      stages multipart uploads and completes them only at job commit —
+      atomic publish semantics at object-store scale.
+    - credentials left UNSET default to the provider chain (instance
+      profile / env / config), which is what production clusters use;
+      explicit keys are for dev endpoints.
+    """
+    conf = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access": str(
+            path_style_access
+        ).lower(),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    if session_token:
+        conf["spark.hadoop.fs.s3a.session.token"] = session_token
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        )
+    if magic_committer:
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.committer.name": "magic",
+                "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud."
+                    "PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud."
+                    "BindingParquetOutputCommitter"
+                ),
+            }
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "data-lakehouse-project-spark",
     master: str | None = None,

@@ -1,0 +1,205 @@
+"""Iceberg-spec conformance of the metadata export (round 5).
+
+pyiceberg and duckdb's iceberg extension are not installable offline
+(probe below), so conformance is pinned by an independent reader here
+that follows the public table spec: version-hint → vN.metadata.json →
+current snapshot → avro manifest list → avro manifest → data files —
+then scans those files with DuckDB and compares against
+``TxnTable.read``. Avro container files are decoded through the Java
+avro library on Spark's classpath (generic reader — shares no code
+with the export's writer path beyond the avro LIBRARY itself).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import duckdb
+import pytest
+
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    export_iceberg_metadata,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _avro_records(spark, path: str) -> list[dict]:
+    """Decode an avro container file to plain dicts (generic reader)."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    schema = reader.getSchema()
+    names = [
+        str(schema.getFields().get(i).name())
+        for i in range(schema.getFields().size())
+    ]
+
+    def _py(v):
+        if v is None:
+            return None
+        cls = v.getClass().getName() if hasattr(v, "getClass") else None
+        if cls == "org.apache.avro.util.Utf8":
+            return str(v)
+        if cls and cls.startswith("org.apache.avro.generic.GenericData$Record"):
+            s = v.getSchema()
+            return {
+                str(s.getFields().get(i).name()): _py(
+                    v.get(str(s.getFields().get(i).name()))
+                )
+                for i in range(s.getFields().size())
+            }
+        return v
+
+    out = []
+    while reader.hasNext():
+        rec = reader.next()
+        out.append({n: _py(rec.get(n)) for n in names})
+    meta = {
+        k: bytes(reader.getMeta(k)).decode()
+        for k in ("schema", "partition-spec", "format-version", "content")
+        if reader.getMeta(k) is not None
+    }
+    reader.close()
+    return out, meta
+
+
+def read_iceberg_table(spark, table_path: str):
+    """Independent spec walk; returns (metadata, manifest entries,
+    duckdb rows over the snapshot's data files)."""
+    meta_dir = os.path.join(table_path, "metadata")
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{hint}.metadata.json")))
+
+    # required v2 surface
+    assert md["format-version"] == 2
+    for key in (
+        "table-uuid", "location", "last-sequence-number", "schemas",
+        "current-schema-id", "partition-specs", "default-spec-id",
+        "snapshots", "current-snapshot-id", "refs",
+    ):
+        assert key in md, f"metadata.json missing {key}"
+
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mlist, _ = _avro_records(spark, snap["manifest-list"])
+    assert mlist and all("manifest_path" in m for m in mlist)
+    entries = []
+    for m in mlist:
+        assert m["content"] == 0 and m["partition_spec_id"] == 0
+        recs, mmeta = _avro_records(spark, m["manifest_path"])
+        assert mmeta["format-version"] == "2" and mmeta["content"] == "data"
+        json.loads(mmeta["schema"])  # embedded schema parses
+        entries += [r for r in recs if r["status"] != 2]  # not DELETED
+
+    cols = [f["name"] for f in md["schemas"][0]["fields"]]
+    selects = []
+    for e in entries:
+        df = e["data_file"]
+        assert df["file_format"] == "PARQUET" and df["content"] == 0
+        fp = df["file_path"].replace("'", "''")
+        proj = ", ".join(f'"{c}"' for c in cols)
+        selects.append(f"SELECT {proj} FROM read_parquet('{fp}')")
+    rows = duckdb.sql(" UNION ALL ".join(selects)).fetchall() if selects else []
+    return md, entries, rows
+
+
+def test_iceberg_export_plain_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    df = spark.range(0, 150).select(
+        "id", (F.col("id") % 5).alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    t.write(df, mode="overwrite")
+    t.delete_where(spark, "g = 2")
+    out = export_iceberg_metadata(t, spark)
+    assert out.endswith("v1.metadata.json")
+
+    md, entries, rows = read_iceberg_table(spark, path)
+    assert sorted(rows) == sorted(tuple(r) for r in t.read(spark).collect())
+    assert sum(e["data_file"]["record_count"] for e in entries) == 120
+    # field ids are assigned and contiguous
+    assert [f["id"] for f in md["schemas"][0]["fields"]] == [1, 2, 3]
+
+    # re-export after another commit: new metadata version, new snapshot
+    t.write(spark.range(1000, 1010).select(
+        "id", (F.col("id") % 5).alias("g"), (F.col("id") * 1.5).alias("v")
+    ), mode="append")
+    out2 = export_iceberg_metadata(t, spark)
+    assert out2.endswith("v2.metadata.json")
+    md2, _, rows2 = read_iceberg_table(spark, path)
+    assert len(md2["snapshots"]) == 2
+    assert len(rows2) == 130
+
+
+def test_iceberg_export_transform_partitioning(spark, tmp_path):
+    """Hidden transforms export as NATIVE Iceberg transforms with typed
+    partition values (day → days-from-epoch int), not identity strings."""
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    rows = [
+        (i, datetime.datetime(2024, 3, 1 + i % 4, 10)) for i in range(80)
+    ]
+    t.write(
+        spark.createDataFrame(rows, "id long, ts timestamp"),
+        mode="overwrite",
+        partition_by=["day(ts)"],
+    )
+    export_iceberg_metadata(t, spark)
+    md, entries, rows_out = read_iceberg_table(spark, path)
+
+    (pf,) = md["partition-specs"][0]["fields"]
+    assert pf["transform"] == "day"
+    assert pf["source-id"] == 2  # ts is the second schema field
+    assert pf["field-id"] == 1000
+
+    days = {
+        e["data_file"]["partition"][pf["name"]] for e in entries
+    }
+    want = {
+        (datetime.date(2024, 3, 1 + d) - datetime.date(1970, 1, 1)).days
+        for d in range(4)
+    }
+    assert days == want
+    assert {r[0] for r in rows_out} == set(range(80))
+
+
+def test_iceberg_export_bucket_and_identity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    t = TxnTable(path)
+    df = spark.range(0, 200).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("region"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.write(
+        df, mode="overwrite", partition_by=["region", "bucket(4, id)"]
+    )
+    export_iceberg_metadata(t, spark)
+    md, entries, rows_out = read_iceberg_table(spark, path)
+    specs = {f["transform"] for f in md["partition-specs"][0]["fields"]}
+    assert specs == {"identity", "bucket[4]"}
+    assert len(rows_out) == 200
+    # identity partition values carry the source type (string region)
+    regions = {
+        e["data_file"]["partition"]["region"] for e in entries
+    }
+    assert regions == {"0", "1", "2"}
+
+
+def test_iceberg_readers_unavailable_offline_probe():
+    for mod in ("pyiceberg",):
+        with pytest.raises(ImportError):
+            __import__(mod)
+    with pytest.raises(Exception):
+        duckdb.sql("LOAD iceberg")

@@ -222,3 +222,36 @@ def test_orc_roundtrip_pushdown_and_evolution(spark, tmp_path):
     assert "extra" in evolved.columns
     assert evolved.count() == 2000
     assert evolved.where(F.col("extra").isNull()).count() == 1000
+
+
+def test_s3a_conf_shape():
+    """S3A conf block (X5): reference wiring (endpoint/keys/path-style,
+    mysql_bronze_ingestion.py:22-26) plus the magic-committer settings a
+    real object-store deployment needs. Pure-dict unit test — no AWS in
+    the harness (SURVEY §2.7)."""
+    from data_lakehouse_project_spark.session import s3a_conf
+
+    c = s3a_conf(
+        endpoint="http://minio:9000",
+        access_key="ak",
+        secret_key="sk",
+        path_style_access=True,
+    )
+    assert c["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert c["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert c["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    assert c["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert c["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+    # production default: no explicit keys → provider chain untouched
+    prod = s3a_conf()
+    assert "spark.hadoop.fs.s3a.access.key" not in prod
+    assert prod["spark.hadoop.fs.s3a.path.style.access"] == "false"
+    # temporary creds flip the provider to the session-token chain
+    tmp = s3a_conf(access_key="a", secret_key="s", session_token="t")
+    assert tmp["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "TemporaryAWSCredentialsProvider"
+    )
+    # committer can be opted out for HDFS-style rename-capable stores
+    plain = s3a_conf(magic_committer=False)
+    assert "spark.hadoop.fs.s3a.committer.name" not in plain
