@@ -385,6 +385,288 @@ def run_dv_probe(spark, mults: tuple[int, ...]) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def _stage_stats(spark, min_stage_id: int):
+    """Per-stage (tasks, spill bytes, task-duration p50/max) for every
+    completed stage with id >= min_stage_id, via the app status store
+    (the UI's data source — works headless)."""
+    jvm = spark._jvm
+    store = spark._jsparkSession.sparkContext().statusStore()
+    empty = jvm.java.util.ArrayList()
+    darr = spark._sc._gateway.new_array(jvm.double, 0)
+    out = []
+    stages = store.stageList(empty, False, False, darr, empty)
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        if s.stageId() < min_stage_id or s.numCompleteTasks() == 0:
+            continue
+        tl = store.taskList(s.stageId(), s.attemptId(), 100_000)
+        durs = sorted(
+            tl.apply(j).duration().get()
+            for j in range(tl.size())
+            if tl.apply(j).duration().isDefined()
+        )
+        out.append(
+            {
+                "stage": s.stageId(),
+                "tasks": s.numCompleteTasks(),
+                "spill_mem": s.memoryBytesSpilled(),
+                "spill_disk": s.diskBytesSpilled(),
+                "p50_ms": durs[len(durs) // 2] if durs else 0,
+                "max_ms": durs[-1] if durs else 0,
+                "sum_ms": sum(durs),
+            }
+        )
+    return out
+
+
+def _next_stage_id(spark) -> int:
+    stats = _stage_stats(spark, 0)
+    return max((s["stage"] for s in stats), default=-1) + 1
+
+
+def run_skew_join_probe(spark, sf_dir: str, mults: tuple[int, ...]) -> None:
+    """Skewed fact-fact JOIN at scale: a Zipf-hot key (~half of all
+    fact rows share key 0) shuffle-joined to a uniform dimension-sized
+    fact, AQE skew splitting OFF vs ON (round-4 verdict #8 — the
+    test_plans gate proves the mechanism at toy size; this measures the
+    straggler it removes on real volume).
+
+    Recorded per (mult, mode): wall, and the join stage's task-duration
+    median vs max — the straggler ratio max/p50 is the whole story
+    (OFF: one task drags half the join; ON: AQE splits the hot
+    partition into advisory-sized chunks). Split thresholds are set to
+    match probe volume (defaults target multi-GB cluster partitions);
+    broadcast is disabled because the modeled 100 TB fact-fact join has
+    no broadcastable side.
+
+    Two AQE-skew-detection pitfalls this probe had to engineer around,
+    both measured here and worth knowing at 100 TB:
+
+    1. Detection is BYTES-based on COMPRESSED map output: a constant
+       hot key with only numeric columns compresses so well (38M hot
+       rows → 7.9 MB, SMALLER than the median uniform-key partition)
+       that no byte threshold can ever see the row skew. The fact rows
+       therefore carry an incompressible 64-char payload so bytes ∝
+       rows — which real payload-bearing fact rows provide; the salted
+       fallback (ext/skew.py) covers hot keys that don't.
+    2. A skewed partition is split by MAPPER ranges, so a shuffle with
+       one map task is unsplittable no matter how skewed: sf0.1's
+       single-file parquet scan produced exactly one mapper and
+       silently disabled the optimization (measured: skew=true never
+       appeared until the input had >1 map task). The fact is
+       repartitioned first — at real scale inputs have thousands of
+       mappers, but a coalesced upstream stage can recreate this
+       failure mode in production."""
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n_li = lineitem.count()
+    right = orders.select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(0).cast("long").alias("k"),
+            F.lit("0-HOT").alias("o_orderpriority"),
+        )
+    )
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # thresholds sized to PROBE volume for a reason worth recording:
+    # skew detection is BYTES-based on compressed map output, and a hot
+    # key compresses brutally well (38M (k=0, price) rows → ~8 MB under
+    # LZ4, measured) — a CPU-bound straggler can hide under a byte
+    # threshold tuned for incompressible data. Real deployments with
+    # compressible hot keys need the same treatment (or salting).
+    conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+    )
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    try:
+        for mult in mults:
+            fact = (
+                replicate_explode(lineitem, mult)
+                .repartition(64)  # >1 mapper — see pitfall 2 above
+                .withColumn(
+                    "k",
+                    F.when(
+                        F.pmod(
+                            F.xxhash64("l_orderkey", "l_linenumber"),
+                            F.lit(2),
+                        )
+                        == 0,
+                        F.lit(0),
+                    ).otherwise(F.col("l_orderkey")),
+                )
+                .withColumn(
+                    "payload",
+                    F.sha2(
+                        F.concat_ws(
+                            "|", "l_orderkey", "l_linenumber", "k"
+                        ),
+                        256,
+                    ),
+                )
+            )
+            for mode in ("off", "on"):
+                conf.set(
+                    "spark.sql.adaptive.skewJoin.enabled",
+                    "true" if mode == "on" else "false",
+                )
+                marker = _next_stage_id(spark)
+                t0 = time.perf_counter()
+                (
+                    fact.join(right, "k")
+                    .groupBy("o_orderpriority")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("l_extendedprice").alias("rev"),
+                        # keeps the payload in the shuffled row so the
+                        # fact exchange carries realistic bytes
+                        F.sum(F.length("payload")).alias("pay"),
+                    )
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                wall = time.perf_counter() - t0
+                stats = _stage_stats(spark, marker)
+                # robust summary under AQE's shifting stage layout:
+                # the longest task ANYWHERE is the critical-path bound
+                # a straggler sets; p50 over every task shows what a
+                # typical slice costs. (Per-stage attribution is
+                # fragile — AQE re-stages between modes.)
+                max_task = max((st["max_ms"] for st in stats), default=0)
+                n_tasks = sum(st["tasks"] for st in stats)
+                p50s = sorted(st["p50_ms"] for st in stats if st["tasks"] > 1)
+                p50 = p50s[len(p50s) // 2] if p50s else 0
+                print(
+                    f"skew_join mult={mult:4d} rows={n_li * mult:>12,} "
+                    f"aqe_skew={mode:3s} wall={wall:6.2f}s "
+                    f"tasks={n_tasks:4d} "
+                    f"stage_p50={p50 / 1e3:6.2f}s "
+                    f"task_max={max_task / 1e3:6.2f}s "
+                    f"straggler_x={max_task / max(p50, 1):5.1f}",
+                    flush=True,
+                )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+_SPILL_SHAPES = ("join", "minhash")
+
+
+def run_spill_worker(sf_dir: str, shape: str, mult: int) -> None:
+    """Child-process body for the spill probe: a deliberately SMALL
+    session (2g driver heap = executors in local mode, low memory
+    fraction, 8 cores) so the shuffle CANNOT fit in execution memory —
+    the question is whether it spills and completes or OOMs. Emits one
+    JSON line consumed by run_spill_probe."""
+    import json
+
+    from pyspark.sql import SparkSession
+
+    mem = os.environ.get("SPARK_GRAFT_SPILL_MEM", "2g")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.driver.memory", mem)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .appName(f"spill-probe-{shape}-{mult}")
+        .getOrCreate()
+    )
+    table, fn, replicate = SHAPES[shape]
+    base = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    n_base = base.count()
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    # replication choices differ from the throughput probe on purpose:
+    # explode (not a mult-way union, whose plan alone stresses the
+    # analyzer at 256+) for plain tables, and a repartition so tasks
+    # see realistically-sized splits — at scale, mult× data arrives as
+    # mult× more file splits, not as the replicator's handful of giant
+    # exploded partitions (whose single-partition working set would
+    # OOM any bounded heap by construction)
+    if replicate is replicate_union:
+        replicate = replicate_explode
+    df = replicate(base, mult).repartition(max(32, mult // 4))
+    marker = _next_stage_id(spark)
+    t0 = time.perf_counter()
+    fn(df, orders).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    stats = _stage_stats(spark, marker)
+    print(
+        json.dumps(
+            {
+                "shape": shape,
+                "mult": mult,
+                "rows": n_base * mult,
+                "wall_s": round(wall, 2),
+                "spill_mem_bytes": sum(s["spill_mem"] for s in stats),
+                "spill_disk_bytes": sum(s["spill_disk"] for s in stats),
+                "mem": mem,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def run_spill_probe(sf_dir: str, mults: tuple[int, ...]) -> None:
+    """Memory-pressure probe (round-4 verdict #3): every prior probe fit
+    comfortably in the 128 GiB session, so spill behavior was unproven.
+    Re-runs the fact-fact join and minhash shapes in a fresh CHILD
+    process per point with a 2g driver heap; records completed-vs-OOM
+    and the measured shuffle spill bytes."""
+    import json
+    import subprocess
+
+    for shape in _SPILL_SHAPES:
+        for mult in mults:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir,
+                 "_spill_worker", shape, str(mult)],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = next(
+                (
+                    ln
+                    for ln in reversed(proc.stdout.splitlines())
+                    if ln.startswith("{")
+                ),
+                None,
+            )
+            if proc.returncode != 0 or line is None:
+                tail = (proc.stderr or proc.stdout).splitlines()[-5:]
+                print(
+                    f"spill    shape={shape} mult={mult} FAILED "
+                    f"(rc={proc.returncode}): {' | '.join(tail)}",
+                    flush=True,
+                )
+                continue
+            r = json.loads(line)
+            print(
+                f"spill    shape={shape:8s} mult={r['mult']:4d} "
+                f"rows={r['rows']:>12,} mem={r['mem']} "
+                f"wall={r['wall_s']:7.2f}s "
+                f"spill_mem={r['spill_mem_bytes'] / 1e9:6.2f}GB "
+                f"spill_disk={r['spill_disk_bytes'] / 1e9:6.2f}GB",
+                flush=True,
+            )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     shapes = sys.argv[2:] or list(SHAPES)
@@ -392,6 +674,14 @@ def main() -> None:
         int(m)
         for m in os.environ.get("SPARK_GRAFT_MULTS", "1,4,16").split(",")
     )
+    if shapes and shapes[0] == "_spill_worker":
+        run_spill_worker(sf_dir, shapes[1], int(shapes[2]))
+        return
+    if "spill" in shapes:  # spawns its own constrained child sessions
+        shapes = [s for s in shapes if s != "spill"]
+        run_spill_probe(sf_dir, mults)
+        if not shapes:
+            return
     spark = get_spark(app_name="scaling-probe")
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     orders.count()  # warm
@@ -403,6 +693,10 @@ def main() -> None:
     if "dv" in shapes:
         shapes = [s for s in shapes if s != "dv"]
         run_dv_probe(spark, mults)
+
+    if "skew_join" in shapes:
+        shapes = [s for s in shapes if s != "skew_join"]
+        run_skew_join_probe(spark, sf_dir, mults)
 
     for shape in shapes:
         table, fn, replicate = SHAPES[shape]
