@@ -896,3 +896,134 @@ def incremental_dedup_report_indexed(
             .alias("jaccard"),
         )
     )
+
+
+def duplicated_window_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    min_repeats: int = 2,
+    stride: int = 1,
+    summary: bool = True,
+    round_to: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans, ExactSubstr-style (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    every token window of length ``window`` that occurs >= ``min_repeats``
+    times anywhere in the corpus (across OR within documents) marks its
+    covering positions as duplicated; overlapping duplicated windows are
+    merged into maximal per-document spans.
+
+    Distributed shape (the suffix-array of the paper is a single-machine
+    structure; this is the shuffle-native equivalent):
+
+    1. per doc: rolling xxhash64 over each aligned ``window``-token
+       slice — pure JVM ``transform``/``slice``/``concat_ws``, no UDF;
+    2. one shuffle of ``(whash, id, pos)`` — ~20 B/window regardless of
+       token bytes, so shuffle volume is O(corpus token count), the
+       same order as the minhash shingle pipeline;
+    3. hash-groupBy keeps hashes with total count >= ``min_repeats``
+       (a corpus-wide frequency table, NOT a pair join — cost never
+       touches |bucket|^2);
+    4. join positions back on the 8-byte hash (AQE broadcasts when the
+       duplicated set is small), then per-doc interval-merge with one
+       window function.
+
+    ``stride`` > 1 is the 100 TB dial: it keeps only windows whose hash
+    is ``0 (mod stride)`` — CONTENT-DEFINED sampling (the CDC-chunking
+    trick), so the two copies of a repeated substring select identical
+    windows no matter their byte offsets. (Arithmetic every-k-th-start
+    sampling is broken here: copies at different offsets sample
+    disjoint windows and a duplicated span of ANY length can be
+    missed.) Step-2 volume drops by ~stride; a span containing w
+    duplicated windows is missed with probability (1 - 1/stride)^w, so
+    pick stride << expected span length. Sampled hits from one run can
+    sit further than ``window`` apart, so one physical span may report
+    as several — counts are a sampling floor, never an overcount.
+
+    ``summary=True`` returns one row per affected doc
+    ``(id, n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
+    dup_fraction)``; ``summary=False`` returns the spans themselves
+    ``(id, span_start, span_end, span_tokens)`` (1-based, inclusive).
+
+    Window-hash collisions (~p = n_windows^2 / 2^65) can in principle
+    mark a non-duplicated span; the paper's suffix array is exact. At
+    any feasible corpus size the expected false-span count is << 1.
+    """
+    from pyspark.sql import Window as W
+
+    arr = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), arr.alias("arr"), F.size(arr).alias("n_tokens")
+    ).where(F.col("n_tokens") >= window)
+    starts = F.sequence(F.lit(1), F.col("n_tokens") - window + 1)
+    wins = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice("arr", i, window))
+                    ).alias("whash"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, "n_tokens", "w.pos", "w.whash")
+    if stride > 1:
+        wins = wins.where(F.pmod("whash", F.lit(stride)) == 0)
+
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_repeats)
+        .select("whash")
+    )
+    hits = wins.join(dup_hashes, "whash")
+
+    ordered = W.partitionBy(id_col).orderBy("pos")
+    # fixed-length aligned windows => span ends are monotone in pos, so
+    # a single lag(pos) decides island breaks (no running-max needed)
+    islands = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") > F.lag("pos").over(ordered) + window, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                ordered.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.any_value("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window - 1).alias("span_end"),
+    )
+    if not summary:
+        return spans.select(
+            id_col,
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    scale = float(10**round_to)
+    frac = F.sum(span_len) / F.any_value("n_tokens")
+    return spans.groupBy(id_col).agg(
+        F.any_value("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(span_len).cast("long").alias("dup_tokens"),
+        F.max(span_len).cast("long").alias("max_span_tokens"),
+        (F.floor(frac * scale + F.lit(0.5)).cast("double") / scale).alias(
+            "dup_fraction"
+        ),
+    )

@@ -789,6 +789,64 @@ WHERE jaccard >= 0.8
 """
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span report (Lee et al. 2021):
+    per-doc maximal spans covered by 8-token windows that repeat
+    anywhere in the corpus (ext/dedup.py::duplicated_window_spans) —
+    the rolling-hash/shuffle equivalent of the paper's suffix array."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.duplicated_window_spans(
+        documents, "text", "doc_id", window=8, min_repeats=2
+    )
+
+
+# range() unnested in the select list per row (see _SHINGLE3 note);
+# the oracle groups on window TEXT where Spark groups on xxhash64 —
+# identical partitions absent a 64-bit collision (none at oracle SF)
+SQL_SUBSTRING_SPANS = f"""
+WITH docs AS (
+  SELECT doc_id, string_split({NORM}, ' ') AS arr FROM documents
+), toks AS (
+  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr
+  FROM docs WHERE len(arr) >= 8
+), wins AS (
+  SELECT doc_id, n_tokens, CAST(i AS INTEGER) AS pos,
+         array_to_string(
+           arr[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 7], ' ') AS w
+  FROM (SELECT doc_id, n_tokens, arr,
+               unnest(range(1, CAST(n_tokens AS INTEGER) - 8 + 2)) AS i
+        FROM toks)
+), dupw AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2
+), hits AS (
+  SELECT wins.doc_id, wins.n_tokens, wins.pos FROM wins JOIN dupw USING (w)
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), isl2 AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+         MIN(pos) AS span_start, MAX(pos) + 8 - 1 AS span_end
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(span_end - span_start + 1) AS BIGINT) AS max_span_tokens,
+       CAST(FLOOR(CAST(SUM(span_end - span_start + 1) AS DOUBLE)
+                  / ANY_VALUE(n_tokens) * 100 + 0.5) AS DOUBLE) / 100.0
+         AS dup_fraction
+FROM spans GROUP BY doc_id
+"""
+
+
 def q_neardup_degree_distribution(spark, sf_dir):
     """Similarity-graph degree distribution: for every document in at
     least one char-3-gram Jaccard ≥ 0.8 pair, its edge count, then
@@ -3008,6 +3066,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_tokenset_groups": (q_dedup_tokenset_groups, SQL_DEDUP_TOKENSET),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_substring_spans": (q_dedup_substring_spans, SQL_SUBSTRING_SPANS),
     "neardup_degree_distribution": (
         q_neardup_degree_distribution,
         SQL_NEARDUP_DEGREE,

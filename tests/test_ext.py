@@ -314,3 +314,68 @@ def test_minhash_recall1_config_equals_exact_jaccard(spark, testdata):
         .collect()
     }
     assert lsh == exact  # keys AND double values bit-identical
+
+
+# ---------------------------------------------------------------- exactsubstr
+def test_duplicated_window_spans_detects_shared_run(spark):
+    # docs 1 and 2 share an 10-token run; doc 3 shares nothing; doc 4
+    # repeats a window WITHIN itself (paper semantics: also duplicated)
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"intro words {shared} tail a"),
+        (2, f"{shared} other ending entirely"),
+        (3, "completely unrelated text with no repeated window at all here"),
+        (4, "p q r s t u v w x p q r s t u v w x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_window_spans(
+            df, "text", "doc_id", window=8
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    # doc 1: shared run covers tokens 3..12 of 14
+    assert out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_tokens"] == 10
+    assert out[2]["dup_tokens"] == 10
+    # doc 4: both 9-token halves repeat => one merged span of all 18
+    assert out[4]["dup_tokens"] == 18
+    assert out[4]["max_span_tokens"] == 18
+
+
+def test_duplicated_window_spans_span_mode_and_merge(spark):
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, f"{shared} g1 g2 g3 g4 g5 g6 g7 g8 g9 {shared}"),
+        (2, f"{shared} x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicated_window_spans(
+        df, "text", "doc_id", window=8, summary=False
+    )
+    d1 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in spans.where(F.col("doc_id") == 1).collect()
+    )
+    # two islands in doc 1 (the gap run appears once => not duplicated)
+    assert d1 == [(1, 12), (22, 33)]
+
+
+def test_duplicated_window_spans_stride_is_content_defined(spark):
+    # content-defined sampling (whash % stride == 0) picks the SAME
+    # windows in both copies even at different offsets — arithmetic
+    # every-k-th-start sampling would see disjoint windows here.
+    # 40-token run => 33 windows; P(all miss) = 0.75^33 ~ 8e-5, and the
+    # outcome is deterministic for these fixed strings.
+    shared = " ".join(f"s{i}" for i in range(40))
+    rows = [
+        (1, f"a b c {shared}"),
+        (2, f"{shared} y z"),
+        (3, "nothing shared in this one at all honestly speaking"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicated_window_spans(
+        df, "text", "doc_id", window=8, stride=4
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
