@@ -920,9 +920,11 @@ def duplicated_window_spans(
 
     1. per doc: rolling xxhash64 over each aligned ``window``-token
        slice — pure JVM ``transform``/``slice``/``concat_ws``, no UDF;
-    2. one shuffle of ``(whash, id, pos)`` — ~20 B/window regardless of
-       token bytes, so shuffle volume is O(corpus token count), the
-       same order as the minhash shingle pipeline;
+    2. a 16 B/window ``(whash, count-partial)`` shuffle builds the
+       corpus frequency table (map-side combine; volume O(corpus token
+       count) regardless of token bytes — same order as the minhash
+       shingle pipeline); position tuples themselves never shuffle
+       globally, only the matching HITS move (step 4);
     3. hash-groupBy keeps hashes with total count >= ``min_repeats``
        (a corpus-wide frequency table, NOT a pair join — cost never
        touches |bucket|^2);

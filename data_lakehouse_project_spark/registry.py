@@ -3241,9 +3241,11 @@ GRADED_WINDOW: list[str] = [
     "rollup_status_priority",
     "pivot_status_priority",
     # dedup family (LLM pipeline); r5 adds the pair-graph degree
-    # distribution (r4 addition, previously selfcheck-only)
+    # distribution and the ExactSubstr-style span report (ngram-jaccard
+    # rotated out — its posting pipeline stays graded transitively via
+    # neardup_degree_distribution, which is built on it)
     "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
+    "dedup_substring_spans",
     "dedup_clusters",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",

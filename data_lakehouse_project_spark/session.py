@@ -150,3 +150,44 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def glue_catalog_conf(
+    region: str | None = None,
+    catalog_id: str | None = None,
+    warehouse: str | None = None,
+) -> dict[str, str]:
+    """AWS-Glue-as-Hive-metastore configuration block — pass as
+    ``extra_conf`` alongside ``enable_hive=True``.
+
+    The reference wires Glue two ways: ``spark/conf/hive-site.xml:4-15``
+    sets the Glue Hive-client factory + region (the path this helper
+    reproduces as session conf, no XML file needed — any ``hive.*`` key
+    is accepted under ``spark.hadoop.``), and
+    ``mysql_gold_aggregation.py:15-56`` registers tables via boto3
+    directly (subsumed here by Spark DDL through the metastore — one
+    write path instead of two that can drift; see operators/catalog.py).
+
+    The factory class ships in the ``aws-glue-datacatalog-hive3-client``
+    jar (EMR/Glue images have it preinstalled; plain clusters add it to
+    ``spark.jars``). Config-shape only in this harness — no AWS — which
+    is exactly what the Derby-backed Hive-metastore tests cover
+    semantically (``tests/test_hive_catalog.py``): Glue IS a Hive
+    metastore implementation behind the same client interface.
+
+    ``catalog_id`` selects a cross-account catalog; ``warehouse`` sets
+    the default database location for managed tables.
+    """
+    conf = {
+        "spark.hadoop.hive.metastore.client.factory.class": (
+            "com.amazonaws.glue.catalog.metastore."
+            "AWSGlueDataCatalogHiveClientFactory"
+        ),
+    }
+    if region:
+        conf["spark.hadoop.hive.metastore.glue.aws.region"] = region
+    if catalog_id:
+        conf["spark.hadoop.hive.metastore.glue.catalogid"] = catalog_id
+    if warehouse:
+        conf["spark.sql.warehouse.dir"] = warehouse
+    return conf

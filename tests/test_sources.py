@@ -255,3 +255,25 @@ def test_s3a_conf_shape():
     # committer can be opted out for HDFS-style rename-capable stores
     plain = s3a_conf(magic_committer=False)
     assert "spark.hadoop.fs.s3a.committer.name" not in plain
+
+
+def test_glue_catalog_conf_shape():
+    """Glue-as-metastore conf block: the reference's hive-site.xml
+    factory-class + region wiring (spark/conf/hive-site.xml:4-15)
+    expressed as session conf. Config-shape unit test — no AWS in the
+    harness; metastore SEMANTICS are covered against a real (Derby)
+    Hive metastore in test_hive_catalog.py."""
+    from data_lakehouse_project_spark.session import glue_catalog_conf
+
+    c = glue_catalog_conf(region="eu-west-1", catalog_id="123456789012")
+    assert c[
+        "spark.hadoop.hive.metastore.client.factory.class"
+    ].endswith("AWSGlueDataCatalogHiveClientFactory")
+    assert c["spark.hadoop.hive.metastore.glue.aws.region"] == "eu-west-1"
+    assert (
+        c["spark.hadoop.hive.metastore.glue.catalogid"] == "123456789012"
+    )
+    # minimal block: factory class only — region from the provider chain
+    assert list(glue_catalog_conf()) == [
+        "spark.hadoop.hive.metastore.client.factory.class"
+    ]
