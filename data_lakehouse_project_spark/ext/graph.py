@@ -157,3 +157,88 @@ def canonical_representatives(
         F.col("cluster_size"),
         F.col(score_col).alias("best_quality"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+    undirected: bool = True,
+    checkpoint_every: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """PageRank over an edge set — the centrality-importance signal a
+    curation pipeline weights documents by (Common-Crawl-style link/
+    similarity centrality; hub docs in a near-dup graph are boilerplate,
+    high-centrality docs in a citation graph are canonical).
+
+    GraphX convention (no global N needed): rank0 = 1.0, then
+    rank = (1 - d) + d * Σ_in rank_src / outdeg_src — ranks sum to ~N,
+    dangling-node mass decays (same as GraphX; document, don't hide).
+    Fixed ``iterations`` keeps the op deterministic and ORACLE-ABLE as
+    unrolled SQL; near-dup and citation graphs reach useful orderings
+    in ~5 rounds.
+
+    Scale shape per round: one shuffle join (ranks ⋈ edges on src) +
+    one aggregate on dst — identical to connected_components' round
+    cost, with the same lineage hygiene: localCheckpoint every
+    ``checkpoint_every`` rounds, superseded checkpoints freed
+    immediately (cacheutil), edge set + outdegree persisted for the
+    loop and released with the result.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.union(
+            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        )
+    e = e.distinct().persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # weight each edge once: rank flowing over (src -> dst) is
+    # rank_src / outdeg_src; precomputing the reciprocal keeps the
+    # per-round join payload to (src, dst, inv) with no re-aggregation
+    weighted = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv"))
+        .persist()
+    )
+    # both endpoints: a directed sink (no out-edges) still holds rank
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+
+    prev_ckpt = None
+    for i in range(iterations):
+        contribs = (
+            weighted.join(ranks, weighted.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("inv")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                free_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
+
+    scale = float(10**round_to)
+    out = ranks.select(
+        "node",
+        (F.floor(F.col("rank") * scale + F.lit(0.5)).cast("double") / scale)
+        .alias("rank"),
+    )
+    e.unpersist(False)
+    return release_on_gc(out, weighted)

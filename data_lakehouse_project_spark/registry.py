@@ -789,6 +789,20 @@ WHERE jaccard >= 0.8
 """
 
 
+def q_quality_classifier_scores(spark, sf_dir):
+    """Fasttext-style model-based quality filter (ext/classifier.py):
+    hashed-BoW + MLlib LR self-trained on the heuristic score's
+    confident tails, then a map-only scoring pass over the corpus.
+    Rows-only check: an iteratively-fitted model is not
+    SQL-expressible; the op's own gates live in test_classifier.py
+    (held-out accuracy >= 0.95, shuffle-free scoring plan)."""
+    from data_lakehouse_project_spark.ext import classifier as X_clf
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    model = X_clf.train_quality_classifier(documents, "text", "doc_id")
+    return X_clf.score_documents(model, documents, "text", "doc_id")
+
+
 def q_dedup_substring_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span report (Lee et al. 2021):
     per-doc maximal spans covered by 8-token windows that repeat
@@ -884,6 +898,65 @@ ends AS (
 deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
 SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree
 ORDER BY degree
+"""
+)
+
+
+def q_doc_pagerank(spark, sf_dir):
+    """PageRank centrality over the doc near-dup graph (ext/graph.py::
+    pagerank, GraphX convention, 5 fixed iterations): high-rank nodes
+    are the boilerplate hubs a curation pass should down-weight. The
+    oracle unrolls the same 5 iterations as chained CTEs — fixed
+    iteration count is what keeps an iterative algorithm SQL-checkable."""
+    from data_lakehouse_project_spark.ext.graph import pagerank
+
+    pairs = X_dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents")[0],
+        "text",
+        "doc_id",
+        n=3,
+        jaccard_threshold=0.8,
+    ).select("id_a", "id_b")
+    return pagerank(pairs, iterations=5).select(
+        F.col("node").alias("doc_id"), "rank"
+    )
+
+
+def _pr_iterations(k: int) -> str:
+    """r1..rk CTE blocks: rank = 0.15 + 0.85 * Σ rank_src / outdeg."""
+    blocks = []
+    for i in range(1, k + 1):
+        blocks.append(
+            f"""r{i} AS (
+  SELECT n.node, 0.15 + 0.85 * COALESCE(m.mass, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT w.dst, SUM(r.rank * w.inv) AS mass
+    FROM r{i - 1} r JOIN weighted w ON w.src = r.node GROUP BY w.dst
+  ) m ON m.dst = n.node)"""
+        )
+    return ",\n".join(blocks)
+
+
+SQL_DOC_PAGERANK = (
+    "WITH jp AS ("
+    + SQL_NGRAM_JACCARD
+    + f"""),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b, id_a FROM jp
+),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+weighted AS (
+  SELECT e.src, e.dst, 1.0 / o.outdeg AS inv
+  FROM edges e JOIN outdeg o USING (src)
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+{_pr_iterations(5)}
+SELECT node AS doc_id,
+       CAST(FLOOR(rank * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS rank
+FROM r5
 """
 )
 
@@ -3072,6 +3145,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         SQL_NEARDUP_DEGREE,
     ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "doc_pagerank": (q_doc_pagerank, SQL_DOC_PAGERANK),
     "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "bloom_admission_verdicts": (q_bloom_admission, SQL_BLOOM_ADMISSION),
@@ -3108,6 +3182,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bigram_condprob_top": (q_bigram_condprob_top, SQL_BIGRAM_CONDPROB),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_JACCARD),
     "dedup_minhash_pairs_lsh16": (q_dedup_minhash_pairs_lsh16, None),
+    "quality_classifier_scores": (q_quality_classifier_scores, None),
     "dedup_minhash_rep_pairs": (q_dedup_minhash_rep_pairs, None),
     "dedup_simhash_fingerprints": (q_dedup_simhash, None),
     # similarity

@@ -59,3 +59,51 @@ def test_canonical_representatives_keeps_best_per_cluster(spark):
     assert rows[1].keep_id == 1 and rows[1].cluster_size == 1
     # cluster 2: tie at 0.7 -> id 2
     assert rows[2].keep_id == 2 and rows[2].cluster_size == 2
+
+
+def test_pagerank_star_hub_and_numpy_parity(spark):
+    """Undirected 4-star: hub collects 3 spokes' full mass. Checked
+    against a dense numpy power iteration with the same GraphX-style
+    update — any drift in join/aggregate wiring shows up here."""
+    import numpy as np
+
+    from data_lakehouse_project_spark.ext.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=5, round_to=9).collect()
+    }
+
+    # dense reference: A[dst, src] = 1/outdeg(src), undirected
+    und = edges + [(b, a) for a, b in edges]
+    outdeg = {0: 3, 1: 1, 2: 1, 3: 1}
+    A = np.zeros((4, 4))
+    for s, d in und:
+        A[d, s] = 1.0 / outdeg[s]
+    r = np.ones(4)
+    for _ in range(5):
+        r = (1 - 0.85) + 0.85 * (A @ r)
+    for n in range(4):
+        assert abs(got[n] - r[n]) < 1e-9, (n, got[n], r[n])
+    assert got[0] > got[1] == got[2] == got[3]
+
+
+def test_pagerank_directed_dangling_decay(spark):
+    """Directed chain 1->2->3: node 3 is dangling (GraphX semantics:
+    its mass leaves the system, ranks need not sum to N)."""
+    from data_lakehouse_project_spark.ext.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df, iterations=10, undirected=False, round_to=9
+        ).collect()
+    }
+    # source node keeps only the teleport share
+    assert abs(got[1] - 0.15) < 1e-9
+    # downstream accumulates: 2 gets 0.15 + 0.85*rank1, 3 even more lag
+    assert got[1] < got[2] < got[3]
+    assert sum(got.values()) < 3.0  # dangling decay

@@ -261,3 +261,66 @@ def test_interval_bin_join_equals_nested_loop(spark, points, intervals, width):
     )
     key = lambda df: sorted((r.id, r.iid) for r in df.collect())
     assert key(binned) == key(bnlj)
+
+
+# ------------------------------------------------- exactsubstr property
+def _naive_dup_spans(docs: dict[int, list[str]], window: int):
+    """Reference implementation of the duplicated-window-span DEFINITION
+    (ext/dedup.py::duplicated_window_spans): count every window's corpus
+    occurrences, mark covering positions, merge overlaps."""
+    from collections import Counter
+
+    freq = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - window + 1):
+            freq[tuple(toks[i : i + window])] += 1
+    out = {}
+    for doc_id, toks in docs.items():
+        hits = [
+            i + 1
+            for i in range(len(toks) - window + 1)
+            if freq[tuple(toks[i : i + window])] >= 2
+        ]
+        spans, prev = [], None
+        for p in hits:
+            if prev is not None and p <= prev + window:  # merge rule
+                spans[-1][1] = p + window - 1
+            else:
+                spans.append([p, p + window - 1])
+            prev = p
+        if spans:
+            total = sum(e - s + 1 for s, e in spans)
+            out[doc_id] = (len(spans), total, max(e - s + 1 for s, e in spans))
+    return out
+
+
+token_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_hyp
+@given(docs=token_docs)
+def test_duplicated_window_spans_matches_naive(spark, docs):
+    """Distributed rolling-hash spans == brute-force definition for any
+    small corpus (4-token alphabet makes repeats likely)."""
+    from data_lakehouse_project_spark.ext.dedup import (
+        duplicated_window_spans,
+    )
+
+    window = 3
+    doc_map = {i: toks for i, toks in enumerate(docs)}
+    rows = [(i, " ".join(toks)) for i, toks in doc_map.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens, r.max_span_tokens)
+        for r in duplicated_window_spans(
+            df, "text", "doc_id", window=window
+        ).collect()
+    }
+    want = _naive_dup_spans(doc_map, window)
+    assert got == want
