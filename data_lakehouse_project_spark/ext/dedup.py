@@ -1029,3 +1029,78 @@ def duplicated_window_spans(
             "dup_fraction"
         ),
     )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    min_repeats: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Boilerplate trimming: rewrite each document's text with its
+    duplicated spans (``duplicated_window_spans`` definition) REMOVED —
+    the "cut" step of ExactSubstr dedup as used for boilerplate
+    (headers/footers/navigation chrome that repeats corpus-wide).
+
+    Honest semantic note: this removes EVERY occurrence of a duplicated
+    span (the right call for boilerplate, where no copy belongs in
+    training data). The paper's keep-one-global-copy variant requires
+    electing a canonical occurrence per duplicate class — at corpus
+    scale that is a second groupBy on span hash; compose it from
+    ``duplicated_window_spans(summary=False)`` if needed.
+
+    Scale shape: spans per doc collapse to an array via one groupBy
+    (span counts are bounded by dup windows, already computed), the
+    rewrite itself is a pure JVM higher-order-function projection
+    (``filter`` + ``exists`` over the token array) — no Python on rows,
+    no extra shuffle beyond the span computation.
+
+    Returns the input columns with ``text_col`` rewritten and
+    ``n_tokens_removed`` appended (0 for untouched docs).
+    """
+    spans = duplicated_window_spans(
+        df,
+        text_col,
+        id_col,
+        window=window,
+        min_repeats=min_repeats,
+        stride=stride,
+        summary=False,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    arr = tokens(F.col(text_col))
+    indexed = F.zip_with(
+        arr,
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda t, i: F.struct(t.alias("tok"), i.alias("pos")),
+    )
+    covered = lambda t: F.exists(
+        F.col("_spans"),
+        lambda s: (t["pos"] >= s["span_start"])
+        & (t["pos"] <= s["span_end"]),
+    )
+    kept = F.filter(indexed, lambda t: ~covered(t))
+    out_cols = [
+        c for c in df.columns if c != text_col
+    ]
+    joined = df.join(per_doc, id_col, "left")
+    return joined.select(
+        *out_cols,
+        F.when(
+            F.col("_spans").isNull(), F.col(text_col)
+        )
+        .otherwise(
+            F.concat_ws(
+                " ", F.transform(kept, lambda t: t["tok"])
+            )
+        )
+        .alias(text_col),
+        F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size(arr) - F.size(kept))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )

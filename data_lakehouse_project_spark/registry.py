@@ -817,8 +817,7 @@ def q_dedup_substring_spans(spark, sf_dir):
 # range() unnested in the select list per row (see _SHINGLE3 note);
 # the oracle groups on window TEXT where Spark groups on xxhash64 —
 # identical partitions absent a 64-bit collision (none at oracle SF)
-SQL_SUBSTRING_SPANS = f"""
-WITH docs AS (
+_SPANS_CTES = f"""docs AS (
   SELECT doc_id, string_split({NORM}, ' ') AS arr FROM documents
 ), toks AS (
   SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr
@@ -848,7 +847,10 @@ WITH docs AS (
   SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
          MIN(pos) AS span_start, MAX(pos) + 8 - 1 AS span_end
   FROM isl2 GROUP BY doc_id, island
-)
+)"""
+
+SQL_SUBSTRING_SPANS = f"""
+WITH {_SPANS_CTES}
 SELECT doc_id,
        CAST(ANY_VALUE(n_tokens) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
@@ -858,6 +860,49 @@ SELECT doc_id,
                   / ANY_VALUE(n_tokens) * 100 + 0.5) AS DOUBLE) / 100.0
          AS dup_fraction
 FROM spans GROUP BY doc_id
+"""
+
+
+def q_trim_duplicated_substrings(spark, sf_dir):
+    """Boilerplate trimming (ExactSubstr "cut" step, ext/dedup.py::
+    trim_duplicated_spans): every duplicated 8-token span removed from
+    every document, rewrite done entirely in JVM higher-order functions.
+    Oracle rebuilds the text with an anti-join on covered positions +
+    ordered string_agg."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.trim_duplicated_spans(
+        documents, "text", "doc_id", window=8
+    ).select("doc_id", "text", "n_tokens_removed")
+
+
+SQL_TRIM_SUBSTRINGS = f"""
+WITH {_SPANS_CTES},
+pos AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, arr[CAST(i AS INTEGER)] AS tok
+  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM docs)
+),
+uncovered AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.pos BETWEEN s.span_start AND s.span_end)
+),
+rebuilt AS (
+  SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS new_text,
+         COUNT(*) AS n_kept
+  FROM uncovered GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN s.doc_id IS NOT NULL
+            THEN COALESCE(r.new_text, '') ELSE d.text END AS text,
+       CAST(CASE WHEN s.doc_id IS NOT NULL
+            THEN s.n_tokens - COALESCE(r.n_kept, 0) ELSE 0 END AS BIGINT)
+         AS n_tokens_removed
+FROM documents d
+LEFT JOIN (SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens
+           FROM spans GROUP BY doc_id) s ON s.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 """
 
 
@@ -3140,6 +3185,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_substring_spans": (q_dedup_substring_spans, SQL_SUBSTRING_SPANS),
+    "trim_duplicated_substrings": (
+        q_trim_duplicated_substrings,
+        SQL_TRIM_SUBSTRINGS,
+    ),
     "neardup_degree_distribution": (
         q_neardup_degree_distribution,
         SQL_NEARDUP_DEGREE,

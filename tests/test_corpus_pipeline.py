@@ -19,9 +19,12 @@ def test_funnel_monotone_and_self_consistent(spark, testdata):
     stages = curate(testdata["documents"])
     counts = {k: df.count() for k, df in stages.items()}
     order = ["raw", "length_kept", "lang_kept", "quality_kept",
-             "exact_unique", "near_dup_unique"]
+             "ml_quality_kept", "exact_unique", "near_dup_unique",
+             "trimmed"]
     for earlier, later in zip(order, order[1:]):
         assert counts[later] <= counts[earlier], (earlier, later, counts)
+    # boilerplate trim rewrites text but never drops documents
+    assert counts["trimmed"] == counts["near_dup_unique"]
 
     # the survivors contain no near-duplicate pair at the same threshold
     leftovers = minhash_near_duplicates(

@@ -379,3 +379,40 @@ def test_duplicated_window_spans_stride_is_content_defined(spark):
         df, "text", "doc_id", window=8, stride=4
     )
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_trim_duplicated_spans_cuts_boilerplate_everywhere(spark):
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"keep this {shared} and this"),
+        (2, f"{shared} unique tail here"),
+        (3, "nothing duplicated in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.trim_duplicated_spans(
+            df, "text", "doc_id", window=8
+        ).collect()
+    }
+    assert out[1]["text"] == "keep this and this"
+    assert out[2]["text"] == "unique tail here"
+    assert out[1]["n_tokens_removed"] == out[2]["n_tokens_removed"] == 10
+    # untouched doc: ORIGINAL text verbatim, zero removed
+    assert out[3]["text"] == "nothing duplicated in this document at all"
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_trim_duplicated_spans_plan_has_no_python(spark):
+    """The rewrite must stay in JVM HOFs — no BatchEvalPython stage."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    plan = (
+        dedup.trim_duplicated_spans(df, "text", "doc_id", window=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
