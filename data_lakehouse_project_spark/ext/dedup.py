@@ -898,6 +898,50 @@ def incremental_dedup_report_indexed(
     )
 
 
+def _dup_window_hits(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int,
+    min_repeats: int,
+    stride: int,
+) -> DataFrame:
+    """Shared front half of the ExactSubstr family: rolling-hash
+    windows, optional content-defined sampling, corpus frequency
+    table, join-back. Returns (id, n_tokens, pos, whash) for every
+    window occurring >= min_repeats times corpus-wide."""
+    arr = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), arr.alias("arr"), F.size(arr).alias("n_tokens")
+    ).where(F.col("n_tokens") >= window)
+    starts = F.sequence(F.lit(1), F.col("n_tokens") - window + 1)
+    wins = base.select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.concat_ws(" ", F.slice("arr", i, window))
+                    ).alias("whash"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, "n_tokens", "w.pos", "w.whash")
+    if stride > 1:
+        wins = wins.where(F.pmod("whash", F.lit(stride)) == 0)
+
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_repeats)
+        .select("whash")
+    )
+    return wins.join(dup_hashes, "whash")
+
+
 def duplicated_window_spans(
     df: DataFrame,
     text_col: str,
@@ -955,36 +999,9 @@ def duplicated_window_spans(
     """
     from pyspark.sql import Window as W
 
-    arr = tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col), arr.alias("arr"), F.size(arr).alias("n_tokens")
-    ).where(F.col("n_tokens") >= window)
-    starts = F.sequence(F.lit(1), F.col("n_tokens") - window + 1)
-    wins = base.select(
-        id_col,
-        "n_tokens",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.xxhash64(
-                        F.concat_ws(" ", F.slice("arr", i, window))
-                    ).alias("whash"),
-                ),
-            )
-        ).alias("w"),
-    ).select(id_col, "n_tokens", "w.pos", "w.whash")
-    if stride > 1:
-        wins = wins.where(F.pmod("whash", F.lit(stride)) == 0)
-
-    dup_hashes = (
-        wins.groupBy("whash")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .where(F.col("occ") >= min_repeats)
-        .select("whash")
+    hits = _dup_window_hits(
+        df, text_col, id_col, window, min_repeats, stride
     )
-    hits = wins.join(dup_hashes, "whash")
 
     ordered = W.partitionBy(id_col).orderBy("pos")
     # fixed-length aligned windows => span ends are monotone in pos, so
@@ -1100,6 +1117,119 @@ def trim_duplicated_spans(
         )
         .alias(text_col),
         F.when(F.col("_spans").isNull(), F.lit(0))
+        .otherwise(F.size(arr) - F.size(kept))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
+def trim_duplicated_spans_keep_one(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    min_repeats: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """The paper-faithful ExactSubstr cut: for every duplicated window
+    class, the CANONICAL occurrence (first by (id, pos) — deterministic
+    row_number over the class) keeps its text; every other occurrence
+    is cut. Exactly one copy of duplicated content survives corpus-wide
+    (``trim_duplicated_spans`` removes all copies — the boilerplate
+    posture; this variant is the dedup posture).
+
+    A position survives iff it is NOT covered by any non-canonical
+    duplicated window, OR it is covered by a canonical one (overlapping
+    classes can disagree; protection wins, so survivors err toward
+    keeping one copy rather than shredding).
+
+    Scale shape: one row_number over the per-class hits (co-partitioned
+    by whash from the frequency join), then ONE id-partitioned window
+    pass computes both span sets — islands break on a position gap OR a
+    protected-class change (ordering by (protected, pos) keeps each
+    class contiguous), so the cut/prot split costs no second shuffle
+    and every downstream aggregate + the final join reuse the id
+    partitioning (plan_audit caught the original two-subset version
+    recomputing the hit pipeline once per class: 10 exchanges → 6).
+    """
+    from pyspark.sql import Window as W
+
+    hits = _dup_window_hits(
+        df, text_col, id_col, window, min_repeats, stride
+    )
+    cls = W.partitionBy("whash").orderBy(id_col, "pos")
+    flagged = hits.withColumn(
+        "protected", F.row_number().over(cls) == 1
+    )
+
+    ordered = W.partitionBy(id_col).orderBy("protected", "pos")
+    span_struct = F.struct(
+        F.min("pos").alias("s"), (F.max("pos") + window - 1).alias("e")
+    )
+    spans_per_doc = (
+        flagged.withColumn(
+            "brk",
+            F.when(
+                (F.col("pos") > F.lag("pos").over(ordered) + window)
+                | (
+                    F.col("protected")
+                    != F.lag("protected").over(ordered)
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                ordered.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "protected", "island")
+        .agg(span_struct.alias("sp"))
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.when(~F.col("protected"), F.col("sp"))
+            ).alias("_cut_raw"),
+            F.collect_list(
+                F.when(F.col("protected"), F.col("sp"))
+            ).alias("_prot"),
+        )
+        # docs whose every hit is protected have no cut spans: treat as
+        # untouched (NULL _cut), matching the two-frame formulation
+        .select(
+            id_col,
+            F.when(F.size("_cut_raw") > 0, F.col("_cut_raw")).alias(
+                "_cut"
+            ),
+            "_prot",
+        )
+    )
+
+    arr = tokens(F.col(text_col))
+    indexed = F.zip_with(
+        arr,
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda t, i: F.struct(t.alias("tok"), i.alias("pos")),
+    )
+    in_spans = lambda col, t: F.exists(
+        F.coalesce(F.col(col), F.array()),
+        lambda s: (t["pos"] >= s["s"]) & (t["pos"] <= s["e"]),
+    )
+    kept = F.filter(
+        indexed,
+        lambda t: ~in_spans("_cut", t) | in_spans("_prot", t),
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    joined = df.join(spans_per_doc, id_col, "left")
+    return joined.select(
+        *out_cols,
+        F.when(F.col("_cut").isNull(), F.col(text_col))
+        .otherwise(
+            F.concat_ws(" ", F.transform(kept, lambda t: t["tok"]))
+        )
+        .alias(text_col),
+        F.when(F.col("_cut").isNull(), F.lit(0))
         .otherwise(F.size(arr) - F.size(kept))
         .cast("long")
         .alias("n_tokens_removed"),

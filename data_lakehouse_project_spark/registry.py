@@ -906,6 +906,94 @@ LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 """
 
 
+def q_trim_substrings_keep_one(spark, sf_dir):
+    """Paper-faithful ExactSubstr cut (ext/dedup.py::
+    trim_duplicated_spans_keep_one): exactly one canonical occurrence
+    of every duplicated 8-token window class survives corpus-wide
+    (row_number-elected first (doc_id, pos)); oracle mirrors the
+    election and the protection-wins rebuild rule in SQL."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.trim_duplicated_spans_keep_one(
+        documents, "text", "doc_id", window=8
+    ).select("doc_id", "text", "n_tokens_removed")
+
+
+SQL_TRIM_KEEP_ONE = f"""
+WITH {_SPANS_CTES},
+flagged AS (
+  SELECT wins.doc_id, wins.n_tokens, wins.pos,
+         ROW_NUMBER() OVER (PARTITION BY wins.w
+                            ORDER BY wins.doc_id, wins.pos) = 1
+           AS protected
+  FROM wins JOIN dupw USING (w)
+),
+cut_isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    + 8 THEN 1 ELSE 0 END AS brk
+  FROM flagged WHERE NOT protected
+),
+cut_isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM cut_isl
+),
+cut_spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM cut_isl2 GROUP BY doc_id, island
+),
+prot_isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    + 8 THEN 1 ELSE 0 END AS brk
+  FROM flagged WHERE protected
+),
+prot_isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM prot_isl
+),
+prot_spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+  FROM prot_isl2 GROUP BY doc_id, island
+),
+pos_tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos, arr[CAST(i AS INTEGER)] AS tok
+  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM docs)
+),
+survivors AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos_tok p
+  WHERE NOT EXISTS (
+          SELECT 1 FROM cut_spans c
+          WHERE c.doc_id = p.doc_id AND p.pos BETWEEN c.s AND c.e)
+     OR EXISTS (
+          SELECT 1 FROM prot_spans q
+          WHERE q.doc_id = p.doc_id AND p.pos BETWEEN q.s AND q.e)
+),
+rebuilt AS (
+  SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY pos), '') AS new_text,
+         COUNT(*) AS n_kept
+  FROM survivors GROUP BY doc_id
+),
+cut_docs AS (
+  SELECT c.doc_id, ANY_VALUE(t.n_tokens) AS n_tokens
+  FROM (SELECT DISTINCT doc_id FROM cut_spans) c
+  JOIN toks t USING (doc_id) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN cd.doc_id IS NOT NULL
+            THEN COALESCE(r.new_text, '') ELSE d.text END AS text,
+       CAST(CASE WHEN cd.doc_id IS NOT NULL
+            THEN cd.n_tokens - COALESCE(r.n_kept, 0) ELSE 0 END AS BIGINT)
+         AS n_tokens_removed
+FROM documents d
+LEFT JOIN cut_docs cd ON cd.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
 def q_neardup_degree_distribution(spark, sf_dir):
     """Similarity-graph degree distribution: for every document in at
     least one char-3-gram Jaccard ≥ 0.8 pair, its edge count, then
@@ -3188,6 +3276,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "trim_duplicated_substrings": (
         q_trim_duplicated_substrings,
         SQL_TRIM_SUBSTRINGS,
+    ),
+    "trim_substrings_keep_one": (
+        q_trim_substrings_keep_one,
+        SQL_TRIM_KEEP_ONE,
     ),
     "neardup_degree_distribution": (
         q_neardup_degree_distribution,

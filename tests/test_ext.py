@@ -416,3 +416,34 @@ def test_trim_duplicated_spans_plan_has_no_python(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_trim_keep_one_preserves_exactly_one_copy(spark):
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"{shared} alpha beta"),
+        (2, f"{shared} gamma delta"),
+        (3, "p q r s t u v w x p q r s t u v w x"),
+        (4, "totally unique content sits right here unharmed today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.trim_duplicated_spans_keep_one(
+            df, "text", "doc_id", window=8
+        ).collect()
+    }
+    # canonical (lowest doc_id) occurrence keeps the shared run verbatim
+    assert out[1]["text"] == f"{shared} alpha beta"
+    assert out[1]["n_tokens_removed"] == 0
+    # the other copy is cut
+    assert out[2]["text"] == "gamma delta"
+    assert out[2]["n_tokens_removed"] == 10
+    # within-doc repeat: first occurrence survives, second is cut
+    assert out[3]["text"] == "p q r s t u v w x"
+    assert out[3]["n_tokens_removed"] == 9
+    # untouched doc passes through verbatim
+    assert out[4]["n_tokens_removed"] == 0
+    # corpus-wide: at least one copy of the shared content survives
+    alltext = " ".join(out[i]["text"] for i in out)
+    assert shared in alltext
