@@ -55,6 +55,11 @@ HEADLINE = [
     # stays the graded oracle anchor. BASELINE.md maps r4's
     # "lineitem_profile" slot (exact, 3.27 s) to this one.
     "lineitem_profile_wide",
+    # r5 additions: ExactSubstr span detection (rolling-hash windows +
+    # interval merge) and fixed-iteration PageRank over the near-dup
+    # graph — new slots, baselined from BENCH_r05 on
+    "dedup_substring_spans",
+    "doc_pagerank",
 ]
 
 

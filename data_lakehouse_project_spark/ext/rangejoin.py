@@ -79,3 +79,68 @@ def interval_bin_join(
         )
         .drop("_bin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    clamp_lo: float | None = None,
+    clamp_hi: float | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (``max(lo) < min(hi)``,
+    half-open [lo, hi)) — both sides large, no broadcast required.
+
+    Both sides explode to the grid bins they touch and equi-join on the
+    bin id. A pair overlapping k shared bins would meet k times; the
+    classic exactly-once rule keeps the match only in the bin holding
+    the OVERLAP'S START, ``floor(max(lo_a, lo_b) / w)`` — every truly
+    overlapping pair has exactly one such bin, so no distinct pass and
+    no over-count (the same trick warehouses document for their range-
+    join optimization, generalized from the point case above).
+
+    Cost: Σ ceil(span / bin_width) exploded rows per side, one shuffle
+    each on the integer bin key. Pick ``bin_width`` near the median
+    span; ``clamp_*`` bound the explode for open-ended intervals
+    (results unchanged for overlaps inside the clamp window — the exact
+    predicate uses the ORIGINAL bounds).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def _exploded(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        lo_b, hi_b = F.col(lo), F.col(hi)
+        if clamp_lo is not None:
+            lo_b = F.greatest(lo_b, F.lit(float(clamp_lo)))
+        if clamp_hi is not None:
+            hi_b = F.least(hi_b, F.lit(float(clamp_hi)))
+        lo_bin = F.floor(lo_b / F.lit(bin_width)).cast("long")
+        hi_bin = F.floor((hi_b - F.lit(1e-9)) / F.lit(bin_width)).cast(
+            "long"
+        )
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(lo_bin, F.greatest(hi_bin, lo_bin))
+            ).alias("_bin"),
+        )
+
+    joined = _exploded(left, left_lo, left_hi).join(
+        _exploded(right, right_lo, right_hi), "_bin"
+    )
+    start = F.greatest(F.col(left_lo), F.col(right_lo))
+    return (
+        joined.where(
+            (start < F.least(F.col(left_hi), F.col(right_hi)))
+            # exactly-once: only the overlap-start bin emits the pair
+            & (
+                F.floor(start / F.lit(bin_width)).cast("long")
+                == F.col("_bin")
+            )
+        )
+        .drop("_bin")
+    )

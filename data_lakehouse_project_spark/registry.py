@@ -2319,6 +2319,62 @@ def q_join_range_bands_binned(spark, sf_dir):
     )
 
 
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval × interval OVERLAP join, both sides fact-sized (no
+    broadcast): 1995 order validity windows [orderdate, +7d) against
+    1995 shipment windows [shipdate, receiptdate), counted per
+    priority. Binned rewrite (ext/rangejoin.py::interval_overlap_join):
+    both sides explode to touched grid bins, equi-join on bin id, and
+    ONLY the overlap-start bin emits each pair — exactly-once with no
+    distinct pass. Oracle is the raw inequality join."""
+    from data_lakehouse_project_spark.ext.rangejoin import (
+        interval_overlap_join,
+    )
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    epoch = F.lit("1990-01-01")
+    o = orders.where(F.year("o_orderdate") == 1995).select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", epoch).cast("double").alias("o_lo"),
+        (F.datediff("o_orderdate", epoch) + 7)
+        .cast("double")
+        .alias("o_hi"),
+    )
+    # testdata lineitem carries no receiptdate: shipment window = 1-21
+    # days, deterministic from the line identity (same formula in SQL)
+    span = 1 + F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(21))
+    l = lineitem.where(F.year("l_shipdate") == 1995).select(
+        F.datediff("l_shipdate", epoch).cast("double").alias("l_lo"),
+        (F.datediff("l_shipdate", epoch) + span)
+        .cast("double")
+        .alias("l_hi"),
+    )
+    pairs = interval_overlap_join(
+        o, l, "o_lo", "o_hi", "l_lo", "l_hi", bin_width=7.0
+    )
+    return pairs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH o AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1990-01-01', o_orderdate) AS o_lo,
+         date_diff('day', DATE '1990-01-01', o_orderdate) + 7 AS o_hi
+  FROM orders WHERE year(o_orderdate) = 1995
+), l AS (
+  SELECT date_diff('day', DATE '1990-01-01', l_shipdate) AS l_lo,
+         date_diff('day', DATE '1990-01-01', l_shipdate)
+           + 1 + (l_orderkey + l_linenumber) % 21 AS l_hi
+  FROM lineitem WHERE year(l_shipdate) = 1995
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM o JOIN l ON GREATEST(o_lo, l_lo) < LEAST(o_hi, l_hi)
+GROUP BY o_orderpriority
+"""
+
+
 def q_agg_approx_distinct(spark, sf_dir):
     """HLL approximate count-distinct next to the exact count (rows-only:
     sketch estimates are engine-specific by nature)."""
@@ -3376,6 +3432,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "events_asof_join": (q_events_asof_join, SQL_ASOF),
     "join_range_bands": (q_join_range_bands, SQL_RANGE_BANDS),
     "join_range_bands_binned": (q_join_range_bands_binned, SQL_RANGE_BANDS),
+    "join_interval_overlap": (q_join_interval_overlap, SQL_INTERVAL_OVERLAP),
     "agg_approx_distinct": (q_agg_approx_distinct, None),
     "events_daily_from_hourly": (q_events_daily_from_hourly, SQL_DAILY_FROM_HOURLY),
     "profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),

@@ -76,3 +76,74 @@ def test_bin_join_plan_has_no_nested_loop(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Binned interval×interval overlap == raw inequality join, each
+    pair exactly once (the overlap-start-bin rule needs no distinct)."""
+    import random
+
+    from data_lakehouse_project_spark.ext.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    a_rows = []
+    for i in range(300):
+        lo = float(rng.randint(0, 300))
+        a_rows.append((i, lo, lo + rng.randint(1, 40)))
+    b_rows = []
+    for j in range(300):
+        lo = float(rng.randint(0, 300))
+        b_rows.append((j, lo, lo + rng.randint(1, 40)))
+    a = spark.createDataFrame(a_rows, "a_id long, a_lo double, a_hi double")
+    b = spark.createDataFrame(b_rows, "b_id long, b_lo double, b_hi double")
+    got = interval_overlap_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=16.0
+    )
+    brute = a.crossJoin(b).where(
+        F.greatest("a_lo", "b_lo") < F.least("a_hi", "b_hi")
+    )
+    assert got.count() == brute.count()
+    assert (
+        got.groupBy("a_id", "b_id").count().where("count > 1").count() == 0
+    )
+    # zero-length interval ([x, x)) overlaps nothing
+    z = spark.createDataFrame([(0, 5.0, 5.0)], "a_id long, a_lo double, a_hi double")
+    assert interval_overlap_join(
+        z, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=16.0
+    ).count() == 0
+
+
+def test_interval_overlap_join_is_equi_join_plan(spark):
+    """The rewrite must plan a hash-partitioned equi-join on the bin
+    key — no BroadcastNestedLoopJoin / CartesianProduct."""
+    from data_lakehouse_project_spark.ext.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.range(2000).select(
+        F.col("id").alias("a_id"),
+        (F.col("id") % 500).cast("double").alias("a_lo"),
+        ((F.col("id") % 500) + 10).cast("double").alias("a_hi"),
+    )
+    b = spark.range(2000).select(
+        F.col("id").alias("b_id"),
+        (F.col("id") % 500).cast("double").alias("b_lo"),
+        ((F.col("id") % 500) + 10).cast("double").alias("b_hi"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            interval_overlap_join(
+                a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=20.0
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
