@@ -2652,6 +2652,96 @@ def q_bm25_search_topk(spark, sf_dir):
     )
 
 
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 (constant keyword query) fused
+    with exact cosine top-20 (vec_id=0 query vector) by Reciprocal
+    Rank Fusion, k=60 (ext/retrieval.py) — the standard RAG-stack
+    composition; ranks only, so the incommensurable score scales never
+    mix. Both legs round scores to 6 decimals BEFORE ranking so rank
+    order is engine-independent; ids join the two modalities
+    (doc_id == vec_id, the testdata contract)."""
+    from data_lakehouse_project_spark.ext.retrieval import rrf_fuse
+    from data_lakehouse_project_spark.ext.text import bm25_topk
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    lex = bm25_topk(
+        documents,
+        "text",
+        "doc_id",
+        ["filter", "vector", "stream", "zzz_absent_term"],
+        k=20,
+    ).select("doc_id", _rn(F.col("score"), 6).alias("score"))
+    q = _query_vector(spark, sf_dir)
+    dense = X_sim.cosine_topk(
+        embeddings.where(F.col("vec_id") != 0), "embedding", "vec_id", q, k=20
+    )
+    return rrf_fuse(
+        [(lex, "doc_id", "score"), (dense, "vec_id", "score")],
+        k=60,
+        top=15,
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH lengths AS (
+  SELECT doc_id, CAST(len({TOKS}) AS DOUBLE) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+  FROM lengths
+),
+q AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest({TOKS}) AS t FROM documents
+  ) WHERE t IN ('filter', 'vector', 'stream', 'zzz_absent_term')
+),
+idf AS (
+  SELECT t,
+         ln(1.0 + (s.n_docs - CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                   + 0.5)
+               / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5)) AS idf
+  FROM q, stats s GROUP BY t, s.n_docs
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM q GROUP BY 1, 2
+),
+lex AS (
+  SELECT doc_id,
+       {R("SUM(idf.idf * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lengths.dl / s.avgdl)))", 6)} AS score
+  FROM tf
+  JOIN idf USING (t)
+  JOIN lengths USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id
+  LIMIT 20
+),
+dense AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)), 6) AS score
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY score DESC, vec_id LIMIT 20
+),
+u AS (
+  SELECT doc_id AS item_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM lex
+  UNION ALL
+  SELECT vec_id AS item_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rank
+  FROM dense
+)
+SELECT item_id,
+       {R("SUM(1.0 / (60 + rank))", 6)} AS rrf_score,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM u GROUP BY item_id
+ORDER BY rrf_score DESC, item_id
+LIMIT 15
+"""
+
+
 SQL_BM25 = f"""
 WITH lengths AS (
   SELECT doc_id, CAST(len({TOKS}) AS DOUBLE) AS dl FROM documents
@@ -3357,6 +3447,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "tfidf_search_topk": (q_tfidf_search_topk, SQL_TFIDF),
     "bm25_search_topk": (q_bm25_search_topk, SQL_BM25),
+    "hybrid_search_rrf": (q_hybrid_search_rrf, SQL_HYBRID_RRF),
     "corpus_frequent_tokens": (q_corpus_frequent_tokens, SQL_FREQ_TOKENS),
     "lineitem_profile": (q_lineitem_profile, SQL_LINEITEM_PROFILE),
     "lineitem_profile_wide": (q_lineitem_profile_wide, None),

@@ -447,3 +447,42 @@ def test_trim_keep_one_preserves_exactly_one_copy(spark):
     # corpus-wide: at least one copy of the shared content survives
     alltext = " ".join(out[i]["text"] for i in out)
     assert shared in alltext
+
+
+# ------------------------------------------------------ hybrid retrieval
+def test_rrf_fuse_hand_computed(spark):
+    from data_lakehouse_project_spark.ext.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    dense = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "vec_id long, score double"
+    )
+    out = {
+        r.item_id: r
+        for r in rrf_fuse(
+            [(lex, "doc_id", "score"), (dense, "vec_id", "score")], k=60
+        ).collect()
+    }
+    # item 2: rank 2 lexically + rank 1 dense -> 1/62 + 1/61
+    assert abs(out[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert out[2]["n_lists"] == 2
+    # single-list items keep their lone contribution
+    assert abs(out[1]["rrf_score"] - round(1 / 61, 6)) < 2e-6
+    assert abs(out[4]["rrf_score"] - round(1 / 62, 6)) < 2e-6
+    # the doubly-ranked item wins the fusion
+    top = sorted(out.values(), key=lambda r: -r["rrf_score"])[0]
+    assert top["item_id"] == 2
+
+
+def test_rrf_fuse_deterministic_tiebreak(spark):
+    from data_lakehouse_project_spark.ext.retrieval import rrf_fuse
+
+    # equal scores: rank order must fall back to id (engine-stable)
+    df = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0), (9, 1.0)], "doc_id long, score double"
+    )
+    out = rrf_fuse([(df, "doc_id", "score")], k=60).collect()
+    by_rankscore = [r.item_id for r in out]
+    assert by_rankscore == [3, 5, 9]  # rrf desc == rank asc == id asc
