@@ -58,6 +58,31 @@ def split_column(
     ).otherwise(F.lit("train"))
 
 
+def cluster_safe_split(
+    clusters: DataFrame,
+    eval_fraction: float,
+    cluster_col: str = "cluster_id",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Leakage-safe train/eval split: the hash bucket is computed on the
+    near-dup CLUSTER id, not the document id, so every member of a
+    duplicate cluster lands in the same split — a doc-id split leaks
+    whenever two near-copies straddle the boundary (the eval set then
+    "tests" memorized training text). Singleton docs are their own
+    cluster, so the split degrades to the plain doc-id split exactly
+    when there is nothing to leak.
+
+    Input is the (id, cluster_id) assignment from
+    :func:`~data_lakehouse_project_spark.ext.graph.dedup_clusters`;
+    output adds a ``split`` column. Map-only (the clustering already
+    paid its shuffles); membership is a pure function of the cluster
+    id, so reruns and engine ports agree row-for-row.
+    """
+    return clusters.withColumn(
+        "split", split_column(F.col(cluster_col), eval_fraction, buckets)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

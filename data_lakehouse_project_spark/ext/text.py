@@ -282,6 +282,76 @@ def unigram_xentropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bigram_xentropy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document cross-entropy against a Jelinek-Mercer-interpolated
+    corpus bigram LM — the next step up from :func:`unigram_xentropy`
+    (CCNet trains a 5-gram KenLM for exactly this filter; a bigram with
+    unigram backoff is the distributed-SQL-expressible core of it).
+
+    p(w2|w1) = lam * c(w1,w2)/c(w1,·) + (1-lam) * c(w2)/N, where
+    c(w1,·) counts w1 as a bigram HEAD (so the conditional is a proper
+    MLE over transitions) and c(w2)/N is the full unigram backoff.
+    Score = -avg(ln p) over a document's transitions; docs with < 2
+    tokens have no transitions and are excluded.
+
+    Scale: the LM is built once from two aggregations over one exploded
+    bigram set (distinct bigrams ≤ total tokens, so every shuffle moves
+    counts, never text); scoring is ONE join of doc transitions to the
+    finished LM table on (w1, w2) — AQE broadcasts it when the
+    vocabulary fits. Same shape as unigram_xentropy, one grain deeper.
+    Floor-rounded at 6 so oracles match across engines.
+    """
+    toks = ws_tokens(F.col(text_col))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    grams = df.select(
+        F.col(id_col), F.explode(bg).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    c12 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = df.select(F.explode(ws_tokens(F.col(text_col))).alias("t"))
+    cu = uni.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
+    total = cu.agg(F.sum("cu").alias("n_total"))
+    lm = (
+        c12.join(c1, "w1")
+        .join(cu.select(F.col("t").alias("w2"), "cu"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.lit(lam) * F.col("c12") / F.col("c1")
+                + F.lit(1.0 - lam) * F.col("cu") / F.col("n_total")
+            ).alias("logp"),
+        )
+    )
+    return (
+        grams.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(-F.avg("logp") * 1e6 + F.lit(0.5)).cast("double")
+                / 1e6
+            ).alias("bigram_xent"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:

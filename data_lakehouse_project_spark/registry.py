@@ -1814,6 +1814,80 @@ GROUP BY doc_id
 """
 
 
+def q_bigram_xentropy(spark, sf_dir):
+    """Statistical quality filter, one grain deeper than the unigram
+    slot: per-doc cross-entropy vs a Jelinek-Mercer bigram LM
+    (lam * c12/c1 + (1-lam) * unigram backoff — the SQL-expressible
+    core of CCNet's KenLM filter). LM built once from count shuffles;
+    scoring is a single (w1, w2) join. Identical literal arithmetic
+    (0.7, 1.0 - 0.7) on both engines so the doubles agree bit-for-bit
+    before the 1e-6 floor."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_text.bigram_xentropy(documents, "text", "doc_id", lam=0.7)
+
+
+SQL_BIGRAM_XENT = f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+         toks[CAST(i AS INTEGER) + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+uni AS (SELECT unnest(toks) AS t FROM tk),
+cu AS (SELECT t, COUNT(*) AS cu FROM uni GROUP BY t),
+lm AS (
+  SELECT c12.w1, c12.w2,
+         ln(0.7 * c12.c12 / c1.c1
+            + (1.0 - 0.7) * cu.cu / (SELECT COUNT(*) FROM uni)) AS logp
+  FROM c12 JOIN c1 USING (w1) JOIN cu ON cu.t = c12.w2)
+SELECT doc_id,
+       CAST(FLOOR(-AVG(logp) * 1000000 + 0.5) AS DOUBLE) / 1000000
+         AS bigram_xent,
+       COUNT(*) AS n_bigrams
+FROM bg JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-safe train/eval split: hash-bucket the near-dup CLUSTER
+    id (not the doc id) so no duplicate pair straddles the boundary —
+    the standard guard against eval contamination by memorized
+    training text. Composes two oracle-checked stages (jaccard pairs →
+    connected components) with a map-only split; report grain is
+    per-split doc and cluster counts."""
+    from data_lakehouse_project_spark.ext.graph import dedup_clusters
+    from data_lakehouse_project_spark.ext.sampling import (
+        cluster_safe_split,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = X_dedup.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, jaccard_threshold=0.8
+    )
+    clusters = dedup_clusters(documents, pairs, "doc_id")
+    return (
+        cluster_safe_split(clusters, 0.1)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+    )
+
+
+SQL_CLUSTER_SAFE_SPLIT = f"""
+SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 10000 < 1000
+            THEN 'eval' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters
+FROM ({SQL_DEDUP_CLUSTERS}) clu
+GROUP BY 1
+"""
+
+
 def q_redact_pii_documents(spark, sf_dir):
     """PII scrub over the corpus: emails / IPv4s / phone-like digit runs
     → typed placeholders, plus a per-doc substitution count. Chained
@@ -3494,6 +3568,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_repetition_signals": (q_text_repetition_signals, SQL_REPETITION),
     "redact_pii_documents": (q_redact_pii_documents, SQL_REDACT),
     "unigram_xentropy_scores": (q_unigram_xentropy, SQL_UNIGRAM_XENT),
+    "bigram_xentropy_scores": (q_bigram_xentropy, SQL_BIGRAM_XENT),
+    "cluster_safe_split_counts": (
+        q_cluster_safe_split,
+        SQL_CLUSTER_SAFE_SPLIT,
+    ),
     "embedding_quantization_report": (
         q_embedding_quantization_report,
         SQL_QUANT_REPORT,

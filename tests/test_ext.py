@@ -486,3 +486,28 @@ def test_rrf_fuse_deterministic_tiebreak(spark):
     out = rrf_fuse([(df, "doc_id", "score")], k=60).collect()
     by_rankscore = [r.item_id for r in out]
     assert by_rankscore == [3, 5, 9]  # rrf desc == rank asc == id asc
+
+
+# ------------------------------------------------------ bigram LM filter
+def test_bigram_xentropy_hand_computed(spark):
+    """Tiny corpus where the interpolated LM is computable by hand:
+    docs 'a b a' and 'b a' -> c12={(a,b):1,(b,a):2}, heads={a:1,b:2},
+    unigrams={a:3,b:2,solo:1}, N=6 (the singleton doc contributes to
+    the backoff LM even though it has no transitions of its own)."""
+    import math
+
+    from data_lakehouse_project_spark.ext.text import bigram_xentropy
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_xentropy(df, "text", "doc_id").collect()}
+    p_ab = 0.7 * 1 / 1 + 0.3 * 2 / 6  # p(b|a) = lam*c12/c1 + (1-lam)*cu(b)/N
+    p_ba = 0.7 * 2 / 2 + 0.3 * 3 / 6  # p(a|b)
+    exp1 = -(math.log(p_ab) + math.log(p_ba)) / 2
+    exp2 = -math.log(p_ba)
+    assert abs(out[1]["bigram_xent"] - exp1) < 1e-5
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[2]["bigram_xent"] - exp2) < 1e-5
+    # single-token doc has no transitions: excluded, not scored as 0
+    assert 3 not in out

@@ -280,3 +280,41 @@ def test_token_budget_skip_fills_past_oversized_docs(spark):
 
     totals = skip.groupBy("source").agg(F.sum("n_tokens").alias("t"))
     assert all(r.t <= 10 for r in totals.collect())
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """Every near-dup cluster lands wholly in one split; singletons
+    reduce to the plain doc-id split."""
+    from data_lakehouse_project_spark.ext.sampling import cluster_safe_split
+
+    # 600 docs; docs (3k, 3k+1, 3k+2) clustered for even k, singletons
+    # for odd k — cluster_id is the min member per dedup_clusters.
+    clusters = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when((F.floor(F.col("id") / 3) % 2) == 0, F.floor(F.col("id") / 3) * 3)
+        .otherwise(F.col("id"))
+        .alias("cluster_id"),
+    )
+    out = cluster_safe_split(clusters, 0.2)
+    # no cluster spans splits
+    spans = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
+    # both splits populated, eval share in a sane band around 20%
+    frac = out.where(F.col("split") == "eval").count() / 600
+    assert 0.08 < frac < 0.35
+    # singleton clusters match the plain doc-id split exactly
+    singles = out.where(F.col("cluster_id") == F.col("doc_id")).select(
+        "doc_id", "split"
+    )
+    plain = clusters.select(
+        "doc_id", split_column(F.col("doc_id"), 0.2).alias("split")
+    )
+    diff = singles.join(plain, "doc_id").where(
+        singles.split != plain.split
+    )
+    assert diff.count() == 0
