@@ -322,7 +322,10 @@ def bigram_xentropy(
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
 
     c12 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # head counts fold over the already-aggregated bigram counts —
+    # re-aggregating the raw grams would scan and shuffle the exploded
+    # corpus a second time for numbers c12 already holds
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     uni = df.select(F.explode(ws_tokens(F.col(text_col))).alias("t"))
     cu = uni.groupBy("t").agg(F.count(F.lit(1)).alias("cu"))
     total = cu.agg(F.sum("cu").alias("n_total"))

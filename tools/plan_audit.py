@@ -38,6 +38,10 @@ EXPECT_NESTED_LOOP = {
     "corpus_mix_weights",
     # same shape: corpus token total feeding the unigram LM
     "unigram_xentropy_scores",
+    # same shape: N feeding the bigram LM's unigram backoff
+    "bigram_xentropy_scores",
+    # same shape via its BM25 leg: N and avgdl 1-row broadcasts
+    "hybrid_search_rrf",
     # same shape: Q11 global revenue threshold
     "supplier_value_concentration",
     # same shape: corpus size N feeding the smoothed idf
@@ -83,6 +87,13 @@ EXPECT_MANY_EXCHANGES = {
     # tfidf's shuffles + the doc-length join grain (dl groupBy + join +
     # final agg) — all on the term sliver or the 1-row stats broadcast
     "bm25_search_topk",
+    # bm25's shuffles + the cosine leg's top-k + two rank windows +
+    # the full-outer fusion join — every grain ≤ k rows per list
+    "hybrid_search_rrf",
+    # bigram LM build: c12 groupBy(w1,w2) → c1 fold groupBy(w1) → cu
+    # groupBy(t) → two LM-build joins → score join + per-doc agg; all
+    # count-grain (no text in any exchange), doubled by AQE plan print
+    "bigram_xentropy_scores",
     # the ngram-jaccard posting-list pipeline (shingle join + size join
     # + pair agg) feeding two more bounded-grain groupBys (per-doc
     # degree, then degree histogram); doubled in the adaptive plan text
