@@ -3744,11 +3744,13 @@ GRADED_WINDOW: list[str] = [
     "ann_batch_topk",
     "embedding_label_centroids",
     "salted_event_rollup",
-    # text analysis family (r5: + unigram cross-entropy quality scoring,
-    # rolling-hash fingerprints, PII redaction)
+    # text analysis family (r5 session 2 rotation: the bigram
+    # Jelinek-Mercer LM replaces its unigram predecessor — same family,
+    # strictly richer arithmetic for the oracle to pin; unigram stays
+    # registered + selfchecked)
     "text_stats",
     "ngram_novelty_scores",
-    "unigram_xentropy_scores",
+    "bigram_xentropy_scores",
     "text_fingerprint",
     "redact_pii_documents",
     "bm25_search_topk",
@@ -3761,10 +3763,13 @@ GRADED_WINDOW: list[str] = [
     "events_asof_join",
     "events_gapfill_hourly",
     "events_variant_extract",
-    # curation / packing family (r5: + length-band outlier filter and
-    # greedy sequence packing)
+    # curation / packing family (r5 session 2 rotation: the
+    # leakage-safe cluster split replaces the length-band filter — it
+    # grades a 3-stage composition (jaccard pairs → connected
+    # components → hash split) instead of a single quantile filter;
+    # length_outlier_filter stays registered + selfchecked)
     "token_budget_selection",
-    "length_outlier_filter",
+    "cluster_safe_split_counts",
     "pack_chunks_documents",
     # admission-index family (r5: bloom verdicts, previously pytest-only
     # in the graded window sense)

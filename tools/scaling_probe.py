@@ -667,6 +667,46 @@ def run_spill_probe(sf_dir: str, mults: tuple[int, ...]) -> None:
             )
 
 
+def run_pagerank_probe(spark, mults: tuple[int, ...]) -> None:
+    """PageRank wall vs edge volume on a synthetic hub-heavy graph.
+
+    The graph is generated deterministically JVM-side: src cycles the
+    node set, dst = floor(u² · n_nodes) with u = a hash-uniform in
+    [0,1) — the quadratic bias concentrates in-degree on low node ids,
+    giving the power-law hub structure link graphs (and near-dup
+    graphs) actually have. Edges are localCheckpoint'ed so the timer
+    bills pagerank's 5 rounds (join + aggregate each), not generation.
+    avg out-degree 8, so nodes scale with edges (both axes grow)."""
+    from data_lakehouse_project_spark.ext.graph import pagerank
+
+    base_edges = 200_000
+    print("\npagerank probe: 5 iterations, hub-heavy synthetic graph")
+    for mult in mults:
+        n_edges = base_edges * mult
+        n_nodes = max(n_edges // 8, 1)
+        u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)).cast("double")
+             / 1_000_000.0)
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.col("id") % n_nodes).alias("id_a"),
+                F.floor(u * u * n_nodes).cast("long").alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        t0 = time.perf_counter()
+        pagerank(edges, iterations=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        print(
+            f"pagerank mult={mult:4d} edges={n:>11,} nodes={n_nodes:>10,} "
+            f"wall={dt:6.2f}s edges/s={n / dt:>12,.0f}"
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     shapes = sys.argv[2:] or list(SHAPES)
@@ -697,6 +737,10 @@ def main() -> None:
     if "skew_join" in shapes:
         shapes = [s for s in shapes if s != "skew_join"]
         run_skew_join_probe(spark, sf_dir, mults)
+
+    if "pagerank" in shapes:
+        shapes = [s for s in shapes if s != "pagerank"]
+        run_pagerank_probe(spark, mults)
 
     for shape in shapes:
         table, fn, replicate = SHAPES[shape]
