@@ -214,12 +214,42 @@ def run_admission_stream(
     return stats
 
 
+def seed_landing_dir(spark: SparkSession, src_dir: str, n_files: int = 3) -> None:
+    """Standalone-demo seeding: land ``n_files`` parquet files of
+    synthetic docs, with deliberate cross-file duplicates (each file
+    repeats ids from the previous one) so the corpus-level dedup gate
+    visibly rejects re-deliveries batch over batch."""
+    for f in range(n_files):
+        lo = f * 40  # 20-doc overlap with the previous file
+        docs = spark.range(lo, lo + 60).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 3)).alias("source"),
+            # per-doc distinct body: md5(id) chopped into pseudo-words
+            # (so char-shingle similarity between different ids stays
+            # far below the dedup threshold), plus a shared preamble
+            F.concat(
+                F.lit("document body number "),
+                F.col("id"),
+                F.lit(" "),
+                F.regexp_replace(
+                    F.md5(F.col("id").cast("string")), "(.{4})", "$1 "
+                ),
+                F.regexp_replace(
+                    F.sha2(F.col("id").cast("string"), 256), "(.{5})", "$1 "
+                ),
+            ).alias("text"),
+        )
+        docs.coalesce(1).write.mode("append").parquet(src_dir)
+
+
 def main() -> None:
     from data_lakehouse_project_spark import get_spark
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/curation_stream_src"
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_stream_out"
     spark = get_spark(app_name="streaming-curation")
+    if not os.path.isdir(src):
+        seed_landing_dir(spark, src)
     rng = np.random.RandomState(0)
     centroids = rng.rand(4, 8)
     for s in run_admission_stream(spark, src, root, centroids):
