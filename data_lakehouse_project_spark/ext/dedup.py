@@ -468,6 +468,159 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT token-set Jaccard >= ``threshold`` pairs via prefix
+    filtering (PPJoin-family, Chaudhuri et al. 2006 / Xiao et al.
+    2008) — same output as the O(n²) anchor, scale-shaped plan.
+
+    Prefix-filtering lemma: order every doc's distinct tokens by ONE
+    global rarity order (document frequency asc, token asc as the
+    tie-break). If J(a,b) >= t then |a∩b| >= ceil(t·|a|), so a's last
+    ceil(t·|a|)-1 tokens cannot hold all shared tokens — at least one
+    shared token falls in a's first |a| - ceil(t·|a|) + 1 tokens, and
+    symmetrically for b. Candidates therefore only need an equi-join
+    of PREFIX postings: rarest-token prefixes keep high-df tokens out
+    of the index, so the Σdf² posting bound runs over rare tokens
+    only — the failure mode of the full posting join (stop-token df²)
+    is designed out, not trimmed. A length filter (t·|a| <= |b| and
+    t·|b| <= |a|, necessary since J <= min/max) prunes before the
+    exact verify; the verify recomputes inter/union on the full token
+    arrays, so the prefix stage can only MISS nothing and ADMIT
+    nothing wrong — output equality with the anchor is structural.
+
+    Scale: exact-group collapse first (identical token SETS are
+    interchangeable under set-Jaccard — the same collapse-before-join
+    the MinHash pipeline uses, so a duplicate-heavy corpus pays the
+    join at representative grain, not doc grain), then two
+    aggregations (token df, per-rep rank), one equi-join on prefix
+    tokens (bounded by Σ_{rare t} df(t)²), one distinct at pair grain,
+    one verify join, and a member fan-out at the end (intra-group
+    pairs are Jaccard exactly 1.0 by construction). All JVM
+    expressions.
+    """
+    from pyspark.sql.window import Window
+
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("u"),
+    ).withColumn("s", F.size("u"))
+    docs = docs.where(F.col("s") > 0)
+
+    grp = (
+        docs.groupBy(F.xxhash64(F.concat_ws("\x1f", "u")).alias("g"))
+        .agg(
+            F.min("id").alias("id"),
+            F.sort_array(F.collect_list("id")).alias("members"),
+            F.first("u").alias("u"),
+            F.first("s").alias("s"),
+        )
+    )
+    tok = grp.select("id", "u", "s")
+
+    posts = tok.select("id", "s", F.explode("u").alias("t"))
+    df_tok = posts.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = posts.join(df_tok, "t").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "t")),
+    )
+    prefix = ranked.where(
+        F.col("pos")
+        <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1
+    )
+
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("s").alias("sa"), "t"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("s").alias("sb"), "t"
+    )
+    cand = (
+        a.join(b, "t")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.lit(threshold) * F.col("sa") <= F.col("sb"))
+            & (F.lit(threshold) * F.col("sb") <= F.col("sa"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ta = tok.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    tb = tok.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
+    inter = F.size(F.array_intersect("ua", "ub"))
+    union = F.size("ua") + F.size("ub") - inter
+    rep_pairs = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+    # fan back out to doc grain: cross-group pairs inherit the rep
+    # pair's jaccard (identical token sets are interchangeable);
+    # intra-group pairs are jaccard 1.0 by construction (inter = union
+    # = s — the anchor's division yields exactly 1.0 for them)
+    mem = grp.select(F.col("id").alias("rep"), "members")
+    cross = (
+        rep_pairs.join(
+            mem.withColumnsRenamed({"rep": "id_a", "members": "ma"}),
+            "id_a",
+        )
+        .join(
+            mem.withColumnsRenamed({"rep": "id_b", "members": "mb"}),
+            "id_b",
+        )
+        .select(
+            F.explode("ma").alias("da"),
+            F.col("mb"),
+            "jaccard",
+        )
+        .select(
+            F.col("da"), F.explode("mb").alias("db"), "jaccard"
+        )
+        .select(
+            F.least("da", "db").alias("id_a"),
+            F.greatest("da", "db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        grp.where(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + F.lit(2),
+                                F.size("members") - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.id_a"),
+            F.col("p.id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -739,6 +739,21 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_prefix_pairs(spark, sf_dir):
+    """The SAME exact token-set Jaccard >= 0.7 pair set as
+    ``dedup_jaccard_pairs``, computed by prefix filtering (PPJoin
+    family) instead of the quadratic self-join: rarity-ordered token
+    prefixes + length filter generate candidates through an equi-join,
+    the exact verify recomputes inter/union on full arrays. Hash-equal
+    output from a structurally different algorithm IS the correctness
+    argument — and unlike the anchor, this plan runs at scale
+    (candidates bounded by rare-token df², no BNLJ anywhere)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return X_dedup.jaccard_pairs_prefix(
+        documents, "text", "doc_id", threshold=0.7
+    )
+
+
 SQL_DEDUP_JACCARD = f"""
 WITH t AS (SELECT doc_id, list_distinct({TOKS}) AS u FROM documents)
 SELECT id_a, id_b, jaccard FROM (
@@ -3534,6 +3549,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_exact_groups": (q_dedup_exact_groups, SQL_DEDUP_EXACT),
     "dedup_tokenset_groups": (q_dedup_tokenset_groups, SQL_DEDUP_TOKENSET),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
+    "dedup_jaccard_prefix_pairs": (
+        q_dedup_jaccard_prefix_pairs,
+        SQL_DEDUP_JACCARD,
+    ),
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_substring_spans": (q_dedup_substring_spans, SQL_SUBSTRING_SPANS),
     "trim_duplicated_substrings": (

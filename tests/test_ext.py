@@ -511,3 +511,69 @@ def test_bigram_xentropy_hand_computed(spark):
     assert abs(out[2]["bigram_xent"] - exp2) < 1e-5
     # single-token doc has no transitions: excluded, not scored as 0
     assert 3 not in out
+
+
+# -------------------------------------------------- prefix-filter join
+def test_jaccard_prefix_equals_quadratic_anchor(spark):
+    """PPJoin-style prefix filtering must reproduce the O(n²) BNLJ
+    pair set EXACTLY — ids and jaccard values — including permuted
+    near-copies (same token set, different order → jaccard 1.0 via the
+    collapse path) and partial overlaps that straddle the threshold."""
+    import random
+
+    from data_lakehouse_project_spark.ext.dedup import jaccard_pairs_prefix
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(80):
+        toks = rng.sample(vocab, rng.randint(5, 25))
+        rows.append((d, " ".join(toks)))
+        if d % 7 == 0:  # permuted copy: identical token SET
+            shuffled = toks[:]
+            rng.shuffle(shuffled)
+            rows.append((d + 1000, " ".join(shuffled)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs_prefix(df, "text", "doc_id", 0.7).collect()
+    }
+
+    tok = df.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower(F.trim("text")), " ")).alias("u"),
+    )
+    a = tok.select(F.col("doc_id").alias("id_a"), F.col("u").alias("ua"))
+    b = tok.select(F.col("doc_id").alias("id_b"), F.col("u").alias("ub"))
+    inter = F.size(F.array_intersect("ua", "ub"))
+    union = F.size("ua") + F.size("ub") - inter
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k]
+    # the permuted copies must be found at exactly 1.0
+    assert any(v == 1.0 for v in got.values())
+
+
+def test_jaccard_prefix_plan_is_equi_join(spark):
+    from data_lakehouse_project_spark.ext.dedup import jaccard_pairs_prefix
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    plan = (
+        jaccard_pairs_prefix(df, "text", "doc_id", 0.7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -98,6 +98,11 @@ EXPECT_MANY_EXCHANGES = {
     # + pair agg) feeding two more bounded-grain groupBys (per-doc
     # degree, then degree histogram); doubled in the adaptive plan text
     "neardup_degree_distribution",
+    # PPJoin-family pipeline: exact-group collapse + token-df groupBy +
+    # per-rep rank window + prefix equi-join + pair distinct + verify
+    # join + member fan-out — the multi-stage shape IS the algorithm
+    # (each stage strictly shrinks the candidate bound); no BNLJ
+    "dedup_jaccard_prefix_pairs",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
