@@ -268,3 +268,85 @@ def pagerank(
     )
     e.unpersist(False)
     return release_on_gc(out, weighted)
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over an
+    undirected edge set — the graph-QA companion to
+    :func:`connected_components` and :func:`pagerank`: a near-dup graph
+    whose nodes sit in closed triangles is clique-like (true duplicate
+    families); high degree with near-zero coefficient marks hub/chain
+    artifacts (shared boilerplate stitching unrelated docs together).
+
+    Returns (node, degree, n_triangles, clustering_coeff) for every
+    node incident to at least one edge; coeff = 2T / (d·(d-1)), 0 when
+    d < 2, floor-rounded at ``round_to`` so oracles match bit-for-bit.
+
+    Scale: the compact-forward convention — edges normalized to a < b,
+    each triangle {x<y<z} found exactly once by joining the two edges
+    that share the smallest node ((x,y) ⋈ (x,z), y < z) and probing for
+    the closing edge (y,z). Both joins are equi-joins; the wedge
+    candidate bound is the classic Σ_x deg(x)², and no triangle is
+    counted from more than one orientation, so there is no /3 fixup
+    and no duplicate pass.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.a") == F.col("e1.a"))
+            & (F.col("e2.b") > F.col("e1.b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    scale = float(10**round_to)
+    t = F.coalesce("n_triangles", F.lit(0)).cast("long")
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    out = deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        t.alias("n_triangles"),
+        (F.floor(coeff * scale + F.lit(0.5)).cast("double") / scale).alias(
+            "clustering_coeff"
+        ),
+    )
+    return release_on_gc(out, e)

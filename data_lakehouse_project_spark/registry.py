@@ -1070,6 +1070,62 @@ def q_doc_pagerank(spark, sf_dir):
     )
 
 
+def q_neardup_triangle_stats(spark, sf_dir):
+    """Per-doc triangle count + local clustering coefficient over the
+    exact token-Jaccard >= 0.7 near-dup graph — the graph-QA metric
+    that separates true duplicate families (clique-like, coeff → 1)
+    from boilerplate hub artifacts (high degree, coeff → 0). Edges
+    come from the prefix-filtered exact join (ext/dedup.py::
+    jaccard_pairs_prefix), so this also grades that op in composition;
+    the oracle recomputes the same edges quadratically and closes
+    triangles with the same smallest-node convention."""
+    from data_lakehouse_project_spark.ext.graph import triangle_stats
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = X_dedup.jaccard_pairs_prefix(
+        documents, "text", "doc_id", threshold=0.7
+    ).select("id_a", "id_b")
+    return triangle_stats(pairs).select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        "clustering_coeff",
+    )
+
+
+# built below once SQL_DEDUP_JACCARD exists (same edge definition as
+# the prefix-join / quadratic-anchor pair; smallest-node triangle
+# closing mirrors ext/graph.py::triangle_stats)
+SQL_TRIANGLE_STATS_TEMPLATE = """
+WITH e AS (SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+      FROM ({jac}) p GROUP BY 1, 2),
+deg AS (SELECT node, COUNT(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+tc AS (SELECT node, COUNT(*) AS n_triangles FROM (
+       SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+       UNION ALL SELECT z AS node FROM tri) GROUP BY node)
+SELECT d.node AS doc_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       {coeff} AS clustering_coeff
+FROM deg d LEFT JOIN tc ON tc.node = d.node
+"""
+
+SQL_TRIANGLE_STATS = SQL_TRIANGLE_STATS_TEMPLATE.format(
+    jac=SQL_DEDUP_JACCARD,
+    coeff=R(
+        "CASE WHEN d.degree >= 2 THEN 2.0 * COALESCE(tc.n_triangles, 0)"
+        " / (d.degree * (d.degree - 1.0)) ELSE 0.0 END",
+        6,
+    ),
+)
+
+
 def q_doc_pagerank_lsh(spark, sf_dir):
     """PageRank over MinHash-LSH near-dup edges — the 100 TB shape of
     ``doc_pagerank``. The graded slot's exact char-3-gram Jaccard edge
@@ -3552,6 +3608,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard_prefix_pairs": (
         q_dedup_jaccard_prefix_pairs,
         SQL_DEDUP_JACCARD,
+    ),
+    "neardup_triangle_stats": (
+        q_neardup_triangle_stats,
+        SQL_TRIANGLE_STATS,
     ),
     "dedup_ngram_jaccard_pairs": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_substring_spans": (q_dedup_substring_spans, SQL_SUBSTRING_SPANS),

@@ -107,3 +107,29 @@ def test_pagerank_directed_dangling_decay(spark):
     # downstream accumulates: 2 gets 0.15 + 0.85*rank1, 3 even more lag
     assert got[1] < got[2] < got[3]
     assert sum(got.values()) < 3.0  # dangling decay
+
+
+def test_triangle_stats_hand_computed(spark):
+    """4-clique {0,1,2,3} (every node: 3 triangles, coeff 1.0) glued by
+    a bridge to a path 3-4-5 (no triangles; 4 has degree 2, coeff 0);
+    edge orientation in the input must not matter."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.ext.graph import triangle_stats
+
+    edges = [(0, 1), (2, 0), (0, 3), (1, 2), (3, 1), (2, 3), (3, 4), (5, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r.node: r for r in triangle_stats(df).collect()}
+
+    for n in (0, 1, 2):
+        assert out[n].n_triangles == 3
+        assert out[n].degree == 3
+        assert out[n].clustering_coeff == 1.0
+    # node 3 is in the clique's 3 triangles plus the bridge to 4
+    assert out[3].degree == 4
+    assert out[3].n_triangles == 3
+    assert abs(out[3].clustering_coeff - 0.5) < 1e-9  # 2*3/(4*3)
+    assert out[4].n_triangles == 0 and out[4].clustering_coeff == 0.0
+    assert out[5].degree == 1 and out[5].clustering_coeff == 0.0
+    # total triangle incidences = 3 * number of triangles (4-clique: 4)
+    assert sum(r.n_triangles for r in out.values()) == 3 * 4

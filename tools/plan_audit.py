@@ -103,6 +103,12 @@ EXPECT_MANY_EXCHANGES = {
     # join + member fan-out — the multi-stage shape IS the algorithm
     # (each stage strictly shrinks the candidate bound); no BNLJ
     "dedup_jaccard_prefix_pairs",
+    # triangle closing references the PERSISTED edge set three times
+    # (e1 ⋈ e2 ⋈ e3) + degree; the plan text re-prints the whole
+    # upstream prefix-join subtree under each InMemoryRelation
+    # reference (240+ exchange LINES), but execution fills the cache
+    # once — the real shuffle count is the prefix join's + 4
+    "neardup_triangle_stats",
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
