@@ -121,3 +121,85 @@ def misra_gries_topk(df: DataFrame, item_col: str, k: int) -> DataFrame:
         .select("item", (F.col("wt") - F.col("_kth")).alias("est"))
         .where(F.col("est") > 0)
     )
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): the third mergeable
+# frequency summary — unlike Misra–Gries it never UNDER-estimates, and
+# its memory (depth × width counters) is independent of both data size
+# and distinct-key count, so shards built on different partitions /
+# days / streams merge by plain counter addition.
+# ---------------------------------------------------------------------
+
+def cms_build(
+    df: DataFrame, item_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build a Count-Min sketch as a tiny (d, idx, cnt) table.
+
+    Row i of the sketch hashes each item with ``xxhash64(item, i)`` (the
+    depth index as an extra hashed column gives ``depth`` independent
+    hash functions from the one built-in). The build is ONE map-side-
+    combined groupBy whose exchange carries at most depth·width rows per
+    task — at 100 TB the shuffle is KB-sized however many distinct keys
+    the stream has. Missing (d, idx) cells mean counter 0.
+
+    Merge shards with :func:`cms_merge`; query with :func:`cms_estimate`.
+    """
+    items = df.select(F.col(item_col).cast("string").alias("_item"))
+    cells = items.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("_item", F.lit(i)), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("d", "idx")
+    )
+    return cells.groupBy("d", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS shards built with the same (width, depth): counters add
+    cell-wise. Exact — a merged sketch is byte-identical to the sketch
+    of the concatenated streams (property-tested)."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy("d", "idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    queries: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``queries``.
+
+    Output: (item, est) where est = min over sketch rows of the hashed
+    counter — always ≥ the true count, and ≤ true + ε·N with prob.
+    1 − (1/2)^depth for ε = e/width (the classic CMS bound). The sketch
+    side is ≤ depth·width rows so the join is a broadcast hash join;
+    the query side never shuffles.
+    """
+    q = queries.select(F.col(item_col).cast("string").alias("item"))
+    probes = q.select(
+        "item",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("item", F.lit(i)), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("d", "idx"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "idx"], "left")
+        .select("item", "d", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+    )

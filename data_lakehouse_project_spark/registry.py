@@ -3764,6 +3764,12 @@ from data_lakehouse_project_spark import registry_modern  # noqa: E402
 
 REGISTRY.update(registry_modern.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
 
+# analytics batch 4: attribution, M4/LTOB downsampling, geo radius join,
+# CMS estimates
+from data_lakehouse_project_spark import registry_analytics  # noqa: E402
+
+REGISTRY.update(registry_analytics.build({"R": R, "_rn": _rn}))
+
 
 # ---------------------------------------------------------------------
 # Graded window: the correctness driver grades the FIRST 50 entries of

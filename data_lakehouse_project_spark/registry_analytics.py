@@ -1,0 +1,329 @@
+"""Analytics batch 4: conversion attribution, visualization
+downsampling (M4 / LTOB), grid-binned geo radius join, CMS estimates.
+
+North-star operators past the reference's surface (SURVEY §2.9): the
+reference ingests raw events (`mysql_bronze_ingestion.py`) but has no
+funnel/attribution, time-series-reduction, or spatial analytics on top.
+Each query here is the end-to-end shape a warehouse user runs, with the
+exact DuckDB oracle alongside (same formula text where float math is
+involved, so the hash comparison is byte-fair).
+
+Oracle parity notes:
+- Buckets are computed as floor(epoch/width)*width on BOTH engines
+  (not F.window / time_bucket, whose default origins differ), and
+  emitted as formatted strings per registry convention.
+- The haversine SQL is generated from the same constants as the Spark
+  column expression (ext/geo.py::haversine_sql).
+- M4 representative tie-breaks are lexicographic struct min/max on the
+  Spark side; the oracle reproduces them with row_number orderings
+  (ts,v / v,ts in the matching directions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.ext import attribution as X_attr
+from data_lakehouse_project_spark.ext import downsample as X_ds
+from data_lakehouse_project_spark.ext import frequent as X_freq
+from data_lakehouse_project_spark.ext import geo as X_geo
+from data_lakehouse_project_spark.sources.readers import load_testdata
+
+_helpers: dict = {}
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _rn(col, n):
+    return _helpers["_rn"](col, n)
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_testdata(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+# --- attribution ------------------------------------------------------------
+
+def q_attribution_last_touch(spark, sf_dir):
+    """Channel report under last-touch attribution: each purchase
+    credits its most recent view/click within 72 h. One user_id join +
+    one per-conversion window + one channel-grain groupBy
+    (ext/attribution.py)."""
+    (events,) = _t(spark, sf_dir, "events")
+    rep = X_attr.attribution_report(events, model="last")
+    return rep.select(
+        "touch_type",
+        "touches_credited",
+        "conversions",
+        _rn(F.col("credit"), 2).alias("credit"),
+    )
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Channel report under linear attribution: each purchase splits
+    credit 1/n across all touches in its 72 h lookback."""
+    (events,) = _t(spark, sf_dir, "events")
+    rep = X_attr.attribution_report(events, model="linear")
+    return rep.select(
+        "touch_type",
+        "touches_credited",
+        "conversions",
+        _rn(F.col("credit"), 2).alias("credit"),
+    )
+
+
+_SQL_ATTR_BASE = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+), j AS (
+  SELECT c.conv_id, t.touch_id, t.touch_ts, t.touch_type
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+  WHERE t.touch_ts <= c.conv_ts
+    AND epoch(c.conv_ts) - epoch(t.touch_ts) <= 72 * 3600
+)
+"""
+
+SQL_ATTR_LAST = (
+    _SQL_ATTR_BASE
+    + """
+, ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC
+  ) AS rn FROM j
+)
+SELECT touch_type,
+       count(*) AS touches_credited,
+       count(DISTINCT conv_id) AS conversions,
+       {CREDIT} AS credit
+FROM ranked WHERE rn = 1
+GROUP BY touch_type
+"""
+)
+
+SQL_ATTR_LINEAR = (
+    _SQL_ATTR_BASE
+    + """
+, wgt AS (
+  SELECT touch_type, conv_id,
+         1.0 / count(*) OVER (PARTITION BY conv_id) AS weight
+  FROM j
+)
+SELECT touch_type,
+       count(*) AS touches_credited,
+       count(DISTINCT conv_id) AS conversions,
+       {CREDIT} AS credit
+FROM wgt
+GROUP BY touch_type
+"""
+)
+
+
+# --- downsampling -----------------------------------------------------------
+
+def q_m4_downsample_events(spark, sf_dir):
+    """M4 visualization downsampling of the events series to 1-hour
+    pixel columns: ONE partial+final hash aggregate emitting the
+    (first, last, min, max) points per bucket (ext/downsample.py;
+    Jugel et al., VLDB'14). Bucket = floor(epoch/3600) for oracle-exact
+    bucketing."""
+    (events,) = _t(spark, sf_dir, "events")
+    m4 = X_ds.m4_downsample(
+        events,
+        ts_col="ts",
+        val_col="value",
+        bucket_col=X_ds.epoch_bucket(events, "ts", 3600),
+    )
+    return m4.select(
+        F.date_format("bucket_start", _FMT).alias("bucket_start"),
+        F.date_format("first_ts", _FMT).alias("first_ts"),
+        _rn(F.col("first_v"), 3).alias("first_v"),
+        F.date_format("last_ts", _FMT).alias("last_ts"),
+        _rn(F.col("last_v"), 3).alias("last_v"),
+        F.date_format("min_ts", _FMT).alias("min_ts"),
+        _rn(F.col("min_v"), 3).alias("min_v"),
+        F.date_format("max_ts", _FMT).alias("max_ts"),
+        _rn(F.col("max_v"), 3).alias("max_v"),
+    )
+
+
+SQL_M4 = """
+WITH b AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+           AS bkt,
+         ts, value
+  FROM events
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY bkt ORDER BY ts ASC,  value ASC)  AS rf,
+    row_number() OVER (PARTITION BY bkt ORDER BY ts DESC, value DESC) AS rl,
+    row_number() OVER (PARTITION BY bkt ORDER BY value ASC,  ts ASC)  AS rmn,
+    row_number() OVER (PARTITION BY bkt ORDER BY value DESC, ts DESC) AS rmx
+  FROM b
+)
+SELECT strftime(bkt, '{FMT}') AS bucket_start,
+       strftime(max(CASE WHEN rf  = 1 THEN ts END), '{FMT}') AS first_ts,
+       {FIRST_V} AS first_v,
+       strftime(max(CASE WHEN rl  = 1 THEN ts END), '{FMT}') AS last_ts,
+       {LAST_V} AS last_v,
+       strftime(max(CASE WHEN rmn = 1 THEN ts END), '{FMT}') AS min_ts,
+       {MIN_V} AS min_v,
+       strftime(max(CASE WHEN rmx = 1 THEN ts END), '{FMT}') AS max_ts,
+       {MAX_V} AS max_v
+FROM r
+GROUP BY bkt
+"""
+
+
+def q_ltob_downsample_events(spark, sf_dir):
+    """LTOB downsampling to 6-hour buckets: per bucket keep the point
+    deviating most from the bucket mean (largest-triangle family,
+    per-bucket-independent variant — Steinarsson 2013). One shuffle,
+    two window functions (ext/downsample.py)."""
+    (events,) = _t(spark, sf_dir, "events")
+    ds = X_ds.ltob_downsample(
+        events,
+        ts_col="ts",
+        val_col="value",
+        bucket_col=X_ds.epoch_bucket(events, "ts", 21600),
+    )
+    return ds.select(
+        F.date_format("bucket_start", _FMT).alias("bucket_start"),
+        F.date_format("ts", _FMT).alias("ts"),
+        _rn(F.col("value"), 3).alias("value"),
+        _rn(F.col("bucket_avg"), 3).alias("bucket_avg"),
+    )
+
+
+SQL_LTOB = """
+WITH b AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+           AS bkt,
+         ts, value
+  FROM events
+), a AS (
+  SELECT *, avg(value) OVER (PARTITION BY bkt) AS bucket_avg FROM b
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bkt
+    ORDER BY abs(value - bucket_avg) DESC, ts ASC, value ASC
+  ) AS rn FROM a
+)
+SELECT strftime(bkt, '{FMT}') AS bucket_start,
+       strftime(ts, '{FMT}') AS ts,
+       {VAL} AS value,
+       {AVG} AS bucket_avg
+FROM r WHERE rn = 1
+"""
+
+
+# --- geo radius join --------------------------------------------------------
+
+_GEO_RADIUS_KM = 50.0
+
+
+def _with_coords(customer):
+    """Deterministic synthetic coordinates from md5 of the customer key
+    (the registry's portable-hash convention — Spark md5 ≡ DuckDB md5,
+    so the oracle derives bit-identical points): lat in [-60, 60), lon
+    in [-180, 180), uniform-ish. A linear-congruence projection was
+    rejected: its difference lattice has no near pairs at all. The
+    testdata carries no native geo columns; this projection is the
+    documented fixture."""
+    h = F.md5(F.col("c_custkey").cast("string"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return customer.select(
+        F.col("c_custkey").alias("id"),
+        ((h1 % 12000) / 100.0 - 60.0).alias("lat"),
+        ((h2 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+def q_geo_neighbor_pairs(spark, sf_dir):
+    """All customer pairs within 50 km: fixed-grid bin join (one
+    shuffle on the cell key, ×9 constant fan-out on one side, exact
+    haversine verify) — the scale shape for spatial self-joins; the
+    oracle is the O(n²) join with the identical formula
+    (ext/geo.py::neighbor_pairs_grid)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    pts = _with_coords(customer)
+    pairs = X_geo.neighbor_pairs_grid(pts, _GEO_RADIUS_KM)
+    return pairs.select(
+        "id_a", "id_b", _rn(F.col("dist_km"), 2).alias("dist_km")
+    )
+
+
+SQL_GEO = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 12000 / 100.0 - 60.0 AS lat,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+              AS BIGINT) % 36000 / 100.0 - 180.0 AS lon
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b, {DIST} AS dist_km
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE {RAWDIST} <= {R_KM}
+"""
+
+
+# --- CMS (rows-only: xxhash64 has no DuckDB counterpart) -------------------
+
+def q_cms_token_estimates(spark, sf_dir):
+    """Count-Min-sketch frequency estimates for the exact top-20 event
+    types+sources: build a 4×1024 sketch over documents.source (one
+    KB-scale shuffle), then point-query it (broadcast join). Rows-only:
+    estimates are xxhash64-placement-dependent; the ≥-true and ε·N
+    bounds are property-tested in tests/test_frequent.py."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = documents.select(F.col("source").alias("item"))
+    sketch = X_freq.cms_build(src, "item", width=1024, depth=4)
+    queries = src.distinct()
+    est = X_freq.cms_estimate(queries, sketch, "item", width=1024, depth=4)
+    return est.select("item", "est")
+
+
+def build(helpers: dict) -> dict:
+    _helpers.update(helpers)
+    R = helpers["R"]
+    dist_raw = X_geo.haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return {
+        "attribution_last_touch": (
+            q_attribution_last_touch,
+            SQL_ATTR_LAST.format(CREDIT=R("SUM(1.0)")),
+        ),
+        "attribution_linear": (
+            q_attribution_linear,
+            SQL_ATTR_LINEAR.format(CREDIT=R("SUM(weight)")),
+        ),
+        "m4_downsample_events": (
+            q_m4_downsample_events,
+            SQL_M4.format(
+                FMT=_FMT_DUCK,
+                FIRST_V=R("max(CASE WHEN rf  = 1 THEN value END)", 3),
+                LAST_V=R("max(CASE WHEN rl  = 1 THEN value END)", 3),
+                MIN_V=R("max(CASE WHEN rmn = 1 THEN value END)", 3),
+                MAX_V=R("max(CASE WHEN rmx = 1 THEN value END)", 3),
+            ),
+        ),
+        "ltob_downsample_events": (
+            q_ltob_downsample_events,
+            SQL_LTOB.format(FMT=_FMT_DUCK, VAL=R("value", 3),
+                            AVG=R("bucket_avg", 3)),
+        ),
+        "geo_neighbor_pairs": (
+            q_geo_neighbor_pairs,
+            SQL_GEO.format(
+                DIST=R(dist_raw), RAWDIST=dist_raw, R_KM=_GEO_RADIUS_KM
+            ),
+        ),
+        "cms_token_estimates": (q_cms_token_estimates, None),
+    }

@@ -88,3 +88,64 @@ def test_mg_partial_merge_guarantee_pure_python(stream, k, cuts):
     for item, e in est.items():
         assert e <= true[item]
         assert true[item] - e <= thresh + 1e-9
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+def _zipf_items(spark, n=4000, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(f"tok{int(rng.paretovariate(1.2)) % 200}",) for _ in range(n)]
+    return rows, spark.createDataFrame(rows, "item string")
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    import collections
+
+    from data_lakehouse_project_spark.ext.frequent import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows, df = _zipf_items(spark)
+    true = collections.Counter(r[0] for r in rows)
+    width, depth = 512, 4
+    sketch = cms_build(df, "item", width=width, depth=depth)
+    est = {
+        r.item: r.est
+        for r in cms_estimate(
+            df.distinct(), sketch, "item", width=width, depth=depth
+        ).collect()
+    }
+    import math
+
+    n = len(rows)
+    eps_n = (math.e / width) * n
+    assert est.keys() == set(true)
+    for item, cnt in true.items():
+        assert est[item] >= cnt, (item, est[item], cnt)
+        # classic bound holds with prob 1-(1/2)^depth per key; with 200
+        # keys allow a small number of excursions
+    over = sum(1 for i, c in true.items() if est[i] - c > eps_n)
+    assert over <= max(2, len(true) // 20)
+
+
+def test_cms_merge_equals_direct(spark):
+    from data_lakehouse_project_spark.ext.frequent import (
+        cms_build,
+        cms_merge,
+    )
+
+    rows, df = _zipf_items(spark, n=3000, seed=9)
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], "item string")
+    b = spark.createDataFrame(rows[half:], "item string")
+    direct = cms_build(df, "item", width=256, depth=3)
+    merged = cms_merge(
+        cms_build(a, "item", width=256, depth=3),
+        cms_build(b, "item", width=256, depth=3),
+    )
+    d = sorted(map(tuple, direct.collect()))
+    m = sorted(map(tuple, merged.collect()))
+    assert d == m
