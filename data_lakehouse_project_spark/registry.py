@@ -3823,10 +3823,13 @@ GRADED_WINDOW: list[str] = [
     "contamination_report",
     "doc_semantic_pairs",
     "neardup_degree_distribution",
-    # similarity / vectors / skew (r5: + one-pass batch ANN)
+    # similarity / vectors / skew (r5 session 3 rotation: the grid
+    # geo radius join replaces the batch-ANN slot — a new spatial-join
+    # family gets its hard oracle; ann_batch_topk stays registered +
+    # selfchecked, the ANN family keeps two graded anchors)
     "ann_cosine_topk",
     "ann_lsh_topk",  # full-probe grading config vs exact oracle
-    "ann_batch_topk",
+    "geo_neighbor_pairs",
     "embedding_label_centroids",
     "salted_event_rollup",
     # text analysis family (r5 session 2 rotation: the bigram
@@ -3835,18 +3838,24 @@ GRADED_WINDOW: list[str] = [
     # registered + selfchecked)
     "text_stats",
     "ngram_novelty_scores",
-    "bigram_xentropy_scores",
+    # r5 session 3: attribution replaces the bigram LM slot (funnel
+    # analytics family gets graded; bigram_xentropy_scores stays
+    # registered + selfchecked, LM arithmetic still pinned there)
+    "attribution_last_touch",
     "text_fingerprint",
     "redact_pii_documents",
     "bm25_search_topk",
     "corpus_frequent_tokens",
     # multimodal family (oracle-checked through the mapInPandas stub)
     "multimodal_features",
-    # events / time-series family (r5: + gap-filled hourly spine)
+    # events / time-series family (r5 session 3: M4 downsampling
+    # replaces the gapfill spine — same family, and the M4 oracle pins
+    # four lexicographic-struct representatives per bucket;
+    # events_gapfill_hourly stays registered + selfchecked)
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_join",
-    "events_gapfill_hourly",
+    "m4_downsample_events",
     "events_variant_extract",
     # curation / packing family (r5 session 2 rotation: the
     # leakage-safe cluster split replaces the length-band filter — it
