@@ -63,6 +63,10 @@ HEADLINE = [
     # (char-trigram df² blowup) — the LSH edge set is the scale shape.
     "dedup_substring_spans",
     "doc_pagerank_lsh",
+    # r5 session 3 additions: grid-binned spatial self-join and
+    # funnel attribution — new slots, baselined from BENCH_r05 on
+    "geo_neighbor_pairs",
+    "attribution_last_touch",
 ]
 
 

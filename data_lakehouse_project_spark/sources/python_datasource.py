@@ -132,6 +132,7 @@ def register_python_datasources(spark) -> None:
     """Idempotently register all custom Python data sources."""
     spark.dataSource.register(XMLPythonDataSource)
     spark.dataSource.register(JSONLPythonDataSource)
+    spark.dataSource.register(JSONLStreamDataSource)
 
 
 # ---------------------------------------------------------------------
@@ -204,3 +205,113 @@ class _JSONLWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+# ---------------------------------------------------------------------
+# STREAMING read side of the Spark 4 Python DataSource API
+# (``spark.readStream.format("jsonl_stream")``): an append-only JSONL
+# directory tailed as a micro-batch stream. Covers the third quadrant
+# of the custom-datasource surface (batch read = xml_py, batch write =
+# jsonl_py, streaming read = this; streaming write is foreachBatch's
+# domain). Offsets are exactly-once by construction: the offset is the
+# count of consumed files over the LEXICOGRAPHICALLY SORTED listing of
+# an append-only directory, so ``readBetweenOffsets(start, end)``
+# re-reads precisely files[start:end] after a crash — deterministic
+# replay, the contract Structured Streaming's WAL requires. Files must
+# be added atomically (write + rename) and never mutated, the standard
+# file-source convention.
+# ---------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.types import _parse_datatype_string
+
+
+class JSONLStreamDataSource(DataSource):
+    """``spark.readStream.format("jsonl_stream").schema(ddl)
+    .option("path", p).load()`` — tail an append-only JSONL directory.
+
+    Schema: pass ``.schema(...)`` explicitly (streaming sources should
+    not re-infer per batch); without one, every field of the first
+    file's first record is read as string.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_stream"
+
+    def schema(self):
+        first = sorted(_expand_paths(self.options.get("path")))
+        if first:
+            with open(first[0], encoding="utf-8") as fh:
+                line = fh.readline()
+            if line.strip():
+                keys = list(_json.loads(line).keys())
+                return StructType(
+                    [StructField(k, _parse_datatype_string("string"), True)
+                     for k in keys]
+                )
+        raise ValueError(
+            "jsonl_stream: pass .schema(...) or point at a non-empty dir"
+        )
+
+    def simpleStreamReader(self, schema: StructType):
+        return _JSONLStreamReader(schema, self.options.get("path"))
+
+
+class _JSONLStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, path: str):
+        if not path:
+            raise ValueError("jsonl_stream requires option('path', ...)")
+        self._schema = schema
+        self._path = path
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self._path):
+            return []
+        return sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".jsonl")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files_done": 0}
+
+    def _rows_of(self, files: list[str]):
+        names = [f.name for f in self._schema.fields]
+        types = {f.name: f.dataType for f in self._schema.fields}
+        for p in files:
+            with open(p, encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rec = _json.loads(line)
+                    yield tuple(
+                        _coerce(rec.get(n), types[n]) for n in names
+                    )
+
+    def read(self, start: dict):
+        # a LIST iterator, not a generator: Spark's prefetcher caches
+        # and copy.copy()s the returned iterator for replay (list
+        # iterators pickle/copy; generators don't), and latestOffset
+        # calls next() on it (so a bare list fails too)
+        files = self._files()
+        done = int(start.get("files_done", 0))
+        new = files[done:]
+        return iter(list(self._rows_of(new))), {"files_done": done + len(new)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay after restart: the directory is
+        # append-only and the listing sorted, so [start, end) names the
+        # exact same files it named when first read
+        files = self._files()
+        return iter(list(
+            self._rows_of(
+                files[int(start.get("files_done", 0)):
+                      int(end.get("files_done", 0))]
+            )
+        ))
+
+    def commit(self, end: dict) -> None:
+        # no source-side state to clean: offsets live in the query WAL
+        pass

@@ -135,3 +135,62 @@ def test_jsonl_python_datasource_write_round_trip(spark, tmp_path):
         F.col("id"), F.lit("x").alias("tag")
     ).write.format("jsonl_py").option("path", out).mode("overwrite").save()
     assert spark.read.json(out).count() == 7
+
+
+def test_jsonl_stream_reader_exactly_once(spark, tmp_path):
+    """Streaming Python DataSource (SimpleDataSourceStreamReader):
+    tail an append-only JSONL dir; a restart from the same checkpoint
+    must consume ONLY files added since the last committed offset."""
+    import json
+
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _emit(name, rows):
+        p = src / f"{name}.jsonl.tmp"
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        p.rename(src / f"{name}.jsonl")
+
+    _emit("a", [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}])
+    _emit("b", [{"id": 3, "v": "z"}])
+
+    seen: list[tuple] = []
+
+    def _run_once():
+        got: list[tuple] = []
+        q = (
+            spark.readStream.format("jsonl_stream")
+            .schema("id long, v string")
+            .option("path", str(src))
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _eid: got.extend(
+                    sorted((r.id, r.v) for r in df.collect())
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        seen.append(tuple(got))
+
+    _run_once()
+    assert seen[-1] == ((1, "x"), (2, "y"), (3, "z"))
+
+    # restart with one new file: offset replay must skip a and b
+    _emit("c", [{"id": 4, "v": "w"}])
+    _run_once()
+    assert seen[-1] == ((4, "w"),)
+
+    # nothing new: the next restart sees an empty batch (or none at all)
+    _run_once()
+    assert seen[-1] == ()
