@@ -145,3 +145,75 @@ def histogram(df: DataFrame, col: str, bins: int) -> DataFrame:
             "cnt",
         )
     )
+
+
+def histogram_equidepth(df: DataFrame, col: str, bins: int) -> DataFrame:
+    """Equi-DEPTH histogram: ``bins`` buckets of (near-)equal row count
+    — the optimizer/statistics companion to :func:`histogram` (skewed
+    columns make equi-width bins useless: one bin holds everything).
+
+    Exact variant via ``ntile`` — standard SQL semantics (larger
+    buckets first when n % bins != 0; TIES SPLIT across buckets, since
+    ntile assigns by position, not value), so it has a 1:1 NTILE oracle.
+    Scale note: ntile's window has no PARTITION BY → one global sort of
+    the column; that is the cost of EXACT equi-depth. At 100 TB use
+    ``approx=True``: approx_percentile boundaries from one aggregate
+    pass (no global sort), bucket membership by range — boundaries
+    approximate, depths approximately equal.
+
+    Output: (bin 1..bins, lo, hi, cnt) — lo/hi the observed min/max
+    inside each bucket.
+    """
+    from pyspark.sql import Window
+
+    src = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("v")
+    )
+    nt = F.ntile(bins).over(Window.orderBy(F.col("v")))
+    return (
+        src.select("v", nt.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def histogram_equidepth_approx(
+    df: DataFrame, col: str, bins: int, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB equi-depth path: percentile boundaries from ONE
+    ``approx_percentile`` aggregate (mergeable sketch, no global sort),
+    then a map-side-combined groupBy on the bucket index computed from
+    the broadcast boundary array. Depths are approximately equal
+    (boundary error ≤ 1/accuracy of rank)."""
+    probs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    bounds = df.where(F.col(col).isNotNull()).agg(
+        F.percentile_approx(
+            F.col(col).cast("double"), probs, F.lit(accuracy)
+        ).alias("_edges")
+    )
+    # bucket = 1 + number of edges strictly below the value
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("_edges"),
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(F.col("v") > e, F.lit(1)).otherwise(F.lit(0)),
+        )
+    ).alias("bin")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("double").alias("v"))
+        .crossJoin(F.broadcast(bounds))
+        .select("v", bucket)
+        .groupBy("bin")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )

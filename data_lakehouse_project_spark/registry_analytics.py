@@ -275,6 +275,53 @@ WHERE {RAWDIST} <= {R_KM}
 """
 
 
+# --- equi-depth histograms --------------------------------------------------
+
+def q_histogram_equidepth_qty(spark, sf_dir):
+    """Exact equi-depth histogram of l_quantity (8 buckets) via ntile —
+    standard SQL semantics (larger buckets first, ties split by
+    position), so the NTILE oracle is 1:1. The global sort is the price
+    of exactness; the approx companion below is the 100 TB path
+    (operators/profile.py::histogram_equidepth)."""
+    from data_lakehouse_project_spark.operators.profile import (
+        histogram_equidepth,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    h = histogram_equidepth(lineitem, "l_quantity", 8)
+    return h.select(F.col("bin").cast("long").alias("bin"), "lo", "hi", "cnt")
+
+
+SQL_EQUIDEPTH = """
+WITH s AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+  WHERE l_quantity IS NOT NULL
+), b AS (
+  SELECT v, ntile(8) OVER (ORDER BY v) AS bin FROM s
+)
+SELECT CAST(bin AS BIGINT) AS bin, min(v) AS lo, max(v) AS hi,
+       count(*) AS cnt
+FROM b GROUP BY bin
+"""
+
+
+def q_histogram_equidepth_price_approx(spark, sf_dir):
+    """Approx equi-depth over o_totalprice: boundaries from ONE
+    mergeable approx_percentile aggregate (no global sort), bucket by
+    broadcast boundary array. Rows-only: sketch boundaries are
+    implementation-defined (depth equality is the property, gated in
+    test_profile.py)."""
+    from data_lakehouse_project_spark.operators.profile import (
+        histogram_equidepth_approx,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    h = histogram_equidepth_approx(orders, "o_totalprice", 16)
+    return h.select(
+        F.col("bin").cast("long").alias("bin"), "lo", "hi", "cnt"
+    )
+
+
 # --- CMS (rows-only: xxhash64 has no DuckDB counterpart) -------------------
 
 def q_cms_token_estimates(spark, sf_dir):
@@ -324,6 +371,11 @@ def build(helpers: dict) -> dict:
             SQL_GEO.format(
                 DIST=R(dist_raw), RAWDIST=dist_raw, R_KM=_GEO_RADIUS_KM
             ),
+        ),
+        "histogram_equidepth_qty": (q_histogram_equidepth_qty, SQL_EQUIDEPTH),
+        "histogram_equidepth_price_approx": (
+            q_histogram_equidepth_price_approx,
+            None,
         ),
         "cms_token_estimates": (q_cms_token_estimates, None),
     }

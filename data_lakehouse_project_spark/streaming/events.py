@@ -242,3 +242,25 @@ def streaming_session_rollup(
             "value_sum",
         )
     )
+
+
+def streaming_dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop duplicate events by key
+    with ``dropDuplicatesWithinWatermark`` so the dedup STATE is evicted
+    once the watermark passes — the requirement for unbounded streams
+    (a plain ``dropDuplicates`` on a stream keys state forever and OOMs
+    at 100 TB/day; the within-watermark variant bounds state to the
+    watermark horizon while deduplicating events whose duplicates
+    arrive within it, the Kafka-redelivery case).
+
+    The first-arrival row wins (per the operator's contract). Emits the
+    input schema unchanged.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -322,3 +322,44 @@ def test_stream_static_enrichment_join(spark, events, tmp_path):
         .collect()
     }
     assert got == want and "unknown" in got  # user 2 rows kept
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Redelivered events (same event_id) within the watermark horizon
+    are dropped; the output carries each key exactly once."""
+    import datetime as dt
+
+    from data_lakehouse_project_spark.streaming.events import (
+        streaming_dedup_within_watermark,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "click", 1.0),
+        (1, t0, "click", 1.0),                       # exact redelivery
+        (1, t0 + dt.timedelta(minutes=5), "click", 1.0),  # late dup, same id
+        (2, t0 + dt.timedelta(minutes=1), "view", 2.0),
+    ]
+    src = str(tmp_path / "dedup_src")
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = streaming_dedup_within_watermark(
+        stream, keys=["event_id"], watermark="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT event_id, count(*) AS n FROM dedup_wm_test GROUP BY 1"
+    ).collect()
+    assert {r.event_id: r.n for r in got} == {1: 1, 2: 1}
