@@ -707,6 +707,47 @@ def run_pagerank_probe(spark, mults: tuple[int, ...]) -> None:
         )
 
 
+def run_geo_probe(spark, mults: tuple[int, ...]) -> None:
+    """Grid-binned geo radius self-join at volume (ext/geo.py).
+
+    Points derive from xxhash64(id) (uniform over the ±60° band); the
+    radius SHRINKS as n grows so the output stays ~2M pairs — real
+    point sets densify this way (city-scale data, city-scale radii),
+    and a fixed radius would measure output explosion (O(n²·r²) pairs),
+    not the join. The candidate generator's cost is the grid shuffle +
+    Σ|cell|·9 verify, so wall should scale near-linearly in n while
+    the naive plan's n²/2 comparisons go from 5e11 (n=1M) to 1.3e14
+    (n=16M) — unrunnable two decades earlier.
+
+    Input is localCheckpointed so the timer bills the JOIN, not point
+    generation."""
+    from data_lakehouse_project_spark.ext.geo import neighbor_pairs_grid
+
+    ladder = [(1_000_000, 25.0), (4_000_000, 6.0), (16_000_000, 1.5)]
+    for n, radius in ladder:
+        pts = (
+            spark.range(n)
+            .select(
+                "id",
+                (F.pmod(F.xxhash64("id"), F.lit(12000)) / 100.0 - 60.0)
+                .alias("lat"),
+                (
+                    F.pmod(F.xxhash64("id", F.lit(1)), F.lit(36000)) / 100.0
+                    - 180.0
+                ).alias("lon"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        cnt = neighbor_pairs_grid(pts, radius).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"geo n={n:>10,} r={radius:5.1f}km pairs={cnt:>10,} "
+            f"wall={dt:6.2f}s pts/s={n / dt:>12,.0f}"
+        )
+        pts.unpersist()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     shapes = sys.argv[2:] or list(SHAPES)
@@ -741,6 +782,10 @@ def main() -> None:
     if "pagerank" in shapes:
         shapes = [s for s in shapes if s != "pagerank"]
         run_pagerank_probe(spark, mults)
+
+    if "geo" in shapes:
+        shapes = [s for s in shapes if s != "geo"]
+        run_geo_probe(spark, mults)
 
     for shape in shapes:
         table, fn, replicate = SHAPES[shape]
