@@ -275,6 +275,52 @@ WHERE {RAWDIST} <= {R_KM}
 """
 
 
+# --- forecasting ------------------------------------------------------------
+
+def q_events_ses_smoothed(spark, sf_dir):
+    """SES-smoothed daily KPI per event_type: aggregate to daily grain
+    (bounded series length — the skew discipline for sequential-per-
+    series ops), then the α=0.3 recursion in one Arrow batch per
+    series (ext/forecast.py). The oracle replays the identical double
+    recursion as a recursive CTE."""
+    from data_lakehouse_project_spark.ext.forecast import ses_smooth
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("day_avg"))
+    sm = ses_smooth(daily, ["event_type"], "day", "day_avg", alpha=0.3)
+    return sm.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _rn(F.col("day_avg"), 4).alias("day_avg"),
+        _rn(F.col("smoothed"), 4).alias("smoothed"),
+    )
+
+
+SQL_SES = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, AVG(value) AS day_avg
+  FROM events GROUP BY 1, 2
+), numbered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY day
+  ) AS rn FROM daily
+), rec AS (
+  SELECT event_type, day, day_avg, rn, day_avg AS s
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.day_avg, n.rn,
+         0.3 * n.day_avg + 0.7 * r.s
+  FROM numbered n
+  JOIN rec r ON n.event_type = r.event_type AND n.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       {DAVG} AS day_avg, {SM} AS smoothed
+FROM rec
+"""
+
+
 # --- equi-depth histograms --------------------------------------------------
 
 def q_histogram_equidepth_qty(spark, sf_dir):
@@ -371,6 +417,10 @@ def build(helpers: dict) -> dict:
             SQL_GEO.format(
                 DIST=R(dist_raw), RAWDIST=dist_raw, R_KM=_GEO_RADIUS_KM
             ),
+        ),
+        "events_ses_smoothed": (
+            q_events_ses_smoothed,
+            SQL_SES.format(R=R, DAVG=R("day_avg", 4), SM=R("s", 4)),
         ),
         "histogram_equidepth_qty": (q_histogram_equidepth_qty, SQL_EQUIDEPTH),
         "histogram_equidepth_price_approx": (
