@@ -321,6 +321,64 @@ FROM rec
 """
 
 
+# --- A/B experiment readout -------------------------------------------------
+
+def q_ab_test_purchase(spark, sf_dir):
+    """Two-proportion z-test on purchase conversion under an md5-parity
+    variant assignment: one user-grain aggregate + closed-form
+    arithmetic on a 2-row frame (ext/abtest.py). The oracle replays
+    the identical pooled-SE formula."""
+    from data_lakehouse_project_spark.ext.abtest import (
+        ab_test_proportions,
+        assign_and_measure,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    users = assign_and_measure(events)
+    out = ab_test_proportions(users)
+    return out.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        _rn(F.col("rate_a"), 4).alias("rate_a"),
+        _rn(F.col("rate_b"), 4).alias("rate_b"),
+        _rn(F.col("lift"), 4).alias("lift"),
+        _rn(F.col("z_score"), 4).alias("z_score"),
+    )
+
+
+SQL_AB_TEST = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                         1, 8)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT
+    SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS conv_a,
+    SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS conv_b
+  FROM users
+), c AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+         conv_a * 1.0 / n_a AS rate_a, conv_b * 1.0 / n_b AS rate_b,
+         (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pooled
+  FROM v
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       {RA} AS rate_a, {RB} AS rate_b,
+       {LIFT} AS lift,
+       {Z} AS z_score
+FROM c
+"""
+
+
 # --- equi-depth histograms --------------------------------------------------
 
 def q_histogram_equidepth_qty(spark, sf_dir):
@@ -416,6 +474,22 @@ def build(helpers: dict) -> dict:
             q_geo_neighbor_pairs,
             SQL_GEO.format(
                 DIST=R(dist_raw), RAWDIST=dist_raw, R_KM=_GEO_RADIUS_KM
+            ),
+        ),
+        "ab_test_purchase": (
+            q_ab_test_purchase,
+            SQL_AB_TEST.format(
+                RA=R("rate_a", 4),
+                RB=R("rate_b", 4),
+                LIFT=R("rate_b - rate_a", 4),
+                Z=R(
+                    "CASE WHEN sqrt(pooled * (1 - pooled)"
+                    " * (1.0 / n_a + 1.0 / n_b)) > 0"
+                    " THEN (rate_b - rate_a)"
+                    " / sqrt(pooled * (1 - pooled)"
+                    " * (1.0 / n_a + 1.0 / n_b)) END",
+                    4,
+                ),
             ),
         ),
         "events_ses_smoothed": (
