@@ -321,6 +321,115 @@ FROM rec
 """
 
 
+# --- market basket ----------------------------------------------------------
+
+def q_basket_pair_lift(spark, sf_dir):
+    """Top-25 co-purchased part pairs by lift over order baskets:
+    Apriori item filter before pair generation, max-basket guard, the
+    basket-count scalar on a 1-row broadcast (ext/basket.py).
+    Deterministic order: lift desc, then the pair key."""
+    from data_lakehouse_project_spark.ext.basket import basket_pair_stats
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    stats = basket_pair_stats(
+        lineitem, "l_orderkey", "l_partkey",
+        min_item_count=2, min_pair_count=2,
+    )
+    return (
+        stats.select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            _rn(F.col("lift"), 4).alias("lift"),
+            _rn(F.col("conf_a_to_b"), 4).alias("conf_a_to_b"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(25)
+    )
+
+
+SQL_BASKET = """
+WITH src AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), ic AS (
+  SELECT item, count(*) AS n_item FROM src GROUP BY item
+), freq AS (
+  SELECT * FROM ic WHERE n_item >= 2
+), kept AS (
+  SELECT s.* FROM src s JOIN freq f ON s.item = f.item
+), nb AS (
+  SELECT count(DISTINCT basket) * 1.0 AS n_baskets FROM src
+), pc AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM kept a JOIN kept b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b,
+       fa.n_item AS n_a, fb.n_item AS n_b, n_ab,
+       {LIFT} AS lift,
+       {CONF} AS conf_a_to_b
+FROM pc
+JOIN freq fa ON fa.item = pc.item_a
+JOIN freq fb ON fb.item = pc.item_b
+CROSS JOIN nb
+ORDER BY lift DESC, item_a, item_b
+LIMIT 25
+"""
+
+
+# --- event transition matrix ------------------------------------------------
+
+def q_event_transition_probs(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() window on (user, ts, id) order, then one
+    bounded-cardinality groupBy (|types|² rows); row-normalized
+    probabilities via a window sum — two shuffles total, the second
+    over a 25-row frame."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("src")
+    return steps.select(
+        "src",
+        "dst",
+        "n",
+        _rn(F.col("n") / F.sum("n").over(tot), 4).alias("prob"),
+    )
+
+
+SQL_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst
+  FROM events
+), pc AS (
+  SELECT src, dst, count(*) AS n FROM steps
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       {PROB} AS prob
+FROM pc
+"""
+
+
 # --- A/B experiment readout -------------------------------------------------
 
 def q_ab_test_purchase(spark, sf_dir):
@@ -474,6 +583,19 @@ def build(helpers: dict) -> dict:
             q_geo_neighbor_pairs,
             SQL_GEO.format(
                 DIST=R(dist_raw), RAWDIST=dist_raw, R_KM=_GEO_RADIUS_KM
+            ),
+        ),
+        "basket_pair_lift": (
+            q_basket_pair_lift,
+            SQL_BASKET.format(
+                LIFT=R("n_baskets * n_ab / (fa.n_item * fb.n_item)", 4),
+                CONF=R("n_ab * 1.0 / fa.n_item", 4),
+            ),
+        ),
+        "event_transition_probs": (
+            q_event_transition_probs,
+            SQL_TRANSITIONS.format(
+                PROB=R("n * 1.0 / SUM(n) OVER (PARTITION BY src)", 4)
             ),
         ),
         "ab_test_purchase": (
