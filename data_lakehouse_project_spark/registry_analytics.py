@@ -430,6 +430,52 @@ FROM pc
 """
 
 
+# --- navigation path analysis -----------------------------------------------
+
+def q_session_top_paths(spark, sf_dir):
+    """Top-20 user-day navigation paths: per (user, day) the ordered
+    event-type sequence (array_sort over (ts, event_id, type) structs —
+    deterministic under timestamp ties, no window needed), then one
+    path-grain rollup. Two shuffles; path cardinality is bounded by the
+    session count, not the event count."""
+    (events,) = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    paths = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(seq.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+SQL_TOP_PATHS = """
+WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
 # --- A/B experiment readout -------------------------------------------------
 
 def q_ab_test_purchase(spark, sf_dir):
@@ -598,6 +644,7 @@ def build(helpers: dict) -> dict:
                 PROB=R("n * 1.0 / SUM(n) OVER (PARTITION BY src)", 4)
             ),
         ),
+        "session_top_paths": (q_session_top_paths, SQL_TOP_PATHS),
         "ab_test_purchase": (
             q_ab_test_purchase,
             SQL_AB_TEST.format(
