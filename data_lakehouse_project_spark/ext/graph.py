@@ -350,3 +350,73 @@ def triangle_stats(
         ),
     )
     return release_on_gc(out, e)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007) over an undirected edge set: every node starts labeled with
+    its own id; each round it adopts its neighbors' most frequent
+    label, ties broken to the SMALLEST label — fully deterministic
+    (classic async LPA is run-order-dependent; the synchronous +
+    min-tie variant trades a little convergence speed for
+    reproducibility, which the oracle/pytest story requires).
+
+    Scale per round: one join (labels ⋈ edges) + two aggregates
+    ((dst, label) counts, then per-dst argmax) — all map-side-combined
+    shuffles on node keys, same round cost as pagerank; localCheckpoint
+    cadence + eager free keeps lineage and pinned blocks flat.
+
+    Communities are coarser than connected components only in the
+    sense that LPA can SPLIT a weakly-bridged component; it never
+    merges disconnected ones. Returns (node, label).
+    """
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").distinct().persist()
+
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_ckpt = None
+    for i in range(iterations):
+        neigh = (
+            e.join(labels, e.src == labels.node)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax cnt, tie → smallest label: lexicographic struct max on
+        # (cnt, -label)
+        best = (
+            neigh.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("_b")
+            )
+            .select(
+                F.col("dst").alias("node"), (-F.col("_b.nl")).alias("label")
+            )
+        )
+        labels = best
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            labels = labels.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                free_local_checkpoint(prev_ckpt)
+            prev_ckpt = labels
+
+    out = labels.select("node", "label")
+    e.unpersist(False)
+    return out

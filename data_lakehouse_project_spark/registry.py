@@ -1208,6 +1208,60 @@ FROM r5
 )
 
 
+def q_neardup_communities_lpa(spark, sf_dir):
+    """Community detection over the exact near-dup graph: synchronous
+    label propagation, ties to the smallest label (deterministic —
+    ext/graph.py::label_propagation), 5 rounds unrolled in the oracle.
+    Communities refine connected components: LPA can split a weakly-
+    bridged component (boilerplate hub) that the transitive closure
+    glues together — the graph-QA counterpart to dedup_clusters."""
+    from data_lakehouse_project_spark.ext.graph import label_propagation
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = X_dedup.ngram_jaccard_pairs(
+        documents, "text", "doc_id", n=3, jaccard_threshold=0.8
+    )
+    return label_propagation(pairs, iterations=5).select(
+        F.col("node").alias("doc_id"), "label"
+    )
+
+
+def _lpa_iterations(k: int) -> str:
+    """l1..lk CTE blocks: per node the most frequent neighbor label,
+    ties to the smallest label (matches the struct-max in
+    ext/graph.py::label_propagation)."""
+    blocks = []
+    for i in range(1, k + 1):
+        blocks.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT dst AS node, label,
+           row_number() OVER (
+             PARTITION BY dst ORDER BY cnt DESC, label ASC
+           ) AS rn
+    FROM (SELECT e.dst, l.label, COUNT(*) AS cnt
+          FROM e JOIN l{i - 1} l ON e.src = l.node GROUP BY 1, 2) t
+  ) rk WHERE rn = 1)"""
+        )
+    return ",\n".join(blocks)
+
+
+SQL_NEARDUP_LPA = (
+    "WITH jp AS ("
+    + SQL_NGRAM_JACCARD
+    + f"""),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION
+  SELECT id_b, id_a FROM jp
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+{_lpa_iterations(5)}
+SELECT node AS doc_id, label FROM l5
+"""
+)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs → dedup clusters via connected components (min-label
     propagation, ext/graph.py). Edges = the char-3-gram Jaccard >= 0.8
@@ -3630,6 +3684,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "doc_pagerank": (q_doc_pagerank, SQL_DOC_PAGERANK),
     "doc_pagerank_lsh": (q_doc_pagerank_lsh, None),
+    "neardup_communities_lpa": (q_neardup_communities_lpa, SQL_NEARDUP_LPA),
     "corpus_canonical_docs": (q_corpus_canonical_docs, SQL_CANONICAL_DOCS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "bloom_admission_verdicts": (q_bloom_admission, SQL_BLOOM_ADMISSION),

@@ -430,6 +430,48 @@ FROM pc
 """
 
 
+# --- ML feature encoding ----------------------------------------------------
+
+def q_orders_feature_encode(spark, sf_dir):
+    """Model-matrix projection of orders: smoothed target encoding of
+    o_orderpriority against o_totalprice (statistics ride broadcasts —
+    the fact is touched by one map stage) + z-scaled price
+    (ext/features.py)."""
+    from data_lakehouse_project_spark.ext.features import (
+        standard_scale,
+        target_encode,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    enc = target_encode(orders, "o_orderpriority", "o_totalprice", m=10.0)
+    scaled = standard_scale(enc, ["o_totalprice"])
+    return scaled.select(
+        "o_orderkey",
+        "o_orderpriority",
+        _rn(F.col("o_orderpriority_enc"), 4).alias("priority_enc"),
+        _rn(F.col("o_totalprice_z"), 4).alias("price_z"),
+    )
+
+
+SQL_FEATURE_ENCODE = """
+WITH prior AS (
+  SELECT AVG(o_totalprice) AS p FROM orders
+), per_cat AS (
+  SELECT o_orderpriority, SUM(o_totalprice) AS sum_t, COUNT(*) AS n_c
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT AVG(o_totalprice) AS mu, STDDEV_POP(o_totalprice) AS sd
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       {ENC} AS priority_enc,
+       {Z} AS price_z
+FROM orders o
+JOIN per_cat c ON c.o_orderpriority = o.o_orderpriority
+CROSS JOIN prior CROSS JOIN stats
+"""
+
+
 # --- navigation path analysis -----------------------------------------------
 
 def q_session_top_paths(spark, sf_dir):
@@ -642,6 +684,17 @@ def build(helpers: dict) -> dict:
             q_event_transition_probs,
             SQL_TRANSITIONS.format(
                 PROB=R("n * 1.0 / SUM(n) OVER (PARTITION BY src)", 4)
+            ),
+        ),
+        "orders_feature_encode": (
+            q_orders_feature_encode,
+            SQL_FEATURE_ENCODE.format(
+                ENC=R("(c.sum_t + 10.0 * prior.p) / (c.n_c + 10.0)", 4),
+                Z=R(
+                    "CASE WHEN stats.sd > 0 THEN"
+                    " (o.o_totalprice - stats.mu) / stats.sd END",
+                    4,
+                ),
             ),
         ),
         "session_top_paths": (q_session_top_paths, SQL_TOP_PATHS),

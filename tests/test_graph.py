@@ -133,3 +133,34 @@ def test_triangle_stats_hand_computed(spark):
     assert out[5].degree == 1 and out[5].clustering_coeff == 0.0
     # total triangle incidences = 3 * number of triangles (4-clique: 4)
     assert sum(r.n_triangles for r in out.values()) == 3 * 4
+
+
+def test_label_propagation_planted_communities(spark):
+    from data_lakehouse_project_spark.ext.graph import label_propagation
+
+    # two 4-cliques bridged by a single edge: LPA must keep them as two
+    # communities (the bridge is outvoted by clique neighbors)
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = {r.node: r.label for r in label_propagation(df, iterations=6).collect()}
+    assert len({labels[n] for n in range(4)}) == 1
+    assert len({labels[n] for n in range(10, 14)}) == 1
+    assert labels[0] != labels[10]
+
+
+def test_label_propagation_deterministic(spark):
+    from data_lakehouse_project_spark.ext.graph import label_propagation
+
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r1 = sorted(map(tuple, label_propagation(df, iterations=4).collect()))
+    r2 = sorted(
+        map(tuple, label_propagation(df.repartition(7), iterations=4).collect())
+    )
+    assert r1 == r2  # partitioning-independent (synchronous + min-tie)
