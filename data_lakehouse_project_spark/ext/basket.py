@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_lakehouse_project_spark.cacheutil import release_on_gc
+
 
 def basket_pair_stats(
     df: DataFrame,
@@ -59,6 +61,10 @@ def basket_pair_stats(
         "basket",
         "left_semi",
     )
+    # the self-join references `kept` twice: persist it (released with
+    # the result — cacheutil convention) so the distinct + semi-join
+    # prefix runs once, not once per side
+    kept = kept.persist()
     a = kept.select("basket", F.col("item").alias("item_a"))
     b = kept.select("basket", F.col("item").alias("item_b"))
     pair_counts = (
@@ -83,7 +89,7 @@ def basket_pair_stats(
             F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
         )
     )
-    return (
+    out = (
         pair_counts.join(ca, "item_a")
         .join(cb, "item_b")
         .crossJoin(F.broadcast(n_baskets))
@@ -101,3 +107,4 @@ def basket_pair_stats(
             (F.col("n_ab") / F.col("n_a")).alias("conf_a_to_b"),
         )
     )
+    return release_on_gc(out, kept)

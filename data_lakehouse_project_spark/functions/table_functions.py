@@ -34,3 +34,47 @@ class NGramsUDTF:
 def register_table_functions(spark) -> None:
     """Idempotently register all engine UDTFs on the session."""
     spark.udtf.register("ngrams", NGramsUDTF)
+    spark.udtf.register("split_fields", SplitFieldsUDTF)
+
+
+# ---------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4): the output SCHEMA is computed at plan
+# time by a static ``analyze`` over the call's constant arguments —
+# the API for generic record splitters whose shape depends on how
+# they're called (spark.apache.org UDTF docs; no fixed returnType).
+# ---------------------------------------------------------------------
+
+from pyspark.sql.functions import udtf as _udtf_poly
+from pyspark.sql.types import StringType, StructType
+
+
+@_udtf_poly
+class SplitFieldsUDTF:
+    """``split_fields(value, 'col1,col2,...', sep)`` — split a
+    delimited string into NAMED columns; the column list is a constant
+    argument resolved by ``analyze`` at plan time. Missing trailing
+    fields yield nulls; extra fields are dropped (fixed arity is the
+    point — schema is decided before execution).
+    """
+
+    @staticmethod
+    def analyze(value, names, sep) -> "AnalyzeResult":
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if names.value is None:
+            raise ValueError(
+                "split_fields: the column-name list must be a constant"
+            )
+        schema = StructType()
+        for c in str(names.value).split(","):
+            schema = schema.add(c.strip(), StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, value: str, names: str, sep: str):  # noqa: D102
+        cols = [c.strip() for c in names.split(",")]
+        if value is None:
+            yield tuple([None] * len(cols))
+            return
+        parts = value.split(sep)
+        parts = parts[: len(cols)] + [None] * (len(cols) - len(parts))
+        yield tuple(parts)

@@ -430,6 +430,38 @@ FROM pc
 """
 
 
+# --- polymorphic UDTF surface -----------------------------------------------
+
+def q_udtf_split_priority(spark, sf_dir):
+    """Polymorphic Python UDTF (static ``analyze`` computes the output
+    schema from the constant column-name argument at PLAN time — the
+    Spark 4 dynamic-schema UDTF API; functions/table_functions.py).
+    Splits o_orderpriority '1-URGENT' into named columns in a LATERAL
+    join; plan-audit exempts it as sanctioned row-at-a-time Python
+    (API coverage, not hot path — split_part is the JVM twin)."""
+    from data_lakehouse_project_spark.functions.table_functions import (
+        register_table_functions,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    register_table_functions(spark)
+    orders.createOrReplaceTempView("_orders_prio")
+    return spark.sql(
+        "SELECT o.o_orderkey, s.prio_num, s.prio_name"
+        " FROM _orders_prio o,"
+        " LATERAL split_fields(o.o_orderpriority,"
+        " 'prio_num,prio_name', '-') s"
+    )
+
+
+SQL_UDTF_SPLIT = """
+SELECT o_orderkey,
+       split_part(o_orderpriority, '-', 1) AS prio_num,
+       split_part(o_orderpriority, '-', 2) AS prio_name
+FROM orders
+"""
+
+
 # --- ML feature encoding ----------------------------------------------------
 
 def q_orders_feature_encode(spark, sf_dir):
@@ -686,6 +718,7 @@ def build(helpers: dict) -> dict:
                 PROB=R("n * 1.0 / SUM(n) OVER (PARTITION BY src)", 4)
             ),
         ),
+        "udtf_split_priority": (q_udtf_split_priority, SQL_UDTF_SPLIT),
         "orders_feature_encode": (
             q_orders_feature_encode,
             SQL_FEATURE_ENCODE.format(

@@ -170,3 +170,32 @@ def test_csv_json_function_surface(spark):
         .s
     )
     assert back == "2,beta"
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """split_fields: static analyze() derives the output schema from
+    the constant column-name argument at plan time."""
+    from data_lakehouse_project_spark.functions.table_functions import (
+        register_table_functions,
+    )
+
+    register_table_functions(spark)
+    df = spark.sql(
+        "SELECT s.* FROM split_fields('a|b|c', 'x, y', '|') s"
+    )
+    assert df.columns == ["x", "y"]  # schema from the constant
+    assert df.head() == ("a", "b")  # extra field dropped
+    short = spark.sql(
+        "SELECT s.* FROM split_fields('only', 'p,q,r', '|') s"
+    ).head()
+    assert short == ("only", None, None)  # missing fields null-padded
+
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        # non-constant name list must be rejected at ANALYSIS time
+        spark.sql(
+            "SELECT s.* FROM (SELECT 'x' AS names) t,"
+            " LATERAL split_fields('a', t.names, '|') s"
+        ).collect()

@@ -42,6 +42,11 @@ EXPECT_NESTED_LOOP = {
     "bigram_xentropy_scores",
     # same shape via its BM25 leg: N and avgdl 1-row broadcasts
     "hybrid_search_rrf",
+    # same 1-row broadcast-scalar shape: basket total / mu+sigma stats /
+    # approx-percentile boundary array
+    "basket_pair_lift",
+    "orders_feature_encode",
+    "histogram_equidepth_price_approx",
     # same shape: Q11 global revenue threshold
     "supplier_value_concentration",
     # same shape: corpus size N feeding the smoothed idf
@@ -69,6 +74,11 @@ EXPECT_MANY_EXCHANGES = {
     # batch-vs-corpus probe: fingerprint join + shingle posting join +
     # three aggregation grains + best-match window + two left joins
     "incremental_dedup",
+    # basket self-join references the persisted `kept` twice: the plan
+    # TEXT re-prints the distinct + Apriori semi-join prefix under each
+    # InMemoryRelation reference (same artifact as neardup_triangle_
+    # stats); execution fills the cache once — real exchanges ≈ 6
+    "basket_pair_lift",
     # hashed-TF components (2 agg grains + norm join) feeding the
     # inverted-index pair join + pair-grain agg — 4 logical shuffles,
     # doubled in the plan text by AQE stage reuse
@@ -112,7 +122,7 @@ EXPECT_MANY_EXCHANGES = {
 }
 # the one sanctioned row-at-a-time Python site: UDTF API coverage whose
 # JVM twin (text_top_bigrams) carries the hot path
-EXPECT_PYTHON_UDTF = {"text_udtf_bigrams"}
+EXPECT_PYTHON_UDTF = {"text_udtf_bigrams", "udtf_split_priority"}
 
 
 def main() -> int:
