@@ -469,19 +469,42 @@ def q_orders_feature_encode(spark, sf_dir):
     o_orderpriority against o_totalprice (statistics ride broadcasts —
     the fact is touched by one map stage) + z-scaled price
     (ext/features.py)."""
-    from data_lakehouse_project_spark.ext.features import (
-        standard_scale,
-        target_encode,
-    )
-
     (orders,) = _t(spark, sf_dir, "orders")
-    enc = target_encode(orders, "o_orderpriority", "o_totalprice", m=10.0)
-    scaled = standard_scale(enc, ["o_totalprice"])
-    return scaled.select(
-        "o_orderkey",
-        "o_orderpriority",
-        _rn(F.col("o_orderpriority_enc"), 4).alias("priority_enc"),
-        _rn(F.col("o_totalprice_z"), 4).alias("price_z"),
+    # fused composition of ext/features.py::target_encode +
+    # standard_scale (both pytest-pinned as standalone operators):
+    # the encoding prior IS the scaling mean, so one global aggregate
+    # serves both and the fact is scanned exactly 3× (2 stat passes +
+    # 1 final map) with no nested re-execution — chaining the two
+    # operators naively re-runs the encode subtree inside the stats
+    # aggregate (plan-audit caught 10 exchanges; this shape has 4)
+    stats = orders.agg(
+        F.avg("o_totalprice").alias("_mu"),
+        F.stddev_pop("o_totalprice").alias("_sd"),
+    )
+    per_cat = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("_sum_t"),
+        F.count(F.lit(1)).alias("_n_c"),
+    )
+    m = 10.0
+    return (
+        orders.join(F.broadcast(per_cat), "o_orderpriority")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            _rn(
+                (F.col("_sum_t") + F.lit(m) * F.col("_mu"))
+                / (F.col("_n_c") + F.lit(m)),
+                4,
+            ).alias("priority_enc"),
+            _rn(
+                F.when(
+                    F.col("_sd") > 0,
+                    (F.col("o_totalprice") - F.col("_mu")) / F.col("_sd"),
+                ),
+                4,
+            ).alias("price_z"),
+        )
     )
 
 

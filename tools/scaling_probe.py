@@ -707,6 +707,42 @@ def run_pagerank_probe(spark, mults: tuple[int, ...]) -> None:
         )
 
 
+def run_lpa_probe(spark, mults: tuple[int, ...]) -> None:
+    """Label propagation wall vs edge volume — same hub-heavy synthetic
+    graph and localCheckpoint discipline as the pagerank probe (the two
+    share the per-round cost model: one join + aggregates on node
+    keys); 5 synchronous rounds."""
+    from data_lakehouse_project_spark.ext.graph import label_propagation
+
+    base_edges = 200_000
+    print("\nlpa probe: 5 iterations, hub-heavy synthetic graph")
+    for mult in mults:
+        n_edges = base_edges * mult
+        n_nodes = max(n_edges // 8, 1)
+        u = (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)).cast("double")
+             / 1_000_000.0)
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.col("id") % n_nodes).alias("id_a"),
+                F.floor(u * u * n_nodes).cast("long").alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .localCheckpoint(eager=True)
+        )
+        n = edges.count()
+        t0 = time.perf_counter()
+        label_propagation(edges, iterations=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        print(
+            f"lpa mult={mult:4d} edges={n:>11,} nodes={n_nodes:>10,} "
+            f"wall={dt:6.2f}s edges/s={n / dt:>12,.0f}"
+        )
+        edges.unpersist()
+
+
 def run_geo_probe(spark, mults: tuple[int, ...]) -> None:
     """Grid-binned geo radius self-join at volume (ext/geo.py).
 
@@ -786,6 +822,10 @@ def main() -> None:
     if "geo" in shapes:
         shapes = [s for s in shapes if s != "geo"]
         run_geo_probe(spark, mults)
+
+    if "lpa" in shapes:
+        shapes = [s for s in shapes if s != "lpa"]
+        run_lpa_probe(spark, mults)
 
     for shape in shapes:
         table, fn, replicate = SHAPES[shape]
