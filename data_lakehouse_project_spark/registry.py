@@ -3823,7 +3823,11 @@ REGISTRY.update(registry_modern.build({"R": R, "_rn": _rn, "TOKS": TOKS}))
 # CMS estimates
 from data_lakehouse_project_spark import registry_analytics  # noqa: E402
 
-REGISTRY.update(registry_analytics.build({"R": R, "_rn": _rn}))
+REGISTRY.update(
+    registry_analytics.build(
+        {"R": R, "_rn": _rn, "TOKS": TOKS, "STOP_EN": _STOP_EN_SQL}
+    )
+)
 
 
 # ---------------------------------------------------------------------

@@ -462,6 +462,55 @@ FROM orders
 """
 
 
+# --- ML evaluation metrics --------------------------------------------------
+
+def q_stopword_auc_langid(spark, sf_dir):
+    """Exact distributed ROC-AUC (Mann-Whitney rank-sum with average
+    ties, ext/evalmetrics.py) of the English-stopword-ratio score
+    against the lang=='en' label: rows collapse to distinct-score grain
+    BEFORE any ranking, so the window runs over |distinct scores| rows,
+    never a global sort of the corpus. The oracle replays the identical
+    rank arithmetic (exact: ranks are integer-and-half multiples)."""
+    from data_lakehouse_project_spark.ext import text as X_text
+    from data_lakehouse_project_spark.ext.evalmetrics import binary_auc
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    score = X_text.stopword_count(t) / F.greatest(
+        F.size(X_text.ws_tokens(t)), F.lit(1)
+    )
+    scored = documents.select(
+        score.alias("s"), (F.col("lang") == "en").alias("y")
+    )
+    auc = binary_auc(scored, "y", "s")
+    return auc.select(
+        "n_pos", "n_neg", _rn(F.col("auc"), 6).alias("auc")
+    )
+
+
+SQL_STOPWORD_AUC = """
+WITH scored AS (
+  SELECT len(list_filter({TOKS}, x -> list_contains({STOP}, x))) * 1.0
+           / greatest(len({TOKS}), 1) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), by_score AS (
+  SELECT s, count(*) AS n, sum(y) AS pos FROM scored GROUP BY s
+), ranked AS (
+  SELECT *, coalesce(sum(n) OVER (
+    ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS cum_less FROM by_score
+), a AS (
+  SELECT sum(pos) AS np, sum(n) - sum(pos) AS nn,
+         sum(pos * (cum_less + (n + 1) / 2.0)) AS rsp
+  FROM ranked
+)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       {AUC} AS auc
+FROM a
+"""
+
+
 # --- ML feature encoding ----------------------------------------------------
 
 def q_orders_feature_encode(spark, sf_dir):
@@ -742,6 +791,18 @@ def build(helpers: dict) -> dict:
             ),
         ),
         "udtf_split_priority": (q_udtf_split_priority, SQL_UDTF_SPLIT),
+        "stopword_auc_langid": (
+            q_stopword_auc_langid,
+            SQL_STOPWORD_AUC.format(
+                TOKS=helpers["TOKS"],
+                STOP=helpers["STOP_EN"],
+                AUC=R(
+                    "CASE WHEN np > 0 AND nn > 0 THEN"
+                    " (rsp - np * (np + 1) / 2.0) / (np * nn) END",
+                    6,
+                ),
+            ),
+        ),
         "orders_feature_encode": (
             q_orders_feature_encode,
             SQL_FEATURE_ENCODE.format(
