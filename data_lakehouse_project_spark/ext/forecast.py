@@ -111,3 +111,70 @@ def holt_forecast(
         .groupBy(*group_cols)
         .applyInPandas(_one, schema)
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    val_col: str,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+    baseline_points: int | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page 1954):
+
+        S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k))
+        S⁻_t = max(0, S⁻_{t−1} − (x_t − μ + k))
+
+    alarm when either statistic exceeds h; k = k_sigma·σ (slack),
+    h = h_sigma·σ. μ/σ come from the first ``baseline_points`` of the
+    series (the in-control reference period, classic monitoring
+    posture) or, when None, the whole series (retrospective
+    deviation-from-average posture — note a sustained one-sided shift
+    then drags μ and charges the OTHER side's statistic in the stable
+    regime, so prefer an explicit baseline for prospective alarms).
+    Both are floor-rounded at 6 digits BEFORE the recursion so the
+    engine's and the oracle's recursions consume bit-identical
+    parameters (the max(0,·) hinge would otherwise amplify a 1-ulp μ
+    difference into a different alarm set). Sequential per series, one
+    Arrow batch per group — same scale posture as ses_smooth.
+
+    Output: group_cols + (ts_col, val_col, s_pos, s_neg, alarm).
+    """
+    def _r6(x: float) -> float:
+        import math
+
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    out_fields = ", ".join(
+        f"{c} {t}" for c, t in df.select(*group_cols, ts_col, val_col).dtypes
+    )
+    schema = (
+        f"{out_fields}, s_pos double, s_neg double, alarm boolean"
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        xs = [float(v) for v in pdf[val_col]]
+        base = xs[:baseline_points] if baseline_points else xs
+        mu = _r6(sum(base) / len(base))
+        var = sum((x - mu) ** 2 for x in base) / len(base)
+        sd = _r6(var ** 0.5)
+        k, h = k_sigma * sd, h_sigma * sd
+        sp = sn = 0.0
+        pos, neg, alarm = [], [], []
+        for x in xs:
+            sp = max(0.0, sp + (x - mu - k))
+            sn = max(0.0, sn - (x - mu + k))
+            pos.append(sp)
+            neg.append(sn)
+            alarm.append(sp > h or sn > h)
+        pdf["s_pos"], pdf["s_neg"], pdf["alarm"] = pos, neg, alarm
+        return pdf[[*group_cols, ts_col, val_col, "s_pos", "s_neg", "alarm"]]
+
+    return (
+        df.select(*group_cols, ts_col, val_col)
+        .groupBy(*group_cols)
+        .applyInPandas(_one, schema)
+    )

@@ -680,6 +680,69 @@ FROM c
 """
 
 
+def q_events_cusum_alarms(spark, sf_dir):
+    """Two-sided CUSUM change-point statistics over the daily KPI per
+    event_type (Page 1954; ext/forecast.py::cusum_changepoints). The
+    daily inputs are floor-rounded at 4 digits and μ/σ at 6 on BOTH
+    engines before the recursion — the max(0,·) hinge would amplify a
+    1-ulp aggregate difference into a different alarm set."""
+    from data_lakehouse_project_spark.ext.forecast import cusum_changepoints
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(_rn(F.avg("value"), 4).alias("x"))
+    out = cusum_changepoints(
+        daily, ["event_type"], "day", "x", k_sigma=0.5, h_sigma=4.0
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        _rn(F.col("s_pos"), 4).alias("s_pos"),
+        _rn(F.col("s_neg"), 4).alias("s_neg"),
+        "alarm",
+    )
+
+
+SQL_CUSUM = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, {X} AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         {MU} AS mu
+  FROM daily GROUP BY event_type
+), stats2 AS (
+  SELECT d.event_type, s.mu,
+         {SD} AS sd
+  FROM daily d JOIN stats s USING (event_type)
+  GROUP BY d.event_type, s.mu
+), numbered AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY day
+  ) AS rn FROM daily
+), rec AS (
+  SELECT n.event_type, n.day, n.x, n.rn,
+         greatest(0, n.x - s.mu - 0.5 * s.sd) AS sp,
+         greatest(0, -(n.x - s.mu + 0.5 * s.sd)) AS sn,
+         s.mu, s.sd
+  FROM numbered n JOIN stats2 s USING (event_type) WHERE n.rn = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.x, n.rn,
+         greatest(0, r.sp + (n.x - r.mu - 0.5 * r.sd)),
+         greatest(0, r.sn - (n.x - r.mu + 0.5 * r.sd)),
+         r.mu, r.sd
+  FROM numbered n
+  JOIN rec r ON n.event_type = r.event_type AND n.rn = r.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+       {SP} AS s_pos, {SN} AS s_neg,
+       (sp > 4.0 * sd OR sn > 4.0 * sd) AS alarm
+FROM rec
+"""
+
+
 # --- equi-depth histograms --------------------------------------------------
 
 def q_histogram_equidepth_qty(spark, sf_dir):
@@ -829,6 +892,16 @@ def build(helpers: dict) -> dict:
                     " * (1.0 / n_a + 1.0 / n_b)) END",
                     4,
                 ),
+            ),
+        ),
+        "events_cusum_alarms": (
+            q_events_cusum_alarms,
+            SQL_CUSUM.format(
+                X=R("AVG(value)", 4),
+                MU=R("AVG(x)", 6),
+                SD=R("sqrt(AVG((d.x - s.mu) * (d.x - s.mu)))", 6),
+                SP=R("sp", 4),
+                SN=R("sn", 4),
             ),
         ),
         "events_ses_smoothed": (

@@ -69,3 +69,32 @@ def test_holt_fit_and_forecast(spark):
     # forecasts continue the line: 21, 23, 25
     assert [r.fitted for r in fc] == pytest.approx([21.0, 23.0, 25.0], abs=1e-9)
     assert all(r.day is None for r in fc)
+
+
+def test_cusum_detects_level_shift(spark):
+    from data_lakehouse_project_spark.ext.forecast import cusum_changepoints
+
+    # flat at 10 for 20 points, then a +5 level shift: the alarm must
+    # fire after the shift and never before it
+    xs = [10.0 + 0.01 * (i % 3) for i in range(20)] + [15.0] * 10
+    df = _series(spark, xs)
+    rows = (
+        cusum_changepoints(df, ["g"], "day", "x", k_sigma=0.5,
+                           h_sigma=4.0, baseline_points=20)
+        .orderBy("day")
+        .collect()
+    )
+    alarms = [r.alarm for r in rows]
+    assert not any(alarms[:20]), "no alarm in the stable regime"
+    assert any(alarms[20:]), "level shift must trigger"
+    # cusum statistic is non-negative by construction
+    assert all(r.s_pos >= 0 and r.s_neg >= 0 for r in rows)
+
+
+def test_cusum_no_alarm_on_stationary(spark):
+    from data_lakehouse_project_spark.ext.forecast import cusum_changepoints
+
+    xs = [5.0, 5.1, 4.9, 5.05, 4.95, 5.0, 5.1, 4.9] * 3
+    df = _series(spark, xs)
+    rows = cusum_changepoints(df, ["g"], "day", "x").collect()
+    assert not any(r.alarm for r in rows)
