@@ -106,15 +106,34 @@ def neighbor_pairs_grid(
     Output: (id_a, id_b, dist_km) with id_a < id_b.
     """
     dlat, dlon = _cell_sizes(radius_km)
+    # longitude cells WRAP at the ±180 antimeridian: a pair straddling
+    # it (lon -179.9 vs +179.9 is ~22 km at the equator) must meet in
+    # adjacent cells, so the x index is modular over the full circle.
+    # The cell count is FLOOR(360/dlon) with uniform width 360/n ≥
+    # dlon — a ceil'd grid leaves a narrower seam cell, and a pair
+    # within r can then straddle it two index-steps apart, silently
+    # missed (the adjacency guarantee needs every cell at least
+    # r-degrees wide).
+    n_lon_cells = int(360.0 // dlon)
+    if n_lon_cells < 3:
+        raise ValueError(
+            f"radius {radius_km} km needs < 3 longitude cells — grid "
+            "binning degenerates; use a direct pairwise join instead"
+        )
+    dlon_eff = 360.0 / n_lon_cells
     pts = points.select(
         F.col(id_col).alias("_gid"),
         F.col(lat_col).cast("double").alias("_lat"),
         F.col(lon_col).cast("double").alias("_lon"),
         F.floor(F.col(lat_col) / dlat).cast("long").alias("_cy"),
-        F.floor(F.col(lon_col) / dlon).cast("long").alias("_cx"),
+        F.pmod(
+            F.floor((F.col(lon_col) + 180.0) / dlon_eff),
+            F.lit(n_lon_cells),
+        ).cast("long").alias("_cx"),
     )
 
-    # left: exploded to the 9-cell neighborhood
+    # left: exploded to the 9-cell neighborhood (x wraps modulo the
+    # lon cell count so the ring crosses the antimeridian)
     offsets = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
@@ -129,7 +148,9 @@ def neighbor_pairs_grid(
             F.col("_lat").alias("lat_a"),
             F.col("_lon").alias("lon_a"),
             (F.col("_cy") + F.col("_o.dy")).alias("_jy"),
-            (F.col("_cx") + F.col("_o.dx")).alias("_jx"),
+            F.pmod(
+                F.col("_cx") + F.col("_o.dx"), F.lit(n_lon_cells)
+            ).alias("_jx"),
         )
     )
     right = pts.select(

@@ -89,3 +89,49 @@ def test_no_duplicate_pairs(spark):
     n = out.count()
     assert out.select("id_a", "id_b").distinct().count() == n
     assert out.where(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_antimeridian_pair_found(spark):
+    # lon -179.9 vs +179.9 at lat 10 is ~22 km apart but sits at the
+    # two ends of a non-wrapping grid — the modular lon cells must
+    # bring the pair together
+    df = spark.createDataFrame(
+        [(1, 10.0, -179.9), (2, 10.0, 179.9), (3, 10.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    rows = geo.neighbor_pairs_grid(df, 100.0).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].dist_km < 25.0
+
+
+def test_brute_force_parity_with_dateline_band(spark):
+    # concentrate points near the antimeridian so straddling pairs are
+    # guaranteed, then demand exact brute-force parity
+    rng = random.Random(23)
+    pts = [
+        (
+            i,
+            rng.uniform(-20.0, 20.0),
+            ((180.0 + rng.uniform(-5.0, 5.0) + 180.0) % 360.0) - 180.0,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    radius = 400.0
+    got = {
+        (r.id_a, r.id_b)
+        for r in geo.neighbor_pairs_grid(df, radius).collect()
+    }
+    want = {
+        (a[0], b[0])
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if _haversine_py(a[1], a[2], b[1], b[2]) <= radius
+    }
+    straddling = [
+        (a, b)
+        for (a, b) in want
+        if abs(pts[a][2] - pts[b][2]) > 180.0
+    ]
+    assert straddling, "fixture must include antimeridian pairs"
+    assert got == want
