@@ -213,13 +213,17 @@ class _JSONLWriter(DataSourceWriter):
 # directory tailed as a micro-batch stream. Covers the third quadrant
 # of the custom-datasource surface (batch read = xml_py, batch write =
 # jsonl_py, streaming read = this; streaming write is foreachBatch's
-# domain). Offsets are exactly-once by construction: the offset is the
-# count of consumed files over the LEXICOGRAPHICALLY SORTED listing of
-# an append-only directory, so ``readBetweenOffsets(start, end)``
-# re-reads precisely files[start:end] after a crash — deterministic
-# replay, the contract Structured Streaming's WAL requires. Files must
-# be added atomically (write + rename) and never mutated, the standard
-# file-source convention.
+# domain). Offsets are exactly-once by construction: the offset is a
+# FILENAME WATERMARK — every file whose basename sorts ≤ the watermark
+# counts as consumed — so ``readBetweenOffsets(start, end)`` re-reads
+# exactly the files in (start, end] after a crash regardless of what
+# arrived since. (A consumed-file COUNT is subtly wrong: one new file
+# that happens to sort before an already-consumed name shifts every
+# index and replay returns the wrong slice.) Producers must therefore
+# emit monotonically-sorting names (timestamps/sequence numbers — the
+# standard log-file convention); a name at-or-below the watermark is
+# treated as already consumed and skipped. Files must be added
+# atomically (write + rename) and never mutated.
 # ---------------------------------------------------------------------
 
 from pyspark.sql.datasource import SimpleDataSourceStreamReader
@@ -275,7 +279,7 @@ class _JSONLStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"files_done": 0}
+        return {"last": ""}
 
     def _rows_of(self, files: list[str]):
         names = [f.name for f in self._schema.fields]
@@ -295,22 +299,25 @@ class _JSONLStreamReader(SimpleDataSourceStreamReader):
         # and copy.copy()s the returned iterator for replay (list
         # iterators pickle/copy; generators don't), and latestOffset
         # calls next() on it (so a bare list fails too)
-        files = self._files()
-        done = int(start.get("files_done", 0))
-        new = files[done:]
-        return iter(list(self._rows_of(new))), {"files_done": done + len(new)}
+        last = start.get("last", "")
+        new = [
+            p for p in self._files() if os.path.basename(p) > last
+        ]
+        nxt = {"last": os.path.basename(new[-1]) if new else last}
+        return iter(list(self._rows_of(new))), nxt
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # deterministic replay after restart: the directory is
-        # append-only and the listing sorted, so [start, end) names the
-        # exact same files it named when first read
-        files = self._files()
-        return iter(list(
-            self._rows_of(
-                files[int(start.get("files_done", 0)):
-                      int(end.get("files_done", 0))]
-            )
-        ))
+        # deterministic replay after restart: (start, end] names the
+        # same file set whenever producers emit monotonically-sorting
+        # names — late early-sorting arrivals are ≤ the watermark and
+        # excluded on both the first read and the replay
+        lo, hi = start.get("last", ""), end.get("last", "")
+        files = [
+            p
+            for p in self._files()
+            if lo < os.path.basename(p) <= hi
+        ]
+        return iter(list(self._rows_of(files)))
 
     def commit(self, end: dict) -> None:
         # no source-side state to clean: offsets live in the query WAL
