@@ -133,12 +133,23 @@ def interval_overlap_join(
         _exploded(right, right_lo, right_hi), "_bin"
     )
     start = F.greatest(F.col(left_lo), F.col(right_lo))
+    # the exactly-once bin must respect the SAME clamp the explode
+    # used: an overlap starting below clamp_lo has its start bin
+    # outside every exploded ring, and the pair would silently vanish
+    # even though it overlaps inside the window — so the emitting bin
+    # is the clamped overlap start (the predicate itself stays on the
+    # ORIGINAL bounds)
+    start_eff = (
+        F.greatest(start, F.lit(float(clamp_lo)))
+        if clamp_lo is not None
+        else start
+    )
     return (
         joined.where(
             (start < F.least(F.col(left_hi), F.col(right_hi)))
             # exactly-once: only the overlap-start bin emits the pair
             & (
-                F.floor(start / F.lit(bin_width)).cast("long")
+                F.floor(start_eff / F.lit(bin_width)).cast("long")
                 == F.col("_bin")
             )
         )

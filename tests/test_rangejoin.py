@@ -147,3 +147,21 @@ def test_interval_overlap_join_is_equi_join_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_interval_overlap_clamped_start_before_window(spark):
+    """A pair whose overlap STARTS below clamp_lo but extends into the
+    clamp window must still be emitted exactly once (regression: the
+    exactly-once bin used the unclamped start, which no exploded ring
+    contained)."""
+    from data_lakehouse_project_spark.ext.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([(1, -50.0, 30.0)], "lid long, lo double, hi double")
+    right = spark.createDataFrame([(2, -40.0, 25.0)], "rid long, lo2 double, hi2 double")
+    out = interval_overlap_join(
+        left, right, "lo", "hi", "lo2", "hi2",
+        bin_width=10.0, clamp_lo=0.0, clamp_hi=100.0,
+    ).collect()
+    assert len(out) == 1  # overlap [-40, 25) crosses into the window
