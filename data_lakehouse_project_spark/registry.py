@@ -3865,8 +3865,14 @@ GRADED_WINDOW: list[str] = [
     "window_ignore_nulls",
     # statistical aggregates (r5: continuous percentile replaces the
     # median/percentile pair — exact companion of the KLL sketch slot)
-    "agg_stats",
-    "percentile_cont_qty",
+    # r5 session 3 rotation: the rank-sum AUC replaces the plain stats
+    # aggregate (harder arithmetic for the oracle to pin: distinct-
+    # score collapse + window cumsum + tie-averaged ranks) and the
+    # ntile equi-depth histogram replaces percentile_cont (same
+    # quantile family, adds the bucket assignment); both rotated-out
+    # names stay registered + selfchecked
+    "stopword_auc_langid",
+    "histogram_equidepth_qty",
     # set ops / grouping surfaces
     "setop_intersect_all",
     "rollup_status_priority",
