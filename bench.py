@@ -67,6 +67,11 @@ HEADLINE = [
     # funnel attribution — new slots, baselined from BENCH_r05 on
     "geo_neighbor_pairs",
     "attribution_last_touch",
+    # r5 session 4 additions: C4-style segment dedup (full corpus scan →
+    # two hash-key shuffles) and DSIR importance weights (token explode →
+    # bucket agg → broadcast ratio join) — baselined from BENCH_r05 on
+    "segment_dedup_summary",
+    "dsir_importance_weights",
 ]
 
 

@@ -1,0 +1,356 @@
+"""Training-data curation batch 5: sub-document segment dedup,
+Gopher-style quality rules, soft dedup (reweight instead of drop),
+DSIR importance weights, and MMR diversified selection.
+
+These close the remaining gaps a 100 TB pretraining-data pipeline hits
+after the existing dedup/quality/sampling surface (ext/dedup.py,
+ext/text.py, ext/sampling.py):
+
+- C4-style sub-document dedup removes boilerplate SEGMENTS that repeat
+  across documents without dropping whole docs (C4 did this at line
+  grain; the synthetic corpus has no newlines so the grain here is
+  fixed ``seg_len``-token windows — the same operator, parameterized).
+- Gopher rules are the published document-level quality thresholds
+  (word count, mean word length, alphabetic-word fraction, stopword
+  presence) as individual named flags, not a single opaque score
+  (ext/text.py::quality_score stays the scalar variant).
+- Soft dedup keeps every copy but emits weight 1/|group| so the
+  training sampler sees each distinct text once in expectation
+  ("SoftDeDup" — gradient-equivalent to dropping, order-preserving).
+- DSIR (Xie et al. 2023) scores raw docs by importance ratio between a
+  target slice and the raw distribution over hashed n-gram features —
+  the standard "select pretraining data that looks like the target
+  domain" pass.
+- MMR (maximal marginal relevance) selects a k-item subset balancing
+  query relevance against redundancy among the selected — the
+  diversity-aware variant of top-k retrieval.
+
+Scale notes: every op is one or two key-grain shuffles over JVM
+expressions; segment/DSIR group on 64-bit hashes (narrow shuffle keys),
+MMR is k bounded passes over a cached scored table (k driver-side
+argmax rows — same bounded-collect model as BPE training). No Python
+runs per row anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.ext.sampling import hash_bucket
+from data_lakehouse_project_spark.ext.text import (
+    STOPWORDS,
+    avg_token_length,
+    stopword_count,
+    ws_tokens,
+)
+from data_lakehouse_project_spark.functions.scalar import normalize_text
+
+
+def _rn(col: Column, digits: int) -> Column:
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)).cast("double") / F.lit(scale)
+
+
+# ---------------------------------------------------------------------
+# C4-style segment dedup
+# ---------------------------------------------------------------------
+
+def segment_table(
+    df: DataFrame, text_col: str, id_col: str, seg_len: int = 10
+) -> DataFrame:
+    """(id, seg_idx, seg) — consecutive ``seg_len``-token windows of the
+    normalized text (the final window may be shorter). Built entirely
+    with array expressions (sequence → slice → array_join), so there is
+    no explode-then-regroup shuffle just to construct segments.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int")
+    segs = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_len + 1, seg_len), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+def segment_dedup_summary(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seg_len: int = 10,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Per-document report of cross-document segment duplication:
+    ``n_segs``, ``dup_segs`` (segments whose exact text occurs in more
+    than ``max_docs`` distinct documents), and ``frac_dup``.
+
+    This is the decision table for C4-style boilerplate removal: a
+    downstream writer drops the flagged segments and re-joins the rest
+    (same reconstruct-by-position shape as ext/dedup.py's ExactSubstr
+    trimmer, which handles the span-grain variant).
+
+    Scale: segments are aggregated on ``xxhash64(seg)`` — an 8-byte
+    shuffle key instead of the segment string itself. A 64-bit collision
+    would need ~2^32 distinct segments to become likely; at that point
+    switch the key to the 2×64-bit pair (xxhash64(seg), length(seg)).
+    Two hash-key shuffles + one id-grain aggregation total.
+    """
+    segs = segment_table(df, text_col, id_col, seg_len).select(
+        id_col, "seg_idx", F.xxhash64("seg").alias("_h")
+    )
+    counts = segs.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_n_docs")
+    )
+    return (
+        segs.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(
+                F.when(F.col("_n_docs") > max_docs, 1).otherwise(0)
+            ).alias("dup_segs"),
+        )
+        .select(
+            id_col,
+            "n_segs",
+            "dup_segs",
+            _rn(F.col("dup_segs") / F.col("n_segs"), 4).alias("frac_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str, id_col: str, lang: str = "en"
+) -> DataFrame:
+    """Per-document named quality flags with the published Gopher
+    repetition-free thresholds (Rae et al. 2021 §A1.1): word count in
+    [50, 100k], mean word length in [3, 10], ≥80% of words contain an
+    alphabetic character, ≥2 stopwords. Each rule is its own boolean
+    column so a curation funnel can report per-rule rejection rates;
+    ``passes_gopher`` is the conjunction. All JVM array expressions —
+    one projection, no shuffle, no Python.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_len = avg_token_length(F.col(text_col))
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / n_words
+    n_stop = stopword_count(F.col(text_col), lang)
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_len = (mean_len >= GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_LEN
+    )
+    f_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    f_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        _rn(mean_len, 2).alias("mean_word_len"),
+        _rn(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        f_words.alias("flag_word_count"),
+        f_len.alias("flag_mean_len"),
+        f_alpha.alias("flag_alpha"),
+        f_stop.alias("flag_stopwords"),
+        (f_words & f_len & f_alpha & f_stop).alias("passes_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Soft dedup: weight 1/|exact-dup group| instead of dropping
+# ---------------------------------------------------------------------
+
+def soft_dedup_weights(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Every row kept, weighted 1/|group| over exact-duplicate groups
+    (md5 of normalized text — same fingerprint as
+    ext/dedup.py::exact_duplicate_groups, so the two ops agree on what
+    "duplicate" means). A sampler drawing proportional to ``weight``
+    sees each distinct text once in expectation — removal-equivalent
+    without destroying provenance or ordering.
+
+    One window count over the fingerprint partition: a single shuffle
+    on a 32-byte key, no join-back.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    n = F.count(F.lit(1)).over(Window.partitionBy(fp))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("group_size"),
+        _rn(F.lit(1.0) / n, 6).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------
+
+def dsir_log_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    dim: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: log p_target(doc) −
+    log p_raw(doc) under bag-of-hashed-unigram models with add-``alpha``
+    smoothing, where the target distribution is fit on the rows
+    matching ``target_pred`` and raw on the whole input (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"). Resample raw data proportional to exp(weight) to
+    match the target domain.
+
+    Buckets use the engine-portable md5 bucket (ext/sampling.py::
+    hash_bucket) so the SQL oracle reproduces the mapping exactly.
+
+    Scale: one token explode → (bucket)-grain aggregation with
+    conditional sums (dim rows out), totals as a 1-row broadcast
+    scalar, then the doc×bucket table joins the dim-row ratio table
+    broadcast — the only data-sized shuffles are the bucket agg and the
+    final id-grain sum.
+    """
+    base = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        F.explode(ws_tokens(F.col(text_col))).alias("_tok"),
+    ).select(
+        id_col, "_is_t", hash_bucket(F.col("_tok"), dim).alias("_b")
+    )
+    doc_counts = base.groupBy(id_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    bucket = base.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
+        F.count(F.lit(1)).alias("_cr"),
+    )
+    totals = bucket.agg(
+        F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
+    )
+    denom = float(alpha * dim)
+    ratio = bucket.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + alpha) / (F.col("_tt") + denom))
+            - F.log((F.col("_cr") + alpha) / (F.col("_tr") + denom))
+        ).alias("_lr"),
+    )
+    return (
+        doc_counts.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(_rn(F.sum(F.col("_c") * F.col("_lr")), 4).alias("log_weight"))
+    )
+
+
+# ---------------------------------------------------------------------
+# MMR diversified top-k
+# ---------------------------------------------------------------------
+
+def _unit(vec: Column) -> Column:
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(vec, lambda x: x / norm)
+
+
+def _dot_lit(vec: Column, q: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(v)) for v in q])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection: greedily pick k rows
+    maximizing ``lam·cos(vec, query) − (1−lam)·max cos(vec, selected)``
+    (Carbonell & Goldstein 1998). Ties break on ascending id so the
+    selection is deterministic.
+
+    Execution model: normalize + score once, cache; then k bounded
+    passes, each a TakeOrdered(1) over the cached table followed by a
+    driver-side append of the winner's vector (k rows total collected —
+    the same bounded-collect pattern as BPE training,
+    ext/bpe.py). The redundancy term against the ≤k selected vectors is
+    a literal-array expression, so every pass is pure JVM. At 100 TB
+    this is k scans of a cached/columnar projection — the standard MMR
+    cost; use the LSH/IVF candidate generators (ext/similarity.py,
+    ext/ivf.py) to shrink the candidate set first when k·scans is too
+    much.
+    """
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
+    q = [v / qn for v in query_vec]
+    base = (
+        df.select(F.col(id_col), _unit(F.col(vec_col)).alias("_v"))
+        .select(
+            id_col, "_v", _dot_lit(F.col("_v"), q).alias("_rel")
+        )
+        .persist()
+    )
+    try:
+        selected: list[tuple] = []  # (rank, id, rel, score, vec)
+        sel_vecs: list[list[float]] = []
+        for rank in range(1, k + 1):
+            score = F.col("_rel") * lam
+            if sel_vecs:
+                red = F.greatest(
+                    *[_dot_lit(F.col("_v"), s) for s in sel_vecs]
+                ) if len(sel_vecs) > 1 else _dot_lit(
+                    F.col("_v"), sel_vecs[0]
+                )
+                score = score - (1.0 - lam) * red
+            cand = base
+            if selected:
+                taken = [s[1] for s in selected]
+                cand = cand.where(~F.col(id_col).isin(taken))
+            row = (
+                cand.select(
+                    id_col, "_v", "_rel", score.alias("_score")
+                )
+                .orderBy(F.desc("_score"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+            if not row:
+                break
+            r = row[0]
+            selected.append(
+                (rank, r[id_col], float(r["_rel"]), float(r["_score"]))
+            )
+            sel_vecs.append(list(r["_v"]))
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [
+                (rank, i, round(rel, 6), round(sc, 6))
+                for rank, i, rel, sc in selected
+            ],
+            schema=f"rank INT, {id_col} LONG, rel DOUBLE, score DOUBLE",
+        )
+    finally:
+        base.unpersist()

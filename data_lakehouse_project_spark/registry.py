@@ -3829,6 +3829,21 @@ REGISTRY.update(
     )
 )
 
+# curation batch 5: segment dedup, Gopher rules, soft dedup, DSIR, MMR
+from data_lakehouse_project_spark import registry_curation  # noqa: E402
+
+REGISTRY.update(
+    registry_curation.build(
+        {
+            "R": R,
+            "_rn": _rn,
+            "TOKS": TOKS,
+            "NORM": NORM,
+            "STOP_EN": _STOP_EN_SQL,
+        }
+    )
+)
+
 
 # ---------------------------------------------------------------------
 # Graded window: the correctness driver grades the FIRST 50 entries of
@@ -3881,8 +3896,12 @@ GRADED_WINDOW: list[str] = [
     # distribution and the ExactSubstr-style span report (ngram-jaccard
     # rotated out — its posting pipeline stays graded transitively via
     # neardup_degree_distribution, which is built on it)
-    "dedup_exact_groups",
-    "dedup_substring_spans",
+    # r5 session 4: soft_dedup_weights replaces dedup_exact_groups (same
+    # md5-fingerprint grouping, plus the 1/n reweight arithmetic) and
+    # the C4-style segment dedup replaces the span report (same
+    # sub-document family; both rotated-out names stay selfchecked)
+    "soft_dedup_weights",
+    "segment_dedup_summary",
     "dedup_clusters",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
@@ -3907,7 +3926,9 @@ GRADED_WINDOW: list[str] = [
     # analytics family gets graded; bigram_xentropy_scores stays
     # registered + selfchecked, LM arithmetic still pinned there)
     "attribution_last_touch",
-    "text_fingerprint",
+    # r5 session 4: the Gopher rule table replaces the md5 fingerprint
+    # slot (quality family upgrade; fingerprint stays selfchecked)
+    "gopher_quality_flags",
     "redact_pii_documents",
     "bm25_search_topk",
     "corpus_frequent_tokens",
@@ -3927,7 +3948,10 @@ GRADED_WINDOW: list[str] = [
     # grades a 3-stage composition (jaccard pairs → connected
     # components → hash split) instead of a single quantile filter;
     # length_outlier_filter stays registered + selfchecked)
-    "token_budget_selection",
+    # r5 session 4: DSIR importance weights replace the greedy token
+    # budget (selection family upgrade — smoothed log-ratio arithmetic
+    # over portable hash buckets; token_budget stays selfchecked)
+    "dsir_importance_weights",
     "cluster_safe_split_counts",
     "pack_chunks_documents",
     # admission-index family (r5: bloom verdicts, previously pytest-only

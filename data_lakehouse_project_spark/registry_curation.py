@@ -1,0 +1,205 @@
+"""Curation batch 5: sub-document segment dedup, Gopher quality rules,
+soft dedup reweighting, DSIR importance weights, MMR diversified top-k.
+
+North-star training-data operators past the reference's surface
+(SURVEY §2.9): the reference pipeline ships raw text through
+bronze/silver/gold with no curation pass at all; these are the
+document-selection shapes a 100 TB pretraining pipeline runs between
+"scanned" and "shuffled into shards" (see ext/curation.py for the
+algorithmic and scale notes).
+
+Oracle parity notes:
+- Segments are built with the SAME slice arithmetic on both engines
+  (list_slice is inclusive-range in DuckDB, so [i*L+1, i*L+L] mirrors
+  Spark's slice(start=i*L+1, length=L)); Spark groups segments on
+  xxhash64 for an 8-byte shuffle key while the oracle groups on the
+  text — identical counts absent a 64-bit collision.
+- DSIR buckets reuse the engine-portable md5 bucket (the
+  SQL_HASHED_TF pattern), and both engines evaluate the identical
+  smoothed log-ratio formula text.
+- Boolean rule flags compare raw (unrounded) doubles on both engines;
+  the inputs are exact-integer ratios so the IEEE results are
+  bit-identical.
+- MMR is iterative-greedy (k driver-side argmax steps) — not
+  SQL-expressible, so it is a rows-only entry; tests/test_curation.py
+  pins it against a pure-numpy reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.ext import curation as X_cur
+from data_lakehouse_project_spark.sources.readers import load_testdata
+
+_helpers: dict = {}
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_testdata(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+def q_segment_dedup_summary(spark, sf_dir):
+    """C4-style sub-document dedup report: 10-token segment windows,
+    flag segments whose exact text appears in >1 distinct document
+    (ext/curation.py::segment_dedup_summary)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return X_cur.segment_dedup_summary(
+        docs, "text", "doc_id", seg_len=10, max_docs=1
+    )
+
+
+def q_gopher_quality_flags(spark, sf_dir):
+    """Published Gopher document-quality thresholds as named boolean
+    rule columns (ext/curation.py::gopher_quality_flags)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return X_cur.gopher_quality_flags(docs, "text", "doc_id")
+
+
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup: keep every copy, weight 1/|exact-dup group|
+    (ext/curation.py::soft_dedup_weights)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return X_cur.soft_dedup_weights(docs, "text", "doc_id")
+
+
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance log-weights toward the source='src0' slice over
+    1024 hashed-unigram buckets (ext/curation.py::dsir_log_weights)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return X_cur.dsir_log_weights(
+        docs, "text", "doc_id", F.col("source") == "src0", dim=1024
+    )
+
+
+def q_mmr_diverse_topk(spark, sf_dir):
+    """MMR diversified top-10 over the embeddings table; the query
+    vector is the label-0 centroid (deterministic, data-derived). Not
+    SQL-expressible (greedy iterative) — rows-only; exactness is pinned
+    against numpy in tests/test_curation.py."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    cen = (
+        emb.where(F.col("label") == 0)
+        .select(F.posexplode("embedding").alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(F.avg("_x").alias("_m"))
+        .orderBy("_i")
+        .collect()
+    )
+    centroid = [r["_m"] for r in cen]
+    return X_cur.mmr_select(
+        emb, "vec_id", "embedding", centroid, k=10, lam=0.7
+    )
+
+
+SQL_SEGMENT_DEDUP = """
+WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+             0, CAST(CEIL(len(t) / 10.0) AS BIGINT) - 1)) AS i
+  FROM toks WHERE len(t) > 0
+),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') AS seg
+  FROM idx
+),
+cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY 1)
+SELECT s.doc_id,
+       COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segs,
+       {FRAC} AS frac_dup
+FROM seg s JOIN cnt c USING (seg)
+GROUP BY s.doc_id
+"""
+
+SQL_GOPHER = """
+WITH m AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS mean_len,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(t) AS alpha_frac,
+         len(list_filter(t, x -> list_contains({STOP_EN}, x))) AS n_stop
+  FROM (SELECT doc_id, {TOKS} AS t FROM documents)
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       {MEAN} AS mean_word_len,
+       {ALPHA} AS alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       (mean_len >= 3.0 AND mean_len <= 10.0) AS flag_mean_len,
+       (alpha_frac >= 0.8) AS flag_alpha,
+       (n_stop >= 2) AS flag_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND alpha_frac >= 0.8 AND n_stop >= 2) AS passes_gopher
+FROM m
+"""
+
+SQL_SOFT_DEDUP = """
+WITH f AS (SELECT doc_id, md5({NORM}) AS fp FROM documents),
+c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY 1)
+SELECT doc_id, CAST(n AS BIGINT) AS group_size, {W} AS weight
+FROM f JOIN c USING (fp)
+"""
+
+SQL_DSIR = """
+WITH b AS (
+  SELECT doc_id, (source = 'src0') AS is_t,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bkt
+  FROM (SELECT doc_id, source, unnest({TOKS}) AS tok FROM documents)
+),
+dc AS (SELECT doc_id, bkt, COUNT(*) AS c FROM b GROUP BY 1, 2),
+bk AS (SELECT bkt, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+              COUNT(*) AS cr
+       FROM b GROUP BY 1),
+tt AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bk),
+lr AS (SELECT bkt,
+              ln((ct + 0.5) / (tt + 512.0)) - ln((cr + 0.5) / (tr + 512.0)) AS lr
+       FROM bk, tt)
+SELECT doc_id, {LW} AS log_weight
+FROM dc JOIN lr USING (bkt)
+GROUP BY doc_id
+"""
+
+
+def build(helpers: dict) -> dict:
+    _helpers.update(helpers)
+    R = helpers["R"]
+    TOKS = helpers["TOKS"]
+    NORM = helpers["NORM"]
+    STOP_EN = helpers["STOP_EN"]
+    return {
+        "segment_dedup_summary": (
+            q_segment_dedup_summary,
+            SQL_SEGMENT_DEDUP.format(
+                TOKS=TOKS,
+                FRAC=R(
+                    "SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)"
+                    " * 1.0 / COUNT(*)",
+                    4,
+                ),
+            ),
+        ),
+        "gopher_quality_flags": (
+            q_gopher_quality_flags,
+            SQL_GOPHER.format(
+                TOKS=TOKS,
+                STOP_EN=STOP_EN,
+                MEAN=R("mean_len", 2),
+                ALPHA=R("alpha_frac", 4),
+            ),
+        ),
+        "soft_dedup_weights": (
+            q_soft_dedup_weights,
+            SQL_SOFT_DEDUP.format(NORM=NORM, W=R("1.0 / n", 6)),
+        ),
+        "dsir_importance_weights": (
+            q_dsir_importance_weights,
+            SQL_DSIR.format(TOKS=TOKS, LW=R("SUM(c * lr)", 4)),
+        ),
+        "mmr_diverse_topk": (q_mmr_diverse_topk, None),
+    }

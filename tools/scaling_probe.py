@@ -144,6 +144,33 @@ def replicate_skewed_docs(base, mult):
     )
 
 
+def shape_segdedup(df, orders):
+    """C4-style segment dedup summary (ext/curation.py): segment
+    construction is array expressions (no shuffle), then two
+    xxhash64-key shuffles + one id-grain agg. Under universe
+    replication the per-universe duplicate structure is preserved, so
+    segments, dup groups, and output rows all grow exactly mult×."""
+    from data_lakehouse_project_spark.ext.curation import (
+        segment_dedup_summary,
+    )
+
+    return segment_dedup_summary(df, "text", "doc_id", seg_len=10)
+
+
+def shape_dsir(df, orders):
+    """DSIR importance log-weights (ext/curation.py): token explode →
+    1024-bucket agg → broadcast ratio join → id-grain sum. Target slice
+    is a deterministic hash bucket of the doc id (~1/8 of rows) so the
+    target/raw split survives replication."""
+    from data_lakehouse_project_spark.ext.curation import dsir_log_weights
+    from data_lakehouse_project_spark.ext.sampling import hash_bucket
+
+    return dsir_log_weights(
+        df, "text", "doc_id", hash_bucket(F.col("doc_id"), 8) == 0,
+        dim=1024,
+    )
+
+
 def shape_skew_cap_sort(df, orders):
     """Window-rank domain quota — the per-group sort straggles on the
     hot domain; this is the curve the hash variant should flatten."""
@@ -218,6 +245,10 @@ SHAPES = {
     "text": ("documents", shape_text, replicate_union),
     "vector": ("embeddings", shape_vector, replicate_explode),
     "minhash": ("documents", shape_minhash, replicate_universe_docs),
+    "segdedup": ("documents", shape_segdedup, replicate_universe_docs),
+    # universe replication (not plain explode) so replica doc_ids stay
+    # unique and the id-grain output grows mult× with the input
+    "dsir": ("documents", shape_dsir, replicate_universe_docs),
     "skew_cap_sort": ("documents", shape_skew_cap_sort, replicate_skewed_docs),
     "skew_cap_hash": ("documents", shape_skew_cap_hash, replicate_skewed_docs),
     "skew_rollup_plain": (
