@@ -229,11 +229,15 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv"))
         .persist()
     )
-    # both endpoints: a directed sink (no out-edges) still holds rank
+    # both endpoints: a directed sink (no out-edges) still holds rank.
+    # Persisted: every iteration's dangling-mass left join re-reads it,
+    # and without the cache each round re-runs the union+distinct
+    # shuffle over the edge set.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
@@ -267,7 +271,7 @@ def pagerank(
         .alias("rank"),
     )
     e.unpersist(False)
-    return release_on_gc(out, weighted)
+    return release_on_gc(out, weighted, nodes)
 
 
 def triangle_stats(
