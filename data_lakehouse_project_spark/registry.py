@@ -3834,6 +3834,11 @@ REGISTRY.update(
     )
 )
 
+# privacy batch: k-anonymity / l-diversity release-risk reports
+from data_lakehouse_project_spark import registry_privacy  # noqa: E402
+
+REGISTRY.update(registry_privacy.build({"R": R, "_rn": _rn}))
+
 # curation batch 5: segment dedup, Gopher rules, soft dedup, DSIR, MMR
 from data_lakehouse_project_spark import registry_curation  # noqa: E402
 
@@ -3934,7 +3939,11 @@ GRADED_WINDOW: list[str] = [
     # r5 session 4: the Gopher rule table replaces the md5 fingerprint
     # slot (quality family upgrade; fingerprint stays selfchecked)
     "gopher_quality_flags",
-    "redact_pii_documents",
+    # r5 session 4: the privacy family's graded anchor moves from
+    # free-text PII redaction to the structured k-anonymity/l-diversity
+    # report (harder oracle: grouped distinct + dual thresholds);
+    # redact_pii_documents stays registered + selfchecked
+    "l_diversity_classes",
     "bm25_search_topk",
     "corpus_frequent_tokens",
     # multimodal family (oracle-checked through the mapInPandas stub)

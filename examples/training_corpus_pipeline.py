@@ -8,6 +8,7 @@ adds on top of the reference, which itself stops at a constant
     documents
       → length-outlier gate (p5-p95 band)        ext/text.py::length_outlier_filter
       → language ID (keep target langs)          ext/text.py::language_id
+      → Gopher rule gate (named thresholds)      ext/curation.py::gopher_quality_flags (r5)
       → quality score (keep >= threshold)        ext/text.py::quality_score
       → ML quality filter (hashed BoW + LR)      ext/classifier.py (r5)
       → exact dedup (md5 keep-first)             ext/dedup.py::exact_dedup_groups
@@ -17,6 +18,7 @@ adds on top of the reference, which itself stops at a constant
       → benchmark decontamination (4-gram hit)   ext/dedup.py::ngram_contamination
       → domain quota (cap docs per source)       ext/sampling.py::cap_per_group
       → token accounting                         ext/text.py::bpe_token_count
+      → DSIR sampling weights (target tilt)      ext/curation.py::dsir_log_weights (r5)
       → sharded delivery + verifiable manifest   ext/shards.py::write_training_shards
 
 Every stage is a declarative DataFrame transform: filters/scores are JVM
@@ -52,6 +54,10 @@ from data_lakehouse_project_spark.ext.dedup import (
 from data_lakehouse_project_spark.ext.graph import (
     canonical_representatives,
     dedup_clusters,
+)
+from data_lakehouse_project_spark.ext.curation import (
+    dsir_log_weights,
+    gopher_quality_flags,
 )
 from data_lakehouse_project_spark.ext.sampling import cap_per_group
 from data_lakehouse_project_spark.ext.shards import (
@@ -96,10 +102,28 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
         .drop("stopword_hits")
     )
 
-    # 2. quality floor
-    q = quality_score(stages["lang_kept"], "text", "doc_id")
+    # 2. quality floor — first the Gopher rule table (r5 session 4:
+    # named per-rule booleans, map-only projection), then the scalar
+    # heuristic score. The word-count rule is reported but NOT gated
+    # here: its published 50-word floor is tuned for web pages, and on
+    # this ~45-word synthetic corpus it selects exactly the long
+    # mutually-similar docs, collapsing the demo funnel to a handful of
+    # near-dup survivors. A real deployment gates on passes_gopher.
+    gopher_ok = (
+        gopher_quality_flags(stages["lang_kept"], "text", "doc_id")
+        .where(
+            F.col("flag_mean_len")
+            & F.col("flag_alpha")
+            & F.col("flag_stopwords")
+        )
+        .select("doc_id")
+    )
+    stages["gopher_kept"] = stages["lang_kept"].join(
+        gopher_ok, "doc_id", "left_semi"
+    )
+    q = quality_score(stages["gopher_kept"], "text", "doc_id")
     stages["quality_kept"] = (
-        stages["lang_kept"].join(q, "doc_id")
+        stages["gopher_kept"].join(q, "doc_id")
         .where(F.col("quality_score") >= min_quality)
     )
 
@@ -114,9 +138,14 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
         .where(F.col("keep"))
         .select("doc_id")
     )
+    # persist: every downstream stage (and the funnel report's per-stage
+    # counts) re-reads this frame; without the cache each one re-trains
+    # and re-applies the classifier. A production pipeline writes stage
+    # boundaries to the lakehouse instead (plans/pipeline.py) — the
+    # cache plays that role in an in-memory walkthrough.
     stages["ml_quality_kept"] = stages["quality_kept"].join(
         ml_keep, "doc_id", "left_semi"
-    )
+    ).persist()
 
     # 3. exact dedup: keep the min doc_id of each md5 group
     groups = exact_dedup_groups(stages["ml_quality_kept"], "text", "doc_id")
@@ -139,9 +168,11 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
     keep = canonical_representatives(clusters, qcols).select(
         F.col("keep_id").alias("doc_id")
     )
+    # persist for the same reason: the LSH + connected-components chain
+    # above is the funnel's most expensive segment
     stages["near_dup_unique"] = stages["exact_unique"].join(
         keep, "doc_id", "left_semi"
-    )
+    ).persist()
 
     # 4b. boilerplate span trim (r5, ExactSubstr "cut" step): any
     # 8-token window still repeating across the near-dup-unique
@@ -170,9 +201,18 @@ def curate(docs: DataFrame, *, min_quality: float = MIN_QUALITY,
         stages["decontaminated"], "source", "doc_id", cap=MAX_PER_SOURCE
     )
 
-    # 7. token accounting on the survivors
-    stages["curated"] = stages["quota_kept"].withColumn(
-        "n_bpe_tokens", bpe_token_count(F.col("text"))
+    # 7. token accounting + DSIR sampling weight on the survivors (r5
+    # session 4): the trainer's sampler draws proportional to
+    # exp(dsir_logw) to tilt the mix toward the target domain without
+    # another filtering pass
+    dsir = dsir_log_weights(
+        stages["quota_kept"], "text", "doc_id",
+        F.col("source") == "src0", dim=1024,
+    ).withColumnRenamed("log_weight", "dsir_logw")
+    stages["curated"] = (
+        stages["quota_kept"]
+        .withColumn("n_bpe_tokens", bpe_token_count(F.col("text")))
+        .join(dsir, "doc_id")
     )
     return stages
 
@@ -203,9 +243,10 @@ def main() -> None:
     bad = verify_shards(spark, shards_path).where("NOT ok").count()
 
     print("curation funnel (docs surviving each stage):")
-    for name in ["raw", "length_kept", "lang_kept", "quality_kept",
-                 "ml_quality_kept", "exact_unique", "near_dup_unique",
-                 "trimmed", "decontaminated", "quota_kept"]:
+    for name in ["raw", "length_kept", "lang_kept", "gopher_kept",
+                 "quality_kept", "ml_quality_kept", "exact_unique",
+                 "near_dup_unique", "trimmed", "decontaminated",
+                 "quota_kept"]:
         print(f"  {name:16s} {funnel[name]:>8d}")
     print(f"curated corpus: {funnel['curated']} docs, "
           f"{total_tokens} BPE-ish tokens → {shards_path} "

@@ -57,6 +57,9 @@ EXPECT_NESTED_LOOP = {
     "corpus_frequent_tokens",
     # same shape: (min,max) bounds broadcast into the bin expression
     "orders_price_histogram",
+    # same shape: target/raw model totals (1 row) broadcast into the
+    # bucket log-ratio table
+    "dsir_importance_weights",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
