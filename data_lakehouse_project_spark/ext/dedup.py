@@ -838,16 +838,42 @@ def simhash_near_duplicates(
     return pairs
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Space-joined word n-grams of the normalized text (empty array when
-    the document has fewer than n tokens — sequence() would otherwise
-    count DOWN and fabricate grams)."""
-    toks = tokens(text)
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+def word_ngrams_of(toks_name: str, n: int) -> Column:
+    """Space-joined word n-grams over an ALREADY-MATERIALIZED token
+    array column (empty array when the document has fewer than n tokens
+    — sequence() would otherwise count DOWN and fabricate grams).
+
+    Takes a column NAME, not an expression, deliberately: a lambda body
+    is outside common-subexpression elimination, so an inline tokenizer
+    expression would re-run normalize+split once per gram per row; and
+    gram assembly uses element_at (O(1) per offset), not
+    slice-inside-transform (O(len) copy per position → O(len²) per doc)
+    — the same two pitfalls text.py's gram builder documents."""
+    parts = ", ".join(f"element_at({toks_name}, i + {j})" for j in range(n))
+    return F.when(
+        F.size(toks_name) >= n,
+        F.expr(
+            f"transform(sequence(1, size({toks_name}) - {n - 1}), "
+            f"i -> concat_ws(' ', {parts}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _distinct_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(out_id, gram) pairs, distinct per document by construction:
+    tokens materialize in their own projection (word_ngrams_of's
+    contract), array_distinct runs BEFORE explode so no post-explode
+    shuffle is ever needed."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        out_id,
+        F.explode(F.array_distinct(word_ngrams_of("__toks", n))).alias(
+            "gram"
+        ),
     )
 
 
@@ -872,20 +898,8 @@ def ngram_contamination(
     ``broadcast_bench=False`` for benchmark sets beyond broadcast size
     (falls back to a shuffle join on the gram key).
     """
-    def grams_of(df: DataFrame, tag: str) -> DataFrame:
-        # array_distinct BEFORE explode: per-document dedup inside the
-        # row (no shuffle) makes the exploded (id, gram) pairs distinct
-        # by construction — a .distinct() here would cost a full shuffle
-        # of the exploded gram set on both sides
-        return df.select(
-            F.col(id_col).alias(f"{tag}_id"),
-            F.explode(
-                F.array_distinct(word_ngrams(F.col(text_col), n))
-            ).alias("gram"),
-        )
-
-    tg = grams_of(train, "train")
-    bg = grams_of(bench, "bench")
+    tg = _distinct_grams(train, text_col, id_col, n, "train_id")
+    bg = _distinct_grams(bench, text_col, id_col, n, "bench_id")
     if broadcast_bench:
         bg = F.broadcast(bg)
     return (

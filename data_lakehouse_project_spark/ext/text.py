@@ -372,14 +372,9 @@ def ngram_novelty(
     join back on the gram (cost bounded by total postings, never
     |docs|²), one aggregation on the id. All JVM expressions.
     """
-    from data_lakehouse_project_spark.ext.dedup import word_ngrams
+    from data_lakehouse_project_spark.ext.dedup import _distinct_grams
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))
-        ).alias("gram"),
-    )
+    grams = _distinct_grams(df, text_col, id_col, n, id_col)
     gram_df = grams.groupBy("gram").agg(
         F.count(F.lit(1)).alias("doc_freq")
     )

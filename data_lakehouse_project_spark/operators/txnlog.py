@@ -833,9 +833,203 @@ class TxnTable:
             txn=txn,
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        matched_update: dict[str, str] | str | None = None,
+        matched_update_condition: str | None = None,
+        matched_delete_condition: str | None = None,
+        insert: bool = True,
+        insert_condition: str | None = None,
+        not_matched_by_source_delete: str | bool = False,
+    ) -> int:
+        """Full-clause MERGE with Delta's semantics, at FILE
+        granularity::
+
+            MERGE INTO t USING s ON <keys>
+            WHEN MATCHED [AND <matched_delete_condition>] THEN DELETE
+            WHEN MATCHED [AND <matched_update_condition>]
+                THEN UPDATE SET <matched_update>
+            WHEN NOT MATCHED [AND <insert_condition>] THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE
+                [AND <not_matched_by_source_delete>] THEN DELETE
+
+        Conditions and SET expressions are SQL over the aliases ``t``
+        (target) and ``s`` (source) — e.g. ``{"qty": "t.qty + s.qty"}``;
+        ``matched_update="all"`` means ``SET * `` (every target column
+        from ``s``). Clause precedence on a matched row is DELETE then
+        UPDATE, like Delta's clause order. ``insert`` requires the
+        source to carry every target column (INSERT-star semantics).
+
+        Execution shape (the same two-pass plan delta-spark runs):
+        pass 1 left-joins the target scan to the source on the keys and
+        collects only the DISTINCT FILE PATHS whose rows any clause
+        touches — every untouched file's add action survives verbatim,
+        so a selective merge rewrites O(matching files), not O(table).
+        Pass 2 rewrites just those files (copy-on-write; DV rows
+        already deleted are excluded by the scan) and stages the
+        not-matched inserts. One commit, read-dependent
+        (``blind_append=False``) so any concurrent writer conflicts.
+
+        A target row matched by MORE than one source row is ambiguous
+        when an update/delete clause exists — detected and raised, as
+        Delta does. Returns the committed version, or the current
+        version when no clause changed anything.
+        """
+        from functools import reduce as _reduce
+
+        from pyspark.sql import functions as F
+
+        read_version = self.latest_version()
+        snap = self.snapshot()
+        partition_by = self._current_partition_by()
+        tgt_cols = [
+            f.name
+            for f in _schema_from_json(spark, snap.schema_json).fields
+        ]
+        if isinstance(matched_update, str):
+            if matched_update != "all":
+                raise ValueError(
+                    "matched_update must be a {col: sql} dict or 'all'"
+                )
+            matched_update = {c: f"s.{c}" for c in tgt_cols}
+        if matched_update:
+            unknown = set(matched_update) - set(tgt_cols)
+            if unknown:
+                raise ValueError(
+                    f"SET on unknown columns: {sorted(unknown)}"
+                )
+
+        scan = self._read_files(
+            spark, list(snap.files), snap.schema_json, with_lineage=True
+        ).alias("t")
+        src = source.withColumn("_s_exists", F.lit(True)).alias("s")
+        on = _reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys],
+        )
+        joined = scan.join(src, on, "left")
+        matched = F.col("s._s_exists").isNotNull()
+
+        def _cond(sql: str | None) -> Column:
+            return (
+                F.coalesce(F.expr(f"({sql})"), F.lit(False))
+                if sql
+                else F.lit(True)
+            )
+
+        m_del = (
+            matched & _cond(matched_delete_condition)
+            if matched_delete_condition is not None
+            else F.lit(False)
+        )
+        m_upd = (
+            matched & ~m_del & _cond(matched_update_condition)
+            if matched_update
+            else F.lit(False)
+        )
+        if not_matched_by_source_delete is True:
+            nmbs = ~matched
+        elif not_matched_by_source_delete:
+            nmbs = ~matched & _cond(not_matched_by_source_delete)
+        else:
+            nmbs = F.lit(False)
+
+        if matched_update or matched_delete_condition is not None:
+            dup = (
+                joined.where(matched)
+                .groupBy(F.col("t._dl_path"), F.col("t._dl_pos"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE source matches a target row more than once; "
+                    "aggregate the source to the key grain first"
+                )
+
+        changed = m_del | m_upd | nmbs
+        hit_paths = sorted(
+            r.p
+            for r in joined.where(changed)
+            .select(F.col("t._dl_path").alias("p"))
+            .distinct()
+            .collect()
+        )
+        touched = [f for f in snap.files if f["path"] in hit_paths]
+
+        rewritten = None
+        if touched:
+            set_exprs = matched_update or {}
+            rewritten = (
+                joined.where(F.col("t._dl_path").isin(hit_paths))
+                .where(~(m_del | nmbs))
+                .select(
+                    *[
+                        (
+                            F.when(m_upd, F.expr(set_exprs[c]))
+                            .otherwise(F.col(f"t.{c}"))
+                            if c in set_exprs
+                            else F.col(f"t.{c}")
+                        ).alias(c)
+                        for c in tgt_cols
+                    ]
+                )
+            )
+
+        inserts = None
+        if insert:
+            missing = set(tgt_cols) - set(source.columns)
+            if missing:
+                raise ValueError(
+                    f"INSERT needs source columns: {sorted(missing)}"
+                )
+            inserts = source.alias("s").join(
+                self.read(spark).select(*keys), keys, "left_anti"
+            )
+            if insert_condition:
+                inserts = inserts.where(F.expr(f"({insert_condition})"))
+            inserts = inserts.select(*tgt_cols)
+            if inserts.isEmpty():
+                inserts = None
+
+        if not touched and inserts is None:
+            return read_version
+        out = rewritten if rewritten is not None else inserts
+        if rewritten is not None and inserts is not None:
+            out = rewritten.unionByName(inserts)
+        self._enforce_constraints(out)
+        return self._commit(
+            operation="merge",
+            read_version=read_version,
+            adds=self._stage_data(out, partition_by),
+            removes=[_remove_action(f) for f in touched],
+            schema_json=snap.schema_json,
+            partition_by=partition_by,
+            blind_append=False,
+            info_extra={
+                "files_rewritten": len(touched),
+                "files_skipped": len(snap.files) - len(touched),
+                "clauses": {
+                    "update": bool(matched_update),
+                    "delete": matched_delete_condition is not None,
+                    "insert": insert,
+                    "not_matched_by_source": bool(
+                        not_matched_by_source_delete
+                    ),
+                },
+            },
+        )
+
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """MERGE (upsert): source wins on key match, else insert —
-        read-dependent, so any concurrent commit conflicts."""
+        read-dependent, so any concurrent commit conflicts.
+        ``merge_into`` is the full-clause variant (conditional
+        update/delete, NOT MATCHED BY SOURCE) at file granularity."""
         from data_lakehouse_project_spark.operators.upsert import merge_upsert
 
         spark = source.sparkSession

@@ -1,0 +1,168 @@
+"""Full-clause MERGE INTO on delta-lite (operators/txnlog.py::
+TxnTable.merge_into): Delta clause semantics, file granularity,
+ambiguity detection, CDF/time-travel composition."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _mk(spark, tmp_path, partition_by=None):
+    t = TxnTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "p0"),
+            (2, "b", 20.0, "p0"),
+            (3, "c", 30.0, "p1"),
+            (4, "d", 40.0, "p1"),
+        ],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    t.write(df, mode="overwrite", partition_by=partition_by)
+    return t
+
+
+def _rows(t, spark):
+    return {
+        r["id"]: (r["name"], r["qty"], r["part"])
+        for r in t.read(spark).collect()
+    }
+
+
+def test_all_four_clauses(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [
+            (1, "a2", 5.0, "p0"),   # matched, qty<=15 → update (add qty)
+            (2, "b2", 99.0, "p0"),  # matched, qty 20 → delete clause
+            (9, "new", 1.0, "p9"),  # not matched → insert
+        ],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    v = t.merge_into(
+        spark,
+        src,
+        ["id"],
+        matched_update={"qty": "t.qty + s.qty", "name": "s.name"},
+        matched_delete_condition="t.qty >= 20 AND s.qty >= 50",
+        insert=True,
+        not_matched_by_source_delete="t.id = 4",
+    )
+    assert v == 1
+    got = _rows(t, spark)
+    assert got[1] == ("a2", 15.0, "p0")       # updated from s
+    assert 2 not in got                       # matched-delete
+    assert got[3] == ("c", 30.0, "p1")        # untouched
+    assert 4 not in got                       # not-matched-by-source
+    assert got[9] == ("new", 1.0, "p9")       # inserted
+
+
+def test_update_all_and_conditions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "A", 11.0, "px"), (3, "C", 33.0, "px")],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    t.merge_into(
+        spark,
+        src,
+        ["id"],
+        matched_update="all",
+        matched_update_condition="s.qty > 20",  # only id=3 qualifies
+        insert=False,
+    )
+    got = _rows(t, spark)
+    assert got[1] == ("a", 10.0, "p0")  # condition false → untouched
+    assert got[3] == ("C", 33.0, "px")  # SET * from source
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_file_granularity_skips_untouched_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, partition_by=["part"])
+    before = {f["path"] for f in t.snapshot().files}
+    src = spark.createDataFrame(
+        [(1, "a2", 1.0, "p0")],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    t.merge_into(
+        spark, src, ["id"], matched_update={"qty": "s.qty"}, insert=False
+    )
+    after = {f["path"] for f in t.snapshot().files}
+    # every p1 file survives verbatim; exactly ONE file (the p0 file
+    # holding id=1) was rewritten
+    p1_before = {p for p in before if "part=p1" in p}
+    assert p1_before and p1_before <= after
+    assert len(before & after) == len(before) - 1
+    assert (before - after).pop().find("part=p0") >= 0
+    info = t.history()[-1]
+    assert info["operation"] == "merge"
+    assert info["files_rewritten"] == 1
+    assert info["files_skipped"] == len(before) - 1
+
+
+def test_ambiguous_source_match_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "x", 1.0, "p0"), (1, "y", 2.0, "p0")],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        t.merge_into(
+            spark, src, ["id"],
+            matched_update={"qty": "s.qty"}, insert=False,
+        )
+
+
+def test_noop_merge_commits_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "a2", 5.0, "p0")],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    v0 = t.latest_version()
+    v = t.merge_into(
+        spark,
+        src,
+        ["id"],
+        matched_update={"qty": "s.qty"},
+        matched_update_condition="s.qty > 100",  # never true
+        insert=True,
+        insert_condition="s.id > 100",  # never true
+    )
+    assert v == v0
+    assert t.latest_version() == v0
+
+
+def test_merge_into_cdf_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "a2", 99.0, "p0"), (9, "new", 1.0, "p9")],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    t.merge_into(
+        spark, src, ["id"], matched_update="all", insert=True
+    )
+    # pre-merge version intact
+    old = {
+        r["id"]: r["qty"]
+        for r in t.read(spark, version=0).collect()
+    }
+    assert old[1] == 10.0 and 9 not in old
+    # CDF: update surfaces as delete(pre) + insert(post); insert as insert
+    ch = t.read_changes(spark, starting_version=1).collect()
+    by = {(r["id"], r["_change_type"]) for r in ch}
+    assert (1, "delete") in by and (1, "insert") in by
+    assert (9, "insert") in by
+    assert not any(i == 2 for i, _ in by)  # untouched rows absent
+
+
+def test_insert_requires_target_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = spark.createDataFrame([(9, "x")], "id LONG, name STRING")
+    with pytest.raises(ValueError, match="INSERT needs source columns"):
+        t.merge_into(spark, src, ["id"], insert=True)
