@@ -863,19 +863,28 @@ class TxnTable:
         UPDATE, like Delta's clause order. ``insert`` requires the
         source to carry every target column (INSERT-star semantics).
 
-        Execution shape (the same two-pass plan delta-spark runs):
-        pass 1 left-joins the target scan to the source on the keys and
-        collects only the DISTINCT FILE PATHS whose rows any clause
-        touches — every untouched file's add action survives verbatim,
-        so a selective merge rewrites O(matching files), not O(table).
-        Pass 2 rewrites just those files (copy-on-write; DV rows
-        already deleted are excluded by the scan) and stages the
-        not-matched inserts. One commit, read-dependent
-        (``blind_append=False``) so any concurrent writer conflicts.
+        Execution shape (the same find-touched-files-then-rewrite plan
+        delta-spark runs): pass 1 left-joins the target scan to the
+        source on the keys and persists a NARROW flags sliver (file
+        path, row position, clause verdicts — only rows a clause could
+        touch) from which the ambiguity check, the touched-file list,
+        and the no-op decision are all answered without re-scanning.
+        Pass 2 rewrites ONLY the touched files (the path filter pushes
+        below the join, so untouched files aren't even read; DV rows
+        already deleted are excluded by the scan) — every untouched
+        file's add action survives verbatim, so a selective merge
+        rewrites O(matching files), not O(table). Inserts come from a
+        key-column anti-join (column-pruned scan). One commit,
+        read-dependent (``blind_append=False``) so any concurrent
+        writer conflicts.
 
-        A target row matched by MORE than one source row is ambiguous
-        when an update/delete clause exists — detected and raised, as
-        Delta does. Returns the committed version, or the current
+        A target row matched by MORE than one source row raises when an
+        update/delete clause exists, as Delta does (slightly stricter:
+        Delta only errors when a duplicated row would actually be
+        modified). Without matched clauses, duplicate matches are
+        harmless and kept rows are deduplicated by (file, position) —
+        a multi-match must never double a bystander row that lands in a
+        rewritten file. Returns the committed version, or the current
         version when no clause changed anything.
         """
         from functools import reduce as _reduce
@@ -937,29 +946,49 @@ class TxnTable:
         else:
             nmbs = F.lit(False)
 
-        if matched_update or matched_delete_condition is not None:
-            dup = (
-                joined.where(matched)
-                .groupBy(F.col("t._dl_path"), F.col("t._dl_pos"))
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > 1)
-                .limit(1)
-                .count()
-            )
-            if dup:
-                raise ValueError(
-                    "MERGE source matches a target row more than once; "
-                    "aggregate the source to the key grain first"
-                )
-
         changed = m_del | m_upd | nmbs
-        hit_paths = sorted(
-            r.p
-            for r in joined.where(changed)
-            .select(F.col("t._dl_path").alias("p"))
-            .distinct()
-            .collect()
+        # narrow flags sliver: one scan+join answers the ambiguity
+        # check, the touched-file list, and the no-op decision. Rows are
+        # restricted to what a clause could touch — matched rows plus
+        # (only when an NMBS clause exists) unmatched target rows — so
+        # for the common keyed merge the cache is source-sized.
+        relevant = (
+            matched
+            if not_matched_by_source_delete is False
+            else F.lit(True)
         )
+        flags = (
+            joined.where(relevant)
+            .select(
+                F.col("t._dl_path").alias("_p"),
+                F.col("t._dl_pos").alias("_pos"),
+                matched.alias("_m"),
+                changed.alias("_ch"),
+            )
+            .persist()
+        )
+        try:
+            if matched_update or matched_delete_condition is not None:
+                dup = (
+                    flags.where("_m")
+                    .groupBy("_p", "_pos")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .where(F.col("_n") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        "MERGE source matches a target row more than "
+                        "once; aggregate the source to the key grain "
+                        "first"
+                    )
+            hit_paths = sorted(
+                r._p
+                for r in flags.where("_ch").select("_p").distinct().collect()
+            )
+        finally:
+            flags.unpersist()
         touched = [f for f in snap.files if f["path"] in hit_paths]
 
         rewritten = None
@@ -977,9 +1006,20 @@ class TxnTable:
                             else F.col(f"t.{c}")
                         ).alias(c)
                         for c in tgt_cols
-                    ]
+                    ],
+                    F.col("t._dl_path").alias("_dl_path"),
+                    F.col("t._dl_pos").alias("_dl_pos"),
                 )
             )
+            if not matched_update and matched_delete_condition is None:
+                # no matched clause ran the ambiguity check, so a
+                # multi-matched bystander row in a touched file is
+                # duplicated by the join — its copies are identical
+                # (nothing updated them), keep exactly one
+                rewritten = rewritten.dropDuplicates(
+                    ["_dl_path", "_dl_pos"]
+                )
+            rewritten = rewritten.drop("_dl_path", "_dl_pos")
 
         inserts = None
         if insert:
@@ -988,6 +1028,9 @@ class TxnTable:
                 raise ValueError(
                     f"INSERT needs source columns: {sorted(missing)}"
                 )
+            # anti-join against the key columns only — column pruning
+            # reaches the parquet scan, so this pass reads keys, not
+            # the table
             inserts = source.alias("s").join(
                 self.read(spark).select(*keys), keys, "left_anti"
             )

@@ -161,6 +161,30 @@ def test_merge_into_cdf_and_time_travel(spark, tmp_path):
     assert not any(i == 2 for i, _ in by)  # untouched rows absent
 
 
+def test_multi_match_bystander_not_duplicated(spark, tmp_path):
+    """A target row matched by TWO source rows, sitting in a file that
+    gets rewritten only because of ANOTHER row's clause, must come out
+    exactly once (regression: the join fan-out doubled it). No matched
+    clause exists, so the ambiguity check does not fire — kept-row
+    dedup must handle it."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id LONG, name STRING"
+        ).coalesce(1),
+        mode="overwrite",
+    )
+    src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id LONG, name STRING"
+    )
+    t.merge_into(
+        spark, src, ["id"], insert=False,
+        not_matched_by_source_delete=True,  # deletes id=2, hits the file
+    )
+    rows = sorted((r["id"], r["name"]) for r in t.read(spark).collect())
+    assert rows == [(1, "a")]
+
+
 def test_insert_requires_target_columns(spark, tmp_path):
     t = _mk(spark, tmp_path)
     src = spark.createDataFrame([(9, "x")], "id LONG, name STRING")

@@ -416,6 +416,93 @@ def run_dv_probe(spark, mults: tuple[int, ...]) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def run_merge_probe(spark, mults: tuple[int, ...]) -> None:
+    """MERGE-cost scaling: full-clause ``merge_into`` (file-granularity
+    CoW) vs the naive whole-table upsert ``merge()`` as the table grows.
+
+    Table = ``mult`` files × 100k rows (range-clustered ids); the source
+    always updates the SAME 2.5k rows confined to the first file and
+    inserts 2.5k new rows. Expected: ``merge()`` rewrites every file so
+    its wall grows ~linearly with mult; ``merge_into`` rewrites O(1)
+    files — its join-pass still scans the table once to find touched
+    files (that scan is the honest floor), but the WRITE side stays
+    flat."""
+    import shutil
+    import tempfile
+
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    rows_per_file = 100_000
+    for mult in mults:
+        root = tempfile.mkdtemp(prefix="mergeprobe-")
+        try:
+            n = mult * rows_per_file
+            src = spark.range(0, 2_500).select(
+                F.col("id"),
+                F.lit(-1).cast("long").alias("v"),
+                F.lit("upd").alias("pad"),
+            ).unionByName(
+                spark.range(n, n + 2_500).select(
+                    F.col("id"),
+                    F.lit(-2).cast("long").alias("v"),
+                    F.lit("new").alias("pad"),
+                )
+            )
+            results = {}
+            for mode in ("upsert", "clauses"):
+                path = os.path.join(root, mode)
+                t = TxnTable(path)
+                t.write(
+                    spark.range(0, n)
+                    .select(
+                        F.col("id"),
+                        (F.col("id") % 97).alias("v"),
+                        F.repeat(F.sha2(F.col("id").cast("string"), 256), 3)
+                        .alias("pad"),
+                    )
+                    .repartitionByRange(mult, "id")
+                    .sortWithinPartitions("id"),
+                    mode="overwrite",
+                )
+                t0 = time.perf_counter()
+                if mode == "upsert":
+                    t.merge(src, ["id"])
+                else:
+                    t.merge_into(
+                        spark,
+                        src,
+                        ["id"],
+                        matched_update={"v": "s.v", "pad": "s.pad"},
+                        insert=True,
+                    )
+                results[mode] = time.perf_counter() - t0
+                # write amplification: bytes staged by the merge commit
+                # (the 100 TB-relevant cost — local page-cache writes
+                # are nearly free, so wall time alone understates the
+                # difference on object storage)
+                adds, removes, _, _, _ = t._read_commit(t.latest_version())
+                results[f"{mode}_files"] = len(adds)
+                results[f"{mode}_mb"] = sum(
+                    a.get("size_bytes", 0) for a in adds
+                ) / 1e6
+                assert t.read(spark).count() == n + 2_500
+                assert (
+                    t.read(spark).where("v = -1").count() == 2_500
+                )
+            print(
+                f"merge    mult={mult:3d} rows={n:>11,} "
+                f"upsert={results['upsert']:6.2f}s "
+                f"({results['upsert_files']} files, "
+                f"{results['upsert_mb']:.0f} MB) "
+                f"clauses={results['clauses']:6.2f}s "
+                f"({results['clauses_files']} files, "
+                f"{results['clauses_mb']:.0f} MB)",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def _stage_stats(spark, min_stage_id: int):
     """Per-stage (tasks, spill bytes, task-duration p50/max) for every
     completed stage with id >= min_stage_id, via the app status store
@@ -841,6 +928,10 @@ def main() -> None:
     if "dv" in shapes:
         shapes = [s for s in shapes if s != "dv"]
         run_dv_probe(spark, mults)
+
+    if "merge" in shapes:
+        shapes = [s for s in shapes if s != "merge"]
+        run_merge_probe(spark, mults)
 
     if "skew_join" in shapes:
         shapes = [s for s in shapes if s != "skew_join"]
