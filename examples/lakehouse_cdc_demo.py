@@ -50,6 +50,31 @@ def main() -> None:
 
     # v2: MERGE — close orders 0-19 (copy-on-write upsert)
     orders.merge(df(0, 20, status="closed"), keys=["order_id"])
+    # v2b (r5): full-clause MERGE INTO — one statement applies a CDC
+    # batch with per-clause conditions at file granularity: matched
+    # orders worth >= 10 get a surcharge, tiny matched ones are
+    # dropped, unseen ones insert
+    cdc_batch = df(0, 5, status="priority").unionByName(
+        df(120, 150, status="priority")
+    )
+    orders.merge_into(
+        spark,
+        cdc_batch,
+        ["order_id"],
+        matched_update={
+            "amount": "t.amount + s.amount",
+            "status": "s.status",
+        },
+        matched_update_condition="t.amount >= 10",
+        matched_delete_condition="t.amount < 10",
+        insert=True,
+    )
+    print(
+        "merge_into:",
+        orders.history()[-1]["files_rewritten"], "file(s) rewritten,",
+        orders.history()[-1]["files_skipped"], "skipped;",
+        orders.read(spark).count(), "rows",
+    )
     # v3: DELETE — GDPR-style row removal
     orders.delete_where(spark, "order_id >= 130")
     # v4: OPTIMIZE with clustering — rewrite into disjoint amount ranges
