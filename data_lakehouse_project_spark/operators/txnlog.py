@@ -844,6 +844,7 @@ class TxnTable:
         insert: bool = True,
         insert_condition: str | None = None,
         not_matched_by_source_delete: str | bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Full-clause MERGE with Delta's semantics, at FILE
         granularity::
@@ -892,6 +893,12 @@ class TxnTable:
         from pyspark.sql import functions as F
 
         read_version = self.latest_version()
+        if txn is not None and read_version >= 0:
+            # exactly-once under streaming replay: a micro-batch whose
+            # (app_id, batch_id) is already recorded is a no-op — same
+            # contract as write(); the publish race re-checks in _commit
+            if self.snapshot().txns.get(txn[0], -1) >= txn[1]:
+                return read_version
         snap = self.snapshot()
         partition_by = self._current_partition_by()
         tgt_cols = [
@@ -1041,6 +1048,20 @@ class TxnTable:
                 inserts = None
 
         if not touched and inserts is None:
+            if txn is not None:
+                # still record the txn so a later replay of this empty
+                # batch stays a no-op instead of re-running the scans
+                return self._commit(
+                    operation="merge",
+                    read_version=read_version,
+                    adds=[],
+                    removes=[],
+                    schema_json=snap.schema_json,
+                    partition_by=partition_by,
+                    blind_append=False,
+                    txn=txn,
+                    info_extra={"files_rewritten": 0, "noop": True},
+                )
             return read_version
         out = rewritten if rewritten is not None else inserts
         if rewritten is not None and inserts is not None:
@@ -1054,6 +1075,7 @@ class TxnTable:
             schema_json=snap.schema_json,
             partition_by=partition_by,
             blind_append=False,
+            txn=txn,
             info_extra={
                 "files_rewritten": len(touched),
                 "files_skipped": len(snap.files) - len(touched),
@@ -1336,6 +1358,40 @@ class TxnTable:
                 mode="append",
                 txn=(app_id, int(batch_id)),
                 **write_kwargs,
+            )
+
+        return _apply
+
+    def streaming_merge(
+        self, app_id: str, keys: list[str], **merge_kwargs
+    ):
+        """Exactly-once streaming UPSERT sink: a ``foreachBatch``
+        callable that applies each micro-batch through full-clause
+        ``merge_into`` under a Delta-style ``txn`` action — the CDC
+        stream-apply shape (late/replayed batches are no-ops, so a
+        crash between publish and checkpoint never double-applies a
+        merge). ``merge_kwargs`` forward to ``merge_into``; the default
+        is upsert (``matched_update="all"``, insert on)::
+
+            q = (cdc_stream.writeStream
+                 .foreachBatch(table.streaming_merge("cdc", ["id"]))
+                 .option("checkpointLocation", ckpt).start())
+
+        A CDC batch carrying several events for one key must be
+        pre-collapsed to its latest event per key (e.g. a row_number
+        window over the CDC sequence column) — ``merge_into`` raises on
+        multi-matched rows rather than applying them in arbitrary
+        order.
+        """
+        merge_kwargs.setdefault("matched_update", "all")
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.merge_into(
+                batch_df.sparkSession,
+                batch_df,
+                keys,
+                txn=(app_id, int(batch_id)),
+                **merge_kwargs,
             )
 
         return _apply

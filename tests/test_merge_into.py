@@ -190,3 +190,56 @@ def test_insert_requires_target_columns(spark, tmp_path):
     src = spark.createDataFrame([(9, "x")], "id LONG, name STRING")
     with pytest.raises(ValueError, match="INSERT needs source columns"):
         t.merge_into(spark, src, ["id"], insert=True)
+
+
+def test_streaming_merge_replay_is_noop(spark, tmp_path):
+    """The foreachBatch merge sink is exactly-once: re-applying the
+    same (app_id, batch_id) — the crash-replay case — changes nothing;
+    the next batch_id applies."""
+    t = _mk(spark, tmp_path)
+    apply_batch = t.streaming_merge("cdc-app", ["id"])
+    b0 = spark.createDataFrame(
+        [(1, "v1", 0.0, "p0")], "id LONG, name STRING, qty DOUBLE, part STRING"
+    )
+    apply_batch(b0, 0)
+    v_after = t.latest_version()
+    assert _rows(t, spark)[1] == ("v1", 0.0, "p0")
+
+    # replay batch 0 with DIFFERENT payload: must be ignored entirely
+    b0_replay = spark.createDataFrame(
+        [(1, "evil", 9.9, "p0")],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    apply_batch(b0_replay, 0)
+    assert t.latest_version() == v_after
+    assert _rows(t, spark)[1] == ("v1", 0.0, "p0")
+
+    # the next batch applies (update + insert)
+    b1 = spark.createDataFrame(
+        [(1, "v2", 1.0, "p0"), (9, "new", 2.0, "p9")],
+        "id LONG, name STRING, qty DOUBLE, part STRING",
+    )
+    apply_batch(b1, 1)
+    got = _rows(t, spark)
+    assert got[1] == ("v2", 1.0, "p0") and got[9] == ("new", 2.0, "p9")
+
+
+def test_streaming_merge_empty_batch_still_records_txn(spark, tmp_path):
+    """A batch that changes nothing still commits its txn action, so a
+    replay of it short-circuits instead of re-running the scans."""
+    t = _mk(spark, tmp_path)
+    noop = spark.createDataFrame(
+        [(1, "a", 10.0, "p0")], "id LONG, name STRING, qty DOUBLE, part STRING"
+    )
+    # matched but update condition never true, insert off → no change
+    apply_batch = t.streaming_merge(
+        "cdc-app", ["id"],
+        matched_update={"qty": "s.qty"},
+        matched_update_condition="s.qty > 1e9",
+        insert=False,
+    )
+    v0 = t.latest_version()
+    apply_batch(noop, 0)
+    assert t.latest_version() == v0 + 1  # empty txn commit recorded
+    assert t.snapshot().txns.get("cdc-app") == 0
+    assert t.read(spark).count() == 4
