@@ -116,6 +116,10 @@ EXPECT_MANY_EXCHANGES = {
     # join + member fan-out — the multi-stage shape IS the algorithm
     # (each stage strictly shrinks the candidate bound); no BNLJ
     "dedup_jaccard_prefix_pairs",
+    # DSIR: doc-grain (id,bucket) agg + 1024-bucket model agg + 1-row
+    # totals + final id-grain sum = 4 real shuffles (one corpus-sized,
+    # the rest on aggregates), doubled in the adaptive plan text
+    "dsir_importance_weights",
     # triangle closing references the PERSISTED edge set three times
     # (e1 ⋈ e2 ⋈ e3) + degree; the plan text re-prints the whole
     # upstream prefix-join subtree under each InMemoryRelation
