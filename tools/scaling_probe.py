@@ -749,7 +749,14 @@ def run_spill_probe(sf_dir: str, mults: tuple[int, ...]) -> None:
     import json
     import subprocess
 
-    for shape in _SPILL_SHAPES:
+    shapes = tuple(
+        s
+        for s in os.environ.get(
+            "SPARK_GRAFT_SPILL_SHAPES", ",".join(_SPILL_SHAPES)
+        ).split(",")
+        if s
+    )
+    for shape in shapes:
         for mult in mults:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), sf_dir,
