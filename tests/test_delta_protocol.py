@@ -203,10 +203,27 @@ def test_duckdb_reads_delta_lite_after_mixed_dml(spark, tmp_path):
         mode="append",
     )
     t.delete_where(spark, "bucket = 3")
+    # full-clause MERGE (r5 session 4): its commit is plain add/remove
+    # actions, so an external replay must reproduce it like any DML
+    t.merge_into(
+        spark,
+        spark.range(0, 10).select(
+            "id", F.lit(99).alias("bucket"), F.lit("merged").alias("name")
+        ).unionByName(
+            spark.range(500, 505).select(
+                "id", F.lit(1).alias("bucket"), F.lit("new").alias("name")
+            )
+        ),
+        ["id"],
+        matched_update="all",
+        insert=True,
+    )
 
     got = sorted(read_with_duckdb(path))
     want = sorted(_spark_rows(t.read(spark)))
-    assert got == want and len(got) == 223
+    assert got == want
+    assert sum(1 for r in got if r[-1] == "merged") > 0
+    assert sum(1 for r in got if r[-1] == "new") == 5
 
     # time travel: replay to v0 == TxnTable.read(version=0)
     assert sorted(read_with_duckdb(path, version=0)) == sorted(
