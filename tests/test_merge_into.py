@@ -224,6 +224,55 @@ def test_streaming_merge_replay_is_noop(spark, tmp_path):
     assert got[1] == ("v2", 1.0, "p0") and got[9] == ("new", 2.0, "p9")
 
 
+def test_streaming_merge_e2e_file_stream(spark, tmp_path):
+    """Real Structured Streaming run: file source → availableNow →
+    foreachBatch(streaming_merge) → delta-lite serving table. Second
+    trigger applies only the new files; upserts update in place."""
+    src = str(tmp_path / "cdc_src")
+    t = TxnTable(str(tmp_path / "serving"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0, "p0")],
+            "id LONG, name STRING, qty DOUBLE, part STRING",
+        ),
+        mode="overwrite",
+    )
+    schema = "id LONG, name STRING, qty DOUBLE, part STRING"
+    spark.createDataFrame(
+        [(1, "a1", 11.0, "p0"), (2, "b", 20.0, "p0")], schema
+    ).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                t.streaming_merge("cdc-e2e", ["id"])
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert _rows(t, spark) == {
+        1: ("a1", 11.0, "p0"),
+        2: ("b", 20.0, "p0"),
+    }
+    spark.createDataFrame(
+        [(2, "B2", 22.0, "p0"), (3, "c", 30.0, "p1")], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    assert _rows(t, spark) == {
+        1: ("a1", 11.0, "p0"),
+        2: ("B2", 22.0, "p0"),
+        3: ("c", 30.0, "p1"),
+    }
+    # the txn ledger advanced with the stream's batch ids
+    assert t.snapshot().txns.get("cdc-e2e") >= 1
+
+
 def test_streaming_merge_empty_batch_still_records_txn(spark, tmp_path):
     """A batch that changes nothing still commits its txn action, so a
     replay of it short-circuits instead of re-running the scans."""
