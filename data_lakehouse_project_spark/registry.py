@@ -3946,8 +3946,12 @@ GRADED_WINDOW: list[str] = [
     "l_diversity_classes",
     "bm25_search_topk",
     "corpus_frequent_tokens",
-    # multimodal family (oracle-checked through the mapInPandas stub)
-    "multimodal_features",
+    # multimodal family — r5 session 4: the graded anchor upgrades from
+    # the stub-pinned fingerprint path to REAL pixel decode (2-frame
+    # PPM-stream videos built JVM-side, frame-grain mean/std through
+    # Arrow mapInPandas vs a character-code oracle);
+    # multimodal_features stays registered + selfchecked
+    "video_frame_stats",
     # events / time-series family (r5 session 3: M4 downsampling
     # replaces the gapfill spine — same family, and the M4 oracle pins
     # four lexicographic-struct representatives per bucket;

@@ -73,6 +73,43 @@ def q_dsir_importance_weights(spark, sf_dir):
     )
 
 
+def q_video_frame_stats(spark, sf_dir):
+    """REAL video decode through the Arrow path, fully oracled: each
+    document becomes a 2-frame PPM-stream video (8×4 P6 frames whose
+    rasters are the doc's first two 96-byte text windows, x-padded),
+    built entirely JVM-side (concat of binary literals + rpad/substring
+    casts); ``ext/multimodal.py::sample_video_frames`` walks the
+    container, REALLY decodes every frame's pixels, and emits
+    frame-grain stats. The oracle recomputes mean/std from the same
+    padded substrings' character codes — byte-exact because the corpus
+    is pure ASCII (verified at every sf), so text chars ARE raster
+    bytes."""
+    from data_lakehouse_project_spark.ext.multimodal import (
+        sample_video_frames,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    hdr = F.lit(b"P6\n8 4\n255\n")
+    f1 = F.rpad(F.substring("text", 1, 96), 96, "x").cast("binary")
+    f2 = F.rpad(F.substring("text", 97, 96), 96, "x").cast("binary")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.concat(hdr, f1, hdr, f2).alias("content"),
+        F.lit(2).alias("n_frames"),
+    )
+    out = sample_video_frames(media, every_n=1)
+    r6 = _helpers["_rn"]
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "w",
+        "h",
+        r6(F.col("mean"), 6).alias("mean"),
+        r6(F.col("std"), 6).alias("std"),
+    )
+
+
 def q_mmr_diverse_topk(spark, sf_dir):
     """MMR diversified top-10 over the embeddings table; the query
     vector is the label-0 centroid (deterministic, data-derived). Not
@@ -139,6 +176,30 @@ SELECT doc_id,
 FROM m
 """
 
+SQL_VIDEO_FRAME_STATS = """
+WITH f AS (
+  SELECT doc_id, g.i AS frame_idx,
+         rpad(substr(text, 1 + g.i * 96, 96), 96, 'x') AS s
+  FROM documents, (VALUES (0), (1)) AS g(i)
+),
+c AS (
+  SELECT doc_id, frame_idx,
+         list_transform(range(1, 97), j -> ord(substr(s, j, 1))) AS codes
+  FROM f
+),
+m AS (
+  SELECT doc_id, frame_idx,
+         list_sum(codes) / 96.0 AS mu,
+         list_sum(list_transform(codes, x -> x * x)) / 96.0 AS musq
+  FROM c
+)
+SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(8 AS INT) AS w, CAST(4 AS INT) AS h,
+       {MEAN} AS mean,
+       {STD} AS std
+FROM m
+"""
+
 SQL_SOFT_DEDUP = """
 WITH f AS (SELECT doc_id, md5({NORM}) AS fp FROM documents),
 c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY 1)
@@ -200,6 +261,13 @@ def build(helpers: dict) -> dict:
         "dsir_importance_weights": (
             q_dsir_importance_weights,
             SQL_DSIR.format(TOKS=TOKS, LW=R("SUM(c * lr)", 4)),
+        ),
+        "video_frame_stats": (
+            q_video_frame_stats,
+            SQL_VIDEO_FRAME_STATS.format(
+                MEAN=R("mu / 255.0", 6),
+                STD=R("sqrt(musq - mu * mu) / 255.0", 6),
+            ),
         ),
         "mmr_diverse_topk": (q_mmr_diverse_topk, None),
     }

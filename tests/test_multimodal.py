@@ -407,3 +407,94 @@ def test_extract_features_real_audio_through_arrow_path(spark):
     }
     assert got[1][-1] == 1.0  # real WAV decode flag
     assert got[2][-1] == -1.0  # undecodable -> stub sentinel
+
+
+def _video_blob(n_frames=6, w=8, h=4, grad=True):
+    import numpy as np
+
+    from data_lakehouse_project_spark.ext.multimodal import make_ppm_video
+
+    frames = []
+    for i in range(n_frames):
+        base = np.full((h, w, 3), (i * 30) % 256 if grad else 128, "uint8")
+        base[0, 0] = (i, 2 * i, 3 * i)  # per-frame variation
+        frames.append(base)
+    return make_ppm_video(frames)
+
+
+def test_ppm_stream_roundtrip_and_stride():
+    import numpy as np
+
+    from data_lakehouse_project_spark.ext.multimodal import (
+        decode_image,
+        iter_ppm_stream,
+    )
+
+    blob = _video_blob(n_frames=7)
+    frames = list(iter_ppm_stream(blob))
+    assert [f[0] for f in frames] == list(range(7))
+    assert all(f[1] == 8 and f[2] == 4 for f in frames)
+    # frame 3 decodes to its constant base value
+    img3 = decode_image(frames[3][3])
+    assert int(img3[1, 1, 0]) == 90
+    # stride materializes only every 3rd frame
+    sampled = list(iter_ppm_stream(blob, every_n=3))
+    assert [f[0] for f in sampled] == [0, 3, 6]
+    # garbage between frames is detected, not misread
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(iter_ppm_stream(blob + b"JUNK"))
+
+
+def test_video_features_real_decode_and_motion():
+    import numpy as np
+
+    from data_lakehouse_project_spark.ext.multimodal import _video_features
+
+    feats = _video_features(_video_blob(n_frames=5))
+    n, w, h, mean, motion, lo, hi, flag = feats
+    assert (n, w, h, flag) == (5.0, 8.0, 4.0, 1.0)
+    assert 0.0 <= lo <= mean <= hi <= 1.0
+    assert motion > 0.0  # gradient frames → nonzero frame-mean delta
+    # static video → zero motion
+    static = _video_features(_video_blob(n_frames=5, grad=False))
+    assert static[4] < feats[4]
+
+
+def test_extract_features_real_video_through_arrow_path(spark):
+    from data_lakehouse_project_spark.ext.multimodal import extract_features
+
+    rows = [
+        (1, "video", bytearray(_video_blob())),
+        (2, "video", bytearray(b"\x00\x01 not a ppm stream")),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, c, len(c)) for i, t, c in rows],
+        "media_id long, media_type string, content binary, n_bytes long",
+    )
+    got = {
+        r.media_id: r.features
+        for r in extract_features(df, decoder="auto").collect()
+    }
+    assert got[1][-1] == 1.0 and got[1][0] == 6.0  # real decode, 6 frames
+    assert got[2][-1] == -1.0  # codec container -> stub sentinel
+
+
+def test_sample_video_frames_grain_and_stride(spark):
+    from data_lakehouse_project_spark.ext.multimodal import (
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_video_blob(n_frames=6)), 6),
+            (2, "video", bytearray(b"garbage"), 1),
+        ],
+        "media_id long, media_type string, content binary, n_bytes long",
+    )
+    rows = sample_video_frames(df, every_n=2).collect()
+    got = sorted((r.media_id, r.frame_idx) for r in rows)
+    assert got == [(1, 0), (1, 2), (1, 4)]  # stride 2, garbage silent
+    r0 = next(r for r in rows if r.frame_idx == 0)
+    assert r0.w == 8 and r0.h == 4 and 0.0 <= r0.mean <= 1.0
