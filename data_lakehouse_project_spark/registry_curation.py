@@ -110,6 +110,60 @@ def q_video_frame_stats(spark, sf_dir):
     )
 
 
+_WAV_HEADER = (
+    b"RIFF" + (132).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")      # PCM
+    + (1).to_bytes(2, "little")      # mono
+    + (8000).to_bytes(4, "little")   # sample rate
+    + (8000).to_bytes(4, "little")   # byte rate
+    + (1).to_bytes(2, "little")      # block align
+    + (8).to_bytes(2, "little")      # bits/sample
+    + b"data" + (96).to_bytes(4, "little")
+)
+
+
+def q_audio_clip_stats(spark, sf_dir):
+    """REAL audio decode through the Arrow path, fully oracled: each
+    document becomes a 96-sample 8-bit-PCM mono WAV (fixed sizes ⇒ the
+    RIFF header is a pure binary literal; the data chunk is the doc's
+    first 96 text bytes, x-padded), and
+    ``ext/multimodal.py::extract_features(decoder="auto")`` REALLY
+    parses the RIFF chunks and computes signal features
+    (``_audio_features``). The oracle recomputes duration/rms/zcr/peak
+    from the same padded substring's character codes under the 8-bit
+    PCM mapping x = (c − 128)/128 — byte-exact on the pure-ASCII
+    corpus. The trailing real-decode flag (1.0, a value the stub can
+    never emit) rides into the hash, so a silent fallback to the stub
+    fails the oracle."""
+    from data_lakehouse_project_spark.ext.multimodal import (
+        extract_features,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    data = F.rpad(F.substring("text", 1, 96), 96, "x").cast("binary")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.concat(F.lit(_WAV_HEADER), data).alias("content"),
+        F.lit(132 + 8).alias("n_bytes"),
+    )
+    feats = extract_features(media, decoder="auto")
+    r6 = _helpers["_rn"]
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        r6(F.element_at(f, 1), 6).alias("duration_s"),
+        F.element_at(f, 2).cast("int").alias("sample_rate"),
+        F.element_at(f, 3).cast("int").alias("channels"),
+        r6(F.element_at(f, 4), 6).alias("rms"),
+        r6(F.element_at(f, 5), 6).alias("zcr"),
+        r6(F.element_at(f, 6), 6).alias("peak"),
+        r6(F.element_at(f, 7), 6).alias("mean_abs"),
+        r6(F.element_at(f, 8), 6).alias("real_decode"),
+    )
+
+
 def q_mmr_diverse_topk(spark, sf_dir):
     """MMR diversified top-10 over the embeddings table; the query
     vector is the label-0 centroid (deterministic, data-derived). Not
@@ -200,6 +254,28 @@ SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM m
 """
 
+SQL_AUDIO_CLIP_STATS = """
+WITH c AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, 97),
+           j -> (ord(substr(rpad(substr(text, 1, 96), 96, 'x'), j, 1))
+                 - 128.0) / 128.0
+         ) AS x
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       {DUR} AS duration_s,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       {RMS} AS rms,
+       {ZCR} AS zcr,
+       {PEAK} AS peak,
+       {MABS} AS mean_abs,
+       {FLAG} AS real_decode
+FROM c
+"""
+
 SQL_SOFT_DEDUP = """
 WITH f AS (SELECT doc_id, md5({NORM}) AS fp FROM documents),
 c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY 1)
@@ -261,6 +337,28 @@ def build(helpers: dict) -> dict:
         "dsir_importance_weights": (
             q_dsir_importance_weights,
             SQL_DSIR.format(TOKS=TOKS, LW=R("SUM(c * lr)", 4)),
+        ),
+        "audio_clip_stats": (
+            q_audio_clip_stats,
+            SQL_AUDIO_CLIP_STATS.format(
+                DUR=R("96.0 / 8000.0", 6),
+                RMS=R(
+                    "sqrt(list_sum(list_transform(x, v -> v * v)) / 96.0)",
+                    6,
+                ),
+                ZCR=R(
+                    "len(list_filter(range(2, 97),"
+                    " j -> (x[j] < 0) <> (x[j - 1] < 0))) / 95.0",
+                    6,
+                ),
+                PEAK=R(
+                    "list_max(list_transform(x, v -> abs(v)))", 6
+                ),
+                MABS=R(
+                    "list_sum(list_transform(x, v -> abs(v))) / 96.0", 6
+                ),
+                FLAG=R("1.0", 6),
+            ),
         ),
         "video_frame_stats": (
             q_video_frame_stats,
