@@ -107,19 +107,28 @@ def segment_dedup_summary(
     switch the key to the 2×64-bit pair (xxhash64(seg), length(seg)).
 
     The plan pre-aggregates to (hash, id) grain before anything else:
-    the distinct-docs-per-segment count and the join-back both then run
-    on that aggregate, whose shuffle subtree is IDENTICAL in the two
-    branches, so Spark's ReuseExchange serves both from one shuffle
-    write — segments are constructed once, and no full segment-grain
-    rows ever shuffle for a join (measured 1.4× over the naive
-    count_distinct + join-back shape at 80k docs, on top of the 3.2×
-    from segment_table's token materialization).
+    the distinct-docs-per-segment count and the join-back both run on
+    that aggregate, and the count deliberately reads ``_occ``
+    (``count_if(_occ >= 0)``, always true) — with a plain ``count(1)``
+    Catalyst PRUNES ``_occ`` from the counting branch, the two subtrees
+    stop being identical, and ReuseExchange cannot fire, so segments
+    get constructed twice. With the read forced, the executed plan
+    shows ONE Generate + ONE ReusedExchange: the (hash, id) shuffle is
+    written once and served to both branches. (A window count over the
+    hash partition is ~1.2× faster still at test scale but cannot
+    partial-aggregate, so one boilerplate segment present in half the
+    corpus would pile its rows into a single task at 100 TB — the
+    aggregate+broadcast-join shape keeps map-side combine on the hot
+    key.) Measured at 80k docs: 21.5 s naive → 3.9 s with token
+    materialization + exchange reuse.
     """
     segs = segment_table(df, text_col, id_col, seg_len).select(
         id_col, F.xxhash64("seg").alias("_h")
     )
     d = segs.groupBy("_h", id_col).agg(F.count(F.lit(1)).alias("_occ"))
-    counts = d.groupBy("_h").agg(F.count(F.lit(1)).alias("_n_docs"))
+    counts = d.groupBy("_h").agg(
+        F.count_if(F.col("_occ") >= 0).alias("_n_docs")
+    )
     return (
         d.join(counts, "_h")
         .groupBy(id_col)

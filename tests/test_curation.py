@@ -75,6 +75,21 @@ def test_segment_dedup_summary_totals(docs):
         assert 0.0 <= r["frac_dup"] <= 1.0
 
 
+def test_segment_dedup_plan_reuses_the_doc_grain_shuffle(docs):
+    """Executed-plan gate: the (hash, id) aggregate must be written
+    once and served to both consumers (ONE Generate + a ReusedExchange)
+    — the count branch deliberately reads _occ so Catalyst cannot prune
+    it into a non-identical subtree (see segment_dedup_summary)."""
+    out = X_cur.segment_dedup_summary(docs, "text", "doc_id")
+    out.collect()
+    final = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("Initial Plan")[0]
+    )
+    assert final.count("Generate posexplode") == 1
+    assert final.count("ReusedExchange") == 1
+
+
 # --- Gopher rules -----------------------------------------------------------
 
 def test_gopher_flags_match_recomputed_rules(docs):
