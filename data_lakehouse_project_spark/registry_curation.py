@@ -164,6 +164,65 @@ def q_audio_clip_stats(spark, sf_dir):
     )
 
 
+# 8×4 24-bpp bottom-up BMP: stride = 8·3 = 24 (already 4-aligned), so
+# with a FIXED geometry every header field is a constant and the whole
+# 54-byte header is a binary literal; the raster is 96 data bytes.
+_BMP_HEADER = (
+    b"BM" + (54 + 96).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    + (54).to_bytes(4, "little")            # pixel-data offset
+    + (40).to_bytes(4, "little")            # BITMAPINFOHEADER size
+    + (8).to_bytes(4, "little", signed=True)   # width
+    + (4).to_bytes(4, "little", signed=True)   # height (bottom-up)
+    + (1).to_bytes(2, "little")             # planes
+    + (24).to_bytes(2, "little")            # bpp
+    + (0).to_bytes(4, "little")             # BI_RGB (uncompressed)
+    + (96).to_bytes(4, "little")            # image size
+    + b"\x00" * 16                          # ppm/palette fields
+)
+
+
+def q_image_bmp_stats(spark, sf_dir):
+    """REAL image decode through the Arrow path, fully oracled: each
+    document becomes an 8×4 uncompressed 24-bit BMP (fixed geometry ⇒
+    the 54-byte header is a pure binary literal; the raster is the
+    doc's first 96 text bytes, x-padded) and
+    ``extract_features(decoder="auto")`` runs the REAL BMP decoder
+    (``decode_image``: stride walk, bottom-up flip, BGR→RGB). The
+    oracle recomputes mean/std/min/max from the same padded substring's
+    character codes — all four are permutation-invariant, so the row
+    flip and channel swap the decoder performs cancel out of the
+    comparison while still having to parse the header correctly to find
+    the 96 raster bytes. Completes the modality set: image here, audio
+    in ``audio_clip_stats``, video in ``video_frame_stats`` — every
+    real decoder is hash-pinned, not just pytest-pinned."""
+    from data_lakehouse_project_spark.ext.multimodal import (
+        extract_features,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    raster = F.rpad(F.substring("text", 1, 96), 96, "x").cast("binary")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.lit(_BMP_HEADER), raster).alias("content"),
+        F.lit(54 + 96).alias("n_bytes"),
+    )
+    feats = extract_features(media, decoder="auto")
+    r6 = _helpers["_rn"]
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("int").alias("w"),
+        F.element_at(f, 2).cast("int").alias("h"),
+        F.element_at(f, 3).cast("int").alias("channels"),
+        r6(F.element_at(f, 4), 6).alias("mean"),
+        r6(F.element_at(f, 5), 6).alias("std"),
+        r6(F.element_at(f, 6), 6).alias("lo"),
+        r6(F.element_at(f, 7), 6).alias("hi"),
+        r6(F.element_at(f, 8), 6).alias("real_decode"),
+    )
+
+
 def q_mmr_diverse_topk(spark, sf_dir):
     """MMR diversified top-10 over the embeddings table; the query
     vector is the label-0 centroid (deterministic, data-derived). Not
@@ -276,6 +335,33 @@ SELECT doc_id AS media_id,
 FROM c
 """
 
+SQL_IMAGE_BMP_STATS = """
+WITH c AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, 97),
+           j -> ord(substr(rpad(substr(text, 1, 96), 96, 'x'), j, 1))
+                / 255.0
+         ) AS x
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_sum(x) / 96.0 AS mu,
+         list_sum(list_transform(x, v -> v * v)) / 96.0 AS musq,
+         list_min(x) AS lo, list_max(x) AS hi
+  FROM c
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INT) AS w, CAST(4 AS INT) AS h, CAST(3 AS INT) AS channels,
+       {MEAN} AS mean,
+       {STD} AS std,
+       {LO} AS lo,
+       {HI} AS hi,
+       {FLAG} AS real_decode
+FROM m
+"""
+
 SQL_SOFT_DEDUP = """
 WITH f AS (SELECT doc_id, md5({NORM}) AS fp FROM documents),
 c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY 1)
@@ -338,6 +424,18 @@ def build(helpers: dict) -> dict:
             q_dsir_importance_weights,
             SQL_DSIR.format(TOKS=TOKS, LW=R("SUM(c * lr)", 4)),
         ),
+        "image_bmp_stats": (
+            q_image_bmp_stats,
+            SQL_IMAGE_BMP_STATS.format(
+                MEAN=R("mu", 6),
+                # greatest(…, 0): the sum-of-squares identity can go
+                # ~-1e-18 on a near-constant raster; sqrt(neg) is NaN
+                STD=R("sqrt(greatest(musq - mu * mu, 0))", 6),
+                LO=R("lo", 6),
+                HI=R("hi", 6),
+                FLAG=R("1.0", 6),
+            ),
+        ),
         "audio_clip_stats": (
             q_audio_clip_stats,
             SQL_AUDIO_CLIP_STATS.format(
@@ -364,7 +462,7 @@ def build(helpers: dict) -> dict:
             q_video_frame_stats,
             SQL_VIDEO_FRAME_STATS.format(
                 MEAN=R("mu / 255.0", 6),
-                STD=R("sqrt(musq - mu * mu) / 255.0", 6),
+                STD=R("sqrt(greatest(musq - mu * mu, 0)) / 255.0", 6),
             ),
         ),
         "mmr_diverse_topk": (q_mmr_diverse_topk, None),
