@@ -72,6 +72,10 @@ HEADLINE = [
     # bucket agg → broadcast ratio join) — baselined from BENCH_r05 on
     "segment_dedup_summary",
     "dsir_importance_weights",
+    # real multimodal decode through Arrow mapInPandas (JVM-built
+    # 2-frame PPM videos → per-frame pixel stats) — baselined from
+    # BENCH_r05 on
+    "video_frame_stats",
 ]
 
 
