@@ -324,3 +324,36 @@ def test_duplicated_window_spans_matches_naive(spark, docs):
     }
     want = _naive_dup_spans(doc_map, window)
     assert got == want
+
+
+_word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+_doc_words = st.lists(_word, min_size=0, max_size=40)
+
+
+@_hyp
+@given(
+    docs=st.lists(_doc_words, min_size=1, max_size=6),
+    seg_len=st.integers(min_value=1, max_value=7),
+)
+def test_segment_table_reconstruction_property(spark, docs, seg_len):
+    """For ANY token sequence and window length: segments joined in
+    index order reproduce the normalized text, and the window count is
+    ceil(n_tokens / seg_len) (one window for the empty-token edge,
+    since normalize('') splits to [''])."""
+    import math
+
+    from data_lakehouse_project_spark.ext.curation import segment_table
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    segs = segment_table(df, "text", "id", seg_len=seg_len).collect()
+    by_doc: dict = {}
+    for r in segs:
+        by_doc.setdefault(r["id"], []).append((r["seg_idx"], r["seg"]))
+    for i, ws in enumerate(docs):
+        norm_tokens = " ".join(ws).split(" ") if ws else [""]
+        want_text = " ".join(norm_tokens)
+        got = sorted(by_doc.get(i, []))
+        assert [ix for ix, _ in got] == list(range(len(got)))
+        assert " ".join(s for _, s in got) == want_text
+        assert len(got) == math.ceil(len(norm_tokens) / seg_len)
