@@ -223,6 +223,40 @@ def q_image_bmp_stats(spark, sf_dir):
     )
 
 
+def q_token_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus token-frequency distribution: the
+    least-squares slope/intercept/R² of log(freq) against log(rank) —
+    the standard sanity statistic for a tokenizer + corpus pairing
+    (natural text slopes near −1; synthetic or degenerate corpora
+    drift). One token aggregation, one rank window over the VOCABULARY
+    (|V| rows — bounded regardless of corpus size, so the single-task
+    window is fine at 100 TB), one 1-row regression aggregate. Ranks
+    tie-break on the token so both engines order identically."""
+    from pyspark.sql import Window
+
+    from data_lakehouse_project_spark.ext.text import ws_tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.log("rank").alias("lr"), F.log("freq").alias("lf"),
+        "freq",
+    )
+    r6 = _helpers["_rn"]
+    return ranked.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        r6(F.regr_slope("lf", "lr"), 6).alias("slope"),
+        r6(F.regr_intercept("lf", "lr"), 6).alias("intercept"),
+        r6(F.regr_r2("lf", "lr"), 6).alias("r2"),
+    )
+
+
 def q_mmr_diverse_topk(spark, sf_dir):
     """MMR diversified top-10 over the embeddings table; the query
     vector is the label-0 centroid (deterministic, data-derived). Not
@@ -362,6 +396,25 @@ SELECT doc_id AS media_id,
 FROM m
 """
 
+SQL_TOKEN_ZIPF = """
+WITH freq AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY freq DESC, tok ASC)) AS lr,
+         ln(freq) AS lf, freq
+  FROM freq
+)
+SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       {SLOPE} AS slope,
+       {ICEPT} AS intercept,
+       {R2} AS r2
+FROM ranked
+"""
+
 SQL_SOFT_DEDUP = """
 WITH f AS (SELECT doc_id, md5({NORM}) AS fp FROM documents),
 c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY 1)
@@ -423,6 +476,15 @@ def build(helpers: dict) -> dict:
         "dsir_importance_weights": (
             q_dsir_importance_weights,
             SQL_DSIR.format(TOKS=TOKS, LW=R("SUM(c * lr)", 4)),
+        ),
+        "token_zipf_fit": (
+            q_token_zipf_fit,
+            SQL_TOKEN_ZIPF.format(
+                TOKS=TOKS,
+                SLOPE=R("regr_slope(lf, lr)", 6),
+                ICEPT=R("regr_intercept(lf, lr)", 6),
+                R2=R("regr_r2(lf, lr)", 6),
+            ),
         ),
         "image_bmp_stats": (
             q_image_bmp_stats,
