@@ -257,6 +257,48 @@ def q_token_zipf_fit(spark, sf_dir):
     )
 
 
+def q_corpus_lexical_stats(spark, sf_dir):
+    """One-row lexical profile of the corpus: token count, vocabulary,
+    type-token ratio, hapax fraction (freq-1 share of the vocabulary),
+    top-1 token share, and the Gini coefficient of the token-frequency
+    distribution (0 = uniform usage, →1 = a few tokens dominate) — the
+    diversity readout curation dashboards pair with the Zipf slope.
+
+    Gini uses the sorted-rank identity (2·Σ i·x_i)/(n·Σx) − (n+1)/n
+    over frequencies ranked ascending; the rank window runs over the
+    VOCABULARY (bounded), not the corpus, like ``token_zipf_fit``."""
+    from pyspark.sql import Window
+
+    from data_lakehouse_project_spark.ext.text import ws_tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.asc("freq"), F.asc("tok"))
+    ranked = freq.withColumn("i", F.row_number().over(w))
+    r6 = _helpers["_rn"]
+    return ranked.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        r6(F.count(F.lit(1)) / F.sum("freq"), 6).alias("type_token_ratio"),
+        r6(
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_frac"),
+        r6(F.max("freq") / F.sum("freq"), 6).alias("top1_share"),
+        r6(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("freq"))
+            / (F.count(F.lit(1)) * F.sum("freq"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
 def q_mmr_diverse_topk(spark, sf_dir):
     """MMR diversified top-10 over the embeddings table; the query
     vector is the label-0 centroid (deterministic, data-derived). Not
@@ -415,6 +457,26 @@ SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
 FROM ranked
 """
 
+SQL_LEXICAL_STATS = """
+WITH freq AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT unnest({TOKS}) AS tok FROM documents)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq ASC, tok ASC) AS i
+  FROM freq
+)
+SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+       COUNT(*) AS vocab,
+       {TTR} AS type_token_ratio,
+       {HAPAX} AS hapax_frac,
+       {TOP1} AS top1_share,
+       {GINI} AS gini
+FROM ranked
+"""
+
 SQL_SOFT_DEDUP = """
 WITH f AS (SELECT doc_id, md5({NORM}) AS fp FROM documents),
 c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY 1)
@@ -476,6 +538,24 @@ def build(helpers: dict) -> dict:
         "dsir_importance_weights": (
             q_dsir_importance_weights,
             SQL_DSIR.format(TOKS=TOKS, LW=R("SUM(c * lr)", 4)),
+        ),
+        "corpus_lexical_stats": (
+            q_corpus_lexical_stats,
+            SQL_LEXICAL_STATS.format(
+                TOKS=TOKS,
+                TTR=R("COUNT(*) * 1.0 / SUM(freq)", 6),
+                HAPAX=R(
+                    "SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1.0"
+                    " / COUNT(*)",
+                    6,
+                ),
+                TOP1=R("MAX(freq) * 1.0 / SUM(freq)", 6),
+                GINI=R(
+                    "2.0 * SUM(i * freq) / (COUNT(*) * SUM(freq))"
+                    " - (COUNT(*) + 1.0) / COUNT(*)",
+                    6,
+                ),
+            ),
         ),
         "token_zipf_fit": (
             q_token_zipf_fit,
