@@ -1,0 +1,484 @@
+"""Reader for EXTERNAL Delta-protocol transaction logs.
+
+``operators/txnlog.py`` writes a Delta-protocol-shaped ``_delta_log``
+(JSON commits + parquet checkpoints); this module closes the opposite
+direction: consume a ``_delta_log`` written by ANY protocol-compliant
+writer (delta-spark, delta-rs, ...) and expose the table as a
+DataFrame.  It follows the published delta-io PROTOCOL.md reader
+rules — no reference-repo code is involved (the reference,
+Noureddineblbli/data-lakehouse-project, has no table format at all;
+this is part of the SURVEY §2.8 "modern lakehouse" north star).
+
+Reader semantics implemented
+----------------------------
+* **Snapshot reconstruction**: newest parquet checkpoint at or before
+  the target version (discovered via ``_last_checkpoint``, falling
+  back to a log-dir listing; single-part and multi-part
+  ``%020d.checkpoint.%010d.%010d.parquet`` names) + contiguous JSON
+  commits after it.  ``add`` minus ``remove`` by path, last
+  ``metaData`` / ``protocol`` wins, ``txn`` high-water marks kept.
+* **Protocol gating** (the spec's hard rule — readers MUST refuse
+  tables they cannot read correctly): ``minReaderVersion`` 1 is
+  accepted; 2 requires column mapping to be absent/none; 3 requires
+  every ``readerFeatures`` entry to be in ``SUPPORTED_READER_FEATURES``.
+  Column-mapping mode ``name``/``id`` and any ``add`` carrying a
+  ``deletionVector`` are rejected with ``UnsupportedDeltaFeature``
+  rather than silently mis-read (resurrecting deleted rows).
+* **Partition columns from the LOG, not the directory layout**: Delta
+  data files do not contain partition columns; their values live only
+  in ``add.partitionValues`` (string-serialized per spec).  The scan
+  reads files with the physical (non-partition) schema and joins the
+  partition values back over ``_metadata.file_path`` via a broadcast
+  map — one row per file, the same driver-side file-level metadata
+  Delta itself holds, so no reliance on hive-style dir names.
+* **Time travel**: by version, or by timestamp over
+  ``commitInfo.timestamp`` (commit-file mtime fallback, as the spec
+  prescribes for logs without in-commit timestamps).
+
+Scale posture: state reconstruction is O(active files) on the driver —
+identical to OSS Delta / delta-rs, whose drivers also materialize the
+file list; the checkpoint bounds JSON replay to
+``CHECKPOINT_INTERVAL``-ish commits, and file-skipping ``prune``
+reuses the same stats/partition pruning as the internal reader so
+Spark never lists pruned files.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .txnlog import (
+    LOG_DIR,
+    _VERSION_DIGITS,
+    _file_may_match,
+    _parse_add,
+    _parse_meta,
+    _parse_remove,
+    _schema_from_json,
+)
+
+# Reader-version-3 table features this reader implements correctly.
+# timestampNtz: Spark reads TIMESTAMP_NTZ parquet natively.
+# vacuumProtocolCheck: imposes no read-path behavior by design.
+# Everything else (deletionVectors, columnMapping, v2Checkpoint,
+# typeWidening, variantType, ...) must be REFUSED, not ignored.
+SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck"}
+
+
+class UnsupportedDeltaFeature(ValueError):
+    """The table requires a reader capability this engine lacks; per
+    the Delta protocol the reader must refuse rather than mis-read."""
+
+
+class CorruptDeltaLog(ValueError):
+    """The log violates protocol invariants (gap in versions, no
+    commits, missing protocol/metaData)."""
+
+
+@dataclass
+class DeltaSnapshot:
+    version: int
+    files: list[dict]  # internal add dicts (path/stats/partition_values)
+    schema_json: str | None
+    partition_columns: list[str]
+    configuration: dict
+    protocol: dict
+    timestamp_ms: int
+    txns: dict = field(default_factory=dict)
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.get("stats", {}).get("num_rows", 0) for f in self.files)
+
+
+# ---------------------------------------------------------------- log layout
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, LOG_DIR)
+
+
+def _commit_versions(table_path: str) -> list[int]:
+    """Versions with a JSON commit file, ascending."""
+    out = []
+    for p in glob.glob(os.path.join(_log_dir(table_path), "*.json")):
+        stem = os.path.basename(p)[: -len(".json")]
+        if len(stem) == _VERSION_DIGITS and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _checkpoint_parts(table_path: str) -> dict[int, list[str]]:
+    """version -> sorted part files, for single- and multi-part
+    classic checkpoints (``V.checkpoint.parquet`` and
+    ``V.checkpoint.NNNNNNNNNN.MMMMMMMMMM.parquet``)."""
+    found: dict[int, list[str]] = {}
+    for p in glob.glob(
+        os.path.join(_log_dir(table_path), "*.checkpoint*.parquet")
+    ):
+        name = os.path.basename(p)
+        bits = name.split(".")
+        if not (bits[0].isdigit() and len(bits[0]) == _VERSION_DIGITS):
+            continue
+        if bits[1] != "checkpoint" or bits[-1] != "parquet":
+            continue
+        found.setdefault(int(bits[0]), []).append(p)
+    return {v: sorted(ps) for v, ps in found.items()}
+
+
+def _last_checkpoint_version(table_path: str) -> int | None:
+    """The ``_last_checkpoint`` pointer, if present and readable. Only
+    an accelerator — a corrupt pointer falls back to listing."""
+    p = os.path.join(_log_dir(table_path), "_last_checkpoint")
+    try:
+        with open(p) as fh:
+            return int(json.load(fh)["version"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+# ------------------------------------------------------------- action intake
+
+
+def _check_protocol(protocol: dict, configuration: dict) -> None:
+    reader = int(protocol.get("minReaderVersion", 1))
+    if reader > 3:
+        raise UnsupportedDeltaFeature(
+            f"minReaderVersion {reader} exceeds the supported protocol"
+        )
+    mapping = (configuration or {}).get("delta.columnMapping.mode", "none")
+    if mapping not in ("none", ""):
+        raise UnsupportedDeltaFeature(
+            f"column mapping mode '{mapping}' is not supported"
+        )
+    if reader >= 3:
+        missing = [
+            f
+            for f in protocol.get("readerFeatures") or []
+            if f not in SUPPORTED_READER_FEATURES
+        ]
+        if missing:
+            raise UnsupportedDeltaFeature(
+                f"table requires reader features {missing}; supported: "
+                f"{sorted(SUPPORTED_READER_FEATURES)}"
+            )
+
+
+def _intake_add(raw: dict) -> dict:
+    """Foreign ``add`` -> internal dict, refusing spec features we
+    cannot honor (a deletion vector silently ignored would resurrect
+    deleted rows)."""
+    if raw.get("deletionVector"):
+        raise UnsupportedDeltaFeature(
+            "add action carries a deletionVector; deletion-vector "
+            "tables are not readable by this engine"
+        )
+    return _parse_add(raw)
+
+
+def _read_checkpoint_state(part_files: list[str]):
+    """Replay state from a classic parquet checkpoint (all parts):
+    returns (adds_by_path, meta_raw, protocol_raw, txns). ``remove``
+    rows in a checkpoint are expired-tombstone bookkeeping only and
+    never contribute to the snapshot."""
+    import pyarrow.parquet as pq
+
+    adds: dict[str, dict] = {}
+    meta_raw = protocol_raw = None
+    txns: dict[str, int] = {}
+    for part in part_files:
+        for row in pq.read_table(part).to_pylist():
+            if row.get("add"):
+                a = {k: v for k, v in row["add"].items() if v is not None}
+                for m in ("partitionValues", "tags"):
+                    if isinstance(a.get(m), list):  # pa map -> dict
+                        a[m] = dict(a[m])
+                parsed = _intake_add(a)
+                adds[parsed["path"]] = parsed
+            elif row.get("metaData"):
+                m = {
+                    k: v
+                    for k, v in row["metaData"].items()
+                    if v is not None
+                }
+                for mm in ("configuration",):
+                    if isinstance(m.get(mm), list):
+                        m[mm] = dict(m[mm])
+                if isinstance(m.get("format"), dict) and isinstance(
+                    m["format"].get("options"), list
+                ):
+                    m["format"]["options"] = dict(m["format"]["options"])
+                meta_raw = m
+            elif row.get("protocol"):
+                protocol_raw = {
+                    k: v
+                    for k, v in row["protocol"].items()
+                    if v is not None
+                }
+            elif row.get("txn"):
+                t = row["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), t["version"]
+                )
+    return adds, meta_raw, protocol_raw, txns
+
+
+def _read_commit_actions(table_path: str, version: int):
+    """One foreign JSON commit -> (adds, removes, commit_info_raw,
+    meta_raw, protocol_raw, txns)."""
+    adds, removes, txns = [], [], []
+    info = meta_raw = protocol_raw = None
+    fname = os.path.join(
+        _log_dir(table_path), f"{version:0{_VERSION_DIGITS}d}.json"
+    )
+    with open(fname) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                adds.append(_intake_add(action["add"]))
+            elif "remove" in action:
+                removes.append(_parse_remove(action["remove"]))
+            elif "commitInfo" in action:
+                info = action["commitInfo"]
+            elif "metaData" in action:
+                meta_raw = action["metaData"]
+            elif "protocol" in action:
+                protocol_raw = action["protocol"]
+            elif "txn" in action:
+                txns.append(action["txn"])
+    return adds, removes, info, meta_raw, protocol_raw, txns
+
+
+def _commit_timestamp_ms(table_path: str, version: int) -> int:
+    """commitInfo.timestamp when present, else commit-file mtime (the
+    spec's fallback ordering clock)."""
+    _, _, info, _, _, _ = _read_commit_actions(table_path, version)
+    if info and isinstance(info.get("timestamp"), (int, float)):
+        return int(info["timestamp"])
+    fname = os.path.join(
+        _log_dir(table_path), f"{version:0{_VERSION_DIGITS}d}.json"
+    )
+    return int(os.path.getmtime(fname) * 1000)
+
+
+# ----------------------------------------------------------------- snapshot
+
+
+def read_delta_snapshot(
+    table_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> DeltaSnapshot:
+    """Reconstruct the table state at ``version`` / ``timestamp_ms``
+    (default: latest) from a foreign ``_delta_log``."""
+    versions = _commit_versions(table_path)
+    checkpoints = _checkpoint_parts(table_path)
+    if not versions and not checkpoints:
+        raise CorruptDeltaLog(f"no _delta_log commits at {table_path}")
+
+    latest = max(versions[-1] if versions else -1, max(checkpoints, default=-1))
+    if timestamp_ms is not None:
+        best = None
+        for v in versions:
+            if _commit_timestamp_ms(table_path, v) <= timestamp_ms:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp_ms={timestamp_ms}"
+            )
+        version = best
+    elif version is None:
+        version = latest
+    elif version > latest or (
+        version not in versions and version not in checkpoints
+    ):
+        raise ValueError(f"version {version} not present in the log")
+
+    # -- bootstrap from the newest usable checkpoint <= version
+    active: dict[str, dict] = {}
+    meta_raw = protocol_raw = None
+    txns: dict[str, int] = {}
+    start = versions[0] if versions else 0
+    ts = 0
+    hinted = _last_checkpoint_version(table_path)
+    candidates = sorted(
+        (c for c in checkpoints if c <= version), reverse=True
+    )
+    if hinted is not None and hinted in checkpoints and hinted <= version:
+        candidates.remove(hinted)
+        candidates.insert(0, hinted)
+    for c in candidates:
+        try:
+            active, meta_raw, protocol_raw, txns = _read_checkpoint_state(
+                checkpoints[c]
+            )
+        except UnsupportedDeltaFeature:
+            raise
+        except Exception:  # torn part, schema drift: older cp / raw log
+            continue
+        start = c + 1
+        break
+
+    # -- contiguous JSON replay after the bootstrap point
+    replay = [v for v in versions if start <= v <= version]
+    expected = list(range(start, version + 1))
+    if replay != expected:
+        raise CorruptDeltaLog(
+            f"commit gap: need versions {start}..{version}, have {replay}"
+        )
+    for v in replay:
+        adds, removes, info, m_raw, p_raw, vtxns = _read_commit_actions(
+            table_path, v
+        )
+        for r in removes:
+            active.pop(r["path"], None)
+        for a in adds:
+            active[a["path"]] = a
+        if m_raw is not None:
+            meta_raw = m_raw
+        if p_raw is not None:
+            protocol_raw = p_raw
+        for t in vtxns:
+            txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+        if info and isinstance(info.get("timestamp"), (int, float)):
+            ts = int(info["timestamp"])
+
+    if meta_raw is None or protocol_raw is None:
+        raise CorruptDeltaLog(
+            "log replay produced no metaData/protocol action"
+        )
+    _check_protocol(protocol_raw, meta_raw.get("configuration") or {})
+    meta = _parse_meta(meta_raw)
+    return DeltaSnapshot(
+        version=version,
+        files=list(active.values()),
+        schema_json=meta["schema_json"],
+        partition_columns=list(meta_raw.get("partitionColumns") or []),
+        configuration=dict(meta_raw.get("configuration") or {}),
+        protocol=protocol_raw,
+        timestamp_ms=ts,
+        txns=txns,
+    )
+
+
+# --------------------------------------------------------------- DataFrame
+
+
+def read_delta_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
+    """DataFrame over a foreign Delta table at ``table_path``.
+
+    ``prune`` is the same ``(column, op, value)`` file-skipping list
+    the internal reader takes: files whose add-action stats or
+    partition values cannot satisfy every predicate are dropped
+    driver-side, and the predicates are re-applied as real filters so
+    skipping is an IO optimization, never a correctness dependency.
+    """
+    from pyspark.sql import functions as F
+
+    snap = read_delta_snapshot(
+        table_path, version=version, timestamp_ms=timestamp_ms
+    )
+    files = snap.files
+    if prune:
+        files = [f for f in files if _file_may_match(f, prune)]
+    schema = (
+        _schema_from_json(spark, snap.schema_json)
+        if snap.schema_json
+        else None
+    )
+    if schema is None:
+        raise CorruptDeltaLog("metaData carries no schemaString")
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    part_cols = [c for c in snap.partition_columns if c in schema.names]
+    from pyspark.sql.types import StructType
+
+    physical = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+
+    def _abs(p: str) -> str:
+        for pref in ("file://", "file:"):
+            if p.startswith(pref):
+                p = p[len(pref):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    paths = [_abs(f["path"]) for f in files]
+    df = spark.read.schema(physical).parquet(*paths)
+
+    if part_cols:
+        # partition values live ONLY in the log (spec: data files do
+        # not store partition columns). One row per file, broadcast —
+        # the same O(files) metadata the driver already holds.
+        rows = [
+            tuple(
+                [os.path.abspath(_abs(f["path"]))]
+                + [
+                    (f.get("partition_values") or {}).get(c)
+                    for c in part_cols
+                ]
+            )
+            for f in files
+        ]
+        pmap = spark.createDataFrame(
+            rows,
+            ["__delta_file"] + [f"__pv_{c}" for c in part_cols],
+        )
+        fp = F.col("_metadata.file_path")
+        for pref in ("file://", "file:"):
+            fp = F.replace(fp, F.lit(pref), F.lit(""))
+        df = (
+            df.withColumn("__delta_file", fp)
+            .join(F.broadcast(pmap), "__delta_file", "left")
+            .drop("__delta_file")
+        )
+        for c in part_cols:
+            # spec string serialization (ISO dates, plain decimals,
+            # "true"/"false") casts cleanly to the declared type
+            df = df.withColumn(
+                c, F.col(f"__pv_{c}").cast(schema[c].dataType)
+            ).drop(f"__pv_{c}")
+    df = df.select(*schema.names)
+
+    if prune:
+        for col, op, val in prune:
+            if col not in df.columns:
+                continue
+            c = F.col(col)
+            cond = {
+                "=": c == val, "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val,
+                "isnull": c.isNull(), "isnotnull": c.isNotNull(),
+            }[op]
+            df = df.where(cond)
+    return df
+
+
+def delta_history(table_path: str) -> list[dict]:
+    """commitInfo of every surviving commit file, oldest first."""
+    out = []
+    for v in _commit_versions(table_path):
+        _, _, info, _, _, _ = _read_commit_actions(table_path, v)
+        out.append(
+            {"version": v, **(info or {})}
+            if info is not None
+            else {"version": v}
+        )
+    return out

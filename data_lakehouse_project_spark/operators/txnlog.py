@@ -809,6 +809,22 @@ class TxnTable:
                 return read_version
         if mode == "append" and read_version >= 0:
             self._check_append_schema(df, allow_schema_evolution)
+            # Delta semantics: an append INHERITS the table's partition
+            # spec — passing none must not silently de-partition the
+            # table (which would mix hive and flat file layouts under
+            # one snapshot), and passing a conflicting spec is an
+            # error, not a spec change. Only overwrite redefines the
+            # spec (all prior files are removed, so the layout stays
+            # uniform).
+            current = self._current_partition_by()
+            if partition_by is None:
+                partition_by = current or None
+            elif list(partition_by) != list(current):
+                raise ValueError(
+                    f"append partition_by {list(partition_by)} conflicts "
+                    f"with the table's partition spec {list(current)}; "
+                    "only overwrite may change partitioning"
+                )
         if read_version >= 0:
             self._enforce_constraints(df)
         adds = self._stage_data(df, partition_by)
