@@ -309,6 +309,56 @@ def _dot_lit(vec: Column, q: list[float]) -> Column:
     )
 
 
+def _mmr_out_schema(df: DataFrame, id_col: str):
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    # the id column keeps ITS OWN type (string/int/long all occur in
+    # practice) — never assume LONG
+    return StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("rel", DoubleType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+
+def _mmr_driver(rows, id_col: str, k: int, lam: float) -> list[tuple]:
+    """The k-step greedy argmax over an already-collected candidate
+    pool — one numpy pass per pick instead of one Spark job per pick.
+    Same semantics as the distributed loop: ties (within 1e-12) break
+    on ascending id."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[id_col])
+    ids = [r[id_col] for r in rows]
+    V = np.array([r["_v"] for r in rows], dtype=np.float64)
+    rel = np.array([r["_rel"] for r in rows], dtype=np.float64)
+    taken = np.zeros(len(ids), dtype=bool)
+    maxsim = None  # running max cos(v, selected); no penalty pre-pick-1
+    out = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        score = lam * rel if maxsim is None else (
+            lam * rel - (1.0 - lam) * maxsim
+        )
+        score[taken] = -np.inf
+        m = score.max()
+        i = int(np.nonzero(score >= m - 1e-12)[0][0])  # id-sorted → min id
+        taken[i] = True
+        out.append(
+            (rank, ids[i], round(float(rel[i]), 6), round(float(score[i]), 6))
+        )
+        sims = V @ V[i]
+        maxsim = sims if maxsim is None else np.maximum(maxsim, sims)
+    return out
+
+
 def mmr_select(
     df: DataFrame,
     id_col: str,
@@ -316,22 +366,23 @@ def mmr_select(
     query_vec: list[float],
     k: int = 10,
     lam: float = 0.7,
+    small_pool: int = 10_000,
 ) -> DataFrame:
     """Maximal-marginal-relevance selection: greedily pick k rows
     maximizing ``lam·cos(vec, query) − (1−lam)·max cos(vec, selected)``
     (Carbonell & Goldstein 1998). Ties break on ascending id so the
     selection is deterministic.
 
-    Execution model: normalize + score once, cache; then k bounded
-    passes, each a TakeOrdered(1) over the cached table followed by a
-    driver-side append of the winner's vector (k rows total collected —
-    the same bounded-collect pattern as BPE training,
-    ext/bpe.py). The redundancy term against the ≤k selected vectors is
-    a literal-array expression, so every pass is pure JVM. At 100 TB
-    this is k scans of a cached/columnar projection — the standard MMR
-    cost; use the LSH/IVF candidate generators (ext/similarity.py,
-    ext/ivf.py) to shrink the candidate set first when k·scans is too
-    much.
+    Execution model: normalize + score once, cache. If the candidate
+    pool is at most ``small_pool`` rows (the normal case after an
+    LSH/IVF/top-N candidate generator — any pool MMR can afford to
+    k-scan is small enough to hold driver-side), collect the
+    (id, vec, rel) matrix ONCE and run the k-step argmax loop in
+    numpy: one Spark job total instead of one per pick. Above the
+    threshold, fall back to k bounded passes, each a TakeOrdered(1)
+    over the cached table with the redundancy term as a literal-array
+    expression (pure JVM, k rows collected total). At 100 TB the
+    intended shape is candidate-generate → small-pool MMR.
     """
     qn = math.sqrt(sum(v * v for v in query_vec)) or 1.0
     q = [v / qn for v in query_vec]
@@ -343,6 +394,12 @@ def mmr_select(
         .persist()
     )
     try:
+        spark = df.sparkSession
+        if base.count() <= small_pool:
+            return spark.createDataFrame(
+                _mmr_driver(base.collect(), id_col, k, lam),
+                schema=_mmr_out_schema(df, id_col),
+            )
         selected: list[tuple] = []  # (rank, id, rel, score, vec)
         sel_vecs: list[list[float]] = []
         for rank in range(1, k + 1):
@@ -373,13 +430,12 @@ def mmr_select(
                 (rank, r[id_col], float(r["_rel"]), float(r["_score"]))
             )
             sel_vecs.append(list(r["_v"]))
-        spark = df.sparkSession
         return spark.createDataFrame(
             [
                 (rank, i, round(rel, 6), round(sc, 6))
                 for rank, i, rel, sc in selected
             ],
-            schema=f"rank INT, {id_col} LONG, rel DOUBLE, score DOUBLE",
+            schema=_mmr_out_schema(df, id_col),
         )
     finally:
         base.unpersist()

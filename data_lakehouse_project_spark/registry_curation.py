@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from data_lakehouse_project_spark.ext import curation as X_cur
+from data_lakehouse_project_spark.ext import similarity as X_sim
 from data_lakehouse_project_spark.sources.readers import load_testdata
 
 _helpers: dict = {}
@@ -314,8 +315,15 @@ def q_mmr_diverse_topk(spark, sf_dir):
         .collect()
     )
     centroid = [r["_m"] for r in cen]
+    # the 100 TB shape: ANN candidate generation (one scan,
+    # TakeOrdered-200) -> small-pool MMR (single collect + numpy
+    # greedy loop) instead of k full-table passes
+    cand_ids = X_sim.cosine_topk(
+        emb, "embedding", "vec_id", centroid, k=200
+    ).select("vec_id")
+    pool = emb.join(F.broadcast(cand_ids), "vec_id")
     return X_cur.mmr_select(
-        emb, "vec_id", "embedding", centroid, k=10, lam=0.7
+        pool, "vec_id", "embedding", centroid, k=10, lam=0.7
     )
 
 

@@ -265,3 +265,34 @@ def test_mmr_lambda_one_is_plain_topk(emb):
     rel = unit @ qa
     order = sorted(range(len(ids)), key=lambda i: (-rel[i], ids[i]))[:5]
     assert [r["vec_id"] for r in got] == [ids[i] for i in order]
+
+
+def test_mmr_distributed_path_matches_fast_path(emb):
+    """small_pool=0 forces the k-job TakeOrdered loop; it must pick
+    exactly what the collect-once numpy path picks."""
+    rows = emb.select("vec_id", "embedding").collect()
+    q = list(np.array(rows[0]["embedding"], dtype=np.float64))
+    fast = X_cur.mmr_select(
+        emb, "vec_id", "embedding", q, k=6, lam=0.6
+    ).collect()
+    slow = X_cur.mmr_select(
+        emb, "vec_id", "embedding", q, k=6, lam=0.6, small_pool=0
+    ).collect()
+    assert [(r["rank"], r["vec_id"]) for r in slow] == [
+        (r["rank"], r["vec_id"]) for r in fast
+    ]
+    for a, b in zip(fast, slow):
+        assert abs(a["score"] - b["score"]) < 1e-6
+
+
+def test_mmr_string_id_column(emb):
+    """The output id column carries the INPUT id type (regression:
+    schema used to hardcode LONG)."""
+    sdf = emb.selectExpr(
+        "concat('v-', cast(vec_id as string)) AS sid", "embedding"
+    )
+    q = list(np.ones(len(emb.first()["embedding"])))
+    got = X_cur.mmr_select(sdf, "sid", "embedding", q, k=3)
+    assert dict(got.dtypes)["sid"] == "string"
+    rows = got.collect()
+    assert len(rows) == 3 and all(r["sid"].startswith("v-") for r in rows)
