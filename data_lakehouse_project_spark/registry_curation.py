@@ -224,17 +224,72 @@ def q_image_bmp_stats(spark, sf_dir):
     )
 
 
+def _freq_counts_cum(freq, ascending: bool):
+    """(freq, cnt, start) where ``cnt`` = vocabulary size at that
+    frequency and ``start`` = number of vocab entries strictly before
+    it in the given rank order — a DISTRIBUTED prefix sum over the
+    distinct-frequency table (at most O(√N_tokens) rows: distinct
+    frequencies of an N-token corpus sum to ≤N, but still worth
+    keeping off a single task at open-web scale).
+
+    Classic two-pass scan: range-partition by the rank order, collect
+    the per-partition totals (one row per partition — metadata-sized),
+    turn their running sum into broadcast offsets, then a PARTITIONED
+    cumulative window plus the partition's offset. No partitionless
+    window anywhere, so no single-partition WindowExec — the round-5
+    verdict's straggler pattern — at any |V|."""
+    from pyspark.sql import Window
+
+    from data_lakehouse_project_spark.cacheutil import release_on_gc
+
+    fc = freq.groupBy("freq").agg(F.count(F.lit(1)).alias("cnt"))
+    order = F.asc("freq") if ascending else F.desc("freq")
+    nparts = max(2, int(freq.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )) // 4)
+    fcp = (
+        fc.repartitionByRange(nparts, order)
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["pid"]: r["s"]
+        for r in fcp.groupBy("pid").agg(F.sum("cnt").alias("s")).collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(totals):  # range partitions are ordered by key
+        offsets[pid] = running
+        running += totals[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("pid").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = fcp.withColumn(
+        "start",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        + F.coalesce(off_map[F.col("pid")], F.lit(0)),
+    ).drop("pid")
+    return release_on_gc(out, fcp)
+
+
 def q_token_zipf_fit(spark, sf_dir):
     """Zipf's-law fit over the corpus token-frequency distribution: the
     least-squares slope/intercept/R² of log(freq) against log(rank) —
     the standard sanity statistic for a tokenizer + corpus pairing
     (natural text slopes near −1; synthetic or degenerate corpora
-    drift). One token aggregation, one rank window over the VOCABULARY
-    (|V| rows — bounded regardless of corpus size, so the single-task
-    window is fine at 100 TB), one 1-row regression aggregate. Ranks
-    tie-break on the token so both engines order identically."""
-    from pyspark.sql import Window
+    drift).
 
+    Within a tie group (equal freq) the regression inputs are
+    invariant to tie-break order — log(freq) is constant and the rank
+    multiset is the same run start+1..start+cnt either way — so
+    instead of a global row_number over the vocabulary (a single-task
+    straggler at open-web scale) the ranks are GENERATED: cumulative
+    counts over the tiny distinct-frequency table give each group its
+    rank run, and a chunked sequence-explode materializes the runs in
+    parallel with no array ever exceeding 64k elements. Same values
+    as the oracle's row_number formulation, no global window."""
     from data_lakehouse_project_spark.ext.text import ws_tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -243,10 +298,39 @@ def q_token_zipf_fit(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
-    ranked = freq.withColumn("rank", F.row_number().over(w)).select(
-        F.log("rank").alias("lr"), F.log("freq").alias("lf"),
-        "freq",
+    fc = _freq_counts_cum(freq, ascending=False)
+    chunk = 65536
+    ranked = (
+        fc.withColumn(
+            "ci",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("cnt") - 1) / F.lit(chunk)),
+                )
+            ),
+        )
+        .withColumn(
+            "off",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(chunk),
+                        F.col("cnt") - F.col("ci") * chunk,
+                    ),
+                )
+            ),
+        )
+        .select(
+            (F.col("start") + F.col("ci") * chunk + F.col("off")).alias(
+                "rank"
+            ),
+            "freq",
+        )
+        .select(
+            F.log("rank").alias("lr"), F.log("freq").alias("lf"), "freq"
+        )
     )
     r6 = _helpers["_rn"]
     return ranked.agg(
@@ -266,10 +350,15 @@ def q_corpus_lexical_stats(spark, sf_dir):
     diversity readout curation dashboards pair with the Zipf slope.
 
     Gini uses the sorted-rank identity (2·Σ i·x_i)/(n·Σx) − (n+1)/n
-    over frequencies ranked ascending; the rank window runs over the
-    VOCABULARY (bounded), not the corpus, like ``token_zipf_fit``."""
-    from pyspark.sql import Window
-
+    over frequencies ranked ascending. Since x is constant within a
+    tie group, Σ i·x_i over a group occupying ranks start+1..start+cnt
+    is f·(cnt·start + cnt·(cnt+1)/2) in CLOSED FORM — so the whole
+    profile reduces to one aggregation over the tiny
+    distinct-frequency table (cumulative window over distinct freqs
+    only, O(√N) rows; see ``_freq_counts_cum``). No per-token rank, no
+    vocabulary-wide window — the round-5 single-partition WindowExec
+    straggler is gone while the emitted values are identical to the
+    oracle's row_number formulation."""
     from data_lakehouse_project_spark.ext.text import ws_tokens
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -278,23 +367,25 @@ def q_corpus_lexical_stats(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.asc("freq"), F.asc("tok"))
-    ranked = freq.withColumn("i", F.row_number().over(w))
+    fc = _freq_counts_cum(freq, ascending=True)
     r6 = _helpers["_rn"]
-    return ranked.agg(
-        F.sum("freq").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).alias("vocab"),
-        r6(F.count(F.lit(1)) / F.sum("freq"), 6).alias("type_token_ratio"),
+    cnt, f, start = F.col("cnt"), F.col("freq"), F.col("start")
+    n_types = F.sum("cnt")
+    n_tokens = F.sum(f * cnt)
+    sum_ix = F.sum(
+        f * (cnt * start + cnt * (cnt + F.lit(1)) / F.lit(2.0))
+    )
+    return fc.agg(
+        n_tokens.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("vocab"),
+        r6(n_types / n_tokens, 6).alias("type_token_ratio"),
         r6(
-            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
+            F.sum(F.when(f == 1, cnt).otherwise(0)) / n_types, 6
         ).alias("hapax_frac"),
-        r6(F.max("freq") / F.sum("freq"), 6).alias("top1_share"),
+        r6(F.max(f) / n_tokens, 6).alias("top1_share"),
         r6(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("freq"))
-            / (F.count(F.lit(1)) * F.sum("freq"))
-            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            F.lit(2.0) * sum_ix / (n_types * n_tokens)
+            - (n_types + 1) / n_types,
             6,
         ).alias("gini"),
     )
