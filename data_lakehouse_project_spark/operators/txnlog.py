@@ -908,6 +908,17 @@ class TxnTable:
 
         from pyspark.sql import functions as F
 
+        from data_lakehouse_project_spark.cacheutil import (
+            free_local_checkpoint,
+        )
+
+        # canonical flag: ANY falsy value (False, None, "", 0) means
+        # "no NMBS clause" — the clause test and the relevant-rows
+        # sliver below must agree, else a disabled clause widens the
+        # flags cache to the whole target scan
+        if not not_matched_by_source_delete:
+            not_matched_by_source_delete = False
+
         read_version = self.latest_version()
         if txn is not None and read_version >= 0:
             # exactly-once under streaming replay: a micro-batch whose
@@ -915,6 +926,35 @@ class TxnTable:
             # contract as write(); the publish race re-checks in _commit
             if self.snapshot().txns.get(txn[0], -1) >= txn[1]:
                 return read_version
+        # MATERIALIZE the source before any clause evaluates it: the
+        # merge reads the source in up to four independent jobs (flags
+        # pass, rewrite pass, insert anti-join, staging), and a
+        # non-deterministic source (rand(), limit/sample, a re-read of
+        # mutable files) could otherwise produce a touched-file list
+        # that disagrees with the rewrite — silently dropping or
+        # mis-applying changes. delta-spark materializes such sources
+        # for the same reason; an eager localCheckpoint (lineage
+        # truncated, so recompute is impossible) makes every pass see
+        # one immutable snapshot, and the blocks are freed before
+        # returning. merge_into runs synchronously, so the checkpoint
+        # lifecycle is fully contained here.
+        source = source.localCheckpoint(eager=True)
+        try:
+            return self._merge_into_body(
+                spark, source, keys, matched_update,
+                matched_update_condition, matched_delete_condition,
+                insert, insert_condition, not_matched_by_source_delete,
+                txn, read_version, _reduce, F,
+            )
+        finally:
+            free_local_checkpoint(source)
+
+    def _merge_into_body(
+        self, spark, source, keys, matched_update,
+        matched_update_condition, matched_delete_condition, insert,
+        insert_condition, not_matched_by_source_delete, txn,
+        read_version, _reduce, F,
+    ) -> int:
         snap = self.snapshot()
         partition_by = self._current_partition_by()
         tgt_cols = [
@@ -1082,6 +1122,18 @@ class TxnTable:
         out = rewritten if rewritten is not None else inserts
         if rewritten is not None and inserts is not None:
             out = rewritten.unionByName(inserts)
+        # store-assignment cast to the TARGET schema (Delta semantics):
+        # a wider-typed source expression (decimal qty into a double
+        # column, int into long) must land as the declared type — the
+        # snapshot schema governs reads, so an uncast staged file would
+        # corrupt the table for every reader
+        tgt_schema = _schema_from_json(spark, snap.schema_json)
+        out = out.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in tgt_schema.fields
+            ]
+        )
         self._enforce_constraints(out)
         return self._commit(
             operation="merge",

@@ -292,3 +292,46 @@ def test_streaming_merge_empty_batch_still_records_txn(spark, tmp_path):
     assert t.latest_version() == v0 + 1  # empty txn commit recorded
     assert t.snapshot().txns.get("cdc-app") == 0
     assert t.read(spark).count() == 4
+
+
+def test_nondeterministic_source_is_materialized(spark, tmp_path):
+    """A rand()-filtered source must behave as ONE immutable snapshot
+    across the merge's internal passes: every inserted row also shows
+    up exactly once, and reruns never duplicate — the source is
+    checkpointed before clause evaluation (delta-spark does the same)."""
+    t = _mk(spark, tmp_path)
+    src = (
+        spark.range(100, 140)
+        .selectExpr(
+            "id", "concat('n', id) AS name", "id * 1.0 AS qty",
+            "'p9' AS part"
+        )
+        .where(F.rand(seed=None) < 0.5)  # non-deterministic row set
+    )
+    t.merge_into(spark, src, ["id"], matched_update="all", insert=True)
+    got = t.read(spark)
+    new_ids = [r["id"] for r in got.where("id >= 100").collect()]
+    # whatever subset the filter picked, each id appears exactly once
+    assert len(new_ids) == len(set(new_ids))
+    # and the four original rows are untouched
+    assert got.where("id < 100").count() == 4
+
+
+def test_nmbs_falsy_values_disable_cleanly(spark, tmp_path):
+    """Empty string / 0 / None for not_matched_by_source_delete mean
+    OFF — no unmatched-target deletes, and results identical to
+    passing False."""
+    for falsy in ("", 0, None, False):
+        t = _mk(spark, tmp_path / f"v{falsy!r}")
+        src = spark.createDataFrame(
+            [(1, "a2", 11.0, "p0")],
+            "id LONG, name STRING, qty DOUBLE, part STRING",
+        )
+        t.merge_into(
+            spark, src, ["id"],
+            matched_update="all", insert=False,
+            not_matched_by_source_delete=falsy,
+        )
+        rows = _rows(t, spark)
+        assert set(rows) == {1, 2, 3, 4}  # nothing deleted
+        assert rows[1] == ("a2", 11.0, "p0")
