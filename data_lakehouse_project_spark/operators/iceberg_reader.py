@@ -1,0 +1,324 @@
+"""Reader for EXTERNAL Apache Iceberg v2 metadata trees.
+
+``operators/iceberg_export.py`` emits spec-shaped Iceberg metadata;
+this module closes the read direction: given ANY table location whose
+``metadata/`` dir follows the public Iceberg table spec
+(iceberg.apache.org/spec) — regardless of which engine wrote it —
+walk version-hint → ``vN.metadata.json`` → snapshot → avro manifest
+list → avro manifests → data files, and expose the snapshot as a
+DataFrame.  Proven against HAND-BUILT foreign fixtures in
+tests/test_iceberg_reader.py (two snapshots, a shared manifest, a
+DELETED manifest entry, field ids unlike the export's), so the decode
+path is not self-consistent-only.
+
+Reader rules implemented:
+
+* **Snapshot selection**: ``current-snapshot-id`` by default; by
+  explicit ``snapshot_id``; or time travel via the newest snapshot at
+  or before ``as_of_ms`` (``snapshot-log`` when present, else the
+  snapshots' own ``timestamp-ms``).
+* **Manifest evaluation**: every data manifest in the snapshot's
+  manifest list; entries with status DELETED (2) are dropped — they
+  record removal, not membership.  ``existing_files_count``/shared
+  manifests across snapshots are handled naturally because membership
+  is decided per entry, not per manifest.
+* **Refusal over silent mis-reads** (the spec's reader rule): unknown
+  ``format-version``, delete manifests (``content`` 1), delete files
+  (``data_file.content`` != 0), and non-parquet file formats raise
+  ``UnsupportedIcebergFeature`` — ignoring any of them would
+  resurrect deleted rows or drop data.
+* **Schema**: the current Iceberg schema (primitive types + decimal)
+  converts to Spark types; the explicit-schema parquet read makes
+  pre-evolution files surface added columns as null.  Identity
+  partition source columns live IN Iceberg data files (unlike
+  Delta/Hive), so nothing needs reattaching; hidden-transform
+  partition fields are metadata-only and never surface.
+
+Avro container files are decoded with the Java avro library already on
+Spark's driver classpath (the same library the export writes through —
+metadata-sized payloads only, never row data).
+
+Scale posture: like the Delta reader, state reconstruction is
+O(manifest entries) on the driver — the same file-level metadata every
+Iceberg client materializes; row data flows only through Spark's
+parquet scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class UnsupportedIcebergFeature(ValueError):
+    """The table requires a reader capability this engine lacks."""
+
+
+class CorruptIcebergMetadata(ValueError):
+    """The metadata tree violates table-spec invariants."""
+
+
+# ------------------------------------------------------------------- avro
+
+
+def avro_records(spark: SparkSession, path: str):
+    """Decode an avro container file into (records, file_metadata) —
+    generic Java-avro reader over py4j; metadata-sized files only."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+
+    def _py(v):
+        if v is None:
+            return None
+        cls = v.getClass().getName() if hasattr(v, "getClass") else None
+        if cls == "org.apache.avro.util.Utf8":
+            return str(v)
+        if cls and cls.startswith(
+            "org.apache.avro.generic.GenericData$Record"
+        ):
+            s = v.getSchema()
+            return {
+                str(s.getFields().get(i).name()): _py(
+                    v.get(str(s.getFields().get(i).name()))
+                )
+                for i in range(s.getFields().size())
+            }
+        if cls and cls.startswith(
+            "org.apache.avro.generic.GenericData$Array"
+        ):
+            return [_py(v.get(i)) for i in range(v.size())]
+        return v
+
+    schema = reader.getSchema()
+    names = [
+        str(schema.getFields().get(i).name())
+        for i in range(schema.getFields().size())
+    ]
+    records = []
+    while reader.hasNext():
+        rec = reader.next()
+        records.append({n: _py(rec.get(n)) for n in names})
+    meta = {}
+    it = reader.getMetaKeys().iterator()
+    while it.hasNext():
+        k = str(it.next())
+        if not k.startswith("avro."):
+            meta[k] = bytes(reader.getMeta(k)).decode()
+    reader.close()
+    return records, meta
+
+
+# ---------------------------------------------------------------- metadata
+
+
+def _latest_metadata_file(table_path: str) -> str:
+    meta_dir = os.path.join(table_path, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = int(fh.read().strip())
+        p = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(p):
+            return p
+    cands = sorted(
+        (
+            int(m.group(1)),
+            os.path.join(meta_dir, n),
+        )
+        for n in os.listdir(meta_dir)
+        if (m := re.fullmatch(r"v(\d+)\.metadata\.json", n))
+    )
+    if not cands:
+        raise CorruptIcebergMetadata(
+            f"no vN.metadata.json under {meta_dir}"
+        )
+    return cands[-1][1]
+
+
+def load_iceberg_metadata(
+    table_path: str, metadata_file: str | None = None
+) -> dict:
+    path = metadata_file or _latest_metadata_file(table_path)
+    with open(path) as fh:
+        md = json.load(fh)
+    fv = md.get("format-version")
+    if fv not in (1, 2):
+        raise UnsupportedIcebergFeature(
+            f"format-version {fv} is not supported (v1/v2 only)"
+        )
+    return md
+
+
+def _select_snapshot(
+    md: dict, snapshot_id: int | None, as_of_ms: int | None
+) -> dict:
+    snapshots = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    if not snapshots:
+        raise CorruptIcebergMetadata("metadata has no snapshots")
+    if snapshot_id is not None:
+        if snapshot_id not in snapshots:
+            raise ValueError(f"snapshot-id {snapshot_id} not in metadata")
+        return snapshots[snapshot_id]
+    if as_of_ms is not None:
+        log = md.get("snapshot-log") or [
+            {
+                "snapshot-id": s["snapshot-id"],
+                "timestamp-ms": s["timestamp-ms"],
+            }
+            for s in snapshots.values()
+        ]
+        best = None
+        for e in sorted(log, key=lambda e: e["timestamp-ms"]):
+            if e["timestamp-ms"] <= as_of_ms:
+                best = e["snapshot-id"]
+        if best is None:
+            raise ValueError(f"no snapshot at or before {as_of_ms}")
+        return snapshots[best]
+    cur = md.get("current-snapshot-id")
+    if cur in (None, -1):
+        raise CorruptIcebergMetadata("metadata has no current snapshot")
+    return snapshots[cur]
+
+
+# ------------------------------------------------------------------ schema
+
+
+_SPARK_OF = {
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "binary": "binary",
+    "uuid": "string",
+}
+
+
+def _spark_ddl_of(iceberg_type) -> str:
+    if isinstance(iceberg_type, str):
+        if iceberg_type in _SPARK_OF:
+            return _SPARK_OF[iceberg_type]
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", iceberg_type)
+        if m:
+            return f"decimal({m.group(1)},{m.group(2)})"
+        m = re.fullmatch(r"fixed\[\d+\]", iceberg_type)
+        if m:
+            return "binary"
+    raise UnsupportedIcebergFeature(
+        f"iceberg type {iceberg_type!r} is not supported by this reader"
+    )
+
+
+def _spark_schema(spark: SparkSession, md: dict):
+    from pyspark.sql.types import StructType
+
+    schemas = md.get("schemas")
+    if schemas is not None:
+        schema = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id") == md.get("current-schema-id")
+            ),
+            schemas[0],
+        )
+    else:  # v1 tables carry a single top-level "schema"
+        schema = md["schema"]
+    ddl = ", ".join(
+        f"`{f['name']}` {_spark_ddl_of(f['type'])}"
+        for f in schema["fields"]
+    )
+    return StructType.fromDDL(ddl)
+
+
+# ---------------------------------------------------------------- snapshot
+
+
+def iceberg_live_files(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    metadata_file: str | None = None,
+) -> tuple[dict, list[dict]]:
+    """(metadata, live data_file dicts) for the selected snapshot."""
+    md = load_iceberg_metadata(table_path, metadata_file)
+    snap = _select_snapshot(md, snapshot_id, as_of_ms)
+    mlist_path = snap["manifest-list"]
+    if not os.path.isabs(mlist_path):
+        mlist_path = os.path.join(table_path, mlist_path)
+    manifests, _ = avro_records(spark, mlist_path)
+    live: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            raise UnsupportedIcebergFeature(
+                "delete manifests (manifest_file.content != 0) are not "
+                "supported; refusing rather than resurrecting deleted rows"
+            )
+        mpath = m["manifest_path"]
+        if not os.path.isabs(mpath):
+            mpath = os.path.join(table_path, mpath)
+        entries, _ = avro_records(spark, mpath)
+        for e in entries:
+            if e.get("status") == 2:  # DELETED — records removal
+                continue
+            df_ = e["data_file"]
+            if df_.get("content", 0) != 0:
+                raise UnsupportedIcebergFeature(
+                    "position/equality delete files are not supported"
+                )
+            if str(df_.get("file_format", "")).upper() != "PARQUET":
+                raise UnsupportedIcebergFeature(
+                    f"file format {df_.get('file_format')!r} is not "
+                    "supported"
+                )
+            live.append(df_)
+    return md, live
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+    metadata_file: str | None = None,
+) -> DataFrame:
+    """DataFrame over a foreign Iceberg table's selected snapshot."""
+    md, live = iceberg_live_files(
+        spark, table_path, snapshot_id, as_of_ms, metadata_file
+    )
+    schema = _spark_schema(spark, md)
+    if not live:
+        return spark.createDataFrame([], schema)
+
+    def _abs(p: str) -> str:
+        for pref in ("file://", "file:"):
+            if p.startswith(pref):
+                p = p[len(pref):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    paths = [_abs(f["file_path"]) for f in live]
+    # explicit current schema: pre-evolution files surface added
+    # columns as null; column order follows the Iceberg schema
+    return spark.read.schema(schema).parquet(*paths).select(
+        *schema.names
+    )
+
+
+def iceberg_snapshot_ids(table_path: str) -> list[tuple[int, int]]:
+    """(snapshot-id, timestamp-ms) pairs, oldest first."""
+    md = load_iceberg_metadata(table_path)
+    return sorted(
+        (s["snapshot-id"], s["timestamp-ms"])
+        for s in md.get("snapshots", [])
+    )

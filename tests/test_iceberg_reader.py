@@ -1,0 +1,443 @@
+"""Foreign-fixture tests for the Iceberg v2 READER.
+
+The fixture metadata tree is HAND-BUILT in this file straight from the
+public table spec — two snapshots, a manifest shared across snapshots
+with EXISTING/DELETED entry statuses, non-contiguous field ids, an
+extra optional avro field, and a schema evolution — none of which the
+export (operators/iceberg_export.py) ever produces in this shape, so a
+pass proves the reader is not self-consistent-only.  Avro container
+fixtures are written through the generic Java avro library (schemas
+authored here, not the export's).
+"""
+
+from __future__ import annotations
+
+import decimal
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    _AvroWriter,
+)
+from data_lakehouse_project_spark.operators.iceberg_reader import (
+    CorruptIcebergMetadata,
+    UnsupportedIcebergFeature,
+    iceberg_snapshot_ids,
+    read_iceberg_table,
+)
+
+T1, T2 = 1700000100000, 1700000200000
+
+SCHEMA_0 = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 7, "name": "id", "required": False, "type": "long"},
+        {"id": 12, "name": "name", "required": False, "type": "string"},
+        {
+            "id": 19,
+            "name": "score",
+            "required": False,
+            "type": "decimal(10, 2)",
+        },
+    ],
+}
+SCHEMA_1 = {
+    "type": "struct",
+    "schema-id": 1,
+    "fields": SCHEMA_0["fields"]
+    + [{"id": 23, "name": "tag", "required": False, "type": "string"}],
+}
+
+# avro schemas authored HERE, with an extra optional field and a field
+# order the export never emits
+MANIFEST_ENTRY_AVRO = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {
+                            "name": "file_path",
+                            "type": "string",
+                            "field-id": 100,
+                        },
+                        {
+                            "name": "file_format",
+                            "type": "string",
+                            "field-id": 101,
+                        },
+                        {"name": "content", "type": "int", "field-id": 134},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [],
+                            },
+                        },
+                        {
+                            "name": "record_count",
+                            "type": "long",
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                        {
+                            "name": "key_metadata",
+                            "type": ["null", "bytes"],
+                            "default": None,
+                            "field-id": 131,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+)
+MANIFEST_FILE_AVRO = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string", "field-id": 500},
+            {"name": "manifest_length", "type": "long", "field-id": 501},
+            {"name": "partition_spec_id", "type": "int", "field-id": 502},
+            {"name": "content", "type": "int", "field-id": 517},
+            {"name": "sequence_number", "type": "long", "field-id": 515},
+            {
+                "name": "min_sequence_number",
+                "type": "long",
+                "field-id": 516,
+            },
+            {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        ],
+    }
+)
+
+
+def _data_file(table, name, ids, names, scores, tags=None):
+    cols = {
+        "id": pa.array(ids, pa.int64()),
+        "name": pa.array(names, pa.string()),
+        "score": pa.array(
+            [decimal.Decimal(s) for s in scores], pa.decimal128(10, 2)
+        ),
+    }
+    if tags is not None:
+        cols["tag"] = pa.array(tags, pa.string())
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    path = os.path.join(table, "data", name)
+    pq.write_table(pa.table(cols), path)
+    return path
+
+
+def _manifest(spark, table, name, entries):
+    path = os.path.join(table, "metadata", name)
+    w = _AvroWriter(
+        spark,
+        MANIFEST_ENTRY_AVRO,
+        path,
+        {
+            "schema": json.dumps(SCHEMA_1),
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    for e in entries:
+        w.append_dict(e)
+    w.close()
+    return path
+
+
+def _entry(status, fpath, n_rows, fmt="PARQUET", content=0):
+    return {
+        "status": status,
+        "snapshot_id": 101,
+        "data_file": {
+            "file_path": fpath,
+            "file_format": fmt,
+            "content": content,
+            "partition": {},
+            "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(fpath)
+            if os.path.exists(fpath)
+            else 0,
+            "key_metadata": None,
+        },
+    }
+
+
+def _manifest_list(spark, table, name, manifest_paths, snap_id):
+    path = os.path.join(table, "metadata", name)
+    w = _AvroWriter(
+        spark, MANIFEST_FILE_AVRO, path, {"format-version": "2"}
+    )
+    for mp, content in manifest_paths:
+        w.append_dict(
+            {
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": 1,
+                "min_sequence_number": 1,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    w.close()
+    return path
+
+
+def _metadata(table, version, schemas, current_schema, snapshots, cur, log):
+    md = {
+        "format-version": 2,
+        "table-uuid": "11111111-2222-3333-4444-555555555555",
+        "location": table,
+        "last-sequence-number": 2,
+        "last-updated-ms": T2,
+        "last-column-id": 23,
+        "schemas": schemas,
+        "current-schema-id": current_schema,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-partition-id": 999,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "snapshots": snapshots,
+        "current-snapshot-id": cur,
+        "snapshot-log": log,
+        "refs": {
+            "main": {"snapshot-id": cur, "type": "branch"}
+        },
+    }
+    path = os.path.join(table, "metadata", f"v{version}.metadata.json")
+    with open(path, "w") as fh:
+        json.dump(md, fh)
+    return path
+
+
+@pytest.fixture(scope="module")
+def foreign_iceberg(spark, tmp_path_factory):
+    """Snapshot 101: files A+B.  Snapshot 202: B deleted via a rewritten
+    shared manifest (EXISTING A / DELETED B), file C added with the
+    evolved schema (new ``tag`` column)."""
+    table = str(tmp_path_factory.mktemp("ice") / "tbl")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(
+        table, "a.parquet", [1, 2], ["ann", "bob"], ["1.50", "2.25"]
+    )
+    fb = _data_file(table, "b.parquet", [3], ["cat"], ["3.75"])
+    fc = _data_file(
+        table, "c.parquet", [4, 5], ["dan", "eve"],
+        ["4.00", "5.50"], tags=["x", "y"],
+    )
+
+    m1 = _manifest(
+        spark, table, "m1.avro",
+        [_entry(1, fa, 2), _entry(1, fb, 1)],
+    )
+    list1 = _manifest_list(spark, table, "snap-101.avro", [(m1, 0)], 101)
+
+    # snapshot 202 rewrites m1 (A EXISTING, B DELETED) and adds m2
+    m1b = _manifest(
+        spark, table, "m1-rewrite.avro",
+        [_entry(0, fa, 2), _entry(2, fb, 1)],
+    )
+    m2 = _manifest(spark, table, "m2.avro", [_entry(1, fc, 2)])
+    list2 = _manifest_list(
+        spark, table, "snap-202.avro", [(m1b, 0), (m2, 0)], 202
+    )
+
+    snap101 = {
+        "snapshot-id": 101,
+        "timestamp-ms": T1,
+        "sequence-number": 1,
+        "manifest-list": list1,
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    snap202 = {
+        "snapshot-id": 202,
+        "timestamp-ms": T2,
+        "sequence-number": 2,
+        "manifest-list": list2,
+        "summary": {"operation": "overwrite"},
+        "schema-id": 1,
+    }
+    _metadata(
+        table, 1, [SCHEMA_0], 0, [snap101], 101,
+        [{"snapshot-id": 101, "timestamp-ms": T1}],
+    )
+    _metadata(
+        table, 2, [SCHEMA_0, SCHEMA_1], 1, [snap101, snap202], 202,
+        [
+            {"snapshot-id": 101, "timestamp-ms": T1},
+            {"snapshot-id": 202, "timestamp-ms": T2},
+        ],
+    )
+    with open(
+        os.path.join(table, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write("2")
+    return table
+
+
+def test_current_snapshot_rows(spark, foreign_iceberg):
+    df = read_iceberg_table(spark, foreign_iceberg)
+    assert df.columns == ["id", "name", "score", "tag"]
+    rows = {(r.id, r.name, str(r.score), r.tag) for r in df.collect()}
+    assert rows == {
+        (1, "ann", "1.50", None),  # pre-evolution file: tag null
+        (2, "bob", "2.25", None),
+        (4, "dan", "4.00", "x"),  # B (id=3) deleted at snapshot 202
+        (5, "eve", "5.50", "y"),
+    }
+
+
+def test_snapshot_id_and_time_travel(spark, foreign_iceberg):
+    old = read_iceberg_table(spark, foreign_iceberg, snapshot_id=101)
+    assert {r.id for r in old.collect()} == {1, 2, 3}
+    asof = read_iceberg_table(spark, foreign_iceberg, as_of_ms=T1 + 5)
+    assert {r.id for r in asof.collect()} == {1, 2, 3}
+    assert iceberg_snapshot_ids(foreign_iceberg) == [(101, T1), (202, T2)]
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_iceberg_table(spark, foreign_iceberg, as_of_ms=7)
+
+
+def test_explicit_metadata_file(spark, foreign_iceberg):
+    v1 = os.path.join(foreign_iceberg, "metadata", "v1.metadata.json")
+    df = read_iceberg_table(spark, foreign_iceberg, metadata_file=v1)
+    assert df.columns == ["id", "name", "score"]  # schema 0
+    assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+def test_version_hint_fallback(spark, foreign_iceberg):
+    os.remove(
+        os.path.join(foreign_iceberg, "metadata", "version-hint.text")
+    )
+    try:
+        df = read_iceberg_table(spark, foreign_iceberg)
+        assert {r.id for r in df.collect()} == {1, 2, 4, 5}
+    finally:
+        with open(
+            os.path.join(foreign_iceberg, "metadata", "version-hint.text"),
+            "w",
+        ) as fh:
+            fh.write("2")
+
+
+def test_reject_unknown_format_version(spark, tmp_path):
+    table = str(tmp_path / "t3")
+    os.makedirs(os.path.join(table, "metadata"))
+    with open(
+        os.path.join(table, "metadata", "v1.metadata.json"), "w"
+    ) as fh:
+        json.dump({"format-version": 3}, fh)
+    with pytest.raises(UnsupportedIcebergFeature, match="format-version"):
+        read_iceberg_table(spark, table)
+
+
+def test_reject_delete_manifest(spark, foreign_iceberg, tmp_path):
+    table = str(tmp_path / "t4")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
+    m = _manifest(spark, table, "m.avro", [_entry(1, fa, 1)])
+    lst = _manifest_list(
+        spark, table, "snap-9.avro", [(m, 1)], 9  # content=1: deletes
+    )
+    _metadata(
+        table, 1, [SCHEMA_0], 0,
+        [
+            {
+                "snapshot-id": 9,
+                "timestamp-ms": T1,
+                "sequence-number": 1,
+                "manifest-list": lst,
+                "summary": {"operation": "delete"},
+                "schema-id": 0,
+            }
+        ],
+        9,
+        [{"snapshot-id": 9, "timestamp-ms": T1}],
+    )
+    with pytest.raises(UnsupportedIcebergFeature, match="delete manifest"):
+        read_iceberg_table(spark, table)
+
+
+def test_reject_delete_file_and_foreign_format(spark, tmp_path):
+    for kwargs, msg in (
+        ({"content": 1}, "delete files"),
+        ({"fmt": "ORC"}, "file format"),
+    ):
+        table = str(tmp_path / f"t5-{msg.split()[0]}")
+        os.makedirs(os.path.join(table, "metadata"))
+        fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
+        m = _manifest(
+            spark, table, "m.avro", [_entry(1, fa, 1, **kwargs)]
+        )
+        lst = _manifest_list(spark, table, "snap-9.avro", [(m, 0)], 9)
+        _metadata(
+            table, 1, [SCHEMA_0], 0,
+            [
+                {
+                    "snapshot-id": 9,
+                    "timestamp-ms": T1,
+                    "sequence-number": 1,
+                    "manifest-list": lst,
+                    "summary": {"operation": "append"},
+                    "schema-id": 0,
+                }
+            ],
+            9,
+            [{"snapshot-id": 9, "timestamp-ms": T1}],
+        )
+        with pytest.raises(UnsupportedIcebergFeature, match=msg):
+            read_iceberg_table(spark, table)
+
+
+def test_reads_own_export(spark, tmp_path):
+    """The reader also consumes what export_iceberg_metadata writes —
+    both directions of the Iceberg surface round-trip."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    path = str(tmp_path / "own")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 50).select(
+            "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2.0).alias("v")
+        ),
+        mode="overwrite",
+    )
+    t.delete_where(spark, "g = 1")
+    export_iceberg_metadata(t, spark)
+    got = read_iceberg_table(spark, path)
+    assert sorted(got.collect()) == sorted(t.read(spark).collect())
