@@ -82,6 +82,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # optional slot filter (comma-separated) — used by the sf1 tier
+    # (tools/gen_sf1.py + BASELINE.md "sf1" section) to time the heavy
+    # subset; the driver's default run is unaffected
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = (
+        [q for q in subset.split(",") if q] if subset else HEADLINE
+    )
     spark = get_spark(app_name="bench")
     qs = registry.queries()
 
@@ -107,7 +114,7 @@ def main() -> None:
     # reuse persisted subtrees across identical plans, so run 2 measures
     # warm-path cost — both runs build the full plan end to end.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         best = float("inf")
         for _ in range(2):

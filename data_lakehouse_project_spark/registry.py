@@ -3874,10 +3874,10 @@ GRADED_WINDOW: list[str] = [
     "silver_events_cleanse",
     "filter_lineitem",
     "topk_orders",
-    # join shapes (r5: + the binned range-join; semi rotated out, family
-    # still covered by the semi/anti selfcheck rows)
+    # join shapes (r6 rotation: the semi join returns for its graded
+    # row, join_region_rollup rotates out — still selfchecked)
     "join_lineitem_orders",
-    "join_region_rollup",
+    "join_semi_customers_with_orders",
     "join_range_bands_binned",
     # TPC-H / DSS flagships
     "pricing_summary",
@@ -3886,8 +3886,10 @@ GRADED_WINDOW: list[str] = [
     "market_share",
     # window shapes (r5: + IGNORE NULLS navigation; order_gaps rotated
     # out, frame family still selfchecked)
+    # r6 rotation: the running-total frame slot returns,
+    # window_ignore_nulls rotates out (stays selfchecked)
     "window_topk_per_customer",
-    "window_ignore_nulls",
+    "window_running_total",
     # statistical aggregates (r5: continuous percentile replaces the
     # median/percentile pair — exact companion of the KLL sketch slot)
     # r5 session 3 rotation: the rank-sum AUC replaces the plain stats
@@ -3896,8 +3898,10 @@ GRADED_WINDOW: list[str] = [
     # ntile equi-depth histogram replaces percentile_cont (same
     # quantile family, adds the bucket assignment); both rotated-out
     # names stay registered + selfchecked
+    # r6 rotation: exact continuous percentile returns for the quantile
+    # family's graded row; the ntile histogram rotates out (selfchecked)
     "stopword_auc_langid",
-    "histogram_equidepth_qty",
+    "percentile_cont_qty",
     # set ops / grouping surfaces
     "setop_intersect_all",
     "rollup_status_priority",
@@ -3910,13 +3914,18 @@ GRADED_WINDOW: list[str] = [
     # md5-fingerprint grouping, plus the 1/n reweight arithmetic) and
     # the C4-style segment dedup replaces the span report (same
     # sub-document family; both rotated-out names stay selfchecked)
+    # r6 rotation: the PPJoin prefix-filter pair join gets its first
+    # graded row (neardup_degree_distribution rotates out — its
+    # posting pipeline is the same family; doc_semantic_pairs rotates
+    # out to make room for the second multimodal anchor below, the
+    # embedding-pair family keeps embedding_label_centroids +
+    # ann_lsh_topk graded)
     "soft_dedup_weights",
     "segment_dedup_summary",
     "dedup_clusters",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
-    "doc_semantic_pairs",
-    "neardup_degree_distribution",
+    "dedup_jaccard_prefix_pairs",
     # similarity / vectors / skew (r5 session 3 rotation: the grid
     # geo radius join replaces the batch-ANN slot — a new spatial-join
     # family gets its hard oracle; ann_batch_topk stays registered +
@@ -3930,8 +3939,12 @@ GRADED_WINDOW: list[str] = [
     # Jelinek-Mercer LM replaces its unigram predecessor — same family,
     # strictly richer arithmetic for the oracle to pin; unigram stays
     # registered + selfchecked)
-    "text_stats",
-    "ngram_novelty_scores",
+    # r6 rotation: the two corpus-profile queries (Zipf fit + lexical
+    # stats, both rewritten this round with scale-safe vocabulary
+    # ranks) get graded rows; text_stats and ngram_novelty_scores
+    # rotate out (both stay selfchecked)
+    "token_zipf_fit",
+    "corpus_lexical_stats",
     # r5 session 3: attribution replaces the bigram LM slot (funnel
     # analytics family gets graded; bigram_xentropy_scores stays
     # registered + selfchecked, LM arithmetic still pinned there)
@@ -3943,7 +3956,9 @@ GRADED_WINDOW: list[str] = [
     # free-text PII redaction to the structured k-anonymity/l-diversity
     # report (harder oracle: grouped distinct + dual thresholds);
     # redact_pii_documents stays registered + selfchecked
-    "l_diversity_classes",
+    # r6 rotation: k-anonymity takes the privacy family's graded row;
+    # l_diversity_classes rotates out (stays selfchecked)
+    "k_anonymity_classes",
     "bm25_search_topk",
     "corpus_frequent_tokens",
     # multimodal family — r5 session 4: the graded anchor upgrades from
@@ -3951,15 +3966,23 @@ GRADED_WINDOW: list[str] = [
     # PPM-stream videos built JVM-side, frame-grain mean/std through
     # Arrow mapInPandas vs a character-code oracle);
     # multimodal_features stays registered + selfchecked
-    "video_frame_stats",
+    # r6 rotation: the image (BMP real-decode) and audio (WAV-PCM
+    # real-decode) anchors get their first graded rows;
+    # video_frame_stats rotates out (stays selfchecked) — the family
+    # keeps two graded anchors across distinct codecs
+    "image_bmp_stats",
+    "audio_clip_stats",
     # events / time-series family (r5 session 3: M4 downsampling
     # replaces the gapfill spine — same family, and the M4 oracle pins
     # four lexicographic-struct representatives per bucket;
     # events_gapfill_hourly stays registered + selfchecked)
+    # r6 rotation: the CUSUM change-point alarms replace M4
+    # downsampling for the time-series family's graded row
+    # (m4_downsample_events stays selfchecked)
     "events_hourly_rollup",
     "events_sessionize",
     "events_asof_join",
-    "m4_downsample_events",
+    "events_cusum_alarms",
     "events_variant_extract",
     # curation / packing family (r5 session 2 rotation: the
     # leakage-safe cluster split replaces the length-band filter — it
@@ -3975,8 +3998,9 @@ GRADED_WINDOW: list[str] = [
     # admission-index family (r5: bloom verdicts, previously pytest-only
     # in the graded window sense)
     "bloom_admission_verdicts",
-    # modern-SQL family
-    "recursive_cte_sql",
+    # modern-SQL family — r6 rotation: the lateral UDTF split takes the
+    # graded row; recursive_cte_sql rotates out (stays selfchecked)
+    "udtf_split_priority",
 ]
 
 

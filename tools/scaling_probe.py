@@ -832,6 +832,121 @@ def run_pagerank_probe(spark, mults: tuple[int, ...]) -> None:
         )
 
 
+def run_concurrent_probe(sf_dir: str, n_threads: int = 4) -> None:
+    """Multi-tenant fairness probe (round-5 verdict task 5): the bench
+    runs queries serially, but a real cluster multiplexes pipelines.
+    N driver threads each run a headline mix against ONE session with
+    the FAIR scheduler (one pool per thread), so concurrent jobs share
+    executor slots instead of queueing FIFO behind the largest job.
+
+    Reports per-query serial baseline vs concurrent p50/p95 and a
+    fairness verdict: at N=4 no query's p95 should exceed 3× its serial
+    time (4 tenants on one box ⇒ ~4× slowdown is the fair-share
+    ceiling; >3× before that ceiling on the p95 would mean starvation,
+    i.e. FIFO-style convoying behind a big job). Also prints aggregate
+    throughput: total queries / concurrent wall vs serial wall —
+    >1× shows the multiplexing actually buys utilization.
+    """
+    import statistics
+    import threading
+
+    from data_lakehouse_project_spark import registry
+
+    spark = get_spark(
+        app_name="concurrent-probe",
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    qs = registry.queries()
+    mix = [
+        "pricing_summary",          # scan + partial/final agg
+        "join_lineitem_orders",     # fact-fact shuffle join
+        "window_topk_per_customer", # partitioned window
+        "text_stats",               # corpus scan, wide projection
+        "events_hourly_rollup",     # event-time rollup
+        "ann_cosine_topk",          # vector scan + TakeOrdered
+    ]
+
+    def _run(name):
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    for name in mix:  # warm: JIT, file index, Arrow workers
+        _run(name)
+
+    serial = {}
+    t_serial0 = time.perf_counter()
+    for name in mix:
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _run(name)
+            best = min(best, time.perf_counter() - t0)
+        serial[name] = best
+    serial_wall = time.perf_counter() - t_serial0
+
+    rounds = 2
+    times: dict[str, list[float]] = {n: [] for n in mix}
+    lock = threading.Lock()
+
+    def worker(tid: int) -> None:
+        # one FAIR pool per tenant thread (pinned-thread mode makes
+        # the local property thread-scoped)
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"tenant-{tid}"
+        )
+        for r in range(rounds):
+            # stagger the mix per thread so tenants overlap DIFFERENT
+            # query shapes, the adversarial case for fairness
+            for name in mix[tid % len(mix):] + mix[: tid % len(mix)]:
+                t0 = time.perf_counter()
+                _run(name)
+                dt = time.perf_counter() - t0
+                with lock:
+                    times[name].append(dt)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(n_threads)
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    conc_wall = time.perf_counter() - t0
+
+    n_queries = n_threads * rounds * len(mix)
+    print(
+        f"concurrent n_threads={n_threads} rounds={rounds} "
+        f"serial_wall(min-of-2 sum)={sum(serial.values()):.2f}s "
+        f"concurrent_wall={conc_wall:.2f}s "
+        f"qps_serial={len(mix) / sum(serial.values()):.2f} "
+        f"qps_concurrent={n_queries / conc_wall:.2f}",
+        flush=True,
+    )
+    worst = 0.0
+    for name in mix:
+        xs = sorted(times[name])
+        p50 = statistics.median(xs)
+        p95 = xs[max(0, int(len(xs) * 0.95) - 1)]
+        ratio = p95 / serial[name]
+        worst = max(worst, ratio)
+        print(
+            f"  {name:26s} serial={serial[name]:5.2f}s "
+            f"p50={p50:5.2f}s p95={p95:5.2f}s p95/serial={ratio:4.2f}x",
+            flush=True,
+        )
+    verdict = "PASS" if worst <= 3.0 else "FAIL"
+    print(
+        f"fairness {verdict}: worst p95/serial = {worst:.2f}x "
+        f"(gate: <=3x at N={n_threads})",
+        flush=True,
+    )
+    spark.stop()
+
+
 def run_lpa_probe(spark, mults: tuple[int, ...]) -> None:
     """Label propagation wall vs edge volume — same hub-heavy synthetic
     graph and localCheckpoint discipline as the pagerank probe (the two
@@ -922,6 +1037,14 @@ def main() -> None:
     if "spill" in shapes:  # spawns its own constrained child sessions
         shapes = [s for s in shapes if s != "spill"]
         run_spill_probe(sf_dir, mults)
+        if not shapes:
+            return
+    if "concurrent" in shapes:  # needs a FAIR-scheduler session
+        shapes = [s for s in shapes if s != "concurrent"]
+        run_concurrent_probe(
+            sf_dir,
+            n_threads=int(os.environ.get("SPARK_GRAFT_TENANTS", "4")),
+        )
         if not shapes:
             return
     spark = get_spark(app_name="scaling-probe")
