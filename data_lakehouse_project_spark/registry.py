@@ -3855,6 +3855,12 @@ REGISTRY.update(
 )
 
 
+# round-6 analytics batch: streaks, rolling distinct, MAD outliers
+from data_lakehouse_project_spark import registry_r6  # noqa: E402
+
+REGISTRY.update(registry_r6.build({"R": R, "_rn": _rn}))
+
+
 # ---------------------------------------------------------------------
 # Graded window: the correctness driver grades the FIRST 50 entries of
 # queries() in dict order.  This list is a curated one-per-family

@@ -1,0 +1,219 @@
+"""Round-6 analytics batch: gaps-and-islands streaks, rolling-window
+distinct counts, and robust (median/MAD) outlier detection.
+
+Three classic warehouse shapes the registry lacked (SURVEY §2.9
+north-star surface; the reference pipeline has no window analytics at
+all — its whole processing core is read→withColumn→groupBy→write,
+spark/jobs/mysql_gold_aggregation.py:117-125):
+
+* ``events_user_streaks`` — longest consecutive-active-day run per
+  user via the gaps-and-islands identity (date minus per-user
+  row_number is constant within a run). The window partitions by
+  user, so no global sort; the island grouping is one shuffle.
+* ``events_rolling_distinct_types`` — trailing-7-day distinct event
+  types per active user-day. Window COUNT(DISTINCT) doesn't exist in
+  Spark (or scale — per-frame sets), so coverage is GENERATED: each
+  (user, type, active-day) fact covers days d..d+6 (a bounded 7×
+  explode of the distinct grain), deduped and counted — an
+  embarrassingly parallel reformulation both engines compute
+  identically.
+* ``lineitem_mad_outliers`` — per (returnflag, linestatus): exact
+  median price, median absolute deviation, and the count of rows
+  outside med ± 3·1.4826·MAD (the robust z-score consistent with σ
+  under normality). Three passes over the fact (median → MAD →
+  outlier count), each a partial-aggregated scan with a broadcast
+  join of group-grain stats — the unavoidable shape for exact nested
+  medians; approximate single-pass variants belong to the sketch
+  family (percentile_approx / KLL already in the registry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from data_lakehouse_project_spark.sources.readers import load_testdata
+
+_helpers: dict = {}
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_testdata(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+def q_events_user_streaks(spark, sf_dir):
+    """Per-user activity-streak profile: active days, number of
+    maximal consecutive-day runs, and the longest run."""
+    (events,) = _t(spark, sf_dir, "events")
+    days = (
+        events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn(
+            "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+SQL_USER_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id
+"""
+
+
+def q_events_rolling_distinct_types(spark, sf_dir):
+    """Trailing-7-day distinct event-type count per ACTIVE user-day
+    (evaluation days = days the user emitted any event)."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    active = base.select("user_id", F.col("d").alias("day")).distinct()
+    cov = (
+        base.select(
+            "user_id",
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+            "d",
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.date_add(F.col("d"), F.col("off")).alias("day"),
+        )
+        .distinct()
+    )
+    return (
+        cov.join(active, ["user_id", "day"])
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_types_7d"))
+    )
+
+
+SQL_ROLLING_DISTINCT = """
+WITH base AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+  FROM events
+),
+active AS (SELECT DISTINCT user_id, d AS day FROM base),
+cov AS (
+  SELECT DISTINCT user_id, event_type,
+         d + CAST(off AS INTEGER) AS day
+  FROM base, unnest(generate_series(0, 6)) AS t(off)
+)
+SELECT c.user_id, c.day, COUNT(*) AS n_types_7d
+FROM cov c JOIN active a ON c.user_id = a.user_id AND c.day = a.day
+GROUP BY 1, 2
+"""
+
+
+def q_lineitem_mad_outliers(spark, sf_dir):
+    """Robust outlier report per (l_returnflag, l_linestatus): exact
+    median extendedprice, MAD, and |x − med| > 3·1.4826·MAD count."""
+    r4 = _helpers["_rn"]
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li = li.select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_extendedprice").alias("x"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    med = li.groupBy(*keys).agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        li.join(F.broadcast(med), keys)
+        .groupBy(*keys, "med")
+        .agg(
+            F.percentile(F.abs(F.col("x") - F.col("med")), F.lit(0.5))
+            .alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    out = (
+        li.join(F.broadcast(dev), keys)
+        .groupBy(*keys, "med", "mad", "n_rows")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("x") - F.col("med"))
+                    > 3.0 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers")
+        )
+    )
+    return out.select(
+        *keys,
+        r4(F.col("med"), 4).alias("med_price"),
+        r4(F.col("mad"), 4).alias("mad_price"),
+        "n_rows",
+        "n_outliers",
+    )
+
+
+SQL_MAD_OUTLIERS_TPL = """
+WITH med AS (
+  SELECT l_returnflag, l_linestatus,
+         quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY 1, 2
+),
+dev AS (
+  SELECT l.l_returnflag, l.l_linestatus, m.med,
+         quantile_cont(ABS(l.l_extendedprice - m.med), 0.5) AS mad,
+         COUNT(*) AS n_rows
+  FROM lineitem l
+  JOIN med m USING (l_returnflag, l_linestatus)
+  GROUP BY 1, 2, 3
+)
+SELECT l.l_returnflag, l.l_linestatus,
+       {MED} AS med_price,
+       {MAD} AS mad_price,
+       CAST(ANY_VALUE(d.n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN ABS(l.l_extendedprice - d.med)
+                          > 3.0 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem l
+JOIN dev d USING (l_returnflag, l_linestatus)
+GROUP BY 1, 2, d.med, d.mad
+"""
+
+
+def build(helpers: dict) -> dict:
+    _helpers.update(helpers)
+    R = helpers["R"]
+    return {
+        "events_user_streaks": (q_events_user_streaks, SQL_USER_STREAKS),
+        "events_rolling_distinct_types": (
+            q_events_rolling_distinct_types,
+            SQL_ROLLING_DISTINCT,
+        ),
+        "lineitem_mad_outliers": (
+            q_lineitem_mad_outliers,
+            SQL_MAD_OUTLIERS_TPL.format(
+                MED=R("ANY_VALUE(d.med)", 4), MAD=R("ANY_VALUE(d.mad)", 4)
+            ),
+        ),
+    }
