@@ -347,7 +347,21 @@ def _file_stats(fpath: str) -> dict:
                         cur.get("null_count", 0) + s.null_count
                     )
                 continue
-            lo, hi = _jsonable(s.min), _jsonable(s.max)
+            try:
+                lo, hi = _jsonable(s.min), _jsonable(s.max)
+            except Exception:
+                # pyarrow can't DECODE stats for every physical type
+                # (e.g. ArrowNotImplementedError on INT96/nano
+                # timestamps) even when has_min_max is true; stats are
+                # an optimization — skip the column, never fail the
+                # write (found by the streaming merge probe on a
+                # timestamp column)
+                if s.null_count is not None:
+                    cur = stats.setdefault(name, {"null_count": 0})
+                    cur["null_count"] = (
+                        cur.get("null_count", 0) + s.null_count
+                    )
+                continue
             if lo is None or hi is None:
                 continue
             cur = stats.setdefault(

@@ -1,6 +1,8 @@
 from data_lakehouse_project_spark.sources.readers import (  # noqa: F401
     load_testdata,
     read_csv,
+    read_delta,
+    read_iceberg,
     read_jdbc,
     read_json,
     read_orc,

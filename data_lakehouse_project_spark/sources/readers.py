@@ -227,6 +227,63 @@ def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
+    """Delta table scan — any ``_delta_log``, regardless of writer.
+
+    Tables written by this engine's ``TxnTable`` (whose log is
+    Delta-protocol-shaped but may use extensions an external reader
+    can't honor, e.g. our DV layout) route through the internal
+    replayer with full feature support; FOREIGN logs (delta-spark,
+    delta-rs, ...) replay through ``operators/delta_reader.py`` under
+    the spec's protocol gating. The split is decided by the table id
+    the internal writer stamps, so a foreign table copied under a
+    local path still gets the protocol-checked path."""
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_table,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    try:
+        t = TxnTable(path)
+        snap = t.snapshot(version=version, as_of_ms=timestamp_ms)
+        # internal tables carry the lakehouse partition-spec conf key;
+        # anything else is treated as foreign and protocol-gated
+        if any(
+            f.get("dv") or f.get("bloom") for f in snap.files
+        ) or t._current_partition_by():
+            return t.read(
+                spark, version=version, as_of_ms=timestamp_ms, prune=prune
+            )
+    except (FileNotFoundError, ValueError):
+        pass
+    return read_delta_table(
+        spark, path, version=version, timestamp_ms=timestamp_ms, prune=prune
+    )
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Iceberg v2 table scan over a spec-conformant ``metadata/`` tree
+    (operators/iceberg_reader.py)."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_table,
+    )
+
+    return read_iceberg_table(
+        spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms
+    )
+
+
 def load_testdata(
     spark: SparkSession, sf_dir: str | None = None, register_views: bool = False
 ) -> dict[str, DataFrame]:

@@ -558,3 +558,21 @@ def test_type_widening_evolution(spark, tmp_path):
     # narrowing back is NOT evolution
     with pytest.raises(SchemaMismatchError):
         t.write(narrow, mode="append", allow_schema_evolution=True)
+
+
+def test_write_timestamp_column_stats_survive(spark, tmp_path):
+    """Spark writes timestamps as INT96 by default; pyarrow raises
+    ArrowNotImplementedError DECODING their footer stats even though
+    has_min_max is true. The write must succeed (stats are an
+    optimization), keep the column's null count, and still collect
+    min/max for the other columns."""
+    t = TxnTable(str(tmp_path / "ts_table"))
+    df = spark.range(0, 10).selectExpr(
+        "id", "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts"
+    ).coalesce(1)
+    t.write(df, mode="overwrite")
+    snap = t.snapshot()
+    assert snap.num_rows == 10
+    cols = snap.files[0]["stats"]["columns"]
+    assert cols["id"]["min"] == 0 and cols["id"]["max"] == 9
+    assert t.read(spark).count() == 10

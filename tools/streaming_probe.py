@@ -64,12 +64,22 @@ def _rate_events(spark, rows_per_second: int):
 
 
 def _drain(query, seconds: int):
+    # wait the step, then keep waiting (up to 3×) until enough batches
+    # completed to skip warmup — near the knee individual batches can
+    # exceed the whole step
+    deadline = time.time() + 3 * seconds
     time.sleep(seconds)
+    while (
+        len(query.recentProgress) <= WARM_BATCHES + 1
+        and time.time() < deadline
+    ):
+        time.sleep(2)
     progress = list(query.recentProgress)
     query.stop()
+    warm = min(WARM_BATCHES, max(0, len(progress) - 2))
     rows = []
-    for p in progress[WARM_BATCHES:]:
-        if p["numInputRows"] == 0:
+    for p in progress[warm:]:
+        if p["numInputRows"] == 0 or p["inputRowsPerSecond"] is None:
             continue
         rows.append(
             (
@@ -136,7 +146,7 @@ def probe_merge(spark, rates) -> None:
                     "id AS user_id",
                     "timestamp'2024-01-01' AS ts",
                     "'seed' AS event_type",
-                    "0.0 AS value",
+                    "CAST(0.0 AS DOUBLE) AS value",
                 ),
                 mode="overwrite",
             )
