@@ -1,0 +1,248 @@
+"""Streaming SOURCE over a Delta transaction log (Spark 4 Python
+DataSource API): ``spark.readStream.format("delta_stream")
+.option("path", table).load()`` tails a ``_delta_log`` the way
+delta-spark's streaming source does — micro-batch offsets ARE log
+versions, so exactly-once replay falls out of the log's own
+numbering (offset (start, end] = commits start+1..end, a
+deterministic file set forever).
+
+Semantics (mirroring the published Delta streaming-source contract):
+
+* Each micro-batch ships the ``add`` actions of the commits in the
+  offset range, one input partition per data file — executors read
+  their own parquet via pyarrow and emit Arrow RecordBatches (no
+  driver materialization; the driver touches only the log).
+* ``remove`` actions mean the table changed by something other than
+  an append. Like Delta, the source REFUSES to continue (the stream
+  would silently miss the rewrite) unless ``ignoreDeletes`` (skip
+  delete-only commits) or ``ignoreChanges`` (also ship the rewritten
+  files' adds — downstream must dedup, exactly Delta's caveat).
+* ``startingVersion`` (default 0) picks where the tail begins; DV- or
+  deletionVector-bearing files are refused (protocol rule: never
+  resurrect deleted rows), column order follows the table schema, and
+  partition columns — absent from Delta data files — are attached
+  per-partition from ``add.partitionValues``.
+* The streaming path replays raw JSON commits only (no parquet
+  checkpoint bootstrap): a log whose early commits were vacuumed
+  raises, matching Delta's "earliest available version" error, and
+  ``startingVersion`` past the gap resumes cleanly.
+
+The batch-read halves of this surface are
+``operators/delta_reader.py`` (foreign snapshots) and
+``operators/txnlog.py`` (full-featured internal tables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from data_lakehouse_project_spark.operators.delta_reader import (
+    CorruptDeltaLog,
+    UnsupportedDeltaFeature,
+    _check_protocol,
+    _commit_versions,
+    _read_commit_actions,
+)
+from data_lakehouse_project_spark.operators.txnlog import _parse_meta
+
+
+class _DeltaFilePartition(InputPartition):
+    def __init__(self, path, partition_values, schema_json, part_cols):
+        self.path = path
+        self.partition_values = partition_values
+        self.schema_json = schema_json
+        self.part_cols = part_cols
+
+
+class DeltaStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_stream")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_stream"
+
+    def _table_meta(self):
+        table = self.options.get("path")
+        if not table:
+            raise ValueError("delta_stream requires option('path', ...)")
+        versions = _commit_versions(table)
+        if not versions:
+            raise CorruptDeltaLog(f"no _delta_log commits at {table}")
+        meta_raw = protocol_raw = None
+        for v in reversed(versions):  # newest commit carrying metaData
+            _, _, _, m_raw, p_raw, _ = _read_commit_actions(table, v)
+            meta_raw = meta_raw or m_raw
+            protocol_raw = protocol_raw or p_raw
+            if meta_raw is not None and protocol_raw is not None:
+                break
+        if meta_raw is None:
+            raise CorruptDeltaLog("no metaData action in the log tail")
+        if protocol_raw is not None:
+            _check_protocol(
+                protocol_raw, meta_raw.get("configuration") or {}
+            )
+        return table, meta_raw
+
+    def schema(self) -> StructType:
+        _, meta_raw = self._table_meta()
+        # session-free: Delta's schemaString IS StructType JSON, and
+        # DataSource.schema() can run on a thread with no active session
+        return StructType.fromJson(
+            json.loads(_parse_meta(meta_raw)["schema_json"])
+        )
+
+    def streamReader(self, schema: StructType):
+        table, meta_raw = self._table_meta()
+        return _DeltaStreamReader(
+            table,
+            schema,
+            list(meta_raw.get("partitionColumns") or []),
+            int(self.options.get("startingVersion", "0")),
+            self.options.get("ignoreDeletes", "false").lower() == "true",
+            self.options.get("ignoreChanges", "false").lower() == "true",
+        )
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(
+        self, table, schema, part_cols, starting_version,
+        ignore_deletes, ignore_changes,
+    ):
+        self._table = table
+        self._schema = schema
+        self._part_cols = [c for c in part_cols if c in schema.names]
+        self._start = starting_version
+        self._ignore_deletes = ignore_deletes
+        self._ignore_changes = ignore_changes
+
+    # ---- offsets: {"version": last consumed commit version} ----
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start - 1}
+
+    def latestOffset(self) -> dict:
+        versions = _commit_versions(self._table)
+        return {"version": versions[-1] if versions else self._start - 1}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["version"], end["version"]
+        if hi <= lo:
+            # Spark requires ≥1 partition; an empty file partition
+            # yields no rows
+            return [_DeltaFilePartition(None, {}, "", [])]
+        available = [
+            v for v in _commit_versions(self._table) if lo < v <= hi
+        ]
+        if available != list(range(lo + 1, hi + 1)):
+            raise CorruptDeltaLog(
+                f"commits {lo + 1}..{hi} not all present (vacuumed?); "
+                "restart with startingVersion at or after the gap"
+            )
+        # StructType JSON round-trips WITHOUT a SparkContext — the
+        # executor's Python worker has none (fromDDL needs the JVM)
+        schema_json = self._schema.json()
+        parts = []
+        for v in available:
+            adds, removes, _, _, _, _ = _read_commit_actions(
+                self._table, v
+            )
+            if removes and not (
+                self._ignore_deletes or self._ignore_changes
+            ):
+                raise UnsupportedDeltaFeature(
+                    f"commit {v} contains remove actions (update/delete"
+                    "/compaction upstream). Set ignoreDeletes to skip "
+                    "delete-only commits, or ignoreChanges to also "
+                    "re-ship rewritten files (downstream must dedup)."
+                )
+            if removes and self._ignore_deletes and not (
+                self._ignore_changes
+            ):
+                # delete-only commits are skippable; a commit that also
+                # ADDS files is a rewrite and needs ignoreChanges
+                if adds:
+                    raise UnsupportedDeltaFeature(
+                        f"commit {v} rewrites files; ignoreDeletes only "
+                        "skips delete-only commits — set ignoreChanges"
+                    )
+                continue
+            for a in adds:
+                p = a["path"]
+                if not os.path.isabs(p):
+                    p = os.path.join(self._table, p)
+                parts.append(
+                    _DeltaFilePartition(
+                        p,
+                        a.get("partition_values") or {},
+                        schema_json,
+                        self._part_cols,
+                    )
+                )
+        return parts or [_DeltaFilePartition(None, {}, "", [])]
+
+    def read(self, partition: _DeltaFilePartition):
+        if partition.path is None:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType as _ST
+
+        schema = _ST.fromJson(json.loads(partition.schema_json))
+        target = pa.schema(
+            [
+                pa.field(f.name, _arrow_type(f.dataType))
+                for f in schema.fields
+            ]
+        )
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        cols = []
+        for f in target:
+            if f.name in partition.part_cols:
+                raw = partition.partition_values.get(f.name)
+                arr = pa.array([raw] * n, pa.string()).cast(f.type)
+            elif f.name in table.column_names:
+                arr = table.column(f.name).cast(f.type)
+            else:  # pre-evolution file: surface the new column as null
+                arr = pa.nulls(n, f.type)
+            cols.append(arr)
+        out = pa.table(cols, schema=target)
+        return iter(out.to_batches(max_chunksize=1 << 16))
+
+    def commit(self, end: dict) -> None:
+        pass  # the log itself is durable; nothing to acknowledge
+
+
+def _arrow_type(dt):
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(),
+        T.ByteType: pa.int8(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+        T.BinaryType: pa.binary(),
+        T.TimestampType: pa.timestamp("us", tz="UTC"),
+        T.TimestampNTZType: pa.timestamp("us"),
+    }
+    if type(dt) in mapping:
+        return mapping[type(dt)]
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise UnsupportedDeltaFeature(
+        f"delta_stream: unsupported column type {dt.simpleString()}"
+    )

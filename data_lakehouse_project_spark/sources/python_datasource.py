@@ -130,9 +130,14 @@ class _XMLReader(DataSourceReader):
 
 def register_python_datasources(spark) -> None:
     """Idempotently register all custom Python data sources."""
+    from data_lakehouse_project_spark.sources.delta_stream import (
+        DeltaStreamDataSource,
+    )
+
     spark.dataSource.register(XMLPythonDataSource)
     spark.dataSource.register(JSONLPythonDataSource)
     spark.dataSource.register(JSONLStreamDataSource)
+    spark.dataSource.register(DeltaStreamDataSource)
 
 
 # ---------------------------------------------------------------------

@@ -1,0 +1,132 @@
+"""Streaming source over a Delta log (sources/delta_stream.py):
+version-offset tailing, exactly-once restart, partition-column
+reattachment, and the Delta remove-action refusal contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+from data_lakehouse_project_spark.sources.python_datasource import (
+    register_python_datasources,
+)
+
+
+def _batch(spark, lo, hi, part="p0"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{part}' AS part", "id * 2.0 AS v"
+    )
+
+
+def _run_available_now(spark, path, ckpt, sink, **options):
+    reader = spark.readStream.format("delta_stream").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: sink.extend(
+                (r["id"], r["part"], r["v"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_tail_appends_exactly_once(spark, tmp_path):
+    register_python_datasources(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 5), mode="overwrite")
+    t.write(_batch(spark, 5, 8), mode="append")
+
+    got: list[tuple] = []
+    _run_available_now(spark, path, ckpt, got)
+    assert sorted(r[0] for r in got) == list(range(8))
+    assert all(r[2] == r[0] * 2.0 for r in got)
+
+    # restart from the checkpoint: ONLY the new commit's rows arrive
+    t.write(_batch(spark, 8, 10), mode="append")
+    got2: list[tuple] = []
+    _run_available_now(spark, path, ckpt, got2)
+    assert sorted(r[0] for r in got2) == [8, 9]
+
+    # nothing new -> empty batch, not a replay
+    got3: list[tuple] = []
+    _run_available_now(spark, path, ckpt, got3)
+    assert got3 == []
+
+
+def test_partition_columns_from_log(spark, tmp_path):
+    """Partition columns are absent from Delta data files; the source
+    must reattach them from add.partitionValues."""
+    register_python_datasources(spark)
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        _batch(spark, 0, 4, "a").union(_batch(spark, 4, 6, "b")),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    got: list[tuple] = []
+    _run_available_now(spark, path, str(tmp_path / "ck"), got)
+    assert sorted(got) == [
+        (0, "a", 0.0), (1, "a", 2.0), (2, "a", 4.0), (3, "a", 6.0),
+        (4, "b", 8.0), (5, "b", 10.0),
+    ]
+
+
+def test_remove_actions_refused_and_option_overrides(spark, tmp_path):
+    register_python_datasources(spark)
+    path = str(tmp_path / "td")
+    t = TxnTable(path)
+    # two single-part files so a full-file delete emits remove-only
+    t.write(_batch(spark, 0, 4, "a"), mode="overwrite",
+            partition_by=["part"])
+    t.write(_batch(spark, 4, 8, "b"), mode="append")
+    t.delete_where(spark, "part = 'b'")  # drops whole files: remove-only
+
+    # default: the stream refuses the non-append commit
+    got: list[tuple] = []
+    with pytest.raises(Exception, match="ignoreDeletes|remove actions"):
+        _run_available_now(spark, path, str(tmp_path / "ck1"), got)
+
+    # ignoreDeletes: delete-only commit skipped, appends flow
+    got2: list[tuple] = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck2"), got2, ignoreDeletes="true"
+    )
+    assert sorted(r[0] for r in got2) == list(range(8))
+
+    # a REWRITE commit (update) needs ignoreChanges, not ignoreDeletes
+    t.update_where(spark, "id = 1", {"v": "99.0"})
+    got3: list[tuple] = []
+    with pytest.raises(Exception, match="ignoreChanges|rewrites"):
+        _run_available_now(
+            spark, path, str(tmp_path / "ck3"), got3, ignoreDeletes="true"
+        )
+    got4: list[tuple] = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck4"), got4, ignoreChanges="true"
+    )
+    # rewritten file re-shipped: id 0..3 appear, id=1 carries v=99
+    assert (1, "a", 99.0) in got4
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    register_python_datasources(spark)
+    path = str(tmp_path / "ts")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 5), mode="overwrite")   # v0
+    t.write(_batch(spark, 5, 7), mode="append")      # v1
+    t.write(_batch(spark, 7, 9), mode="append")      # v2
+    got: list[tuple] = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck"), got, startingVersion="2"
+    )
+    assert sorted(r[0] for r in got) == [7, 8]
