@@ -88,9 +88,24 @@ def q_events_rolling_distinct_types(spark, sf_dir):
     """Trailing-7-day distinct event-type count per ACTIVE user-day
     (evaluation days = days the user emitted any event)."""
     (events,) = _t(spark, sf_dir, "events")
-    base = events.select(
-        "user_id", F.to_date("ts").alias("d"), "event_type"
-    ).distinct()
+    from data_lakehouse_project_spark.cacheutil import release_on_gc
+
+    # both branches (coverage explode + active-day filter) consume the
+    # distinct (user, day, type) grain; unpersisted, column pruning
+    # specializes each branch's aggregate and the events scan+shuffle
+    # runs TWICE (measured: 2 FileScans, 0 ReusedExchange — and the
+    # round-5 count_if subtree-identity trick does not survive here
+    # because RemoveRedundantAggregates collapses a keys-only aggregate
+    # over a distinct outright). Persist the tiny distinct grain once;
+    # the cache is released when the returned frame is collected and
+    # dropped (release_on_gc).
+    base = (
+        events.select(
+            "user_id", F.to_date("ts").alias("d"), "event_type"
+        )
+        .distinct()
+        .persist()
+    )
     active = base.select("user_id", F.col("d").alias("day")).distinct()
     cov = (
         base.select(
@@ -106,11 +121,12 @@ def q_events_rolling_distinct_types(spark, sf_dir):
         )
         .distinct()
     )
-    return (
+    out = (
         cov.join(active, ["user_id", "day"])
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("n_types_7d"))
     )
+    return release_on_gc(out, base)
 
 
 SQL_ROLLING_DISTINCT = """
