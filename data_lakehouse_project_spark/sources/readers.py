@@ -238,30 +238,38 @@ def read_delta(
 
     Tables written by this engine's ``TxnTable`` (whose log is
     Delta-protocol-shaped but may use extensions an external reader
-    can't honor, e.g. our DV layout) route through the internal
-    replayer with full feature support; FOREIGN logs (delta-spark,
-    delta-rs, ...) replay through ``operators/delta_reader.py`` under
-    the spec's protocol gating. The split is decided by the table id
-    the internal writer stamps, so a foreign table copied under a
-    local path still gets the protocol-checked path."""
+    can't honor — our DV layout, hive-dir partition reconstruction)
+    route through the internal replayer with full feature support;
+    FOREIGN logs (delta-spark, delta-rs, ...) replay through
+    ``operators/delta_reader.py`` under the spec's protocol gating,
+    parquet-checkpoint bootstrap, and log-only partition values. The
+    split keys on the ``lakehouse.partitionBy`` configuration entry
+    only THIS engine's writer stamps into every commit's metaData — a
+    foreign table (even a partitioned, log-cleaned one) never carries
+    it, so it always gets the spec-faithful path."""
     from data_lakehouse_project_spark.operators.delta_reader import (
+        _commit_versions,
+        _read_commit_actions,
         read_delta_table,
     )
-    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+    from data_lakehouse_project_spark.operators.txnlog import (
+        _PARTITION_SPEC_CONF_KEY,
+        TxnTable,
+    )
 
-    try:
-        t = TxnTable(path)
-        snap = t.snapshot(version=version, as_of_ms=timestamp_ms)
-        # internal tables carry the lakehouse partition-spec conf key;
-        # anything else is treated as foreign and protocol-gated
-        if any(
-            f.get("dv") or f.get("bloom") for f in snap.files
-        ) or t._current_partition_by():
-            return t.read(
-                spark, version=version, as_of_ms=timestamp_ms, prune=prune
+    internal = False
+    versions = _commit_versions(path)
+    for v in reversed(versions):  # newest commit carrying metaData
+        _, _, _, meta_raw, _, _ = _read_commit_actions(path, v)
+        if meta_raw is not None:
+            internal = _PARTITION_SPEC_CONF_KEY in (
+                meta_raw.get("configuration") or {}
             )
-    except (FileNotFoundError, ValueError):
-        pass
+            break
+    if internal:
+        return TxnTable(path).read(
+            spark, version=version, as_of_ms=timestamp_ms, prune=prune
+        )
     return read_delta_table(
         spark, path, version=version, timestamp_ms=timestamp_ms, prune=prune
     )

@@ -470,3 +470,30 @@ def test_reads_txnlog_written_table(spark, tmp_path):
     t.delete_where(spark, "id < 10", dv=True)
     with pytest.raises(UnsupportedDeltaFeature):
         read_delta_table(spark, path)
+
+
+def test_read_delta_wrapper_routes_by_writer(spark, tmp_path, foreign_table):
+    """sources.read_delta sends engine-written tables (stamped with the
+    lakehouse partition-spec conf key) through the full-featured
+    internal replayer — hidden partitions, DVs — and everything else
+    through the protocol-gated foreign reader."""
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+    from data_lakehouse_project_spark.sources import read_delta
+
+    # foreign fixture: must go through the spec reader (checkpoint
+    # bootstrap + partitionValues reattachment; no hive dirs exist)
+    df = read_delta(spark, foreign_table)
+    assert {r.id for r in df.collect()} == {4, 5, 6, 7, 8, 9}
+    assert {r.p for r in df.collect()} == {"x", "y"}
+
+    # internal table with a DV delete: the wrapper must still read it
+    # (the foreign path would refuse the DV protocol)
+    path = str(tmp_path / "own_dv")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 20).selectExpr("id", "id * 1.0 AS v"),
+        mode="overwrite",
+    )
+    t.delete_where(spark, "id < 5", dv=True)
+    got = read_delta(spark, path)
+    assert sorted(r.id for r in got.collect()) == list(range(5, 20))
