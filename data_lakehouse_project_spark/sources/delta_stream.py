@@ -108,13 +108,14 @@ class DeltaStreamDataSource(DataSource):
             int(self.options.get("startingVersion", "0")),
             self.options.get("ignoreDeletes", "false").lower() == "true",
             self.options.get("ignoreChanges", "false").lower() == "true",
+            int(self.options.get("maxCommitsPerTrigger", "0")),
         )
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
     def __init__(
         self, table, schema, part_cols, starting_version,
-        ignore_deletes, ignore_changes,
+        ignore_deletes, ignore_changes, max_commits_per_trigger=0,
     ):
         self._table = table
         self._schema = schema
@@ -122,6 +123,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._start = starting_version
         self._ignore_deletes = ignore_deletes
         self._ignore_changes = ignore_changes
+        self._max_commits = max_commits_per_trigger
+        # backpressure bookkeeping: the highest offset this reader has
+        # already handed out (advanced by latestOffset, synced forward
+        # by partitions() so a checkpoint restart — where Spark knows
+        # the committed offset but this fresh object doesn't — can't
+        # replay a window the budget already covered)
+        self._handed_out = self._start - 1
 
     # ---- offsets: {"version": last consumed commit version} ----
 
@@ -130,10 +138,21 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         versions = _commit_versions(self._table)
-        return {"version": versions[-1] if versions else self._start - 1}
+        latest = versions[-1] if versions else self._start - 1
+        if self._max_commits > 0:
+            # maxCommitsPerTrigger: bound each micro-batch's log
+            # window (Delta's maxFilesPerTrigger analog at commit
+            # grain). The first batch after a RESTART is unbounded —
+            # the Python stream-reader API gives latestOffset no view
+            # of the checkpointed start — then steady-state batches
+            # are budgeted again (partitions() re-syncs _handed_out).
+            latest = min(latest, self._handed_out + self._max_commits)
+        self._handed_out = max(self._handed_out, latest)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
+        self._handed_out = max(self._handed_out, hi)
         if hi <= lo:
             # Spark requires ≥1 partition; an empty file partition
             # yields no rows

@@ -130,3 +130,38 @@ def test_starting_version_skips_history(spark, tmp_path):
         spark, path, str(tmp_path / "ck"), got, startingVersion="2"
     )
     assert sorted(r[0] for r in got) == [7, 8]
+
+
+def test_max_commits_per_trigger_batches(spark, tmp_path):
+    """Backpressure: maxCommitsPerTrigger=1 splits three commits into
+    three micro-batches instead of one catch-up batch."""
+    register_python_datasources(spark)
+    path = str(tmp_path / "tb")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 2), mode="overwrite")   # v0
+    t.write(_batch(spark, 2, 4), mode="append")      # v1
+    t.write(_batch(spark, 4, 6), mode="append")      # v2
+
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: batches.append(
+                sorted(r["id"] for r in df.collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline and sum(len(b) for b in batches) < 6:
+        time.sleep(1)
+    q.stop()
+    non_empty = [b for b in batches if b]
+    assert non_empty == [[0, 1], [2, 3], [4, 5]]
