@@ -21,9 +21,14 @@ Reader semantics implemented
   tables they cannot read correctly): ``minReaderVersion`` 1 is
   accepted; 2 requires column mapping to be absent/none; 3 requires
   every ``readerFeatures`` entry to be in ``SUPPORTED_READER_FEATURES``.
-  Column-mapping mode ``name``/``id`` and any ``add`` carrying a
-  ``deletionVector`` are rejected with ``UnsupportedDeltaFeature``
-  rather than silently mis-read (resurrecting deleted rows).
+  Column-mapping mode ``name``/``id`` is rejected with
+  ``UnsupportedDeltaFeature`` rather than silently mis-read.
+* **Deletion vectors**: ``add.deletionVector`` descriptors (inline
+  ``i``, UUID-derived ``u``, absolute-path ``p`` storage) are decoded
+  from the protocol's Z85 + RoaringBitmapArray portable format
+  (``operators/dv.py``) and applied as a ``_metadata.row_index``
+  anti-join, so CoW-free deletes written by modern Delta writers read
+  back correctly.
 * **Partition columns from the LOG, not the directory layout**: Delta
   data files do not contain partition columns; their values live only
   in ``add.partitionValues`` (string-serialized per spec).  The scan
@@ -65,9 +70,15 @@ from .txnlog import (
 # Reader-version-3 table features this reader implements correctly.
 # timestampNtz: Spark reads TIMESTAMP_NTZ parquet natively.
 # vacuumProtocolCheck: imposes no read-path behavior by design.
-# Everything else (deletionVectors, columnMapping, v2Checkpoint,
-# typeWidening, variantType, ...) must be REFUSED, not ignored.
-SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck"}
+# deletionVectors: honored — roaring-bitmap DVs are decoded
+#   (operators/dv.py) and applied as a _metadata.row_index anti-join.
+# Everything else (v2Checkpoint, typeWidening, variantType, ...) must
+# be REFUSED, not ignored.
+SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "deletionVectors",
+}
 
 
 class UnsupportedDeltaFeature(ValueError):
@@ -170,15 +181,29 @@ def _check_protocol(protocol: dict, configuration: dict) -> None:
 
 
 def _intake_add(raw: dict) -> dict:
-    """Foreign ``add`` -> internal dict, refusing spec features we
-    cannot honor (a deletion vector silently ignored would resurrect
-    deleted rows)."""
-    if raw.get("deletionVector"):
+    """Foreign ``add`` -> internal dict.  Spec ``deletionVector``
+    descriptors are kept (decoded at scan time by ``operators/dv.py``);
+    the INTERNAL writer's non-protocol DV layout (``lakehouse.dv``
+    tag) is refused here — it is not roaring-format data, and ignoring
+    it would resurrect deleted rows (such tables route through the
+    internal replayer via ``sources.readers.read_delta``)."""
+    parsed = _parse_add(raw)
+    if parsed.get("dv"):
         raise UnsupportedDeltaFeature(
-            "add action carries a deletionVector; deletion-vector "
-            "tables are not readable by this engine"
+            "add action carries a lakehouse.dv internal deletion "
+            "vector; read this table through the internal replayer "
+            "(read_delta routes it automatically)"
         )
-    return _parse_add(raw)
+    if raw.get("deletionVector"):
+        dv = {
+            k: v for k, v in raw["deletionVector"].items() if v is not None
+        }
+        if not dv.get("storageType") or "pathOrInlineDv" not in dv:
+            raise UnsupportedDeltaFeature(
+                f"malformed deletionVector descriptor {dv!r}"
+            )
+        parsed["foreign_dv"] = dv
+    return parsed
 
 
 def _read_checkpoint_state(part_files: list[str]):
@@ -422,6 +447,40 @@ def read_delta_table(
 
     paths = [_abs(f["path"]) for f in files]
     df = spark.read.schema(physical).parquet(*paths)
+
+    # -- deletion vectors: decode each add's bitmap driver-side (the
+    # same O(total cardinality) state the reference reader broadcasts)
+    # and drop deleted rows by (file, row_index) anti-join.  The
+    # positions side is broadcast when small; at large cardinality it
+    # degrades to a shuffled anti-join rather than an OOM.
+    dv_adds = [f for f in files if f.get("foreign_dv")]
+    if dv_adds:
+        from .dv import resolve_dv_positions
+
+        del_rows = []
+        for f in dv_adds:
+            fkey = os.path.abspath(_abs(f["path"]))
+            for p in resolve_dv_positions(f["foreign_dv"], table_path):
+                del_rows.append((fkey, p))
+        if del_rows:
+            deleted = spark.createDataFrame(
+                del_rows, ["__dv_file", "__dv_pos"]
+            )
+            if len(del_rows) <= 2_000_000:
+                deleted = F.broadcast(deleted)
+            fp = F.col("_metadata.file_path")
+            for pref in ("file://", "file:"):
+                fp = F.replace(fp, F.lit(pref), F.lit(""))
+            df = (
+                df.withColumns(
+                    {
+                        "__dv_file": fp,
+                        "__dv_pos": F.col("_metadata.row_index"),
+                    }
+                )
+                .join(deleted, ["__dv_file", "__dv_pos"], "left_anti")
+                .drop("__dv_file", "__dv_pos")
+            )
 
     if part_cols:
         # partition values live ONLY in the log (spec: data files do
