@@ -104,7 +104,14 @@ class DeltaSnapshot:
 
     @property
     def num_rows(self) -> int:
-        return sum(f.get("stats", {}).get("num_rows", 0) for f in self.files)
+        """LOGICAL row count: physical stats minus each file's
+        deletion-vector cardinality (stats.numRecords counts rows the
+        DV has already deleted)."""
+        return sum(
+            f.get("stats", {}).get("num_rows", 0)
+            - int((f.get("foreign_dv") or {}).get("cardinality", 0))
+            for f in self.files
+        )
 
 
 # ---------------------------------------------------------------- log layout
@@ -163,7 +170,9 @@ def _check_protocol(protocol: dict, configuration: dict) -> None:
             f"minReaderVersion {reader} exceeds the supported protocol"
         )
     mapping = (configuration or {}).get("delta.columnMapping.mode", "none")
-    if mapping not in ("none", ""):
+    if mapping not in ("none", "", "name"):
+        # "id" resolution (parquet field-id based) is not implemented;
+        # "name" IS — physical names come from schemaString metadata.
         raise UnsupportedDeltaFeature(
             f"column mapping mode '{mapping}' is not supported"
         )
@@ -280,6 +289,28 @@ def _read_commit_actions(table_path: str, version: int):
             elif "txn" in action:
                 txns.append(action["txn"])
     return adds, removes, info, meta_raw, protocol_raw, txns
+
+
+def sniff_commit_metadata(table_path: str, version: int) -> dict | None:
+    """Parse ONLY the ``metaData`` action of one commit file.
+
+    Routing (``sources.readers.read_delta``) needs the newest
+    ``metaData.configuration`` to decide internal-vs-foreign BEFORE any
+    feature gating runs; ``_read_commit_actions`` would validate every
+    ``add`` on the way (and refuse e.g. internal ``lakehouse.dv`` tags),
+    so this sniff never touches non-metaData lines."""
+    fname = os.path.join(
+        _log_dir(table_path), f"{version:0{_VERSION_DIGITS}d}.json"
+    )
+    with open(fname) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                return action["metaData"]
+    return None
 
 
 def _commit_timestamp_ms(table_path: str, version: int) -> int:
@@ -399,6 +430,68 @@ def read_delta_snapshot(
 # --------------------------------------------------------------- DataFrame
 
 
+_PHYS_NAME_KEY = "delta.columnMapping.physicalName"
+
+
+def _physical_names(schema_json: str) -> dict[str, str]:
+    """Column-mapping ``name`` mode: logical field name -> physical
+    parquet column name, from the per-field ``schemaString`` metadata
+    (``delta.columnMapping.physicalName``, the spec's carrier).
+
+    Only TOP-LEVEL mapping is implemented; a nested struct/array/map
+    element whose physical name differs from its logical name would be
+    silently mis-read, so such schemas are refused."""
+
+    def _nested_mapped(t) -> bool:
+        if isinstance(t, dict):
+            typ = t.get("type")
+            if typ == "struct":
+                return any(
+                    (f.get("metadata") or {}).get(_PHYS_NAME_KEY, f["name"])
+                    != f["name"]
+                    or _nested_mapped(f.get("type"))
+                    for f in t.get("fields", [])
+                )
+            if typ == "array":
+                return _nested_mapped(t.get("elementType"))
+            if typ == "map":
+                return _nested_mapped(t.get("keyType")) or _nested_mapped(
+                    t.get("valueType")
+                )
+        return False
+
+    out: dict[str, str] = {}
+    for f in json.loads(schema_json).get("fields", []):
+        out[f["name"]] = (f.get("metadata") or {}).get(
+            _PHYS_NAME_KEY, f["name"]
+        )
+        if _nested_mapped(f.get("type")):
+            raise UnsupportedDeltaFeature(
+                f"column mapping on NESTED fields of '{f['name']}' is "
+                "not supported (top-level name mapping only)"
+            )
+    return out
+
+
+def _spark_path_key():
+    """``_metadata.file_path`` -> plain absolute filesystem path.
+
+    Spark renders file_path as a Hadoop URI (``file:/...``) with space
+    and ``%`` percent-encoded but literal ``+`` and non-ASCII kept raw
+    (probed empirically) — so comparing against driver-side strings
+    needs a DECODE on this side, not an encode on the driver side
+    (``Path.as_uri()`` quotes ``+``/non-ASCII and would mismatch).
+    ``url_decode`` is form-decoding (``+`` -> space), so literal ``+``
+    is pre-protected as ``%2B``; the scheme is stripped only as a
+    leading anchor, never mid-string."""
+    from pyspark.sql import functions as F
+
+    fp = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:(//)?", ""
+    )
+    return F.url_decode(F.replace(fp, F.lit("+"), F.lit("%2B")))
+
+
 def read_delta_table(
     spark: SparkSession,
     table_path: str,
@@ -419,9 +512,6 @@ def read_delta_table(
     snap = read_delta_snapshot(
         table_path, version=version, timestamp_ms=timestamp_ms
     )
-    files = snap.files
-    if prune:
-        files = [f for f in files if _file_may_match(f, prune)]
     schema = (
         _schema_from_json(spark, snap.schema_json)
         if snap.schema_json
@@ -429,14 +519,33 @@ def read_delta_table(
     )
     if schema is None:
         raise CorruptDeltaLog("metaData carries no schemaString")
+
+    # column mapping "name": the log (stats keys, partitionValues
+    # keys) and the parquet columns use PHYSICAL names; the DataFrame
+    # exposes logical ones.  phys_of is identity when mapping is off.
+    mapping_mode = snap.configuration.get("delta.columnMapping.mode", "none")
+    phys_of = {f.name: f.name for f in schema.fields}
+    if mapping_mode == "name":
+        phys_of = _physical_names(snap.schema_json)
+
+    files = snap.files
+    if prune:
+        prune_phys = [
+            (phys_of.get(c, c), op, v) for c, op, v in prune
+        ]
+        files = [f for f in files if _file_may_match(f, prune_phys)]
     if not files:
         return spark.createDataFrame([], schema)
 
     part_cols = [c for c in snap.partition_columns if c in schema.names]
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     physical = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
     )
 
     def _abs(p: str) -> str:
@@ -447,39 +556,70 @@ def read_delta_table(
 
     paths = [_abs(f["path"]) for f in files]
     df = spark.read.schema(physical).parquet(*paths)
+    if mapping_mode == "name":
+        df = df.withColumnsRenamed(
+            {
+                phys_of[f.name]: f.name
+                for f in schema.fields
+                if f.name not in part_cols and phys_of[f.name] != f.name
+            }
+        )
+
+    # _metadata is only resolvable on the raw file scan — materialize
+    # the path key (and row index, when DVs exist) as plain columns
+    # NOW, before any join rewrites the plan root.
+    dv_adds = [f for f in files if f.get("foreign_dv")]
+    meta_cols = {"__delta_path": _spark_path_key()}
+    if dv_adds:
+        meta_cols["__dv_pos"] = F.col("_metadata.row_index")
+    df = df.withColumns(meta_cols)
 
     # -- deletion vectors: decode each add's bitmap driver-side (the
     # same O(total cardinality) state the reference reader broadcasts)
-    # and drop deleted rows by (file, row_index) anti-join.  The
-    # positions side is broadcast when small; at large cardinality it
-    # degrades to a shuffled anti-join rather than an OOM.
-    dv_adds = [f for f in files if f.get("foreign_dv")]
+    # and drop deleted rows by (file_id, row_index) anti-join.  File
+    # paths are dictionary-encoded to small int ids so the positions
+    # side carries two ints per deleted row (arrow-built, never Python
+    # tuples — 10^8 deletions stay ~1.2 GB, not an OOM of duplicated
+    # path strings); broadcast is gated on estimated BYTES, and at
+    # large cardinality it degrades to a shuffled anti-join.
     if dv_adds:
+        import numpy as np
+        import pandas as pd
+
         from .dv import resolve_dv_positions
 
-        del_rows = []
-        for f in dv_adds:
+        scanned = {os.path.abspath(p) for p in paths}
+        fid_rows: list[tuple[str, int]] = []
+        id_chunks, pos_chunks = [], []
+        for i, f in enumerate(dv_adds):
             fkey = os.path.abspath(_abs(f["path"]))
-            for p in resolve_dv_positions(f["foreign_dv"], table_path):
-                del_rows.append((fkey, p))
-        if del_rows:
-            deleted = spark.createDataFrame(
-                del_rows, ["__dv_file", "__dv_pos"]
-            )
-            if len(del_rows) <= 2_000_000:
-                deleted = F.broadcast(deleted)
-            fp = F.col("_metadata.file_path")
-            for pref in ("file://", "file:"):
-                fp = F.replace(fp, F.lit(pref), F.lit(""))
-            df = (
-                df.withColumns(
-                    {
-                        "__dv_file": fp,
-                        "__dv_pos": F.col("_metadata.row_index"),
-                    }
+            if fkey not in scanned:  # refuse-don't-misread guard
+                raise CorruptDeltaLog(
+                    f"deletion vector targets unscanned file {fkey}"
                 )
-                .join(deleted, ["__dv_file", "__dv_pos"], "left_anti")
-                .drop("__dv_file", "__dv_pos")
+            positions = resolve_dv_positions(f["foreign_dv"], table_path)
+            if not positions:
+                continue
+            fid_rows.append((fkey, i))
+            id_chunks.append(np.full(len(positions), i, dtype=np.int32))
+            pos_chunks.append(np.asarray(positions, dtype=np.int64))
+        if fid_rows:
+            ids = np.concatenate(id_chunks)
+            poss = np.concatenate(pos_chunks)
+            deleted = spark.createDataFrame(
+                pd.DataFrame({"__dv_fid": ids, "__dv_pos": poss})
+            )
+            if ids.nbytes + poss.nbytes <= 64 << 20:  # ~5.3M rows
+                deleted = F.broadcast(deleted)
+            fdim = F.broadcast(
+                spark.createDataFrame(fid_rows, ["__delta_path", "__dv_fid"])
+            )
+            # rows of non-DV files get a null fid and survive the
+            # anti-join (null keys never match)
+            df = (
+                df.join(fdim, "__delta_path", "left")
+                .join(deleted, ["__dv_fid", "__dv_pos"], "left_anti")
+                .drop("__dv_fid")
             )
 
     if part_cols:
@@ -490,7 +630,10 @@ def read_delta_table(
             tuple(
                 [os.path.abspath(_abs(f["path"]))]
                 + [
-                    (f.get("partition_values") or {}).get(c)
+                    # partitionValues keys are PHYSICAL names under
+                    # column mapping (spec: stats + partition values
+                    # are tracked by physical name)
+                    (f.get("partition_values") or {}).get(phys_of[c])
                     for c in part_cols
                 ]
             )
@@ -498,16 +641,9 @@ def read_delta_table(
         ]
         pmap = spark.createDataFrame(
             rows,
-            ["__delta_file"] + [f"__pv_{c}" for c in part_cols],
+            ["__delta_path"] + [f"__pv_{c}" for c in part_cols],
         )
-        fp = F.col("_metadata.file_path")
-        for pref in ("file://", "file:"):
-            fp = F.replace(fp, F.lit(pref), F.lit(""))
-        df = (
-            df.withColumn("__delta_file", fp)
-            .join(F.broadcast(pmap), "__delta_file", "left")
-            .drop("__delta_file")
-        )
+        df = df.join(F.broadcast(pmap), "__delta_path", "left")
         for c in part_cols:
             # spec string serialization (ISO dates, plain decimals,
             # "true"/"false") casts cleanly to the declared type

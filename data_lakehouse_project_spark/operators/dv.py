@@ -276,7 +276,18 @@ def write_dv_file(path: str, dvs: list[list[int]]) -> list[dict]:
 
 
 def read_dv_file_entry(path: str, offset: int, size_in_bytes: int) -> bytes:
-    """One DV's blob out of an on-disk file, CRC-verified."""
+    """One DV's blob out of an on-disk file, CRC-verified.
+
+    Every corruption mode — truncated size/CRC fields, an offset past
+    the end of the file — raises ``ValueError`` (the module's error
+    contract), never a bare ``struct.error``.
+    """
+    file_size = os.path.getsize(path)
+    if not 0 <= offset < file_size:
+        raise ValueError(
+            f"DV descriptor offset {offset} out of bounds for "
+            f"{path} ({file_size} bytes)"
+        )
     with open(path, "rb") as fh:
         version = fh.read(1)
         if not version or version[0] != FILE_VERSION:
@@ -285,7 +296,12 @@ def read_dv_file_entry(path: str, offset: int, size_in_bytes: int) -> bytes:
                 f"{version[0] if version else '<empty>'} at {path}"
             )
         fh.seek(offset)
-        (stored_size,) = struct.unpack(">I", fh.read(4))
+        size_field = fh.read(4)
+        if len(size_field) != 4:
+            raise ValueError(
+                f"truncated DV size field at {path}+{offset}"
+            )
+        (stored_size,) = struct.unpack(">I", size_field)
         if stored_size != size_in_bytes:
             raise ValueError(
                 f"DV size mismatch at {path}+{offset}: file says "
@@ -294,7 +310,10 @@ def read_dv_file_entry(path: str, offset: int, size_in_bytes: int) -> bytes:
         blob = fh.read(stored_size)
         if len(blob) != stored_size:
             raise ValueError(f"truncated DV data at {path}+{offset}")
-        (crc,) = struct.unpack(">I", fh.read(4))
+        crc_field = fh.read(4)
+        if len(crc_field) != 4:
+            raise ValueError(f"truncated DV CRC field at {path}+{offset}")
+        (crc,) = struct.unpack(">I", crc_field)
     if zlib.crc32(blob) & 0xFFFFFFFF != crc:
         raise ValueError(f"DV checksum mismatch at {path}+{offset}")
     return blob

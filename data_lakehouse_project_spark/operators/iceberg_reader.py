@@ -250,8 +250,17 @@ def iceberg_live_files(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     metadata_file: str | None = None,
-) -> tuple[dict, list[dict]]:
-    """(metadata, live data_file dicts) for the selected snapshot."""
+) -> tuple[dict, list[dict], list[dict]]:
+    """(metadata, live data_file dicts, live POSITION-delete file
+    dicts) for the selected snapshot.
+
+    v2 row-level deletes: delete manifests (``manifest_file.content``
+    == 1) list delete files; POSITION deletes (``data_file.content``
+    == 1, parquet files of ``(file_path, pos)`` rows per spec
+    §Position Delete Files) are returned for the scan to anti-join.
+    EQUALITY deletes (content == 2) are refused — applying them needs
+    equality-field semantics this reader does not implement, and
+    ignoring them would resurrect deleted rows."""
     md = load_iceberg_metadata(table_path, metadata_file)
     snap = _select_snapshot(md, snapshot_id, as_of_ms)
     mlist_path = snap["manifest-list"]
@@ -259,11 +268,12 @@ def iceberg_live_files(
         mlist_path = os.path.join(table_path, mlist_path)
     manifests, _ = avro_records(spark, mlist_path)
     live: list[dict] = []
+    pos_deletes: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) != 0:
+        m_content = m.get("content", 0)
+        if m_content not in (0, 1):
             raise UnsupportedIcebergFeature(
-                "delete manifests (manifest_file.content != 0) are not "
-                "supported; refusing rather than resurrecting deleted rows"
+                f"manifest_file.content {m_content} is not supported"
             )
         mpath = m["manifest_path"]
         if not os.path.isabs(mpath):
@@ -273,17 +283,28 @@ def iceberg_live_files(
             if e.get("status") == 2:  # DELETED — records removal
                 continue
             df_ = e["data_file"]
-            if df_.get("content", 0) != 0:
-                raise UnsupportedIcebergFeature(
-                    "position/equality delete files are not supported"
-                )
+            f_content = df_.get("content", 0)
             if str(df_.get("file_format", "")).upper() != "PARQUET":
                 raise UnsupportedIcebergFeature(
                     f"file format {df_.get('file_format')!r} is not "
                     "supported"
                 )
-            live.append(df_)
-    return md, live
+            if m_content == 0:
+                if f_content != 0:
+                    raise UnsupportedIcebergFeature(
+                        f"delete file (content={f_content}) inside a "
+                        "DATA manifest violates the spec"
+                    )
+                live.append(df_)
+            else:  # delete manifest
+                if f_content == 1:
+                    pos_deletes.append(df_)
+                else:
+                    raise UnsupportedIcebergFeature(
+                        "equality delete files are not supported; "
+                        "refusing rather than resurrecting deleted rows"
+                    )
+    return md, live, pos_deletes
 
 
 def read_iceberg_table(
@@ -293,8 +314,15 @@ def read_iceberg_table(
     as_of_ms: int | None = None,
     metadata_file: str | None = None,
 ) -> DataFrame:
-    """DataFrame over a foreign Iceberg table's selected snapshot."""
-    md, live = iceberg_live_files(
+    """DataFrame over a foreign Iceberg table's selected snapshot,
+    with v2 POSITION deletes applied as a ``(file, row_index)``
+    anti-join — the same mechanism the Delta reader uses for deletion
+    vectors.  Delete parquet is read by EXECUTORS through a normal
+    scan (never materialized on the driver), so 10^8-row delete files
+    are a shuffle, not an OOM."""
+    from pyspark.sql import functions as F
+
+    md, live, pos_deletes = iceberg_live_files(
         spark, table_path, snapshot_id, as_of_ms, metadata_file
     )
     schema = _spark_schema(spark, md)
@@ -310,9 +338,60 @@ def read_iceberg_table(
     paths = [_abs(f["file_path"]) for f in live]
     # explicit current schema: pre-evolution files surface added
     # columns as null; column order follows the Iceberg schema
-    return spark.read.schema(schema).parquet(*paths).select(
-        *schema.names
-    )
+    df = spark.read.schema(schema).parquet(*paths)
+
+    if pos_deletes:
+        # Position-delete rows carry the TARGET file path exactly as
+        # the manifests spell it (raw location string, not URI-
+        # encoded); _metadata.file_path IS Hadoop-URI-encoded, so the
+        # scan side decodes (shared helper) and both sides resolve
+        # relative paths against the table root.  Iceberg never
+        # reuses a data-file path across sequence numbers, so a pure
+        # path match equals the spec's sequence-number rule.
+        from .delta_reader import _spark_path_key
+
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        del_schema = StructType(
+            [
+                StructField("file_path", StringType()),
+                StructField("pos", LongType()),
+            ]
+        )
+        del_paths = [_abs(f["file_path"]) for f in pos_deletes]
+        raw = F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
+        deletes = (
+            spark.read.schema(del_schema)
+            .parquet(*del_paths)
+            .select(
+                F.when(raw.startswith("/"), raw)
+                .otherwise(F.concat(F.lit(table_path + "/"), raw))
+                .alias("__ice_path"),
+                F.col("pos").alias("__ice_pos"),
+            )
+        )
+        total_del_bytes = sum(
+            int(f.get("file_size_in_bytes") or 0) for f in pos_deletes
+        )
+        if total_del_bytes and total_del_bytes <= 32 << 20:
+            deletes = F.broadcast(deletes)
+        df = (
+            df.withColumns(
+                {
+                    "__ice_path": _spark_path_key(),
+                    "__ice_pos": F.col("_metadata.row_index"),
+                }
+            )
+            .join(deletes, ["__ice_path", "__ice_pos"], "left_anti")
+            .drop("__ice_path", "__ice_pos")
+        )
+
+    return df.select(*schema.names)
 
 
 def iceberg_snapshot_ids(table_path: str) -> list[tuple[int, int]]:

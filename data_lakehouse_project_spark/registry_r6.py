@@ -86,47 +86,37 @@ FROM runs GROUP BY user_id
 
 def q_events_rolling_distinct_types(spark, sf_dir):
     """Trailing-7-day distinct event-type count per ACTIVE user-day
-    (evaluation days = days the user emitted any event)."""
-    (events,) = _t(spark, sf_dir, "events")
-    from data_lakehouse_project_spark.cacheutil import release_on_gc
+    (evaluation days = days the user emitted any event).
 
-    # both branches (coverage explode + active-day filter) consume the
-    # distinct (user, day, type) grain; unpersisted, column pruning
-    # specializes each branch's aggregate and the events scan+shuffle
-    # runs TWICE (measured: 2 FileScans, 0 ReusedExchange — and the
-    # round-5 count_if subtree-identity trick does not survive here
-    # because RemoveRedundantAggregates collapses a keys-only aggregate
-    # over a distinct outright). Persist the tiny distinct grain once;
-    # the cache is released when the returned frame is collected and
-    # dropped (release_on_gc).
-    base = (
-        events.select(
-            "user_id", F.to_date("ts").alias("d"), "event_type"
-        )
-        .distinct()
-        .persist()
+    Single-branch plan: a (user, day) is active exactly when its
+    off==0 coverage row exists, so the activity filter is a flag
+    aggregated ALONGSIDE the distinct-type count — no second distinct
+    branch, no self-join, no persist (round-6 plan-audit flag: the
+    two-branch form cost 7 exchanges; this is 3)."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    cov = base.select(
+        "user_id",
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "d",
+    ).select(
+        "user_id",
+        "event_type",
+        F.date_add(F.col("d"), F.col("off")).alias("day"),
+        (F.col("off") == 0).cast("int").alias("src"),
     )
-    active = base.select("user_id", F.col("d").alias("day")).distinct()
-    cov = (
-        base.select(
-            "user_id",
-            "event_type",
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
-            "d",
+    return (
+        cov.groupBy("user_id", "day")
+        .agg(
+            F.count_distinct("event_type").alias("n_types_7d"),
+            F.max("src").alias("__active"),
         )
-        .select(
-            "user_id",
-            "event_type",
-            F.date_add(F.col("d"), F.col("off")).alias("day"),
-        )
-        .distinct()
+        .where(F.col("__active") == 1)
+        .drop("__active")
     )
-    out = (
-        cov.join(active, ["user_id", "day"])
-        .groupBy("user_id", "day")
-        .agg(F.count(F.lit(1)).alias("n_types_7d"))
-    )
-    return release_on_gc(out, base)
 
 
 SQL_ROLLING_DISTINCT = """
@@ -146,6 +136,49 @@ GROUP BY 1, 2
 """
 
 
+def grouped_median_exact(df, keys, val, out="med"):
+    """EXACT per-group median (percentile_cont 0.5 semantics) in
+    BOUNDED memory: collapse to the (keys, value) distinct-count
+    grain, running prefix sum over a partitioned window (streaming
+    after the sort — no holistic buffer holding every row), then pick
+    the value(s) whose cumulative range straddles positions
+    floor((n+1)/2) and ceil((n+1)/2) and average them.
+
+    Per-group state is O(distinct values) at the count grain and O(1)
+    in the window — unlike ``F.percentile``, whose aggregation buffer
+    materializes every row of the group on one task (the round-6
+    sf40 weak slot: 49.7 s and a memory cliff at 100×)."""
+    counts = df.groupBy(*keys, val).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*keys).orderBy(val)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # group total as a window max over the SAME sort — one WindowExec,
+    # no second aggregate branch / broadcast join over `counts`
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__n", F.max("__cum").over(w_all)
+    )
+    lo = F.floor((F.col("__n") + 1) / 2)
+    hi = F.floor((F.col("__n") + 2) / 2)
+
+    def _contains(j):
+        return (F.col("__cum") - F.col("__cnt") < j) & (j <= F.col("__cum"))
+
+    x = F.col(val).cast("double")
+    return (
+        cum.where(_contains(lo) | _contains(hi))
+        .groupBy(*keys)
+        .agg(
+            (
+                F.sum(
+                    F.when(_contains(lo), x).otherwise(0.0)
+                    + F.when(_contains(hi), x).otherwise(0.0)
+                )
+                / 2.0
+            ).alias(out),
+            F.max("__n").alias("__n"),
+        )
+    )
+
+
 def q_lineitem_mad_outliers(spark, sf_dir):
     """Robust outlier report per (l_returnflag, l_linestatus): exact
     median extendedprice, MAD, and |x − med| > 3·1.4826·MAD count."""
@@ -156,18 +189,15 @@ def q_lineitem_mad_outliers(spark, sf_dir):
         F.col("l_extendedprice").alias("x"),
     )
     keys = ["l_returnflag", "l_linestatus"]
-    med = li.groupBy(*keys).agg(
-        F.percentile("x", F.lit(0.5)).alias("med")
+    med = grouped_median_exact(li, keys, "x", out="med").select(
+        *keys, "med", F.col("__n").alias("n_rows")
     )
-    dev = (
-        li.join(F.broadcast(med), keys)
-        .groupBy(*keys, "med")
-        .agg(
-            F.percentile(F.abs(F.col("x") - F.col("med")), F.lit(0.5))
-            .alias("mad"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    devs = li.join(F.broadcast(med), keys).select(
+        *keys, "med", "n_rows", F.abs(F.col("x") - F.col("med")).alias("ad")
     )
+    dev = grouped_median_exact(
+        devs, [*keys, "med", "n_rows"], "ad", out="mad"
+    ).select(*keys, "med", "mad", "n_rows")
     out = (
         li.join(F.broadcast(dev), keys)
         .groupBy(*keys, "med", "mad", "n_rows")

@@ -249,8 +249,8 @@ def read_delta(
     it, so it always gets the spec-faithful path."""
     from data_lakehouse_project_spark.operators.delta_reader import (
         _commit_versions,
-        _read_commit_actions,
         read_delta_table,
+        sniff_commit_metadata,
     )
     from data_lakehouse_project_spark.operators.txnlog import (
         _PARTITION_SPEC_CONF_KEY,
@@ -260,7 +260,9 @@ def read_delta(
     internal = False
     versions = _commit_versions(path)
     for v in reversed(versions):  # newest commit carrying metaData
-        _, _, _, meta_raw, _, _ = _read_commit_actions(path, v)
+        # metaData-only sniff: MUST NOT validate add actions — an
+        # internal DV-bearing table would be refused before routing
+        meta_raw = sniff_commit_metadata(path, v)
         if meta_raw is not None:
             internal = _PARTITION_SPEC_CONF_KEY in (
                 meta_raw.get("configuration") or {}

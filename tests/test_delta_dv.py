@@ -423,3 +423,40 @@ def test_unknown_reader_feature_still_refused(tmp_path):
     )
     with pytest.raises(UnsupportedDeltaFeature, match="v2Checkpoint"):
         read_delta_snapshot(table)
+
+
+def test_dv_applied_under_uri_hostile_paths(spark, tmp_path):
+    """ADVICE r6: Spark's ``_metadata.file_path`` is a Hadoop URI that
+    percent-encodes space/%% but keeps ``+`` and non-ASCII raw; a key
+    mismatch would silently RESURRECT deleted rows.  Table and data
+    file names here hit every encoding class — the anti-join must
+    still drop exactly the DV'd positions."""
+    table = str(tmp_path / "dv tab%le+é")
+    os.makedirs(table)
+    fname = "part a%b+c é.parquet"
+    s = _write_data(table, fname, [10, 11, 12, 13, 14], list("abcde"))
+    blob = rbm_array_serialize([1, 3], pad4=True)
+    _commit(
+        table,
+        0,
+        [
+            _protocol_dv(),
+            _meta(),
+            _add(
+                fname,
+                s,
+                5,
+                dv={
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(blob),
+                    "sizeInBytes": len(blob),
+                    "cardinality": 2,
+                },
+            ),
+            {"commitInfo": {"timestamp": 1700000001000, "operation": "WRITE"}},
+        ],
+    )
+    snap = read_delta_snapshot(table)
+    assert snap.num_rows == 3  # 5 physical - 2 DV-deleted
+    ids = sorted(r.id for r in read_delta_table(spark, table).collect())
+    assert ids == [10, 12, 14]

@@ -384,16 +384,19 @@ def _tiny_table(tmp_path, protocol, conf=None, add_extra=None):
 
 
 def test_reject_unsupported_reader_feature(tmp_path):
+    """v2Checkpoint is a genuinely unimplemented reader feature (only
+    classic parquet checkpoints are parsed) — the protocol demands
+    refusal, not a misread of sidecar-file state."""
     table = _tiny_table(
         tmp_path,
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
         },
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="deletionVectors"):
+    with pytest.raises(UnsupportedDeltaFeature, match="v2Checkpoint"):
         read_delta_snapshot(table)
 
 
@@ -410,32 +413,206 @@ def test_accept_supported_reader_features(tmp_path):
     assert read_delta_snapshot(table).num_rows == 1
 
 
-def test_reject_column_mapping(tmp_path):
+def test_reject_column_mapping_id_mode(tmp_path):
+    """``id`` resolution (parquet field-id based) stays refused;
+    ``name`` mode is supported (test below)."""
     table = _tiny_table(
         tmp_path,
         {"minReaderVersion": 2, "minWriterVersion": 5},
-        conf={"delta.columnMapping.mode": "name"},
+        conf={"delta.columnMapping.mode": "id"},
     )
     with pytest.raises(UnsupportedDeltaFeature, match="column mapping"):
         read_delta_snapshot(table)
 
 
-def test_reject_deletion_vector_add(tmp_path):
+# --------------------------------------------------- column mapping: name
+
+# Evolved-table scenario a real delta-spark writer produces: the table
+# was created with (id, v, junk), column v RENAMED to vv (physical
+# parquet name frozen at col-v0002), junk DROPPED (its bytes still sit
+# in the files but the field left the schema), plus a partition column
+# whose partitionValues key is its PHYSICAL name per spec.
+SCHEMA_MAPPED = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-id0001",
+                },
+            },
+            {
+                "name": "vv",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-v0002",
+                },
+            },
+            {
+                "name": "p",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 4,
+                    "delta.columnMapping.physicalName": "col-p0004",
+                },
+            },
+        ],
+    }
+)
+
+
+def _mapped_table(tmp_path):
+    table = str(tmp_path / "mapped_delta")
+    os.makedirs(table)
+    fpath = os.path.join(table, "f0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "col-id0001": pa.array([1, 2, 3], pa.int64()),
+                "col-v0002": pa.array(["a", "b", "c"], pa.string()),
+                # dropped column: physically present, not in schema
+                "col-junk03": pa.array([9.0, 9.0, 9.0], pa.float64()),
+            }
+        ),
+        fpath,
+    )
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "mapped-0001",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": SCHEMA_MAPPED,
+                    "partitionColumns": ["p"],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "4",
+                    },
+                    "createdTime": 1700000000000,
+                }
+            },
+            {
+                "add": {
+                    "path": "f0.parquet",
+                    "partitionValues": {"col-p0004": "west"},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": 3,
+                            "minValues": {"col-id0001": 1},
+                            "maxValues": {"col-id0001": 3},
+                        }
+                    ),
+                }
+            },
+            _info(1700000001000),
+        ],
+    )
+    return table
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    table = _mapped_table(tmp_path)
+    df = read_delta_table(spark, table)
+    assert df.columns == ["id", "vv", "p"]  # logical names, junk gone
+    rows = sorted((r.id, r.vv, r.p) for r in df.collect())
+    assert rows == [(1, "a", "west"), (2, "b", "west"), (3, "c", "west")]
+
+
+def test_column_mapping_prune_uses_physical_stats(spark, tmp_path):
+    """File-skipping predicates arrive with LOGICAL names but stats are
+    keyed physically — id > 5 must skip the only file (max col-id0001
+    is 3), and re-application keeps the empty result correct."""
+    table = _mapped_table(tmp_path)
+    df = read_delta_table(spark, table, prune=[("id", ">", 5)])
+    assert df.count() == 0
+    df2 = read_delta_table(spark, table, prune=[("id", "<=", 2)])
+    assert sorted(r.id for r in df2.collect()) == [1, 2]
+
+
+def test_column_mapping_nested_refused(tmp_path):
+    nested_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "inner",
+                                "type": "long",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.physicalName": "col-x"
+                                },
+                            }
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.physicalName": "col-s"
+                    },
+                }
+            ],
+        }
+    )
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        _physical_names,
+    )
+
+    with pytest.raises(UnsupportedDeltaFeature, match="NESTED"):
+        _physical_names(nested_schema)
+
+
+def test_deletion_vector_add_applied(spark, tmp_path):
+    """An add carrying a spec inline DV is not refused — it is APPLIED:
+    the deleted row index disappears from the scan, and the snapshot's
+    logical row count subtracts the DV cardinality."""
+    from data_lakehouse_project_spark.operators.dv import (
+        rbm_array_serialize,
+    )
+
+    blob = rbm_array_serialize([0], pad4=True)
     table = _tiny_table(
         tmp_path,
-        {"minReaderVersion": 1, "minWriterVersion": 2},
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        },
         add_extra={
             "deletionVector": {
-                "storageType": "u",
-                "pathOrInlineDv": "ab^-aqEH.-t@S}K{vb[*k^",
-                "offset": 1,
+                "storageType": "i",
+                "pathOrInlineDv": _z85(blob),
                 "sizeInBytes": 36,
-                "cardinality": 2,
+                "cardinality": 1,
             }
         },
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="deletionVector"):
-        read_delta_snapshot(table)
+    snap = read_delta_snapshot(table)
+    assert snap.num_rows == 0  # 1 physical row - 1 DV-deleted
+    assert read_delta_table(spark, table).count() == 0
+
+
+def _z85(blob: bytes) -> str:
+    from data_lakehouse_project_spark.operators.dv import z85_encode
+
+    return z85_encode(blob)
 
 
 # ------------------------------------------------------------- interop

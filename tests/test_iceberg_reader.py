@@ -361,14 +361,25 @@ def test_reject_unknown_format_version(spark, tmp_path):
         read_iceberg_table(spark, table)
 
 
-def test_reject_delete_manifest(spark, foreign_iceberg, tmp_path):
-    table = str(tmp_path / "t4")
-    os.makedirs(os.path.join(table, "metadata"))
-    fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
-    m = _manifest(spark, table, "m.avro", [_entry(1, fa, 1)])
-    lst = _manifest_list(
-        spark, table, "snap-9.avro", [(m, 1)], 9  # content=1: deletes
+def _pos_delete_file(table, name, pairs):
+    """Spec §Position Delete Files: parquet of (file_path, pos),
+    sorted by (file_path, pos)."""
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    path = os.path.join(table, "data", name)
+    pairs = sorted(pairs)
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([p for p, _ in pairs], pa.string()),
+                "pos": pa.array([i for _, i in pairs], pa.int64()),
+            }
+        ),
+        path,
     )
+    return path
+
+
+def _one_snapshot_md(table, lst, op="delete"):
     _metadata(
         table, 1, [SCHEMA_0], 0,
         [
@@ -377,20 +388,61 @@ def test_reject_delete_manifest(spark, foreign_iceberg, tmp_path):
                 "timestamp-ms": T1,
                 "sequence-number": 1,
                 "manifest-list": lst,
-                "summary": {"operation": "delete"},
+                "summary": {"operation": op},
                 "schema-id": 0,
             }
         ],
         9,
         [{"snapshot-id": 9, "timestamp-ms": T1}],
     )
-    with pytest.raises(UnsupportedIcebergFeature, match="delete manifest"):
+
+
+def test_position_deletes_applied(spark, tmp_path):
+    """v2 positional deletes: a delete manifest's parquet of
+    (file_path, pos) rows removes exactly those row indexes from the
+    matching data file — other files untouched."""
+    table = str(tmp_path / "t4")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(
+        table, "a.parquet", [1, 2, 3, 4, 5],
+        ["a", "b", "c", "d", "e"],
+        ["1.00", "2.00", "3.00", "4.00", "5.00"],
+    )
+    fb = _data_file(table, "b.parquet", [6], ["f"], ["6.00"])
+    fdel = _pos_delete_file(table, "del-1.parquet", [(fa, 0), (fa, 2)])
+    m_data = _manifest(
+        spark, table, "m.avro", [_entry(1, fa, 5), _entry(1, fb, 1)]
+    )
+    m_del = _manifest(
+        spark, table, "mdel.avro", [_entry(1, fdel, 2, content=1)]
+    )
+    lst = _manifest_list(
+        spark, table, "snap-9.avro", [(m_data, 0), (m_del, 1)], 9
+    )
+    _one_snapshot_md(table, lst)
+    df = read_iceberg_table(spark, table)
+    assert sorted(r.id for r in df.collect()) == [2, 4, 5, 6]
+
+
+def test_reject_equality_deletes(spark, tmp_path):
+    table = str(tmp_path / "t4eq")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
+    m_data = _manifest(spark, table, "m.avro", [_entry(1, fa, 1)])
+    m_del = _manifest(
+        spark, table, "mdel.avro", [_entry(1, fa, 1, content=2)]
+    )
+    lst = _manifest_list(
+        spark, table, "snap-9.avro", [(m_data, 0), (m_del, 1)], 9
+    )
+    _one_snapshot_md(table, lst)
+    with pytest.raises(UnsupportedIcebergFeature, match="equality"):
         read_iceberg_table(spark, table)
 
 
 def test_reject_delete_file_and_foreign_format(spark, tmp_path):
     for kwargs, msg in (
-        ({"content": 1}, "delete files"),
+        ({"content": 1}, "DATA manifest"),
         ({"fmt": "ORC"}, "file format"),
     ):
         table = str(tmp_path / f"t5-{msg.split()[0]}")

@@ -120,6 +120,12 @@ EXPECT_MANY_EXCHANGES = {
     # totals + final id-grain sum = 4 real shuffles (one corpus-sized,
     # the rest on aggregates), doubled in the adaptive plan text
     "dsir_importance_weights",
+    # exact nested medians are inherently three passes over the fact
+    # (median -> MAD -> outlier count), each pass = one count-grain
+    # agg + one window sort on the (keys, value)-distinct table
+    # (bounded memory, r7 rewrite) + a broadcast of group-grain stats;
+    # ~5 real shuffles, printed as 8 by the adaptive doubling
+    "lineitem_mad_outliers",
     # triangle closing references the PERSISTED edge set three times
     # (e1 ⋈ e2 ⋈ e3) + degree; the plan text re-prints the whole
     # upstream prefix-join subtree under each InMemoryRelation
