@@ -22,10 +22,18 @@ Semantics (mirroring the published Delta streaming-source contract):
   resurrect deleted rows), column order follows the table schema, and
   partition columns — absent from Delta data files — are attached
   per-partition from ``add.partitionValues``.
-* The streaming path replays raw JSON commits only (no parquet
-  checkpoint bootstrap): a log whose early commits were vacuumed
-  raises, matching Delta's "earliest available version" error, and
-  ``startingVersion`` past the gap resumes cleanly.
+* ``startingVersion="latest"`` tails only FUTURE commits;
+  ``startingVersion="first-available"`` bootstraps the full snapshot
+  at the earliest reconstructable version — for a log whose early
+  JSON was vacuumed, that is the parquet-checkpoint state the batch
+  reader already parses, shipped as the first micro-batch, then the
+  plain commit tail.  A numeric ``startingVersion`` inside a vacuumed
+  gap still raises (Delta's "earliest available version" error).
+* Backpressure: ``maxCommitsPerTrigger`` bounds each micro-batch's
+  log window at commit grain; ``maxBytesPerTrigger`` bounds it by the
+  add-actions' cumulative file size (Delta's maxBytesPerTrigger
+  contract: a soft cap — each batch takes whole commits until the
+  budget is crossed, always at least one).
 
 The batch-read halves of this surface are
 ``operators/delta_reader.py`` (foreign snapshots) and
@@ -50,6 +58,8 @@ from data_lakehouse_project_spark.operators.delta_reader import (
     _check_protocol,
     _commit_versions,
     _read_commit_actions,
+    read_delta_snapshot,
+    sniff_commit_metadata,
 )
 from data_lakehouse_project_spark.operators.txnlog import _parse_meta
 
@@ -74,18 +84,25 @@ class DeltaStreamDataSource(DataSource):
         if not table:
             raise ValueError("delta_stream requires option('path', ...)")
         versions = _commit_versions(table)
-        if not versions:
-            raise CorruptDeltaLog(f"no _delta_log commits at {table}")
         meta_raw = protocol_raw = None
         for v in reversed(versions):  # newest commit carrying metaData
-            _, _, _, m_raw, p_raw, _ = _read_commit_actions(table, v)
-            meta_raw = meta_raw or m_raw
-            protocol_raw = protocol_raw or p_raw
-            if meta_raw is not None and protocol_raw is not None:
+            m_raw = sniff_commit_metadata(table, v)
+            if m_raw is not None:
+                meta_raw = m_raw
+                _, _, _, _, p_raw, _ = _read_commit_actions(table, v)
+                protocol_raw = p_raw
                 break
         if meta_raw is None:
-            raise CorruptDeltaLog("no metaData action in the log tail")
-        if protocol_raw is not None:
+            # log-cleaned table: metaData lives only in the parquet
+            # checkpoint — the batch reader's snapshot replay finds it
+            snap = read_delta_snapshot(table)
+            meta_raw = {
+                "schemaString": snap.schema_json,
+                "partitionColumns": snap.partition_columns,
+                "configuration": snap.configuration,
+            }
+            protocol_raw = snap.protocol  # already gated by the replay
+        elif protocol_raw is not None:
             _check_protocol(
                 protocol_raw, meta_raw.get("configuration") or {}
             )
@@ -101,14 +118,33 @@ class DeltaStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType):
         table, meta_raw = self._table_meta()
+        raw_start = str(self.options.get("startingVersion", "0"))
+        bootstrap = None
+        if raw_start == "latest":
+            versions = _commit_versions(table)
+            start = (versions[-1] if versions else -1) + 1
+        elif raw_start == "first-available":
+            versions = _commit_versions(table)
+            if versions and versions == list(range(0, versions[-1] + 1)):
+                start = 0  # whole history replayable commit-by-commit
+            else:
+                # vacuumed log: ship the checkpoint snapshot as the
+                # first batch, then tail the remaining commits
+                snap = read_delta_snapshot(table)
+                bootstrap = snap.version
+                start = snap.version + 1
+        else:
+            start = int(raw_start)
         return _DeltaStreamReader(
             table,
             schema,
             list(meta_raw.get("partitionColumns") or []),
-            int(self.options.get("startingVersion", "0")),
+            start,
             self.options.get("ignoreDeletes", "false").lower() == "true",
             self.options.get("ignoreChanges", "false").lower() == "true",
             int(self.options.get("maxCommitsPerTrigger", "0")),
+            int(self.options.get("maxBytesPerTrigger", "0")),
+            bootstrap_version=bootstrap,
         )
 
 
@@ -116,6 +152,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def __init__(
         self, table, schema, part_cols, starting_version,
         ignore_deletes, ignore_changes, max_commits_per_trigger=0,
+        max_bytes_per_trigger=0, bootstrap_version=None,
     ):
         self._table = table
         self._schema = schema
@@ -124,6 +161,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._ignore_deletes = ignore_deletes
         self._ignore_changes = ignore_changes
         self._max_commits = max_commits_per_trigger
+        self._max_bytes = max_bytes_per_trigger
+        self._bootstrap = bootstrap_version
         # backpressure bookkeeping: the highest offset this reader has
         # already handed out (advanced by latestOffset, synced forward
         # by partitions() so a checkpoint restart — where Spark knows
@@ -134,6 +173,11 @@ class _DeltaStreamReader(DataSourceStreamReader):
     # ---- offsets: {"version": last consumed commit version} ----
 
     def initialOffset(self) -> dict:
+        if self._bootstrap is not None:
+            # the key survives Spark's offset-log JSON round trip, so
+            # a checkpoint RESTART whose first committed batch was the
+            # snapshot replays it identically
+            return {"version": self._start - 1, "bootstrap": self._bootstrap}
         return {"version": self._start - 1}
 
     def latestOffset(self) -> dict:
@@ -147,16 +191,59 @@ class _DeltaStreamReader(DataSourceStreamReader):
             # of the checkpointed start — then steady-state batches
             # are budgeted again (partitions() re-syncs _handed_out).
             latest = min(latest, self._handed_out + self._max_commits)
+        if self._max_bytes > 0 and latest > self._handed_out:
+            # maxBytesPerTrigger: whole commits until the cumulative
+            # add size crosses the budget; never fewer than one commit
+            budget = self._max_bytes
+            chosen = self._handed_out
+            for v in range(self._handed_out + 1, latest + 1):
+                try:
+                    adds, *_ = _read_commit_actions(self._table, v)
+                except OSError:
+                    break  # gap — partitions() raises the real error
+                size = sum(a.get("size_bytes", 0) for a in adds)
+                if chosen > self._handed_out and size > budget:
+                    break
+                budget -= size
+                chosen = v
+            latest = max(chosen, self._handed_out + 1)
         self._handed_out = max(self._handed_out, latest)
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
         self._handed_out = max(self._handed_out, hi)
+        schema_json = self._schema.json()
+        boot_parts: list[_DeltaFilePartition] = []
+        if start.get("bootstrap") is not None:
+            # first-available bootstrap: the range's head is the full
+            # checkpoint snapshot at `bootstrap`, then the plain tail.
+            # The same deterministic file set replays on restart — the
+            # snapshot at a pinned version never changes.
+            boot = int(start["bootstrap"])
+            snap = read_delta_snapshot(self._table, version=boot)
+            for f in snap.files:
+                if f.get("foreign_dv") or f.get("dv"):
+                    raise UnsupportedDeltaFeature(
+                        "bootstrap snapshot carries deletion vectors; "
+                        "the streaming source cannot apply them"
+                    )
+                p = f["path"]
+                if not os.path.isabs(p):
+                    p = os.path.join(self._table, p)
+                boot_parts.append(
+                    _DeltaFilePartition(
+                        p,
+                        f.get("partition_values") or {},
+                        schema_json,
+                        self._part_cols,
+                    )
+                )
+            lo = boot  # tail resumes after the snapshot version
         if hi <= lo:
             # Spark requires ≥1 partition; an empty file partition
             # yields no rows
-            return [_DeltaFilePartition(None, {}, "", [])]
+            return boot_parts or [_DeltaFilePartition(None, {}, "", [])]
         available = [
             v for v in _commit_versions(self._table) if lo < v <= hi
         ]
@@ -167,8 +254,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
             )
         # StructType JSON round-trips WITHOUT a SparkContext — the
         # executor's Python worker has none (fromDDL needs the JVM)
-        schema_json = self._schema.json()
-        parts = []
+        parts = list(boot_parts)
         for v in available:
             adds, removes, _, _, _, _ = _read_commit_actions(
                 self._table, v

@@ -165,3 +165,101 @@ def test_max_commits_per_trigger_batches(spark, tmp_path):
     q.stop()
     non_empty = [b for b in batches if b]
     assert non_empty == [[0, 1], [2, 3], [4, 5]]
+
+
+def test_max_bytes_per_trigger_batches(spark, tmp_path):
+    """maxBytesPerTrigger: a 1-byte budget still takes whole commits,
+    one per micro-batch (the contract's never-fewer-than-one rule)."""
+    register_python_datasources(spark)
+    path = str(tmp_path / "tbb")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 2), mode="overwrite")   # v0
+    t.write(_batch(spark, 2, 4), mode="append")      # v1
+    t.write(_batch(spark, 4, 6), mode="append")      # v2
+
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("maxBytesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: batches.append(
+                sorted(r["id"] for r in df.collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline and sum(len(b) for b in batches) < 6:
+        time.sleep(1)
+    q.stop()
+    non_empty = [b for b in batches if b]
+    assert non_empty == [[0, 1], [2, 3], [4, 5]]
+
+
+def _clean_log(path, upto):
+    """Simulate Delta log cleanup: drop JSON commits < upto (the
+    checkpoint at `upto` carries the state)."""
+    import os
+
+    log = os.path.join(path, "_delta_log")
+    for v in range(upto):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def test_first_available_bootstraps_from_checkpoint(spark, tmp_path):
+    """A log whose early commits were cleaned refuses a plain tail
+    (gap), but startingVersion=first-available ships the parquet-
+    checkpoint snapshot as the first batch and then tails — no manual
+    version math; restart stays exactly-once."""
+    register_python_datasources(spark)
+    path = str(tmp_path / "tfa")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 2), mode="overwrite")           # v0
+    for i in range(1, 12):                                    # v1..v11
+        t.write(_batch(spark, 2 * i, 2 * i + 2), mode="append")
+    _clean_log(path, 10)  # checkpoint interval is 10 -> cp at v10
+
+    # default numeric start inside the gap still raises
+    with pytest.raises(Exception, match="vacuumed|not all present"):
+        _run_available_now(spark, path, str(tmp_path / "ck0"), [])
+
+    got: list[tuple] = []
+    ckpt = str(tmp_path / "ck1")
+    _run_available_now(
+        spark, path, ckpt, got, startingVersion="first-available"
+    )
+    assert sorted(r[0] for r in got) == list(range(24))
+
+    # restart: only the NEW commit arrives, never a snapshot replay
+    t.write(_batch(spark, 24, 26), mode="append")            # v12
+    got2: list[tuple] = []
+    _run_available_now(
+        spark, path, ckpt, got2, startingVersion="first-available"
+    )
+    assert sorted(r[0] for r in got2) == [24, 25]
+
+
+def test_starting_version_latest_tails_only_future(spark, tmp_path):
+    register_python_datasources(spark)
+    path = str(tmp_path / "tl")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 5), mode="overwrite")   # v0
+    t.write(_batch(spark, 5, 7), mode="append")      # v1
+
+    got: list[tuple] = []
+    ckpt = str(tmp_path / "ck")
+    _run_available_now(spark, path, ckpt, got, startingVersion="latest")
+    assert got == []  # history skipped
+
+    t.write(_batch(spark, 7, 9), mode="append")      # v2
+    got2: list[tuple] = []
+    _run_available_now(spark, path, ckpt, got2, startingVersion="latest")
+    assert sorted(r[0] for r in got2) == [7, 8]
