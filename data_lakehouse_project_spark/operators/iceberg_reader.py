@@ -65,8 +65,21 @@ class CorruptIcebergMetadata(ValueError):
 
 
 def avro_records(spark: SparkSession, path: str):
-    """Decode an avro container file into (records, file_metadata) —
-    generic Java-avro reader over py4j; metadata-sized files only."""
+    """Decode an avro container file into (records, file_metadata).
+
+    Primary path: the pure-Python spec decoder
+    (``operators/avro_decode.py``) — one pass over local bytes, no
+    py4j round trips (the JVM path costs a round trip per FIELD;
+    at a 10k-entry manifest that is ~10^5 driver calls, probed ~100×
+    slower in ``tools/probe_foreign_readers.py``).  The JVM generic
+    reader remains as a fallback for schema corners the Python
+    decoder refuses."""
+    from .avro_decode import AvroDecodeError, read_avro_file
+
+    try:
+        return read_avro_file(path)
+    except AvroDecodeError:
+        pass  # fall through to the reference JVM decoder
     jvm = spark._jvm
     reader = jvm.org.apache.avro.file.DataFileReader(
         jvm.java.io.File(path),
