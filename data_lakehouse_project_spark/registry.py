@@ -3895,7 +3895,10 @@ GRADED_WINDOW: list[str] = [
     # r6 rotation: the running-total frame slot returns,
     # window_ignore_nulls rotates out (stays selfchecked)
     "window_topk_per_customer",
-    "window_running_total",
+    # r7 rotation: the running DISTINCT frame takes the window
+    # family's second graded row (window_running_total rotates
+    # out, stays selfchecked)
+    "window_distinct_running",
     # statistical aggregates (r5: continuous percentile replaces the
     # median/percentile pair — exact companion of the KLL sketch slot)
     # r5 session 3 rotation: the rank-sum AUC replaces the plain stats
@@ -3906,8 +3909,14 @@ GRADED_WINDOW: list[str] = [
     # names stay registered + selfchecked
     # r6 rotation: exact continuous percentile returns for the quantile
     # family's graded row; the ntile histogram rotates out (selfchecked)
-    "stopword_auc_langid",
-    "percentile_cont_qty",
+    # r7 rotation: the grouped MAD aggregate replaces the rank-sum
+    # AUC (statistical-aggregate family; stopword_auc_langid stays
+    # selfchecked)
+    "agg_mad",
+    # r7 rotation: the robust median/MAD outlier report (rewritten
+    # this round with the bounded-memory grouped median) takes the
+    # quantile family's graded row; percentile_cont_qty rotates out
+    "lineitem_mad_outliers",
     # set ops / grouping surfaces
     "setop_intersect_all",
     "rollup_status_priority",
@@ -3927,7 +3936,10 @@ GRADED_WINDOW: list[str] = [
     # embedding-pair family keeps embedding_label_centroids +
     # ann_lsh_topk graded)
     "soft_dedup_weights",
-    "segment_dedup_summary",
+    # r7 rotation: the ExactSubstr span report takes the
+    # sub-document dedup row (segment_dedup_summary stays
+    # selfchecked)
+    "dedup_substring_spans",
     "dedup_clusters",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
@@ -3965,8 +3977,13 @@ GRADED_WINDOW: list[str] = [
     # r6 rotation: k-anonymity takes the privacy family's graded row;
     # l_diversity_classes rotates out (stays selfchecked)
     "k_anonymity_classes",
-    "bm25_search_topk",
-    "corpus_frequent_tokens",
+    # r7 rotation: the BM25+cosine RRF fusion takes the retrieval
+    # family's graded row — bm25 arithmetic stays pinned inside it
+    # (bm25_search_topk stays registered + selfchecked)
+    "hybrid_search_rrf",
+    # r7 rotation: TF-IDF retrieval joins the graded retrieval pair
+    # (corpus_frequent_tokens rotates out, stays selfchecked)
+    "tfidf_search_topk",
     # multimodal family — r5 session 4: the graded anchor upgrades from
     # the stub-pinned fingerprint path to REAL pixel decode (2-frame
     # PPM-stream videos built JVM-side, frame-grain mean/std through
@@ -3985,10 +4002,17 @@ GRADED_WINDOW: list[str] = [
     # r6 rotation: the CUSUM change-point alarms replace M4
     # downsampling for the time-series family's graded row
     # (m4_downsample_events stays selfchecked)
-    "events_hourly_rollup",
-    "events_sessionize",
+    # r7 rotation: the trailing-7-day distinct-type rollup (plan
+    # collapsed to a single branch this round) replaces the hourly
+    # rollup graded since r1 (stays selfchecked)
+    "events_rolling_distinct_types",
+    # r7 rotation: cohort retention takes the behavioral-analytics
+    # row (events_sessionize stays selfchecked)
+    "events_cohort_retention",
     "events_asof_join",
-    "events_cusum_alarms",
+    # r7 rotation: gaps-and-islands streaks take the time-series
+    # graded row (events_cusum_alarms stays selfchecked)
+    "events_user_streaks",
     "events_variant_extract",
     # curation / packing family (r5 session 2 rotation: the
     # leakage-safe cluster split replaces the length-band filter — it
@@ -4000,7 +4024,9 @@ GRADED_WINDOW: list[str] = [
     # over portable hash buckets; token_budget stays selfchecked)
     "dsir_importance_weights",
     "cluster_safe_split_counts",
-    "pack_chunks_documents",
+    # r7 rotation: overlapping chunking takes the packing family's
+    # graded row (pack_chunks_documents stays selfchecked)
+    "chunk_documents_overlap",
     # admission-index family (r5: bloom verdicts, previously pytest-only
     # in the graded window sense)
     "bloom_admission_verdicts",
