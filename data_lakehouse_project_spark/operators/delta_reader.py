@@ -11,12 +11,17 @@ this is part of the SURVEY §2.8 "modern lakehouse" north star).
 
 Reader semantics implemented
 ----------------------------
-* **Snapshot reconstruction**: newest parquet checkpoint at or before
-  the target version (discovered via ``_last_checkpoint``, falling
-  back to a log-dir listing; single-part and multi-part
-  ``%020d.checkpoint.%010d.%010d.parquet`` names) + contiguous JSON
-  commits after it.  ``add`` minus ``remove`` by path, last
-  ``metaData`` / ``protocol`` wins, ``txn`` high-water marks kept.
+* **Snapshot reconstruction**: newest checkpoint at or before the
+  target version (discovered via ``_last_checkpoint``, falling back
+  to a log-dir listing) + contiguous JSON commits after it.  All
+  three published checkpoint layouts replay: classic single-part
+  (``V.checkpoint.parquet``), classic multi-part
+  (``%020d.checkpoint.%010d.%010d.parquet``), and **V2 UUID-named
+  manifests** (``V.checkpoint.<uuid>.parquet|json``) whose
+  ``sidecar`` actions pull file state from
+  ``_delta_log/_sidecars/*.parquet``.  ``add`` minus ``remove`` by
+  path, last ``metaData`` / ``protocol`` wins, ``txn`` high-water
+  marks kept.
 * **Protocol gating** (the spec's hard rule — readers MUST refuse
   tables they cannot read correctly): ``minReaderVersion`` 1 is
   accepted; 2 requires column mapping to be absent/none; 3 requires
@@ -72,12 +77,15 @@ from .txnlog import (
 # vacuumProtocolCheck: imposes no read-path behavior by design.
 # deletionVectors: honored — roaring-bitmap DVs are decoded
 #   (operators/dv.py) and applied as a _metadata.row_index anti-join.
-# Everything else (v2Checkpoint, typeWidening, variantType, ...) must
-# be REFUSED, not ignored.
+# v2Checkpoint: UUID-named checkpoint manifests (parquet or json)
+#   with sidecar files are replayed by _read_v2_checkpoint_state.
+# Everything else (typeWidening, variantType, ...) must be REFUSED,
+# not ignored.
 SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "deletionVectors",
+    "v2Checkpoint",
 }
 
 
@@ -132,9 +140,12 @@ def _commit_versions(table_path: str) -> list[int]:
 
 
 def _checkpoint_parts(table_path: str) -> dict[int, list[str]]:
-    """version -> sorted part files, for single- and multi-part
-    classic checkpoints (``V.checkpoint.parquet`` and
-    ``V.checkpoint.NNNNNNNNNN.MMMMMMMMMM.parquet``)."""
+    """version -> sorted CLASSIC part files, for single- and
+    multi-part classic checkpoints (``V.checkpoint.parquet`` and
+    ``V.checkpoint.NNNNNNNNNN.MMMMMMMMMM.parquet``).  V2 UUID-named
+    checkpoints (``V.checkpoint.<uuid>.parquet|json``) are a different
+    format — mixing one into a classic part list would silently drop
+    its sidecar state — and are listed by ``_v2_checkpoints``."""
     found: dict[int, list[str]] = {}
     for p in glob.glob(
         os.path.join(_log_dir(table_path), "*.checkpoint*.parquet")
@@ -145,7 +156,34 @@ def _checkpoint_parts(table_path: str) -> dict[int, list[str]]:
             continue
         if bits[1] != "checkpoint" or bits[-1] != "parquet":
             continue
+        if len(bits) == 4 and not bits[2].isdigit():
+            continue  # v2 UUID name
+        if len(bits) == 5 and not (
+            bits[2].isdigit() and bits[3].isdigit()
+        ):
+            continue
         found.setdefault(int(bits[0]), []).append(p)
+    return {v: sorted(ps) for v, ps in found.items()}
+
+
+def _v2_checkpoints(table_path: str) -> dict[int, list[str]]:
+    """version -> v2 UUID-named checkpoint manifests (parquet or
+    json), each one COMPLETE on its own (spec: writers may leave
+    several at one version; any is usable)."""
+    found: dict[int, list[str]] = {}
+    for ext in ("parquet", "json"):
+        for p in glob.glob(
+            os.path.join(_log_dir(table_path), f"*.checkpoint.*.{ext}")
+        ):
+            bits = os.path.basename(p).split(".")
+            if (
+                len(bits) == 4
+                and bits[0].isdigit()
+                and len(bits[0]) == _VERSION_DIGITS
+                and bits[1] == "checkpoint"
+                and not bits[2].isdigit()
+            ):
+                found.setdefault(int(bits[0]), []).append(p)
     return {v: sorted(ps) for v, ps in found.items()}
 
 
@@ -215,51 +253,114 @@ def _intake_add(raw: dict) -> dict:
     return parsed
 
 
+class _CheckpointState:
+    __slots__ = ("adds", "meta_raw", "protocol_raw", "txns")
+
+    def __init__(self):
+        self.adds: dict[str, dict] = {}
+        self.meta_raw = None
+        self.protocol_raw = None
+        self.txns: dict[str, int] = {}
+
+    def intake(self, row: dict) -> None:
+        """One checkpoint row/action into the state. ``remove`` rows in
+        any checkpoint are expired-tombstone bookkeeping only and never
+        contribute to the snapshot."""
+        if row.get("add"):
+            a = {k: v for k, v in row["add"].items() if v is not None}
+            for m in ("partitionValues", "tags"):
+                if isinstance(a.get(m), list):  # pa map -> dict
+                    a[m] = dict(a[m])
+            parsed = _intake_add(a)
+            self.adds[parsed["path"]] = parsed
+        elif row.get("metaData"):
+            m = {
+                k: v for k, v in row["metaData"].items() if v is not None
+            }
+            for mm in ("configuration",):
+                if isinstance(m.get(mm), list):
+                    m[mm] = dict(m[mm])
+            if isinstance(m.get("format"), dict) and isinstance(
+                m["format"].get("options"), list
+            ):
+                m["format"]["options"] = dict(m["format"]["options"])
+            self.meta_raw = m
+        elif row.get("protocol"):
+            self.protocol_raw = {
+                k: v for k, v in row["protocol"].items() if v is not None
+            }
+        elif row.get("txn"):
+            t = row["txn"]
+            self.txns[t["appId"]] = max(
+                self.txns.get(t["appId"], -1), t["version"]
+            )
+
+    def result(self):
+        return self.adds, self.meta_raw, self.protocol_raw, self.txns
+
+
 def _read_checkpoint_state(part_files: list[str]):
     """Replay state from a classic parquet checkpoint (all parts):
-    returns (adds_by_path, meta_raw, protocol_raw, txns). ``remove``
-    rows in a checkpoint are expired-tombstone bookkeeping only and
-    never contribute to the snapshot."""
+    returns (adds_by_path, meta_raw, protocol_raw, txns)."""
     import pyarrow.parquet as pq
 
-    adds: dict[str, dict] = {}
-    meta_raw = protocol_raw = None
-    txns: dict[str, int] = {}
+    st = _CheckpointState()
     for part in part_files:
         for row in pq.read_table(part).to_pylist():
-            if row.get("add"):
-                a = {k: v for k, v in row["add"].items() if v is not None}
-                for m in ("partitionValues", "tags"):
-                    if isinstance(a.get(m), list):  # pa map -> dict
-                        a[m] = dict(a[m])
-                parsed = _intake_add(a)
-                adds[parsed["path"]] = parsed
-            elif row.get("metaData"):
-                m = {
-                    k: v
-                    for k, v in row["metaData"].items()
-                    if v is not None
-                }
-                for mm in ("configuration",):
-                    if isinstance(m.get(mm), list):
-                        m[mm] = dict(m[mm])
-                if isinstance(m.get("format"), dict) and isinstance(
-                    m["format"].get("options"), list
-                ):
-                    m["format"]["options"] = dict(m["format"]["options"])
-                meta_raw = m
-            elif row.get("protocol"):
-                protocol_raw = {
-                    k: v
-                    for k, v in row["protocol"].items()
-                    if v is not None
-                }
-            elif row.get("txn"):
-                t = row["txn"]
-                txns[t["appId"]] = max(
-                    txns.get(t["appId"], -1), t["version"]
+            st.intake(row)
+    return st.result()
+
+
+def _read_v2_checkpoint_state(manifest_path: str, table_path: str):
+    """Replay state from a V2 UUID-named checkpoint (spec: V2 Spec
+    Checkpoints): the manifest (parquet or json) carries
+    ``checkpointMetadata``, protocol/metaData/txn, optionally inline
+    add/remove, and ``sidecar`` actions pointing at parquet files under
+    ``_delta_log/_sidecars/`` that hold the file actions.  A missing
+    sidecar is a hard error — silently skipping one would drop live
+    files from the snapshot."""
+    import pyarrow.parquet as pq
+
+    st = _CheckpointState()
+    sidecars: list[str] = []
+    expect_version = int(os.path.basename(manifest_path).split(".")[0])
+
+    def _row(row: dict) -> None:
+        cm = row.get("checkpointMetadata")
+        if cm:
+            v = cm.get("version")
+            if v is not None and int(v) != expect_version:
+                raise CorruptDeltaLog(
+                    f"v2 checkpoint {manifest_path} declares version "
+                    f"{v}, file name says {expect_version}"
                 )
-    return adds, meta_raw, protocol_raw, txns
+            return
+        sc = row.get("sidecar")
+        if sc:
+            p = sc["path"]
+            if not os.path.isabs(p):
+                p = os.path.join(_log_dir(table_path), "_sidecars", p)
+            sidecars.append(p)
+            return
+        st.intake(row)
+
+    if manifest_path.endswith(".json"):
+        with open(manifest_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    _row(json.loads(line))
+    else:
+        for row in pq.read_table(manifest_path).to_pylist():
+            _row(row)
+    for sc in sidecars:
+        if not os.path.exists(sc):
+            raise CorruptDeltaLog(
+                f"v2 checkpoint sidecar missing: {sc}"
+            )
+        for row in pq.read_table(sc).to_pylist():
+            st.intake(row)
+    return st.result()
 
 
 def _read_commit_actions(table_path: str, version: int):
@@ -336,7 +437,9 @@ def read_delta_snapshot(
     """Reconstruct the table state at ``version`` / ``timestamp_ms``
     (default: latest) from a foreign ``_delta_log``."""
     versions = _commit_versions(table_path)
-    checkpoints = _checkpoint_parts(table_path)
+    classic_cp = _checkpoint_parts(table_path)
+    v2_cp = _v2_checkpoints(table_path)
+    checkpoints = set(classic_cp) | set(v2_cp)
     if not versions and not checkpoints:
         raise CorruptDeltaLog(f"no _delta_log commits at {table_path}")
 
@@ -373,17 +476,33 @@ def read_delta_snapshot(
     if hinted is not None and hinted in checkpoints and hinted <= version:
         candidates.remove(hinted)
         candidates.insert(0, hinted)
+    done = False
     for c in candidates:
-        try:
-            active, meta_raw, protocol_raw, txns = _read_checkpoint_state(
-                checkpoints[c]
-            )
-        except UnsupportedDeltaFeature:
-            raise
-        except Exception:  # torn part, schema drift: older cp / raw log
-            continue
-        start = c + 1
-        break
+        # classic parts first, then each self-complete v2 manifest
+        attempts = []
+        if c in classic_cp:
+            attempts.append(("classic", classic_cp[c]))
+        for m in v2_cp.get(c, []):
+            attempts.append(("v2", m))
+        for kind, ref in attempts:
+            try:
+                if kind == "classic":
+                    active, meta_raw, protocol_raw, txns = (
+                        _read_checkpoint_state(ref)
+                    )
+                else:
+                    active, meta_raw, protocol_raw, txns = (
+                        _read_v2_checkpoint_state(ref, table_path)
+                    )
+            except UnsupportedDeltaFeature:
+                raise
+            except Exception:  # torn file, schema drift: next candidate
+                continue
+            start = c + 1
+            done = True
+            break
+        if done:
+            break
 
     # -- contiguous JSON replay after the bootstrap point
     replay = [v for v in versions if start <= v <= version]

@@ -401,7 +401,7 @@ def test_internal_dv_tag_still_refused(tmp_path):
 
 
 def test_unknown_reader_feature_still_refused(tmp_path):
-    table = str(tmp_path / "v2cp")
+    table = str(tmp_path / "widen")
     os.makedirs(table)
     s = _write_data(table, "E.parquet", [1], ["a"])
     _commit(
@@ -412,7 +412,7 @@ def test_unknown_reader_feature_still_refused(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    "readerFeatures": ["deletionVectors", "typeWidening"],
                     "writerFeatures": [],
                 }
             },
@@ -421,7 +421,7 @@ def test_unknown_reader_feature_still_refused(tmp_path):
             {"commitInfo": {"timestamp": 1700000001000, "operation": "WRITE"}},
         ],
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="v2Checkpoint"):
+    with pytest.raises(UnsupportedDeltaFeature, match="typeWidening"):
         read_delta_snapshot(table)
 
 

@@ -384,19 +384,18 @@ def _tiny_table(tmp_path, protocol, conf=None, add_extra=None):
 
 
 def test_reject_unsupported_reader_feature(tmp_path):
-    """v2Checkpoint is a genuinely unimplemented reader feature (only
-    classic parquet checkpoints are parsed) — the protocol demands
-    refusal, not a misread of sidecar-file state."""
+    """typeWidening is a genuinely unimplemented reader feature —
+    the protocol demands refusal, not a misread of widened columns."""
     table = _tiny_table(
         tmp_path,
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
-            "writerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
         },
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="v2Checkpoint"):
+    with pytest.raises(UnsupportedDeltaFeature, match="typeWidening"):
         read_delta_snapshot(table)
 
 
@@ -674,3 +673,211 @@ def test_read_delta_wrapper_routes_by_writer(spark, tmp_path, foreign_table):
     t.delete_where(spark, "id < 5", dv=True)
     got = read_delta(spark, path)
     assert sorted(r.id for r in got.collect()) == list(range(5, 20))
+
+
+# --------------------------------------------------- v2 checkpoints
+
+V2_UUID = "80a083e8-7026-4e79-81be-64bd76c43a11"
+
+
+def _v2_schemas():
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    manifest_schema = pa.schema(
+        [
+            (
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64()), ("tags", str_map)]),
+            ),
+            (
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    ("options", str_map),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    sidecar_schema = pa.schema([("add", add_t)])
+    return manifest_schema, sidecar_schema
+
+
+def _build_v2_table(tmp_path, manifest_format="parquet"):
+    """v0/v1 vacuumed; v2 = v2 UUID checkpoint (manifest + 2 sidecars,
+    1 file action each); v3 = plain JSON tail commit."""
+    table = str(tmp_path / "v2cp_delta")
+    os.makedirs(table)
+    t0 = 1700000001000
+    s_a = _write_data(table, "pa.parquet", [1, 2], ["a1", "a2"])
+    s_b = _write_data(table, "pb.parquet", [3], ["b3"])
+    manifest_schema, sidecar_schema = _v2_schemas()
+    log = os.path.join(table, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir)
+
+    def _cp_add(d):
+        d = dict(d)
+        d["partitionValues"] = list(d["partitionValues"].items())
+        return d
+
+    for i, (nm, size, part, lo, hi, n) in enumerate(
+        [("pa.parquet", s_a, "x", 1, 2, 2), ("pb.parquet", s_b, "y", 3, 3, 1)]
+    ):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"add": _cp_add(_add(nm, part, size, n, t0, lo, hi))}],
+                schema=sidecar_schema,
+            ),
+            os.path.join(sc_dir, f"sc-{i}.parquet"),
+        )
+
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    manifest_rows = [
+        {"checkpointMetadata": {"version": 2, "tags": {}}},
+        {"protocol": proto},
+        {"metaData": _meta(SCHEMA_V0)},
+        {"sidecar": {"path": "sc-0.parquet", "sizeInBytes": 1}},
+        {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1}},
+    ]
+    mp = os.path.join(log, f"{2:020d}.checkpoint.{V2_UUID}.{manifest_format}")
+    if manifest_format == "json":
+        with open(mp, "w") as fh:
+            for r in manifest_rows:
+                fh.write(json.dumps(r) + "\n")
+    else:
+        rows = []
+        for r in manifest_rows:
+            r = dict(r)
+            if "checkpointMetadata" in r:
+                r["checkpointMetadata"] = {
+                    **r["checkpointMetadata"],
+                    "tags": [],
+                }
+            if "metaData" in r:
+                r["metaData"] = {
+                    **r["metaData"],
+                    "format": {"provider": "parquet", "options": []},
+                    "configuration": [],
+                }
+            rows.append(r)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=manifest_schema), mp
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 2, "size": len(manifest_rows)}, fh)
+
+    # tail commit v3 after the checkpoint
+    s_c = _write_data(table, "pc.parquet", [4], ["c4"])
+    _commit(
+        table,
+        3,
+        [{"add": _add("pc.parquet", "x", s_c, 1, t0 + 3000, 4, 4)},
+         _info(t0 + 3000)],
+    )
+    return table
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_v2_checkpoint_reads(spark, tmp_path, fmt):
+    table = _build_v2_table(tmp_path, manifest_format=fmt)
+    snap = read_delta_snapshot(table)
+    assert snap.version == 3
+    assert sorted(f["path"] for f in snap.files) == [
+        "pa.parquet", "pb.parquet", "pc.parquet",
+    ]
+    df = read_delta_table(spark, table)
+    rows = sorted((r.id, r.p) for r in df.collect())
+    assert rows == [(1, "x"), (2, "x"), (3, "y"), (4, "x")]
+
+
+def test_v2_checkpoint_missing_sidecar_hard_error(spark, tmp_path):
+    table = _build_v2_table(tmp_path)
+    os.remove(
+        os.path.join(table, "_delta_log", "_sidecars", "sc-1.parquet")
+    )
+    # with no fallback checkpoint AND no v0..v2 json, replay must fail
+    # loudly, never silently drop sidecar state
+    with pytest.raises((CorruptDeltaLog, Exception)):
+        snap = read_delta_snapshot(table)
+        assert sorted(f["path"] for f in snap.files) == [
+            "pa.parquet", "pb.parquet", "pc.parquet",
+        ]
+
+
+def test_v2_checkpoint_version_mismatch_refused(spark, tmp_path):
+    table = _build_v2_table(tmp_path, manifest_format="json")
+    mp = os.path.join(
+        table, "_delta_log", f"{2:020d}.checkpoint.{V2_UUID}.json"
+    )
+    lines = open(mp).read().splitlines()
+    fixed = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "checkpointMetadata" in a:
+            a["checkpointMetadata"]["version"] = 7  # lies about itself
+        fixed.append(json.dumps(a))
+    with open(mp, "w") as fh:
+        fh.write("\n".join(fixed))
+    # the lying manifest is rejected as a bootstrap candidate (its
+    # CorruptDeltaLog falls through to other candidates — none exist,
+    # and the vacuumed JSON replay then fails loudly); the direct call
+    # pins the specific integrity error
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        _read_v2_checkpoint_state,
+    )
+
+    with pytest.raises(CorruptDeltaLog, match="declares version"):
+        _read_v2_checkpoint_state(mp, table)
+    with pytest.raises(
+        CorruptDeltaLog, match="no metaData|commit gap"
+    ):
+        read_delta_snapshot(table)
