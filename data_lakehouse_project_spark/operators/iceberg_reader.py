@@ -263,17 +263,21 @@ def iceberg_live_files(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     metadata_file: str | None = None,
-) -> tuple[dict, list[dict], list[dict]]:
+) -> tuple[dict, list[dict], list[dict], list[dict]]:
     """(metadata, live data_file dicts, live POSITION-delete file
-    dicts) for the selected snapshot.
+    dicts, live EQUALITY-delete file dicts) for the selected snapshot.
 
     v2 row-level deletes: delete manifests (``manifest_file.content``
-    == 1) list delete files; POSITION deletes (``data_file.content``
-    == 1, parquet files of ``(file_path, pos)`` rows per spec
-    §Position Delete Files) are returned for the scan to anti-join.
-    EQUALITY deletes (content == 2) are refused — applying them needs
-    equality-field semantics this reader does not implement, and
-    ignoring them would resurrect deleted rows."""
+    == 1) list delete files.  POSITION deletes (``data_file.content``
+    == 1, parquet of ``(file_path, pos)`` rows per spec §Position
+    Delete Files) and EQUALITY deletes (content == 2, parquet of the
+    ``equality_ids`` columns' values) are returned for the scan to
+    anti-join.  Equality application needs the spec's sequence-number
+    rule (a delete applies only to data files with a STRICTLY OLDER
+    data sequence number), so each dict carries ``__seq`` — the
+    entry's ``sequence_number``, inherited from the manifest's when
+    the entry was ADDED with a null (the spec's inheritance rule).  A
+    delete that cannot be sequenced is refused, never guessed."""
     md = load_iceberg_metadata(table_path, metadata_file)
     snap = _select_snapshot(md, snapshot_id, as_of_ms)
     mlist_path = snap["manifest-list"]
@@ -282,12 +286,14 @@ def iceberg_live_files(
     manifests, _ = avro_records(spark, mlist_path)
     live: list[dict] = []
     pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
         m_content = m.get("content", 0)
         if m_content not in (0, 1):
             raise UnsupportedIcebergFeature(
                 f"manifest_file.content {m_content} is not supported"
             )
+        m_seq = m.get("sequence_number")
         mpath = m["manifest_path"]
         if not os.path.isabs(mpath):
             mpath = os.path.join(table_path, mpath)
@@ -302,6 +308,11 @@ def iceberg_live_files(
                     f"file format {df_.get('file_format')!r} is not "
                     "supported"
                 )
+            seq = e.get("sequence_number")
+            if seq is None and e.get("status") == 1:
+                seq = m_seq  # spec: ADDED entries inherit manifest seq
+            df_ = dict(df_)
+            df_["__seq"] = seq
             if m_content == 0:
                 if f_content != 0:
                     raise UnsupportedIcebergFeature(
@@ -309,15 +320,19 @@ def iceberg_live_files(
                         "DATA manifest violates the spec"
                     )
                 live.append(df_)
-            else:  # delete manifest
-                if f_content == 1:
-                    pos_deletes.append(df_)
-                else:
+            elif f_content == 1:
+                pos_deletes.append(df_)
+            elif f_content == 2:
+                if not df_.get("equality_ids"):
                     raise UnsupportedIcebergFeature(
-                        "equality delete files are not supported; "
-                        "refusing rather than resurrecting deleted rows"
+                        "equality delete file carries no equality_ids"
                     )
-    return md, live, pos_deletes
+                eq_deletes.append(df_)
+            else:
+                raise UnsupportedIcebergFeature(
+                    f"delete file content {f_content} is not supported"
+                )
+    return md, live, pos_deletes, eq_deletes
 
 
 def read_iceberg_table(
@@ -328,14 +343,21 @@ def read_iceberg_table(
     metadata_file: str | None = None,
 ) -> DataFrame:
     """DataFrame over a foreign Iceberg table's selected snapshot,
-    with v2 POSITION deletes applied as a ``(file, row_index)``
-    anti-join — the same mechanism the Delta reader uses for deletion
-    vectors.  Delete parquet is read by EXECUTORS through a normal
-    scan (never materialized on the driver), so 10^8-row delete files
-    are a shuffle, not an OOM."""
+    with v2 row-level deletes applied:
+
+    * POSITION deletes: a ``(file, row_index)`` anti-join — the same
+      mechanism the Delta reader uses for deletion vectors.
+    * EQUALITY deletes: a null-safe anti-join on the ``equality_ids``
+      columns, gated by the spec's sequence rule (the delete applies
+      only to rows of data files with a strictly OLDER data sequence
+      number, so a row re-inserted after the delete survives).
+
+    Delete parquet is read by EXECUTORS through a normal scan (never
+    materialized on the driver), so 10^8-row delete files are a
+    shuffle, not an OOM."""
     from pyspark.sql import functions as F
 
-    md, live, pos_deletes = iceberg_live_files(
+    md, live, pos_deletes, eq_deletes = iceberg_live_files(
         spark, table_path, snapshot_id, as_of_ms, metadata_file
     )
     schema = _spark_schema(spark, md)
@@ -353,6 +375,16 @@ def read_iceberg_table(
     # columns as null; column order follows the Iceberg schema
     df = spark.read.schema(schema).parquet(*paths)
 
+    if pos_deletes or eq_deletes:
+        # _metadata is only resolvable on the raw scan — materialize
+        # the decoded path key (and row index) before any join.
+        from .delta_reader import _spark_path_key
+
+        meta_cols = {"__ice_path": _spark_path_key()}
+        if pos_deletes:
+            meta_cols["__ice_pos"] = F.col("_metadata.row_index")
+        df = df.withColumns(meta_cols)
+
     if pos_deletes:
         # Position-delete rows carry the TARGET file path exactly as
         # the manifests spell it (raw location string, not URI-
@@ -361,8 +393,6 @@ def read_iceberg_table(
         # relative paths against the table root.  Iceberg never
         # reuses a data-file path across sequence numbers, so a pure
         # path match equals the spec's sequence-number rule.
-        from .delta_reader import _spark_path_key
-
         from pyspark.sql.types import (
             LongType,
             StringType,
@@ -393,18 +423,84 @@ def read_iceberg_table(
         )
         if total_del_bytes and total_del_bytes <= 32 << 20:
             deletes = F.broadcast(deletes)
-        df = (
-            df.withColumns(
-                {
-                    "__ice_path": _spark_path_key(),
-                    "__ice_pos": F.col("_metadata.row_index"),
-                }
-            )
-            .join(deletes, ["__ice_path", "__ice_pos"], "left_anti")
-            .drop("__ice_path", "__ice_pos")
+        df = df.join(
+            deletes, ["__ice_path", "__ice_pos"], "left_anti"
         )
 
+    if eq_deletes:
+        unseq = [
+            f["file_path"]
+            for f in (*eq_deletes, *live)
+            if f.get("__seq") is None
+        ]
+        if unseq:
+            raise UnsupportedIcebergFeature(
+                "equality deletes require data sequence numbers on "
+                f"every live entry; missing for {unseq[:3]}"
+            )
+        id2name = _field_names_by_id(md)
+        # per-row data sequence number via a broadcast path->seq map
+        seq_map = spark.createDataFrame(
+            [
+                (os.path.abspath(_abs(f["file_path"])), int(f["__seq"]))
+                for f in live
+            ],
+            ["__ice_path", "__data_seq"],
+        )
+        df = df.join(F.broadcast(seq_map), "__ice_path", "left")
+        groups: dict[tuple, list[dict]] = {}
+        for f in eq_deletes:
+            groups.setdefault(
+                tuple(sorted(int(i) for i in f["equality_ids"])), []
+            ).append(f)
+        for ids, files in groups.items():
+            try:
+                cols = [id2name[i] for i in ids]
+            except KeyError as exc:
+                raise UnsupportedIcebergFeature(
+                    f"equality_ids reference unknown field id {exc}"
+                ) from None
+            branches = [
+                spark.read.parquet(_abs(f["file_path"]))
+                .select(
+                    *[
+                        F.col(c).cast(schema[c].dataType).alias(f"__eq_{c}")
+                        for c in cols
+                    ]
+                )
+                .withColumn("__del_seq", F.lit(int(f["__seq"])))
+                for f in files
+            ]
+            del_df = branches[0]
+            for b in branches[1:]:
+                del_df = del_df.unionByName(b)
+            total = sum(
+                int(f.get("file_size_in_bytes") or 0) for f in files
+            )
+            if total and total <= 32 << 20:
+                del_df = F.broadcast(del_df)
+            cond = F.col("__del_seq") > F.col("__data_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            df = df.join(del_df, cond, "left_anti")
+
     return df.select(*schema.names)
+
+
+def _field_names_by_id(md: dict) -> dict[int, str]:
+    schemas = md.get("schemas")
+    if schemas is not None:
+        schema = next(
+            (
+                s
+                for s in schemas
+                if s.get("schema-id") == md.get("current-schema-id")
+            ),
+            schemas[0],
+        )
+    else:
+        schema = md["schema"]
+    return {int(f["id"]): f["name"] for f in schema["fields"]}
 
 
 def iceberg_snapshot_ids(table_path: str) -> list[tuple[int, int]]:

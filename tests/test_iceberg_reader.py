@@ -68,6 +68,12 @@ MANIFEST_ENTRY_AVRO = json.dumps(
                 "field-id": 1,
             },
             {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
                 "name": "data_file",
                 "field-id": 2,
                 "type": {
@@ -109,6 +115,13 @@ MANIFEST_ENTRY_AVRO = json.dumps(
                             "type": ["null", "bytes"],
                             "default": None,
                             "field-id": 131,
+                        },
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array",
+                                              "items": "int"}],
+                            "default": None,
+                            "field-id": 135,
                         },
                     ],
                 },
@@ -173,10 +186,12 @@ def _manifest(spark, table, name, entries):
     return path
 
 
-def _entry(status, fpath, n_rows, fmt="PARQUET", content=0):
+def _entry(status, fpath, n_rows, fmt="PARQUET", content=0, seq=None,
+           equality_ids=None):
     return {
         "status": status,
         "snapshot_id": 101,
+        "sequence_number": seq,
         "data_file": {
             "file_path": fpath,
             "file_format": fmt,
@@ -187,6 +202,7 @@ def _entry(status, fpath, n_rows, fmt="PARQUET", content=0):
             if os.path.exists(fpath)
             else 0,
             "key_metadata": None,
+            "equality_ids": equality_ids,
         },
     }
 
@@ -196,15 +212,16 @@ def _manifest_list(spark, table, name, manifest_paths, snap_id):
     w = _AvroWriter(
         spark, MANIFEST_FILE_AVRO, path, {"format-version": "2"}
     )
-    for mp, content in manifest_paths:
+    for mp, content, *rest in manifest_paths:
+        seq = rest[0] if rest else 1
         w.append_dict(
             {
                 "manifest_path": mp,
                 "manifest_length": os.path.getsize(mp),
                 "partition_spec_id": 0,
                 "content": content,
-                "sequence_number": 1,
-                "min_sequence_number": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
             }
         )
@@ -424,19 +441,118 @@ def test_position_deletes_applied(spark, tmp_path):
     assert sorted(r.id for r in df.collect()) == [2, 4, 5, 6]
 
 
-def test_reject_equality_deletes(spark, tmp_path):
-    table = str(tmp_path / "t4eq")
+def _eq_delete_file(table, name, ids):
+    """Equality delete parquet: just the equality column(s)' values."""
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    path = os.path.join(table, "data", name)
+    pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), path)
+    return path
+
+
+def test_equality_deletes_applied_with_sequence_rule(spark, tmp_path):
+    """CDC shape a Flink writer produces: data file A at seq 1; an
+    equality delete (on field id 7 = ``id``) for ids {2, 3} at seq 2;
+    data file B at seq 3 RE-INSERTING id 2.  The delete applies only
+    to STRICTLY OLDER data, so A loses 2 and 3 but B's 2 survives."""
+    table = str(tmp_path / "teq")
     os.makedirs(os.path.join(table, "metadata"))
-    fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
-    m_data = _manifest(spark, table, "m.avro", [_entry(1, fa, 1)])
+    fa = _data_file(
+        table, "a.parquet", [1, 2, 3, 4],
+        ["a", "b", "c", "d"], ["1.00", "2.00", "3.00", "4.00"],
+    )
+    fb = _data_file(table, "b.parquet", [2], ["B2"], ["9.00"])
+    fdel = _eq_delete_file(table, "eqdel.parquet", [2, 3])
+    m_a = _manifest(spark, table, "ma.avro", [_entry(1, fa, 4, seq=1)])
+    m_b = _manifest(spark, table, "mb.avro", [_entry(1, fb, 1, seq=3)])
     m_del = _manifest(
-        spark, table, "mdel.avro", [_entry(1, fa, 1, content=2)]
+        spark, table, "mdel.avro",
+        [_entry(1, fdel, 2, content=2, seq=2, equality_ids=[7])],
     )
     lst = _manifest_list(
-        spark, table, "snap-9.avro", [(m_data, 0), (m_del, 1)], 9
+        spark, table, "snap-9.avro",
+        [(m_a, 0, 1), (m_b, 0, 3), (m_del, 1, 2)], 9,
     )
     _one_snapshot_md(table, lst)
-    with pytest.raises(UnsupportedIcebergFeature, match="equality"):
+    rows = sorted(
+        (r.id, r.name) for r in read_iceberg_table(spark, table).collect()
+    )
+    assert rows == [(1, "a"), (2, "B2"), (4, "d")]
+
+
+def test_equality_delete_seq_inherited_from_manifest(spark, tmp_path):
+    """Entries ADDED with a null sequence_number inherit the
+    manifest's (the spec's inheritance rule)."""
+    table = str(tmp_path / "teqi")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1, 2], ["a", "b"],
+                    ["1.00", "2.00"])
+    fdel = _eq_delete_file(table, "eqdel.parquet", [1])
+    m_a = _manifest(spark, table, "ma.avro", [_entry(1, fa, 2)])
+    m_del = _manifest(
+        spark, table, "mdel.avro",
+        [_entry(1, fdel, 1, content=2, equality_ids=[7])],
+    )
+    lst = _manifest_list(
+        spark, table, "snap-9.avro", [(m_a, 0, 1), (m_del, 1, 2)], 9
+    )
+    _one_snapshot_md(table, lst)
+    got = read_iceberg_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == [2]
+
+
+def test_equality_delete_unsequenced_refused(spark, tmp_path):
+    """An EXISTING entry with no explicit sequence number cannot be
+    sequenced against a delete — refuse, never guess."""
+    table = str(tmp_path / "tequ")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
+    fdel = _eq_delete_file(table, "eqdel.parquet", [1])
+    m_a = _manifest(spark, table, "ma.avro", [_entry(0, fa, 1)])  # EXISTING
+    m_del = _manifest(
+        spark, table, "mdel.avro",
+        [_entry(1, fdel, 1, content=2, seq=2, equality_ids=[7])],
+    )
+    lst = _manifest_list(
+        spark, table, "snap-9.avro", [(m_a, 0, 1), (m_del, 1, 2)], 9
+    )
+    _one_snapshot_md(table, lst)
+    with pytest.raises(UnsupportedIcebergFeature, match="sequence"):
+        read_iceberg_table(spark, table)
+
+
+def test_equality_delete_unknown_field_refused(spark, tmp_path):
+    table = str(tmp_path / "tequf")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
+    fdel = _eq_delete_file(table, "eqdel.parquet", [1])
+    m_a = _manifest(spark, table, "ma.avro", [_entry(1, fa, 1, seq=1)])
+    m_del = _manifest(
+        spark, table, "mdel.avro",
+        [_entry(1, fdel, 1, content=2, seq=2, equality_ids=[999])],
+    )
+    lst = _manifest_list(
+        spark, table, "snap-9.avro", [(m_a, 0, 1), (m_del, 1, 2)], 9
+    )
+    _one_snapshot_md(table, lst)
+    with pytest.raises(UnsupportedIcebergFeature, match="unknown field"):
+        read_iceberg_table(spark, table)
+
+
+def test_equality_delete_without_ids_refused(spark, tmp_path):
+    table = str(tmp_path / "teqn")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1], ["a"], ["1.00"])
+    fdel = _eq_delete_file(table, "eqdel.parquet", [1])
+    m_a = _manifest(spark, table, "ma.avro", [_entry(1, fa, 1, seq=1)])
+    m_del = _manifest(
+        spark, table, "mdel.avro",
+        [_entry(1, fdel, 1, content=2, seq=2)],
+    )
+    lst = _manifest_list(
+        spark, table, "snap-9.avro", [(m_a, 0, 1), (m_del, 1, 2)], 9
+    )
+    _one_snapshot_md(table, lst)
+    with pytest.raises(UnsupportedIcebergFeature, match="equality_ids"):
         read_iceberg_table(spark, table)
 
 
