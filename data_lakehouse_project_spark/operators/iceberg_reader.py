@@ -257,6 +257,105 @@ def _spark_schema(spark: SparkSession, md: dict):
 # ---------------------------------------------------------------- snapshot
 
 
+def _decode_bound(raw: bytes, iceberg_type: str):
+    """Spec §Binary single-value serialization — the subset the prune
+    path compares; undecodable types return None (never prune blind)."""
+    import datetime
+    import struct as _struct
+
+    if raw is None:
+        return None
+    if isinstance(raw, str):  # json-manifest convenience
+        raw = raw.encode("latin-1")
+    try:
+        if iceberg_type == "int":
+            return _struct.unpack("<i", raw)[0]
+        if iceberg_type == "long":
+            return _struct.unpack("<q", raw)[0]
+        if iceberg_type == "float":
+            return _struct.unpack("<f", raw)[0]
+        if iceberg_type == "double":
+            return _struct.unpack("<d", raw)[0]
+        if iceberg_type == "string":
+            return raw.decode("utf-8")
+        if iceberg_type == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=_struct.unpack("<i", raw)[0]
+            )
+    except Exception:  # short buffer, bad utf8 — treat as no stats
+        return None
+    return None
+
+
+def _bounds_map(raw) -> dict[int, bytes]:
+    """lower/upper_bounds arrive as an avro array of (key,value)
+    records or a map; normalize to {field_id: bytes}."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    out = {}
+    for item in raw:
+        if isinstance(item, dict):
+            out[int(item["key"])] = item["value"]
+        else:  # (key, value) pair
+            out[int(item[0])] = item[1]
+    return out
+
+
+def _identity_partition_sources(md: dict) -> dict[int, str]:
+    """source field id -> partition field NAME for identity
+    transforms of the default spec (hidden transforms like bucket/day
+    cannot answer value predicates and are skipped)."""
+    specs = md.get("partition-specs") or []
+    spec = next(
+        (s for s in specs if s.get("spec-id") == md.get("default-spec-id")),
+        specs[0] if specs else {"fields": []},
+    )
+    return {
+        int(f["source-id"]): f["name"]
+        for f in spec.get("fields", [])
+        if f.get("transform") == "identity"
+    }
+
+
+def _iceberg_file_may_match(
+    f: dict,
+    prune: list[tuple[int, str, object, str]],
+    part_of: dict[int, str],
+) -> bool:
+    """Conservative: False only when the file PROVABLY has no matching
+    row (same contract as the Delta reader's `_file_may_match`).
+    ``prune`` items are (field_id, op, value, iceberg_type)."""
+    lowers = _bounds_map(f.get("lower_bounds"))
+    uppers = _bounds_map(f.get("upper_bounds"))
+    parts = f.get("partition") or {}
+    for fid, op, val, ityp in prune:
+        lo = hi = None
+        pname = part_of.get(fid)
+        if pname is not None and parts.get(pname) is not None:
+            lo = hi = parts[pname]
+        else:
+            lo = _decode_bound(lowers.get(fid), ityp)
+            hi = _decode_bound(uppers.get(fid), ityp)
+        if lo is None or hi is None:
+            continue  # no usable stats — keep the file
+        try:
+            if op == "=" and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue  # incomparable — may match
+    return True
+
+
 def iceberg_live_files(
     spark: SparkSession,
     table_path: str,
@@ -341,6 +440,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
     metadata_file: str | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """DataFrame over a foreign Iceberg table's selected snapshot,
     with v2 row-level deletes applied:
@@ -361,6 +461,24 @@ def read_iceberg_table(
         spark, table_path, snapshot_id, as_of_ms, metadata_file
     )
     schema = _spark_schema(spark, md)
+
+    if prune:
+        # driver-side file skipping over manifest column bounds and
+        # identity partition values; predicates are RE-APPLIED as real
+        # filters below, so skipping is an IO optimization, never a
+        # correctness dependency (same contract as the Delta reader)
+        name2id = {v: k for k, v in _field_names_by_id(md).items()}
+        id2type = _field_types_by_id(md)
+        part_of = _identity_partition_sources(md)
+        typed = [
+            (name2id[c], op, v, id2type[name2id[c]])
+            for c, op, v in prune
+            if c in name2id and op not in ("isnull", "isnotnull")
+        ]
+        live = [
+            f for f in live if _iceberg_file_may_match(f, typed, part_of)
+        ]
+
     if not live:
         return spark.createDataFrame([], schema)
 
@@ -484,13 +602,27 @@ def read_iceberg_table(
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             df = df.join(del_df, cond, "left_anti")
 
-    return df.select(*schema.names)
+    df = df.select(*schema.names)
+    if prune:
+        from pyspark.sql import functions as F
+
+        for col, op, val in prune:
+            if col not in df.columns:
+                continue
+            c = F.col(col)
+            cond = {
+                "=": c == val, "<": c < val, "<=": c <= val,
+                ">": c > val, ">=": c >= val,
+                "isnull": c.isNull(), "isnotnull": c.isNotNull(),
+            }[op]
+            df = df.where(cond)
+    return df
 
 
-def _field_names_by_id(md: dict) -> dict[int, str]:
+def _current_schema(md: dict) -> dict:
     schemas = md.get("schemas")
     if schemas is not None:
-        schema = next(
+        return next(
             (
                 s
                 for s in schemas
@@ -498,9 +630,19 @@ def _field_names_by_id(md: dict) -> dict[int, str]:
             ),
             schemas[0],
         )
-    else:
-        schema = md["schema"]
-    return {int(f["id"]): f["name"] for f in schema["fields"]}
+    return md["schema"]
+
+
+def _field_types_by_id(md: dict) -> dict[int, str]:
+    return {
+        int(f["id"]): f["type"] for f in _current_schema(md)["fields"]
+    }
+
+
+def _field_names_by_id(md: dict) -> dict[int, str]:
+    return {
+        int(f["id"]): f["name"] for f in _current_schema(md)["fields"]
+    }
 
 
 def iceberg_snapshot_ids(table_path: str) -> list[tuple[int, int]]:

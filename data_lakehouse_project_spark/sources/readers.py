@@ -282,15 +282,19 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     as_of_ms: int | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Iceberg v2 table scan over a spec-conformant ``metadata/`` tree
-    (operators/iceberg_reader.py)."""
+    (operators/iceberg_reader.py).  ``prune`` file-skips over manifest
+    column bounds / identity partition values, same contract as
+    ``read_delta``."""
     from data_lakehouse_project_spark.operators.iceberg_reader import (
         read_iceberg_table,
     )
 
     return read_iceberg_table(
-        spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms
+        spark, path, snapshot_id=snapshot_id, as_of_ms=as_of_ms,
+        prune=prune,
     )
 
 

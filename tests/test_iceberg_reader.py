@@ -123,6 +123,32 @@ MANIFEST_ENTRY_AVRO = json.dumps(
                             "default": None,
                             "field-id": 135,
                         },
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {"type": "array", "items": {
+                                "type": "record", "name": "k126_v127",
+                                "fields": [
+                                    {"name": "key", "type": "int",
+                                     "field-id": 126},
+                                    {"name": "value", "type": "bytes",
+                                     "field-id": 127},
+                                ]}}],
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {"type": "array", "items": {
+                                "type": "record", "name": "k129_v130",
+                                "fields": [
+                                    {"name": "key", "type": "int",
+                                     "field-id": 129},
+                                    {"name": "value", "type": "bytes",
+                                     "field-id": 130},
+                                ]}}],
+                            "default": None,
+                            "field-id": 128,
+                        },
                     ],
                 },
             },
@@ -187,7 +213,7 @@ def _manifest(spark, table, name, entries):
 
 
 def _entry(status, fpath, n_rows, fmt="PARQUET", content=0, seq=None,
-           equality_ids=None):
+           equality_ids=None, bounds=None):
     return {
         "status": status,
         "snapshot_id": 101,
@@ -203,6 +229,8 @@ def _entry(status, fpath, n_rows, fmt="PARQUET", content=0, seq=None,
             else 0,
             "key_metadata": None,
             "equality_ids": equality_ids,
+            "lower_bounds": bounds[0] if bounds else None,
+            "upper_bounds": bounds[1] if bounds else None,
         },
     }
 
@@ -609,3 +637,78 @@ def test_reads_own_export(spark, tmp_path):
     export_iceberg_metadata(t, spark)
     got = read_iceberg_table(spark, path)
     assert sorted(got.collect()) == sorted(t.read(spark).collect())
+
+
+# ------------------------------------------------------ prune / skipping
+
+
+def _long_bound(v):
+    import struct
+
+    return struct.pack("<q", v).decode("latin-1")
+
+
+def test_prune_skips_files_by_bounds_and_partition(spark, tmp_path):
+    """File skipping over manifest lower/upper bounds (spec binary
+    single-value serialization) — the skipped file's rows must not
+    appear even though its parquet would match nothing, and predicates
+    are re-applied so results stay exact."""
+    table = str(tmp_path / "tprune")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1, 2], ["a", "b"],
+                    ["1.00", "2.00"])
+    fb = _data_file(table, "b.parquet", [100, 200], ["x", "y"],
+                    ["3.00", "4.00"])
+    m = _manifest(
+        spark, table, "m.avro",
+        [
+            _entry(1, fa, 2, seq=1,
+                   bounds=([{"key": 7, "value": _long_bound(1)}],
+                           [{"key": 7, "value": _long_bound(2)}])),
+            _entry(1, fb, 2, seq=1,
+                   bounds=([{"key": 7, "value": _long_bound(100)}],
+                           [{"key": 7, "value": _long_bound(200)}])),
+        ],
+    )
+    lst = _manifest_list(spark, table, "snap-9.avro", [(m, 0, 1)], 9)
+    _one_snapshot_md(table, lst, op="append")
+
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+        load_iceberg_metadata,
+        _field_names_by_id,
+        _field_types_by_id,
+        _identity_partition_sources,
+        _iceberg_file_may_match,
+    )
+
+    # driver-side: the bounds provably exclude file A for id >= 50
+    md = load_iceberg_metadata(table)
+    _, live, _, _ = iceberg_live_files(spark, table)
+    name2id = {v: k for k, v in _field_names_by_id(md).items()}
+    typed = [(name2id["id"], ">=", 50, _field_types_by_id(md)[name2id["id"]])]
+    part_of = _identity_partition_sources(md)
+    kept = [f for f in live
+            if _iceberg_file_may_match(f, typed, part_of)]
+    assert [os.path.basename(f["file_path"]) for f in kept] == ["b.parquet"]
+
+    # end to end: one file scanned, exact rows out
+    df = read_iceberg_table(spark, table, prune=[("id", ">=", 50)])
+    assert sorted(r.id for r in df.collect()) == [100, 200]
+    # boundary: no stats would prove id=2 absent from file B only
+    df2 = read_iceberg_table(spark, table, prune=[("id", "=", 2)])
+    assert sorted(r.id for r in df2.collect()) == [2]
+
+
+def test_prune_without_stats_never_drops_rows(spark, tmp_path):
+    """Files carrying NO bounds are always kept (prune is conservative)
+    and the re-applied predicate still yields exact results."""
+    table = str(tmp_path / "tprune2")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1, 2, 3], ["a", "b", "c"],
+                    ["1.00", "2.00", "3.00"])
+    m = _manifest(spark, table, "m.avro", [_entry(1, fa, 3, seq=1)])
+    lst = _manifest_list(spark, table, "snap-9.avro", [(m, 0, 1)], 9)
+    _one_snapshot_md(table, lst, op="append")
+    df = read_iceberg_table(spark, table, prune=[("id", ">", 1)])
+    assert sorted(r.id for r in df.collect()) == [2, 3]
