@@ -106,6 +106,19 @@ class DeltaStreamDataSource(DataSource):
             _check_protocol(
                 protocol_raw, meta_raw.get("configuration") or {}
             )
+        # the batch reader maps physical->logical names at scan time;
+        # THIS source reads parquet with the logical schema directly,
+        # so a column-mapped table would surface silent nulls — refuse
+        # (the shared _check_protocol accepts "name" for the batch path)
+        mapping = (meta_raw.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mapping not in ("none", ""):
+            raise UnsupportedDeltaFeature(
+                f"delta_stream does not support column mapping "
+                f"(mode '{mapping}'); read the table through the batch "
+                "reader"
+            )
         return table, meta_raw
 
     def schema(self) -> StructType:

@@ -263,3 +263,69 @@ def test_starting_version_latest_tails_only_future(spark, tmp_path):
     got2: list[tuple] = []
     _run_available_now(spark, path, ckpt, got2, startingVersion="latest")
     assert sorted(r[0] for r in got2) == [7, 8]
+
+
+def test_column_mapped_table_refused(spark, tmp_path):
+    """Batch reads map physical->logical names; the stream source does
+    not — it must REFUSE a column-mapped table, never return nulls."""
+    import json
+    import os
+
+    path = str(tmp_path / "tcm")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.physicalName": "col-1"
+                    },
+                }
+            ],
+        }
+    )
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 2,
+                        "minWriterVersion": 5,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "cm-1",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema,
+                        "partitionColumns": [],
+                        "configuration": {
+                            "delta.columnMapping.mode": "name"
+                        },
+                        "createdTime": 1700000000000,
+                    }
+                }
+            )
+            + "\n"
+        )
+    register_python_datasources(spark)
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        UnsupportedDeltaFeature,
+    )
+    from data_lakehouse_project_spark.sources.delta_stream import (
+        DeltaStreamDataSource,
+    )
+
+    ds = DeltaStreamDataSource(options={"path": path})
+    with pytest.raises(UnsupportedDeltaFeature, match="column mapping"):
+        ds.schema()
