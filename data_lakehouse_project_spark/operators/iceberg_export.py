@@ -362,6 +362,90 @@ def export_iceberg_metadata(
         )
     w.close()
 
+    # ---- deletion vectors -> v2 POSITION DELETE file + manifest ----
+    # A DV-bearing snapshot exported as bare data files would
+    # RESURRECT deleted rows in every Iceberg reader (caught by a
+    # round-7 probe); the internal (basename, pos) DV parquet converts
+    # losslessly to the spec's position-delete layout, written
+    # distributed and sorted by (file_path, pos) as required.
+    dv_files = [f for f in snap.files if f.get("dv")]
+    delete_manifest_path = None
+    n_pos_deletes = 0
+    if dv_files:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        base2full = {}
+        for f in dv_files:
+            fpath = f["path"]
+            if not os.path.isabs(fpath):
+                fpath = os.path.join(location, fpath)
+            base2full[f["path"].rsplit("/", 1)[-1]] = fpath
+        dv_dirs = sorted({f["dv"]["path"] for f in dv_files})
+        mapping = spark.createDataFrame(
+            list(base2full.items()), ["__b", "file_path"]
+        )
+        rows = (
+            spark.read.parquet(
+                *[os.path.join(table.path, d) for d in dv_dirs]
+            )
+            .selectExpr(
+                "element_at(split(path, '/'), -1) AS __b", "pos"
+            )
+            .join(F.broadcast(mapping), "__b")
+            .select("file_path", F.col("pos").cast("long").alias("pos"))
+            .distinct()
+            .orderBy("file_path", "pos")
+        )
+        tmp_dir = os.path.join(meta_dir, f"_posdel_tmp_{uuid.uuid4().hex}")
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = next(
+            n for n in os.listdir(tmp_dir)
+            if n.endswith(".parquet") and not n.startswith("_")
+        )
+        del_name = f"pos-deletes-{snapshot_id}.parquet"
+        del_path = os.path.join(location, "data")
+        os.makedirs(del_path, exist_ok=True)
+        del_path = os.path.join(del_path, del_name)
+        shutil.move(os.path.join(tmp_dir, part), del_path)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        import pyarrow.parquet as _pq
+
+        n_pos_deletes = _pq.read_metadata(del_path).num_rows
+        delete_manifest_path = os.path.join(
+            meta_dir, f"{uuid.uuid4().hex}-d0.avro"
+        )
+        wd = _AvroWriter(
+            spark,
+            manifest_entry_avro,
+            delete_manifest_path,
+            {
+                "schema": json.dumps(iceberg_schema),
+                "partition-spec": spec_json,
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        wd.append_dict(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": del_path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_pos_deletes,
+                    "file_size_in_bytes": os.path.getsize(del_path),
+                },
+            }
+        )
+        wd.close()
+
     # ---- manifest list (avro) ----
     manifest_file_avro = json.dumps(
         {
@@ -421,6 +505,24 @@ def export_iceberg_metadata(
             "deleted_rows_count": 0,
         }
     )
+    if delete_manifest_path is not None:
+        wl.append_dict(
+            {
+                "manifest_path": delete_manifest_path,
+                "manifest_length": os.path.getsize(delete_manifest_path),
+                "partition_spec_id": 0,
+                "content": 1,  # delete manifest
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 1,
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_pos_deletes,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
     wl.close()
 
     # ---- metadata.json ----

@@ -203,3 +203,38 @@ def test_iceberg_readers_unavailable_offline_probe():
             __import__(mod)
     with pytest.raises(Exception):
         duckdb.sql("LOAD iceberg")
+
+
+def test_export_dv_table_emits_position_deletes(spark, tmp_path):
+    """Round-7 probe caught DV-bearing snapshots exporting as bare data
+    files — every Iceberg reader would resurrect the deleted rows. The
+    export now converts the internal (basename, pos) DV parquet to a
+    spec position-delete file + delete manifest; the foreign reader
+    (which applies position deletes) must agree with the table's own
+    read, including after a SECOND DV delete + re-export."""
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+        read_iceberg_table,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    t = TxnTable(str(tmp_path / "dvx"))
+    t.write(
+        spark.range(0, 20).selectExpr("id", "id * 1.0 AS v"),
+        mode="overwrite",
+    )
+    t.delete_where(spark, "id < 5", dv=True)
+    export_iceberg_metadata(t, spark)
+    got = sorted(r.id for r in read_iceberg_table(spark, t.path).collect())
+    assert got == list(range(5, 20))
+    _, _, pos, eq = iceberg_live_files(spark, t.path)
+    assert len(pos) == 1 and not eq
+
+    t.delete_where(spark, "id >= 18", dv=True)
+    export_iceberg_metadata(t, spark)
+    got2 = sorted(r.id for r in read_iceberg_table(spark, t.path).collect())
+    assert got2 == sorted(r.id for r in t.read(spark).collect())
+    assert got2 == list(range(5, 18))
