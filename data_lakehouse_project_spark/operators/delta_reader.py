@@ -365,8 +365,8 @@ def _read_v2_checkpoint_state(manifest_path: str, table_path: str):
 
 def _read_commit_actions(table_path: str, version: int):
     """One foreign JSON commit -> (adds, removes, commit_info_raw,
-    meta_raw, protocol_raw, txns)."""
-    adds, removes, txns = [], [], []
+    meta_raw, protocol_raw, txns, cdc)."""
+    adds, removes, txns, cdc = [], [], [], []
     info = meta_raw = protocol_raw = None
     fname = os.path.join(
         _log_dir(table_path), f"{version:0{_VERSION_DIGITS}d}.json"
@@ -389,7 +389,9 @@ def _read_commit_actions(table_path: str, version: int):
                 protocol_raw = action["protocol"]
             elif "txn" in action:
                 txns.append(action["txn"])
-    return adds, removes, info, meta_raw, protocol_raw, txns
+            elif "cdc" in action:
+                cdc.append(action["cdc"])
+    return adds, removes, info, meta_raw, protocol_raw, txns, cdc
 
 
 def sniff_commit_metadata(table_path: str, version: int) -> dict | None:
@@ -417,7 +419,7 @@ def sniff_commit_metadata(table_path: str, version: int) -> dict | None:
 def _commit_timestamp_ms(table_path: str, version: int) -> int:
     """commitInfo.timestamp when present, else commit-file mtime (the
     spec's fallback ordering clock)."""
-    _, _, info, _, _, _ = _read_commit_actions(table_path, version)
+    _, _, info, _, _, _, _ = _read_commit_actions(table_path, version)
     if info and isinstance(info.get("timestamp"), (int, float)):
         return int(info["timestamp"])
     fname = os.path.join(
@@ -512,7 +514,7 @@ def read_delta_snapshot(
             f"commit gap: need versions {start}..{version}, have {replay}"
         )
     for v in replay:
-        adds, removes, info, m_raw, p_raw, vtxns = _read_commit_actions(
+        adds, removes, info, m_raw, p_raw, vtxns, _ = _read_commit_actions(
             table_path, v
         )
         for r in removes:
@@ -789,7 +791,7 @@ def delta_history(table_path: str) -> list[dict]:
     """commitInfo of every surviving commit file, oldest first."""
     out = []
     for v in _commit_versions(table_path):
-        _, _, info, _, _, _ = _read_commit_actions(table_path, v)
+        _, _, info, _, _, _, _ = _read_commit_actions(table_path, v)
         out.append(
             {"version": v, **(info or {})}
             if info is not None

@@ -171,6 +171,7 @@ def _parse_add(d: dict) -> dict:
         "path": unquote(d["path"]),
         "partition_values": d.get("partitionValues", {}),
         "size_bytes": d.get("size", 0),
+        "data_change": bool(d.get("dataChange", True)),
     }
     raw = d.get("stats")
     if raw:
@@ -207,7 +208,12 @@ def _serialize_remove(r: dict, ts_ms: int) -> dict:
 def _parse_remove(d: dict) -> dict:
     from urllib.parse import unquote
 
-    r = {"path": unquote(d["path"])}
+    r = {
+        "path": unquote(d["path"]),
+        "data_change": bool(d.get("dataChange", True)),
+    }
+    if d.get("partitionValues") is not None:
+        r["partition_values"] = d["partitionValues"]
     tags = d.get("tags") or {}
     if _TAG_DV in tags:
         r["dv"] = json.loads(tags[_TAG_DV])

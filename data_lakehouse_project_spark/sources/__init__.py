@@ -2,6 +2,7 @@ from data_lakehouse_project_spark.sources.readers import (  # noqa: F401
     load_testdata,
     read_csv,
     read_delta,
+    read_delta_changes,
     read_iceberg,
     read_jdbc,
     read_json,

@@ -89,7 +89,7 @@ class DeltaStreamDataSource(DataSource):
             m_raw = sniff_commit_metadata(table, v)
             if m_raw is not None:
                 meta_raw = m_raw
-                _, _, _, _, p_raw, _ = _read_commit_actions(table, v)
+                _, _, _, _, p_raw, _, _ = _read_commit_actions(table, v)
                 protocol_raw = p_raw
                 break
         if meta_raw is None:
@@ -269,7 +269,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         # executor's Python worker has none (fromDDL needs the JVM)
         parts = list(boot_parts)
         for v in available:
-            adds, removes, _, _, _, _ = _read_commit_actions(
+            adds, removes, _, _, _, _, _ = _read_commit_actions(
                 self._table, v
             )
             if removes and not (

@@ -277,6 +277,26 @@ def read_delta(
     )
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed over any Delta log — row-level changes with
+    ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``
+    (operators/delta_cdf.py)."""
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes as _impl,
+    )
+
+    return _impl(
+        spark, path,
+        starting_version=starting_version,
+        ending_version=ending_version,
+    )
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,

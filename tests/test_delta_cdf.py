@@ -1,0 +1,238 @@
+"""Change-Data-Feed reader (operators/delta_cdf.py): synthesized
+insert/delete commits, cdc-action commits (hand-built foreign fixture),
+partition-value recovery for removes, and the refusal contract for
+rewrites/DV commits."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.delta_cdf import (
+    read_delta_changes,
+)
+from data_lakehouse_project_spark.operators.delta_reader import (
+    CorruptDeltaLog,
+    UnsupportedDeltaFeature,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _batch(spark, lo, hi, part="p0"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{part}' AS part", "id * 2.0 AS v"
+    )
+
+
+def test_insert_commits_are_cdf_inserts(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 3), mode="overwrite")   # v0
+    t.write(_batch(spark, 3, 5), mode="append")      # v1
+    cdf = read_delta_changes(spark, t.path)
+    rows = sorted(
+        (r.id, r._change_type, r._commit_version) for r in cdf.collect()
+    )
+    assert rows == [
+        (0, "insert", 0), (1, "insert", 0), (2, "insert", 0),
+        (3, "insert", 1), (4, "insert", 1),
+    ]
+    assert all(r._commit_timestamp > 0 for r in cdf.collect())
+
+
+def test_delete_commit_and_version_slicing(spark, tmp_path):
+    """Whole-file CoW delete -> remove-only commit -> CDF deletes; the
+    partition values for the removed file come from the prior
+    snapshot's add action (the log's removes carry none)."""
+    t = TxnTable(str(tmp_path / "td"))
+    t.write(
+        _batch(spark, 0, 4, "a"), mode="overwrite", partition_by=["part"]
+    )                                                  # v0
+    t.write(_batch(spark, 4, 6, "b"), mode="append")   # v1
+    t.delete_where(spark, "part = 'b'")                # v2: remove-only
+    cdf = read_delta_changes(spark, t.path)
+    by_type = {}
+    for r in cdf.collect():
+        by_type.setdefault(r._change_type, []).append(r)
+    assert sorted(r.id for r in by_type["insert"]) == [0, 1, 2, 3, 4, 5]
+    assert sorted((r.id, r.part) for r in by_type["delete"]) == [
+        (4, "b"), (5, "b"),
+    ]
+    assert {r._commit_version for r in by_type["delete"]} == {2}
+
+    # slicing: only the delete commit
+    only_del = read_delta_changes(spark, t.path, starting_version=2)
+    assert sorted((r.id, r._change_type) for r in only_del.collect()) == [
+        (4, "delete"), (5, "delete"),
+    ]
+
+
+def test_rewrite_without_cdc_refused(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tr"))
+    t.write(_batch(spark, 0, 4), mode="overwrite")
+    t.update_where(spark, "id = 1", {"v": "99.0"})  # add+remove rewrite
+    with pytest.raises(UnsupportedDeltaFeature, match="rewrites"):
+        read_delta_changes(spark, t.path)
+    # slicing PAST the rewrite works
+    t.write(_batch(spark, 4, 6), mode="append")
+    got = read_delta_changes(spark, t.path, starting_version=2)
+    assert sorted(r.id for r in got.collect()) == [4, 5]
+
+
+def test_dv_commit_refused(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tdv"))
+    t.write(_batch(spark, 0, 6), mode="overwrite")
+    t.delete_where(spark, "id < 2", dv=True)
+    with pytest.raises(UnsupportedDeltaFeature, match="deletion"):
+        read_delta_changes(spark, t.path)
+
+
+def test_cdc_actions_take_precedence(spark, tmp_path):
+    """A hand-built foreign commit carrying cdc actions: CDF rows come
+    ONLY from the _change_data parquet (with its own _change_type,
+    incl. update pre/postimages); the same commit's add contributes
+    nothing."""
+    table = str(tmp_path / "f")
+    os.makedirs(os.path.join(table, "_change_data"))
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+
+    def _commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    def _data(name, ids, vs):
+        p = os.path.join(table, name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(ids, pa.int64()),
+                 "v": pa.array(vs, pa.float64())}
+            ),
+            p,
+        )
+        return os.path.getsize(p)
+
+    s0 = _data("f0.parquet", [1, 2], [1.0, 2.0])
+    _commit(
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {
+                "metaData": {
+                    "id": "cdf-1",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.enableChangeDataFeed": "true"
+                    },
+                    "createdTime": 1700000000000,
+                }
+            },
+            {
+                "add": {
+                    "path": "f0.parquet",
+                    "partitionValues": {},
+                    "size": s0,
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 2}),
+                }
+            },
+            {"commitInfo": {"timestamp": 1700000001000,
+                            "operation": "WRITE"}},
+        ],
+    )
+    # v1: an UPDATE with cdc — the rewritten data file f1 is added and
+    # f0 removed, but the change rows live in the cdc parquet
+    s1 = _data("f1.parquet", [1, 2], [1.0, 20.0])
+    pcdc = os.path.join(table, "_change_data", "cdc-0.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([2, 2], pa.int64()),
+                "v": pa.array([2.0, 20.0], pa.float64()),
+                "_change_type": pa.array(
+                    ["update_preimage", "update_postimage"], pa.string()
+                ),
+            }
+        ),
+        pcdc,
+    )
+    _commit(
+        1,
+        [
+            {
+                "cdc": {
+                    "path": "_change_data/cdc-0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(pcdc),
+                    "dataChange": False,
+                }
+            },
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "partitionValues": {},
+                    "size": s1,
+                    "modificationTime": 1700000002000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 2}),
+                }
+            },
+            {
+                "remove": {
+                    "path": "f0.parquet",
+                    "deletionTimestamp": 1700000002000,
+                    "dataChange": True,
+                }
+            },
+            {"commitInfo": {"timestamp": 1700000002000,
+                            "operation": "UPDATE"}},
+        ],
+    )
+    cdf = read_delta_changes(spark, table)
+    rows = sorted(
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in cdf.collect()
+    )
+    assert rows == [
+        (0, "insert", 1, 1.0),
+        (0, "insert", 2, 2.0),
+        (1, "update_postimage", 2, 20.0),
+        (1, "update_preimage", 2, 2.0),
+    ]
+
+
+def test_vacuumed_removed_file_is_hard_error(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "tv"))
+    t.write(_batch(spark, 0, 4, "a"), mode="overwrite",
+            partition_by=["part"])
+    t.write(_batch(spark, 4, 6, "b"), mode="append")
+    t.delete_where(spark, "part = 'b'")
+    t.vacuum(keep_versions=1)  # part=b's file physically gone
+    with pytest.raises(CorruptDeltaLog, match="vacuumed"):
+        read_delta_changes(spark, t.path)
+    # v1's ADD references the vacuumed file too — same hard error
+    with pytest.raises(CorruptDeltaLog, match="vacuumed"):
+        read_delta_changes(spark, t.path, ending_version=1)
+    # the surviving prefix still reads
+    got = read_delta_changes(spark, t.path, ending_version=0)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
