@@ -65,11 +65,15 @@ from data_lakehouse_project_spark.operators.txnlog import _parse_meta
 
 
 class _DeltaFilePartition(InputPartition):
-    def __init__(self, path, partition_values, schema_json, part_cols):
+    def __init__(self, path, partition_values, schema_json, part_cols,
+                 cdf=None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
         self.part_cols = part_cols
+        # CDF mode: (change_type | None if the file carries its own,
+        #            commit_version, commit_timestamp_ms)
+        self.cdf = cdf
 
 
 class DeltaStreamDataSource(DataSource):
@@ -121,13 +125,27 @@ class DeltaStreamDataSource(DataSource):
             )
         return table, meta_raw
 
+    def _cdf_mode(self) -> bool:
+        return (
+            self.options.get("readChangeFeed", "false").lower() == "true"
+        )
+
     def schema(self) -> StructType:
         _, meta_raw = self._table_meta()
         # session-free: Delta's schemaString IS StructType JSON, and
         # DataSource.schema() can run on a thread with no active session
-        return StructType.fromJson(
+        base = StructType.fromJson(
             json.loads(_parse_meta(meta_raw)["schema_json"])
         )
+        if self._cdf_mode():
+            from pyspark.sql.types import LongType, StringType
+
+            base = (
+                base.add("_change_type", StringType())
+                .add("_commit_version", LongType())
+                .add("_commit_timestamp", LongType())
+            )
+        return base
 
     def streamReader(self, schema: StructType):
         table, meta_raw = self._table_meta()
@@ -148,6 +166,12 @@ class DeltaStreamDataSource(DataSource):
                 start = snap.version + 1
         else:
             start = int(raw_start)
+        if self._cdf_mode() and bootstrap is not None:
+            raise UnsupportedDeltaFeature(
+                "readChangeFeed cannot bootstrap from a checkpoint "
+                "snapshot (per-commit changes before it are gone); "
+                "use a numeric startingVersion at or after the gap"
+            )
         return _DeltaStreamReader(
             table,
             schema,
@@ -158,6 +182,7 @@ class DeltaStreamDataSource(DataSource):
             int(self.options.get("maxCommitsPerTrigger", "0")),
             int(self.options.get("maxBytesPerTrigger", "0")),
             bootstrap_version=bootstrap,
+            read_change_feed=self._cdf_mode(),
         )
 
 
@@ -166,6 +191,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self, table, schema, part_cols, starting_version,
         ignore_deletes, ignore_changes, max_commits_per_trigger=0,
         max_bytes_per_trigger=0, bootstrap_version=None,
+        read_change_feed=False,
     ):
         self._table = table
         self._schema = schema
@@ -176,6 +202,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._max_commits = max_commits_per_trigger
         self._max_bytes = max_bytes_per_trigger
         self._bootstrap = bootstrap_version
+        self._cdf = read_change_feed
         # backpressure bookkeeping: the highest offset this reader has
         # already handed out (advanced by latestOffset, synced forward
         # by partitions() so a checkpoint restart — where Spark knows
@@ -268,6 +295,10 @@ class _DeltaStreamReader(DataSourceStreamReader):
         # StructType JSON round-trips WITHOUT a SparkContext — the
         # executor's Python worker has none (fromDDL needs the JVM)
         parts = list(boot_parts)
+        if self._cdf:
+            for v in available:
+                parts.extend(self._cdf_partitions(v, schema_json))
+            return parts or [_DeltaFilePartition(None, {}, "", [])]
         for v in available:
             adds, removes, _, _, _, _, _ = _read_commit_actions(
                 self._table, v
@@ -306,6 +337,108 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 )
         return parts or [_DeltaFilePartition(None, {}, "", [])]
 
+    def _cdf_partitions(self, v: int, schema_json: str):
+        """One commit -> CDF partitions, per the same contract as the
+        batch reader (operators/delta_cdf.py): cdc actions win;
+        insert-only/delete-only commits synthesize; rewrites and DV
+        commits are refused; dataChange=false contributes nothing."""
+        from data_lakehouse_project_spark.operators.delta_reader import (
+            _commit_timestamp_ms,
+        )
+
+        adds, removes, info, _, _, _, cdc = _read_commit_actions(
+            self._table, v
+        )
+        ts = (
+            int(info["timestamp"])
+            if info and isinstance(info.get("timestamp"), (int, float))
+            else _commit_timestamp_ms(self._table, v)
+        )
+
+        def _abs(p):
+            return (
+                p if os.path.isabs(p) else os.path.join(self._table, p)
+            )
+
+        parts = []
+        if cdc:
+            for c in cdc:
+                parts.append(
+                    _DeltaFilePartition(
+                        _abs(c["path"]),
+                        c.get("partitionValues") or {},
+                        schema_json,
+                        self._part_cols,
+                        cdf=(None, v, ts),  # file carries _change_type
+                    )
+                )
+            return parts
+        changed_adds = [a for a in adds if a.get("data_change", True)]
+        changed_removes = [
+            r for r in removes if r.get("data_change", True)
+        ]
+        if changed_adds and changed_removes:
+            raise UnsupportedDeltaFeature(
+                f"commit {v} rewrites files without cdc actions; its "
+                "row-level changes cannot be reconstructed"
+            )
+        for a in changed_adds:
+            if a.get("dv") or a.get("foreign_dv"):
+                raise UnsupportedDeltaFeature(
+                    f"commit {v} changes rows via deletion vectors; "
+                    "CDF cannot reconstruct the delta"
+                )
+            parts.append(
+                _DeltaFilePartition(
+                    _abs(a["path"]),
+                    a.get("partition_values") or {},
+                    schema_json,
+                    self._part_cols,
+                    cdf=("insert", v, ts),
+                )
+            )
+        recovered = None
+        for r in changed_removes:
+            if r.get("dv"):
+                raise UnsupportedDeltaFeature(
+                    f"commit {v} removes rows via deletion vectors; "
+                    "CDF cannot reconstruct the delta"
+                )
+            pv = r.get("partition_values")
+            if pv is None and self._part_cols:
+                if recovered is None:  # prior snapshot, once per commit
+                    prior = read_delta_snapshot(
+                        self._table, version=v - 1
+                    )
+                    recovered = {
+                        f["path"]: f.get("partition_values") or {}
+                        for f in prior.files
+                    }
+                pv = recovered.get(r["path"])
+                if pv is None:
+                    raise CorruptDeltaLog(
+                        f"remove of {r['path']} at commit {v} carries "
+                        "no partition values and the file is not in "
+                        "the prior snapshot"
+                    )
+            p = _abs(r["path"])
+            if not os.path.exists(p):
+                raise CorruptDeltaLog(
+                    f"removed file {r['path']} (commit {v}) no longer "
+                    "exists (vacuumed) — its delete rows cannot be "
+                    "reproduced"
+                )
+            parts.append(
+                _DeltaFilePartition(
+                    p,
+                    pv or {},
+                    schema_json,
+                    self._part_cols,
+                    cdf=("delete", v, ts),
+                )
+            )
+        return parts
+
     def read(self, partition: _DeltaFilePartition):
         if partition.path is None:
             return iter(())
@@ -322,8 +455,22 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
         table = pq.read_table(partition.path)
         n = table.num_rows
+        cdf_const = {}
+        if partition.cdf is not None:
+            ctype, cver, cts = partition.cdf
+            cdf_const["_commit_version"] = pa.array([cver] * n, pa.int64())
+            cdf_const["_commit_timestamp"] = pa.array(
+                [cts] * n, pa.int64()
+            )
+            if ctype is not None:  # synthesized; cdc files carry their own
+                cdf_const["_change_type"] = pa.array(
+                    [ctype] * n, pa.string()
+                )
         cols = []
         for f in target:
+            if f.name in cdf_const:
+                cols.append(cdf_const[f.name])
+                continue
             if f.name in partition.part_cols:
                 raw = partition.partition_values.get(f.name)
                 arr = pa.array([raw] * n, pa.string()).cast(f.type)

@@ -329,3 +329,52 @@ def test_column_mapped_table_refused(spark, tmp_path):
     ds = DeltaStreamDataSource(options={"path": path})
     with pytest.raises(UnsupportedDeltaFeature, match="column mapping"):
         ds.schema()
+
+
+def test_read_change_feed_stream(spark, tmp_path):
+    """readChangeFeed: the stream ships row-level changes with
+    _change_type/_commit_version/_commit_timestamp — inserts from
+    append commits, deletes from remove-only commits (partition values
+    recovered from the prior snapshot), rewrites refused."""
+    register_python_datasources(spark)
+    path = str(tmp_path / "tcdf")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 3, "a"), mode="overwrite",
+            partition_by=["part"])                       # v0
+    t.write(_batch(spark, 3, 5, "b"), mode="append")     # v1
+    t.delete_where(spark, "part = 'b'")                  # v2 remove-only
+
+    got: list[tuple] = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: got.extend(
+                (r["id"], r["part"], r["_change_type"],
+                 r["_commit_version"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r for r in got if r[2] == "insert") == [
+        (0, "a", "insert", 0), (1, "a", "insert", 0),
+        (2, "a", "insert", 0),
+        (3, "b", "insert", 1), (4, "b", "insert", 1),
+    ]
+    assert sorted(r for r in got if r[2] == "delete") == [
+        (3, "b", "delete", 2), (4, "b", "delete", 2),
+    ]
+
+    # a rewrite commit poisons the CDF tail — the stream must refuse
+    t.update_where(spark, "id = 1", {"v": "42.0"})
+    with pytest.raises(Exception, match="rewrites|cdc"):
+        got2: list[tuple] = []
+        _run_available_now(
+            spark, path, str(tmp_path / "ck"), got2,
+            readChangeFeed="true",
+        )
