@@ -75,6 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_delta_log"
 DV_DIR = "_dv"
+CDC_DIR = "_change_data"
 _VERSION_DIGITS = 20
 # every Nth commit also writes a full-snapshot checkpoint, bounding
 # replay to one checkpoint + <N commit files for any table age
@@ -1208,6 +1209,7 @@ class TxnTable:
         predicate_sql: str,
         prune: list[tuple[str, str, object]] | None = None,
         dv: bool = False,
+        cdc: bool = False,
     ) -> int:
         """DELETE rows matching ``predicate_sql`` — at FILE granularity,
         like Delta: one scan (optionally ``prune``-narrowed by file
@@ -1258,6 +1260,20 @@ class TxnTable:
         if not touched:
             return read_version
         removes = [_remove_action(f) for f in touched]
+        cdc_actions = None
+        if cdc:
+            if dv:
+                raise ValueError(
+                    "cdc=True with dv=True is not supported: the CDF "
+                    "contract ships materialized change rows, which a "
+                    "merge-on-read delete deliberately avoids writing"
+                )
+            cdc_actions = self._stage_cdc(
+                matches.drop("_dl_path", "_dl_pos").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                partition_by,
+            )
         if not dv:
             # NULL-predicate rows are NOT deleted (SQL DELETE
             # semantics), so keep = NOT coalesce(pred, false)
@@ -1349,6 +1365,7 @@ class TxnTable:
             partition_by=partition_by,
             blind_append=False,
             info_extra=info,
+            cdc_actions=cdc_actions,
         )
 
     def update_where(
@@ -1357,6 +1374,7 @@ class TxnTable:
         predicate_sql: str,
         set_exprs: dict[str, str],
         prune: list[tuple[str, str, object]] | None = None,
+        cdc: bool = False,
     ) -> int:
         """UPDATE rows matching ``predicate_sql``, assigning each column
         in ``set_exprs`` its SQL expression (evaluated against the OLD
@@ -1411,6 +1429,24 @@ class TxnTable:
             .drop("_dl_path", "_dl_pos")
         )
         self._enforce_constraints(rewritten)
+        cdc_actions = None
+        if cdc:
+            # pre/postimage pairs for exactly the matching rows —
+            # evaluated from the SAME snapshot scan the rewrite uses
+            pre = (
+                scan.where(hit)
+                .drop("_dl_path", "_dl_pos")
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            post = (
+                scan.where(hit)
+                .withColumns({c: F.expr(e) for c, e in set_exprs.items()})
+                .drop("_dl_path", "_dl_pos")
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            cdc_actions = self._stage_cdc(
+                pre.unionByName(post), partition_by
+            )
         return self._commit(
             operation="update",
             read_version=read_version,
@@ -1423,6 +1459,7 @@ class TxnTable:
                 "files_rewritten": len(touched),
                 "files_skipped": len(snap.files) - len(touched),
             },
+            cdc_actions=cdc_actions,
         )
 
     def streaming_append(self, app_id: str, **write_kwargs):
@@ -2017,6 +2054,34 @@ class TxnTable:
                 if rel not in live_dv:
                     _rmtree_quiet(os.path.join(dv_root, name))
                     deleted.append(rel)
+        # change-data-feed files referenced by no RETAINED commit: CDF
+        # over vacuumed history hard-errors (like time travel), so the
+        # files follow the same retention horizon
+        cdc_root = os.path.join(self.path, CDC_DIR)
+        if os.path.isdir(cdc_root):
+            live_cdc: set[str] = set()
+            for v in retained:
+                try:
+                    with open(_version_file(self.path, v)) as fh:
+                        for line in fh:
+                            line = line.strip()
+                            if not line:
+                                continue
+                            action = json.loads(line)
+                            if "cdc" in action:
+                                live_cdc.add(action["cdc"]["path"])
+                except OSError:
+                    continue
+            for dirpath, _, filenames in os.walk(cdc_root):
+                for f in filenames:
+                    if not f.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(
+                        os.path.join(dirpath, f), self.path
+                    )
+                    if rel not in live_cdc:
+                        os.remove(os.path.join(dirpath, f))
+                        deleted.append(rel)
         return deleted
 
     # ---------------- internals ----------------
@@ -2290,6 +2355,41 @@ class TxnTable:
         _rmtree_quiet(staging)
         return adds
 
+    def _stage_cdc(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> list[dict]:
+        """Write change-data-feed rows (table columns + _change_type)
+        under ``_change_data/`` and return their ``cdc`` actions.  Like
+        staged data files, they are INVISIBLE until a commit references
+        them; partitioned tables partition the cdc layout by the same
+        PHYSICAL columns so each file carries one partitionValues."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        physical, _ = _parse_partition_spec(partition_by)
+        writer = df.write.mode("overwrite").format("parquet")
+        if physical:
+            writer = writer.partitionBy(*physical)
+        writer.save(staging)
+        cdc_dir = os.path.join(self.path, CDC_DIR)
+        actions = []
+        for rel in _data_files(staging):
+            src = os.path.join(staging, rel)
+            parts = rel.split(os.sep)
+            parts[-1] = f"cdc-{uuid.uuid4().hex}.parquet"
+            dst_rel = os.path.join(CDC_DIR, os.sep.join(parts))
+            dst = os.path.join(self.path, dst_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            actions.append(
+                {
+                    "path": dst_rel,
+                    "partitionValues": _partition_values(dst_rel),
+                    "size": os.path.getsize(dst),
+                    "dataChange": False,
+                }
+            )
+        _rmtree_quiet(staging)
+        return actions
+
     def _commit(
         self,
         operation: str,
@@ -2303,6 +2403,7 @@ class TxnTable:
         info_extra: dict | None = None,
         constraints: dict | None = None,
         txn: tuple[str, int] | None = None,
+        cdc_actions: list[dict] | None = None,
     ) -> int:
         """Publish: serialize actions to a temp file, then atomically
         link it to the next version slot. Losing a race means someone
@@ -2370,6 +2471,9 @@ class TxnTable:
             lines += [
                 json.dumps({"remove": _serialize_remove(r, ts_ms)})
                 for r in removes
+            ]
+            lines += [
+                json.dumps({"cdc": c}) for c in (cdc_actions or [])
             ]
             tmp = os.path.join(
                 _log_path(self.path), f".tmp-{uuid.uuid4().hex}.json"

@@ -236,3 +236,51 @@ def test_vacuumed_removed_file_is_hard_error(spark, tmp_path):
     # the surviving prefix still reads
     got = read_delta_changes(spark, t.path, ending_version=0)
     assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+
+def test_internal_writer_cdc_update_and_delete(spark, tmp_path):
+    """cdc=True on the internal writer's UPDATE/DELETE stages
+    _change_data parquet + cdc actions — so CDF now covers rewrite
+    commits (which are refused without cdc), with exact pre/postimage
+    pairs, and partitioned layouts keep per-file partitionValues."""
+    t = TxnTable(str(tmp_path / "tw"))
+    t.write(
+        _batch(spark, 0, 4, "a").union(_batch(spark, 4, 6, "b")),
+        mode="overwrite",
+        partition_by=["part"],
+    )                                                          # v0
+    t.update_where(spark, "id = 1", {"v": "99.0"}, cdc=True)   # v1
+    t.delete_where(spark, "id IN (4, 0)", cdc=True)            # v2 (CoW)
+
+    cdf = read_delta_changes(spark, t.path, starting_version=1)
+    rows = sorted(
+        (r._commit_version, r._change_type, r.id, r.part, r.v)
+        for r in cdf.collect()
+    )
+    assert rows == [
+        (1, "update_postimage", 1, "a", 99.0),
+        (1, "update_preimage", 1, "a", 2.0),
+        (2, "delete", 0, "a", 0.0),
+        (2, "delete", 4, "b", 8.0),
+    ]
+
+    # the full feed (v0 inserts + the cdc commits) is consistent
+    full = read_delta_changes(spark, t.path)
+    assert len(full.collect()) == 6 + 4
+
+    # vacuum keeps cdc files of RETAINED commits (v2) and drops older
+    # ones (v1's update pre/postimages fall out of retention)
+    deleted = t.vacuum(keep_versions=1)
+    assert any(p.startswith("_change_data") for p in deleted)
+    got = read_delta_changes(spark, t.path, starting_version=2)
+    assert sorted((r.id, r._change_type) for r in got.collect()) == [
+        (0, "delete"), (4, "delete"),
+    ]
+    with pytest.raises(CorruptDeltaLog, match="vacuumed"):
+        read_delta_changes(spark, t.path, starting_version=1)
+
+
+def test_cdc_with_dv_delete_refused(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "twd"))
+    t.write(_batch(spark, 0, 4), mode="overwrite")
+    with pytest.raises(ValueError, match="cdc=True with dv=True"):
+        t.delete_where(spark, "id = 1", dv=True, cdc=True)
