@@ -882,6 +882,7 @@ class TxnTable:
         insert_condition: str | None = None,
         not_matched_by_source_delete: str | bool = False,
         txn: tuple[str, int] | None = None,
+        cdc: bool = False,
     ) -> int:
         """Full-clause MERGE with Delta's semantics, at FILE
         granularity::
@@ -965,7 +966,7 @@ class TxnTable:
                 spark, source, keys, matched_update,
                 matched_update_condition, matched_delete_condition,
                 insert, insert_condition, not_matched_by_source_delete,
-                txn, read_version, _reduce, F,
+                txn, read_version, _reduce, F, cdc,
             )
         finally:
             free_local_checkpoint(source)
@@ -974,7 +975,7 @@ class TxnTable:
         self, spark, source, keys, matched_update,
         matched_update_condition, matched_delete_condition, insert,
         insert_condition, not_matched_by_source_delete, txn,
-        read_version, _reduce, F,
+        read_version, _reduce, F, cdc=False,
     ) -> int:
         snap = self.snapshot()
         partition_by = self._current_partition_by()
@@ -1156,6 +1157,69 @@ class TxnTable:
             ]
         )
         self._enforce_constraints(out)
+        cdc_actions = None
+        if cdc:
+            # change rows per clause, from the SAME joined snapshot the
+            # rewrite uses: matched deletes + NMBS deletes -> "delete"
+            # preimages; updates -> pre/postimage pairs; inserts ->
+            # "insert". Cast to the target schema like `out`.
+            tsel = [F.col(f"t.{c}").alias(c) for c in tgt_cols]
+            branches = []
+            if touched:
+                base = joined.where(F.col("t._dl_path").isin(hit_paths))
+                if matched_delete_condition is not None:
+                    branches.append(
+                        base.where(m_del)
+                        .select(*tsel)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+                if matched_update:
+                    branches.append(
+                        base.where(m_upd)
+                        .select(*tsel)
+                        .withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    branches.append(
+                        base.where(m_upd)
+                        .select(
+                            *[
+                                (
+                                    F.expr(matched_update[c])
+                                    if c in matched_update
+                                    else F.col(f"t.{c}")
+                                ).alias(c)
+                                for c in tgt_cols
+                            ]
+                        )
+                        .withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                if not_matched_by_source_delete is not False:
+                    branches.append(
+                        base.where(nmbs)
+                        .select(*tsel)
+                        .withColumn("_change_type", F.lit("delete"))
+                    )
+            if inserts is not None:
+                branches.append(
+                    inserts.select(*tgt_cols).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            if branches:
+                cdc_df = _reduce(
+                    lambda a, b: a.unionByName(b), branches
+                ).select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in tgt_schema.fields
+                    ],
+                    "_change_type",
+                )
+                cdc_actions = self._stage_cdc(cdc_df, partition_by)
         return self._commit(
             operation="merge",
             read_version=read_version,
@@ -1165,6 +1229,7 @@ class TxnTable:
             partition_by=partition_by,
             blind_append=False,
             txn=txn,
+            cdc_actions=cdc_actions,
             info_extra={
                 "files_rewritten": len(touched),
                 "files_skipped": len(snap.files) - len(touched),

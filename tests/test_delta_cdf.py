@@ -284,3 +284,44 @@ def test_cdc_with_dv_delete_refused(spark, tmp_path):
     t.write(_batch(spark, 0, 4), mode="overwrite")
     with pytest.raises(ValueError, match="cdc=True with dv=True"):
         t.delete_where(spark, "id = 1", dv=True, cdc=True)
+
+
+def test_merge_into_cdc_all_clauses(spark, tmp_path):
+    """MERGE with cdc=True: per-clause change rows — matched delete,
+    update pre/postimage pairs, NMBS delete, insert — all land in one
+    commit's _change_data and read back through the CDF reader."""
+    t = TxnTable(str(tmp_path / "tm"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id long, v double"
+        ),
+        mode="overwrite",
+    )                                                          # v0
+    src = spark.createDataFrame(
+        [(2, 200.0), (3, -1.0), (5, 50.0)], "id long, v double"
+    )
+    t.merge_into(
+        spark,
+        src,
+        keys=["id"],
+        matched_update={"v": "s.v"},
+        matched_delete_condition="s.v < 0",   # id 3 deleted
+        insert=True,                           # id 5 inserted
+        not_matched_by_source_delete="t.id = 4",  # id 4 deleted
+        cdc=True,
+    )                                                          # v1
+    cdf = read_delta_changes(spark, t.path, starting_version=1)
+    rows = sorted(
+        (r._change_type, r.id, r.v) for r in cdf.collect()
+    )
+    assert rows == [
+        ("delete", 3, 30.0),
+        ("delete", 4, 40.0),
+        ("insert", 5, 50.0),
+        ("update_postimage", 2, 200.0),
+        ("update_preimage", 2, 20.0),
+    ]
+    # the table state agrees with replaying the feed
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
+        (1, 10.0), (2, 200.0), (5, 50.0),
+    ]
