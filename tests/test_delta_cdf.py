@@ -325,3 +325,40 @@ def test_merge_into_cdc_all_clauses(spark, tmp_path):
     assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
         (1, 10.0), (2, 200.0), (5, 50.0),
     ]
+
+
+def test_cdc_relay_exactly_once(spark, tmp_path):
+    """Capstone relay: CDC batches applied through the exactly-once
+    streaming MERGE sink with cdc=True re-emit their row-level changes
+    — a replayed micro-batch is a no-op commit, so the downstream
+    change feed carries each change exactly once."""
+    t = TxnTable(str(tmp_path / "relay"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "id long, v double"
+        ),
+        mode="overwrite",
+    )                                                     # v0
+    sink = t.streaming_merge("relay-app", ["id"], cdc=True)
+
+    b0 = spark.createDataFrame([(1, 11.0), (3, 30.0)], "id long, v double")
+    sink(b0, 0)                                           # v1: upd 1, ins 3
+    sink(b0, 0)                                           # replay -> no-op
+    b1 = spark.createDataFrame([(2, 22.0)], "id long, v double")
+    sink(b1, 1)                                           # v2: upd 2
+
+    cdf = read_delta_changes(spark, t.path, starting_version=1)
+    rows = sorted(
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in cdf.collect()
+    )
+    assert rows == [
+        (1, "insert", 3, 30.0),
+        (1, "update_postimage", 1, 11.0),
+        (1, "update_preimage", 1, 10.0),
+        (2, "update_postimage", 2, 22.0),
+        (2, "update_preimage", 2, 20.0),
+    ]
+    assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
+        (1, 11.0), (2, 22.0), (3, 30.0),
+    ]
