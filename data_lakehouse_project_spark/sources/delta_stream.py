@@ -324,6 +324,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     )
                 continue
             for a in adds:
+                if a.get("foreign_dv") or a.get("dv"):
+                    # shipping the whole file would RESURRECT the
+                    # DV-deleted rows into the stream
+                    raise UnsupportedDeltaFeature(
+                        f"commit {v} adds a deletion-vector-bearing "
+                        "file; the streaming source cannot apply DVs"
+                    )
                 p = a["path"]
                 if not os.path.isabs(p):
                     p = os.path.join(self._table, p)

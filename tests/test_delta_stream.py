@@ -378,3 +378,72 @@ def test_read_change_feed_stream(spark, tmp_path):
             spark, path, str(tmp_path / "ck"), got2,
             readChangeFeed="true",
         )
+
+
+def test_foreign_dv_add_refused_in_tail(spark, tmp_path):
+    """A foreign commit whose add carries a spec deletionVector must be
+    REFUSED by the stream tail — shipping the whole file would
+    resurrect the DV-deleted rows (round-7 audit)."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_lakehouse_project_spark.operators.dv import (
+        rbm_array_serialize,
+        z85_encode,
+    )
+
+    table = str(tmp_path / "fdv")
+    os.makedirs(table)
+    fp = os.path.join(table, "f0.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                  "part": pa.array(["a"] * 3, pa.string()),
+                  "v": pa.array([0.0, 2.0, 4.0], pa.float64())}),
+        fp,
+    )
+    blob = rbm_array_serialize([1], pad4=True)
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "part", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": schema,
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 1700000000000}},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": os.path.getsize(fp),
+                     "modificationTime": 1700000001000,
+                     "dataChange": True,
+                     "stats": json.dumps({"numRecords": 3}),
+                     "deletionVector": {"storageType": "i",
+                                        "pathOrInlineDv": z85_encode(blob),
+                                        "sizeInBytes": len(blob),
+                                        "cardinality": 1}}},
+            {"commitInfo": {"timestamp": 1700000001000,
+                            "operation": "WRITE"}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+
+    register_python_datasources(spark)
+    with pytest.raises(Exception, match="deletion-vector|deletionVector"):
+        _run_available_now(spark, table, str(tmp_path / "ck"), [])
