@@ -362,3 +362,28 @@ def test_cdc_relay_exactly_once(spark, tmp_path):
     assert sorted((r.id, r.v) for r in t.read(spark).collect()) == [
         (1, 11.0), (2, 22.0), (3, 30.0),
     ]
+
+
+def test_protocol_cdf_agrees_with_internal_read_changes(spark, tmp_path):
+    """Two independent CDF derivations — the internal exceptAll-diff
+    (txnlog.read_changes, round 4) and the protocol-level reader
+    (read_delta_changes) — must agree on insert/delete commits.  The
+    internal diff nets an update to delete+insert while the protocol
+    path only reads exact cdc rows, so the comparison uses cdc-free
+    insert/delete history."""
+    t = TxnTable(str(tmp_path / "x"))
+    t.write(_batch(spark, 0, 4, "a"), mode="overwrite",
+            partition_by=["part"])                       # v0
+    t.write(_batch(spark, 4, 6, "b"), mode="append")     # v1
+    t.delete_where(spark, "part = 'b'")                  # v2
+
+    cols = ["id", "part", "v", "_change_type", "_commit_version"]
+    a = sorted(
+        tuple(r[c] for c in cols)
+        for r in t.read_changes(spark).select(*cols).collect()
+    )
+    b = sorted(
+        tuple(r[c] for c in cols)
+        for r in read_delta_changes(spark, t.path).select(*cols).collect()
+    )
+    assert a == b and len(a) == 8  # 6 inserts + 2 deletes
