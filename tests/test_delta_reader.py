@@ -881,3 +881,89 @@ def test_v2_checkpoint_version_mismatch_refused(spark, tmp_path):
         CorruptDeltaLog, match="no metaData|commit gap"
     ):
         read_delta_snapshot(table)
+
+
+def test_v2_checkpoint_with_dv_add(spark, tmp_path):
+    """A v2 checkpoint whose sidecar add carries a spec deletionVector:
+    the checkpoint intake keeps the descriptor and the scan applies it
+    — the two round-7 features compose."""
+    from data_lakehouse_project_spark.operators.dv import (
+        rbm_array_serialize,
+        z85_encode,
+    )
+
+    table = str(tmp_path / "v2dv")
+    os.makedirs(table)
+    s_a = _write_data(table, "da.parquet", [1, 2, 3], ["a", "b", "c"])
+    blob = rbm_array_serialize([0, 2], pad4=True)
+    log = os.path.join(table, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir)
+    str_map = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", str_map),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            (
+                "deletionVector",
+                pa.struct(
+                    [
+                        ("storageType", pa.string()),
+                        ("pathOrInlineDv", pa.string()),
+                        ("sizeInBytes", pa.int32()),
+                        ("cardinality", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {
+                    "add": {
+                        "path": "da.parquet",
+                        "partitionValues": [],
+                        "size": s_a,
+                        "modificationTime": 1700000001000,
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": 3}),
+                        "deletionVector": {
+                            "storageType": "i",
+                            "pathOrInlineDv": z85_encode(blob),
+                            "sizeInBytes": len(blob),
+                            "cardinality": 2,
+                        },
+                    }
+                }
+            ],
+            schema=pa.schema([("add", add_t)]),
+        ),
+        os.path.join(sc_dir, "sc-dv.parquet"),
+    )
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint", "deletionVectors"],
+        "writerFeatures": ["v2Checkpoint", "deletionVectors"],
+    }
+    mp = os.path.join(log, f"{0:020d}.checkpoint.{V2_UUID}.json")
+    with open(mp, "w") as fh:
+        for a in [
+            {"checkpointMetadata": {"version": 0, "tags": {}}},
+            {"protocol": proto},
+            {"metaData": _meta(SCHEMA_V0, part_cols=())},
+            {"sidecar": {"path": "sc-dv.parquet", "sizeInBytes": 1}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 0, "size": 4}, fh)
+
+    snap = read_delta_snapshot(table)
+    assert snap.num_rows == 1  # 3 physical - 2 DV-deleted
+    df = read_delta_table(spark, table)
+    assert [(r.id, r.v) for r in df.collect()] == [(2, "b")]
