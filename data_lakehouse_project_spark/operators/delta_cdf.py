@@ -182,7 +182,10 @@ def read_delta_changes(
                     )
                 )
             for r in changed_removes:
-                if r.get("dv"):
+                if r.get("dv") or r.get("foreign_dv"):
+                    # a removed file that carried a DV had SOME rows
+                    # already deleted — synthesizing its whole content
+                    # as deletes would over-delete in the feed
                     raise UnsupportedDeltaFeature(
                         f"commit {v} removes rows via deletion "
                         "vectors; CDF cannot reconstruct the delta"

@@ -215,6 +215,8 @@ def _parse_remove(d: dict) -> dict:
     }
     if d.get("partitionValues") is not None:
         r["partition_values"] = d["partitionValues"]
+    if d.get("deletionVector"):  # foreign spec DV on the removed file
+        r["foreign_dv"] = d["deletionVector"]
     tags = d.get("tags") or {}
     if _TAG_DV in tags:
         r["dv"] = json.loads(tags[_TAG_DV])

@@ -406,7 +406,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
             )
         recovered = None
         for r in changed_removes:
-            if r.get("dv"):
+            if r.get("dv") or r.get("foreign_dv"):
                 raise UnsupportedDeltaFeature(
                     f"commit {v} removes rows via deletion vectors; "
                     "CDF cannot reconstruct the delta"
