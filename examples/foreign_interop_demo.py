@@ -1,0 +1,112 @@
+"""Foreign-format interop walkthrough: one table, every direction.
+
+Builds an internal delta-lite table, then exercises the round-7
+interop surface end to end on one runnable script:
+
+1. batch read through the FOREIGN Delta-spec reader path
+   (``sources.read_delta`` routes by writer),
+2. protocol-level CHANGE DATA FEED (writer-side cdc emission on
+   UPDATE, delete synthesis, exactly-once versions),
+3. streaming tail + streaming CDC (``readChangeFeed``),
+4. Iceberg v2 export — including POSITION DELETE files for a
+   deletion-vector delete — read back through the foreign Iceberg
+   reader with bounds-based file skipping.
+
+    python examples/foreign_interop_demo.py [root_dir]
+
+The same semantics are pinned by pytest (test_delta_reader.py,
+test_delta_cdf.py, test_delta_stream.py, test_iceberg_reader.py,
+test_iceberg_export.py); this demo is the narrative form.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_lakehouse_project_spark import get_spark
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    export_iceberg_metadata,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+from data_lakehouse_project_spark.sources import (
+    read_delta,
+    read_delta_changes,
+    read_iceberg,
+)
+from data_lakehouse_project_spark.sources.python_datasource import (
+    register_python_datasources,
+)
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
+    spark = get_spark(app_name="foreign-interop-demo")
+    register_python_datasources(spark)
+    path = os.path.join(root, "orders")
+
+    # ---- 1. internal writes --------------------------------------
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 6).selectExpr(
+            "id", "cast(id % 2 as string) AS region", "id * 10.0 AS amount"
+        ),
+        mode="overwrite",
+        partition_by=["region"],
+    )  # v0
+    t.update_where(spark, "id = 1", {"amount": "111.0"}, cdc=True)  # v1
+    t.delete_where(spark, "id = 4", cdc=True)  # v2 (CoW + cdc rows)
+    print(f"table at {path}, version {t.latest_version()}")
+
+    # ---- 2. foreign-path batch read + CDF ------------------------
+    df = read_delta(spark, path)
+    print("read_delta rows:", sorted(r.id for r in df.collect()))
+    cdf = read_delta_changes(spark, path, starting_version=1)
+    print("change feed (v1..):")
+    for r in sorted(
+        cdf.collect(), key=lambda r: (r._commit_version, r._change_type)
+    ):
+        print(
+            f"  v{r._commit_version} {r._change_type:18s} "
+            f"id={r.id} amount={r.amount}"
+        )
+
+    # ---- 3. streaming tail + streaming CDC -----------------------
+    got: list[tuple] = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _id: got.extend(
+                (r["_commit_version"], r["_change_type"], r["id"])
+                for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    print("streaming CDC events:", len(got))
+
+    # ---- 4. DV delete -> Iceberg export w/ position deletes ------
+    t.delete_where(spark, "id = 5", dv=True)  # merge-on-read
+    export_iceberg_metadata(t, spark)
+    ice = read_iceberg(spark, path)
+    print("iceberg read-back:", sorted(r.id for r in ice.collect()))
+    pruned = read_iceberg(spark, path, prune=[("id", "<=", 2)])
+    print("iceberg pruned (id<=2):", sorted(r.id for r in pruned.collect()))
+    assert sorted(r.id for r in ice.collect()) == sorted(
+        r.id for r in t.read(spark).collect()
+    )
+    print("OK: iceberg snapshot (incl. position deletes) == own read")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
