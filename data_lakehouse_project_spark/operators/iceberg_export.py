@@ -169,6 +169,36 @@ def _partition_value(transform: str, raw: str | None, source_type: str):
 _AVRO_OF = {"int": "int", "long": "long", "double": "double", "string": "string"}
 
 
+def _encode_bound(value, iceberg_type: str) -> bytes | None:
+    """Spec §Binary single-value serialization for the bound types the
+    foreign reader's prune path decodes; None skips the column (pruning
+    treats missing bounds as "may match")."""
+    import datetime
+    import struct as _struct
+
+    try:
+        if iceberg_type == "int":
+            return _struct.pack("<i", int(value))
+        if iceberg_type == "long":
+            return _struct.pack("<q", int(value))
+        if iceberg_type == "float":
+            return _struct.pack("<f", float(value))
+        if iceberg_type == "double":
+            return _struct.pack("<d", float(value))
+        if iceberg_type == "string":
+            return str(value).encode("utf-8")
+        if iceberg_type == "date":
+            d = (
+                datetime.date.fromisoformat(value)
+                if isinstance(value, str)
+                else value
+            )
+            return _struct.pack("<i", (d - datetime.date(1970, 1, 1)).days)
+    except Exception:
+        return None
+    return None
+
+
 class _AvroWriter:
     """Minimal avro container-file writer over the Java avro library on
     Spark's driver classpath (py4j) — metadata-sized payloads only."""
@@ -276,6 +306,30 @@ def export_iceberg_metadata(
             {"name": "partition", "type": partition_avro, "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", {"type": "array", "items": {
+                    "type": "record", "name": "k126_v127",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": 126},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 127},
+                    ]}}],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", {"type": "array", "items": {
+                    "type": "record", "name": "k129_v130",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": 129},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 130},
+                    ]}}],
+                "default": None,
+                "field-id": 128,
+            },
         ],
     }
     manifest_entry_avro = json.dumps(
@@ -344,6 +398,25 @@ def export_iceberg_metadata(
         fpath = f["path"]
         if not os.path.isabs(fpath):
             fpath = os.path.join(location, fpath)
+        # column bounds from the internal footer stats -> spec binary
+        # single-values, so foreign readers can FILE-SKIP this export
+        lower: list[dict] = []
+        upper: list[dict] = []
+        stat_cols = f.get("stats", {}).get("columns", {})
+        for fld in fields:
+            st = stat_cols.get(fld["name"])
+            if not st:
+                continue
+            for key, dest in (("min", lower), ("max", upper)):
+                if key in st and st[key] is not None:
+                    b = _encode_bound(st[key], fld["type"])
+                    if b is not None:
+                        dest.append(
+                            {
+                                "key": fld["id"],
+                                "value": b.decode("latin-1"),
+                            }
+                        )
         w.append_dict(
             {
                 "status": 1,  # ADDED
@@ -357,6 +430,8 @@ def export_iceberg_metadata(
                     "partition": part_vals,
                     "record_count": rows,
                     "file_size_in_bytes": f.get("size_bytes", 0),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
                 },
             }
         )

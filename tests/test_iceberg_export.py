@@ -238,3 +238,51 @@ def test_export_dv_table_emits_position_deletes(spark, tmp_path):
     got2 = sorted(r.id for r in read_iceberg_table(spark, t.path).collect())
     assert got2 == sorted(r.id for r in t.read(spark).collect())
     assert got2 == list(range(5, 18))
+
+
+def test_export_bounds_enable_foreign_prune(spark, tmp_path):
+    """The export carries column bounds (spec binary single-values)
+    from the internal footer stats, so the foreign reader FILE-SKIPS
+    exported tables: two id-disjoint files, a selective predicate
+    keeps exactly one driver-side, and results stay exact."""
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        _field_names_by_id,
+        _field_types_by_id,
+        _iceberg_file_may_match,
+        _identity_partition_sources,
+        iceberg_live_files,
+        load_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    t = TxnTable(str(tmp_path / "b"))
+    t.write(
+        spark.range(0, 100).selectExpr("id", "id * 2.0 AS v").coalesce(1),
+        mode="overwrite",
+    )
+    t.write(
+        spark.range(1000, 1100)
+        .selectExpr("id", "id * 2.0 AS v")
+        .coalesce(1),
+        mode="append",
+    )
+    export_iceberg_metadata(t, spark)
+
+    md = load_iceberg_metadata(t.path)
+    _, live, _, _ = iceberg_live_files(spark, t.path)
+    assert len(live) == 2
+    assert all(f.get("lower_bounds") for f in live)
+    name2id = {v: k for k, v in _field_names_by_id(md).items()}
+    typed = [
+        (name2id["id"], ">=", 1000, _field_types_by_id(md)[name2id["id"]])
+    ]
+    part_of = _identity_partition_sources(md)
+    kept = [f for f in live if _iceberg_file_may_match(f, typed, part_of)]
+    assert len(kept) == 1  # the id<100 file is provably excluded
+
+    got = read_iceberg_table(spark, t.path, prune=[("id", ">=", 1000)])
+    assert sorted(r.id for r in got.collect()) == list(range(1000, 1100))
