@@ -135,7 +135,9 @@ def _serialize_add(a: dict, ts_ms: int) -> dict:
         "partitionValues": a.get("partition_values", {}),
         "size": a.get("size_bytes", 0),
         "modificationTime": ts_ms,
-        "dataChange": True,
+        # compaction/clustering rewrites mark dataChange=false (the
+        # Delta contract: streams and CDF must treat them as no-ops)
+        "dataChange": bool(a.get("data_change", True)),
     }
     if st is not None:
         cols = st.get("columns", {})
@@ -199,7 +201,7 @@ def _serialize_remove(r: dict, ts_ms: int) -> dict:
     out = {
         "path": quote(r["path"]),
         "deletionTimestamp": ts_ms,
-        "dataChange": True,
+        "dataChange": bool(r.get("data_change", True)),
     }
     if r.get("dv"):
         out["tags"] = {_TAG_DV: json.dumps(r["dv"])}
@@ -1995,6 +1997,12 @@ class TxnTable:
             removes += [_remove_action(f) for f in fs]
         if not adds:
             return read_version
+        # content-preserving rewrite: the log must say so, or streams
+        # re-ship compacted files and CDF refuses the commit
+        for a in adds:
+            a["data_change"] = False
+        for r in removes:
+            r["data_change"] = False
         return self._commit(
             operation="optimize",
             read_version=read_version,

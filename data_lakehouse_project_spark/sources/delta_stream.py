@@ -303,12 +303,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
             adds, removes, _, _, _, _, _ = _read_commit_actions(
                 self._table, v
             )
+            # dataChange=false actions (OPTIMIZE/clustering rewrites)
+            # are content-preserving: the stream must neither refuse
+            # them nor re-ship their files (the Delta contract)
+            adds = [a for a in adds if a.get("data_change", True)]
+            removes = [r for r in removes if r.get("data_change", True)]
             if removes and not (
                 self._ignore_deletes or self._ignore_changes
             ):
                 raise UnsupportedDeltaFeature(
                     f"commit {v} contains remove actions (update/delete"
-                    "/compaction upstream). Set ignoreDeletes to skip "
+                    " upstream). Set ignoreDeletes to skip "
                     "delete-only commits, or ignoreChanges to also "
                     "re-ship rewritten files (downstream must dedup)."
                 )

@@ -387,3 +387,40 @@ def test_protocol_cdf_agrees_with_internal_read_changes(spark, tmp_path):
         for r in read_delta_changes(spark, t.path).select(*cols).collect()
     )
     assert a == b and len(a) == 8  # 6 inserts + 2 deletes
+
+
+def test_optimize_commit_is_cdf_and_stream_transparent(spark, tmp_path):
+    """OPTIMIZE marks its rewrite dataChange=false (round-7 fix): the
+    CDF no longer refuses the compaction commit and reports no changes
+    for it, and the plain stream neither refuses nor re-ships the
+    compacted rows."""
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    t = TxnTable(str(tmp_path / "to"))
+    for i in range(4):  # four small files
+        t.write(_batch(spark, i * 2, i * 2 + 2), mode="append")
+    v_opt = t.optimize(spark, target_size_bytes=1 << 30)
+    assert v_opt == 4  # compaction committed
+
+    cdf = read_delta_changes(spark, t.path)
+    assert {r._commit_version for r in cdf.collect()} == {0, 1, 2, 3}
+    assert all(r._change_type == "insert" for r in cdf.collect())
+    assert len(cdf.collect()) == 8
+
+    register_python_datasources(spark)
+    got: list[int] = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", t.path)
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _id: got.extend(r["id"] for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == list(range(8))  # once each, no re-ship
