@@ -3856,9 +3856,10 @@ REGISTRY.update(
 
 
 # round-6 analytics batch: streaks, rolling distinct, MAD outliers
-from data_lakehouse_project_spark import registry_r6  # noqa: E402
+from data_lakehouse_project_spark import registry_r6, registry_r7  # noqa: E402
 
 REGISTRY.update(registry_r6.build({"R": R, "_rn": _rn}))
+REGISTRY.update(registry_r7.build({"R": R, "_rn": _rn}))
 
 
 # ---------------------------------------------------------------------

@@ -60,6 +60,11 @@ EXPECT_NESTED_LOOP = {
     # same shape: target/raw model totals (1 row) broadcast into the
     # bucket log-ratio table
     "dsir_importance_weights",
+    # r7: corpus max-date + 3-median scalars (1 row each) broadcast
+    # into the customer grain; decile boundaries (1 row of 9 exact
+    # percentiles) broadcast likewise — BNLJ against one row is O(n)
+    "customer_rfm_segments",
+    "customer_pareto_deciles",
 }
 # multi-stage by design: collapse → band self-join → distinct → verify →
 # expand is ~8 logical shuffles (each counted again by AQE stage reuse);
@@ -126,6 +131,11 @@ EXPECT_MANY_EXCHANGES = {
     # (bounded memory, r7 rewrite) + a broadcast of group-grain stats;
     # ~5 real shuffles, printed as 8 by the adaptive doubling
     "lineitem_mad_outliers",
+    # r7 RFM: customer-grain agg + two 1-row scalar aggs (max date,
+    # medians) + final segment groupBy = 4 real shuffles, every one on
+    # the customer grain or a single row; the scalar subtrees re-print
+    # under both broadcast references and AQE doubles the text
+    "customer_rfm_segments",
     # triangle closing references the PERSISTED edge set three times
     # (e1 ⋈ e2 ⋈ e3) + degree; the plan text re-prints the whole
     # upstream prefix-join subtree under each InMemoryRelation
