@@ -79,13 +79,18 @@ from .txnlog import (
 #   (operators/dv.py) and applied as a _metadata.row_index anti-join.
 # v2Checkpoint: UUID-named checkpoint manifests (parquet or json)
 #   with sidecar files are replayed by _read_v2_checkpoint_state.
-# Everything else (typeWidening, variantType, ...) must be REFUSED,
-# not ignored.
+# variantType: Spark 4 reads the variant parquet encoding natively
+#   through the explicit-schema scan (probed + pinned in
+#   test_variant_column_reads); SHREDDED variants advertise a
+#   separate feature (variantShredding) and stay refused.
+# Everything else (typeWidening, variantShredding, ...) must be
+# REFUSED, not ignored.
 SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "deletionVectors",
     "v2Checkpoint",
+    "variantType",
 }
 
 

@@ -967,3 +967,78 @@ def test_v2_checkpoint_with_dv_add(spark, tmp_path):
     assert snap.num_rows == 1  # 3 physical - 2 DV-deleted
     df = read_delta_table(spark, table)
     assert [(r.id, r.v) for r in df.collect()] == [(2, "b")]
+
+
+def test_variant_column_reads(spark, tmp_path):
+    """variantType: a foreign table whose column is the Spark-4
+    variant parquet encoding reads back through the explicit-schema
+    scan; shredding stays refused (separate feature)."""
+    table = str(tmp_path / "var_delta")
+    os.makedirs(table)
+    spark.sql(
+        "select id, parse_json(concat('{\"k\":', id, '}')) as v "
+        "from range(3)"
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as _glob
+    import shutil
+
+    part = _glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(table, "f0.parquet"))
+    var_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "variant", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _commit(
+        table,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["variantType"],
+                    "writerFeatures": ["variantType"],
+                }
+            },
+            {"metaData": _meta(var_schema, part_cols=())},
+            {
+                "add": {
+                    "path": "f0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(
+                        os.path.join(table, "f0.parquet")
+                    ),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 3}),
+                }
+            },
+            _info(1700000001000),
+        ],
+    )
+    df = read_delta_table(spark, table)
+    rows = sorted(
+        (r.id, r.j)
+        for r in df.selectExpr("id", "to_json(v) AS j").collect()
+    )
+    assert rows == [(0, '{"k":0}'), (1, '{"k":1}'), (2, '{"k":2}')]
+
+    # shredded variants are a DIFFERENT feature and stay refused
+    table2 = _tiny_table(
+        tmp_path,
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["variantType", "variantShredding"],
+            "writerFeatures": ["variantType", "variantShredding"],
+        },
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="variantShredding"):
+        read_delta_snapshot(table2)
