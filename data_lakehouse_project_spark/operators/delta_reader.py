@@ -83,7 +83,12 @@ from .txnlog import (
 #   through the explicit-schema scan (probed + pinned in
 #   test_variant_column_reads); SHREDDED variants advertise a
 #   separate feature (variantShredding) and stay refused.
-# Everything else (typeWidening, variantShredding, ...) must be
+# typeWidening: the explicit-schema scan upcasts EVERY widening the
+#   spec allows (int->long/double, float->double, decimal precision
+#   AND scale widening, date->timestamp_ntz — full matrix probed and
+#   pinned in test_type_widening_reads), so files written with the
+#   pre-widening type read back as the current schema's type.
+# Everything else (variantShredding, catalogManaged, ...) must be
 # REFUSED, not ignored.
 SUPPORTED_READER_FEATURES = {
     "timestampNtz",
@@ -91,6 +96,8 @@ SUPPORTED_READER_FEATURES = {
     "deletionVectors",
     "v2Checkpoint",
     "variantType",
+    "typeWidening",
+    "typeWidening-preview",
 }
 
 

@@ -412,7 +412,7 @@ def test_unknown_reader_feature_still_refused(tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors", "typeWidening"],
+                    "readerFeatures": ["deletionVectors", "catalogManaged"],
                     "writerFeatures": [],
                 }
             },
@@ -421,7 +421,7 @@ def test_unknown_reader_feature_still_refused(tmp_path):
             {"commitInfo": {"timestamp": 1700000001000, "operation": "WRITE"}},
         ],
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="typeWidening"):
+    with pytest.raises(UnsupportedDeltaFeature, match="catalogManaged"):
         read_delta_snapshot(table)
 
 

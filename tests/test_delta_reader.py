@@ -384,18 +384,19 @@ def _tiny_table(tmp_path, protocol, conf=None, add_extra=None):
 
 
 def test_reject_unsupported_reader_feature(tmp_path):
-    """typeWidening is a genuinely unimplemented reader feature —
-    the protocol demands refusal, not a misread of widened columns."""
+    """catalogManaged (commit coordination lives in a catalog, not the
+    filesystem log) is genuinely unimplemented — the protocol demands
+    refusal: a filesystem-only reader could miss newer commits."""
     table = _tiny_table(
         tmp_path,
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"],
-            "writerFeatures": ["typeWidening"],
+            "readerFeatures": ["catalogManaged"],
+            "writerFeatures": ["catalogManaged"],
         },
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="typeWidening"):
+    with pytest.raises(UnsupportedDeltaFeature, match="catalogManaged"):
         read_delta_snapshot(table)
 
 
@@ -1042,3 +1043,76 @@ def test_variant_column_reads(spark, tmp_path):
     )
     with pytest.raises(UnsupportedDeltaFeature, match="variantShredding"):
         read_delta_snapshot(table2)
+
+
+def test_type_widening_reads(spark, tmp_path):
+    """typeWidening: a file written BEFORE the widening (int id,
+    decimal(10,2) amt, date d) reads back under the widened schema
+    (long, decimal(12,4), timestamp_ntz) — Spark's explicit-schema
+    scan performs every spec upcast."""
+    import decimal as _dec
+
+    table = str(tmp_path / "widen_delta")
+    os.makedirs(table)
+    fp = os.path.join(table, "old.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int32()),
+                "amt": pa.array(
+                    [_dec.Decimal("1.25"), _dec.Decimal("2.50")],
+                    pa.decimal128(10, 2),
+                ),
+                "d": pa.array([19000, 19001], pa.date32()),
+            }
+        ),
+        fp,
+    )
+    widened = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "amt", "type": "decimal(12,4)", "nullable": True,
+                 "metadata": {}},
+                {"name": "d", "type": "timestamp_ntz", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    _commit(
+        table,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening", "timestampNtz"],
+                    "writerFeatures": ["typeWidening", "timestampNtz"],
+                }
+            },
+            {"metaData": _meta(widened, part_cols=())},
+            {
+                "add": {
+                    "path": "old.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(fp),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 2}),
+                }
+            },
+            _info(1700000001000),
+        ],
+    )
+    df = read_delta_table(spark, table)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "decimal(12,4)", "timestamp_ntz",
+    ]
+    rows = sorted((r.id, str(r.amt), str(r.d)) for r in df.collect())
+    assert rows == [
+        (1, "1.2500", "2022-01-08 00:00:00"),
+        (2, "2.5000", "2022-01-09 00:00:00"),
+    ]
