@@ -220,9 +220,9 @@ def _check_protocol(protocol: dict, configuration: dict) -> None:
             f"minReaderVersion {reader} exceeds the supported protocol"
         )
     mapping = (configuration or {}).get("delta.columnMapping.mode", "none")
-    if mapping not in ("none", "", "name"):
-        # "id" resolution (parquet field-id based) is not implemented;
-        # "name" IS — physical names come from schemaString metadata.
+    if mapping not in ("none", "", "name", "id"):
+        # "name": physical names from schemaString metadata; "id":
+        # parquet field-id resolution (Spark's fieldId.read path).
         raise UnsupportedDeltaFeature(
             f"column mapping mode '{mapping}' is not supported"
         )
@@ -564,6 +564,23 @@ def read_delta_snapshot(
 
 
 _PHYS_NAME_KEY = "delta.columnMapping.physicalName"
+_FIELD_ID_KEY = "delta.columnMapping.id"
+
+
+def _field_ids(schema_json: str) -> dict[str, int]:
+    """Column-mapping ``id`` mode: logical field name -> parquet field
+    id from the per-field schemaString metadata.  A field without an
+    id cannot be resolved — refuse, never guess by name."""
+    out: dict[str, int] = {}
+    for f in json.loads(schema_json).get("fields", []):
+        fid = (f.get("metadata") or {}).get(_FIELD_ID_KEY)
+        if fid is None:
+            raise UnsupportedDeltaFeature(
+                f"column mapping mode 'id' but field '{f['name']}' "
+                "carries no delta.columnMapping.id"
+            )
+        out[f["name"]] = int(fid)
+    return out
 
 
 def _physical_names(schema_json: str) -> dict[str, str]:
@@ -658,7 +675,9 @@ def read_delta_table(
     # exposes logical ones.  phys_of is identity when mapping is off.
     mapping_mode = snap.configuration.get("delta.columnMapping.mode", "none")
     phys_of = {f.name: f.name for f in schema.fields}
-    if mapping_mode == "name":
+    if mapping_mode in ("name", "id"):
+        # both modes key partitionValues/stats by PHYSICAL name; "id"
+        # additionally resolves parquet columns by field id
         phys_of = _physical_names(snap.schema_json)
 
     files = snap.files
@@ -673,13 +692,34 @@ def read_delta_table(
     part_cols = [c for c in snap.partition_columns if c in schema.names]
     from pyspark.sql.types import StructField, StructType
 
-    physical = StructType(
-        [
-            StructField(phys_of[f.name], f.dataType, f.nullable)
-            for f in schema.fields
-            if f.name not in part_cols
-        ]
-    )
+    if mapping_mode == "id":
+        # field-id resolution: the scan schema carries LOGICAL names +
+        # parquet.field.id metadata; Spark matches file columns by id
+        # (probed: names are ignored entirely), and a data file
+        # WITHOUT field ids fails LOUDLY (ignoreMissing stays false —
+        # id-mode writers are required to stamp ids).  The conf only
+        # affects schemas that carry field-id metadata, so enabling it
+        # session-wide is inert for every other scan.
+        ids = _field_ids(snap.schema_json)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        physical = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    metadata={"parquet.field.id": ids[f.name]},
+                )
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
+    else:
+        physical = StructType(
+            [
+                StructField(phys_of[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
+        )
 
     def _abs(p: str) -> str:
         for pref in ("file://", "file:"):

@@ -413,13 +413,13 @@ def test_accept_supported_reader_features(tmp_path):
     assert read_delta_snapshot(table).num_rows == 1
 
 
-def test_reject_column_mapping_id_mode(tmp_path):
-    """``id`` resolution (parquet field-id based) stays refused;
-    ``name`` mode is supported (test below)."""
+def test_reject_unknown_column_mapping_mode(tmp_path):
+    """Both published modes (name, id) are supported; anything else
+    is refused rather than guessed."""
     table = _tiny_table(
         tmp_path,
         {"minReaderVersion": 2, "minWriterVersion": 5},
-        conf={"delta.columnMapping.mode": "id"},
+        conf={"delta.columnMapping.mode": "positional"},
     )
     with pytest.raises(UnsupportedDeltaFeature, match="column mapping"):
         read_delta_snapshot(table)
@@ -1116,3 +1116,113 @@ def test_type_widening_reads(spark, tmp_path):
         (1, "1.2500", "2022-01-08 00:00:00"),
         (2, "2.5000", "2022-01-09 00:00:00"),
     ]
+
+
+# ------------------------------------------------- column mapping: id
+
+SCHEMA_ID_MODE = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-id0001",
+                },
+            },
+            {
+                "name": "renamed_v",  # renamed after files were written
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-v0002",
+                },
+            },
+        ],
+    }
+)
+
+
+def _id_mode_table(tmp_path, with_field_ids=True):
+    table = str(tmp_path / "idmap_delta")
+    os.makedirs(table)
+    fpath = os.path.join(table, "f0.parquet")
+    if with_field_ids:
+        sch = pa.schema(
+            [
+                pa.field("col-id0001", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("col-v0002", pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]
+        )
+    else:
+        sch = pa.schema(
+            [("col-id0001", pa.int64()), ("col-v0002", pa.string())]
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "col-id0001": pa.array([1, 2, 3], pa.int64()),
+                "col-v0002": pa.array(["a", "b", "c"], pa.string()),
+            },
+            schema=sch,
+        ),
+        fpath,
+    )
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "idmap-0001",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": SCHEMA_ID_MODE,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                    "createdTime": 1700000000000,
+                }
+            },
+            {
+                "add": {
+                    "path": "f0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 3}),
+                }
+            },
+            _info(1700000001000),
+        ],
+    )
+    return table
+
+
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """id mode: parquet columns resolve by FIELD ID (probed: names are
+    ignored), so the post-rename logical schema reads files whose
+    physical names never changed."""
+    table = _id_mode_table(tmp_path)
+    df = read_delta_table(spark, table)
+    assert df.columns == ["id", "renamed_v"]
+    assert sorted((r.id, r.renamed_v) for r in df.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+
+
+def test_column_mapping_id_mode_idless_file_fails_loudly(spark, tmp_path):
+    """A data file WITHOUT parquet field ids cannot be resolved in id
+    mode — the scan must error, never null out silently."""
+    table = _id_mode_table(tmp_path, with_field_ids=False)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|field"):
+        read_delta_table(spark, table).collect()
