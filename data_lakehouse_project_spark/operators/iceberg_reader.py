@@ -232,26 +232,46 @@ def _spark_ddl_of(iceberg_type) -> str:
     )
 
 
-def _spark_schema(spark: SparkSession, md: dict):
-    from pyspark.sql.types import StructType
+def _spark_schema(spark: SparkSession, md: dict, field_ids: bool = False):
+    from pyspark.sql.types import StructField, StructType
 
-    schemas = md.get("schemas")
-    if schemas is not None:
-        schema = next(
-            (
-                s
-                for s in schemas
-                if s.get("schema-id") == md.get("current-schema-id")
-            ),
-            schemas[0],
-        )
-    else:  # v1 tables carry a single top-level "schema"
-        schema = md["schema"]
+    schema = _current_schema(md)
     ddl = ", ".join(
         f"`{f['name']}` {_spark_ddl_of(f['type'])}"
         for f in schema["fields"]
     )
-    return StructType.fromDDL(ddl)
+    st = StructType.fromDDL(ddl)
+    if field_ids:
+        # Iceberg resolves parquet columns by FIELD ID (spec: "Columns
+        # in Iceberg data files are selected by field id") — carry the
+        # ids so Spark's fieldId.read path does the same; renamed
+        # columns then read their pre-rename files correctly
+        st = StructType(
+            [
+                StructField(
+                    f.name, f.dataType, f.nullable,
+                    metadata={"parquet.field.id": int(fld["id"])},
+                )
+                for f, fld in zip(st.fields, schema["fields"])
+            ]
+        )
+    return st
+
+
+def _file_has_field_ids(path: str) -> bool:
+    """Sniff ONE footer: Iceberg writers stamp parquet field ids on
+    every file, so the first live file decides the resolution mode
+    (files without ids — e.g. migrated Hive data under a name-mapping
+    — fall back to name resolution, the spec's fallback)."""
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.read_schema(path)
+    except Exception:
+        return False
+    return any(
+        f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
+    )
 
 
 # ---------------------------------------------------------------- snapshot
@@ -462,7 +482,7 @@ def read_iceberg_table(
     )
     schema = _spark_schema(spark, md)
 
-    if prune:
+    if prune:  # noqa: SIM102 — kept flat for the re-apply below
         # driver-side file skipping over manifest column bounds and
         # identity partition values; predicates are RE-APPLIED as real
         # filters below, so skipping is an IO optimization, never a
@@ -490,8 +510,16 @@ def read_iceberg_table(
 
     paths = [_abs(f["file_path"]) for f in live]
     # explicit current schema: pre-evolution files surface added
-    # columns as null; column order follows the Iceberg schema
-    df = spark.read.schema(schema).parquet(*paths)
+    # columns as null; column order follows the Iceberg schema.
+    # When the files carry parquet field ids (every spec-conformant
+    # writer stamps them), resolve by FIELD ID so renamed columns read
+    # their pre-rename files; id-less files (migrated data) resolve by
+    # name, the spec's name-mapping fallback.
+    scan_schema = schema
+    if _file_has_field_ids(paths[0]):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_schema = _spark_schema(spark, md, field_ids=True)
+    df = spark.read.schema(scan_schema).parquet(*paths)
 
     if pos_deletes or eq_deletes:
         # _metadata is only resolvable on the raw scan — materialize

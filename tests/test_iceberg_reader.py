@@ -712,3 +712,61 @@ def test_prune_without_stats_never_drops_rows(spark, tmp_path):
     _one_snapshot_md(table, lst, op="append")
     df = read_iceberg_table(spark, table, prune=[("id", ">", 1)])
     assert sorted(r.id for r in df.collect()) == [2, 3]
+
+
+def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
+    """Iceberg resolves parquet columns by FIELD ID: a column renamed
+    after files were written still reads its pre-rename files (name-
+    based resolution would silently null it)."""
+    table = str(tmp_path / "tren")
+    os.makedirs(os.path.join(table, "metadata"))
+    os.makedirs(os.path.join(table, "data"))
+    fpath = os.path.join(table, "data", "old.parquet")
+    sch = pa.schema(
+        [
+            pa.field("id", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"7"}),
+            pa.field("old_name", pa.string(),
+                     metadata={b"PARQUET:field_id": b"12"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([1, 2], pa.int64()),
+             "old_name": pa.array(["x", "y"], pa.string())},
+            schema=sch,
+        ),
+        fpath,
+    )
+    renamed_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 7, "name": "id", "required": False, "type": "long"},
+            # renamed AFTER old.parquet was written; same field id
+            {"id": 12, "name": "new_name", "required": False,
+             "type": "string"},
+        ],
+    }
+    m = _manifest(spark, table, "m.avro", [_entry(1, fpath, 2, seq=1)])
+    lst = _manifest_list(spark, table, "snap-9.avro", [(m, 0, 1)], 9)
+    _metadata(
+        table, 1, [renamed_schema], 0,
+        [
+            {
+                "snapshot-id": 9,
+                "timestamp-ms": T1,
+                "sequence-number": 1,
+                "manifest-list": lst,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        9,
+        [{"snapshot-id": 9, "timestamp-ms": T1}],
+    )
+    df = read_iceberg_table(spark, table)
+    assert df.columns == ["id", "new_name"]
+    assert sorted((r.id, r.new_name) for r in df.collect()) == [
+        (1, "x"), (2, "y"),
+    ]
