@@ -66,7 +66,7 @@ from data_lakehouse_project_spark.operators.txnlog import _parse_meta
 
 class _DeltaFilePartition(InputPartition):
     def __init__(self, path, partition_values, schema_json, part_cols,
-                 cdf=None):
+                 cdf=None, phys_of=None, ids_of=None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
@@ -74,6 +74,10 @@ class _DeltaFilePartition(InputPartition):
         # CDF mode: (change_type | None if the file carries its own,
         #            commit_version, commit_timestamp_ms)
         self.cdf = cdf
+        # column mapping: logical -> physical parquet name ("name"
+        # mode) / logical -> parquet field id ("id" mode)
+        self.phys_of = phys_of
+        self.ids_of = ids_of
 
 
 class DeltaStreamDataSource(DataSource):
@@ -109,19 +113,6 @@ class DeltaStreamDataSource(DataSource):
         elif protocol_raw is not None:
             _check_protocol(
                 protocol_raw, meta_raw.get("configuration") or {}
-            )
-        # the batch reader maps physical->logical names at scan time;
-        # THIS source reads parquet with the logical schema directly,
-        # so a column-mapped table would surface silent nulls — refuse
-        # (the shared _check_protocol accepts "name" for the batch path)
-        mapping = (meta_raw.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        if mapping not in ("none", ""):
-            raise UnsupportedDeltaFeature(
-                f"delta_stream does not support column mapping "
-                f"(mode '{mapping}'); read the table through the batch "
-                "reader"
             )
         return table, meta_raw
 
@@ -172,6 +163,28 @@ class DeltaStreamDataSource(DataSource):
                 "snapshot (per-commit changes before it are gone); "
                 "use a numeric startingVersion at or after the gap"
             )
+        # column mapping: the executor-side pyarrow read resolves
+        # physical names ("name" mode) or parquet field ids ("id"
+        # mode) directly — same contracts as the batch reader
+        from data_lakehouse_project_spark.operators.delta_reader import (
+            _field_ids,
+            _physical_names,
+        )
+
+        mapping = (meta_raw.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        phys_of = ids_of = None
+        schema_json_raw = meta_raw.get("schemaString")
+        if mapping == "name":
+            phys_of = _physical_names(schema_json_raw)
+        elif mapping == "id":
+            phys_of = _physical_names(schema_json_raw)
+            ids_of = _field_ids(schema_json_raw)
+        elif mapping not in ("none", ""):
+            raise UnsupportedDeltaFeature(
+                f"column mapping mode '{mapping}' is not supported"
+            )
         return _DeltaStreamReader(
             table,
             schema,
@@ -183,6 +196,8 @@ class DeltaStreamDataSource(DataSource):
             int(self.options.get("maxBytesPerTrigger", "0")),
             bootstrap_version=bootstrap,
             read_change_feed=self._cdf_mode(),
+            phys_of=phys_of,
+            ids_of=ids_of,
         )
 
 
@@ -191,7 +206,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self, table, schema, part_cols, starting_version,
         ignore_deletes, ignore_changes, max_commits_per_trigger=0,
         max_bytes_per_trigger=0, bootstrap_version=None,
-        read_change_feed=False,
+        read_change_feed=False, phys_of=None, ids_of=None,
     ):
         self._table = table
         self._schema = schema
@@ -203,6 +218,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._max_bytes = max_bytes_per_trigger
         self._bootstrap = bootstrap_version
         self._cdf = read_change_feed
+        self._phys_of = phys_of
+        self._ids_of = ids_of
         # backpressure bookkeeping: the highest offset this reader has
         # already handed out (advanced by latestOffset, synced forward
         # by partitions() so a checkpoint restart — where Spark knows
@@ -277,6 +294,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         f.get("partition_values") or {},
                         schema_json,
                         self._part_cols,
+                        phys_of=self._phys_of,
+                        ids_of=self._ids_of,
                     )
                 )
             lo = boot  # tail resumes after the snapshot version
@@ -345,6 +364,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         a.get("partition_values") or {},
                         schema_json,
                         self._part_cols,
+                        phys_of=self._phys_of,
+                        ids_of=self._ids_of,
                     )
                 )
         return parts or [_DeltaFilePartition(None, {}, "", [])]
@@ -382,6 +403,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         schema_json,
                         self._part_cols,
                         cdf=(None, v, ts),  # file carries _change_type
+                        phys_of=self._phys_of,
+                        ids_of=self._ids_of,
                     )
                 )
             return parts
@@ -407,6 +430,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     schema_json,
                     self._part_cols,
                     cdf=("insert", v, ts),
+                        phys_of=self._phys_of,
+                        ids_of=self._ids_of,
                 )
             )
         recovered = None
@@ -447,6 +472,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     schema_json,
                     self._part_cols,
                     cdf=("delete", v, ts),
+                        phys_of=self._phys_of,
+                        ids_of=self._ids_of,
                 )
             )
         return parts
@@ -478,18 +505,50 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 cdf_const["_change_type"] = pa.array(
                     [ctype] * n, pa.string()
                 )
+        # column-mapping resolution (executor-side, mirrors the batch
+        # reader's contracts): "name" mode looks physical names up;
+        # "id" mode matches parquet field ids and REFUSES an id-less
+        # file rather than nulling it out
+        by_id = {}
+        if partition.ids_of is not None:
+            for af in table.schema:
+                fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = af.name
+            if not by_id:
+                raise UnsupportedDeltaFeature(
+                    f"column mapping 'id' but {partition.path} carries "
+                    "no parquet field ids"
+                )
+
+        def _file_col(logical: str) -> str | None:
+            if partition.ids_of is not None:
+                return by_id.get(partition.ids_of.get(logical))
+            if partition.phys_of is not None:
+                phys = partition.phys_of.get(logical, logical)
+                return phys if phys in table.column_names else None
+            return logical if logical in table.column_names else None
+
+        def _part_key(logical: str) -> str:
+            # partitionValues key by PHYSICAL name under column mapping
+            if partition.phys_of is not None:
+                return partition.phys_of.get(logical, logical)
+            return logical
+
         cols = []
         for f in target:
             if f.name in cdf_const:
                 cols.append(cdf_const[f.name])
                 continue
             if f.name in partition.part_cols:
-                raw = partition.partition_values.get(f.name)
+                raw = partition.partition_values.get(_part_key(f.name))
                 arr = pa.array([raw] * n, pa.string()).cast(f.type)
-            elif f.name in table.column_names:
-                arr = table.column(f.name).cast(f.type)
-            else:  # pre-evolution file: surface the new column as null
-                arr = pa.nulls(n, f.type)
+            else:
+                src = _file_col(f.name)
+                if src is not None:
+                    arr = table.column(src).cast(f.type)
+                else:  # pre-evolution file: new column surfaces null
+                    arr = pa.nulls(n, f.type)
             cols.append(arr)
         out = pa.table(cols, schema=target)
         return iter(out.to_batches(max_chunksize=1 << 16))

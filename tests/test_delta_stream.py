@@ -265,70 +265,100 @@ def test_starting_version_latest_tails_only_future(spark, tmp_path):
     assert sorted(r[0] for r in got2) == [7, 8]
 
 
-def test_column_mapped_table_refused(spark, tmp_path):
-    """Batch reads map physical->logical names; the stream source does
-    not — it must REFUSE a column-mapped table, never return nulls."""
+def test_column_mapped_tables_stream(spark, tmp_path):
+    """Column-mapped foreign tables stream correctly: the executor
+    pyarrow read resolves PHYSICAL names ("name" mode) or parquet
+    FIELD IDS ("id" mode) and emits logical columns — formerly a
+    refusal."""
     import json
     import os
 
-    path = str(tmp_path / "tcm")
-    log = os.path.join(path, "_delta_log")
-    os.makedirs(log)
-    schema = json.dumps(
-        {
-            "type": "struct",
-            "fields": [
-                {
-                    "name": "id",
-                    "type": "long",
-                    "nullable": True,
-                    "metadata": {
-                        "delta.columnMapping.physicalName": "col-1"
-                    },
-                }
-            ],
-        }
-    )
-    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
-        fh.write(
-            json.dumps(
-                {
-                    "protocol": {
-                        "minReaderVersion": 2,
-                        "minWriterVersion": 5,
-                    }
-                }
-            )
-            + "\n"
-        )
-        fh.write(
-            json.dumps(
-                {
-                    "metaData": {
-                        "id": "cm-1",
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema,
-                        "partitionColumns": [],
-                        "configuration": {
-                            "delta.columnMapping.mode": "name"
-                        },
-                        "createdTime": 1700000000000,
-                    }
-                }
-            )
-            + "\n"
-        )
-    register_python_datasources(spark)
-    from data_lakehouse_project_spark.operators.delta_reader import (
-        UnsupportedDeltaFeature,
-    )
-    from data_lakehouse_project_spark.sources.delta_stream import (
-        DeltaStreamDataSource,
-    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    ds = DeltaStreamDataSource(options={"path": path})
-    with pytest.raises(UnsupportedDeltaFeature, match="column mapping"):
-        ds.schema()
+    def _mk(table, mode, with_ids):
+        os.makedirs(table)
+        log = os.path.join(table, "_delta_log")
+        os.makedirs(log)
+        if with_ids:
+            sch = pa.schema(
+                [
+                    pa.field("col-1", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("col-2", pa.string(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                ]
+            )
+        else:
+            sch = pa.schema([("col-1", pa.int64()), ("col-2", pa.string())])
+        fp = os.path.join(table, "f0.parquet")
+        pq.write_table(
+            pa.table(
+                {"col-1": pa.array([1, 2], pa.int64()),
+                 "col-2": pa.array(["x", "y"], pa.string())},
+                schema=sch,
+            ),
+            fp,
+        )
+        schema = json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "id", "type": "long", "nullable": True,
+                     "metadata": {"delta.columnMapping.id": 1,
+                                  "delta.columnMapping.physicalName":
+                                  "col-1"}},
+                    {"name": "name", "type": "string", "nullable": True,
+                     "metadata": {"delta.columnMapping.id": 2,
+                                  "delta.columnMapping.physicalName":
+                                  "col-2"}},
+                ],
+            }
+        )
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            for a in [
+                {"protocol": {"minReaderVersion": 2,
+                              "minWriterVersion": 5}},
+                {"metaData": {"id": f"cm-{mode}",
+                              "format": {"provider": "parquet",
+                                         "options": {}},
+                              "schemaString": schema,
+                              "partitionColumns": [],
+                              "configuration": {
+                                  "delta.columnMapping.mode": mode},
+                              "createdTime": 1700000000000}},
+                {"add": {"path": "f0.parquet", "partitionValues": {},
+                         "size": os.path.getsize(fp),
+                         "modificationTime": 1700000001000,
+                         "dataChange": True,
+                         "stats": json.dumps({"numRecords": 2})}},
+                {"commitInfo": {"timestamp": 1700000001000,
+                                "operation": "WRITE"}},
+            ]:
+                fh.write(json.dumps(a) + "\n")
+        return table
+
+    register_python_datasources(spark)
+    for i, (mode, with_ids) in enumerate(
+        [("name", False), ("id", True)]
+    ):
+        table = _mk(str(tmp_path / f"cm{i}"), mode, with_ids)
+        got: list[tuple] = []
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", table)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, _id, acc=got: acc.extend(
+                    (r["id"], r["name"]) for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(got) == [(1, "x"), (2, "y")], mode
 
 
 def test_read_change_feed_stream(spark, tmp_path):
