@@ -21,7 +21,9 @@ Semantics (mirroring the published Delta streaming-source contract):
   deletionVector-bearing files are refused (protocol rule: never
   resurrect deleted rows), column order follows the table schema, and
   partition columns — absent from Delta data files — are attached
-  per-partition from ``add.partitionValues``.
+  per-partition from ``add.partitionValues``.  Column-mapped tables
+  stream: the executor read resolves physical names (``name`` mode)
+  or parquet field ids (``id`` mode — id-less files refused).
 * ``startingVersion="latest"`` tails only FUTURE commits;
   ``startingVersion="first-available"`` bootstraps the full snapshot
   at the earliest reconstructable version — for a log whose early
