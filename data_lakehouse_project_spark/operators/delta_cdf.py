@@ -130,8 +130,12 @@ def read_delta_changes(
             table_path, v
         )
         ts = (
-            int(info["timestamp"])
-            if info and isinstance(info.get("timestamp"), (int, float))
+            int(info.get("inCommitTimestamp") or info["timestamp"])
+            if info
+            and isinstance(
+                info.get("inCommitTimestamp") or info.get("timestamp"),
+                (int, float),
+            )
             else _commit_timestamp_ms(table_path, v)
         )
         def _existing(p: str, what: str) -> str:

@@ -429,9 +429,13 @@ def sniff_commit_metadata(table_path: str, version: int) -> dict | None:
 
 
 def _commit_timestamp_ms(table_path: str, version: int) -> int:
-    """commitInfo.timestamp when present, else commit-file mtime (the
-    spec's fallback ordering clock)."""
+    """``commitInfo.inCommitTimestamp`` when present (the ICT table
+    feature's authoritative, monotonic clock — the spec says readers
+    MUST prefer it for time travel), else ``commitInfo.timestamp``,
+    else commit-file mtime (the spec's fallback ordering clock)."""
     _, _, info, _, _, _, _ = _read_commit_actions(table_path, version)
+    if info and isinstance(info.get("inCommitTimestamp"), (int, float)):
+        return int(info["inCommitTimestamp"])
     if info and isinstance(info.get("timestamp"), (int, float)):
         return int(info["timestamp"])
     fname = os.path.join(
@@ -539,7 +543,9 @@ def read_delta_snapshot(
             protocol_raw = p_raw
         for t in vtxns:
             txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
-        if info and isinstance(info.get("timestamp"), (int, float)):
+        if info and isinstance(info.get("inCommitTimestamp"), (int, float)):
+            ts = int(info["inCommitTimestamp"])
+        elif info and isinstance(info.get("timestamp"), (int, float)):
             ts = int(info["timestamp"])
 
     if meta_raw is None or protocol_raw is None:

@@ -385,8 +385,12 @@ class _DeltaStreamReader(DataSourceStreamReader):
             self._table, v
         )
         ts = (
-            int(info["timestamp"])
-            if info and isinstance(info.get("timestamp"), (int, float))
+            int(info.get("inCommitTimestamp") or info["timestamp"])
+            if info
+            and isinstance(
+                info.get("inCommitTimestamp") or info.get("timestamp"),
+                (int, float),
+            )
             else _commit_timestamp_ms(self._table, v)
         )
 

@@ -1226,3 +1226,40 @@ def test_column_mapping_id_mode_idless_file_fails_loudly(spark, tmp_path):
     table = _id_mode_table(tmp_path, with_field_ids=False)
     with pytest.raises(Exception, match="FAILED_READ_FILE|field"):
         read_delta_table(spark, table).collect()
+
+
+def test_in_commit_timestamp_preferred_for_time_travel(spark, tmp_path):
+    """ICT tables carry the authoritative monotonic clock in
+    commitInfo.inCommitTimestamp — time travel must use IT, not the
+    (possibly skewed, here deliberately contradictory) file-level
+    timestamp field."""
+    table = str(tmp_path / "ict_delta")
+    os.makedirs(table)
+    s0 = _write_data(table, "f0.parquet", [1], ["a"])
+    s1 = _write_data(table, "f1.parquet", [2], ["b"])
+    base = {"minReaderVersion": 1, "minWriterVersion": 2}
+    _commit(
+        table, 0,
+        [
+            {"protocol": base},
+            {"metaData": _meta(SCHEMA_V0, part_cols=())},
+            {"add": _add("f0.parquet", "x", s0, 1, 1)},
+            # timestamp LIES (9999...); inCommitTimestamp is truth
+            {"commitInfo": {"timestamp": 9_999_999_999_999,
+                            "inCommitTimestamp": 1_700_000_001_000,
+                            "operation": "WRITE"}},
+        ],
+    )
+    _commit(
+        table, 1,
+        [
+            {"add": _add("f1.parquet", "x", s1, 1, 2)},
+            {"commitInfo": {"timestamp": 1,
+                            "inCommitTimestamp": 1_700_000_002_000,
+                            "operation": "WRITE"}},
+        ],
+    )
+    snap = read_delta_snapshot(table, timestamp_ms=1_700_000_001_500)
+    assert snap.version == 0  # ICT ordering, not the lying timestamps
+    snap2 = read_delta_snapshot(table, timestamp_ms=1_700_000_002_000)
+    assert snap2.version == 1
