@@ -67,6 +67,10 @@ class _Reader:
         shift = 0
         acc = 0
         while True:
+            if self.pos >= len(self.buf):
+                raise AvroDecodeError(
+                    f"truncated avro varint at {self.pos}"
+                )
             b = self.buf[self.pos]
             self.pos += 1
             acc |= (b & 0x7F) << shift

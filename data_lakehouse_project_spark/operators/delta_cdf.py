@@ -16,13 +16,22 @@ contract's metadata columns ``_change_type`` / ``_commit_version`` /
   ``insert``, ``remove(dataChange=true)`` rows are ``delete`` (the
   removed file's bytes must still exist; a vacuumed file is a hard
   error, not an empty result).  A commit that REWRITES files
-  (add+remove together, e.g. an update without CDC enabled) is
-  refused: synthesizing it as delete+insert would mislabel unchanged
-  rows as churn — delta-spark refuses these too.
+  (add+remove of DIFFERENT paths together, e.g. an update without CDC
+  enabled) is refused: synthesizing it as delete+insert would mislabel
+  unchanged rows as churn — delta-spark refuses these too.
+* **Deletion-vector commits are reconstructed by diffing per-file DV
+  state** (modern delta-spark deletes via DVs by default): a paired
+  ``remove(path, dvOld)`` + ``add(path, dvNew)`` of one path emits the
+  file's rows at positions ``dvNew − dvOld`` as ``delete`` (and the
+  rare ``dvOld − dvNew`` reverse set as re-``insert``, the RESTORE
+  shape).  The previous DV, when the remove omits its descriptor,
+  comes from the running snapshot state.  An unpaired remove of a
+  DV-bearing file emits only its LIVE rows (all minus the old DV) as
+  ``delete``; an unpaired add carrying a DV inserts only its live
+  rows.  A paired add+remove of one path with NO DV on either side is
+  a same-path overwrite — unknowable delta, refused like any rewrite.
 * ``dataChange=false`` actions (compaction/optimize) contribute
   nothing, per the contract.
-* Deletion-vector commits are refused (the per-version DV delta needs
-  the previous DV state; mislabeling is worse than refusing).
 
 Partition values for removes, which the log may omit, are recovered
 from the RUNNING snapshot state (the removed file's original add
@@ -37,6 +46,7 @@ broadcast maps keyed on the decoded ``_metadata.file_path``.
 from __future__ import annotations
 
 import os
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -121,10 +131,23 @@ def read_delta_changes(
                 p = p[len(pref):]
         return p if os.path.isabs(p) else os.path.join(table_path, p)
 
-    # (abs_path, version, ts, partition_values) per source kind
+    # (abs_path, version, ts, partition_values) per source kind;
+    # ins/del specs carry a 5th slot: row positions to EXCLUDE
+    # (DV-bearing file shipped whole minus its deleted rows), or None.
+    # pos_specs carry (path, v, ts, pv, label, positions-to-EMIT) for
+    # the DV-diff branches.
     cdc_specs: list[tuple] = []
     ins_specs: list[tuple] = []
     del_specs: list[tuple] = []
+    pos_specs: list[tuple] = []
+
+    def _dv_positions(dv: dict | None) -> frozenset:
+        from .dv import resolve_dv_positions
+
+        if not dv:
+            return frozenset()
+        return frozenset(resolve_dv_positions(dv, table_path))
+
     for v in wanted:
         adds, removes, info, _, _, _, cdc = _read_commit_actions(
             table_path, v
@@ -149,9 +172,11 @@ def read_delta_changes(
 
         if cdc:
             for c in cdc:
+                # cdc paths are URL-encoded like add/remove paths (the
+                # spec's path rule) — decode before resolving
                 cdc_specs.append(
                     (
-                        _existing(c["path"], "cdc file"),
+                        _existing(unquote(c["path"]), "cdc file"),
                         v,
                         ts,
                         c.get("partitionValues") or {},
@@ -164,36 +189,24 @@ def read_delta_changes(
             changed_removes = [
                 r for r in removes if r.get("data_change", True)
             ]
-            if changed_adds and changed_removes:
+            adds_by_path = {a["path"]: a for a in changed_adds}
+            removes_by_path = {r["path"]: r for r in changed_removes}
+            paired = sorted(set(adds_by_path) & set(removes_by_path))
+            loose_adds = [
+                a for p, a in adds_by_path.items() if p not in paired
+            ]
+            loose_removes = [
+                r for p, r in removes_by_path.items() if p not in paired
+            ]
+            if loose_adds and loose_removes:
                 raise UnsupportedDeltaFeature(
                     f"commit {v} rewrites files without cdc actions; "
                     "its row-level changes cannot be reconstructed "
                     "(synthesizing delete+insert would mislabel "
                     "unchanged rows)"
                 )
-            for a in changed_adds:
-                if a.get("dv") or a.get("foreign_dv"):
-                    raise UnsupportedDeltaFeature(
-                        f"commit {v} changes rows via deletion "
-                        "vectors; CDF cannot reconstruct the delta"
-                    )
-                ins_specs.append(
-                    (
-                        _existing(a["path"], "added file"),
-                        v,
-                        ts,
-                        a.get("partition_values") or {},
-                    )
-                )
-            for r in changed_removes:
-                if r.get("dv") or r.get("foreign_dv"):
-                    # a removed file that carried a DV had SOME rows
-                    # already deleted — synthesizing its whole content
-                    # as deletes would over-delete in the feed
-                    raise UnsupportedDeltaFeature(
-                        f"commit {v} removes rows via deletion "
-                        "vectors; CDF cannot reconstruct the delta"
-                    )
+
+            def _remove_pv(r: dict) -> dict:
                 pv = r.get("partition_values")
                 if pv is None:
                     pv = (state.get(r["path"]) or {}).get(
@@ -205,8 +218,77 @@ def read_delta_changes(
                         "no partition values and the file is not in "
                         "the prior snapshot"
                     )
+                return pv or {}
+
+            for p in paired:
+                # same path removed+re-added: the modern DV-delete
+                # commit shape — diff the per-file DV state
+                a, r = adds_by_path[p], removes_by_path[p]
+                if a.get("dv") or r.get("dv"):
+                    raise UnsupportedDeltaFeature(
+                        f"commit {v} carries a lakehouse.dv internal "
+                        "deletion vector; use the internal reader"
+                    )
+                old_dv = r.get("foreign_dv") or (
+                    state.get(p) or {}
+                ).get("foreign_dv")
+                new_dv = a.get("foreign_dv")
+                if not old_dv and not new_dv:
+                    raise UnsupportedDeltaFeature(
+                        f"commit {v} re-adds {p} without deletion "
+                        "vectors on either side; the row-level delta "
+                        "of a same-path overwrite is unknowable"
+                    )
+                old_pos = _dv_positions(old_dv)
+                new_pos = _dv_positions(new_dv)
+                ap = _existing(p, "DV-updated file")
+                pv = a.get("partition_values") or _remove_pv(r)
+                newly_deleted = sorted(new_pos - old_pos)
+                restored = sorted(old_pos - new_pos)
+                if newly_deleted:
+                    pos_specs.append(
+                        (ap, v, ts, pv, "delete", newly_deleted)
+                    )
+                if restored:
+                    pos_specs.append(
+                        (ap, v, ts, pv, "insert", restored)
+                    )
+            for a in loose_adds:
+                if a.get("dv"):
+                    raise UnsupportedDeltaFeature(
+                        f"commit {v} carries a lakehouse.dv internal "
+                        "deletion vector; use the internal reader"
+                    )
+                excl = sorted(_dv_positions(a.get("foreign_dv"))) or None
+                ins_specs.append(
+                    (
+                        _existing(a["path"], "added file"),
+                        v,
+                        ts,
+                        a.get("partition_values") or {},
+                        excl,
+                    )
+                )
+            for r in loose_removes:
+                if r.get("dv"):
+                    raise UnsupportedDeltaFeature(
+                        f"commit {v} carries a lakehouse.dv internal "
+                        "deletion vector; use the internal reader"
+                    )
+                # a removed file with a DV had SOME rows already
+                # deleted — only its LIVE rows leave the table now
+                old_dv = r.get("foreign_dv") or (
+                    state.get(r["path"]) or {}
+                ).get("foreign_dv")
+                excl = sorted(_dv_positions(old_dv)) or None
                 del_specs.append(
-                    (_existing(r["path"], "removed file"), v, ts, pv or {})
+                    (
+                        _existing(r["path"], "removed file"),
+                        v,
+                        ts,
+                        _remove_pv(r),
+                        excl,
+                    )
                 )
         # advance running state AFTER using it for this commit's removes
         for r in removes:
@@ -214,7 +296,7 @@ def read_delta_changes(
         for a in adds:
             state[a["path"]] = a
 
-    if not (cdc_specs or ins_specs or del_specs):
+    if not (cdc_specs or ins_specs or del_specs or pos_specs):
         return spark.createDataFrame([], out_schema)
 
     def _attach(df: DataFrame, specs: list[tuple]) -> DataFrame:
@@ -241,21 +323,139 @@ def read_delta_changes(
             )
         return df
 
+    def _stamp(d: DataFrame, v, ts, pv, label: str | None) -> DataFrame:
+        if label is not None:
+            d = d.withColumn(CHANGE_TYPE, F.lit(label))
+        d = d.withColumn(
+            COMMIT_VERSION, F.lit(int(v)).cast(LongType())
+        ).withColumn(COMMIT_TS, F.lit(int(ts)).cast(LongType()))
+        for c in part_cols:
+            d = d.withColumn(
+                c, F.lit((pv or {}).get(c)).cast(schema[c].dataType)
+            )
+        return d
+
+    def _branch(specs: list[tuple], read_schema, label: str | None):
+        """One change-source branch.  Fast path: a single multi-file
+        scan + broadcast metadata join.  Two cases scan per-spec and
+        stamp metadata as literals instead: (a) the SAME data file is
+        referenced by two specs (remove-then-re-add of one path across
+        in-range commits) — the broadcast join would attribute every
+        physical row to BOTH commits at once; (b) a spec carries
+        excluded positions (DV-bearing file shipped minus its already-
+        deleted rows), which needs a per-file ``row_index`` anti-join.
+        """
+        plain = [s[:4] for s in specs if len(s) < 5 or s[4] is None]
+        masked = [s for s in specs if len(s) >= 5 and s[4]]
+        outs: list[DataFrame] = []
+        paths = [p for p, *_ in plain]
+        if len(set(paths)) == len(paths):
+            if plain:
+                df = spark.read.schema(read_schema).parquet(*paths)
+                if label is not None:
+                    df = df.withColumn(CHANGE_TYPE, F.lit(label))
+                outs.append(_attach(df, plain))
+        else:
+            for p, v, ts, pv in plain:
+                outs.append(
+                    _stamp(
+                        spark.read.schema(read_schema).parquet(p),
+                        v, ts, pv, label,
+                    )
+                )
+        for p, v, ts, pv, excluded in masked:
+            d = spark.read.schema(read_schema).parquet(p).withColumn(
+                "__pos", F.col("_metadata.row_index")
+            )
+            mask = spark.createDataFrame(
+                [(int(x),) for x in excluded], "__pos: long"
+            )
+            d = d.join(F.broadcast(mask), "__pos", "left_anti").drop(
+                "__pos"
+            )
+            outs.append(_stamp(d, v, ts, pv, label))
+        out = outs[0]
+        for d in outs[1:]:
+            out = out.unionByName(d)
+        return out
+
     branches: list[DataFrame] = []
     if cdc_specs:
         cdc_schema = StructType(
             list(physical.fields) + [StructField(CHANGE_TYPE, StringType())]
         )
-        df = spark.read.schema(cdc_schema).parquet(
-            *[p for p, *_ in cdc_specs]
-        )
-        branches.append(_attach(df, cdc_specs))
+        branches.append(_branch(cdc_specs, cdc_schema, None))
     for specs, label in ((ins_specs, "insert"), (del_specs, "delete")):
-        if not specs:
-            continue
-        df = spark.read.schema(physical).parquet(*[p for p, *_ in specs])
-        df = df.withColumn(CHANGE_TYPE, F.lit(label))
-        branches.append(_attach(df, specs))
+        if specs:
+            branches.append(_branch(specs, physical, label))
+
+    if pos_specs:
+        # DV-diff rows: scan each referenced file ONCE, then inner-join
+        # (file, row_index) against the exact changed-position set —
+        # built arrow-side as ints (never Python tuples), broadcast
+        # below the same bytes gate the snapshot reader uses.  A path
+        # may appear under several commits; the join attributes each
+        # (row, commit, change_type) exactly once per positions entry.
+        import numpy as np
+        import pandas as pd
+
+        upaths = sorted({p for p, *_ in pos_specs})
+        fid = {p: i for i, p in enumerate(upaths)}
+        pv_of = {p: next(s[3] for s in pos_specs if s[0] == p)
+                 for p in upaths}
+        scan = spark.read.schema(physical).parquet(*upaths).withColumns(
+            {
+                "__cdf_path": _spark_path_key(),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
+        sid_chunks, fid_chunks, pos_chunks, meta_rows = [], [], [], []
+        for i, (p, v, ts, pv, label, positions) in enumerate(pos_specs):
+            n = len(positions)
+            sid_chunks.append(np.full(n, i, dtype=np.int32))
+            fid_chunks.append(np.full(n, fid[p], dtype=np.int32))
+            pos_chunks.append(np.asarray(positions, dtype=np.int64))
+            meta_rows.append((i, int(v), int(ts), label))
+        sids = np.concatenate(sid_chunks)
+        fids = np.concatenate(fid_chunks)
+        poss = np.concatenate(pos_chunks)
+        posdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"__cdf_fid": fids, "__pos": poss, "__cdf_sid": sids}
+            )
+        )
+        if sids.nbytes + fids.nbytes + poss.nbytes <= 64 << 20:
+            posdf = F.broadcast(posdf)
+        smeta = F.broadcast(
+            spark.createDataFrame(
+                meta_rows,
+                ["__cdf_sid", COMMIT_VERSION, COMMIT_TS, CHANGE_TYPE],
+            )
+        )
+        fmap = F.broadcast(
+            spark.createDataFrame(
+                [
+                    tuple(
+                        [os.path.abspath(p), fid[p]]
+                        + [(pv_of[p] or {}).get(c) for c in part_cols]
+                    )
+                    for p in upaths
+                ],
+                ["__cdf_path", "__cdf_fid"]
+                + [f"__pv_{c}" for c in part_cols],
+            )
+        )
+        dvdf = (
+            scan.join(fmap, "__cdf_path")
+            .join(posdf, ["__cdf_fid", "__pos"])
+            .join(smeta, "__cdf_sid")
+            .drop("__cdf_sid", "__cdf_fid", "__cdf_path", "__pos")
+        )
+        for c in part_cols:
+            dvdf = dvdf.withColumn(
+                c, F.col(f"__pv_{c}").cast(schema[c].dataType)
+            )
+        branches.append(dvdf)
 
     out = branches[0]
     for b in branches[1:]:

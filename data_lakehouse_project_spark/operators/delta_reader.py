@@ -91,6 +91,11 @@ from .txnlog import (
 # Everything else (variantShredding, catalogManaged, ...) must be
 # REFUSED, not ignored.
 SUPPORTED_READER_FEATURES = {
+    # columnMapping: "name" and "id" modes are implemented (physical
+    # names / parquet field-id resolution); the mode-specific gate in
+    # _check_protocol still refuses any OTHER mode, so advertising the
+    # feature here is consistent with the minReaderVersion=2 path.
+    "columnMapping",
     "timestampNtz",
     "vacuumProtocolCheck",
     "deletionVectors",
@@ -426,6 +431,33 @@ def sniff_commit_metadata(table_path: str, version: int) -> dict | None:
             if "metaData" in action:
                 return action["metaData"]
     return None
+
+
+def sniff_commit_meta_protocol(
+    table_path: str, version: int
+) -> tuple[dict | None, dict | None]:
+    """Parse ONLY the ``metaData`` and ``protocol`` actions of one
+    commit file — the pair routing/gating needs, without running
+    ``_intake_add`` validation over every add line (which would refuse
+    e.g. internal ``lakehouse.dv`` tags before the caller even knows
+    which reader to route to)."""
+    fname = os.path.join(
+        _log_dir(table_path), f"{version:0{_VERSION_DIGITS}d}.json"
+    )
+    meta_raw = protocol_raw = None
+    with open(fname) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                meta_raw = action["metaData"]
+            elif "protocol" in action:
+                protocol_raw = action["protocol"]
+            if meta_raw is not None and protocol_raw is not None:
+                break
+    return meta_raw, protocol_raw
 
 
 def _commit_timestamp_ms(table_path: str, version: int) -> int:

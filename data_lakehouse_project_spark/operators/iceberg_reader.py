@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -78,7 +79,15 @@ def avro_records(spark: SparkSession, path: str):
 
     try:
         return read_avro_file(path)
-    except AvroDecodeError:
+    except (
+        AvroDecodeError,
+        IndexError,  # out-of-range enum symbol / bad offsets
+        KeyError,  # record field lookup on a malformed schema
+        UnicodeDecodeError,  # non-UTF8 bytes where a string is declared
+        ValueError,  # AvroDecodeError's base; int() coercions
+        struct.error,
+        EOFError,
+    ):
         pass  # fall through to the reference JVM decoder
     jvm = spark._jvm
     reader = jvm.org.apache.avro.file.DataFileReader(

@@ -61,14 +61,15 @@ from data_lakehouse_project_spark.operators.delta_reader import (
     _commit_versions,
     _read_commit_actions,
     read_delta_snapshot,
-    sniff_commit_metadata,
+    sniff_commit_meta_protocol,
 )
 from data_lakehouse_project_spark.operators.txnlog import _parse_meta
 
 
 class _DeltaFilePartition(InputPartition):
     def __init__(self, path, partition_values, schema_json, part_cols,
-                 cdf=None, phys_of=None, ids_of=None):
+                 cdf=None, phys_of=None, ids_of=None,
+                 positions=None, excluded=None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
@@ -80,6 +81,13 @@ class _DeltaFilePartition(InputPartition):
         # mode) / logical -> parquet field id ("id" mode)
         self.phys_of = phys_of
         self.ids_of = ids_of
+        # row-index selection (sorted lists; at most one is set):
+        # positions -> emit ONLY these rows (DV-diff change rows);
+        # excluded -> emit all BUT these (DV-bearing file's live rows).
+        # Shipped in the pickled partition — bounded by one file's DV
+        # cardinality, the same per-file metadata Delta readers hold.
+        self.positions = positions
+        self.excluded = excluded
 
 
 class DeltaStreamDataSource(DataSource):
@@ -94,13 +102,19 @@ class DeltaStreamDataSource(DataSource):
         if not table:
             raise ValueError("delta_stream requires option('path', ...)")
         versions = _commit_versions(table)
+        # newest metaData wins; protocol may live in an OLDER commit
+        # (e.g. created at v0, schema-changed at v5) — keep scanning
+        # until BOTH are found, so gating never silently skips.  The
+        # sniff parses only metaData/protocol lines (no add-action
+        # validation on the way).
         meta_raw = protocol_raw = None
-        for v in reversed(versions):  # newest commit carrying metaData
-            m_raw = sniff_commit_metadata(table, v)
-            if m_raw is not None:
+        for v in reversed(versions):
+            m_raw, p_raw = sniff_commit_meta_protocol(table, v)
+            if meta_raw is None and m_raw is not None:
                 meta_raw = m_raw
-                _, _, _, _, p_raw, _, _ = _read_commit_actions(table, v)
+            if protocol_raw is None and p_raw is not None:
                 protocol_raw = p_raw
+            if meta_raw is not None and protocol_raw is not None:
                 break
         if meta_raw is None:
             # log-cleaned table: metaData lives only in the parquet
@@ -112,7 +126,12 @@ class DeltaStreamDataSource(DataSource):
                 "configuration": snap.configuration,
             }
             protocol_raw = snap.protocol  # already gated by the replay
-        elif protocol_raw is not None:
+        else:
+            if protocol_raw is None:
+                # protocol survives only in a checkpoint: the snapshot
+                # replay recovers (and gates) it — never stream a
+                # table whose protocol was never checked
+                protocol_raw = read_delta_snapshot(table).protocol
             _check_protocol(
                 protocol_raw, meta_raw.get("configuration") or {}
             )
@@ -375,10 +394,16 @@ class _DeltaStreamReader(DataSourceStreamReader):
     def _cdf_partitions(self, v: int, schema_json: str):
         """One commit -> CDF partitions, per the same contract as the
         batch reader (operators/delta_cdf.py): cdc actions win;
-        insert-only/delete-only commits synthesize; rewrites and DV
-        commits are refused; dataChange=false contributes nothing."""
+        insert-only/delete-only commits synthesize; deletion-vector
+        commits diff per-file DV state (paired remove+add of one path
+        emits rows at dvNew−dvOld as deletes, dvOld−dvNew as
+        re-inserts); true rewrites are refused; dataChange=false
+        contributes nothing."""
         from data_lakehouse_project_spark.operators.delta_reader import (
             _commit_timestamp_ms,
+        )
+        from data_lakehouse_project_spark.operators.dv import (
+            resolve_dv_positions,
         )
 
         adds, removes, info, _, _, _, cdc = _read_commit_actions(
@@ -401,10 +426,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
 
         parts = []
         if cdc:
+            from urllib.parse import unquote
+
             for c in cdc:
+                # cdc paths are URL-encoded per spec, like add/remove
                 parts.append(
                     _DeltaFilePartition(
-                        _abs(c["path"]),
+                        _abs(unquote(c["path"])),
                         c.get("partitionValues") or {},
                         schema_json,
                         self._part_cols,
@@ -418,69 +446,126 @@ class _DeltaStreamReader(DataSourceStreamReader):
         changed_removes = [
             r for r in removes if r.get("data_change", True)
         ]
-        if changed_adds and changed_removes:
+        adds_by_path = {a["path"]: a for a in changed_adds}
+        removes_by_path = {r["path"]: r for r in changed_removes}
+        paired = sorted(set(adds_by_path) & set(removes_by_path))
+        loose_adds = [
+            a for p, a in adds_by_path.items() if p not in paired
+        ]
+        loose_removes = [
+            r for p, r in removes_by_path.items() if p not in paired
+        ]
+        if loose_adds and loose_removes:
             raise UnsupportedDeltaFeature(
                 f"commit {v} rewrites files without cdc actions; its "
                 "row-level changes cannot be reconstructed"
             )
-        for a in changed_adds:
-            if a.get("dv") or a.get("foreign_dv"):
-                raise UnsupportedDeltaFeature(
-                    f"commit {v} changes rows via deletion vectors; "
-                    "CDF cannot reconstruct the delta"
+
+        prior_state: dict | None = None
+
+        def _prior(path: str) -> dict | None:
+            nonlocal prior_state
+            if prior_state is None:  # prior snapshot, once per commit
+                prior = read_delta_snapshot(self._table, version=v - 1)
+                prior_state = {f["path"]: f for f in prior.files}
+            return prior_state.get(path)
+
+        def _dv_positions(dv) -> frozenset:
+            if not dv:
+                return frozenset()
+            return frozenset(resolve_dv_positions(dv, self._table))
+
+        def _part(path, pv, cdf3, positions=None, excluded=None):
+            p = _abs(path)
+            if not os.path.exists(p):
+                raise CorruptDeltaLog(
+                    f"file {path} (commit {v}) no longer exists "
+                    "(vacuumed) — its change rows cannot be reproduced"
                 )
+            return _DeltaFilePartition(
+                p,
+                pv or {},
+                schema_json,
+                self._part_cols,
+                cdf=cdf3,
+                phys_of=self._phys_of,
+                ids_of=self._ids_of,
+                positions=positions,
+                excluded=excluded,
+            )
+
+        for path in paired:
+            # same path removed+re-added: the modern DV-delete commit
+            a, r = adds_by_path[path], removes_by_path[path]
+            if a.get("dv") or r.get("dv"):
+                raise UnsupportedDeltaFeature(
+                    f"commit {v} carries a lakehouse.dv internal "
+                    "deletion vector; use the internal reader"
+                )
+            old_dv = r.get("foreign_dv") or (
+                (_prior(path) or {}).get("foreign_dv")
+            )
+            new_dv = a.get("foreign_dv")
+            if not old_dv and not new_dv:
+                raise UnsupportedDeltaFeature(
+                    f"commit {v} re-adds {path} without deletion "
+                    "vectors on either side; the row-level delta of a "
+                    "same-path overwrite is unknowable"
+                )
+            old_pos = _dv_positions(old_dv)
+            new_pos = _dv_positions(new_dv)
+            pv = a.get("partition_values") or {}
+            newly_deleted = sorted(new_pos - old_pos)
+            restored = sorted(old_pos - new_pos)
+            if newly_deleted:
+                parts.append(
+                    _part(path, pv, ("delete", v, ts),
+                          positions=newly_deleted)
+                )
+            if restored:
+                parts.append(
+                    _part(path, pv, ("insert", v, ts),
+                          positions=restored)
+                )
+        for a in loose_adds:
+            if a.get("dv"):
+                raise UnsupportedDeltaFeature(
+                    f"commit {v} carries a lakehouse.dv internal "
+                    "deletion vector; use the internal reader"
+                )
+            excl = sorted(_dv_positions(a.get("foreign_dv"))) or None
             parts.append(
-                _DeltaFilePartition(
-                    _abs(a["path"]),
+                _part(
+                    a["path"],
                     a.get("partition_values") or {},
-                    schema_json,
-                    self._part_cols,
-                    cdf=("insert", v, ts),
-                        phys_of=self._phys_of,
-                        ids_of=self._ids_of,
+                    ("insert", v, ts),
+                    excluded=excl,
                 )
             )
-        recovered = None
-        for r in changed_removes:
-            if r.get("dv") or r.get("foreign_dv"):
+        for r in loose_removes:
+            if r.get("dv"):
                 raise UnsupportedDeltaFeature(
-                    f"commit {v} removes rows via deletion vectors; "
-                    "CDF cannot reconstruct the delta"
+                    f"commit {v} carries a lakehouse.dv internal "
+                    "deletion vector; use the internal reader"
                 )
             pv = r.get("partition_values")
             if pv is None and self._part_cols:
-                if recovered is None:  # prior snapshot, once per commit
-                    prior = read_delta_snapshot(
-                        self._table, version=v - 1
-                    )
-                    recovered = {
-                        f["path"]: f.get("partition_values") or {}
-                        for f in prior.files
-                    }
-                pv = recovered.get(r["path"])
+                pv = ((_prior(r["path"]) or {}).get("partition_values"))
                 if pv is None:
                     raise CorruptDeltaLog(
                         f"remove of {r['path']} at commit {v} carries "
                         "no partition values and the file is not in "
                         "the prior snapshot"
                     )
-            p = _abs(r["path"])
-            if not os.path.exists(p):
-                raise CorruptDeltaLog(
-                    f"removed file {r['path']} (commit {v}) no longer "
-                    "exists (vacuumed) — its delete rows cannot be "
-                    "reproduced"
-                )
+            # a removed file with a DV had SOME rows already deleted —
+            # only its live rows leave the table now
+            old_dv = r.get("foreign_dv") or (
+                (_prior(r["path"]) or {}).get("foreign_dv")
+            )
+            excl = sorted(_dv_positions(old_dv)) or None
             parts.append(
-                _DeltaFilePartition(
-                    p,
-                    pv or {},
-                    schema_json,
-                    self._part_cols,
-                    cdf=("delete", v, ts),
-                        phys_of=self._phys_of,
-                        ids_of=self._ids_of,
-                )
+                _part(r["path"], pv or {}, ("delete", v, ts),
+                      excluded=excl)
             )
         return parts
 
@@ -499,6 +584,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
             ]
         )
         table = pq.read_table(partition.path)
+        if partition.positions is not None:
+            table = table.take(pa.array(partition.positions, pa.int64()))
+        elif partition.excluded is not None:
+            import numpy as np
+
+            keep = np.ones(table.num_rows, dtype=bool)
+            keep[np.asarray(partition.excluded, dtype=np.int64)] = False
+            table = table.filter(pa.array(keep))
         n = table.num_rows
         cdf_const = {}
         if partition.cdf is not None:
