@@ -622,43 +622,101 @@ def _field_ids(schema_json: str) -> dict[str, int]:
 
 
 def _physical_names(schema_json: str) -> dict[str, str]:
-    """Column-mapping ``name`` mode: logical field name -> physical
-    parquet column name, from the per-field ``schemaString`` metadata
-    (``delta.columnMapping.physicalName``, the spec's carrier).
+    """Column-mapping ``name`` mode: TOP-LEVEL logical field name ->
+    physical parquet column name, from the per-field ``schemaString``
+    metadata (``delta.columnMapping.physicalName``, the spec's
+    carrier).  Nested mapping is handled by ``_map_schema_json`` (batch
+    reader); callers that only resolve top-level names (the streaming
+    executor) must gate on ``has_nested_mapping`` themselves."""
+    out: dict[str, str] = {}
+    for f in json.loads(schema_json).get("fields", []):
+        out[f["name"]] = (f.get("metadata") or {}).get(
+            _PHYS_NAME_KEY, f["name"]
+        )
+    return out
 
-    Only TOP-LEVEL mapping is implemented; a nested struct/array/map
-    element whose physical name differs from its logical name would be
-    silently mis-read, so such schemas are refused."""
 
-    def _nested_mapped(t) -> bool:
+def has_nested_mapping(schema_json: str) -> bool:
+    """True when any NESTED struct field (any depth, incl. through
+    array/map element types) carries a physicalName different from its
+    logical name — the case a top-level-only resolver would silently
+    mis-read."""
+
+    def _t(t) -> bool:
         if isinstance(t, dict):
             typ = t.get("type")
             if typ == "struct":
                 return any(
                     (f.get("metadata") or {}).get(_PHYS_NAME_KEY, f["name"])
                     != f["name"]
-                    or _nested_mapped(f.get("type"))
+                    or _t(f.get("type"))
                     for f in t.get("fields", [])
                 )
             if typ == "array":
-                return _nested_mapped(t.get("elementType"))
+                return _t(t.get("elementType"))
             if typ == "map":
-                return _nested_mapped(t.get("keyType")) or _nested_mapped(
-                    t.get("valueType")
-                )
+                return _t(t.get("keyType")) or _t(t.get("valueType"))
         return False
 
-    out: dict[str, str] = {}
-    for f in json.loads(schema_json).get("fields", []):
-        out[f["name"]] = (f.get("metadata") or {}).get(
-            _PHYS_NAME_KEY, f["name"]
-        )
-        if _nested_mapped(f.get("type")):
-            raise UnsupportedDeltaFeature(
-                f"column mapping on NESTED fields of '{f['name']}' is "
-                "not supported (top-level name mapping only)"
-            )
-    return out
+    return any(
+        _t(f.get("type"))
+        for f in json.loads(schema_json).get("fields", [])
+    )
+
+
+def _map_schema_json(schema_json: str, mode: str) -> dict:
+    """schemaString JSON -> the PHYSICAL scan schema (StructType JSON),
+    applying column mapping recursively through struct fields at any
+    depth (including through array element / map key+value types):
+
+    * ``name``: every struct field renamed to its
+      ``delta.columnMapping.physicalName``; other metadata dropped.
+    * ``id``: logical names kept, ``parquet.field.id`` metadata stamped
+      from ``delta.columnMapping.id`` so Spark's field-id read path
+      resolves parquet columns by id at every nesting level.  A field
+      without an id cannot be resolved — refuse, never guess by name.
+    """
+
+    def _field(f: dict) -> dict:
+        f = dict(f)
+        md = f.get("metadata") or {}
+        if mode == "name":
+            f["name"] = md.get(_PHYS_NAME_KEY, f["name"])
+            f["metadata"] = {}
+        else:
+            fid = md.get(_FIELD_ID_KEY)
+            if fid is None:
+                raise UnsupportedDeltaFeature(
+                    f"column mapping mode 'id' but field '{f['name']}' "
+                    "carries no delta.columnMapping.id"
+                )
+            f["metadata"] = {"parquet.field.id": int(fid)}
+        f["type"] = _type(f["type"])
+        return f
+
+    def _type(t):
+        if isinstance(t, dict):
+            typ = t.get("type")
+            if typ == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [_field(x) for x in t.get("fields", [])],
+                }
+            if typ == "array":
+                return {**t, "elementType": _type(t["elementType"])}
+            if typ == "map":
+                return {
+                    **t,
+                    "keyType": _type(t["keyType"]),
+                    "valueType": _type(t["valueType"]),
+                }
+        return t
+
+    top = json.loads(schema_json)
+    return {
+        "type": "struct",
+        "fields": [_field(f) for f in top.get("fields", [])],
+    }
 
 
 def _spark_path_key():
@@ -732,31 +790,41 @@ def read_delta_table(
 
     if mapping_mode == "id":
         # field-id resolution: the scan schema carries LOGICAL names +
-        # parquet.field.id metadata; Spark matches file columns by id
-        # (probed: names are ignored entirely), and a data file
+        # parquet.field.id metadata AT EVERY NESTING LEVEL; Spark
+        # matches file columns by id (probed: names are ignored
+        # entirely, nested group fields included), and a data file
         # WITHOUT field ids fails LOUDLY (ignoreMissing stays false —
         # id-mode writers are required to stamp ids).  The conf only
         # affects schemas that carry field-id metadata, so enabling it
         # session-wide is inert for every other scan.
-        ids = _field_ids(snap.schema_json)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        mapped = StructType.fromJson(
+            _map_schema_json(snap.schema_json, "id")
+        )
         physical = StructType(
             [
-                StructField(
-                    f.name, f.dataType, f.nullable,
-                    metadata={"parquet.field.id": ids[f.name]},
-                )
-                for f in schema.fields
-                if f.name not in part_cols
+                mf
+                for lf, mf in zip(schema.fields, mapped.fields)
+                if lf.name not in part_cols
+            ]
+        )
+    elif mapping_mode == "name":
+        # physical names applied recursively (struct members at any
+        # depth, through array/map element types); logical names are
+        # restored after the scan
+        mapped = StructType.fromJson(
+            _map_schema_json(snap.schema_json, "name")
+        )
+        physical = StructType(
+            [
+                mf
+                for lf, mf in zip(schema.fields, mapped.fields)
+                if lf.name not in part_cols
             ]
         )
     else:
         physical = StructType(
-            [
-                StructField(phys_of[f.name], f.dataType, f.nullable)
-                for f in schema.fields
-                if f.name not in part_cols
-            ]
+            [f for f in schema.fields if f.name not in part_cols]
         )
 
     def _abs(p: str) -> str:
@@ -767,14 +835,6 @@ def read_delta_table(
 
     paths = [_abs(f["path"]) for f in files]
     df = spark.read.schema(physical).parquet(*paths)
-    if mapping_mode == "name":
-        df = df.withColumnsRenamed(
-            {
-                phys_of[f.name]: f.name
-                for f in schema.fields
-                if f.name not in part_cols and phys_of[f.name] != f.name
-            }
-        )
 
     # _metadata is only resolvable on the raw file scan — materialize
     # the path key (and row index, when DVs exist) as plain columns
@@ -784,6 +844,22 @@ def read_delta_table(
     if dv_adds:
         meta_cols["__dv_pos"] = F.col("_metadata.row_index")
     df = df.withColumns(meta_cols)
+
+    if mapping_mode == "name":
+        # restore LOGICAL names: top-level via alias, nested via a
+        # positional struct cast (Spark casts struct fields by
+        # POSITION, so casting the physical struct to the logical
+        # field's dataType renames members at every depth; a
+        # same-type cast on flat columns folds away in Catalyst)
+        df = df.select(
+            *[
+                F.col(f"`{phys_of[f.name]}`").cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+                if f.name not in part_cols
+            ],
+            *meta_cols.keys(),
+        )
 
     # -- deletion vectors: decode each add's bitmap driver-side (the
     # same O(total cardinality) state the reference reader broadcasts)

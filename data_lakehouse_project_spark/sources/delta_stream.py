@@ -178,18 +178,20 @@ class DeltaStreamDataSource(DataSource):
                 start = snap.version + 1
         else:
             start = int(raw_start)
-        if self._cdf_mode() and bootstrap is not None:
-            raise UnsupportedDeltaFeature(
-                "readChangeFeed cannot bootstrap from a checkpoint "
-                "snapshot (per-commit changes before it are gone); "
-                "use a numeric startingVersion at or after the gap"
-            )
+        # readChangeFeed + first-available over a vacuumed log: the
+        # per-commit changes before the checkpoint are gone, so the
+        # snapshot itself is emitted as `insert` changes stamped with
+        # _commit_version = the snapshot version (explicit
+        # emitted-from-version semantics, like delta-spark's CDF
+        # startingVersion=0 on a log-cleaned table); the tail then
+        # replays exactly the post-checkpoint changes.
         # column mapping: the executor-side pyarrow read resolves
         # physical names ("name" mode) or parquet field ids ("id"
         # mode) directly — same contracts as the batch reader
         from data_lakehouse_project_spark.operators.delta_reader import (
             _field_ids,
             _physical_names,
+            has_nested_mapping,
         )
 
         mapping = (meta_raw.get("configuration") or {}).get(
@@ -197,6 +199,16 @@ class DeltaStreamDataSource(DataSource):
         )
         phys_of = ids_of = None
         schema_json_raw = meta_raw.get("schemaString")
+        if mapping in ("name", "id") and has_nested_mapping(
+            schema_json_raw
+        ):
+            # the executor-side arrow read resolves TOP-LEVEL names/ids
+            # only; a nested mapped field would be silently mis-read
+            # (the batch reader handles nested mapping — use it)
+            raise UnsupportedDeltaFeature(
+                "column mapping on NESTED fields is not supported by "
+                "the streaming source"
+            )
         if mapping == "name":
             phys_of = _physical_names(schema_json_raw)
         elif mapping == "id":
@@ -298,14 +310,28 @@ class _DeltaStreamReader(DataSourceStreamReader):
             # checkpoint snapshot at `bootstrap`, then the plain tail.
             # The same deterministic file set replays on restart — the
             # snapshot at a pinned version never changes.
+            from data_lakehouse_project_spark.operators.dv import (
+                resolve_dv_positions,
+            )
+
             boot = int(start["bootstrap"])
             snap = read_delta_snapshot(self._table, version=boot)
             for f in snap.files:
-                if f.get("foreign_dv") or f.get("dv"):
+                if f.get("dv"):
                     raise UnsupportedDeltaFeature(
-                        "bootstrap snapshot carries deletion vectors; "
-                        "the streaming source cannot apply them"
+                        "bootstrap snapshot carries a lakehouse.dv "
+                        "internal deletion vector; use the internal "
+                        "reader"
                     )
+                # spec DVs apply as per-file excluded row indexes —
+                # the snapshot's LIVE rows ship, deleted rows don't
+                excl = None
+                if f.get("foreign_dv"):
+                    excl = sorted(
+                        resolve_dv_positions(
+                            f["foreign_dv"], self._table
+                        )
+                    ) or None
                 p = f["path"]
                 if not os.path.isabs(p):
                     p = os.path.join(self._table, p)
@@ -315,8 +341,14 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         f.get("partition_values") or {},
                         schema_json,
                         self._part_cols,
+                        cdf=(
+                            ("insert", boot, snap.timestamp_ms)
+                            if self._cdf
+                            else None
+                        ),
                         phys_of=self._phys_of,
                         ids_of=self._ids_of,
+                        excluded=excl,
                     )
                 )
             lo = boot  # tail resumes after the snapshot version

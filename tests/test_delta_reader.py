@@ -542,40 +542,199 @@ def test_column_mapping_prune_uses_physical_stats(spark, tmp_path):
     assert sorted(r.id for r in df2.collect()) == [1, 2]
 
 
-def test_column_mapping_nested_refused(tmp_path):
-    nested_schema = json.dumps(
-        {
-            "type": "struct",
-            "fields": [
-                {
-                    "name": "s",
-                    "type": {
+NESTED_MAPPED_SCHEMA = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "s",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "inner",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 2,
+                                "delta.columnMapping.physicalName":
+                                    "col-x",
+                            },
+                        },
+                        {
+                            "name": "note",
+                            "type": "string",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName":
+                                    "note",
+                            },
+                        },
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-s",
+                },
+            },
+            {
+                "name": "tags",
+                "type": {
+                    "type": "array",
+                    "elementType": {
                         "type": "struct",
                         "fields": [
                             {
-                                "name": "inner",
-                                "type": "long",
+                                "name": "k",
+                                "type": "string",
                                 "nullable": True,
                                 "metadata": {
-                                    "delta.columnMapping.physicalName": "col-x"
+                                    "delta.columnMapping.id": 5,
+                                    "delta.columnMapping.physicalName":
+                                        "col-k",
                                 },
                             }
                         ],
                     },
-                    "nullable": True,
-                    "metadata": {
-                        "delta.columnMapping.physicalName": "col-s"
-                    },
-                }
-            ],
-        }
+                    "containsNull": True,
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 4,
+                    "delta.columnMapping.physicalName": "col-tags",
+                },
+            },
+        ],
+    }
+)
+
+
+def _nested_mapped_table(tmp_path, mode, with_field_ids=False):
+    """Evolved table whose STRUCT MEMBER was renamed: logical
+    s.inner / tags[].k live physically at col-s.col-x / col-tags[].col-k."""
+    table = str(tmp_path / f"nested_{mode}")
+    os.makedirs(table)
+    fpath = os.path.join(table, "f0.parquet")
+
+    def _f(name, typ, fid):
+        md = (
+            {b"PARQUET:field_id": str(fid).encode()}
+            if with_field_ids
+            else None
+        )
+        return pa.field(name, typ, metadata=md)
+
+    struct_t = pa.struct(
+        [_f("col-x", pa.int64(), 2), _f("note", pa.string(), 3)]
     )
-    from data_lakehouse_project_spark.operators.delta_reader import (
-        _physical_names,
+    tags_t = pa.list_(pa.field(
+        "element", pa.struct([_f("col-k", pa.string(), 5)])
+    ))
+    arrow_schema = pa.schema(
+        [_f("col-s", struct_t, 1), _f("col-tags", tags_t, 4)]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "col-s": pa.array(
+                    [{"col-x": 1, "note": "a"}, {"col-x": 2, "note": "b"}],
+                    struct_t,
+                ),
+                "col-tags": pa.array(
+                    [[{"col-k": "t1"}], [{"col-k": "t2"}]], tags_t
+                ),
+            },
+            schema=arrow_schema,
+        ),
+        fpath,
+    )
+    _commit(
+        table,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "nested-0001",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": NESTED_MAPPED_SCHEMA,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": mode,
+                        "delta.columnMapping.maxColumnId": "5",
+                    },
+                    "createdTime": 1700000000000,
+                }
+            },
+            {
+                "add": {
+                    "path": "f0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 2}),
+                }
+            },
+            _info(1700000001000),
+        ],
+    )
+    return table
+
+
+def test_column_mapping_nested_name_mode_reads(spark, tmp_path):
+    """Renamed struct members (and array-of-struct members) read back
+    under their LOGICAL names with values intact."""
+    table = _nested_mapped_table(tmp_path, "name")
+    df = read_delta_table(spark, table)
+    assert df.columns == ["s", "tags"]
+    assert df.schema["s"].dataType.names == ["inner", "note"]
+    assert (
+        df.schema["tags"].dataType.elementType.names == ["k"]
+    )
+    rows = sorted(
+        (r.s.inner, r.s.note, r.tags[0].k) for r in df.collect()
+    )
+    assert rows == [(1, "a", "t1"), (2, "b", "t2")]
+
+
+def test_column_mapping_nested_id_mode_reads(spark, tmp_path):
+    """id-mode nested resolution: parquet field ids at every nesting
+    level, logical names never consulted."""
+    table = _nested_mapped_table(tmp_path, "id", with_field_ids=True)
+    df = read_delta_table(spark, table)
+    assert df.columns == ["s", "tags"]
+    assert df.schema["s"].dataType.names == ["inner", "note"]
+    rows = sorted(
+        (r.s.inner, r.s.note, r.tags[0].k) for r in df.collect()
+    )
+    assert rows == [(1, "a", "t1"), (2, "b", "t2")]
+
+
+def test_nested_mapping_refused_by_streaming_source(spark, tmp_path):
+    """The streaming executor resolves top-level names/ids only; a
+    nested-mapped table must be refused there, never mis-read."""
+    table = _nested_mapped_table(tmp_path, "name")
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
     )
 
-    with pytest.raises(UnsupportedDeltaFeature, match="NESTED"):
-        _physical_names(nested_schema)
+    register_python_datasources(spark)
+    with pytest.raises(Exception, match="NESTED"):
+        (
+            spark.readStream.format("delta_stream")
+            .option("path", table)
+            .load()
+            .writeStream.format("noop")
+            .option(
+                "checkpointLocation", str(tmp_path / "ck_nested")
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
 
 
 def test_deletion_vector_add_applied(spark, tmp_path):

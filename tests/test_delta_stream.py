@@ -477,3 +477,56 @@ def test_foreign_dv_add_refused_in_tail(spark, tmp_path):
     register_python_datasources(spark)
     with pytest.raises(Exception, match="deletion-vector|deletionVector"):
         _run_available_now(spark, table, str(tmp_path / "ck"), [])
+
+
+def test_cdf_first_available_bootstraps_snapshot_as_inserts(
+    spark, tmp_path
+):
+    """readChangeFeed + startingVersion=first-available over a
+    log-cleaned table: the checkpoint snapshot is emitted as `insert`
+    changes stamped with the snapshot version (explicit
+    emitted-from-version semantics), then the tail replays exactly the
+    post-checkpoint changes — no manual version math, restart stays
+    exactly-once."""
+    register_python_datasources(spark)
+    path = str(tmp_path / "tcfa")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 2), mode="overwrite")           # v0
+    for i in range(1, 12):                                    # v1..v11
+        t.write(_batch(spark, 2 * i, 2 * i + 2), mode="append")
+    _clean_log(path, 10)  # checkpoint at v10 carries the state
+
+    def _run_cdf(ckpt, sink):
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "first-available")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _bid: sink.extend(
+                    (r["id"], r["_change_type"], r["_commit_version"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got: list[tuple] = []
+    ckpt = str(tmp_path / "ck1")
+    _run_cdf(ckpt, got)
+    assert sorted(r[0] for r in got) == list(range(24))
+    assert {r[1] for r in got} == {"insert"}
+    # every bootstrap row is stamped with the snapshot version (the
+    # latest reconstructable version, 11 here)
+    assert {r[2] for r in got} == {11}
+
+    # restart: only the NEW commit's changes, stamped with their own
+    # commit version — never a snapshot replay
+    t.write(_batch(spark, 24, 26), mode="append")            # v12
+    got2: list[tuple] = []
+    _run_cdf(ckpt, got2)
+    assert sorted(got2) == [(24, "insert", 12), (25, "insert", 12)]
