@@ -409,13 +409,19 @@ def length_outlier_filter(
 
     Returns (id, group?, n_tokens) for surviving documents.
 
-    Scale: ONE aggregation computes the per-group exact percentiles
-    (interpolated, engine-portable semantics — percentile_cont); the
-    tiny bounds table broadcasts back onto the scan, so the filter
-    itself is map-side. Exact percentiles at 100 TB group cardinality
-    are fine (the agg state is per-group); switch to approx_percentile
-    only if a single group's value set itself is the bottleneck.
+    Scale: the per-group exact percentiles run through the BOUNDED-
+    MEMORY counts-grain straddle (``registry_r6.
+    grouped_quantiles_exact`` — bit-identical to percentile_cont's
+    interpolation without its per-group buffer materializing every
+    document's length on one task); the tiny bounds table broadcasts
+    back onto the scan, so the filter itself is map-side.  Distinct
+    token LENGTHS per group are tiny relative to documents, so the
+    straddle's count grain stays metadata-sized even at 100 TB.
     """
+    from data_lakehouse_project_spark.registry_r6 import (
+        grouped_quantiles_exact,
+    )
+
     n = token_count(F.col(text_col))
     if group_col is None:
         keyed = df.select(F.col(id_col), F.lit(0).alias("_g"), n.alias("n_tokens"))
@@ -425,10 +431,9 @@ def length_outlier_filter(
             F.col(id_col), F.col(group_col), n.alias("n_tokens")
         )
         gcols = [group_col]
-    bounds = keyed.groupBy(*gcols).agg(
-        F.percentile("n_tokens", lo).alias("_lo"),
-        F.percentile("n_tokens", hi).alias("_hi"),
-    )
+    bounds = grouped_quantiles_exact(
+        keyed, gcols, "n_tokens", {"_lo": lo, "_hi": hi}
+    ).drop("__n")
     out = (
         keyed.join(F.broadcast(bounds), gcols)
         .where(

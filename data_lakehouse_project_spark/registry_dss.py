@@ -623,7 +623,11 @@ FROM lineitem GROUP BY l_returnflag
 def q_percentile_disc(spark, sf_dir):
     """PERCENTILE_DISC (smallest value with cume_dist >= p — an actual
     data value, no interpolation; verified equal to DuckDB's
-    quantile_disc rule on boundary cases)."""
+    quantile_disc rule on boundary cases).
+
+    API-surface slot covering the SQL form (holistic buffer); the
+    scale path for exact quantiles is ``registry_r6.
+    grouped_quantiles_exact``."""
     load_testdata(spark, sf_dir, register_views=True)
     return spark.sql(SQL_PDISC_SPARK)
 

@@ -105,11 +105,29 @@ def _R(expr, digits=2):
 
 
 def q_agg_median(spark, sf_dir):
-    """Exact median / percentile (percentile_cont interpolation)."""
+    """Exact median / percentile (percentile_cont interpolation) via
+    the bounded-memory counts-grain straddle
+    (``registry_r6.grouped_quantiles_exact`` — bit-identical to the
+    holistic ``F.percentile`` without its per-group every-row buffer).
+    Two value columns -> two count-grain passes joined on the 3-group
+    key (broadcast)."""
+    from data_lakehouse_project_spark.registry_r6 import (
+        grouped_quantiles_exact,
+    )
+
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        _r2(F.median("l_quantity")).alias("median_qty"),
-        _r2(F.percentile("l_extendedprice", 0.9)).alias("p90_price"),
+    med = grouped_quantiles_exact(
+        lineitem.select("l_returnflag", "l_quantity"),
+        ["l_returnflag"], "l_quantity", {"mq": 0.5},
+    ).select("l_returnflag", "mq")
+    p90 = grouped_quantiles_exact(
+        lineitem.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"], "l_extendedprice", {"p9": 0.9},
+    ).select("l_returnflag", "p9")
+    return med.join(F.broadcast(p90), "l_returnflag").select(
+        "l_returnflag",
+        _r2(F.col("mq")).alias("median_qty"),
+        _r2(F.col("p9")).alias("p90_price"),
     )
 
 

@@ -25,7 +25,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_lakehouse_project_spark.registry_r6 import grouped_median_exact
+from data_lakehouse_project_spark.registry_r6 import (
+    grouped_median_exact,
+    grouped_quantiles_exact,
+)
 from data_lakehouse_project_spark.sources.readers import load_testdata
 
 _helpers: dict = {}
@@ -57,10 +60,33 @@ def q_customer_rfm_segments(spark, sf_dir):
         "freq",
         "monetary",
     )
-    med = rfm.agg(
-        F.percentile("recency", F.lit(0.5)).alias("med_r"),
-        F.percentile("freq", F.lit(0.5)).alias("med_f"),
-        F.percentile("monetary", F.lit(0.5)).alias("med_m"),
+    # global medians via the bounded-memory counts-grain straddle
+    # (never F.percentile's one-buffer-holds-the-grain aggregate):
+    # unpivot the three metrics, one grouped pass keyed by metric,
+    # fold the 3-row result to one broadcastable row
+    vals = rfm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("m"),
+                    F.col("recency").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("m"),
+                    F.col("freq").cast("double").alias("v"),
+                ),
+                F.struct(
+                    F.lit("m").alias("m"),
+                    F.col("monetary").cast("double").alias("v"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.m", "x.v")
+    meds = grouped_quantiles_exact(vals, ["m"], "v", {"med": 0.5})
+    med = meds.groupBy().agg(
+        F.max(F.when(F.col("m") == "r", F.col("med"))).alias("med_r"),
+        F.max(F.when(F.col("m") == "f", F.col("med"))).alias("med_f"),
+        F.max(F.when(F.col("m") == "m", F.col("med"))).alias("med_m"),
     )
     seg = rfm.crossJoin(F.broadcast(med)).select(
         F.concat(
@@ -123,17 +149,24 @@ def q_customer_pareto_deciles(spark, sf_dir):
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("rev")
     )
-    qs = [i / 10.0 for i in range(1, 10)]
-    bounds = per_cust.agg(
-        F.percentile("rev", F.array(*[F.lit(q) for q in qs])).alias("b"),
-        F.sum("rev").alias("total"),
+    # decile boundaries via the bounded-memory counts-grain straddle
+    # (one literal group — the window task streams distinct revenues
+    # through an external sort, never F.percentile's buffer holding
+    # the whole customer grain)
+    bounds = grouped_quantiles_exact(
+        per_cust.select(F.lit(1).alias("__g"), "rev"),
+        ["__g"], "rev",
+        {f"b{i}": i / 10.0 for i in range(1, 10)},
+    ).drop("__g", "__n")
+    total = per_cust.agg(F.sum("rev").alias("total"))
+    df = per_cust.crossJoin(F.broadcast(bounds)).crossJoin(
+        F.broadcast(total)
     )
-    df = per_cust.crossJoin(F.broadcast(bounds))
-    # decile 10 = lowest spenders; rev > b[8] -> decile 1. Conditions
-    # chain in FIRST-MATCH order (when().when()...otherwise)
-    dec = F.when(F.col("rev") > F.col("b")[8], F.lit(1))
+    # decile 10 = lowest spenders; rev > b9 (the 0.9 boundary) ->
+    # decile 1. Conditions chain in FIRST-MATCH order
+    dec = F.when(F.col("rev") > F.col("b9"), F.lit(1))
     for i in range(1, 9):
-        dec = dec.when(F.col("rev") > F.col("b")[8 - i], F.lit(i + 1))
+        dec = dec.when(F.col("rev") > F.col(f"b{9 - i}"), F.lit(i + 1))
     dec = dec.otherwise(F.lit(10))
     return (
         df.select(dec.alias("decile"), "rev", "total")

@@ -234,7 +234,14 @@ FROM (
 def q_percentile_cont_qty(spark, sf_dir):
     """PERCENTILE_CONT (linear interpolation) per return flag — the
     continuous twin of percentile_disc_qty. The oracle casts to DOUBLE
-    first: DuckDB otherwise interpolates in the input's decimal scale."""
+    first: DuckDB otherwise interpolates in the input's decimal scale.
+
+    API-surface slot: this query exists to cover the SQL
+    ``PERCENTILE_CONT ... WITHIN GROUP`` form itself (holistic
+    buffer). The engine's scale path for exact quantiles is
+    ``registry_r6.grouped_quantiles_exact`` (bounded-memory
+    counts-grain straddle) — used by agg_mad/agg_median_percentile/
+    rfm/pareto and the curation filters."""
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         _rn(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 4)
@@ -452,23 +459,31 @@ GROUP BY o_orderstatus
 # --- robust statistics: median absolute deviation --------------------------
 
 def q_agg_mad(spark, sf_dir):
-    """MAD per return flag — the robust dispersion measure. Spark has no
-    mad(); the engine composes it as two percentile passes: per-group
-    median, broadcast back, then median of absolute deviations. DuckDB's
-    native mad() is the oracle (numeric parity verified to 4+ digits
-    before wiring — both engines interpolate even-count medians)."""
-    (lineitem,) = _t(spark, sf_dir, "lineitem")
-    med = lineitem.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    """MAD per return flag — the robust dispersion measure. Spark has
+    no mad(); the engine composes it as two exact-median passes, each
+    through the BOUNDED-MEMORY counts-grain straddle
+    (``registry_r6.grouped_quantiles_exact``) instead of the holistic
+    ``percentile`` whose per-group buffer materializes every fact row
+    on one task (the 100× memory cliff).  DuckDB's native mad() is the
+    oracle — the straddle is bit-identical to percentile_cont, so the
+    4-digit parity holds unchanged."""
+    from data_lakehouse_project_spark.registry_r6 import (
+        grouped_quantiles_exact,
     )
-    return (
-        lineitem.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            _rn(
-                F.expr("percentile(abs(l_extendedprice - med), 0.5)"), 4
-            ).alias("mad_price")
-        )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_returnflag", "l_extendedprice")
+    med = grouped_quantiles_exact(
+        li, ["l_returnflag"], "l_extendedprice", {"med": 0.5}
+    ).select("l_returnflag", "med")
+    devs = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("ad"),
+    )
+    return grouped_quantiles_exact(
+        devs, ["l_returnflag"], "ad", {"mad_raw": 0.5}
+    ).select(
+        "l_returnflag", _rn(F.col("mad_raw"), 4).alias("mad_price")
     )
 
 

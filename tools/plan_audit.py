@@ -136,6 +136,12 @@ EXPECT_MANY_EXCHANGES = {
     # the customer grain or a single row; the scalar subtrees re-print
     # under both broadcast references and AQE doubles the text
     "customer_rfm_segments",
+    # r8 pareto: the decile boundaries now run through the
+    # counts-grain straddle (counts agg + window + straddle agg)
+    # instead of one holistic percentile buffer holding the whole
+    # customer grain — 3 extra exchanges on the tiny distinct-revenue
+    # table, all customer-grain or smaller, doubled by AQE plan text
+    "customer_pareto_deciles",
     # triangle closing references the PERSISTED edge set three times
     # (e1 ⋈ e2 ⋈ e3) + degree; the plan text re-prints the whole
     # upstream prefix-join subtree under each InMemoryRelation
