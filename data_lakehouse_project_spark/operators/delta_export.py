@@ -1,0 +1,346 @@
+"""Export an internal (delta-lite) table snapshot as a SPEC Delta
+table any protocol-compliant reader (delta-spark, delta-rs,
+duckdb-delta) can consume — the write-side mirror of
+``operators/delta_reader.py`` and the Delta counterpart of
+``operators/iceberg_export.py``.
+
+The internal writer (``operators/txnlog.py``) already emits a
+Delta-protocol-SHAPED log, but three internal conventions would
+mislead a foreign reader, so the export rewrites them:
+
+* **Deletion vectors**: internal DVs live as parquet ``(path, pos)``
+  tables under ``_dv/`` referenced through a non-protocol
+  ``lakehouse.dv`` tag.  The export either applies them by REWRITING
+  each touched data file without its deleted rows
+  (``dv_mode="rewrite"``, protocol stays reader v1) or converts them
+  to spec roaring-bitmap DV files (``dv_mode="spec"``:
+  ``operators/dv.py`` encoder, ``storageType="u"`` descriptors,
+  reader v3 + the ``deletionVectors`` feature).
+* **Hidden transform partitions** (``bucket(n,col)`` etc. — physical
+  columns not in the logical schema) have no Delta-spec equivalent
+  and are REFUSED; identity partition columns export as spec
+  ``partitionColumns``/``partitionValues``.
+* **Internal configuration** (``lakehouse.*`` keys) is dropped;
+  CHECK constraints already use the spec's ``delta.constraints.``
+  prefix and are carried over (with ``minWriterVersion`` raised to 3
+  as the spec requires).
+
+Layout: one commit ``00000000000000000000.json`` holding protocol /
+metaData / every active add (URL-encoded relative paths, stats JSON),
+plus — when ``write_checkpoint=True`` — a classic single-part parquet
+checkpoint and ``_last_checkpoint`` pointer, so log-cleaned reads
+exercise the checkpoint path too.  Data files are hard-linked when the
+filesystem allows (falling back to copy), so an export is
+metadata-priced at any table size where links work.
+
+Self-consistency gate (mirrors the Iceberg export's):
+``tests/test_delta_export.py`` reads every export back through the
+FOREIGN reader (``read_delta_table``) and compares against the
+internal read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid as _uuid
+from urllib.parse import quote
+
+from pyspark.sql import SparkSession
+
+from .dv import write_dv_file, z85_encode
+from .txnlog import (
+    _file_stats,
+    _parse_partition_spec,
+    _serialize_add,
+    TxnTable,
+    _VERSION_DIGITS,
+)
+
+LOG_DIR = "_delta_log"
+
+
+class DeltaExportError(ValueError):
+    """The snapshot uses an internal feature with no spec equivalent."""
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(dst):
+        os.remove(dst)
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def _dv_positions_by_file(spark_or_none, table_path: str,
+                          files: list[dict]) -> dict[str, list[int]]:
+    """Internal DV state -> {file basename: sorted deleted positions},
+    read driver-side via pyarrow (DV parquet dirs are metadata-sized:
+    one row per deleted row of the touched files)."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as ds
+
+    by_file: dict[str, set[int]] = {}
+    dirs = sorted({f["dv"]["path"] for f in files if f.get("dv")})
+    wanted = {
+        f["path"].rsplit("/", 1)[-1] for f in files if f.get("dv")
+    }
+    for d in dirs:
+        table = ds.dataset(
+            os.path.join(table_path, d), format="parquet"
+        ).to_table(columns=["path", "pos"])
+        for p, pos in zip(
+            table.column("path").to_pylist(),
+            table.column("pos").to_pylist(),
+        ):
+            base = p.rsplit("/", 1)[-1]
+            if base in wanted:
+                by_file.setdefault(base, set()).add(int(pos))
+    return {k: sorted(v) for k, v in by_file.items()}
+
+
+def _rewrite_without_rows(src: str, dst: str,
+                          drop_positions: list[int]) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
+    keep = np.ones(t.num_rows, dtype=bool)
+    keep[np.asarray(drop_positions, dtype=np.int64)] = False
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    pq.write_table(t.filter(pa.array(keep)), dst)
+
+
+def export_delta_snapshot(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    version: int | None = None,
+    dv_mode: str = "spec",
+    write_checkpoint: bool = False,
+) -> dict:
+    """Materialize the internal table's snapshot at ``version``
+    (default latest) as a spec Delta table at ``target_path``.
+
+    ``dv_mode``: ``"spec"`` exports deletion vectors as protocol
+    roaring-bitmap DV files; ``"rewrite"`` applies them by rewriting
+    the touched data files (reader-v1 output).  Returns a summary
+    dict (version, files, dv handling).
+    """
+    if dv_mode not in ("spec", "rewrite"):
+        raise ValueError(f"unknown dv_mode {dv_mode!r}")
+    t = TxnTable(source_path)
+    snap = t.snapshot(version=version)
+    if snap.schema_json is None:
+        raise DeltaExportError("snapshot carries no schema")
+    partition_by = t._current_partition_by()
+    physical_parts, transforms = _parse_partition_spec(partition_by)
+    if transforms:
+        raise DeltaExportError(
+            "hidden transform partitions "
+            f"({[x['hidden'] for x in transforms]}) have no Delta-spec "
+            "equivalent; repartition by identity columns before export"
+        )
+    schema_names = {
+        f["name"] for f in json.loads(snap.schema_json)["fields"]
+    }
+    if not set(physical_parts) <= schema_names:
+        raise DeltaExportError(
+            f"partition columns {physical_parts} not all in the schema"
+        )
+
+    os.makedirs(os.path.join(target_path, LOG_DIR), exist_ok=True)
+    ts = snap.timestamp_ms or 0
+
+    def _src_abs(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(source_path, p)
+
+    dv_by_file = _dv_positions_by_file(spark, source_path, snap.files)
+    uses_dv = bool(dv_by_file) and dv_mode == "spec"
+
+    # spec DV container: one on-disk file holding every exported DV
+    dv_descriptors: dict[str, dict] = {}
+    if uses_dv:
+        dv_uuid = _uuid.uuid4()
+        dv_name = f"deletion_vector_{dv_uuid}.bin"
+        ordered = sorted(dv_by_file)
+        frags = write_dv_file(
+            os.path.join(target_path, dv_name),
+            [dv_by_file[b] for b in ordered],
+        )
+        enc = z85_encode(dv_uuid.bytes)
+        for base, frag in zip(ordered, frags):
+            dv_descriptors[base] = {
+                "storageType": "u",
+                "pathOrInlineDv": enc,
+                "offset": frag["offset"],
+                "sizeInBytes": frag["sizeInBytes"],
+                "cardinality": frag["cardinality"],
+            }
+
+    adds: list[dict] = []
+    n_rewritten = 0
+    for f in sorted(snap.files, key=lambda x: x["path"]):
+        src = _src_abs(f["path"])
+        # flatten absolute (shallow-clone) paths to their basename;
+        # keep relative layouts as-is
+        rel = (
+            f["path"]
+            if not os.path.isabs(f["path"])
+            else f["path"].rsplit("/", 1)[-1]
+        )
+        dst = os.path.join(target_path, rel)
+        base = f["path"].rsplit("/", 1)[-1]
+        positions = dv_by_file.get(base) if f.get("dv") else None
+        clean = {k: v for k, v in f.items() if k not in ("dv", "bloom")}
+        clean["path"] = rel
+        if positions and dv_mode == "rewrite":
+            _rewrite_without_rows(src, dst, positions)
+            n_rewritten += 1
+            clean["size_bytes"] = os.path.getsize(dst)
+            clean["stats"] = _file_stats(dst)
+        else:
+            _link_or_copy(src, dst)
+        raw = _serialize_add(clean, ts)
+        raw.pop("tags", None)  # no internal tags in a spec export
+        if positions and dv_mode == "spec":
+            raw["deletionVector"] = dv_descriptors[base]
+        adds.append(raw)
+
+    protocol = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if uses_dv
+        else {
+            "minReaderVersion": 1,
+            "minWriterVersion": 3 if snap.constraints else 2,
+        }
+    )
+    configuration = {
+        f"delta.constraints.{name}": sql
+        for name, sql in (snap.constraints or {}).items()
+    }
+    meta = {
+        "id": str(_uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": snap.schema_json,
+        "partitionColumns": physical_parts,
+        "configuration": configuration,
+        "createdTime": ts,
+    }
+    commit_info = {
+        "timestamp": ts,
+        "operation": "EXPORT",
+        "operationParameters": {
+            "sourceVersion": str(snap.version),
+            "dvMode": dv_mode,
+        },
+        "engineInfo": "data_lakehouse_project_spark delta export",
+    }
+    commit = os.path.join(
+        target_path, LOG_DIR, f"{0:0{_VERSION_DIGITS}d}.json"
+    )
+    with open(commit + ".tmp", "w") as fh:
+        fh.write(json.dumps({"commitInfo": commit_info}) + "\n")
+        fh.write(json.dumps({"protocol": protocol}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for a in adds:
+            fh.write(json.dumps({"add": a}) + "\n")
+    os.replace(commit + ".tmp", commit)
+
+    if write_checkpoint:
+        _write_classic_checkpoint(target_path, protocol, meta, adds)
+
+    return {
+        "version": 0,
+        "source_version": snap.version,
+        "files": len(adds),
+        "num_rows": snap.num_rows,
+        "dv_mode": dv_mode,
+        "files_with_dv": len(dv_by_file),
+        "files_rewritten": n_rewritten,
+        "checkpoint": bool(write_checkpoint),
+    }
+
+
+def _write_classic_checkpoint(
+    target_path: str, protocol: dict, meta: dict, adds: list[dict]
+) -> None:
+    """Classic single-part checkpoint (``V.checkpoint.parquet``) +
+    ``_last_checkpoint`` pointer, one action per row in the spec's
+    columnar action layout (absent actions null per row)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # explicit arrow schema: string->string maps for the spec's map
+    # fields (an empty dict would otherwise infer an EMPTY STRUCT,
+    # which parquet cannot serialize), nullable structs per action
+    smap = pa.map_(pa.string(), pa.string())
+    slist = pa.list_(pa.string())
+    protocol_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", slist),
+            ("writerFeatures", slist),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", smap)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", slist),
+            ("configuration", smap),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", smap),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv_t),
+        ]
+    )
+    rows: list[dict] = [
+        {"protocol": protocol, "metaData": None, "add": None},
+        {"protocol": None, "metaData": meta, "add": None},
+    ]
+    rows.extend(
+        {"protocol": None, "metaData": None, "add": a} for a in adds
+    )
+    table = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("protocol", protocol_t), ("metaData", meta_t),
+             ("add", add_t)]
+        ),
+    )
+    name = f"{0:0{_VERSION_DIGITS}d}.checkpoint.parquet"
+    pq.write_table(table, os.path.join(target_path, LOG_DIR, name))
+    with open(
+        os.path.join(target_path, LOG_DIR, "_last_checkpoint"), "w"
+    ) as fh:
+        json.dump({"version": 0, "size": len(rows)}, fh)

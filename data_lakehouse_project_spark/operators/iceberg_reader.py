@@ -332,20 +332,34 @@ def _bounds_map(raw) -> dict[int, bytes]:
     return out
 
 
-def _identity_partition_sources(md: dict) -> dict[int, str]:
-    """source field id -> partition field NAME for identity
-    transforms of the default spec (hidden transforms like bucket/day
-    cannot answer value predicates and are skipped)."""
+def _identity_sources_by_spec(md: dict) -> dict[int, dict[int, str]]:
+    """spec-id -> {source field id: partition field NAME} for identity
+    transforms, covering EVERY spec in the metadata (after partition
+    evolution, each manifest declares which spec its entries' partition
+    tuples follow — files written under older specs must prune with
+    THEIR spec, not the default's).  Hidden transforms like bucket/day
+    cannot answer value predicates and are skipped."""
     specs = md.get("partition-specs") or []
-    spec = next(
-        (s for s in specs if s.get("spec-id") == md.get("default-spec-id")),
-        specs[0] if specs else {"fields": []},
-    )
+    if not specs and md.get("partition-spec"):
+        # v1 legacy single-spec field
+        specs = [{"spec-id": 0, "fields": md["partition-spec"]}]
     return {
-        int(f["source-id"]): f["name"]
-        for f in spec.get("fields", [])
-        if f.get("transform") == "identity"
+        int(s.get("spec-id", 0)): {
+            int(f["source-id"]): f["name"]
+            for f in s.get("fields", [])
+            if f.get("transform") == "identity"
+        }
+        for s in specs
     }
+
+
+def _identity_partition_sources(md: dict) -> dict[int, str]:
+    """Default spec's identity map (see _identity_sources_by_spec)."""
+    by_spec = _identity_sources_by_spec(md)
+    return by_spec.get(
+        md.get("default-spec-id", 0),
+        next(iter(by_spec.values()), {}),
+    )
 
 
 def _iceberg_file_may_match(
@@ -422,6 +436,7 @@ def iceberg_live_files(
                 f"manifest_file.content {m_content} is not supported"
             )
         m_seq = m.get("sequence_number")
+        m_spec = m.get("partition_spec_id")
         mpath = m["manifest_path"]
         if not os.path.isabs(mpath):
             mpath = os.path.join(table_path, mpath)
@@ -441,6 +456,9 @@ def iceberg_live_files(
                 seq = m_seq  # spec: ADDED entries inherit manifest seq
             df_ = dict(df_)
             df_["__seq"] = seq
+            # the partition tuple follows the MANIFEST's declared spec
+            # (partition evolution: older manifests keep older specs)
+            df_["__spec_id"] = m_spec
             if m_content == 0:
                 if f_content != 0:
                     raise UnsupportedIcebergFeature(
@@ -498,14 +516,23 @@ def read_iceberg_table(
         # correctness dependency (same contract as the Delta reader)
         name2id = {v: k for k, v in _field_names_by_id(md).items()}
         id2type = _field_types_by_id(md)
-        part_of = _identity_partition_sources(md)
+        by_spec = _identity_sources_by_spec(md)
+        default_part_of = _identity_partition_sources(md)
         typed = [
             (name2id[c], op, v, id2type[name2id[c]])
             for c, op, v in prune
             if c in name2id and op not in ("isnull", "isnotnull")
         ]
         live = [
-            f for f in live if _iceberg_file_may_match(f, typed, part_of)
+            f
+            for f in live
+            if _iceberg_file_may_match(
+                f,
+                typed,
+                # each file prunes under ITS manifest's spec —
+                # post-evolution, old-spec files keep full coverage
+                by_spec.get(f.get("__spec_id"), default_part_of),
+            )
         ]
 
     if not live:

@@ -1,0 +1,157 @@
+"""Spec-Delta export (operators/delta_export.py): every export must
+round-trip through the FOREIGN Delta reader (operators/delta_reader.py
+— the same self-consistency gate the Iceberg export uses), including
+deletion-vector snapshots in both dv modes, partitioned layouts, time
+travel, and the classic-checkpoint path."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.delta_export import (
+    DeltaExportError,
+    export_delta_snapshot,
+)
+from data_lakehouse_project_spark.operators.delta_reader import (
+    read_delta_snapshot,
+    read_delta_table,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _batch(spark, lo, hi, part="p0"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{part}' AS part", "id * 2.0 AS v"
+    )
+
+
+def _rows(df):
+    return sorted((r.id, r.part, r.v) for r in df.collect())
+
+
+def test_plain_export_round_trips(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "src"))
+    t.write(_batch(spark, 0, 5), mode="overwrite")
+    t.write(_batch(spark, 5, 8), mode="append")
+    out = str(tmp_path / "exp")
+    info = export_delta_snapshot(spark, t.path, out)
+    assert info["files"] >= 2 and info["num_rows"] == 8
+    got = read_delta_table(spark, out)
+    assert _rows(got) == _rows(t.read(spark))
+    # protocol stays reader-v1 when no DVs are involved
+    snap = read_delta_snapshot(out)
+    assert snap.protocol["minReaderVersion"] == 1
+
+
+def test_partitioned_export_keeps_partition_values(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "srcp"))
+    t.write(
+        _batch(spark, 0, 4, "a").union(_batch(spark, 4, 6, "b")),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    out = str(tmp_path / "expp")
+    export_delta_snapshot(spark, t.path, out)
+    snap = read_delta_snapshot(out)
+    assert snap.partition_columns == ["part"]
+    got = read_delta_table(spark, out)
+    assert _rows(got) == _rows(t.read(spark))
+    # partition pruning over the exported log works
+    pruned = read_delta_table(spark, out, prune=[("part", "=", "b")])
+    assert sorted(r.id for r in pruned.collect()) == [4, 5]
+
+
+@pytest.mark.parametrize("dv_mode", ["spec", "rewrite"])
+def test_dv_snapshot_exports(spark, tmp_path, dv_mode):
+    t = TxnTable(str(tmp_path / f"srcdv_{dv_mode}"))
+    t.write(_batch(spark, 0, 8), mode="overwrite")
+    t.delete_where(spark, "id IN (1, 3, 6)", dv=True)
+    out = str(tmp_path / f"expdv_{dv_mode}")
+    info = export_delta_snapshot(spark, t.path, out, dv_mode=dv_mode)
+    assert info["files_with_dv"] >= 1
+    got = read_delta_table(spark, out)
+    assert sorted(r.id for r in got.collect()) == [0, 2, 4, 5, 7]
+    snap = read_delta_snapshot(out)
+    assert snap.num_rows == 5
+    if dv_mode == "spec":
+        assert "deletionVectors" in snap.protocol["readerFeatures"]
+        assert any(f.get("foreign_dv") for f in snap.files)
+        # the spec DV file exists on disk under the uuid-derived name
+        assert any(
+            n.startswith("deletion_vector_") and n.endswith(".bin")
+            for n in os.listdir(out)
+        )
+    else:
+        assert snap.protocol["minReaderVersion"] == 1
+        assert not any(f.get("foreign_dv") for f in snap.files)
+        assert info["files_rewritten"] >= 1
+
+
+def test_time_travel_export(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "srctt"))
+    t.write(_batch(spark, 0, 3), mode="overwrite")   # v0
+    t.write(_batch(spark, 3, 5), mode="append")      # v1
+    out = str(tmp_path / "exptt")
+    info = export_delta_snapshot(spark, t.path, out, version=0)
+    assert info["source_version"] == 0
+    assert sorted(
+        r.id for r in read_delta_table(spark, out).collect()
+    ) == [0, 1, 2]
+
+
+def test_checkpoint_export_reads_without_json(spark, tmp_path):
+    """write_checkpoint=True emits a classic checkpoint good enough to
+    reconstruct the snapshot after the JSON commit is log-cleaned."""
+    t = TxnTable(str(tmp_path / "srcck"))
+    t.write(_batch(spark, 0, 6), mode="overwrite")
+    out = str(tmp_path / "expck")
+    export_delta_snapshot(spark, t.path, out, write_checkpoint=True)
+    # remove the JSON commit: only the checkpoint remains
+    os.remove(os.path.join(out, "_delta_log", f"{0:020d}.json"))
+    got = read_delta_table(spark, out)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_constraints_exported_with_writer_v3(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "srcc"))
+    t.write(_batch(spark, 0, 3), mode="overwrite")
+    t.add_constraint(spark, "pos_v", "v >= 0")
+    out = str(tmp_path / "expc")
+    export_delta_snapshot(spark, t.path, out)
+    snap = read_delta_snapshot(out)
+    assert snap.configuration["delta.constraints.pos_v"] == "v >= 0"
+    assert snap.protocol["minWriterVersion"] >= 3
+
+
+def test_transform_partitions_refused(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "srctr"))
+    t.write(
+        _batch(spark, 0, 6), mode="overwrite",
+        partition_by=["bucket(4, id)"],
+    )
+    with pytest.raises(DeltaExportError, match="transform"):
+        export_delta_snapshot(spark, t.path, str(tmp_path / "exptr"))
+
+
+def test_exported_stats_prune_files(spark, tmp_path):
+    """add-action stats survive the export: a stats-prune over the
+    exported log skips files exactly like the internal reader."""
+    t = TxnTable(str(tmp_path / "srcst"))
+    t.write(_batch(spark, 0, 4), mode="overwrite")
+    t.write(_batch(spark, 100, 104), mode="append")
+    out = str(tmp_path / "expst")
+    export_delta_snapshot(spark, t.path, out)
+    pruned = read_delta_table(spark, out, prune=[("id", ">=", 100)])
+    assert sorted(r.id for r in pruned.collect()) == [100, 101, 102, 103]
+    # the stats JSON is present on every exported add
+    log = os.path.join(out, "_delta_log", f"{0:020d}.json")
+    adds = [
+        json.loads(x)["add"]
+        for x in open(log)
+        if '"add"' in x
+    ]
+    assert adds and all("stats" in a for a in adds)

@@ -770,3 +770,132 @@ def test_field_id_resolution_reads_renamed_columns(spark, tmp_path):
     assert sorted((r.id, r.new_name) for r in df.collect()) == [
         (1, "x"), (2, "y"),
     ]
+
+
+def test_prune_covers_evolved_partition_specs(spark, tmp_path):
+    """Partition evolution: a file written under an OLDER spec prunes
+    with THAT spec's identity fields (resolved via the manifest's
+    partition_spec_id), not the default spec's — previously old-spec
+    files silently lost partition-prune coverage."""
+    import copy
+
+    table = str(tmp_path / "tevo")
+    os.makedirs(os.path.join(table, "metadata"))
+    # file A (old spec 0: identity on name), file B (new spec 1:
+    # unpartitioned); neither carries column bounds, so any pruning
+    # must come from partition values alone
+    fa = _data_file(table, "a.parquet", [1, 2], ["west", "west"],
+                    ["1.00", "2.00"])
+    fb = _data_file(table, "b.parquet", [3], ["east"], ["3.00"])
+
+    entry_schema_p = json.loads(MANIFEST_ENTRY_AVRO)
+    part_rec = copy.deepcopy(entry_schema_p)
+    for f in part_rec["fields"]:
+        if f["name"] == "data_file":
+            for df_f in f["type"]["fields"]:
+                if df_f["name"] == "partition":
+                    df_f["type"]["fields"] = [
+                        {"name": "name",
+                         "type": ["null", "string"],
+                         "default": None, "field-id": 1000}
+                    ]
+                    df_f["type"]["name"] = "r102p"
+
+    def _mani(name, schema_json, spec_id, entries):
+        path = os.path.join(table, "metadata", name)
+        w = _AvroWriter(
+            spark, json.dumps(schema_json), path,
+            {"schema": json.dumps(SCHEMA_0),
+             "partition-spec-id": str(spec_id),
+             "format-version": "2", "content": "data"},
+        )
+        for e in entries:
+            w.append_dict(e)
+        w.close()
+        return path
+
+    ea = _entry(1, fa, 2, seq=1)
+    ea["data_file"]["partition"] = {"name": "west"}
+    m0 = _mani("m0.avro", part_rec, 0, [ea])
+    m1 = _mani("m1.avro", entry_schema_p, 1, [_entry(1, fb, 1, seq=2)])
+
+    lst = os.path.join(table, "metadata", "snap-9.avro")
+    w = _AvroWriter(spark, MANIFEST_FILE_AVRO, lst,
+                    {"format-version": "2"})
+    for mp, spec_id, seq in ((m0, 0, 1), (m1, 1, 2)):
+        w.append_dict({
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": spec_id,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 9,
+        })
+    w.close()
+
+    md_dict = {
+        "format-version": 2,
+        "table-uuid": "11111111-2222-3333-4444-666666666666",
+        "location": table,
+        "last-sequence-number": 2,
+        "last-updated-ms": T1,
+        "last-column-id": 23,
+        "schemas": [SCHEMA_0],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "name", "transform": "identity",
+                 "source-id": 12, "field-id": 1000}]},
+            {"spec-id": 1, "fields": []},
+        ],
+        "default-spec-id": 1,
+        "last-partition-id": 1000,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "snapshots": [{
+            "snapshot-id": 9, "timestamp-ms": T1,
+            "sequence-number": 2, "manifest-list": lst,
+            "summary": {"operation": "append"}, "schema-id": 0,
+        }],
+        "current-snapshot-id": 9,
+        "snapshot-log": [{"snapshot-id": 9, "timestamp-ms": T1}],
+        "refs": {"main": {"snapshot-id": 9, "type": "branch"}},
+    }
+    with open(os.path.join(table, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(md_dict, fh)
+
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        _field_names_by_id,
+        _field_types_by_id,
+        _iceberg_file_may_match,
+        _identity_sources_by_spec,
+        iceberg_live_files,
+        load_iceberg_metadata,
+    )
+
+    md = load_iceberg_metadata(table)
+    _, live, _, _ = iceberg_live_files(spark, table)
+    assert {f.get("__spec_id") for f in live} == {0, 1}
+    name2id = {v: k for k, v in _field_names_by_id(md).items()}
+    typed = [(name2id["name"], "=", "east",
+              _field_types_by_id(md)[name2id["name"]])]
+    by_spec = _identity_sources_by_spec(md)
+    kept = [
+        f for f in live
+        if _iceberg_file_may_match(
+            f, typed, by_spec.get(f.get("__spec_id"), {})
+        )
+    ]
+    # file A (old spec, partition name=west) is PROVABLY excluded
+    assert [os.path.basename(f["file_path"]) for f in kept] == [
+        "b.parquet"
+    ]
+    # end to end: only B scanned, exact rows out
+    df = read_iceberg_table(spark, table, prune=[("name", "=", "east")])
+    assert sorted((r.id, r.name) for r in df.collect()) == [(3, "east")]
+    # old-spec partition values still prune in the other direction too
+    df2 = read_iceberg_table(spark, table,
+                             prune=[("name", "=", "west")])
+    assert sorted(r.id for r in df2.collect()) == [1, 2]

@@ -205,6 +205,55 @@ def build_delta(root: str, base: str, checkpointed: bool) -> str:
     return table
 
 
+def build_delta_dv(root: str, base: str) -> str:
+    """v0 adds every file; v1 DV-deletes 5 rows from every 10th file
+    (paired remove+add with an inline roaring DV) — the modern
+    delete shape the r8 CDF diff reconstructs."""
+    from data_lakehouse_project_spark.operators.dv import (
+        rbm_array_serialize,
+        z85_encode,
+    )
+
+    table = os.path.join(root, "delta_dv")
+    os.makedirs(table)
+    names = _link_files(table, base, N)
+    size = os.path.getsize(base)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta_action(),
+    ]
+    actions.extend(_add_action(nm, size) for nm in names)
+    actions.append(
+        {"commitInfo": {"timestamp": T0, "operation": "WRITE"}}
+    )
+    _commit(table, 0, actions)
+
+    blob = rbm_array_serialize([1, 3, 5, 7, 9])
+    blob_padded = blob + b"\x00" * ((-len(blob)) % 4)
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob_padded),
+        "sizeInBytes": len(blob),
+        "cardinality": 5,
+    }
+    actions = []
+    for nm in names[::10]:
+        actions.append(
+            {"remove": {"path": nm, "deletionTimestamp": T0 + 1000,
+                        "dataChange": True}}
+        )
+        a = _add_action(nm, size)
+        a["add"]["deletionVector"] = dv
+        actions.append(a)
+    actions.append(
+        {"commitInfo": {"timestamp": T0 + 1000, "operation": "DELETE"}}
+    )
+    _commit(table, 1, actions)
+    return table
+
+
 def build_iceberg(spark, root: str, base: str) -> str:
     from data_lakehouse_project_spark.operators.iceberg_export import (
         _AvroWriter,
@@ -405,9 +454,27 @@ def main() -> None:
         out["delta_scan_count_s"] = round(time.time() - t0, 3)
         assert n == N * ROWS_PER_FILE
 
+        # CDF: full insert-history replay over the JSON-only table
+        from data_lakehouse_project_spark.operators.delta_cdf import (
+            read_delta_changes,
+        )
+
+        t0 = time.time()
+        n = read_delta_changes(spark, t_json).count()
+        out["delta_cdf_scan_count_s"] = round(time.time() - t0, 3)
+        assert n == N * ROWS_PER_FILE
+
+        # CDF over a DV-delete commit: per-file DV decode + positional
+        # (file, row_index) join — N/10 files x 5 changed rows
+        t_dv = build_delta_dv(root, base)
+        t0 = time.time()
+        n = read_delta_changes(spark, t_dv, starting_version=1).count()
+        out["delta_cdf_dv_diff_s"] = round(time.time() - t0, 3)
+        assert n == (N // 10) * 5
+
         t_ice = build_iceberg(spark, root, base)
         t0 = time.time()
-        _, live, _ = iceberg_live_files(spark, t_ice)
+        _, live, _, _ = iceberg_live_files(spark, t_ice)
         out["iceberg_snapshot_s"] = round(time.time() - t0, 3)
         assert len(live) == N
 
