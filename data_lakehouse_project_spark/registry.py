@@ -3885,7 +3885,10 @@ GRADED_WINDOW: list[str] = [
     # row, join_region_rollup rotates out — still selfchecked)
     "join_lineitem_orders",
     "join_semi_customers_with_orders",
-    "join_range_bands_binned",
+    # r8 rotation: the EXISTS correlated subquery gets the join
+    # family's third row its first graded round
+    # (join_range_bands_binned stays selfchecked)
+    "subquery_exists",
     # TPC-H / DSS flagships
     "pricing_summary",
     "nation_revenue",
@@ -3899,7 +3902,10 @@ GRADED_WINDOW: list[str] = [
     # r7 rotation: the running DISTINCT frame takes the window
     # family's second graded row (window_running_total rotates
     # out, stays selfchecked)
-    "window_distinct_running",
+    # r8 rotation: percent_rank/cume_dist take the window
+    # family's second graded row (window_distinct_running stays
+    # selfchecked)
+    "window_percentiles",
     # statistical aggregates (r5: continuous percentile replaces the
     # median/percentile pair — exact companion of the KLL sketch slot)
     # r5 session 3 rotation: the rank-sum AUC replaces the plain stats
@@ -3913,14 +3919,19 @@ GRADED_WINDOW: list[str] = [
     # r7 rotation: the grouped MAD aggregate replaces the rank-sum
     # AUC (statistical-aggregate family; stopword_auc_langid stays
     # selfchecked)
-    "agg_mad",
+    # r8 rotation: the lead-time grouped medians take the robust-
+    # stats row (agg_mad — rewritten onto the same counts-grain
+    # straddle this round — stays selfchecked)
+    "ship_latency_medians",
     # r7 rotation: the robust median/MAD outlier report (rewritten
     # this round with the bounded-memory grouped median) takes the
     # quantile family's graded row; percentile_cont_qty rotates out
     "lineitem_mad_outliers",
     # set ops / grouping surfaces
     "setop_intersect_all",
-    "rollup_status_priority",
+    # r8 rotation: GROUPING SETS takes the grouping-surface row
+    # (rollup_status_priority stays selfchecked)
+    "grouping_sets_sql",
     "pivot_status_priority",
     # dedup family (LLM pipeline); r5 adds the pair-graph degree
     # distribution and the ExactSubstr-style span report (ngram-jaccard
@@ -3936,7 +3947,13 @@ GRADED_WINDOW: list[str] = [
     # out to make room for the second multimodal anchor below, the
     # embedding-pair family keeps embedding_label_centroids +
     # ann_lsh_topk graded)
-    "soft_dedup_weights",
+    # r8 rotation: the dedup family trims to four graded anchors;
+    # the two customer-analytics shapes (RFM segmentation and
+    # Pareto deciles, both re-routed through the bounded-memory
+    # quantile straddle this round) get their first graded rows
+    # (soft_dedup_weights and dedup_jaccard_prefix_pairs stay
+    # selfchecked)
+    "customer_rfm_segments",
     # r7 rotation: the ExactSubstr span report takes the
     # sub-document dedup row (segment_dedup_summary stays
     # selfchecked)
@@ -3944,7 +3961,7 @@ GRADED_WINDOW: list[str] = [
     "dedup_clusters",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
-    "dedup_jaccard_prefix_pairs",
+    "customer_pareto_deciles",
     # similarity / vectors / skew (r5 session 3 rotation: the grid
     # geo radius join replaces the batch-ANN slot — a new spatial-join
     # family gets its hard oracle; ann_batch_topk stays registered +
@@ -3962,12 +3979,19 @@ GRADED_WINDOW: list[str] = [
     # stats, both rewritten this round with scale-safe vocabulary
     # ranks) get graded rows; text_stats and ngram_novelty_scores
     # rotate out (both stay selfchecked)
-    "token_zipf_fit",
-    "corpus_lexical_stats",
+    # r8 rotation: the holt-style revenue forecast takes a graded
+    # row (token_zipf_fit stays selfchecked)
+    "forecast_revenue_change",
+    # r8 rotation: the A/B rate-test report takes a graded row
+    # (corpus_lexical_stats stays selfchecked)
+    "ab_test_purchase",
     # r5 session 3: attribution replaces the bigram LM slot (funnel
     # analytics family gets graded; bigram_xentropy_scores stays
     # registered + selfchecked, LM arithmetic still pinned there)
-    "attribution_last_touch",
+    # r8 rotation: linear multi-touch replaces last-touch in the
+    # attribution family (attribution_last_touch stays
+    # selfchecked)
+    "attribution_linear",
     # r5 session 4: the Gopher rule table replaces the md5 fingerprint
     # slot (quality family upgrade; fingerprint stays selfchecked)
     "gopher_quality_flags",
@@ -4014,7 +4038,10 @@ GRADED_WINDOW: list[str] = [
     # r7 rotation: gaps-and-islands streaks take the time-series
     # graded row (events_cusum_alarms stays selfchecked)
     "events_user_streaks",
-    "events_variant_extract",
+    # r8 rotation: the JSON-path extraction sibling takes the
+    # semi-structured row (events_variant_extract stays
+    # selfchecked)
+    "events_json_extract",
     # curation / packing family (r5 session 2 rotation: the
     # leakage-safe cluster split replaces the length-band filter — it
     # grades a 3-stage composition (jaccard pairs → connected
