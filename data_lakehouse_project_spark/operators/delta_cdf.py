@@ -55,6 +55,8 @@ from .delta_reader import (
     UnsupportedDeltaFeature,
     _commit_timestamp_ms,
     _commit_versions,
+    _map_schema_json,
+    _physical_names,
     _read_commit_actions,
     _spark_path_key,
     read_delta_snapshot,
@@ -95,19 +97,42 @@ def read_delta_changes(
             "(vacuumed?)"
         )
 
-    # table shape at the END of the range (CDF reads one schema)
+    # table shape at the END of the range (CDF reads one schema).
+    # Under column mapping, data/cdc files and the log's
+    # partitionValues/stats keys all use PHYSICAL names; the feed's
+    # output restores logical names at the end (same contracts as
+    # read_delta_table).
     snap = read_delta_snapshot(table_path, version=end)
-    if snap.configuration.get("delta.columnMapping.mode", "none") not in (
-        "none", "",
-    ):
-        raise UnsupportedDeltaFeature(
-            "CDF over column-mapped tables is not supported"
-        )
+    mapping_mode = snap.configuration.get(
+        "delta.columnMapping.mode", "none"
+    )
     schema = _schema_from_json(spark, snap.schema_json)
     part_cols = [c for c in snap.partition_columns if c in schema.names]
-    physical = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
+    phys_of = {f.name: f.name for f in schema.fields}
+    if mapping_mode in ("name", "id"):
+        phys_of = _physical_names(snap.schema_json)
+        mapped = StructType.fromJson(
+            _map_schema_json(snap.schema_json, mapping_mode)
+        )
+        if mapping_mode == "id":
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+        physical = StructType(
+            [
+                mf
+                for lf, mf in zip(schema.fields, mapped.fields)
+                if lf.name not in part_cols
+            ]
+        )
+    elif mapping_mode in ("none", ""):
+        physical = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+    else:
+        raise UnsupportedDeltaFeature(
+            f"column mapping mode '{mapping_mode}' is not supported"
+        )
     out_schema = StructType(
         list(schema.fields)
         + [
@@ -305,7 +330,8 @@ def read_delta_changes(
         rows = [
             tuple(
                 [os.path.abspath(p), int(v), int(ts)]
-                + [(pv or {}).get(c) for c in part_cols]
+                # partitionValues key by PHYSICAL name under mapping
+                + [(pv or {}).get(phys_of[c]) for c in part_cols]
             )
             for p, v, ts, pv in specs
         ]
@@ -331,7 +357,10 @@ def read_delta_changes(
         ).withColumn(COMMIT_TS, F.lit(int(ts)).cast(LongType()))
         for c in part_cols:
             d = d.withColumn(
-                c, F.lit((pv or {}).get(c)).cast(schema[c].dataType)
+                c,
+                F.lit((pv or {}).get(phys_of[c])).cast(
+                    schema[c].dataType
+                ),
             )
         return d
 
@@ -437,7 +466,10 @@ def read_delta_changes(
                 [
                     tuple(
                         [os.path.abspath(p), fid[p]]
-                        + [(pv_of[p] or {}).get(c) for c in part_cols]
+                        + [
+                            (pv_of[p] or {}).get(phys_of[c])
+                            for c in part_cols
+                        ]
                     )
                     for p in upaths
                 ],
@@ -460,6 +492,23 @@ def read_delta_changes(
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b, allowMissingColumns=True)
+    if mapping_mode == "name":
+        # data columns carry PHYSICAL names in every branch (partition
+        # columns were attached logically); restore logical names via
+        # positional struct casts, same as read_delta_table
+        return out.select(
+            *[
+                (
+                    F.col(c)
+                    if c in part_cols
+                    else F.col(f"`{phys_of[c]}`")
+                    .cast(schema[c].dataType)
+                    .alias(c)
+                )
+                for c in schema.names
+            ],
+            CHANGE_TYPE, COMMIT_VERSION, COMMIT_TS,
+        )
     return out.select(
         *schema.names, CHANGE_TYPE, COMMIT_VERSION, COMMIT_TS
     )

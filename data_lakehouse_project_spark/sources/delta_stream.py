@@ -401,13 +401,36 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     )
                 continue
             for a in adds:
-                if a.get("foreign_dv") or a.get("dv"):
-                    # shipping the whole file would RESURRECT the
-                    # DV-deleted rows into the stream
+                excl = None
+                if a.get("dv"):
                     raise UnsupportedDeltaFeature(
-                        f"commit {v} adds a deletion-vector-bearing "
-                        "file; the streaming source cannot apply DVs"
+                        f"commit {v} carries a lakehouse.dv internal "
+                        "deletion vector; use the internal reader"
                     )
+                if a.get("foreign_dv"):
+                    # shipping the whole file would RESURRECT the
+                    # DV-deleted rows.  Under ignoreChanges (the
+                    # re-ship-rewrites contract) the add ships its
+                    # LIVE rows via excluded row indexes — what a
+                    # DV-aware Delta source emits; without the flag
+                    # the remove gate above already refused, but a
+                    # blind-append add carrying a DV is still
+                    # unshippable as-is, so refuse it explicitly.
+                    if not self._ignore_changes:
+                        raise UnsupportedDeltaFeature(
+                            f"commit {v} adds a deletion-vector-"
+                            "bearing file; set ignoreChanges to ship "
+                            "its live rows (downstream must dedup)"
+                        )
+                    from data_lakehouse_project_spark.operators.dv import (
+                        resolve_dv_positions,
+                    )
+
+                    excl = sorted(
+                        resolve_dv_positions(
+                            a["foreign_dv"], self._table
+                        )
+                    ) or None
                 p = a["path"]
                 if not os.path.isabs(p):
                     p = os.path.join(self._table, p)
@@ -419,6 +442,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         self._part_cols,
                         phys_of=self._phys_of,
                         ids_of=self._ids_of,
+                        excluded=excl,
                     )
                 )
         return parts or [_DeltaFilePartition(None, {}, "", [])]

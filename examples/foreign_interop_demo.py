@@ -10,7 +10,11 @@ interop surface end to end on one runnable script:
 3. streaming tail + streaming CDC (``readChangeFeed``),
 4. Iceberg v2 export — including POSITION DELETE files for a
    deletion-vector delete — read back through the foreign Iceberg
-   reader with bounds-based file skipping.
+   reader with bounds-based file skipping,
+5. (round 8) SPEC-DELTA EXPORT: the same DV-bearing snapshot handed
+   to any delta-spark/delta-rs consumer as a ``_delta_log`` table
+   with protocol roaring-bitmap deletion vectors, round-tripped
+   through the foreign Delta reader.
 
     python examples/foreign_interop_demo.py [root_dir]
 
@@ -105,6 +109,26 @@ def main() -> None:
         r.id for r in t.read(spark).collect()
     )
     print("OK: iceberg snapshot (incl. position deletes) == own read")
+
+    # ---- 5. spec-Delta export of the DV snapshot ------------------
+    from data_lakehouse_project_spark.operators.delta_export import (
+        export_delta_snapshot,
+    )
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_table,
+    )
+
+    exp = os.path.join(root, "orders_delta_export")
+    info = export_delta_snapshot(spark, path, exp, dv_mode="spec")
+    print(
+        f"delta export: {info['files']} files, "
+        f"{info['files_with_dv']} with spec DVs"
+    )
+    back = read_delta_table(spark, exp)
+    assert sorted(r.id for r in back.collect()) == sorted(
+        r.id for r in t.read(spark).collect()
+    )
+    print("OK: spec-Delta export (roaring DVs) == own read")
     spark.stop()
 
 

@@ -327,3 +327,79 @@ def test_streaming_read_change_feed_over_dv_commits(spark, tmp_path):
         (1, "delete", 11),
         (2, "delete", 12),
     ]
+
+
+def test_cdf_over_column_mapped_table(spark, tmp_path):
+    """CDF over a name-mapped table: data/cdc files and the log's
+    partitionValues use PHYSICAL names; the feed restores logical
+    names — including through a DV-diff commit."""
+    root = str(tmp_path / "m")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": 1,
+                     "delta.columnMapping.physicalName": "col-i1"}},
+                {"name": "grp", "type": "string", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.id": 2,
+                     "delta.columnMapping.physicalName": "col-g2"}},
+            ],
+        }
+    )
+    fp = os.path.join(root, "f0.parquet")
+    pq.write_table(
+        pa.table({"col-i1": pa.array([10, 11, 12], pa.int64())}), fp
+    )
+    ts = 1700000000000
+
+    def _commit(v, actions):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write(json.dumps(
+                {"commitInfo": {"timestamp": ts + v,
+                                "operation": "T"}}) + "\n")
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    def _add(dv=None):
+        a = {"path": "f0.parquet",
+             "partitionValues": {"col-g2": "west"},
+             "size": os.path.getsize(fp),
+             "modificationTime": ts, "dataChange": True,
+             "stats": json.dumps({"numRecords": 3})}
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "m1", "format": {"provider": "parquet",
+                                   "options": {}},
+            "schemaString": schema, "partitionColumns": ["grp"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": ts}},
+        _add(),
+    ])
+    _commit(1, [
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": ts + 1,
+                    "dataChange": True,
+                    "partitionValues": {"col-g2": "west"}}},
+        _add(dv=_dv_descriptor([1])),
+    ])
+
+    got = sorted(
+        (r._commit_version, r._change_type, r.id, r.grp)
+        for r in read_delta_changes(spark, root).collect()
+    )
+    assert got == [
+        (0, "insert", 10, "west"),
+        (0, "insert", 11, "west"),
+        (0, "insert", 12, "west"),
+        (1, "delete", 11, "west"),
+    ]

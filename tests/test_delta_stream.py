@@ -530,3 +530,77 @@ def test_cdf_first_available_bootstraps_snapshot_as_inserts(
     got2: list[tuple] = []
     _run_cdf(ckpt, got2)
     assert sorted(got2) == [(24, "insert", 12), (25, "insert", 12)]
+
+
+def test_foreign_dv_add_ships_live_rows_with_ignore_changes(
+    spark, tmp_path
+):
+    """With ignoreChanges set, a DV-bearing add ships its LIVE rows
+    (excluded row indexes) instead of refusing — what a DV-aware Delta
+    source emits for a rewritten file."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_lakehouse_project_spark.operators.dv import (
+        rbm_array_serialize,
+        z85_encode,
+    )
+
+    table = str(tmp_path / "fdvi")
+    os.makedirs(table)
+    fp = os.path.join(table, "f0.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                  "part": pa.array(["a"] * 3, pa.string()),
+                  "v": pa.array([0.0, 2.0, 4.0], pa.float64())}),
+        fp,
+    )
+    blob = rbm_array_serialize([1], pad4=True)
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "part", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "v", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": schema,
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 1700000000000}},
+            {"add": {"path": "f0.parquet", "partitionValues": {},
+                     "size": os.path.getsize(fp),
+                     "modificationTime": 1700000001000,
+                     "dataChange": True,
+                     "stats": json.dumps({"numRecords": 3}),
+                     "deletionVector": {"storageType": "i",
+                                        "pathOrInlineDv": z85_encode(blob),
+                                        "sizeInBytes": len(blob),
+                                        "cardinality": 1}}},
+            {"commitInfo": {"timestamp": 1700000001000,
+                            "operation": "WRITE"}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+
+    register_python_datasources(spark)
+    got: list[tuple] = []
+    _run_available_now(
+        spark, table, str(tmp_path / "ck"), got, ignoreChanges="true"
+    )
+    assert sorted(r[0] for r in got) == [0, 2]  # row index 1 excluded
