@@ -73,9 +73,18 @@ def read_delta_changes(
     table_path: str,
     starting_version: int = 0,
     ending_version: int | None = None,
+    starting_timestamp_ms: int | None = None,
+    ending_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """All row-level changes in commits
     ``starting_version..ending_version`` (inclusive; default latest).
+
+    Timestamp bounds mirror delta-spark's ``startingTimestamp`` /
+    ``endingTimestamp``: the start resolves to the FIRST commit at or
+    after the timestamp, the end to the LAST commit at or before it
+    (per-commit clocks follow the spec's ordering —
+    ``inCommitTimestamp`` > ``commitInfo.timestamp`` > file mtime).
+    A timestamp bound overrides the corresponding version bound.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
@@ -88,6 +97,30 @@ def read_delta_changes(
     versions = _commit_versions(table_path)
     if not versions:
         raise CorruptDeltaLog(f"no _delta_log commits at {table_path}")
+    if starting_timestamp_ms is not None:
+        after = [
+            v
+            for v in versions
+            if _commit_timestamp_ms(table_path, v) >= starting_timestamp_ms
+        ]
+        if not after:
+            raise ValueError(
+                f"no commit at or after startingTimestamp "
+                f"{starting_timestamp_ms}"
+            )
+        starting_version = after[0]
+    if ending_timestamp_ms is not None:
+        before = [
+            v
+            for v in versions
+            if _commit_timestamp_ms(table_path, v) <= ending_timestamp_ms
+        ]
+        if not before:
+            raise ValueError(
+                f"no commit at or before endingTimestamp "
+                f"{ending_timestamp_ms}"
+            )
+        ending_version = before[-1]
     end = versions[-1] if ending_version is None else ending_version
     wanted = list(range(starting_version, end + 1))
     have = [v for v in versions if starting_version <= v <= end]

@@ -271,6 +271,126 @@ def export_delta_snapshot(
     }
 
 
+def convert_parquet_dir_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """In-place CONVERT TO DELTA: stamp a plain (optionally
+    hive-partitioned) parquet directory with a spec ``_delta_log``
+    describing its existing files — no data is rewritten or moved,
+    exactly delta-spark's ``CONVERT TO DELTA parquet.`path```.
+
+    Schema and partition columns come from Spark's own parquet
+    inference (so hive ``col=value`` directories surface as typed
+    partition columns); per-file stats come from the parquet footers;
+    directory-encoded partition values are hive-unescaped and recorded
+    as the spec's string-serialized ``partitionValues``
+    (``__HIVE_DEFAULT_PARTITION__`` -> null).  Refuses a directory
+    that already carries a ``_delta_log``.
+    """
+    if os.path.isdir(os.path.join(path, LOG_DIR)):
+        raise DeltaExportError(f"{path} already has a {LOG_DIR}")
+    inferred = spark.read.parquet(path)
+    schema = inferred.schema
+
+    data_files: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                data_files.append(
+                    os.path.relpath(os.path.join(dirpath, fn), path)
+                )
+    if not data_files:
+        raise DeltaExportError(f"no parquet data files under {path}")
+
+    # hive partition columns = inferred schema minus the file schema
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote as _unq
+
+    file_cols = set(
+        pq.read_schema(os.path.join(path, data_files[0])).names
+    )
+    part_cols = partition_by or [
+        f.name for f in schema.fields if f.name not in file_cols
+    ]
+    unknown = [c for c in part_cols if c not in schema.names]
+    if unknown:
+        raise DeltaExportError(
+            f"partition columns {unknown} not in the inferred schema"
+        )
+
+    def _pv(rel: str) -> dict:
+        out = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            out[_unq(k)] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else _unq(v)
+            )
+        missing = [c for c in part_cols if c not in out]
+        if missing:
+            raise DeltaExportError(
+                f"{rel}: partition values {missing} not in the "
+                "directory layout"
+            )
+        return {c: out[c] for c in part_cols}
+
+    ts = int(
+        max(
+            os.path.getmtime(os.path.join(path, f)) for f in data_files
+        )
+        * 1000
+    )
+    adds = []
+    for rel in sorted(data_files):
+        fpath = os.path.join(path, rel)
+        a = {
+            "path": rel,
+            "partition_values": _pv(rel),
+            "size_bytes": os.path.getsize(fpath),
+            "stats": _file_stats(fpath),
+        }
+        adds.append(_serialize_add(a, ts))
+
+    os.makedirs(os.path.join(path, LOG_DIR))
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = {
+        "id": str(_uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": part_cols,
+        "configuration": {},
+        "createdTime": ts,
+    }
+    commit = os.path.join(path, LOG_DIR, f"{0:0{_VERSION_DIGITS}d}.json")
+    with open(commit + ".tmp", "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": ts,
+                        "operation": "CONVERT",
+                        "operationParameters": {
+                            "numFiles": str(len(adds)),
+                            "partitionedBy": json.dumps(part_cols),
+                        },
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(json.dumps({"protocol": protocol}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        for a in adds:
+            fh.write(json.dumps({"add": a}) + "\n")
+    os.replace(commit + ".tmp", commit)
+    return {"version": 0, "files": len(adds),
+            "partition_columns": part_cols}
+
+
 def _write_classic_checkpoint(
     target_path: str, protocol: dict, meta: dict, adds: list[dict]
 ) -> None:

@@ -155,3 +155,77 @@ def test_exported_stats_prune_files(spark, tmp_path):
         if '"add"' in x
     ]
     assert adds and all("stats" in a for a in adds)
+
+
+def test_convert_parquet_dir_to_delta(spark, tmp_path):
+    """CONVERT TO DELTA: hive-partitioned parquet dir gains a spec
+    _delta_log in place (no data rewritten); foreign read == plain
+    parquet read, partition values (incl. hive-escaped chars) decode,
+    and stats enable pruning."""
+    from data_lakehouse_project_spark.operators.delta_export import (
+        convert_parquet_dir_to_delta,
+    )
+
+    src = str(tmp_path / "plain")
+    df = spark.createDataFrame(
+        [(0, "a b", 1.0), (1, "a b", 2.0), (2, "c", 3.0), (100, "c", 4.0)],
+        "id long, grp string, v double",
+    )
+    df.write.partitionBy("grp").parquet(src)
+    before = sorted((r.id, r.grp, r.v) for r in spark.read.parquet(src).collect())
+
+    info = convert_parquet_dir_to_delta(spark, src)
+    assert info["partition_columns"] == ["grp"]
+    got = read_delta_table(spark, src)
+    assert sorted((r.id, r.grp, r.v) for r in got.collect()) == before
+    # hive-escaped partition value ("a b" is stored as a%20b) decodes
+    assert sorted(
+        r.id for r in read_delta_table(
+            spark, src, prune=[("grp", "=", "a b")]
+        ).collect()
+    ) == [0, 1]
+    # footer stats prune: id >= 100 cannot be in the a-b files
+    snap = read_delta_snapshot(src)
+    assert all(
+        f.get("stats", {}).get("num_rows", 0) > 0 for f in snap.files
+    )
+    # second convert refused
+    import pytest as _pytest
+
+    from data_lakehouse_project_spark.operators.delta_export import (
+        DeltaExportError,
+    )
+
+    with _pytest.raises(DeltaExportError, match="already"):
+        convert_parquet_dir_to_delta(spark, src)
+
+
+def test_cdf_timestamp_bounds(spark, tmp_path):
+    """startingTimestamp / endingTimestamp resolve to the first commit
+    at-or-after / last commit at-or-before, using the spec's commit
+    clock (commitInfo.timestamp here)."""
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        _commit_timestamp_ms,
+    )
+
+    t = TxnTable(str(tmp_path / "srct"))
+    t.write(_batch(spark, 0, 2), mode="overwrite")   # v0
+    t.write(_batch(spark, 2, 4), mode="append")      # v1
+    t.write(_batch(spark, 4, 6), mode="append")      # v2
+    ts1 = _commit_timestamp_ms(t.path, 1)
+    mid = read_delta_changes(
+        spark, t.path, starting_timestamp_ms=ts1,
+        ending_timestamp_ms=ts1,
+    )
+    assert sorted(r.id for r in mid.collect()) == [2, 3]
+    tail = read_delta_changes(
+        spark, t.path, starting_timestamp_ms=ts1
+    )
+    assert sorted(r.id for r in tail.collect()) == [2, 3, 4, 5]
+    with pytest.raises(ValueError, match="at or after"):
+        read_delta_changes(
+            spark, t.path, starting_timestamp_ms=ts1 + 10**9
+        )
