@@ -143,7 +143,19 @@ def _rb32_serialize(values: list[int]) -> bytes:
 def _rb32_deserialize(buf: bytes, pos: int) -> tuple[list[int], int]:
     """Parse one portable 32-bit bitmap at ``buf[pos:]``; returns
     (sorted values, next position). Handles both cookies and all three
-    container types."""
+    container types.  Truncated input raises ``ValueError`` (the
+    module's error contract — found by the round-8 hypothesis fuzz:
+    ``struct.unpack_from`` otherwise leaks a bare ``struct.error``
+    that refuse-don't-misread callers catching ValueError miss)."""
+    try:
+        return _rb32_deserialize_inner(buf, pos)
+    except (struct.error, IndexError) as e:
+        raise ValueError(
+            f"truncated/corrupt roaring bitmap at offset {pos}: {e}"
+        ) from None
+
+
+def _rb32_deserialize_inner(buf: bytes, pos: int) -> tuple[list[int], int]:
     (cookie,) = struct.unpack_from("<I", buf, pos)
     pos += 4
     if cookie & 0xFFFF == _SERIAL_COOKIE:
@@ -181,6 +193,13 @@ def _rb32_deserialize(buf: bytes, pos: int) -> tuple[list[int], int]:
             out.extend(base + v for v in vals)
         else:
             bits = buf[pos : pos + _BITSET_BYTES]
+            if len(bits) != _BITSET_BYTES:
+                # a short slice would SILENTLY decode a subset of the
+                # positions — the one truncation shape no later check
+                # catches (round-8 fuzz)
+                raise ValueError(
+                    f"truncated bitset container at offset {pos}"
+                )
             pos += _BITSET_BYTES
             for byte_i, b in enumerate(bits):
                 while b:
@@ -231,7 +250,12 @@ def rbm_array_deserialize(data: bytes) -> list[int]:
     out: list[int] = []
     last_key = -1
     for _ in range(nmaps):
-        (key,) = struct.unpack_from("<I", data, pos)
+        try:
+            (key,) = struct.unpack_from("<I", data, pos)
+        except struct.error:
+            raise ValueError(
+                f"truncated deletion-vector blob at offset {pos}"
+            ) from None
         pos += 4
         if key <= last_key:
             raise ValueError("bucket keys must be strictly increasing")

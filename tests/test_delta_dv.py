@@ -460,3 +460,59 @@ def test_dv_applied_under_uri_hostile_paths(spark, tmp_path):
     assert snap.num_rows == 3  # 5 physical - 2 DV-deleted
     ids = sorted(r.id for r in read_delta_table(spark, table).collect())
     assert ids == [10, 12, 14]
+
+
+# ---------------------------------------------------------- hypothesis fuzz
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    _positions = st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=1 << 20),
+            # bucket boundaries: low-32-bit edges and >32-bit values
+            st.integers(min_value=0xFFFF_FFF0, max_value=0x1_0000_0010),
+            st.integers(
+                min_value=(7 << 32) - 4, max_value=(7 << 32) + 4
+            ),
+        ),
+        max_size=6000,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(_positions)
+    def test_rbm_roundtrip_property(vals):
+        """Any sorted distinct u64 set round-trips the portable
+        RoaringBitmapArray codec, across array/bitset containers and
+        32-bit bucket boundaries."""
+        ordered = sorted(vals)
+        blob = rbm_array_serialize(ordered)
+        assert rbm_array_deserialize(blob) == ordered
+        # Z85 inline transport (padded) decodes to the same positions
+        padded = blob + b"\x00" * ((-len(blob)) % 4)
+        assert rbm_array_deserialize(
+            z85_decode(z85_encode(padded))[: len(blob)]
+        ) == ordered
+
+    @settings(max_examples=60, deadline=None)
+    @given(_positions, st.integers(min_value=0, max_value=64))
+    def test_rbm_truncation_never_misreads(vals, cut):
+        """Truncating a serialized bitmap must raise ValueError (or
+        reproduce the exact positions when the cut only removes
+        padding) — never silently return a DIFFERENT position set,
+        which would resurrect or over-delete rows."""
+        ordered = sorted(vals)
+        blob = rbm_array_serialize(ordered)
+        trunc = blob[: max(0, len(blob) - cut)]
+        try:
+            got = rbm_array_deserialize(trunc)
+        except (ValueError, IndexError):
+            return
+        assert got == ordered
