@@ -162,6 +162,26 @@ class DeltaStreamDataSource(DataSource):
     def streamReader(self, schema: StructType):
         table, meta_raw = self._table_meta()
         raw_start = str(self.options.get("startingVersion", "0"))
+        raw_ts = self.options.get("startingTimestamp")
+        if raw_ts is not None:
+            # delta-spark parity: the stream starts at the first
+            # commit AT OR AFTER the timestamp (commit clocks per the
+            # spec's ordering); a timestamp past the newest commit
+            # tails only future commits, like startingVersion=latest
+            from data_lakehouse_project_spark.operators.delta_reader import (
+                _commit_timestamp_ms,
+            )
+
+            want = int(raw_ts)
+            versions = _commit_versions(table)
+            after = [
+                v
+                for v in versions
+                if _commit_timestamp_ms(table, v) >= want
+            ]
+            raw_start = (
+                str(after[0]) if after else "latest"
+            )
         bootstrap = None
         if raw_start == "latest":
             versions = _commit_versions(table)

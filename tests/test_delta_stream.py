@@ -604,3 +604,34 @@ def test_foreign_dv_add_ships_live_rows_with_ignore_changes(
         spark, table, str(tmp_path / "ck"), got, ignoreChanges="true"
     )
     assert sorted(r[0] for r in got) == [0, 2]  # row index 1 excluded
+
+
+def test_starting_timestamp_resolves_to_commit(spark, tmp_path):
+    """startingTimestamp = the first commit at-or-after the given
+    epoch-ms; a timestamp past the newest commit tails only future
+    commits (delta-spark parity)."""
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        _commit_timestamp_ms,
+    )
+
+    register_python_datasources(spark)
+    path = str(tmp_path / "tst")
+    t = TxnTable(path)
+    t.write(_batch(spark, 0, 2), mode="overwrite")   # v0
+    t.write(_batch(spark, 2, 4), mode="append")      # v1
+    t.write(_batch(spark, 4, 6), mode="append")      # v2
+    ts1 = _commit_timestamp_ms(path, 1)
+
+    got: list[tuple] = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck1"), got,
+        startingTimestamp=str(ts1),
+    )
+    assert sorted(r[0] for r in got) == [2, 3, 4, 5]
+
+    got2: list[tuple] = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck2"), got2,
+        startingTimestamp=str(ts1 + 10**9),
+    )
+    assert got2 == []  # nothing yet at that clock
