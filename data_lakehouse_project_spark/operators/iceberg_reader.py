@@ -716,3 +716,160 @@ def iceberg_snapshot_ids(table_path: str) -> list[tuple[int, int]]:
         (s["snapshot-id"], s["timestamp-ms"])
         for s in md.get("snapshots", [])
     )
+
+
+def _snapshot_order(md: dict) -> list[int]:
+    """Snapshot ids in commit order: the ``snapshot-log`` when present
+    (the spec's authoritative history), else the snapshots sorted by
+    ``sequence-number`` then ``timestamp-ms``."""
+    log = md.get("snapshot-log")
+    if log:
+        return [e["snapshot-id"] for e in log]
+    return [
+        s["snapshot-id"]
+        for s in sorted(
+            md.get("snapshots", []),
+            key=lambda s: (
+                s.get("sequence-number", 0), s["timestamp-ms"]
+            ),
+        )
+    ]
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND SCAN (the spec's changelog subset
+    Spark exposes as ``start-snapshot-id``/``end-snapshot-id``): the
+    rows ADDED by each snapshot in ``(from, to]``, stamped with
+    ``_snapshot_id`` and ``_committed_at`` (epoch ms).
+
+    ``from_snapshot_id`` is EXCLUSIVE (None = table start);
+    ``to_snapshot_id`` inclusive (None = current).  Only pure
+    ``append`` snapshots replay — an overwrite/delete/replace in the
+    range is refused, exactly like Spark's incremental read (emitting
+    its adds without its deletes would misstate the change set).
+    Added files are manifest entries with status ADDED attributed to
+    the snapshot (``entry.snapshot_id``, inherited from the
+    manifest's ``added_snapshot_id`` when null, per the spec's
+    inheritance rule)."""
+    from pyspark.sql import functions as F
+
+    md = load_iceberg_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    order = [s for s in _snapshot_order(md) if s in snaps]
+    if to_snapshot_id is None:
+        to_snapshot_id = md.get("current-snapshot-id")
+    if to_snapshot_id not in snaps:
+        raise ValueError(f"snapshot {to_snapshot_id} not in metadata")
+    hi = order.index(to_snapshot_id)
+    if from_snapshot_id is None:
+        lo = -1
+    else:
+        if from_snapshot_id not in order[: hi + 1]:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id}"
+            )
+        lo = order.index(from_snapshot_id)
+    wanted = order[lo + 1 : hi + 1]
+
+    schema = _spark_schema(spark, md)
+    specs: list[tuple[str, int, int]] = []  # (abs path, snap id, ts)
+    for sid in wanted:
+        snap = snaps[sid]
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op != "append":
+            raise UnsupportedIcebergFeature(
+                f"snapshot {sid} is a '{op}'; the incremental append "
+                "scan replays pure appends only (emitting its adds "
+                "without its deletes would misstate the change set)"
+            )
+        mlist = snap["manifest-list"]
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(table_path, mlist)
+        manifests, _ = avro_records(spark, mlist)
+        for m in manifests:
+            if m.get("content", 0) != 0:
+                raise UnsupportedIcebergFeature(
+                    f"snapshot {sid} carries a delete manifest; not a "
+                    "pure append"
+                )
+            mpath = m["manifest_path"]
+            if not os.path.isabs(mpath):
+                mpath = os.path.join(table_path, mpath)
+            entries, _ = avro_records(spark, mpath)
+            for e in entries:
+                if e.get("status") != 1:  # ADDED only
+                    continue
+                esid = e.get("snapshot_id")
+                if esid is None:
+                    esid = m.get("added_snapshot_id")
+                if esid != sid:
+                    continue
+                df_ = e["data_file"]
+                if str(df_.get("file_format", "")).upper() != "PARQUET":
+                    raise UnsupportedIcebergFeature(
+                        f"file format {df_.get('file_format')!r} is "
+                        "not supported"
+                    )
+                p = df_["file_path"]
+                for pref in ("file://", "file:"):
+                    if p.startswith(pref):
+                        p = p[len(pref):]
+                if not os.path.isabs(p):
+                    p = os.path.join(table_path, p)
+                specs.append((p, sid, snap["timestamp-ms"]))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("_snapshot_id", LongType()),
+            StructField("_committed_at", LongType()),
+        ]
+    )
+    if not specs:
+        return spark.createDataFrame([], out_schema)
+    scan_schema = schema
+    if _file_has_field_ids(specs[0][0]):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_schema = _spark_schema(spark, md, field_ids=True)
+    paths = [p for p, *_ in specs]
+    if len(set(paths)) == len(paths):
+        from .delta_reader import _spark_path_key
+
+        df = spark.read.schema(scan_schema).parquet(*paths)
+        fmap = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (os.path.abspath(p), int(sid), int(ts))
+                    for p, sid, ts in specs
+                ],
+                ["__ice_path", "_snapshot_id", "_committed_at"],
+            )
+        )
+        df = (
+            df.withColumn("__ice_path", _spark_path_key())
+            .join(fmap, "__ice_path")
+            .drop("__ice_path")
+        )
+        return df.select(*out_schema.names)
+    # a file re-added across snapshots (spec-legal for replace chains):
+    # per-spec scans keep each (row, snapshot) attribution exact
+    outs = []
+    for p, sid, ts in specs:
+        d = (
+            spark.read.schema(scan_schema).parquet(p)
+            .withColumn("_snapshot_id", F.lit(int(sid)).cast("long"))
+            .withColumn("_committed_at", F.lit(int(ts)).cast("long"))
+        )
+        outs.append(d)
+    out = outs[0]
+    for d in outs[1:]:
+        out = out.unionByName(d)
+    return out.select(*out_schema.names)

@@ -899,3 +899,93 @@ def test_prune_covers_evolved_partition_specs(spark, tmp_path):
     df2 = read_iceberg_table(spark, table,
                              prune=[("name", "=", "west")])
     assert sorted(r.id for r in df2.collect()) == [1, 2]
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """read_iceberg_changes: rows ADDED by each snapshot in
+    (from, to], attributed via entry.snapshot_id (manifest-inherited
+    when null); shared manifests with EXISTING entries contribute
+    nothing; from=None replays the whole append history."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changes,
+    )
+
+    table = str(tmp_path / "tinc")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1, 2], ["a", "b"],
+                    ["1.00", "2.00"])
+    fb = _data_file(table, "b.parquet", [3], ["c"], ["3.00"])
+
+    ea = _entry(1, fa, 2, seq=1)
+    ea["snapshot_id"] = 9
+    mA = _manifest(spark, table, "mA.avro", [ea])
+    ea_existing = _entry(0, fa, 2, seq=1)
+    ea_existing["snapshot_id"] = 9
+    eb = _entry(1, fb, 1, seq=2)
+    eb["snapshot_id"] = None  # inherits the manifest's added snapshot
+    mA2 = _manifest(spark, table, "mA2.avro", [ea_existing])
+    mB = _manifest(spark, table, "mB.avro", [eb])
+
+    def _list(name, manifests, snap_id):
+        path = os.path.join(table, "metadata", name)
+        w = _AvroWriter(spark, MANIFEST_FILE_AVRO, path,
+                        {"format-version": "2"})
+        for mp, seq in manifests:
+            w.append_dict({
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id if mp in (mA, mB) else 9,
+            })
+        w.close()
+        return path
+
+    l9 = _list("snap-9.avro", [(mA, 1)], 9)
+    l10 = _list("snap-10.avro", [(mA2, 1), (mB, 2)], 10)
+    snap9 = {"snapshot-id": 9, "timestamp-ms": T1,
+             "sequence-number": 1, "manifest-list": l9,
+             "summary": {"operation": "append"}, "schema-id": 0}
+    snap10 = {"snapshot-id": 10, "timestamp-ms": T2,
+              "sequence-number": 2, "manifest-list": l10,
+              "summary": {"operation": "append"}, "schema-id": 0}
+    _metadata(
+        table, 1, [SCHEMA_0], 0, [snap9, snap10], 10,
+        [{"snapshot-id": 9, "timestamp-ms": T1},
+         {"snapshot-id": 10, "timestamp-ms": T2}],
+    )
+
+    full = read_iceberg_changes(spark, table)
+    assert sorted((r.id, r._snapshot_id) for r in full.collect()) == [
+        (1, 9), (2, 9), (3, 10),
+    ]
+    assert {r._committed_at for r in full.collect()} == {T1, T2}
+    tail = read_iceberg_changes(spark, table, from_snapshot_id=9)
+    assert sorted((r.id, r._snapshot_id) for r in tail.collect()) == [
+        (3, 10),
+    ]
+    only9 = read_iceberg_changes(spark, table, to_snapshot_id=9)
+    assert sorted(r.id for r in only9.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="ancestor"):
+        read_iceberg_changes(spark, table, from_snapshot_id=10,
+                             to_snapshot_id=9)
+
+
+def test_incremental_scan_refuses_non_append(spark, foreign_iceberg):
+    """An overwrite snapshot in the range is refused — emitting its
+    adds without its deletes would misstate the change set."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changes,
+    )
+
+    # the pure-append prefix replays fine
+    head = read_iceberg_changes(
+        spark, foreign_iceberg, to_snapshot_id=101
+    )
+    assert sorted((r.id, r._snapshot_id) for r in head.collect()) == [
+        (1, 101), (2, 101), (3, 101),
+    ]
+    with pytest.raises(UnsupportedIcebergFeature, match="overwrite"):
+        read_iceberg_changes(
+            spark, foreign_iceberg, from_snapshot_id=101
+        )
