@@ -271,6 +271,244 @@ def export_delta_snapshot(
     }
 
 
+def sync_delta_export(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    dv_inline_max: int = 8192,
+) -> dict:
+    """Incrementally mirror an internal table into a spec-Delta
+    export: the first call full-exports the current snapshot
+    (``export_delta_snapshot``); every later call translates each NEW
+    internal commit into one foreign commit — adds (new data files
+    hard-linked; internal DVs re-encoded as spec descriptors, inline
+    when ≤ ``dv_inline_max`` serialized bytes, else a per-commit DV
+    file), removes, metaData changes, cdc actions (``_change_data``
+    files linked, so foreign CDF readers see the same change feed),
+    and a protocol upgrade the first time DVs appear.  The mirror is
+    therefore a PER-COMMIT replica: foreign snapshot reads, time
+    travel, CDF, and streaming tails all work against it.
+
+    Commit lineage is tracked via
+    ``commitInfo.operationParameters.sourceVersion``; a target whose
+    history this function did not write is refused.
+    """
+    t = TxnTable(source_path)
+    src_latest = t.latest_version()
+    if src_latest < 0:
+        raise DeltaExportError(f"no internal log at {source_path}")
+    tgt_log = os.path.join(target_path, LOG_DIR)
+    if not os.path.isdir(tgt_log):
+        info = export_delta_snapshot(spark, source_path, target_path)
+        return {
+            "initial_export": True,
+            "from_version": None,
+            "to_version": info["source_version"],
+            "synced_commits": 0,
+        }
+
+    from .delta_reader import (
+        _commit_versions as _tgt_versions,
+        read_delta_snapshot,
+    )
+
+    tgt_vs = _tgt_versions(target_path)
+    if not tgt_vs:
+        raise DeltaExportError(f"{target_path} has an empty {LOG_DIR}")
+    # commitInfo-only sniff: the lineage check must run BEFORE any
+    # action validation (an arbitrary foreign/internal log should get
+    # the clear "unknown history" refusal, not an add-intake error)
+    info = None
+    with open(
+        os.path.join(
+            tgt_log, f"{tgt_vs[-1]:0{_VERSION_DIGITS}d}.json"
+        )
+    ) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                act = json.loads(line)
+                if "commitInfo" in act:
+                    info = act["commitInfo"]
+                    break
+    params = (info or {}).get("operationParameters") or {}
+    if (info or {}).get("operation") not in ("EXPORT", "SYNC") or (
+        "sourceVersion" not in params
+    ):
+        raise DeltaExportError(
+            f"{target_path} was not written by this exporter; refusing "
+            "to append foreign commits to an unknown history"
+        )
+    last_src = int(params["sourceVersion"])
+    snap_tgt = read_delta_snapshot(target_path)
+    dv_active = any(f.get("foreign_dv") for f in snap_tgt.files) or (
+        int(snap_tgt.protocol.get("minReaderVersion", 1)) >= 3
+        and "deletionVectors"
+        in (snap_tgt.protocol.get("readerFeatures") or [])
+    )
+
+    synced = 0
+    next_tgt = tgt_vs[-1] + 1
+    for s in range(last_src + 1, src_latest + 1):
+        adds, removes, cinfo, meta, _txn = t._read_commit(s)
+        ts = int((cinfo or {}).get("timestamp") or 0)
+        actions: list[dict] = []
+        commit_uses_dv = any(a.get("dv") for a in adds)
+        if commit_uses_dv and not dv_active:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            dv_active = True
+        if meta is not None:
+            physical_parts, transforms = _parse_partition_spec(
+                meta.get("partition_by")
+            )
+            if transforms:
+                raise DeltaExportError(
+                    "hidden transform partitions have no Delta-spec "
+                    "equivalent; cannot sync this schema change"
+                )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(_uuid.uuid4()),
+                        "format": {"provider": "parquet",
+                                   "options": {}},
+                        "schemaString": meta["schema_json"],
+                        "partitionColumns": physical_parts,
+                        "configuration": {
+                            f"delta.constraints.{n}": sql
+                            for n, sql in (
+                                meta.get("constraints") or {}
+                            ).items()
+                        },
+                        "createdTime": ts,
+                    }
+                }
+            )
+        from .dv import rbm_array_serialize, write_dv_file, z85_encode
+
+        dv_by_file = _dv_positions_by_file(spark, source_path, adds)
+        add_raws: list[tuple[dict, str | None, bytes | None]] = []
+        big: list[tuple[int, str, list[int]]] = []  # (add idx, base, pos)
+        for a in adds:
+            if os.path.isabs(a["path"]):
+                raise DeltaExportError(
+                    f"absolute data path {a['path']} (shallow clone) "
+                    "cannot be mirrored incrementally"
+                )
+            src_f = os.path.join(source_path, a["path"])
+            _link_or_copy(src_f, os.path.join(target_path, a["path"]))
+            clean = {
+                k: v for k, v in a.items() if k not in ("dv", "bloom")
+            }
+            raw = _serialize_add(clean, ts)
+            raw.pop("tags", None)
+            if a.get("dv"):
+                base = a["path"].rsplit("/", 1)[-1]
+                positions = dv_by_file.get(base, [])
+                blob = rbm_array_serialize(positions)
+                if len(blob) <= dv_inline_max:
+                    pad = (-len(blob)) % 4
+                    raw["deletionVector"] = {
+                        "storageType": "i",
+                        "pathOrInlineDv": z85_encode(
+                            blob + b"\x00" * pad
+                        ),
+                        "sizeInBytes": len(blob),
+                        "cardinality": len(positions),
+                    }
+                else:
+                    big.append((len(add_raws), base, positions))
+            add_raws.append((raw, None, None))
+        if big:
+            # ONE per-commit DV file holding every oversized bitmap;
+            # write once so every descriptor's offset is final
+            u = _uuid.uuid4()
+            frags = write_dv_file(
+                os.path.join(
+                    target_path, f"deletion_vector_{u}.bin"
+                ),
+                [pos for _, _, pos in big],
+            )
+            enc = z85_encode(u.bytes)
+            for (idx, _base, _pos), frag in zip(big, frags):
+                add_raws[idx][0]["deletionVector"] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": enc,
+                    "offset": frag["offset"],
+                    "sizeInBytes": frag["sizeInBytes"],
+                    "cardinality": frag["cardinality"],
+                }
+        actions.extend({"add": raw} for raw, _, _ in add_raws)
+        for r in removes:
+            if os.path.isabs(r["path"]):
+                raise DeltaExportError(
+                    f"absolute data path {r['path']} cannot be "
+                    "mirrored incrementally"
+                )
+            out = {
+                "path": quote(r["path"]),
+                "deletionTimestamp": ts,
+                "dataChange": bool(r.get("data_change", True)),
+            }
+            actions.append({"remove": out})
+        # cdc actions: link the _change_data files so foreign CDF
+        # readers replay the same change feed
+        with open(
+            os.path.join(source_path, "_delta_log",
+                         f"{s:0{_VERSION_DIGITS}d}.json")
+        ) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "cdc" in act:
+                    from urllib.parse import unquote as _unq
+
+                    rel = _unq(act["cdc"]["path"])
+                    _link_or_copy(
+                        os.path.join(source_path, rel),
+                        os.path.join(target_path, rel),
+                    )
+                    actions.append({"cdc": act["cdc"]})
+        commit_info = {
+            "timestamp": ts,
+            "operation": "SYNC",
+            "operationParameters": {
+                "sourceVersion": str(s),
+                "sourceOperation": str(
+                    (cinfo or {}).get("operation", "")
+                ),
+            },
+            "engineInfo": "data_lakehouse_project_spark delta export",
+        }
+        commit = os.path.join(
+            tgt_log, f"{next_tgt:0{_VERSION_DIGITS}d}.json"
+        )
+        with open(commit + ".tmp", "w") as fh:
+            fh.write(json.dumps({"commitInfo": commit_info}) + "\n")
+            for act in actions:
+                fh.write(json.dumps(act) + "\n")
+        os.replace(commit + ".tmp", commit)
+        next_tgt += 1
+        synced += 1
+    return {
+        "initial_export": False,
+        "from_version": last_src,
+        "to_version": src_latest,
+        "synced_commits": synced,
+    }
+
+
 def convert_parquet_dir_to_delta(
     spark: SparkSession,
     path: str,

@@ -4,6 +4,7 @@ from data_lakehouse_project_spark.sources.readers import (  # noqa: F401
     read_delta,
     read_delta_changes,
     read_iceberg,
+    read_iceberg_changes,
     read_jdbc,
     read_json,
     read_orc,

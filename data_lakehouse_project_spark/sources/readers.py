@@ -282,10 +282,12 @@ def read_delta_changes(
     path: str,
     starting_version: int = 0,
     ending_version: int | None = None,
+    starting_timestamp_ms: int | None = None,
+    ending_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Change Data Feed over any Delta log — row-level changes with
     ``_change_type`` / ``_commit_version`` / ``_commit_timestamp``
-    (operators/delta_cdf.py)."""
+    (operators/delta_cdf.py).  Version or timestamp bounds."""
     from data_lakehouse_project_spark.operators.delta_cdf import (
         read_delta_changes as _impl,
     )
@@ -294,6 +296,28 @@ def read_delta_changes(
         spark, path,
         starting_version=starting_version,
         ending_version=ending_version,
+        starting_timestamp_ms=starting_timestamp_ms,
+        ending_timestamp_ms=ending_timestamp_ms,
+    )
+
+
+def read_iceberg_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg incremental APPEND scan — rows added by each snapshot
+    in ``(from, to]`` with ``_snapshot_id`` / ``_committed_at``
+    (operators/iceberg_reader.py; non-append snapshots refused)."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changes as _impl,
+    )
+
+    return _impl(
+        spark, path,
+        from_snapshot_id=from_snapshot_id,
+        to_snapshot_id=to_snapshot_id,
     )
 
 

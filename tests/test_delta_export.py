@@ -229,3 +229,57 @@ def test_cdf_timestamp_bounds(spark, tmp_path):
         read_delta_changes(
             spark, t.path, starting_timestamp_ms=ts1 + 10**9
         )
+
+
+def test_sync_delta_export_mirrors_commits(spark, tmp_path):
+    """sync_delta_export: first call full-exports; later calls append
+    one foreign commit per internal commit — appends, CoW deletes,
+    cdc UPDATEs, and DV deletes all mirror, so foreign snapshot reads,
+    CDF, and the DV-diff CDC reconstruction work against the mirror."""
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+    from data_lakehouse_project_spark.operators.delta_export import (
+        sync_delta_export,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "mirror")
+    t = TxnTable(src)
+    t.write(_batch(spark, 0, 6), mode="overwrite")          # v0
+    info = sync_delta_export(spark, src, out)
+    assert info["initial_export"] and info["to_version"] == 0
+    assert _rows(read_delta_table(spark, out)) == _rows(t.read(spark))
+
+    t.write(_batch(spark, 6, 8), mode="append")             # v1
+    t.update_where(spark, "id = 1", {"v": "99.0"}, cdc=True)  # v2
+    t.delete_where(spark, "id = 7", dv=True)                # v3 (DV)
+    info = sync_delta_export(spark, src, out)
+    assert info["synced_commits"] == 3
+    assert (info["from_version"], info["to_version"]) == (0, 3)
+
+    # snapshot parity at head and per synced version
+    assert _rows(read_delta_table(spark, out)) == _rows(t.read(spark))
+    assert sorted(
+        r.id for r in read_delta_table(spark, out, version=2).collect()
+    ) == list(range(8))
+
+    # CDF over the mirror: cdc pre/postimages from v2, DV-diff at v3
+    cdf = read_delta_changes(spark, out, starting_version=2)
+    got = sorted(
+        (r._commit_version, r._change_type, r.id, r.v)
+        for r in cdf.collect()
+    )
+    assert got == [
+        (2, "update_postimage", 1, 99.0),
+        (2, "update_preimage", 1, 2.0),
+        (3, "delete", 7, 14.0),
+    ]
+
+    # idempotent: nothing new -> no commits appended
+    info = sync_delta_export(spark, src, out)
+    assert info["synced_commits"] == 0
+
+    # a target not written by this exporter is refused
+    with pytest.raises(DeltaExportError, match="unknown history"):
+        sync_delta_export(spark, src, t.path)
