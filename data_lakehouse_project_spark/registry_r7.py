@@ -245,10 +245,68 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_lineitem_iqr_fences(spark, sf_dir):
+    """Tukey fences per line status: Q1/Q3/IQR from ONE
+    counts-grain pass (``grouped_quantiles_exact`` at two q's — the
+    multi-quantile form; agg_mad needs two passes only because its
+    second median is over a DERIVED column), broadcast back, then the
+    outlier counts beyond 1.5·IQR.  Per-group state stays O(distinct
+    prices); no holistic buffer."""
+    r4 = _helpers["_rn"]
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li = li.select("l_linestatus", "l_extendedprice")
+    q = grouped_quantiles_exact(
+        li, ["l_linestatus"], "l_extendedprice",
+        {"q1": 0.25, "q3": 0.75},
+    ).select("l_linestatus", "q1", "q3")
+    j = li.join(F.broadcast(q), "l_linestatus")
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            r4(F.max("q1"), 4).alias("q1"),
+            r4(F.max("q3"), 4).alias("q3"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < lo, 1).otherwise(0)
+            ).alias("n_low_outliers"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > hi, 1).otherwise(0)
+            ).alias("n_high_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_IQR = """
+WITH q AS (
+  SELECT l_linestatus,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+  FROM lineitem GROUP BY 1
+)
+SELECT li.l_linestatus,
+       {Q1} AS q1, {Q3} AS q3,
+       CAST(SUM(CASE WHEN li.l_extendedprice < q.q1 - 1.5*(q.q3-q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN li.l_extendedprice > q.q3 + 1.5*(q.q3-q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       COUNT(*) AS n_rows
+FROM lineitem li JOIN q ON li.l_linestatus = q.l_linestatus
+GROUP BY 1, q.q1, q.q3 ORDER BY 1
+"""
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     R = helpers["R"]
     return {
+        "lineitem_iqr_fences": (
+            q_lineitem_iqr_fences,
+            SQL_IQR.format(Q1=R("MAX(q.q1)", 4), Q3=R("MAX(q.q3)", 4)),
+        ),
         "customer_rfm_segments": (
             q_customer_rfm_segments,
             SQL_RFM.format(AVG_SPEND=R("AVG(monetary)", 4)),
