@@ -375,10 +375,21 @@ def sync_delta_export(
                     "hidden transform partitions have no Delta-spec "
                     "equivalent; cannot sync this schema change"
                 )
+            # metaData.id identifies the TABLE and must stay constant
+            # across the mirror's whole log (spec rule) — reuse the
+            # id the initial export minted
+            from .delta_reader import sniff_commit_meta_protocol
+
+            table_id = None
+            for tv in reversed(_tgt_versions(target_path)):
+                m_raw, _ = sniff_commit_meta_protocol(target_path, tv)
+                if m_raw is not None and m_raw.get("id"):
+                    table_id = m_raw["id"]
+                    break
             actions.append(
                 {
                     "metaData": {
-                        "id": str(_uuid.uuid4()),
+                        "id": table_id or str(_uuid.uuid4()),
                         "format": {"provider": "parquet",
                                    "options": {}},
                         "schemaString": meta["schema_json"],

@@ -283,3 +283,39 @@ def test_sync_delta_export_mirrors_commits(spark, tmp_path):
     # a target not written by this exporter is refused
     with pytest.raises(DeltaExportError, match="unknown history"):
         sync_delta_export(spark, src, t.path)
+
+
+def test_sync_schema_evolution_keeps_table_id(spark, tmp_path):
+    """A synced schema-change commit re-emits metaData with the SAME
+    table id (spec: metaData.id identifies the table for the log's
+    whole lifetime) and foreign reads surface the evolved column."""
+    from data_lakehouse_project_spark.operators.delta_export import (
+        sync_delta_export,
+    )
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        sniff_commit_meta_protocol,
+        _commit_versions,
+    )
+
+    src = str(tmp_path / "srcse")
+    out = str(tmp_path / "outse")
+    t = TxnTable(src)
+    t.write(_batch(spark, 0, 3), mode="overwrite")
+    sync_delta_export(spark, src, out)
+    evolved = _batch(spark, 3, 5).withColumn(
+        "extra", F.col("id") * 100
+    )
+    t.write(evolved, mode="append", allow_schema_evolution=True)
+    info = sync_delta_export(spark, src, out)
+    assert info["synced_commits"] == 1
+
+    got = read_delta_table(spark, out)
+    rows = sorted((r.id, r.extra) for r in got.collect())
+    assert rows == [(0, None), (1, None), (2, None),
+                    (3, 300), (4, 400)]
+    ids = set()
+    for v in _commit_versions(out):
+        m, _ = sniff_commit_meta_protocol(out, v)
+        if m is not None:
+            ids.add(m["id"])
+    assert len(ids) == 1  # constant table id across the mirror's log
