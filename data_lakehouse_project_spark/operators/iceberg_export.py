@@ -368,6 +368,53 @@ def export_iceberg_metadata(
         "fields": fields,
     }
     spec_json = json.dumps(spec_fields)
+
+    # ---- incremental statuses (r8): files live in the PREVIOUS
+    # exported snapshot re-emit as EXISTING with their original
+    # snapshot/sequence attribution; files gone since then emit as
+    # DELETED — so the export's own history is spec-truthful (the
+    # incremental append scan attributes adds to the right snapshot,
+    # and a snapshot that dropped files stops claiming "append").
+    prev_live: dict[str, dict] = {}
+    try:
+        from .iceberg_reader import (
+            CorruptIcebergMetadata,
+            _select_snapshot,
+            avro_records,
+            load_iceberg_metadata,
+        )
+
+        prev_md = load_iceberg_metadata(table.path)
+        prev_snap = _select_snapshot(prev_md, None, None)
+        mlist = prev_snap["manifest-list"]
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(table.path, mlist)
+        for m in avro_records(spark, mlist)[0]:
+            if m.get("content", 0) != 0:
+                continue
+            mp = m["manifest_path"]
+            if not os.path.isabs(mp):
+                mp = os.path.join(table.path, mp)
+            for e in avro_records(spark, mp)[0]:
+                if e.get("status") == 2:
+                    continue
+                df_ = e["data_file"]
+                prev_live[df_["file_path"]] = {
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": e.get("sequence_number")
+                    or m.get("sequence_number"),
+                    "record_count": df_.get("record_count", 0),
+                    "file_size_in_bytes": df_.get(
+                        "file_size_in_bytes", 0
+                    ),
+                    "partition": df_.get("partition") or {},
+                }
+    except (FileNotFoundError, CorruptIcebergMetadata):
+        pass  # first export — everything is ADDED
+    except Exception:
+        # unreadable previous metadata: fall back to a full ADDED
+        # snapshot (correct, just without incremental attribution)
+        prev_live = {}
     w = _AvroWriter(
         spark,
         manifest_entry_avro,
@@ -381,6 +428,9 @@ def export_iceberg_metadata(
         },
     )
     total_rows = 0
+    n_added = n_existing = 0
+    added_rows = existing_rows = 0
+    cur_paths: set[str] = set()
     by_hidden = {
         pf["name"]: pf for pf in spec_fields
     }
@@ -417,12 +467,28 @@ def export_iceberg_metadata(
                                 "value": b.decode("latin-1"),
                             }
                         )
+        cur_paths.add(fpath)
+        prev = prev_live.get(fpath)
+        if prev is None:
+            n_added += 1
+            added_rows += rows
+        else:
+            n_existing += 1
+            existing_rows += rows
         w.append_dict(
             {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
+                # EXISTING entries keep the snapshot/sequence that
+                # originally added the file (spec inheritance rules)
+                "status": 0 if prev else 1,
+                "snapshot_id": (
+                    prev["snapshot_id"] if prev else snapshot_id
+                ),
+                "sequence_number": (
+                    prev["sequence_number"] if prev else seq
+                ),
+                "file_sequence_number": (
+                    prev["sequence_number"] if prev else seq
+                ),
                 "data_file": {
                     "content": 0,
                     "file_path": fpath,
@@ -432,6 +498,31 @@ def export_iceberg_metadata(
                     "file_size_in_bytes": f.get("size_bytes", 0),
                     "lower_bounds": lower or None,
                     "upper_bounds": upper or None,
+                },
+            }
+        )
+    n_deleted = 0
+    for gone, prev in sorted(prev_live.items()):
+        if gone in cur_paths:
+            continue
+        n_deleted += 1
+        w.append_dict(
+            {
+                "status": 2,  # DELETED — removed by THIS snapshot
+                "snapshot_id": snapshot_id,
+                "sequence_number": prev["sequence_number"],
+                "file_sequence_number": prev["sequence_number"],
+                "data_file": {
+                    "content": 0,
+                    "file_path": gone,
+                    "file_format": "PARQUET",
+                    "partition": prev.get("partition") or {},
+                    "record_count": prev.get("record_count", 0),
+                    "file_size_in_bytes": prev.get(
+                        "file_size_in_bytes", 0
+                    ),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
                 },
             }
         )
@@ -563,6 +654,14 @@ def export_iceberg_metadata(
         list_path,
         {"format-version": "2"},
     )
+    min_seq = min(
+        [seq]
+        + [
+            p["sequence_number"]
+            for p in prev_live.values()
+            if p.get("sequence_number") is not None
+        ]
+    )
     wl.append_dict(
         {
             "manifest_path": manifest_path,
@@ -570,13 +669,13 @@ def export_iceberg_metadata(
             "partition_spec_id": 0,
             "content": 0,
             "sequence_number": seq,
-            "min_sequence_number": seq,
+            "min_sequence_number": min_seq,
             "added_snapshot_id": snapshot_id,
-            "added_files_count": len(snap.files),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": total_rows,
-            "existing_rows_count": 0,
+            "added_files_count": n_added,
+            "existing_files_count": n_existing,
+            "deleted_files_count": n_deleted,
+            "added_rows_count": added_rows,
+            "existing_rows_count": existing_rows,
             "deleted_rows_count": 0,
         }
     )
@@ -613,15 +712,24 @@ def export_iceberg_metadata(
         ) as fh:
             prev = json.load(fh)
     mv = (existing[-1] + 1) if existing else 1
+    # truthful operation: a snapshot that dropped files or carries a
+    # delete manifest is not an "append" — incremental readers rely
+    # on this to refuse ranges they cannot replay as pure adds
+    if prev_live and (n_deleted or delete_manifest_path is not None):
+        operation = "delete" if n_added == 0 else "overwrite"
+    else:
+        operation = "append"
     snapshot_entry = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": snap.timestamp_ms,
         "sequence-number": seq,
         "manifest-list": list_path,
         "summary": {
-            "operation": "append",
-            "added-data-files": str(len(snap.files)),
-            "added-records": str(total_rows),
+            "operation": operation,
+            "added-data-files": str(n_added),
+            "deleted-data-files": str(n_deleted),
+            "added-records": str(added_rows),
+            "total-records": str(total_rows),
         },
         "schema-id": 0,
     }

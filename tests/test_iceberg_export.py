@@ -286,3 +286,56 @@ def test_export_bounds_enable_foreign_prune(spark, tmp_path):
 
     got = read_iceberg_table(spark, t.path, prune=[("id", ">=", 1000)])
     assert sorted(r.id for r in got.collect()) == list(range(1000, 1100))
+
+
+def test_incremental_export_statuses_and_changes(spark, tmp_path):
+    """Re-export after new commits emits EXISTING entries for carried
+    files (original snapshot attribution) and ADDED for new ones — so
+    the incremental append scan over the engine's OWN exports
+    attributes rows to the right snapshot; a snapshot that dropped
+    files stops claiming 'append' and the incremental scan refuses."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        UnsupportedIcebergFeature,
+        iceberg_snapshot_ids,
+        read_iceberg_changes,
+        read_iceberg_table,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    path = str(tmp_path / "tinc")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 4).selectExpr("id", "id * 2.0 AS v"),
+        mode="overwrite",
+    )                                                   # internal v0
+    export_iceberg_metadata(t, spark)                   # snapshot 1
+    t.write(
+        spark.range(4, 6).selectExpr("id", "id * 2.0 AS v"),
+        mode="append",
+    )                                                   # internal v1
+    export_iceberg_metadata(t, spark)                   # snapshot 2
+
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    assert len(sids) == 2
+    # incremental: only the appended rows belong to snapshot 2
+    inc = read_iceberg_changes(
+        spark, path, from_snapshot_id=sids[0]
+    )
+    assert sorted((r.id, r._snapshot_id) for r in inc.collect()) == [
+        (4, sids[1]), (5, sids[1]),
+    ]
+    # full replay attributes each file to its adding snapshot
+    full = read_iceberg_changes(spark, path)
+    assert sorted((r.id, r._snapshot_id) for r in full.collect()) == [
+        (0, sids[0]), (1, sids[0]), (2, sids[0]), (3, sids[0]),
+        (4, sids[1]), (5, sids[1]),
+    ]
+
+    # a delete drops files -> the next export is NOT an append
+    t.delete_where(spark, "id < 4")                     # internal v2
+    export_iceberg_metadata(t, spark)                   # snapshot 3
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    got = read_iceberg_table(spark, path)
+    assert sorted(r.id for r in got.collect()) == [4, 5]
+    with pytest.raises(UnsupportedIcebergFeature, match="delete|overwrite"):
+        read_iceberg_changes(spark, path, from_snapshot_id=sids[1])
