@@ -247,6 +247,9 @@ class DeltaStreamDataSource(DataSource):
             self.options.get("ignoreChanges", "false").lower() == "true",
             int(self.options.get("maxCommitsPerTrigger", "0")),
             int(self.options.get("maxBytesPerTrigger", "0")),
+            max_files_per_trigger=int(
+                self.options.get("maxFilesPerTrigger", "0")
+            ),
             bootstrap_version=bootstrap,
             read_change_feed=self._cdf_mode(),
             phys_of=phys_of,
@@ -260,6 +263,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         ignore_deletes, ignore_changes, max_commits_per_trigger=0,
         max_bytes_per_trigger=0, bootstrap_version=None,
         read_change_feed=False, phys_of=None, ids_of=None,
+        max_files_per_trigger=0,
     ):
         self._table = table
         self._schema = schema
@@ -269,6 +273,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self._ignore_changes = ignore_changes
         self._max_commits = max_commits_per_trigger
         self._max_bytes = max_bytes_per_trigger
+        self._max_files = max_files_per_trigger
         self._bootstrap = bootstrap_version
         self._cdf = read_change_feed
         self._phys_of = phys_of
@@ -301,10 +306,15 @@ class _DeltaStreamReader(DataSourceStreamReader):
             # of the checkpointed start — then steady-state batches
             # are budgeted again (partitions() re-syncs _handed_out).
             latest = min(latest, self._handed_out + self._max_commits)
-        if self._max_bytes > 0 and latest > self._handed_out:
-            # maxBytesPerTrigger: whole commits until the cumulative
-            # add size crosses the budget; never fewer than one commit
-            budget = self._max_bytes
+        if (
+            self._max_bytes > 0 or self._max_files > 0
+        ) and latest > self._handed_out:
+            # maxBytesPerTrigger / maxFilesPerTrigger: whole commits
+            # until the cumulative add size (or add-file count, the
+            # Delta contract's primary knob) crosses the budget;
+            # never fewer than one commit
+            byte_budget = self._max_bytes or float("inf")
+            file_budget = self._max_files or float("inf")
             chosen = self._handed_out
             for v in range(self._handed_out + 1, latest + 1):
                 try:
@@ -312,9 +322,13 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 except OSError:
                     break  # gap — partitions() raises the real error
                 size = sum(a.get("size_bytes", 0) for a in adds)
-                if chosen > self._handed_out and size > budget:
+                nfiles = len(adds)
+                if chosen > self._handed_out and (
+                    size > byte_budget or nfiles > file_budget
+                ):
                     break
-                budget -= size
+                byte_budget -= size
+                file_budget -= nfiles
                 chosen = v
             latest = max(chosen, self._handed_out + 1)
         self._handed_out = max(self._handed_out, latest)

@@ -635,3 +635,39 @@ def test_starting_timestamp_resolves_to_commit(spark, tmp_path):
         startingTimestamp=str(ts1 + 10**9),
     )
     assert got2 == []  # nothing yet at that clock
+
+
+def test_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger: whole commits until the cumulative add-file
+    count crosses the budget; always at least one commit per batch."""
+    register_python_datasources(spark)
+    path = str(tmp_path / "tmf")
+    t = TxnTable(path)
+    for i in range(3):  # 3 single-file commits
+        t.write(
+            _batch(spark, 2 * i, 2 * i + 2).coalesce(1),
+            mode="overwrite" if i == 0 else "append",
+        )
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", path)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: batches.append(
+                sorted(r["id"] for r in df.collect())
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline and sum(len(b) for b in batches) < 6:
+        time.sleep(1)
+    q.stop()
+    non_empty = [b for b in batches if b]
+    assert non_empty == [[0, 1], [2, 3], [4, 5]]
