@@ -953,6 +953,52 @@ def read_delta_table(
     return df
 
 
+def delta_file_details(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Metadata table over the snapshot's active files (the
+    delta-spark ``DESCRIBE DETAIL`` / files-view shape): one row per
+    add with path, size, row count, partition values, and
+    deletion-vector cardinality — driver metadata only, no data
+    scan."""
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    snap = read_delta_snapshot(table_path, version=version)
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("size_bytes", LongType()),
+            StructField("num_records", LongType()),
+            StructField(
+                "partition_values", MapType(StringType(), StringType())
+            ),
+            StructField("dv_cardinality", LongType()),
+        ]
+    )
+    rows = [
+        (
+            f["path"],
+            int(f.get("size_bytes", 0)),
+            int(f.get("stats", {}).get("num_rows", 0)),
+            {
+                k: (None if v is None else str(v))
+                for k, v in (f.get("partition_values") or {}).items()
+            },
+            int((f.get("foreign_dv") or {}).get("cardinality", 0)),
+        )
+        for f in snap.files
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def delta_history(table_path: str) -> list[dict]:
     """commitInfo of every surviving commit file, oldest first."""
     out = []

@@ -718,6 +718,156 @@ def iceberg_snapshot_ids(table_path: str) -> list[tuple[int, int]]:
     )
 
 
+def iceberg_metadata_df(
+    spark: SparkSession,
+    table_path: str,
+    kind: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Metadata tables (the Spark-Iceberg ``table.snapshots`` /
+    ``table.files`` / ``table.manifests`` / ``table.history`` shapes)
+    as DataFrames — driver metadata only, no data scan.
+
+    ``kind``: ``snapshots`` (id, parent, timestamp, operation,
+    manifest list), ``history`` (timestamp, id, is_current),
+    ``manifests`` (path, length, spec id, content, sequence numbers,
+    counts), ``files`` (live data files of the selected snapshot with
+    record counts, sizes, delete-file split).
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    md = load_iceberg_metadata(table_path)
+    if kind == "snapshots":
+        schema = StructType(
+            [
+                StructField("snapshot_id", LongType()),
+                StructField("parent_id", LongType()),
+                StructField("committed_at", LongType()),
+                StructField("operation", StringType()),
+                StructField("manifest_list", StringType()),
+            ]
+        )
+        rows = [
+            (
+                int(s["snapshot-id"]),
+                (
+                    int(s["parent-snapshot-id"])
+                    if s.get("parent-snapshot-id") is not None
+                    else None
+                ),
+                int(s["timestamp-ms"]),
+                (s.get("summary") or {}).get("operation"),
+                s["manifest-list"],
+            )
+            for s in md.get("snapshots", [])
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        cur = md.get("current-snapshot-id")
+        schema = StructType(
+            [
+                StructField("made_current_at", LongType()),
+                StructField("snapshot_id", LongType()),
+                StructField("is_current_ancestor", BooleanType()),
+            ]
+        )
+        log = md.get("snapshot-log") or [
+            {"snapshot-id": s["snapshot-id"],
+             "timestamp-ms": s["timestamp-ms"]}
+            for s in md.get("snapshots", [])
+        ]
+        rows = [
+            (
+                int(e["timestamp-ms"]),
+                int(e["snapshot-id"]),
+                e["snapshot-id"] == cur,
+            )
+            for e in log
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "manifests":
+        snap = _select_snapshot(md, snapshot_id, None)
+        mlist = snap["manifest-list"]
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(table_path, mlist)
+        manifests, _ = avro_records(spark, mlist)
+        schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("length", LongType()),
+                StructField("partition_spec_id", IntegerType()),
+                StructField("content", IntegerType()),
+                StructField("sequence_number", LongType()),
+                StructField("added_snapshot_id", LongType()),
+                StructField("added_files_count", IntegerType()),
+                StructField("existing_files_count", IntegerType()),
+                StructField("deleted_files_count", IntegerType()),
+            ]
+        )
+        rows = [
+            (
+                m["manifest_path"],
+                int(m.get("manifest_length", 0)),
+                int(m.get("partition_spec_id", 0)),
+                int(m.get("content", 0)),
+                (
+                    int(m["sequence_number"])
+                    if m.get("sequence_number") is not None
+                    else None
+                ),
+                (
+                    int(m["added_snapshot_id"])
+                    if m.get("added_snapshot_id") is not None
+                    else None
+                ),
+                int(m.get("added_files_count") or 0),
+                int(m.get("existing_files_count") or 0),
+                int(m.get("deleted_files_count") or 0),
+            )
+            for m in manifests
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "files":
+        _, live, pos_del, eq_del = iceberg_live_files(
+            spark, table_path, snapshot_id=snapshot_id
+        )
+        schema = StructType(
+            [
+                StructField("content", IntegerType()),
+                StructField("file_path", StringType()),
+                StructField("record_count", LongType()),
+                StructField("file_size_in_bytes", LongType()),
+                StructField("sequence_number", LongType()),
+            ]
+        )
+        rows = [
+            (
+                int(f.get("content", 0)),
+                f["file_path"],
+                int(f.get("record_count", 0)),
+                int(f.get("file_size_in_bytes", 0)),
+                (
+                    int(f["__seq"])
+                    if f.get("__seq") is not None
+                    else None
+                ),
+            )
+            for f in live + pos_del + eq_del
+        ]
+        return spark.createDataFrame(rows, schema)
+    raise ValueError(
+        f"unknown metadata table {kind!r} "
+        "(snapshots | history | manifests | files)"
+    )
+
+
 def _snapshot_order(md: dict) -> list[int]:
     """Snapshot ids in commit order: the ``snapshot-log`` when present
     (the spec's authoritative history), else the snapshots sorted by

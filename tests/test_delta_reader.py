@@ -1422,3 +1422,20 @@ def test_in_commit_timestamp_preferred_for_time_travel(spark, tmp_path):
     assert snap.version == 0  # ICT ordering, not the lying timestamps
     snap2 = read_delta_snapshot(table, timestamp_ms=1_700_000_002_000)
     assert snap2.version == 1
+
+
+def test_delta_file_details(spark, tmp_path):
+    """Files metadata table: one row per active add with size, rows,
+    partition values, and DV cardinality — no data scan."""
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        delta_file_details,
+    )
+
+    table = _mapped_table(tmp_path)
+    det = delta_file_details(spark, table)
+    rows = det.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.path == "f0.parquet" and r.num_records == 3
+    assert r.partition_values == {"col-p0004": "west"}
+    assert r.dv_cardinality == 0

@@ -989,3 +989,26 @@ def test_incremental_scan_refuses_non_append(spark, foreign_iceberg):
         read_iceberg_changes(
             spark, foreign_iceberg, from_snapshot_id=101
         )
+
+
+def test_metadata_tables(spark, foreign_iceberg):
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_metadata_df,
+    )
+
+    snaps = iceberg_metadata_df(spark, foreign_iceberg, "snapshots")
+    assert sorted(r.snapshot_id for r in snaps.collect()) == [101, 202]
+    assert {
+        r.operation for r in snaps.collect()
+    } == {"append", "overwrite"}
+    hist = iceberg_metadata_df(spark, foreign_iceberg, "history")
+    cur = [r.snapshot_id for r in hist.collect() if r.is_current_ancestor]
+    assert cur == [202]
+    man = iceberg_metadata_df(spark, foreign_iceberg, "manifests")
+    assert man.count() == 2  # rewritten m1 + m2
+    files = iceberg_metadata_df(spark, foreign_iceberg, "files")
+    assert sorted(
+        os.path.basename(r.file_path) for r in files.collect()
+    ) == ["a.parquet", "c.parquet"]
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        iceberg_metadata_df(spark, foreign_iceberg, "partitions")
