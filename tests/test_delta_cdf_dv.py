@@ -403,3 +403,108 @@ def test_cdf_over_column_mapped_table(spark, tmp_path):
         (0, "insert", 12, "west"),
         (1, "delete", 11, "west"),
     ]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_cdf_equals_snapshot_diff_randomized(spark, tmp_path, seed):
+    """Property: over a RANDOM commit sequence (appends, incremental
+    DV deletes, restores, full file removes), every per-version CDF
+    slice must equal the snapshot reader's exceptAll diff — inserts =
+    after∖before, deletes = before∖after.  Anchors the DV-diff math
+    to an independent implementation of the same log for shapes no
+    hand-written case enumerates."""
+    import random
+
+    rng = random.Random(seed)
+    f = _Fixture(str(tmp_path / f"t{seed}"))
+    next_file = [0]
+    # live state mirror: name -> (ids tuple, dv frozenset, size)
+    live: dict[str, tuple] = {}
+
+    def _new_file():
+        n = rng.randint(2, 6)
+        base = next_file[0] * 100
+        ids = list(range(base, base + n))
+        name = f"f{next_file[0]}.parquet"
+        next_file[0] += 1
+        size = f.data(name, ids)
+        return name, ids, size
+
+    name, ids, size = _new_file()
+    f.init_table([f.add(name, size, len(ids))])
+    live[name] = (ids, frozenset(), size)
+
+    for _ in range(10):
+        ops = ["append"]
+        if live:
+            ops += ["dv_delete", "remove"]
+        if any(dv for _, dv, _ in live.values()):
+            ops += ["restore"]
+        op = rng.choice(ops)
+        if op == "append":
+            name, ids, size = _new_file()
+            f.commit([f.add(name, size, len(ids))])
+            live[name] = (ids, frozenset(), size)
+        elif op == "dv_delete":
+            name = rng.choice(sorted(live))
+            ids, dv, size = live[name]
+            candidates = [i for i in range(len(ids)) if i not in dv]
+            if not candidates:
+                continue
+            kill = frozenset(
+                rng.sample(candidates,
+                           rng.randint(1, len(candidates)))
+            )
+            new_dv = dv | kill
+            old_desc = _dv_descriptor(sorted(dv)) if dv else None
+            f.commit([
+                f.remove(name, dv=old_desc),
+                f.add(name, size, len(ids),
+                      dv=_dv_descriptor(sorted(new_dv))),
+            ])
+            live[name] = (ids, new_dv, size)
+        elif op == "restore":
+            name = rng.choice(
+                [n for n, (_, dv, _) in live.items() if dv]
+            )
+            ids, dv, size = live[name]
+            back = frozenset(
+                rng.sample(sorted(dv), rng.randint(1, len(dv)))
+            )
+            new_dv = dv - back
+            f.commit([
+                f.remove(name, dv=_dv_descriptor(sorted(dv))),
+                f.add(name, size, len(ids),
+                      dv=_dv_descriptor(sorted(new_dv))
+                      if new_dv else None),
+            ])
+            # paired re-add without DV is refused when old has none;
+            # new_dv empty + old dv present is a legal full restore
+            live[name] = (ids, new_dv, size)
+        else:  # remove
+            name = rng.choice(sorted(live))
+            ids, dv, size = live.pop(name)
+            f.commit([
+                f.remove(name,
+                         dv=_dv_descriptor(sorted(dv)) if dv else None)
+            ])
+
+    latest = f.next_v - 1
+    for v in range(1, latest + 1):
+        before = read_delta_table(spark, f.root, version=v - 1)
+        after = read_delta_table(spark, f.root, version=v)
+        want_ins = sorted(
+            r.id for r in after.exceptAll(before).collect()
+        )
+        want_del = sorted(
+            r.id for r in before.exceptAll(after).collect()
+        )
+        got = read_delta_changes(
+            spark, f.root, starting_version=v, ending_version=v
+        ).collect()
+        got_ins = sorted(r.id for r in got
+                         if r._change_type == "insert")
+        got_del = sorted(r.id for r in got
+                         if r._change_type == "delete")
+        assert got_ins == want_ins, (seed, v, "insert")
+        assert got_del == want_del, (seed, v, "delete")
