@@ -65,6 +65,20 @@ class DeltaExportError(ValueError):
     """The snapshot uses an internal feature with no spec equivalent."""
 
 
+def _partition_by_at(t: TxnTable, version: int) -> list[str]:
+    """partition_by declared by the newest commit at or before
+    ``version`` (the spec the exported snapshot's layout follows)."""
+    from .txnlog import _list_versions
+
+    for v in reversed(
+        [x for x in _list_versions(t.path) if x <= version]
+    ):
+        _, _, _, meta, _ = t._read_commit(v)
+        if meta is not None:
+            return meta.get("partition_by") or []
+    return []
+
+
 def _link_or_copy(src: str, dst: str) -> None:
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     if os.path.exists(dst):
@@ -137,7 +151,9 @@ def export_delta_snapshot(
     snap = t.snapshot(version=version)
     if snap.schema_json is None:
         raise DeltaExportError("snapshot carries no schema")
-    partition_by = t._current_partition_by()
+    # partition spec AS OF the exported version (a time-travel export
+    # after a repartition must describe the old layout, not today's)
+    partition_by = _partition_by_at(t, snap.version)
     physical_parts, transforms = _parse_partition_spec(partition_by)
     if transforms:
         raise DeltaExportError(
