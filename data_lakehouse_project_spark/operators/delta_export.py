@@ -423,7 +423,7 @@ def sync_delta_export(
         from .dv import rbm_array_serialize, write_dv_file, z85_encode
 
         dv_by_file = _dv_positions_by_file(spark, source_path, adds)
-        add_raws: list[tuple[dict, str | None, bytes | None]] = []
+        add_raws: list[dict] = []
         big: list[tuple[int, str, list[int]]] = []  # (add idx, base, pos)
         for a in adds:
             if os.path.isabs(a["path"]):
@@ -454,7 +454,7 @@ def sync_delta_export(
                     }
                 else:
                     big.append((len(add_raws), base, positions))
-            add_raws.append((raw, None, None))
+            add_raws.append(raw)
         if big:
             # ONE per-commit DV file holding every oversized bitmap;
             # write once so every descriptor's offset is final
@@ -467,14 +467,14 @@ def sync_delta_export(
             )
             enc = z85_encode(u.bytes)
             for (idx, _base, _pos), frag in zip(big, frags):
-                add_raws[idx][0]["deletionVector"] = {
+                add_raws[idx]["deletionVector"] = {
                     "storageType": "u",
                     "pathOrInlineDv": enc,
                     "offset": frag["offset"],
                     "sizeInBytes": frag["sizeInBytes"],
                     "cardinality": frag["cardinality"],
                 }
-        actions.extend({"add": raw} for raw, _, _ in add_raws)
+        actions.extend({"add": raw} for raw in add_raws)
         for r in removes:
             if os.path.isabs(r["path"]):
                 raise DeltaExportError(
