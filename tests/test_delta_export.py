@@ -319,3 +319,32 @@ def test_sync_schema_evolution_keeps_table_id(spark, tmp_path):
         if m is not None:
             ids.add(m["id"])
     assert len(ids) == 1  # constant table id across the mirror's log
+
+
+def test_sync_big_dv_uses_shared_dv_file(spark, tmp_path):
+    """dv_inline_max=0 forces every synced DV through the shared
+    per-commit DV file (storageType 'u'); two files DV-deleted in one
+    commit share the file at distinct offsets, and the foreign reader
+    applies both."""
+    from data_lakehouse_project_spark.operators.delta_export import (
+        sync_delta_export,
+    )
+
+    src = str(tmp_path / "srcbig")
+    out = str(tmp_path / "outbig")
+    t = TxnTable(src)
+    # two files so one DV delete touches both
+    t.write(_batch(spark, 0, 4).repartition(2), mode="overwrite")
+    sync_delta_export(spark, src, out, dv_inline_max=0)
+    t.delete_where(spark, "id IN (0, 3)", dv=True)
+    info = sync_delta_export(spark, src, out, dv_inline_max=0)
+    assert info["synced_commits"] == 1
+
+    got = read_delta_table(spark, out)
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+    snap = read_delta_snapshot(out)
+    dvs = [f["foreign_dv"] for f in snap.files if f.get("foreign_dv")]
+    assert dvs and all(d["storageType"] == "u" for d in dvs)
+    assert any(
+        n.startswith("deletion_vector_") for n in os.listdir(out)
+    )
