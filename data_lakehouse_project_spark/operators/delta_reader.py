@@ -999,6 +999,37 @@ def delta_file_details(
     return spark.createDataFrame(rows, schema)
 
 
+def delta_describe_detail(
+    table_path: str, version: int | None = None
+) -> dict:
+    """DESCRIBE DETAIL for a foreign Delta table: format, file/byte
+    totals, logical row count (DV-adjusted), partition columns,
+    protocol, table properties — driver metadata only."""
+    snap = read_delta_snapshot(table_path, version=version)
+    return {
+        "format": "delta",
+        "location": os.path.abspath(table_path),
+        "version": snap.version,
+        "numFiles": len(snap.files),
+        "sizeInBytes": sum(
+            int(f.get("size_bytes", 0)) for f in snap.files
+        ),
+        "numRows": snap.num_rows,
+        "numFilesWithDeletionVectors": sum(
+            1 for f in snap.files if f.get("foreign_dv")
+        ),
+        "partitionColumns": list(snap.partition_columns),
+        "properties": dict(snap.configuration),
+        "minReaderVersion": int(
+            snap.protocol.get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": int(
+            snap.protocol.get("minWriterVersion", 2)
+        ),
+        "lastModified": snap.timestamp_ms,
+    }
+
+
 def delta_history(table_path: str) -> list[dict]:
     """commitInfo of every surviving commit file, oldest first."""
     out = []

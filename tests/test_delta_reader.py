@@ -1439,3 +1439,17 @@ def test_delta_file_details(spark, tmp_path):
     assert r.path == "f0.parquet" and r.num_records == 3
     assert r.partition_values == {"col-p0004": "west"}
     assert r.dv_cardinality == 0
+
+
+def test_delta_describe_detail(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        delta_describe_detail,
+    )
+
+    table = _mapped_table(tmp_path)
+    d = delta_describe_detail(table)
+    assert d["format"] == "delta" and d["version"] == 0
+    assert d["numFiles"] == 1 and d["numRows"] == 3
+    assert d["partitionColumns"] == ["p"]
+    assert d["properties"]["delta.columnMapping.mode"] == "name"
+    assert d["numFilesWithDeletionVectors"] == 0
