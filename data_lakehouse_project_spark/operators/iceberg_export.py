@@ -717,6 +717,30 @@ def export_iceberg_metadata(
     # on this to refuse ranges they cannot replay as pure adds
     if prev_live and (n_deleted or delete_manifest_path is not None):
         operation = "delete" if n_added == 0 else "overwrite"
+        # compaction detection: when every internal commit between the
+        # two exports moved files with dataChange=false only (OPTIMIZE
+        # / clustering rewrites), the snapshot is a 'replace' — the
+        # data did not logically change, so incremental/streaming
+        # readers SKIP it instead of refusing (Iceberg's rewrite
+        # contract).  prev snapshot-id = prev internal version + 1,
+        # so the uncovered commits are [prev-snapshot-id, version].
+        prev_sid = (prev or {}).get("current-snapshot-id")
+        if prev_sid is not None and n_added:
+            try:
+                flags: list[bool] = []
+                for v in range(int(prev_sid), snap.version + 1):
+                    adds_v, removes_v, *_ = table._read_commit(v)
+                    flags.extend(
+                        a.get("data_change", True) for a in adds_v
+                    )
+                    flags.extend(
+                        r.get("data_change", True) for r in removes_v
+                    )
+                if flags and not any(flags):
+                    operation = "replace"
+            except OSError:
+                pass  # commit json gone (vacuumed) — keep the
+                # conservative overwrite/delete label
     else:
         operation = "append"
     snapshot_entry = {

@@ -1,0 +1,481 @@
+"""Streaming SOURCE over an Iceberg v1/v2 table (Spark 4 Python
+DataSource API): ``spark.readStream.format("iceberg_stream")
+.option("path", table).load()`` tails the snapshot chain the way
+Spark's Iceberg ``SparkMicroBatchStream`` does — micro-batch offsets
+are ``(snapshot-id, file-position)`` pairs over the table's ancestry
+order, so exactly-once replay falls out of snapshot immutability (a
+committed snapshot's ADDED-file list never changes).
+
+Semantics (mirroring the published Iceberg streaming-read contract):
+
+* Each micro-batch ships the data files ADDED by the snapshots in the
+  offset range — manifest entries with status ADDED attributed to the
+  snapshot (``entry.snapshot_id``, inherited from the manifest's
+  ``added_snapshot_id`` when null, the same rule as
+  ``read_iceberg_changes``).  One input partition per data file;
+  executors read their own parquet via pyarrow (field-id resolution
+  when the file carries parquet field ids, name fallback otherwise,
+  pre-evolution files surface added columns as null).  The driver
+  touches only metadata.
+* ``replace`` snapshots (compaction / rewrite) are SKIPPED — the data
+  did not logically change, exactly Iceberg's behavior.
+* ``delete`` / ``overwrite`` snapshots REFUSE the stream (shipping
+  their adds without their deletes would misstate the change set)
+  unless ``skipDeleteSnapshots`` / ``skipOverwriteSnapshots`` (also
+  spelled ``streaming-skip-delete-snapshots`` /
+  ``streaming-skip-overwrite-snapshots``, Iceberg's option names) —
+  then the WHOLE snapshot is skipped, Iceberg's documented caveat.
+* ``startingSnapshotId`` (exclusive — that snapshot is treated as
+  already consumed, matching ``start-snapshot-id`` of the incremental
+  batch scan) or ``startingOffset`` = ``earliest`` (default: the full
+  append history) / ``latest`` (only snapshots committed after the
+  stream starts).
+* Backpressure: ``maxFilesPerTrigger`` / ``maxRowsPerTrigger``
+  (Iceberg's ``streaming-max-files-per-micro-batch`` /
+  ``streaming-max-rows-per-micro-batch``) — soft caps; a batch may
+  split MID-snapshot (the offset's ``pos`` is the count of that
+  snapshot's added files already consumed) and always ships at least
+  one file.
+
+The batch halves of this surface are
+``operators/iceberg_reader.py::read_iceberg_table`` (snapshot scans,
+row-level deletes) and ``read_iceberg_changes`` (bounded incremental
+append scan); the Delta twin is ``sources/delta_stream.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from data_lakehouse_project_spark.operators.iceberg_reader import (
+    UnsupportedIcebergFeature,
+    _current_schema,
+    _snapshot_order,
+    load_iceberg_metadata,
+)
+
+_SIMPLE_SPARK_TYPES = {
+    "int": "integer",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+    "binary": "binary",
+    "uuid": "string",
+}
+
+
+def _session_free_schema(md: dict) -> StructType:
+    """Iceberg current schema -> StructType WITHOUT a SparkSession
+    (DataSource.schema() may run on a thread with no active session,
+    so ``StructType.fromDDL`` is off limits).  Field ids ride along in
+    the field metadata for executor-side resolution."""
+    import re
+
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in _current_schema(md)["fields"]:
+        t = f["type"]
+        if isinstance(t, str) and t in _SIMPLE_SPARK_TYPES:
+            dt = getattr(
+                T,
+                {
+                    "integer": "IntegerType",
+                    "long": "LongType",
+                    "float": "FloatType",
+                    "double": "DoubleType",
+                    "string": "StringType",
+                    "boolean": "BooleanType",
+                    "date": "DateType",
+                    "timestamp": "TimestampType",
+                    "binary": "BinaryType",
+                }[_SIMPLE_SPARK_TYPES[t]],
+            )()
+        elif isinstance(t, str) and re.fullmatch(
+            r"decimal\((\d+),\s*(\d+)\)", t
+        ):
+            m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            dt = T.DecimalType(int(m.group(1)), int(m.group(2)))
+        elif isinstance(t, str) and re.fullmatch(r"fixed\[\d+\]", t):
+            dt = T.BinaryType()
+        else:
+            raise UnsupportedIcebergFeature(
+                f"iceberg_stream: column type {t!r} is not supported"
+            )
+        fields.append(
+            T.StructField(
+                f["name"],
+                dt,
+                bool(f.get("required")) is False,
+                metadata={"iceberg.field.id": int(f["id"])},
+            )
+        )
+    return StructType(fields)
+
+
+def _avro(path: str):
+    """Pure-Python avro container decode (no SparkSession on the
+    streaming driver thread; the JVM fallback is unavailable here —
+    a container the Python decoder refuses is a hard error, stated
+    rather than misread)."""
+    from data_lakehouse_project_spark.operators.avro_decode import (
+        read_avro_file,
+    )
+
+    return read_avro_file(path)
+
+
+def _abs_path(table_path: str, p: str) -> str:
+    for pref in ("file://", "file:"):
+        if p.startswith(pref):
+            p = p[len(pref):]
+    return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+
+def _added_files_of_snapshot(
+    table_path: str,
+    snap: dict,
+    *,
+    skip_delete: bool,
+    skip_overwrite: bool,
+) -> list[tuple[str, int]]:
+    """The ``(abs data-file path, record_count)`` list a stream ships
+    for one snapshot, applying the skip/refuse policy.  Deterministic
+    order (manifest order, then entry order) so offset positions are
+    stable across restarts."""
+    op = (snap.get("summary") or {}).get("operation", "append")
+    sid = snap["snapshot-id"]
+    if op == "replace":
+        return []  # compaction: no logical data change — skipped
+    if op == "delete":
+        if skip_delete:
+            return []
+        raise UnsupportedIcebergFeature(
+            f"snapshot {sid} is a 'delete'; set skipDeleteSnapshots "
+            "to skip it (its removed rows cannot stream)"
+        )
+    if op in ("overwrite", "replace-partitions"):
+        if skip_overwrite:
+            return []
+        raise UnsupportedIcebergFeature(
+            f"snapshot {sid} is an '{op}'; set skipOverwriteSnapshots "
+            "to skip it (shipping its adds without its deletes would "
+            "misstate the change set)"
+        )
+    if op != "append":
+        raise UnsupportedIcebergFeature(
+            f"snapshot {sid} operation {op!r} is not streamable"
+        )
+    mlist = _abs_path(table_path, snap["manifest-list"])
+    manifests, _ = _avro(mlist)
+    out: list[tuple[str, int]] = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            raise UnsupportedIcebergFeature(
+                f"snapshot {sid} carries a delete manifest; not a "
+                "pure append"
+            )
+        entries, _ = _avro(_abs_path(table_path, m["manifest_path"]))
+        for e in entries:
+            if e.get("status") != 1:  # ADDED only
+                continue
+            esid = e.get("snapshot_id")
+            if esid is None:
+                esid = m.get("added_snapshot_id")
+            if esid != sid:
+                continue
+            df_ = e["data_file"]
+            if str(df_.get("file_format", "")).upper() != "PARQUET":
+                raise UnsupportedIcebergFeature(
+                    f"file format {df_.get('file_format')!r} is not "
+                    "supported"
+                )
+            out.append(
+                (
+                    _abs_path(table_path, df_["file_path"]),
+                    int(df_.get("record_count") or 0),
+                )
+            )
+    return out
+
+
+class _IcebergFilePartition(InputPartition):
+    def __init__(self, path: str, schema_json: str, ids_json: str):
+        self.path = path
+        self.schema_json = schema_json
+        # logical column name -> iceberg field id (current schema);
+        # files stamped with parquet field ids resolve through it
+        self.ids_json = ids_json
+
+
+class IcebergStreamDataSource(DataSource):
+    """``spark.readStream.format("iceberg_stream")`` — see module
+    doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_stream"
+
+    def _table(self) -> str:
+        table = self.options.get("path")
+        if not table:
+            raise ValueError("iceberg_stream requires option('path', ...)")
+        return table
+
+    def _opt(self, *names: str, default: str = "") -> str:
+        for n in names:
+            v = self.options.get(n)
+            if v is not None:
+                return v
+        return default
+
+    def schema(self) -> StructType:
+        return _session_free_schema(load_iceberg_metadata(self._table()))
+
+    def streamReader(self, schema: StructType):
+        table = self._table()
+        md = load_iceberg_metadata(table)
+        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        order = [s for s in _snapshot_order(md) if s in snaps]
+        start_sid = -1
+        raw = self._opt("startingSnapshotId", "starting-snapshot-id")
+        mode = self._opt(
+            "startingOffset", "starting-offset", default="earliest"
+        ).lower()
+        if raw:
+            sid = int(raw)
+            if sid not in order:
+                raise ValueError(
+                    f"startingSnapshotId {sid} is not an ancestor of "
+                    "the current snapshot"
+                )
+            start_sid = sid
+        elif mode == "latest":
+            start_sid = order[-1] if order else -1
+        elif mode != "earliest":
+            raise ValueError(
+                f"startingOffset {mode!r}: use 'earliest' or 'latest'"
+            )
+        truthy = ("true", "1", "yes")
+        return _IcebergStreamReader(
+            table,
+            schema,
+            start_sid,
+            skip_delete=self._opt(
+                "skipDeleteSnapshots", "streaming-skip-delete-snapshots"
+            ).lower()
+            in truthy,
+            skip_overwrite=self._opt(
+                "skipOverwriteSnapshots",
+                "streaming-skip-overwrite-snapshots",
+            ).lower()
+            in truthy,
+            max_files=int(
+                self._opt(
+                    "maxFilesPerTrigger",
+                    "streaming-max-files-per-micro-batch",
+                    default="0",
+                )
+            ),
+            max_rows=int(
+                self._opt(
+                    "maxRowsPerTrigger",
+                    "streaming-max-rows-per-micro-batch",
+                    default="0",
+                )
+            ),
+        )
+
+
+class _IcebergStreamReader(DataSourceStreamReader):
+    def __init__(
+        self,
+        table: str,
+        schema: StructType,
+        start_sid: int,
+        *,
+        skip_delete: bool,
+        skip_overwrite: bool,
+        max_files: int = 0,
+        max_rows: int = 0,
+    ):
+        self._table = table
+        self._schema = schema
+        self._start_sid = start_sid
+        self._skip_delete = skip_delete
+        self._skip_overwrite = skip_overwrite
+        self._max_files = max_files
+        self._max_rows = max_rows
+        # snapshot-id -> ordered added-file list (snapshots are
+        # immutable, so this cache never invalidates)
+        self._files: dict[int, list[tuple[str, int]]] = {}
+        # highest offset already handed out (restart re-sync happens
+        # in partitions(), same pattern as the Delta stream source)
+        self._handed: dict | None = None
+
+    # ---- offsets: {"snapshot_id": S, "pos": N} = everything before
+    # S in ancestry order is consumed, plus S's first N added files
+    # (N == len(files(S)) means S is fully consumed). ----
+
+    def initialOffset(self) -> dict:
+        if self._start_sid == -1:
+            return {"snapshot_id": -1, "pos": 0}
+        return {
+            "snapshot_id": int(self._start_sid),
+            "pos": len(self._files_of(self._start_sid)),
+        }
+
+    def _md(self) -> tuple[dict, dict, list[int]]:
+        md = load_iceberg_metadata(self._table)
+        snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        order = [s for s in _snapshot_order(md) if s in snaps]
+        self._snaps = snaps
+        return md, snaps, order
+
+    def _files_of(self, sid: int) -> list[tuple[str, int]]:
+        if sid not in self._files:
+            if not hasattr(self, "_snaps") or sid not in self._snaps:
+                self._md()
+            if sid not in self._snaps:
+                raise ValueError(
+                    f"snapshot {sid} expired from the metadata; the "
+                    "stream cannot replay it"
+                )
+            self._files[sid] = _added_files_of_snapshot(
+                self._table,
+                self._snaps[sid],
+                skip_delete=self._skip_delete,
+                skip_overwrite=self._skip_overwrite,
+            )
+        return self._files[sid]
+
+    def _cursor(self, off: dict, order: list[int]) -> tuple[int, int]:
+        """Offset -> (index into ``order`` of the snapshot the cursor
+        sits in, files consumed there). -1 index = before history."""
+        sid = off.get("snapshot_id", -1)
+        if sid == -1:
+            return -1, 0
+        if sid not in order:
+            raise ValueError(
+                f"offset snapshot {sid} is no longer in the table's "
+                "ancestry (expired or rolled back); cannot continue "
+                "exactly-once"
+            )
+        return order.index(sid), int(off.get("pos", 0))
+
+    def latestOffset(self) -> dict:
+        _, _, order = self._md()
+        cur = self._handed or self.initialOffset()
+        idx, pos = self._cursor(cur, order)
+        file_budget = self._max_files or float("inf")
+        row_budget = self._max_rows or float("inf")
+        out_idx, out_pos = idx, pos
+        took_any = False
+        # finish the partially-consumed snapshot first, then advance
+        i = idx if idx >= 0 else 0
+        while i < len(order):
+            if took_any and (file_budget <= 0 or row_budget <= 0):
+                break  # budget spent — don't even open the next manifest
+            files = self._files_of(order[i])
+            p = pos if i == idx else 0
+            while p < len(files):
+                if took_any and (file_budget <= 0 or row_budget <= 0):
+                    break
+                file_budget -= 1
+                row_budget -= files[p][1]
+                p += 1
+                took_any = True
+            out_idx, out_pos = i, p
+            if p < len(files):
+                break
+            i += 1
+        if not took_any and out_idx == idx and out_pos == pos:
+            self._handed = cur
+            return cur
+        off = {
+            "snapshot_id": int(order[out_idx]) if out_idx >= 0 else -1,
+            "pos": int(out_pos),
+        }
+        self._handed = off
+        return off
+
+    def partitions(self, start: dict, end: dict):
+        _, _, order = self._md()
+        self._handed = end  # restart re-sync for the budget bookkeeping
+        s_idx, s_pos = self._cursor(start, order)
+        e_idx, e_pos = self._cursor(end, order)
+        schema_json = self._schema.json()
+        ids = {
+            f.name: int(f.metadata["iceberg.field.id"])
+            for f in self._schema.fields
+            if f.metadata and "iceberg.field.id" in f.metadata
+        }
+        ids_json = json.dumps(ids)
+        parts: list[_IcebergFilePartition] = []
+        for i in range(max(s_idx, 0), e_idx + 1):
+            files = self._files_of(order[i])
+            lo = s_pos if i == s_idx else 0
+            hi = e_pos if i == e_idx else len(files)
+            for path, _n in files[lo:hi]:
+                parts.append(
+                    _IcebergFilePartition(path, schema_json, ids_json)
+                )
+        if not parts:  # Spark requires >= 1 partition per batch
+            parts = [_IcebergFilePartition(None, schema_json, ids_json)]
+        return parts
+
+    def read(self, partition: _IcebergFilePartition):
+        if partition.path is None:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType as _ST
+
+        from data_lakehouse_project_spark.sources.delta_stream import (
+            _arrow_type,
+        )
+
+        schema = _ST.fromJson(json.loads(partition.schema_json))
+        ids = json.loads(partition.ids_json)
+        target = pa.schema(
+            [
+                pa.field(f.name, _arrow_type(f.dataType))
+                for f in schema.fields
+            ]
+        )
+        table = pq.read_table(partition.path)
+        by_id: dict[int, str] = {}
+        for af in table.schema:
+            fid = (af.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = af.name
+        n = table.num_rows
+        cols = []
+        for f in target:
+            src = None
+            if by_id:  # spec: columns are selected by FIELD ID
+                src = by_id.get(ids.get(f.name))
+            elif f.name in table.column_names:  # name-mapping fallback
+                src = f.name
+            if src is not None:
+                cols.append(table.column(src).cast(f.type))
+            else:  # pre-evolution file: new column surfaces null
+                cols.append(pa.nulls(n, f.type))
+        out = pa.table(cols, schema=target)
+        return iter(out.to_batches(max_chunksize=1 << 16))
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are durable; nothing to acknowledge

@@ -133,11 +133,15 @@ def register_python_datasources(spark) -> None:
     from data_lakehouse_project_spark.sources.delta_stream import (
         DeltaStreamDataSource,
     )
+    from data_lakehouse_project_spark.sources.iceberg_stream import (
+        IcebergStreamDataSource,
+    )
 
     spark.dataSource.register(XMLPythonDataSource)
     spark.dataSource.register(JSONLPythonDataSource)
     spark.dataSource.register(JSONLStreamDataSource)
     spark.dataSource.register(DeltaStreamDataSource)
+    spark.dataSource.register(IcebergStreamDataSource)
 
 
 # ---------------------------------------------------------------------

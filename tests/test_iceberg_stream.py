@@ -1,0 +1,369 @@
+"""Streaming source over an Iceberg snapshot chain
+(sources/iceberg_stream.py): snapshot-offset tailing over the
+engine's own exports, exactly-once restart, backpressure splits,
+the delete/overwrite refusal contract, and replace-snapshot skips."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    export_iceberg_metadata,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+from data_lakehouse_project_spark.sources.python_datasource import (
+    register_python_datasources,
+)
+
+
+def _run_available_now(spark, path, ckpt, sink, batches=None, **options):
+    register_python_datasources(spark)
+    reader = spark.readStream.format("iceberg_stream").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+
+    def _each(df, _bid):
+        rows = [(r["id"], r["v"]) for r in df.collect()]
+        sink.extend(rows)
+        if batches is not None and rows:
+            batches.append(len(rows))
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_each)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _table(spark, path, n0=4):
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, n0).selectExpr("id", "id * 2.0 AS v"),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    return t
+
+
+def test_tail_appends_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _table(spark, path)
+    t.write(
+        spark.range(4, 6).selectExpr("id", "id * 2.0 AS v"), mode="append"
+    )
+    export_iceberg_metadata(t, spark)
+
+    sink: list = []
+    ckpt = str(tmp_path / "ck")
+    _run_available_now(spark, path, ckpt, sink)
+    assert sorted(i for i, _ in sink) == [0, 1, 2, 3, 4, 5]
+    assert dict(sink)[3] == 6.0
+
+    # no new snapshots: nothing replays
+    _run_available_now(spark, path, ckpt, sink)
+    assert len(sink) == 6
+
+    # a new export ships ONLY the appended rows (restart exactly-once)
+    t.write(
+        spark.range(6, 8).selectExpr("id", "id * 2.0 AS v"), mode="append"
+    )
+    export_iceberg_metadata(t, spark)
+    _run_available_now(spark, path, ckpt, sink)
+    assert sorted(i for i, _ in sink) == list(range(8))
+
+
+def test_starting_snapshot_id_and_latest(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_snapshot_ids,
+    )
+
+    path = str(tmp_path / "t")
+    t = _table(spark, path)
+    t.write(
+        spark.range(4, 6).selectExpr("id", "id * 2.0 AS v"), mode="append"
+    )
+    export_iceberg_metadata(t, spark)
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+
+    # startingSnapshotId is EXCLUSIVE — the named snapshot is consumed
+    sink: list = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck1"), sink,
+        startingSnapshotId=str(sids[0]),
+    )
+    assert sorted(i for i, _ in sink) == [4, 5]
+
+    # startingOffset=latest tails only FUTURE snapshots
+    sink2: list = []
+    ck2 = str(tmp_path / "ck2")
+    _run_available_now(
+        spark, path, ck2, sink2, startingOffset="latest"
+    )
+    assert sink2 == []
+    t.write(
+        spark.range(6, 7).selectExpr("id", "id * 2.0 AS v"), mode="append"
+    )
+    export_iceberg_metadata(t, spark)
+    _run_available_now(spark, path, ck2, sink2, startingOffset="latest")
+    assert sorted(i for i, _ in sink2) == [6]
+
+
+def _run_ticking(spark, path, ckpt, total_rows, **options):
+    """processingTime trigger (Python stream sources fall back to one
+    single batch under availableNow, hiding backpressure splits);
+    returns the non-empty per-batch row lists."""
+    import time
+
+    register_python_datasources(spark)
+    reader = spark.readStream.format("iceberg_stream").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    batches: list[list[int]] = []
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: batches.append(
+                sorted(r["id"] for r in df.collect())
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 90
+    while (
+        time.time() < deadline
+        and sum(len(b) for b in batches) < total_rows
+    ):
+        time.sleep(1)
+    q.stop()
+    return [b for b in batches if b]
+
+
+def test_max_files_per_trigger_splits_mid_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 8)
+        .selectExpr("id", "id * 2.0 AS v")
+        .repartition(4),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+
+    non_empty = _run_ticking(
+        spark, path, str(tmp_path / "ck"), 8, maxFilesPerTrigger="1"
+    )
+    assert sorted(i for b in non_empty for i in b) == list(range(8))
+    # one file per micro-batch — the single 4-file snapshot SPLITS
+    assert len(non_empty) == 4
+
+
+def test_max_rows_per_trigger(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 9)
+        .selectExpr("id", "id * 2.0 AS v")
+        .repartition(3),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    non_empty = _run_ticking(
+        spark, path, str(tmp_path / "ck"), 9,
+        **{"streaming-max-rows-per-micro-batch": "3"},
+    )
+    assert sorted(i for b in non_empty for i in b) == list(range(9))
+    assert len(non_empty) == 3
+
+
+def test_delete_snapshot_refused_then_skipped(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _table(spark, path)
+    t.delete_where(spark, "id < 2")
+    export_iceberg_metadata(t, spark)  # truthful: delete/overwrite
+    t.write(
+        spark.range(4, 5).selectExpr("id", "id * 2.0 AS v"), mode="append"
+    )
+    export_iceberg_metadata(t, spark)
+
+    sink: list = []
+    with pytest.raises(Exception, match="delete|overwrite|Snapshots"):
+        _run_available_now(spark, path, str(tmp_path / "ck1"), sink)
+
+    # with the skip options the WHOLE snapshot is skipped (Iceberg's
+    # documented caveat) and the later append still streams
+    sink2: list = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck2"), sink2,
+        skipDeleteSnapshots="true", skipOverwriteSnapshots="true",
+    )
+    assert sorted(i for i, _ in sink2) == [0, 1, 2, 3, 4]
+
+
+def test_replace_snapshot_skipped(spark, tmp_path):
+    """An OPTIMIZE between exports yields a 'replace' snapshot
+    (dataChange=false rewrite) — streamed tables neither refuse nor
+    re-ship compacted rows."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_metadata_df,
+    )
+
+    path = str(tmp_path / "t")
+    t = _table(spark, path)
+    sink: list = []
+    ckpt = str(tmp_path / "ck")
+    _run_available_now(spark, path, ckpt, sink)
+    assert sorted(i for i, _ in sink) == [0, 1, 2, 3]
+
+    t.write(
+        spark.range(4, 6).selectExpr("id", "id * 2.0 AS v"), mode="append"
+    )
+    export_iceberg_metadata(t, spark)  # append snapshot with 4..5
+    t.optimize(spark)
+    export_iceberg_metadata(t, spark)  # pure dataChange=false rewrite
+    ops = [
+        r.operation
+        for r in iceberg_metadata_df(spark, path, "snapshots").collect()
+    ]
+    assert ops.count("replace") == 1 and ops.count("append") == 2
+
+    # the compaction rewrote files 0..5 into one — the stream ships
+    # the appended 4..5 and must NOT re-ship anything for the replace
+    _run_available_now(spark, path, ckpt, sink)
+    assert sorted(i for i, _ in sink) == [0, 1, 2, 3, 4, 5]
+
+    t.write(
+        spark.range(6, 7).selectExpr("id", "id * 2.0 AS v"), mode="append"
+    )
+    export_iceberg_metadata(t, spark)
+    _run_available_now(spark, path, ckpt, sink)
+    assert sorted(i for i, _ in sink) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_schema_is_session_free_and_typed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        load_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.sources.iceberg_stream import (
+        _session_free_schema,
+    )
+
+    st = _session_free_schema(load_iceberg_metadata(path))
+    # id * 2.0 is Spark DECIMAL arithmetic — the export carries it
+    # through as an iceberg decimal, round-tripped session-free here
+    assert [(f.name, f.dataType.simpleString()) for f in st.fields] == [
+        ("id", "bigint"), ("v", "decimal(23,1)"),
+    ]
+    assert all(
+        f.metadata.get("iceberg.field.id") for f in st.fields
+    )
+
+
+def test_hand_built_foreign_chain_streams(spark, tmp_path):
+    """Hand-built foreign fixture (not the engine's own export):
+    inherited snapshot attribution — an EXISTING entry in a rewritten
+    manifest is NOT re-shipped; field-id files resolve by id."""
+    from tests.test_iceberg_reader import (
+        SCHEMA_0,
+        T1,
+        T2,
+        _data_file,
+        _entry,
+        _manifest,
+        _metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        _AvroWriter,
+    )
+    from tests.test_iceberg_reader import MANIFEST_FILE_AVRO
+
+    table = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(table, "metadata"))
+    fa = _data_file(table, "a.parquet", [1, 2], ["a", "b"],
+                    ["1.00", "2.00"])
+    fb = _data_file(table, "b.parquet", [3], ["c"], ["3.00"])
+
+    ea = _entry(1, fa, 2, seq=1)
+    ea["snapshot_id"] = 9
+    mA = _manifest(spark, table, "mA.avro", [ea])
+    ea_existing = _entry(0, fa, 2, seq=1)
+    ea_existing["snapshot_id"] = 9
+    eb = _entry(1, fb, 1, seq=2)
+    eb["snapshot_id"] = None  # inherits the manifest's added snapshot
+    mA2 = _manifest(spark, table, "mA2.avro", [ea_existing])
+    mB = _manifest(spark, table, "mB.avro", [eb])
+
+    def _list(name, manifests, snap_id):
+        p = os.path.join(table, "metadata", name)
+        w = _AvroWriter(spark, MANIFEST_FILE_AVRO, p,
+                        {"format-version": "2"})
+        for mp, seq in manifests:
+            w.append_dict({
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id if mp in (mA, mB) else 9,
+            })
+        w.close()
+        return p
+
+    l9 = _list("snap-9.avro", [(mA, 1)], 9)
+    l10 = _list("snap-10.avro", [(mA2, 1), (mB, 2)], 10)
+    snap9 = {"snapshot-id": 9, "timestamp-ms": T1,
+             "sequence-number": 1, "manifest-list": l9,
+             "summary": {"operation": "append"}, "schema-id": 0}
+    snap10 = {"snapshot-id": 10, "timestamp-ms": T2,
+              "sequence-number": 2, "manifest-list": l10,
+              "summary": {"operation": "append"}, "schema-id": 0}
+    _metadata(
+        table, 1, [SCHEMA_0], 0, [snap9, snap10], 10,
+        [{"snapshot-id": 9, "timestamp-ms": T1},
+         {"snapshot-id": 10, "timestamp-ms": T2}],
+    )
+
+    register_python_datasources(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend(
+                (r["id"], r["name"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # file a ships once (snapshot 9); its EXISTING re-listing under
+    # snapshot 10 contributes nothing; b ships via inheritance
+    assert sorted(got) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_offset_snapshot_expired_is_hard_error(spark, tmp_path):
+    """A checkpointed offset whose snapshot left the metadata
+    (expired/rolled back) must error, never silently rescan."""
+    from data_lakehouse_project_spark.sources.iceberg_stream import (
+        _IcebergStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    r = _IcebergStreamReader(
+        path, None, -1, skip_delete=False, skip_overwrite=False
+    )
+    _, _, order = r._md()
+    with pytest.raises(ValueError, match="ancestry"):
+        r._cursor({"snapshot_id": 999999, "pos": 0}, order)
