@@ -144,6 +144,11 @@ def export_delta_snapshot(
     roaring-bitmap DV files; ``"rewrite"`` applies them by rewriting
     the touched data files (reader-v1 output).  Returns a summary
     dict (version, files, dv handling).
+
+    ``write_checkpoint``: ``True``/``"classic"`` emits a classic
+    single-part ``V.checkpoint.parquet``; ``"v2"`` emits a V2 spec
+    checkpoint (UUID manifest + ``_sidecars/`` file, protocol bumped
+    to advertise the ``v2Checkpoint`` table feature).
     """
     if dv_mode not in ("spec", "rewrite"):
         raise ValueError(f"unknown dv_mode {dv_mode!r}")
@@ -240,6 +245,20 @@ def export_delta_snapshot(
             "minWriterVersion": 3 if snap.constraints else 2,
         }
     )
+    if write_checkpoint == "v2":
+        # spec: v2 checkpoints are a reader+writer table feature
+        feats = sorted(
+            set(protocol.get("readerFeatures") or []) | {"v2Checkpoint"}
+        )
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": feats,
+            "writerFeatures": sorted(
+                set(protocol.get("writerFeatures") or [])
+                | {"v2Checkpoint"}
+            ),
+        }
     configuration = {
         f"delta.constraints.{name}": sql
         for name, sql in (snap.constraints or {}).items()
@@ -272,7 +291,9 @@ def export_delta_snapshot(
             fh.write(json.dumps({"add": a}) + "\n")
     os.replace(commit + ".tmp", commit)
 
-    if write_checkpoint:
+    if write_checkpoint == "v2":
+        _write_v2_checkpoint(target_path, protocol, meta, adds)
+    elif write_checkpoint:
         _write_classic_checkpoint(target_path, protocol, meta, adds)
 
     return {
@@ -656,18 +677,13 @@ def convert_parquet_dir_to_delta(
             "partition_columns": part_cols}
 
 
-def _write_classic_checkpoint(
-    target_path: str, protocol: dict, meta: dict, adds: list[dict]
-) -> None:
-    """Classic single-part checkpoint (``V.checkpoint.parquet``) +
-    ``_last_checkpoint`` pointer, one action per row in the spec's
-    columnar action layout (absent actions null per row)."""
+def _checkpoint_action_types():
+    """Arrow types for the spec's columnar checkpoint action layout:
+    string->string maps for map fields (an empty dict would otherwise
+    infer an EMPTY STRUCT, which parquet cannot serialize), nullable
+    structs per action.  Shared by the classic and v2 writers."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    # explicit arrow schema: string->string maps for the spec's map
-    # fields (an empty dict would otherwise infer an EMPTY STRUCT,
-    # which parquet cannot serialize), nullable structs per action
     smap = pa.map_(pa.string(), pa.string())
     slist = pa.list_(pa.string())
     protocol_t = pa.struct(
@@ -709,6 +725,19 @@ def _write_classic_checkpoint(
             ("deletionVector", dv_t),
         ]
     )
+    return protocol_t, meta_t, add_t
+
+
+def _write_classic_checkpoint(
+    target_path: str, protocol: dict, meta: dict, adds: list[dict]
+) -> None:
+    """Classic single-part checkpoint (``V.checkpoint.parquet``) +
+    ``_last_checkpoint`` pointer, one action per row in the spec's
+    columnar action layout (absent actions null per row)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    protocol_t, meta_t, add_t = _checkpoint_action_types()
     rows: list[dict] = [
         {"protocol": protocol, "metaData": None, "add": None},
         {"protocol": None, "metaData": meta, "add": None},
@@ -729,3 +758,73 @@ def _write_classic_checkpoint(
         os.path.join(target_path, LOG_DIR, "_last_checkpoint"), "w"
     ) as fh:
         json.dump({"version": 0, "size": len(rows)}, fh)
+
+
+def _write_v2_checkpoint(
+    target_path: str,
+    protocol: dict,
+    meta: dict,
+    adds: list[dict],
+    version: int = 0,
+) -> None:
+    """V2 spec checkpoint (the modern delta-spark default once
+    ``v2Checkpoint`` is enabled): a UUID-named manifest
+    (``V.checkpoint.<uuid>.parquet``) carrying checkpointMetadata /
+    protocol / metaData / sidecar actions, with the file actions in a
+    sidecar parquet under ``_delta_log/_sidecars/`` — exactly the
+    layout ``delta_reader._read_v2_checkpoint_state`` replays
+    (round-trip gated in tests, same self-consistency contract as the
+    Iceberg export)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    protocol_t, meta_t, add_t = _checkpoint_action_types()
+    log_dir = os.path.join(target_path, LOG_DIR)
+    side_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+
+    side_name = f"{_uuid.uuid4()}.parquet"
+    side_path = os.path.join(side_dir, side_name)
+    side_tbl = pa.Table.from_pylist(
+        [{"add": a} for a in adds], schema=pa.schema([("add", add_t)])
+    )
+    pq.write_table(side_tbl, side_path)
+
+    cm_t = pa.struct([("version", pa.int64())])
+    sc_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    st = os.stat(side_path)
+    rows = [
+        {"checkpointMetadata": {"version": version}},
+        {"protocol": protocol},
+        {"metaData": meta},
+        {
+            "sidecar": {
+                "path": side_name,  # spec: relative to _sidecars/
+                "sizeInBytes": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+            }
+        },
+    ]
+    manifest = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("checkpointMetadata", cm_t),
+                ("protocol", protocol_t),
+                ("metaData", meta_t),
+                ("sidecar", sc_t),
+            ]
+        ),
+    )
+    name = (
+        f"{version:0{_VERSION_DIGITS}d}.checkpoint.{_uuid.uuid4()}.parquet"
+    )
+    pq.write_table(manifest, os.path.join(log_dir, name))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)

@@ -267,6 +267,15 @@ def _intake_add(raw: dict) -> dict:
                 f"malformed deletionVector descriptor {dv!r}"
             )
         parsed["foreign_dv"] = dv
+    # row tracking (writer feature): fresh row ids / commit versions
+    # derive from these per-add fields; surfaced by
+    # read_delta_table(row_ids=True)
+    for src, dst in (
+        ("baseRowId", "base_row_id"),
+        ("defaultRowCommitVersion", "default_row_commit_version"),
+    ):
+        if raw.get(src) is not None:
+            parsed[dst] = int(raw[src])
     return parsed
 
 
@@ -744,6 +753,7 @@ def read_delta_table(
     version: int | None = None,
     timestamp_ms: int | None = None,
     prune: list[tuple[str, str, object]] | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """DataFrame over a foreign Delta table at ``table_path``.
 
@@ -752,6 +762,14 @@ def read_delta_table(
     partition values cannot satisfy every predicate are dropped
     driver-side, and the predicates are re-applied as real filters so
     skipping is an IO optimization, never a correctness dependency.
+
+    ``row_ids=True`` surfaces the ROW TRACKING metadata columns
+    ``_row_id`` / ``_row_commit_version`` (spec: Row Tracking):
+    materialized values from the table's hidden
+    ``delta.rowTracking.materialized*ColumnName`` physical columns
+    when non-null, else the fresh values ``add.baseRowId + position``
+    / ``add.defaultRowCommitVersion``.  A table with no row-tracking
+    metadata at all is refused rather than given invented ids.
     """
     from pyspark.sql import functions as F
 
@@ -833,6 +851,38 @@ def read_delta_table(
                 p = p[len(pref):]
         return p if os.path.isabs(p) else os.path.join(table_path, p)
 
+    mat_id = mat_ver = None
+    if row_ids:
+        mat_id = snap.configuration.get(
+            "delta.rowTracking.materializedRowIdColumnName"
+        )
+        mat_ver = snap.configuration.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        if not (
+            mat_id
+            or mat_ver
+            or any(f.get("base_row_id") is not None for f in files)
+        ):
+            raise UnsupportedDeltaFeature(
+                "row_ids=True but the table carries no row-tracking "
+                "metadata (no baseRowId on any add, no materialized "
+                "row-id columns) — refusing to invent row ids"
+            )
+        from pyspark.sql.types import LongType
+
+        # the hidden materialized columns are PHYSICAL names outside
+        # the logical schema; scan them when configured (files written
+        # before materialization surface them as null)
+        physical = StructType(
+            list(physical.fields)
+            + [
+                StructField(c, LongType(), True)
+                for c in (mat_id, mat_ver)
+                if c
+            ]
+        )
+
     paths = [_abs(f["path"]) for f in files]
     df = spark.read.schema(physical).parquet(*paths)
 
@@ -843,6 +893,8 @@ def read_delta_table(
     meta_cols = {"__delta_path": _spark_path_key()}
     if dv_adds:
         meta_cols["__dv_pos"] = F.col("_metadata.row_index")
+    if row_ids:
+        meta_cols["__rt_pos"] = F.col("_metadata.row_index")
     df = df.withColumns(meta_cols)
 
     if mapping_mode == "name":
@@ -858,6 +910,7 @@ def read_delta_table(
                 for f in schema.fields
                 if f.name not in part_cols
             ],
+            *[F.col(f"`{c}`") for c in (mat_id, mat_ver) if c],
             *meta_cols.keys(),
         )
 
@@ -937,7 +990,46 @@ def read_delta_table(
             df = df.withColumn(
                 c, F.col(f"__pv_{c}").cast(schema[c].dataType)
             ).drop(f"__pv_{c}")
-    df = df.select(*schema.names)
+    if row_ids:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        rt_rows = [
+            (
+                os.path.abspath(_abs(f["path"])),
+                f.get("base_row_id"),
+                f.get("default_row_commit_version"),
+            )
+            for f in files
+        ]
+        rtmap = spark.createDataFrame(
+            rt_rows,
+            StructType(
+                [
+                    StructField("__delta_path", StringType()),
+                    StructField("__rt_base", LongType()),
+                    StructField("__rt_ver", LongType()),
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(rtmap), "__delta_path", "left")
+        rid = F.col("__rt_base") + F.col("__rt_pos")
+        if mat_id:
+            rid = F.coalesce(F.col(f"`{mat_id}`"), rid)
+        rver = F.col("__rt_ver")
+        if mat_ver:
+            rver = F.coalesce(F.col(f"`{mat_ver}`"), rver)
+        df = df.select(
+            *schema.names,
+            rid.alias("_row_id"),
+            rver.alias("_row_commit_version"),
+        )
+    else:
+        df = df.select(*schema.names)
 
     if prune:
         for col, op, val in prune:

@@ -116,6 +116,30 @@ def test_checkpoint_export_reads_without_json(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5]
 
 
+def test_v2_checkpoint_export_reads_without_json(spark, tmp_path):
+    """write_checkpoint='v2' emits a UUID manifest + sidecar the
+    reader's v2 path replays after log cleaning; the protocol
+    advertises the v2Checkpoint table feature; DV descriptors ride
+    through the sidecar."""
+    import glob
+
+    t = TxnTable(str(tmp_path / "srcv2"))
+    t.write(_batch(spark, 0, 6), mode="overwrite")
+    t.delete_where(spark, "id = 4", dv=True)
+    out = str(tmp_path / "expv2")
+    export_delta_snapshot(spark, t.path, out, write_checkpoint="v2")
+    log = os.path.join(out, "_delta_log")
+    assert glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    assert glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    snap = read_delta_snapshot(out)
+    assert "v2Checkpoint" in snap.protocol["readerFeatures"]
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    # log-clean the JSON commit: the v2 manifest alone reconstructs
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    got = read_delta_table(spark, out)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 5]
+
+
 def test_constraints_exported_with_writer_v3(spark, tmp_path):
     t = TxnTable(str(tmp_path / "srcc"))
     t.write(_batch(spark, 0, 3), mode="overwrite")

@@ -1453,3 +1453,93 @@ def test_delta_describe_detail(spark, tmp_path):
     assert d["partitionColumns"] == ["p"]
     assert d["properties"]["delta.columnMapping.mode"] == "name"
     assert d["numFilesWithDeletionVectors"] == 0
+
+
+# ---------------------------------------------------------------- row
+# tracking: _row_id / _row_commit_version per the spec's Row Tracking
+# chapter — fresh values from add.baseRowId + position /
+# add.defaultRowCommitVersion, overridden by the hidden materialized
+# physical columns when non-null.
+
+
+def _row_tracked_table(tmp_path, materialized=False):
+    table = str(tmp_path / "ext_rt")
+    os.makedirs(table)
+    t0 = 1700000001000
+    cols1 = {"id": pa.array([0, 1, 2], pa.int64()),
+             "v": pa.array(["a", "b", "c"], pa.string())}
+    cols2 = {"id": pa.array([3, 4], pa.int64()),
+             "v": pa.array(["d", "e"], pa.string())}
+    conf = {"delta.enableRowTracking": "true"}
+    if materialized:
+        # file 2 was rewritten by an OPTIMIZE that materialized the
+        # ids it carried before the rewrite (spec: stable row ids)
+        conf["delta.rowTracking.materializedRowIdColumnName"] = (
+            "_rowid_mat_col"
+        )
+        cols2["_rowid_mat_col"] = pa.array([100, None], pa.int64())
+    pq.write_table(pa.table(cols1), os.path.join(table, "f1.parquet"))
+    pq.write_table(pa.table(cols2), os.path.join(table, "f2.parquet"))
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    })
+    a1 = {"path": "f1.parquet", "partitionValues": {},
+          "size": os.path.getsize(os.path.join(table, "f1.parquet")),
+          "modificationTime": t0, "dataChange": True,
+          "baseRowId": 0, "defaultRowCommitVersion": 0}
+    a2 = {"path": "f2.parquet", "partitionValues": {},
+          "size": os.path.getsize(os.path.join(table, "f2.parquet")),
+          "modificationTime": t0, "dataChange": True,
+          "baseRowId": 3, "defaultRowCommitVersion": 0}
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking",
+                                         "domainMetadata"]}},
+        {"metaData": _meta(schema, part_cols=(), conf=conf)},
+        {"add": a1},
+        {"add": a2},
+        _info(t0),
+    ])
+    return table
+
+
+def test_row_ids_fresh_from_base_row_id(spark, tmp_path):
+    table = _row_tracked_table(tmp_path)
+    got = read_delta_table(spark, table, row_ids=True)
+    rows = {r.id: (r._row_id, r._row_commit_version)
+            for r in got.collect()}
+    assert rows == {0: (0, 0), 1: (1, 0), 2: (2, 0),
+                    3: (3, 0), 4: (4, 0)}
+    # default read is unchanged (no metadata columns)
+    assert read_delta_table(spark, table).columns == ["id", "v"]
+
+
+def test_row_ids_materialized_override(spark, tmp_path):
+    table = _row_tracked_table(tmp_path, materialized=True)
+    got = read_delta_table(spark, table, row_ids=True)
+    rows = {r.id: r._row_id for r in got.collect()}
+    # file 2: row 3 carries a materialized id (100); row 4's null
+    # falls back to baseRowId + position = 3 + 1
+    assert rows == {0: 0, 1: 1, 2: 2, 3: 100, 4: 4}
+    # the hidden physical column never leaks into the schema
+    assert "_rowid_mat_col" not in got.columns
+
+
+def test_row_ids_refused_without_tracking_metadata(spark, tmp_path):
+    table = str(tmp_path / "ext_plain")
+    os.makedirs(table)
+    s = _write_data(table, "a.parquet", [1], ["x"])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": _meta(SCHEMA_V0)},
+        {"add": _add("a.parquet", "x", s, 1, 1700000001000)},
+        _info(1700000001000),
+    ])
+    with pytest.raises(UnsupportedDeltaFeature, match="row-tracking"):
+        read_delta_table(spark, table, row_ids=True)
