@@ -182,6 +182,7 @@ def pagerank(
     undirected: bool = True,
     checkpoint_every: int = 3,
     round_to: int = 6,
+    small_graph: int = 0,
 ) -> DataFrame:
     """PageRank over an edge set — the centrality-importance signal a
     curation pipeline weights documents by (Common-Crawl-style link/
@@ -201,6 +202,18 @@ def pagerank(
     ``checkpoint_every`` rounds, superseded checkpoints freed
     immediately (cacheutil), edge set + outdegree persisted for the
     loop and released with the result.
+
+    ``small_graph`` (same contract as ``curation.mmr_select``'s
+    small-pool fast path): when the DISTINCT edge count is at most
+    this bound, the loop runs vectorized on the driver (one collect,
+    numpy bincount rounds, one parallelize back) instead of paying
+    2 shuffles × ``iterations`` of job-scheduling floor.  Near-dup
+    centrality edges at representative grain are SUBLINEAR in corpus
+    size (measured: 29k edges over 5k docs at sf0.1, 2.7× at 10×
+    docs), so a few-million-edge bound covers very large corpora —
+    and past it the distributed loop engages unchanged.  0 disables.
+    Parity of the two paths is CI-pinned (identical node sets, ranks
+    equal at the output rounding).
     """
     if undirected:
         # one explode, one scan of the (possibly expensive) edge plan —
@@ -220,6 +233,12 @@ def pagerank(
     else:
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.distinct().persist()
+    if small_graph and e.count() <= small_graph:
+        out = _pagerank_driver(
+            e, iterations, damping, round_to
+        )
+        e.unpersist(False)
+        return out
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # weight each edge once: rank flowing over (src -> dst) is
     # rank_src / outdeg_src; precomputing the reciprocal keeps the
@@ -272,6 +291,44 @@ def pagerank(
     )
     e.unpersist(False)
     return release_on_gc(out, weighted, nodes)
+
+
+def _pagerank_driver(
+    e: DataFrame, iterations: int, damping: float, round_to: int
+) -> DataFrame:
+    """Vectorized small-graph rounds: same GraphX convention as the
+    distributed loop (rank0 = 1, rank = (1-d) + d·Σ rank_src/outdeg,
+    dangling mass decays).  One arrow collect, ``np.bincount`` per
+    round (no Python per-edge work), one createDataFrame back — the
+    node id column keeps its INPUT type."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = e.toPandas()
+    codes_s, uniq = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    )
+    n = len(uniq)
+    m = len(pdf)
+    src = codes_s[:m].astype(np.int64)
+    dst = codes_s[m:].astype(np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    inv = np.zeros(n)
+    nz = outdeg > 0
+    inv[nz] = 1.0 / outdeg[nz]
+    ranks = np.ones(n, dtype=np.float64)
+    for _ in range(iterations):
+        mass = np.bincount(
+            dst, weights=ranks[src] * inv[src], minlength=n
+        )
+        ranks = (1.0 - damping) + damping * mass
+    scale = float(10**round_to)
+    ranks = np.floor(ranks * scale + 0.5) / scale
+    out_pdf = pd.DataFrame({"node": uniq, "rank": ranks})
+    node_t = e.schema["src"].dataType.simpleString()
+    return e.sparkSession.createDataFrame(
+        out_pdf, schema=f"node {node_t}, rank double"
+    )
 
 
 def triangle_stats(

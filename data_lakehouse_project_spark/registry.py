@@ -1168,7 +1168,12 @@ def q_doc_pagerank_lsh(spark, sf_dir):
     # action — its internal caches die with the intermediate result
     # (release_on_gc) before the loop ever runs
     pairs = pairs.persist()
-    out = pagerank(pairs, iterations=5).select(
+    # small_graph: rep-grain near-dup edges are SUBLINEAR in corpus
+    # size (29k at sf0.1, 2.7× at 10× docs — probed), so the 4M bound
+    # covers very large corpora; past it the distributed 2-shuffle
+    # rounds engage unchanged.  CI-pinned parity with the distributed
+    # path (test_graph.py); this slot is rows-only by declared design.
+    out = pagerank(pairs, iterations=5, small_graph=4_000_000).select(
         F.col("node").alias("doc_id"), "rank"
     )
     return release_on_gc(out, pairs)

@@ -164,3 +164,48 @@ def test_label_propagation_deterministic(spark):
         map(tuple, label_propagation(df.repartition(7), iterations=4).collect())
     )
     assert r1 == r2  # partitioning-independent (synchronous + min-tie)
+
+
+def test_pagerank_small_graph_fast_path_parity(spark):
+    """small_graph: the driver-vectorized rounds must agree with the
+    distributed loop at the output rounding (same GraphX update, same
+    floor-round) on a graph with hubs, chains, and a dangling sink —
+    and engage only under the bound."""
+    import random
+
+    from data_lakehouse_project_spark.ext.graph import pagerank
+
+    rng = random.Random(7)
+    edges = {(0, i) for i in range(1, 8)}            # hub
+    edges |= {(i, i + 1) for i in range(8, 14)}      # chain
+    edges |= {
+        (rng.randrange(15), rng.randrange(15)) for _ in range(40)
+    }
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    dist = sorted(map(tuple, pagerank(df, iterations=5).collect()))
+    fast = sorted(
+        map(
+            tuple,
+            pagerank(df, iterations=5, small_graph=10**6).collect(),
+        )
+    )
+    assert [n for n, _ in dist] == [n for n, _ in fast]
+    for (n, a), (_, b) in zip(dist, fast):
+        assert abs(a - b) <= 1e-6, (n, a, b)
+
+    # directed + string ids through the fast path: input id type kept
+    sdf = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    got = pagerank(
+        sdf, iterations=10, undirected=False, small_graph=100
+    )
+    assert dict(got.dtypes)["node"] == "string"
+    vals = {r.node: r.rank for r in got.collect()}
+    assert abs(vals["a"] - 0.15) < 1e-9 and vals["a"] < vals["b"] < vals["c"]
+
+    # bound not met -> distributed loop (same result, exercised above)
+    tiny = pagerank(df, iterations=5, small_graph=1)
+    assert sorted(map(tuple, tiny.collect())) == dist
