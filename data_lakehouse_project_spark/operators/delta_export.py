@@ -313,6 +313,7 @@ def sync_delta_export(
     source_path: str,
     target_path: str,
     dv_inline_max: int = 8192,
+    checkpoint_every: int = 0,
 ) -> dict:
     """Incrementally mirror an internal table into a spec-Delta
     export: the first call full-exports the current snapshot
@@ -329,6 +330,12 @@ def sync_delta_export(
     Commit lineage is tracked via
     ``commitInfo.operationParameters.sourceVersion``; a target whose
     history this function did not write is refused.
+
+    ``checkpoint_every``: delta-spark's checkpointInterval shape —
+    when the mirrored head crosses a multiple of the interval, a
+    classic checkpoint is written at the head
+    (``write_foreign_checkpoint``), so long-lived mirrors stay
+    bootstrappable after log cleaning.  0 disables.
     """
     t = TxnTable(source_path)
     src_latest = t.latest_version()
@@ -549,12 +556,118 @@ def sync_delta_export(
         os.replace(commit + ".tmp", commit)
         next_tgt += 1
         synced += 1
+    checkpointed = None
+    if checkpoint_every and synced:
+        # delta-spark's checkpointInterval shape: checkpoint when the
+        # mirrored head crosses a multiple of the interval
+        head, prev_head = next_tgt - 1, tgt_vs[-1]
+        if head // checkpoint_every > prev_head // checkpoint_every:
+            write_foreign_checkpoint(target_path, version=head)
+            checkpointed = head
     return {
         "initial_export": False,
         "from_version": last_src,
         "to_version": src_latest,
         "synced_commits": synced,
+        "checkpointed_version": checkpointed,
     }
+
+
+def write_foreign_checkpoint(
+    table_path: str,
+    version: int | None = None,
+    kind: str = "classic",
+) -> dict:
+    """Write a checkpoint for an EXISTING spec-Delta log (the mirror's
+    companion to delta-spark's checkpointInterval): replay the raw
+    JSON actions up to ``version`` (default: latest) and emit a
+    classic single-part or v2 checkpoint at that version, updating
+    ``_last_checkpoint``.  After this, the pre-checkpoint JSON commits
+    may be log-cleaned and snapshot reads / first-available streams
+    bootstrap from the checkpoint.
+
+    Raw actions are carried VERBATIM (URL-encoded paths, stats JSON,
+    deletionVector descriptors, row-tracking baseRowId /
+    defaultRowCommitVersion), so the checkpoint never re-interprets
+    file state.  Remove tombstones are omitted (this repo's
+    ``vacuum_delta`` retires files by reference + mtime, not
+    tombstones); ``txn`` app versions would be LOST by omission, so a
+    log carrying setTransaction actions is refused."""
+    if kind not in ("classic", "v2"):
+        raise ValueError(f"unknown checkpoint kind {kind!r}")
+    from urllib.parse import unquote
+
+    from .delta_reader import _commit_versions
+
+    versions = _commit_versions(table_path)
+    if version is None:
+        version = versions[-1] if versions else -1
+    replay = [v for v in versions if v <= version]
+    if not replay or replay != list(range(0, version + 1)):
+        raise DeltaExportError(
+            f"cannot rebuild state at version {version}: the JSON log "
+            "is not contiguous from 0 (already cleaned?)"
+        )
+    active: dict[str, dict] = {}
+    protocol = meta = None
+    for v in replay:
+        fname = os.path.join(
+            table_path, LOG_DIR, f"{v:0{_VERSION_DIGITS}d}.json"
+        )
+        # file actions within ONE commit are a set, not a sequence: a
+        # DV update carries remove(path, oldDV) AND add(path, newDV)
+        # in the same commit (in either order), and the add wins — so
+        # reconcile removes first, then adds
+        v_adds: list[dict] = []
+        v_removes: list[str] = []
+        with open(fname) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    v_adds.append(act["add"])
+                elif "remove" in act:
+                    v_removes.append(unquote(act["remove"]["path"]))
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "protocol" in act:
+                    protocol = act["protocol"]
+                elif "txn" in act:
+                    raise DeltaExportError(
+                        "log carries setTransaction actions; omitting "
+                        "them from a checkpoint would silently break "
+                        "idempotent-writer dedup — refusing"
+                    )
+        for p in v_removes:
+            active.pop(p, None)
+        for a in v_adds:
+            active[unquote(a["path"])] = a
+    if protocol is None or meta is None:
+        raise DeltaExportError(
+            "replay found no protocol/metaData — corrupt log"
+        )
+    adds = list(active.values())
+    if kind == "v2":
+        # spec: v2 checkpoints require the v2Checkpoint table feature.
+        # A checkpoint must never ASSERT a protocol the log did not
+        # commit, so the upgrade has to exist in the log already
+        # (export_delta_snapshot(write_checkpoint='v2') tables do).
+        if "v2Checkpoint" not in (
+            protocol.get("readerFeatures") or []
+        ):
+            raise DeltaExportError(
+                "the log's protocol does not advertise v2Checkpoint; "
+                "commit a protocol upgrade before writing v2 "
+                "checkpoints"
+            )
+        _write_v2_checkpoint(table_path, protocol, meta, adds, version)
+    else:
+        _write_classic_checkpoint(
+            table_path, protocol, meta, adds, version
+        )
+    return {"version": version, "files": len(adds), "kind": kind}
 
 
 def convert_parquet_dir_to_delta(
@@ -723,13 +836,20 @@ def _checkpoint_action_types():
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
             ("deletionVector", dv_t),
+            # row tracking rides through checkpoints (spec: add fields)
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     return protocol_t, meta_t, add_t
 
 
 def _write_classic_checkpoint(
-    target_path: str, protocol: dict, meta: dict, adds: list[dict]
+    target_path: str,
+    protocol: dict,
+    meta: dict,
+    adds: list[dict],
+    version: int = 0,
 ) -> None:
     """Classic single-part checkpoint (``V.checkpoint.parquet``) +
     ``_last_checkpoint`` pointer, one action per row in the spec's
@@ -752,12 +872,12 @@ def _write_classic_checkpoint(
              ("add", add_t)]
         ),
     )
-    name = f"{0:0{_VERSION_DIGITS}d}.checkpoint.parquet"
+    name = f"{version:0{_VERSION_DIGITS}d}.checkpoint.parquet"
     pq.write_table(table, os.path.join(target_path, LOG_DIR, name))
     with open(
         os.path.join(target_path, LOG_DIR, "_last_checkpoint"), "w"
     ) as fh:
-        json.dump({"version": 0, "size": len(rows)}, fh)
+        json.dump({"version": version, "size": len(rows)}, fh)
 
 
 def _write_v2_checkpoint(

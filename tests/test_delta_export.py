@@ -372,3 +372,124 @@ def test_sync_big_dv_uses_shared_dv_file(spark, tmp_path):
     assert any(
         n.startswith("deletion_vector_") for n in os.listdir(out)
     )
+
+
+def test_mirror_checkpoint_and_log_clean(spark, tmp_path):
+    """sync_delta_export(checkpoint_every=N): the mirrored head
+    crossing a multiple of N gets a classic checkpoint
+    (write_foreign_checkpoint raw-action replay — DV descriptors ride
+    verbatim), after which the early JSON commits can be log-cleaned
+    and snapshot reads still reconstruct."""
+    import glob
+
+    from data_lakehouse_project_spark.operators.delta_export import (
+        sync_delta_export,
+        write_foreign_checkpoint,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "mirror")
+    t = TxnTable(src)
+    t.write(_batch(spark, 0, 6), mode="overwrite")          # v0
+    sync_delta_export(spark, src, out, checkpoint_every=2)
+    t.write(_batch(spark, 6, 8), mode="append")             # v1
+    t.delete_where(spark, "id = 2", dv=True)                # v2 (DV)
+    info = sync_delta_export(spark, src, out, checkpoint_every=2)
+    assert info["checkpointed_version"] == 2
+    assert glob.glob(
+        os.path.join(out, "_delta_log", "*.checkpoint.parquet")
+    )
+
+    # log-clean the pre-checkpoint commits: snapshot still exact
+    for v in range(2):
+        os.remove(os.path.join(out, "_delta_log", f"{v:020d}.json"))
+    got = read_delta_table(spark, out)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 3, 4, 5, 6, 7]
+
+    # the mirror keeps accepting commits after the clean (lineage is
+    # sniffed from the LATEST commit, which survives)
+    t.write(_batch(spark, 8, 9), mode="append")             # v3
+    info = sync_delta_export(spark, src, out, checkpoint_every=2)
+    assert info["synced_commits"] == 1
+    got = read_delta_table(spark, out)
+    assert sorted(r.id for r in got.collect()) == [
+        0, 1, 3, 4, 5, 6, 7, 8,
+    ]
+
+    # a checkpoint at a cleaned-away version is refused loudly
+    with pytest.raises(DeltaExportError, match="contiguous"):
+        write_foreign_checkpoint(out, version=3)
+
+
+def test_foreign_checkpoint_preserves_row_tracking(spark, tmp_path):
+    """baseRowId / defaultRowCommitVersion survive the checkpoint's
+    columnar add layout: row ids read identically after log cleaning."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_lakehouse_project_spark.operators.delta_export import (
+        write_foreign_checkpoint,
+    )
+
+    table = str(tmp_path / "rt")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    pq.write_table(
+        pa.table({"id": pa.array([0, 1, 2], pa.int64())}),
+        os.path.join(table, "f1.parquet"),
+    )
+    schema = _json.dumps({
+        "type": "struct",
+        "fields": [{"name": "id", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking"]}},
+        {"metaData": {
+            "id": "rt-1", "format": {"provider": "parquet",
+                                     "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.enableRowTracking": "true"},
+            "createdTime": 1}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True,
+                 "baseRowId": 40, "defaultRowCommitVersion": 0}},
+    ]
+    with open(os.path.join(table, "_delta_log",
+                           f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+    write_foreign_checkpoint(table)
+    os.remove(os.path.join(table, "_delta_log", f"{0:020d}.json"))
+    got = read_delta_table(spark, table, row_ids=True)
+    assert sorted(r._row_id for r in got.collect()) == [40, 41, 42]
+
+
+def test_foreign_checkpoint_v2_gating_and_txn_refusal(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_export import (
+        write_foreign_checkpoint,
+    )
+
+    # v2 requires the table feature to be COMMITTED in the log
+    t = TxnTable(str(tmp_path / "s1"))
+    t.write(_batch(spark, 0, 3), mode="overwrite")
+    out1 = str(tmp_path / "e1")
+    export_delta_snapshot(spark, t.path, out1)
+    with pytest.raises(DeltaExportError, match="v2Checkpoint"):
+        write_foreign_checkpoint(out1, kind="v2")
+    # ... and succeeds on a table that advertises it
+    out2 = str(tmp_path / "e2")
+    export_delta_snapshot(spark, t.path, out2, write_checkpoint="v2")
+    info = write_foreign_checkpoint(out2, kind="v2")
+    assert info["kind"] == "v2" and info["files"] >= 1
+
+    # setTransaction would be silently lost -> refused
+    with open(os.path.join(out1, "_delta_log", f"{0:020d}.json"),
+              "a") as fh:
+        fh.write(json.dumps(
+            {"txn": {"appId": "x", "version": 1}}) + "\n")
+    with pytest.raises(DeltaExportError, match="setTransaction"):
+        write_foreign_checkpoint(out1)
