@@ -472,6 +472,29 @@ def main() -> None:
         out["delta_cdf_dv_diff_s"] = round(time.time() - t0, 3)
         assert n == (N // 10) * 5
 
+        # foreign VACUUM plan: one os.walk over 10k files + the
+        # reference set from the snapshot — the full driver cost of a
+        # dry run (nothing is old enough to delete)
+        from data_lakehouse_project_spark.operators.foreign_maintenance import (  # noqa: E501
+            vacuum_delta,
+        )
+
+        t0 = time.time()
+        plan = vacuum_delta(t_cp, dry_run=True)
+        out["delta_vacuum_plan_s"] = round(time.time() - t0, 3)
+        assert plan["kept_referenced"] == N or plan["kept_recent"] >= 0
+
+        # foreign checkpoint write: raw replay of 10 commits x 1k adds
+        # + one columnar parquet write
+        from data_lakehouse_project_spark.operators.delta_export import (
+            write_foreign_checkpoint,
+        )
+
+        t0 = time.time()
+        info = write_foreign_checkpoint(t_json)
+        out["delta_checkpoint_write_s"] = round(time.time() - t0, 3)
+        assert info["files"] == N
+
         t_ice = build_iceberg(spark, root, base)
         t0 = time.time()
         _, live, _, _ = iceberg_live_files(spark, t_ice)
@@ -482,6 +505,31 @@ def main() -> None:
         n = read_iceberg_table(spark, t_ice).count()
         out["iceberg_scan_count_s"] = round(time.time() - t0, 3)
         assert n == N * ROWS_PER_FILE
+
+        # iceberg_stream driver planning: offset resolution + the
+        # 10k-file partition list for one catch-up micro-batch (the
+        # executor scan cost is the same scan measured above)
+        from data_lakehouse_project_spark.operators.iceberg_reader import (
+            load_iceberg_metadata,
+        )
+        from data_lakehouse_project_spark.sources.iceberg_stream import (
+            _IcebergStreamReader,
+            _session_free_schema,
+        )
+
+        t0 = time.time()
+        r = _IcebergStreamReader(
+            t_ice,
+            _session_free_schema(load_iceberg_metadata(t_ice)),
+            -1,
+            skip_delete=False,
+            skip_overwrite=False,
+        )
+        start = r.initialOffset()
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        out["iceberg_stream_plan_s"] = round(time.time() - t0, 3)
+        assert len(parts) == N
 
         out["n_files"] = N
         print(json.dumps(out))
