@@ -1,0 +1,237 @@
+"""Foreign Delta APPEND writer (operators/delta_writer.py): commit
+parity through the foreign reader, partitioned layout, CHECK
+constraints, column mapping, writer-feature gating, and the
+exclusive-create concurrency contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.delta_export import (
+    export_delta_snapshot,
+)
+from data_lakehouse_project_spark.operators.delta_reader import (
+    UnsupportedDeltaFeature,
+    read_delta_snapshot,
+    read_delta_table,
+)
+from data_lakehouse_project_spark.operators.delta_writer import (
+    append_to_delta,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _batch(spark, lo, hi, part="p0"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{part}' AS part", "id * 2.0 AS v"
+    )
+
+
+def _foreign(spark, tmp_path, name="f", lo=0, hi=4, **kw):
+    t = TxnTable(str(tmp_path / f"src_{name}"))
+    t.write(_batch(spark, lo, hi), mode="overwrite", **kw)
+    out = str(tmp_path / f"ext_{name}")
+    export_delta_snapshot(spark, t.path, out)
+    return out
+
+
+def test_append_round_trips_and_versions(spark, tmp_path):
+    table = _foreign(spark, tmp_path)
+    info = append_to_delta(spark, _batch(spark, 4, 7), table)
+    assert info["version"] == 1 and info["rows"] == 3
+    got = read_delta_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(7))
+
+    # columns arrive in ANY order; values cast to the declared types
+    shuffled = _batch(spark, 7, 8).select("v", "part", "id")
+    info = append_to_delta(spark, shuffled, table)
+    assert info["version"] == 2
+    got = read_delta_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == list(range(8))
+    # the new adds carry footer stats -> pruning skips them
+    pruned = read_delta_table(spark, table, prune=[("id", ">=", 7)])
+    assert sorted(r.id for r in pruned.collect()) == [7]
+
+    # time travel: the pre-append snapshot is intact
+    v0 = read_delta_table(spark, table, version=0)
+    assert sorted(r.id for r in v0.collect()) == [0, 1, 2, 3]
+
+
+def test_append_partitioned_layout(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "srcp"))
+    t.write(
+        _batch(spark, 0, 3, "a"), mode="overwrite",
+        partition_by=["part"],
+    )
+    table = str(tmp_path / "extp")
+    export_delta_snapshot(spark, t.path, table)
+
+    df = _batch(spark, 3, 5, "b").union(_batch(spark, 5, 6, "c"))
+    info = append_to_delta(spark, df, table)
+    assert info["files"] >= 2  # one per appended partition value
+    got = read_delta_table(spark, table)
+    assert sorted((r.id, r.part) for r in got.collect()) == [
+        (0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"),
+    ]
+    pruned = read_delta_table(spark, table, prune=[("part", "=", "c")])
+    assert sorted(r.id for r in pruned.collect()) == [5]
+
+    # spec: data files do NOT contain partition columns
+    snap = read_delta_snapshot(table)
+    new = [f for f in snap.files if f["partition_values"].get("part")
+           in ("b", "c")]
+    assert new
+    for f in new:
+        cols = pq.read_schema(os.path.join(table, f["path"])).names
+        assert "part" not in cols
+
+
+def test_schema_mismatch_refused(spark, tmp_path):
+    table = _foreign(spark, tmp_path, "s")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_to_delta(
+            spark, spark.range(3).selectExpr("id", "id AS zzz"), table
+        )
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    t = TxnTable(str(tmp_path / "srcc"))
+    t.write(_batch(spark, 0, 3), mode="overwrite")
+    t.add_constraint(spark, "pos_v", "v >= 0")
+    table = str(tmp_path / "extc")
+    export_delta_snapshot(spark, t.path, table)
+
+    bad = spark.range(1).selectExpr(
+        "id + 100 AS id", "'x' AS part", "-5.0 AS v"
+    )
+    with pytest.raises(ValueError, match="pos_v"):
+        append_to_delta(spark, bad, table)
+    # the failed write left no data behind
+    assert sorted(
+        r.id for r in read_delta_table(spark, table).collect()
+    ) == [0, 1, 2]
+    ok = spark.range(1).selectExpr(
+        "id + 100 AS id", "'x' AS part", "5.0 AS v"
+    )
+    info = append_to_delta(spark, ok, table)
+    assert info["rows"] == 1
+
+
+def test_append_column_mapped_name_mode(spark, tmp_path):
+    from tests.test_delta_reader import _mapped_table
+
+    table = _mapped_table(tmp_path)
+    df = spark.createDataFrame(
+        [(4, "d", "east")], "id long, vv string, p string"
+    )
+    info = append_to_delta(spark, df, table)
+    assert info["version"] == 1
+    got = read_delta_table(spark, table)
+    assert sorted((r.id, r.vv, r.p) for r in got.collect()) == [
+        (1, "a", "west"), (2, "b", "west"), (3, "c", "west"),
+        (4, "d", "east"),
+    ]
+    # the written parquet carries PHYSICAL names; partitionValues are
+    # keyed physically
+    snap = read_delta_snapshot(table)
+    new = [f for f in snap.files if f["path"] != "f0.parquet"]
+    assert len(new) == 1
+    cols = pq.read_schema(os.path.join(table, new[0]["path"])).names
+    assert "col-id0001" in cols and "id" not in cols
+    assert new[0]["partition_values"] == {"col-p0004": "east"}
+
+
+def test_writer_feature_gates(spark, tmp_path):
+    table = _foreign(spark, tmp_path, "g")
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature, match="rowTracking"):
+        append_to_delta(spark, _batch(spark, 4, 5), table)
+
+    # a generated-column expression refuses regardless of version
+    table2 = _foreign(spark, tmp_path, "g2")
+    log2 = os.path.join(table2, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log2)]
+    for a in lines:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            sch["fields"][2]["metadata"] = {
+                "delta.generationExpression": "id * 2.0"
+            }
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(log2, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature, match="generated"):
+        append_to_delta(spark, _batch(spark, 4, 5), table2)
+
+
+def test_concurrent_commit_collision_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """Race shape: another writer commits version 1 AFTER this append
+    read its snapshot (simulated by pinning the snapshot at v0) — the
+    exclusive-create commit must fail cleanly and roll the staged
+    data files back."""
+    from data_lakehouse_project_spark.operators import delta_writer
+
+    table = _foreign(spark, tmp_path, "cc")
+    stale = read_delta_snapshot(table)  # v0, read BEFORE the race
+    append_to_delta(spark, _batch(spark, 4, 5), table)  # racer: v1
+    files_before = {
+        n for n in os.listdir(table) if n.endswith(".parquet")
+    }
+    monkeypatch.setattr(
+        delta_writer, "read_delta_snapshot", lambda p: stale
+    )
+    with pytest.raises(ValueError, match="concurrent"):
+        append_to_delta(spark, _batch(spark, 5, 6), table)
+    # the orphaned data files were rolled back
+    assert {
+        n for n in os.listdir(table) if n.endswith(".parquet")
+    } == files_before
+    monkeypatch.undo()
+    got = read_delta_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_own_export_then_foreign_append_then_stream(spark, tmp_path):
+    """The appended commit tails through the streaming source like any
+    delta-spark append would."""
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    table = _foreign(spark, tmp_path, "st", lo=0, hi=2)
+    append_to_delta(spark, _batch(spark, 2, 4), table)
+
+    register_python_datasources(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend(r["id"] for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [0, 1, 2, 3]
