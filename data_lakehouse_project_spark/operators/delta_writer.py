@@ -192,8 +192,12 @@ def append_to_delta(
         adds = []
         n_rows = 0
         for dirpath, dirnames, filenames in os.walk(tmp):
+            # keep hive k=v partition dirs even when a physical column
+            # name starts with an underscore; drop true hidden dirs
             dirnames[:] = [
-                d for d in dirnames if not d.startswith(("_", "."))
+                d
+                for d in dirnames
+                if "=" in d or not d.startswith(("_", "."))
             ]
             for fn in sorted(filenames):
                 if not fn.endswith(".parquet") or fn.startswith(

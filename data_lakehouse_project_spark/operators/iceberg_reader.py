@@ -362,6 +362,36 @@ def _identity_partition_sources(md: dict) -> dict[int, str]:
     )
 
 
+def _coerce_partition_value(v, dt):
+    """Manifest partition-struct value -> the Python value Spark's
+    createDataFrame expects for the column's type.  Avro decoders hand
+    back ints/floats/strings; dates may arrive as epoch days (spec
+    avro encoding) or ISO strings (this engine's export)."""
+    if v is None:
+        return None
+    import datetime
+
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DateType):
+        if isinstance(v, int):
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=v
+            )
+        if isinstance(v, str):
+            return datetime.date.fromisoformat(v)
+        return v
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType)):
+        return int(v)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dt, T.StringType):
+        return str(v)
+    if isinstance(dt, T.BooleanType):
+        return v if isinstance(v, bool) else str(v).lower() == "true"
+    return v
+
+
 def _iceberg_file_may_match(
     f: dict,
     prune: list[tuple[int, str, object, str]],
@@ -557,7 +587,19 @@ def read_iceberg_table(
         scan_schema = _spark_schema(spark, md, field_ids=True)
     df = spark.read.schema(scan_schema).parquet(*paths)
 
-    if pos_deletes or eq_deletes:
+    # identity-partition source columns may be ABSENT from the data
+    # files (spec: "Partition values for identity transforms can be
+    # used to replace the source column") — they surface from the
+    # manifests' partition structs below, which needs the path key
+    name2id_all = {v: k for k, v in _field_names_by_id(md).items()}
+    by_spec_ident = _identity_sources_by_spec(md)
+    ident_cols = [
+        c
+        for c in schema.names
+        if any(name2id_all.get(c) in m for m in by_spec_ident.values())
+    ]
+
+    if pos_deletes or eq_deletes or ident_cols:
         # _metadata is only resolvable on the raw scan — materialize
         # the decoded path key (and row index) before any join.
         from .delta_reader import _spark_path_key
@@ -665,6 +707,45 @@ def read_iceberg_table(
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             df = df.join(del_df, cond, "left_anti")
+
+    if ident_cols:
+        # per-file identity partition values, each file under ITS
+        # manifest's spec; COALESCE keeps file-carried values when the
+        # writer stored the column physically (both are spec-legal)
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _STy
+        from pyspark.sql.types import StringType as _Str
+
+        default_ident = _identity_partition_sources(md)
+        rows = []
+        for f in live:
+            ident = by_spec_ident.get(
+                f.get("__spec_id"), default_ident
+            )
+            part = f.get("partition") or {}
+            vals = [
+                _coerce_partition_value(
+                    part.get(ident.get(name2id_all[c])),
+                    schema[c].dataType,
+                )
+                for c in ident_cols
+            ]
+            rows.append([os.path.abspath(_abs(f["file_path"]))] + vals)
+        pmap = spark.createDataFrame(
+            rows,
+            _STy(
+                [_SF("__ice_path", _Str())]
+                + [
+                    _SF(f"__ipv_{c}", schema[c].dataType)
+                    for c in ident_cols
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(pmap), "__ice_path", "left")
+        for c in ident_cols:
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
+            )
 
     df = df.select(*schema.names)
     if prune:

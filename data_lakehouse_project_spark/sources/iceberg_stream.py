@@ -151,11 +151,11 @@ def _added_files_of_snapshot(
     *,
     skip_delete: bool,
     skip_overwrite: bool,
-) -> list[tuple[str, int]]:
-    """The ``(abs data-file path, record_count)`` list a stream ships
-    for one snapshot, applying the skip/refuse policy.  Deterministic
-    order (manifest order, then entry order) so offset positions are
-    stable across restarts."""
+) -> list[tuple[str, int, dict, int | None]]:
+    """The ``(abs data-file path, record_count, partition struct,
+    manifest spec-id)`` list a stream ships for one snapshot, applying
+    the skip/refuse policy.  Deterministic order (manifest order, then
+    entry order) so offset positions are stable across restarts."""
     op = (snap.get("summary") or {}).get("operation", "append")
     sid = snap["snapshot-id"]
     if op == "replace":
@@ -181,7 +181,7 @@ def _added_files_of_snapshot(
         )
     mlist = _abs_path(table_path, snap["manifest-list"])
     manifests, _ = _avro(mlist)
-    out: list[tuple[str, int]] = []
+    out: list[tuple[str, int, dict, int | None]] = []
     for m in manifests:
         if m.get("content", 0) != 0:
             raise UnsupportedIcebergFeature(
@@ -207,18 +207,30 @@ def _added_files_of_snapshot(
                 (
                     _abs_path(table_path, df_["file_path"]),
                     int(df_.get("record_count") or 0),
+                    df_.get("partition") or {},
+                    m.get("partition_spec_id"),
                 )
             )
     return out
 
 
 class _IcebergFilePartition(InputPartition):
-    def __init__(self, path: str, schema_json: str, ids_json: str):
+    def __init__(
+        self,
+        path: str,
+        schema_json: str,
+        ids_json: str,
+        consts_json: str = "{}",
+    ):
         self.path = path
         self.schema_json = schema_json
         # logical column name -> iceberg field id (current schema);
         # files stamped with parquet field ids resolve through it
         self.ids_json = ids_json
+        # identity-partition constants (spec: the partition value
+        # replaces an absent source column); raw JSON values coerced
+        # to the column type executor-side
+        self.consts_json = consts_json
 
 
 class IcebergStreamDataSource(DataSource):
@@ -413,7 +425,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         return off
 
     def partitions(self, start: dict, end: dict):
-        _, _, order = self._md()
+        md, _, order = self._md()
         self._handed = end  # restart re-sync for the budget bookkeeping
         s_idx, s_pos = self._cursor(start, order)
         e_idx, e_pos = self._cursor(end, order)
@@ -424,14 +436,33 @@ class _IcebergStreamReader(DataSourceStreamReader):
             if f.metadata and "iceberg.field.id" in f.metadata
         }
         ids_json = json.dumps(ids)
+        # identity-partition constants per file (spec: the manifest's
+        # partition value replaces an absent source column)
+        from data_lakehouse_project_spark.operators.iceberg_reader import (
+            _identity_partition_sources,
+            _identity_sources_by_spec,
+        )
+
+        by_spec = _identity_sources_by_spec(md)
+        default_ident = _identity_partition_sources(md)
+        id_of = {v: k for k, v in ids.items()}  # field id -> col name
         parts: list[_IcebergFilePartition] = []
         for i in range(max(s_idx, 0), e_idx + 1):
             files = self._files_of(order[i])
             lo = s_pos if i == s_idx else 0
             hi = e_pos if i == e_idx else len(files)
-            for path, _n in files[lo:hi]:
+            for path, _n, part_struct, spec_id in files[lo:hi]:
+                ident = by_spec.get(spec_id, default_ident)
+                consts = {
+                    id_of[fid]: part_struct.get(pname)
+                    for fid, pname in ident.items()
+                    if fid in id_of and pname in part_struct
+                }
                 parts.append(
-                    _IcebergFilePartition(path, schema_json, ids_json)
+                    _IcebergFilePartition(
+                        path, schema_json, ids_json,
+                        json.dumps(consts, default=str),
+                    )
                 )
         if not parts:  # Spark requires >= 1 partition per batch
             parts = [_IcebergFilePartition(None, schema_json, ids_json)]
@@ -448,8 +479,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
             _arrow_type,
         )
 
+        from data_lakehouse_project_spark.operators.iceberg_reader import (
+            _coerce_partition_value,
+        )
+
         schema = _ST.fromJson(json.loads(partition.schema_json))
         ids = json.loads(partition.ids_json)
+        consts = json.loads(partition.consts_json or "{}")
         target = pa.schema(
             [
                 pa.field(f.name, _arrow_type(f.dataType))
@@ -464,7 +500,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 by_id[int(fid)] = af.name
         n = table.num_rows
         cols = []
-        for f in target:
+        for f, sf in zip(target, schema.fields):
             src = None
             if by_id:  # spec: columns are selected by FIELD ID
                 src = by_id.get(ids.get(f.name))
@@ -472,6 +508,12 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 src = f.name
             if src is not None:
                 cols.append(table.column(src).cast(f.type))
+            elif f.name in consts:
+                # identity-partition constant substitution (spec)
+                v = _coerce_partition_value(
+                    consts[f.name], sf.dataType
+                )
+                cols.append(pa.array([v] * n, f.type))
             else:  # pre-evolution file: new column surfaces null
                 cols.append(pa.nulls(n, f.type))
         out = pa.table(cols, schema=target)

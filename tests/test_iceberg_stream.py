@@ -367,3 +367,37 @@ def test_offset_snapshot_expired_is_hard_error(spark, tmp_path):
     _, _, order = r._md()
     with pytest.raises(ValueError, match="ancestry"):
         r._cursor({"snapshot_id": 999999, "pos": 0}, order)
+
+
+def test_identity_partition_values_surface_in_stream(spark, tmp_path):
+    """Spec: identity partition values replace an absent source
+    column — the exported (delta-lite-layout) files lack the column
+    physically, yet the stream ships it as the manifest's constant."""
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 3).selectExpr(
+            "id", "'a' AS part", "CAST(id AS DOUBLE) AS v"
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+
+    register_python_datasources(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend(
+                (r["id"], r["part"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(0, "a"), (1, "a"), (2, "a")]

@@ -1,0 +1,192 @@
+"""Foreign Iceberg APPEND writer (operators/iceberg_writer.py):
+snapshot commit parity through the foreign reader, incremental
+attribution, identity partitions, bounds-based pruning, gating, and
+the exclusive-create concurrency contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    export_iceberg_metadata,
+)
+from data_lakehouse_project_spark.operators.iceberg_reader import (
+    UnsupportedIcebergFeature,
+    iceberg_snapshot_ids,
+    read_iceberg_changes,
+    read_iceberg_table,
+)
+from data_lakehouse_project_spark.operators.iceberg_writer import (
+    append_to_iceberg,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _df(spark, lo, hi, part="a"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{part}' AS part", "CAST(id AS DOUBLE) AS v"
+    )
+
+
+def _table(spark, tmp_path, **write_kw):
+    path = str(tmp_path / "t")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 4), mode="overwrite", **write_kw)
+    export_iceberg_metadata(t, spark)
+    return path
+
+
+def test_append_round_trips_and_attributes(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    info = append_to_iceberg(spark, _df(spark, 4, 7), path)
+    assert info["files"] >= 1 and info["rows"] == 3
+
+    got = read_iceberg_table(spark, path)
+    assert sorted(r.id for r in got.collect()) == list(range(7))
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    assert len(sids) == 2 and sids[1] == info["snapshot_id"]
+
+    # incremental scan: the new rows belong to the NEW snapshot only
+    inc = read_iceberg_changes(spark, path, from_snapshot_id=sids[0])
+    assert sorted((r.id, r._snapshot_id) for r in inc.collect()) == [
+        (4, sids[1]), (5, sids[1]), (6, sids[1]),
+    ]
+    # time travel: the parent snapshot is untouched
+    old = read_iceberg_table(spark, path, snapshot_id=sids[0])
+    assert sorted(r.id for r in old.collect()) == [0, 1, 2, 3]
+
+    # a second append chains (parent = previous head)
+    info2 = append_to_iceberg(spark, _df(spark, 7, 8), path)
+    assert info2["snapshot_id"] == info["snapshot_id"] + 1
+    got = read_iceberg_table(spark, path)
+    assert sorted(r.id for r in got.collect()) == list(range(8))
+
+
+def test_append_stream_tails_only_new(spark, tmp_path):
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    path = _table(spark, tmp_path)
+    register_python_datasources(spark)
+
+    def _run(ckpt, sink):
+        q = (
+            spark.readStream.format("iceberg_stream")
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: sink.extend(
+                    r["id"] for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    sink: list = []
+    ckpt = str(tmp_path / "ck")
+    _run(ckpt, sink)
+    assert sorted(sink) == [0, 1, 2, 3]
+    append_to_iceberg(spark, _df(spark, 4, 6), path)
+    _run(ckpt, sink)
+    assert sorted(sink) == [0, 1, 2, 3, 4, 5]
+
+
+def test_append_identity_partitioned(spark, tmp_path):
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        _df(spark, 0, 3, "a"), mode="overwrite", partition_by=["part"]
+    )
+    export_iceberg_metadata(t, spark)
+
+    info = append_to_iceberg(
+        spark,
+        _df(spark, 3, 5, "b").union(_df(spark, 5, 6, "c")),
+        path,
+    )
+    assert info["files"] >= 2
+    got = read_iceberg_table(spark, path)
+    assert sorted((r.id, r.part) for r in got.collect()) == [
+        (0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"),
+    ]
+    # identity partition values prune files (manifest partition struct)
+    pruned = read_iceberg_table(spark, path, prune=[("part", "=", "c")])
+    assert sorted(r.id for r in pruned.collect()) == [5]
+
+    # Iceberg data files CONTAIN the partition columns (unlike Delta)
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+
+    _, live, _, _ = iceberg_live_files(spark, path)
+    appended = [f for f in live if "append-" in f["file_path"]]
+    assert appended
+    for f in appended:
+        cols = pq.read_schema(f["file_path"]).names
+        assert "part" in cols
+        # spec: every column stamped with its field id
+        sch = pq.read_schema(f["file_path"])
+        assert all(
+            fld.metadata and b"PARQUET:field_id" in fld.metadata
+            for fld in sch
+        )
+
+
+def test_append_bounds_enable_pruning(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    append_to_iceberg(spark, _df(spark, 100, 104), path)
+    pruned = read_iceberg_table(spark, path, prune=[("id", ">=", 100)])
+    assert sorted(r.id for r in pruned.collect()) == [100, 101, 102, 103]
+
+
+def test_gates_and_collision(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_to_iceberg(
+            spark, spark.range(2).selectExpr("id", "id AS zzz"), path
+        )
+
+    # v1 tables refuse (no data sequence numbers)
+    meta_dir = os.path.join(path, "metadata")
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md_path = os.path.join(meta_dir, f"v{hint}.metadata.json")
+    md = json.load(open(md_path))
+    md1 = dict(md, **{"format-version": 1})
+    v1dir = str(tmp_path / "v1t")
+    os.makedirs(os.path.join(v1dir, "metadata"))
+    with open(
+        os.path.join(v1dir, "metadata", "v1.metadata.json"), "w"
+    ) as fh:
+        json.dump(md1, fh)
+    with open(
+        os.path.join(v1dir, "metadata", "version-hint.text"), "w"
+    ) as fh:
+        fh.write("1")
+    with pytest.raises(UnsupportedIcebergFeature, match="format-version"):
+        append_to_iceberg(spark, _df(spark, 0, 1), v1dir)
+
+    # concurrent commit: another writer takes v{N+1} first
+    with open(
+        os.path.join(meta_dir, f"v{hint + 1}.metadata.json"), "w"
+    ) as fh:
+        fh.write("{}")
+
+    def _appended_files():
+        out = set()
+        for root, _, files in os.walk(path):
+            out |= {f for f in files if f.startswith("append-")}
+        return out
+
+    before = _appended_files()
+    with pytest.raises(ValueError, match="concurrent"):
+        append_to_iceberg(spark, _df(spark, 4, 5), path)
+    # staged data rolled back
+    assert _appended_files() == before
