@@ -715,7 +715,10 @@ def export_iceberg_metadata(
     # truthful operation: a snapshot that dropped files or carries a
     # delete manifest is not an "append" — incremental readers rely
     # on this to refuse ranges they cannot replay as pure adds
-    if prev_live and (n_deleted or delete_manifest_path is not None):
+    # a snapshot that ADDS a delete manifest is never an "append",
+    # even on a first export (a DV-bearing snapshot's position
+    # deletes remove rows) — append-only readers rely on the label
+    if (prev_live and n_deleted) or delete_manifest_path is not None:
         operation = "delete" if n_added == 0 else "overwrite"
         # compaction detection: when every internal commit between the
         # two exports moved files with dataChange=false only (OPTIMIZE

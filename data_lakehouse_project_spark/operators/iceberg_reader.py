@@ -1025,10 +1025,15 @@ def read_iceberg_changes(
         manifests, _ = avro_records(spark, mlist)
         for m in manifests:
             if m.get("content", 0) != 0:
-                raise UnsupportedIcebergFeature(
-                    f"snapshot {sid} carries a delete manifest; not a "
-                    "pure append"
-                )
+                # carried-forward delete manifests (re-listed from an
+                # older snapshot) don't make THIS snapshot non-append;
+                # only a delete manifest it ADDED does
+                if m.get("added_snapshot_id") == sid:
+                    raise UnsupportedIcebergFeature(
+                        f"snapshot {sid} adds a delete manifest; not "
+                        "a pure append"
+                    )
+                continue
             mpath = m["manifest_path"]
             if not os.path.isabs(mpath):
                 mpath = os.path.join(table_path, mpath)

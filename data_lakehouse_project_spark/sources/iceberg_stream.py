@@ -184,10 +184,16 @@ def _added_files_of_snapshot(
     out: list[tuple[str, int, dict, int | None]] = []
     for m in manifests:
         if m.get("content", 0) != 0:
-            raise UnsupportedIcebergFeature(
-                f"snapshot {sid} carries a delete manifest; not a "
-                "pure append"
-            )
+            # a delete manifest CARRIED FORWARD from an older snapshot
+            # (manifest lists re-list prior manifests verbatim) does
+            # not make this snapshot non-append; only one ADDED here
+            # does — its removed rows cannot stream
+            if m.get("added_snapshot_id") == sid:
+                raise UnsupportedIcebergFeature(
+                    f"snapshot {sid} adds a delete manifest; not a "
+                    "pure append"
+                )
+            continue
         entries, _ = _avro(_abs_path(table_path, m["manifest_path"]))
         for e in entries:
             if e.get("status") != 1:  # ADDED only

@@ -129,6 +129,60 @@ def main() -> None:
         r.id for r in t.read(spark).collect()
     )
     print("OK: spec-Delta export (roaring DVs) == own read")
+
+    # ---- 6. (round 8, session 3) append INTO the foreign tables ---
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        append_to_delta,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+    )
+
+    new = spark.range(100, 103).selectExpr(
+        "id", "'9' AS region", "id * 10.0 AS amount"
+    )
+    info = append_to_delta(spark, new, exp)
+    print(f"delta append: v{info['version']}, {info['rows']} rows")
+    info = append_to_iceberg(spark, new, path)
+    print(f"iceberg append: snapshot {info['snapshot_id']}")
+    assert sorted(r.id for r in read_delta_table(spark, exp).collect()) \
+        == sorted(r.id for r in read_iceberg(spark, path).collect())
+    print("OK: both formats accepted the same foreign append")
+
+    # ---- 7. tail the Iceberg snapshot chain as a stream -----------
+    got2: list[int] = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("skipDeleteSnapshots", "true")
+        .option("skipOverwriteSnapshots", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _id: got2.extend(r["id"] for r in b.collect())
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt_ice"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    print("iceberg_stream shipped rows:", len(got2))
+
+    # ---- 8. maintenance: vacuum the export, expire old snapshots --
+    from data_lakehouse_project_spark.operators.foreign_maintenance import (
+        expire_iceberg_snapshots,
+        vacuum_delta,
+    )
+
+    plan = vacuum_delta(exp, dry_run=True)
+    print(
+        f"vacuum plan: {len(plan['deleted'])} deletable, "
+        f"{plan['kept_referenced']} referenced, "
+        f"{plan['kept_recent']} within retention"
+    )
+    exp_plan = expire_iceberg_snapshots(spark, path, keep_last=1)
+    print(
+        "expire plan: drop snapshots", exp_plan["expired_snapshot_ids"]
+    )
     spark.stop()
 
 
