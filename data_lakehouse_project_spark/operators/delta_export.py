@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid as _uuid
 from urllib.parse import quote
 
@@ -573,6 +574,153 @@ def sync_delta_export(
     }
 
 
+def _replay_raw_state(
+    table_path: str,
+    version: int | None = None,
+    refuse_txn: bool = False,
+) -> tuple[int, dict[str, dict], dict, dict]:
+    """Raw-action replay of a spec-Delta JSON log up to ``version``
+    (default latest): ``(version, {unquoted path: raw add}, protocol,
+    metaData)``, carrying every add VERBATIM.  File actions within ONE
+    commit are a set, not a sequence — a DV update carries
+    remove(path, oldDV) AND add(path, newDV) in the same commit (in
+    either order) and the add wins, so removes reconcile first."""
+    from urllib.parse import unquote
+
+    from .delta_reader import _commit_versions
+
+    versions = _commit_versions(table_path)
+    if version is None:
+        version = versions[-1] if versions else -1
+    replay = [v for v in versions if v <= version]
+    if not replay or replay != list(range(0, version + 1)):
+        raise DeltaExportError(
+            f"cannot rebuild state at version {version}: the JSON log "
+            "is not contiguous from 0 (already cleaned?)"
+        )
+    active: dict[str, dict] = {}
+    protocol = meta = None
+    for v in replay:
+        fname = os.path.join(
+            table_path, LOG_DIR, f"{v:0{_VERSION_DIGITS}d}.json"
+        )
+        v_adds: list[dict] = []
+        v_removes: list[str] = []
+        with open(fname) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    v_adds.append(act["add"])
+                elif "remove" in act:
+                    v_removes.append(unquote(act["remove"]["path"]))
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "protocol" in act:
+                    protocol = act["protocol"]
+                elif "txn" in act and refuse_txn:
+                    raise DeltaExportError(
+                        "log carries setTransaction actions; omitting "
+                        "them from a checkpoint would silently break "
+                        "idempotent-writer dedup — refusing"
+                    )
+        for p in v_removes:
+            active.pop(p, None)
+        for a in v_adds:
+            active[unquote(a["path"])] = a
+    if protocol is None or meta is None:
+        raise DeltaExportError(
+            "replay found no protocol/metaData — corrupt log"
+        )
+    return version, active, protocol, meta
+
+
+def restore_delta(table_path: str, version: int) -> dict:
+    """RESTORE a foreign Delta table to an earlier version with a NEW
+    commit (delta-spark's ``RESTORE TABLE ... TO VERSION AS OF``):
+    adds back the target version's files missing from the current
+    snapshot (verbatim raw adds — stats, DV descriptors, row-tracking
+    fields ride along), removes files the target doesn't have, and
+    re-commits the target's metaData when it differs (schema
+    restores).  History is preserved — this appends, never rewrites.
+    A re-added file whose bytes were vacuumed is a hard error BEFORE
+    anything commits."""
+    from urllib.parse import unquote
+
+    table_path = os.path.abspath(table_path)
+    cur_v, cur, protocol, cur_meta = _replay_raw_state(table_path)
+    tgt_v, tgt, _, tgt_meta = _replay_raw_state(table_path, version)
+    if tgt_v == cur_v:
+        return {"version": cur_v, "restored_to": version,
+                "added": 0, "removed": 0, "noop": True}
+
+    def _key(a: dict | None) -> str:
+        if a is None:
+            return ""
+        return json.dumps(a.get("deletionVector"), sort_keys=True)
+
+    ts = int(time.time() * 1000)
+    to_add = [
+        a
+        for p, a in sorted(tgt.items())
+        if p not in cur or _key(cur[p]) != _key(a)
+    ]
+    to_remove = [
+        p
+        for p in sorted(cur)
+        if p not in tgt or _key(cur[p]) != _key(tgt[p])
+    ]
+    for a in to_add:
+        p = unquote(a["path"])
+        ap = p if os.path.isabs(p) else os.path.join(table_path, p)
+        if not os.path.exists(ap):
+            raise DeltaExportError(
+                f"cannot restore: data file {p} no longer exists "
+                "(vacuumed past the restore point)"
+            )
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo":
+                    "data_lakehouse_project_spark delta writer",
+            }
+        }
+    ]
+    if tgt_meta != cur_meta:
+        actions.append({"metaData": tgt_meta})
+    for p in to_remove:
+        actions.append(
+            {
+                "remove": {
+                    "path": cur[p]["path"],
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend(
+        {"add": dict(a, dataChange=True, modificationTime=ts)}
+        for a in to_add
+    )
+    commit = os.path.join(
+        table_path, LOG_DIR, f"{cur_v + 1:0{_VERSION_DIGITS}d}.json"
+    )
+    with open(commit, "x") as fh:  # exclusive: concurrency-safe
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+    return {
+        "version": cur_v + 1,
+        "restored_to": version,
+        "added": len(to_add),
+        "removed": len(to_remove),
+    }
+
+
 def write_foreign_checkpoint(
     table_path: str,
     version: int | None = None,
@@ -595,59 +743,9 @@ def write_foreign_checkpoint(
     log carrying setTransaction actions is refused."""
     if kind not in ("classic", "v2"):
         raise ValueError(f"unknown checkpoint kind {kind!r}")
-    from urllib.parse import unquote
-
-    from .delta_reader import _commit_versions
-
-    versions = _commit_versions(table_path)
-    if version is None:
-        version = versions[-1] if versions else -1
-    replay = [v for v in versions if v <= version]
-    if not replay or replay != list(range(0, version + 1)):
-        raise DeltaExportError(
-            f"cannot rebuild state at version {version}: the JSON log "
-            "is not contiguous from 0 (already cleaned?)"
-        )
-    active: dict[str, dict] = {}
-    protocol = meta = None
-    for v in replay:
-        fname = os.path.join(
-            table_path, LOG_DIR, f"{v:0{_VERSION_DIGITS}d}.json"
-        )
-        # file actions within ONE commit are a set, not a sequence: a
-        # DV update carries remove(path, oldDV) AND add(path, newDV)
-        # in the same commit (in either order), and the add wins — so
-        # reconcile removes first, then adds
-        v_adds: list[dict] = []
-        v_removes: list[str] = []
-        with open(fname) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                act = json.loads(line)
-                if "add" in act:
-                    v_adds.append(act["add"])
-                elif "remove" in act:
-                    v_removes.append(unquote(act["remove"]["path"]))
-                elif "metaData" in act:
-                    meta = act["metaData"]
-                elif "protocol" in act:
-                    protocol = act["protocol"]
-                elif "txn" in act:
-                    raise DeltaExportError(
-                        "log carries setTransaction actions; omitting "
-                        "them from a checkpoint would silently break "
-                        "idempotent-writer dedup — refusing"
-                    )
-        for p in v_removes:
-            active.pop(p, None)
-        for a in v_adds:
-            active[unquote(a["path"])] = a
-    if protocol is None or meta is None:
-        raise DeltaExportError(
-            "replay found no protocol/metaData — corrupt log"
-        )
+    version, active, protocol, meta = _replay_raw_state(
+        table_path, version, refuse_txn=True
+    )
     adds = list(active.values())
     if kind == "v2":
         # spec: v2 checkpoints require the v2Checkpoint table feature.

@@ -135,6 +135,51 @@ def vacuum_delta(
     }
 
 
+def rollback_iceberg(table_path: str, snapshot_id: int) -> dict:
+    """Iceberg ``rollback_to_snapshot``: point the table back at an
+    ancestor snapshot with a NEW metadata version (history preserved —
+    the newer snapshots stay until expired).  The snapshot-log gains a
+    fresh entry for the rolled-back head, exactly Iceberg's shape."""
+    import time
+
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not in the table metadata"
+        )
+    order = [s for s in _snapshot_order(md) if s in snaps]
+    cur = md.get("current-snapshot-id")
+    if snapshot_id not in order[: order.index(cur) + 1]:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the "
+            f"current snapshot {cur}"
+        )
+    new_md = dict(md)
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": int(time.time() * 1000),
+        }
+    ]
+    new_md["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(table_path, "metadata")
+    cur_v = int(os.path.basename(md_file)[1:].split(".")[0])
+    new_path = os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json")
+    with open(new_path, "x") as fh:  # exclusive: concurrency-safe
+        json.dump(new_md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(cur_v + 1))
+    return {
+        "current_snapshot_id": snapshot_id,
+        "rolled_back_from": cur,
+        "metadata": new_path,
+    }
+
+
 def _abs(table_path: str, p: str) -> str:
     for pref in ("file://", "file:"):
         if p.startswith(pref):

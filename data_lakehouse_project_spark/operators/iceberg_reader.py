@@ -955,7 +955,17 @@ def _snapshot_order(md: dict) -> list[int]:
     ``sequence-number`` then ``timestamp-ms``."""
     log = md.get("snapshot-log")
     if log:
-        return [e["snapshot-id"] for e in log]
+        # rollbacks APPEND a log entry for an older snapshot (Iceberg's
+        # shape) — keep the FIRST occurrence so ancestry order and
+        # stream offsets stay stable across a rollback
+        seen: set[int] = set()
+        out = []
+        for e in log:
+            sid = e["snapshot-id"]
+            if sid not in seen:
+                seen.add(sid)
+                out.append(sid)
+        return out
     return [
         s["snapshot-id"]
         for s in sorted(

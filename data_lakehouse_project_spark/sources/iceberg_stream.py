@@ -270,6 +270,7 @@ class IcebergStreamDataSource(DataSource):
         order = [s for s in _snapshot_order(md) if s in snaps]
         start_sid = -1
         raw = self._opt("startingSnapshotId", "starting-snapshot-id")
+        raw_ts = self._opt("startingTimestamp", "stream-from-timestamp")
         mode = self._opt(
             "startingOffset", "starting-offset", default="earliest"
         ).lower()
@@ -281,6 +282,17 @@ class IcebergStreamDataSource(DataSource):
                     "the current snapshot"
                 )
             start_sid = sid
+        elif raw_ts:
+            # Iceberg's stream-from-timestamp: ship snapshots committed
+            # AT OR AFTER the timestamp; everything older is consumed.
+            # A timestamp past the newest commit tails only the future.
+            want = int(raw_ts)
+            older = [
+                sid
+                for sid in order
+                if snaps[sid]["timestamp-ms"] < want
+            ]
+            start_sid = older[-1] if older else -1
         elif mode == "latest":
             start_sid = order[-1] if order else -1
         elif mode != "earliest":

@@ -205,3 +205,91 @@ def test_expire_deletes_orphaned_data_files(spark, tmp_path):
         if not os.path.isabs(p):
             p = os.path.join(path, p)
         assert os.path.exists(p)
+
+
+def test_rollback_iceberg(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.foreign_maintenance import (
+        rollback_iceberg,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_snapshot_ids,
+        read_iceberg_table,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 3), mode="overwrite")
+    export_iceberg_metadata(t, spark)              # snapshot 1
+    t.write(_df(spark, 3, 5), mode="append")
+    export_iceberg_metadata(t, spark)              # snapshot 2
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+
+    info = rollback_iceberg(path, sids[0])
+    assert info["rolled_back_from"] == sids[1]
+    got = read_iceberg_table(spark, path)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2]
+    # history preserved: the newer snapshot is still time-travelable
+    new = read_iceberg_table(spark, path, snapshot_id=sids[1])
+    assert sorted(r.id for r in new.collect()) == [0, 1, 2, 3, 4]
+
+    with pytest.raises(ValueError, match="ancestor|not in"):
+        rollback_iceberg(path, 999999)
+
+
+def test_restore_delta(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_export import (
+        DeltaExportError,
+        restore_delta,
+        sync_delta_export,
+    )
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_table,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "mirror")
+    t = TxnTable(src)
+    t.write(_df(spark, 0, 4), mode="overwrite")          # v0
+    sync_delta_export(spark, src, out)
+    t.write(_df(spark, 4, 6), mode="append")             # v1
+    t.delete_where(spark, "id = 1", dv=True)             # v2 (DV)
+    sync_delta_export(spark, src, out)
+
+    # restore the mirror to its v0 (pre-append, pre-delete)
+    info = restore_delta(out, 0)
+    assert info["version"] == 3 and info["restored_to"] == 0
+    got = read_delta_table(spark, out)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+    # the DV'd / appended history is still time-travelable
+    v2 = read_delta_table(spark, out, version=2)
+    assert sorted(r.id for r in v2.collect()) == [0, 2, 3, 4, 5]
+
+    # restoring to the current version is a no-op
+    assert restore_delta(out, 3).get("noop")
+
+    # a vacuumed restore target hard-errors BEFORE committing
+    t2 = TxnTable(str(tmp_path / "src2"))
+    t2.write(_df(spark, 0, 2), mode="overwrite")
+    out2 = str(tmp_path / "m2")
+    sync_delta_export(spark, t2.path, out2)
+    t2.write(_df(spark, 2, 3), mode="overwrite")
+    sync_delta_export(spark, t2.path, out2)
+    import os as _os
+
+    for n in list(_os.listdir(out2)):
+        full = _os.path.join(out2, n)
+        if n.endswith(".parquet"):
+            snap_files = {
+                f["path"]
+                for f in __import__(
+                    "data_lakehouse_project_spark.operators.delta_reader",
+                    fromlist=["read_delta_snapshot"],
+                ).read_delta_snapshot(out2).files
+            }
+            if n not in snap_files:
+                _os.remove(full)  # vacuum the v0-only file
+    with pytest.raises(DeltaExportError, match="vacuumed"):
+        restore_delta(out2, 0)

@@ -401,3 +401,36 @@ def test_identity_partition_values_surface_in_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == [(0, "a"), (1, "a"), (2, "a")]
+
+
+def test_starting_timestamp_resolves_to_snapshot(spark, tmp_path):
+    """Iceberg's stream-from-timestamp: snapshots committed AT OR
+    AFTER the timestamp ship; older ones are consumed."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        load_iceberg_metadata,
+    )
+
+    path = str(tmp_path / "t")
+    t = _table(spark, path)                         # snapshot 1
+    t.write(
+        spark.range(4, 6).selectExpr("id", "id * 2.0 AS v"),
+        mode="append",
+    )
+    export_iceberg_metadata(t, spark)               # snapshot 2
+    md = load_iceberg_metadata(path)
+    ts2 = max(s["timestamp-ms"] for s in md["snapshots"])
+
+    sink: list = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck"), sink,
+        startingTimestamp=str(ts2),
+    )
+    assert sorted(i for i, _ in sink) == [4, 5]
+
+    # a timestamp past the newest commit tails only the future
+    sink2: list = []
+    _run_available_now(
+        spark, path, str(tmp_path / "ck2"), sink2,
+        **{"stream-from-timestamp": str(ts2 + 10_000)},
+    )
+    assert sink2 == []
