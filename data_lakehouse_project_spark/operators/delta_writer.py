@@ -44,6 +44,7 @@ from .delta_reader import (
     UnsupportedDeltaFeature,
     _field_ids,
     _physical_names,
+    _spark_path_key,
     read_delta_snapshot,
 )
 from .txnlog import LOG_DIR, _VERSION_DIGITS, _file_stats, _serialize_add
@@ -266,3 +267,231 @@ def append_to_delta(
             "the append against the new snapshot"
         ) from None
     return {"version": version, "files": len(adds), "rows": n_rows}
+
+
+def delete_from_delta(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    allow_protocol_upgrade: bool = False,
+) -> dict:
+    """Row-level DELETE from a foreign Delta table via DELETION
+    VECTORS — the merge-on-read path modern delta-spark uses by
+    default: no data file is rewritten; each touched file's add is
+    re-committed with a roaring-bitmap DV covering the old positions
+    plus the newly-matched ones, paired with a remove of the previous
+    (path, DV) version, exactly the commit shape this repo's CDF
+    DV-diff reconstructs.
+
+    Requires the ``deletionVectors`` table feature; when the table
+    does not advertise it, ``allow_protocol_upgrade=True`` commits the
+    reader-3/writer-7 upgrade first (delta-spark's own behavior when
+    DVs are first enabled) — default False refuses, because the
+    upgrade changes what OTHER readers need to support.
+
+    Column-mapped tables refuse (the predicate would need physical-
+    name translation); the matched (file, position) set is collected
+    to the driver grouped per file — the same O(deleted rows) budget
+    class as DV decode on the read side.
+
+    Returns ``{"version", "files_updated", "rows_deleted"}``.
+    """
+    table_path = os.path.abspath(table_path)
+    snap = read_delta_snapshot(table_path)
+    if snap.schema_json is None:
+        raise UnsupportedDeltaFeature("table carries no schemaString")
+    _gate_writer(snap.protocol, snap.schema_json)
+    mapping = snap.configuration.get("delta.columnMapping.mode", "none")
+    if mapping not in ("none", ""):
+        raise UnsupportedDeltaFeature(
+            "delete_from_delta does not support column-mapped tables "
+            "(the predicate would need physical-name translation)"
+        )
+    if snap.configuration.get("delta.appendOnly", "").lower() == "true":
+        raise UnsupportedDeltaFeature(
+            "table is delta.appendOnly=true; deletes are forbidden"
+        )
+    has_dv_feature = int(
+        snap.protocol.get("minReaderVersion", 1)
+    ) >= 3 and "deletionVectors" in (
+        snap.protocol.get("readerFeatures") or []
+    )
+    if not has_dv_feature and not allow_protocol_upgrade:
+        raise UnsupportedDeltaFeature(
+            "table protocol does not advertise deletionVectors; pass "
+            "allow_protocol_upgrade=True to commit the reader-3/"
+            "writer-7 upgrade (it changes what other readers must "
+            "support)"
+        )
+
+    from .delta_reader import read_delta_table
+    from .dv import resolve_dv_positions, write_dv_file, z85_encode
+
+    # matched (file, position) pairs — read through the FULL foreign
+    # reader semantics (existing DVs already applied, partition values
+    # attached), with the raw-scan metadata keys materialized first
+    from .txnlog import _schema_from_json
+
+    schema = _schema_from_json(spark, snap.schema_json)
+    part_cols = [c for c in snap.partition_columns if c in schema.names]
+
+    def _abs(p: str) -> str:
+        for pref in ("file://", "file:"):
+            if p.startswith(pref):
+                p = p[len(pref):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    physical = [f for f in schema.fields if f.name not in part_cols]
+    from pyspark.sql.types import StructType
+
+    df = spark.read.schema(StructType(physical)).parquet(
+        *[_abs(f["path"]) for f in snap.files]
+    )
+    df = df.withColumns(
+        {
+            "__dfd_path": _spark_path_key(),
+            "__dfd_pos": F.col("_metadata.row_index"),
+        }
+    )
+    if part_cols:  # attach partition values so predicates can use them
+        rows = [
+            tuple(
+                [os.path.abspath(_abs(f["path"]))]
+                + [
+                    (f.get("partition_values") or {}).get(c)
+                    for c in part_cols
+                ]
+            )
+            for f in snap.files
+        ]
+        pmap = spark.createDataFrame(
+            rows, ["__dfd_path"] + [f"__pv_{c}" for c in part_cols]
+        )
+        df = df.join(F.broadcast(pmap), "__dfd_path", "left")
+        for c in part_cols:
+            df = df.withColumn(
+                c, F.col(f"__pv_{c}").cast(schema[c].dataType)
+            ).drop(f"__pv_{c}")
+    matched = (
+        df.where(F.expr(predicate))
+        .groupBy("__dfd_path")
+        .agg(F.sort_array(F.collect_list("__dfd_pos")).alias("__pos"))
+        .collect()
+    )
+    by_path = {r["__dfd_path"]: list(r["__pos"]) for r in matched}
+    if not by_path:
+        return {"version": snap.version, "files_updated": 0,
+                "rows_deleted": 0}
+
+    adds_by_abs = {
+        os.path.abspath(_abs(f["path"])): f for f in snap.files
+    }
+    ts = int(time.time() * 1000)
+    touched: list[tuple[dict, list[int], list[int]]] = []
+    rows_deleted = 0
+    for ap, new_pos in sorted(by_path.items()):
+        f = adds_by_abs.get(ap)
+        if f is None:
+            raise UnsupportedDeltaFeature(
+                f"matched rows in unknown file {ap}"
+            )
+        old_pos: list[int] = []
+        if f.get("foreign_dv"):
+            old_pos = resolve_dv_positions(
+                f["foreign_dv"], table_path
+            )
+        # reader semantics already exclude old positions, but guard:
+        # a row index can never be deleted twice
+        merged = sorted(set(old_pos) | set(new_pos))
+        rows_deleted += len(merged) - len(old_pos)
+        touched.append((f, merged, old_pos))
+
+    u = _uuid.uuid4()
+    frags = write_dv_file(
+        os.path.join(table_path, f"deletion_vector_{u}.bin"),
+        [m for _, m, _ in touched],
+    )
+    enc = z85_encode(u.bytes)
+
+    version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo":
+                    "data_lakehouse_project_spark delta writer",
+            }
+        }
+    ]
+    if not has_dv_feature:
+        reader_feats = sorted(
+            set(snap.protocol.get("readerFeatures") or [])
+            | {"deletionVectors"}
+        )
+        writer_feats = sorted(
+            set(snap.protocol.get("writerFeatures") or [])
+            | {"deletionVectors"}
+        )
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": reader_feats,
+                    "writerFeatures": writer_feats,
+                }
+            }
+        )
+    for (f, merged, _old), frag in zip(touched, frags):
+        raw = _serialize_add(
+            {
+                "path": f["path"],
+                "partition_values": f.get("partition_values") or {},
+                "size_bytes": f.get("size_bytes", 0),
+                "stats": f.get("stats"),
+                "data_change": True,
+            },
+            ts,
+        )
+        old_desc = f.get("foreign_dv")
+        rm = {
+            "path": raw["path"],
+            "deletionTimestamp": ts,
+            "dataChange": True,
+        }
+        if old_desc:
+            rm["deletionVector"] = old_desc
+        actions.append({"remove": rm})
+        raw["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": enc,
+            "offset": frag["offset"],
+            "sizeInBytes": frag["sizeInBytes"],
+            "cardinality": frag["cardinality"],
+        }
+        actions.append({"add": raw})
+    commit = os.path.join(
+        table_path, LOG_DIR, f"{version:0{_VERSION_DIGITS}d}.json"
+    )
+    try:
+        with open(commit, "x") as fh:
+            for act in actions:
+                fh.write(json.dumps(act) + "\n")
+    except FileExistsError:
+        try:
+            os.remove(
+                os.path.join(table_path, f"deletion_vector_{u}.bin")
+            )
+        except OSError:
+            pass
+        raise ValueError(
+            f"concurrent write detected at version {version}; retry "
+            "the delete against the new snapshot"
+        ) from None
+    return {
+        "version": version,
+        "files_updated": len(touched),
+        "rows_deleted": rows_deleted,
+    }

@@ -235,3 +235,120 @@ def test_own_export_then_foreign_append_then_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------- DV
+# deletes: delete_from_delta is the merge-on-read path modern
+# delta-spark defaults to — remove(path, oldDV) + add(path, newDV),
+# no data rewritten.
+
+
+def test_delete_from_delta_dv_and_cdf_crosscheck(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+    )
+
+    t = TxnTable(str(tmp_path / "src"))
+    t.write(_batch(spark, 0, 8), mode="overwrite")
+    t.delete_where(spark, "id = 1", dv=True)  # table already has DVs
+    table = str(tmp_path / "ext")
+    export_delta_snapshot(spark, t.path, table, dv_mode="spec")
+
+    info = delete_from_delta(spark, table, "id IN (3, 6)")
+    assert info["rows_deleted"] == 2 and info["files_updated"] >= 1
+    got = read_delta_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == [0, 2, 4, 5, 7]
+
+    # our own DV-diff CDF reconstructs exactly the deleted rows
+    cdf = read_delta_changes(
+        spark, table, starting_version=info["version"]
+    )
+    assert sorted(
+        (r._change_type, r.id) for r in cdf.collect()
+    ) == [("delete", 3), ("delete", 6)]
+
+    # a second delete MERGES into the existing per-file DVs
+    info2 = delete_from_delta(spark, table, "id = 0")
+    assert info2["rows_deleted"] == 1
+    got = read_delta_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == [2, 4, 5, 7]
+
+    # deleting already-deleted rows is a no-op commit-wise
+    info3 = delete_from_delta(spark, table, "id = 999")
+    assert info3["rows_deleted"] == 0
+    assert info3["version"] == info2["version"]  # nothing committed
+
+
+def test_delete_from_delta_protocol_upgrade_gate(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+    )
+
+    table = _foreign(spark, tmp_path, "up", lo=0, hi=6)  # reader v1
+    with pytest.raises(UnsupportedDeltaFeature, match="deletionVectors"):
+        delete_from_delta(spark, table, "id = 2")
+    info = delete_from_delta(
+        spark, table, "id = 2", allow_protocol_upgrade=True
+    )
+    assert info["rows_deleted"] == 1
+    snap = read_delta_snapshot(table)
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    assert sorted(
+        r.id for r in read_delta_table(spark, table).collect()
+    ) == [0, 1, 3, 4, 5]
+    # the DV'd table still appends fine afterwards
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        append_to_delta,
+    )
+
+    append_to_delta(spark, _batch(spark, 6, 7), table)
+    assert sorted(
+        r.id for r in read_delta_table(spark, table).collect()
+    ) == [0, 1, 3, 4, 5, 6]
+
+
+def test_delete_from_delta_partition_predicate(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+    )
+
+    t = TxnTable(str(tmp_path / "srcp"))
+    t.write(
+        _batch(spark, 0, 3, "a").union(_batch(spark, 3, 5, "b")),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    table = str(tmp_path / "extp")
+    export_delta_snapshot(spark, t.path, table)
+    info = delete_from_delta(
+        spark, table, "part = 'b' AND id >= 4",
+        allow_protocol_upgrade=True,
+    )
+    assert info["rows_deleted"] == 1
+    got = read_delta_table(spark, table)
+    assert sorted((r.id, r.part) for r in got.collect()) == [
+        (0, "a"), (1, "a"), (2, "a"), (3, "b"),
+    ]
+
+
+def test_delete_from_delta_append_only_refused(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+    )
+
+    table = _foreign(spark, tmp_path, "ao")
+    log = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(log)]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {"delta.appendOnly": "true"}
+    with open(log, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(UnsupportedDeltaFeature, match="appendOnly"):
+        delete_from_delta(
+            spark, table, "id = 1", allow_protocol_upgrade=True
+        )
