@@ -338,7 +338,62 @@ def append_to_iceberg(
         )
     wm.close()
 
-    # ---- new manifest list: prior manifests verbatim + the new one
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row={
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": md.get("default-spec-id", 0),
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(files),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        },
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation="append",
+        summary_extra={
+            "added-data-files": str(len(files)),
+            "added-records": str(n_rows),
+        },
+        rollback_paths=[dst for dst, _, _ in files] + [manifest_path],
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "files": len(files),
+        "rows": n_rows,
+        "metadata": new_path,
+    }
+
+
+def _commit_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    md: dict,
+    md_file: str,
+    manifest_row: dict,
+    snapshot_id: int,
+    seq: int,
+    ts: int,
+    operation: str,
+    summary_extra: dict,
+    rollback_paths: list[str],
+) -> str:
+    """Shared commit tail: new manifest list (prior manifests re-listed
+    verbatim — original snapshot/sequence attribution — plus one new
+    manifest), new metadata version with a synthesized-complete
+    snapshot-log, exclusive-create commit with rollback."""
+    meta_dir = os.path.join(table_path, "metadata")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     parent = md.get("current-snapshot-id")
     prior: list[dict] = []
@@ -353,42 +408,27 @@ def append_to_iceberg(
     wl = _AvroWriter(
         spark, _MANIFEST_FILE_AVRO, list_path, {"format-version": "2"}
     )
-    min_seq = seq
     for m in prior:
-        row = {
-            "manifest_path": m["manifest_path"],
-            "manifest_length": m.get("manifest_length", 0),
-            "partition_spec_id": m.get("partition_spec_id", 0),
-            "content": m.get("content", 0),
-            "sequence_number": m.get("sequence_number", 0),
-            "min_sequence_number": m.get("min_sequence_number", 0),
-            "added_snapshot_id": m.get("added_snapshot_id", 0),
-            "added_files_count": m.get("added_files_count", 0),
-            "existing_files_count": m.get("existing_files_count", 0),
-            "deleted_files_count": m.get("deleted_files_count", 0),
-            "added_rows_count": m.get("added_rows_count", 0),
-            "existing_rows_count": m.get("existing_rows_count", 0),
-            "deleted_rows_count": m.get("deleted_rows_count", 0),
-        }
-        min_seq = min(min_seq, row["min_sequence_number"] or seq)
-        wl.append_dict(row)
-    wl.append_dict(
-        {
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": md.get("default-spec-id", 0),
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(files),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_rows,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
-    )
+        wl.append_dict(
+            {
+                "manifest_path": m["manifest_path"],
+                "manifest_length": m.get("manifest_length", 0),
+                "partition_spec_id": m.get("partition_spec_id", 0),
+                "content": m.get("content", 0),
+                "sequence_number": m.get("sequence_number", 0),
+                "min_sequence_number": m.get("min_sequence_number", 0),
+                "added_snapshot_id": m.get("added_snapshot_id", 0),
+                "added_files_count": m.get("added_files_count", 0),
+                "existing_files_count": m.get(
+                    "existing_files_count", 0
+                ),
+                "deleted_files_count": m.get("deleted_files_count", 0),
+                "added_rows_count": m.get("added_rows_count", 0),
+                "existing_rows_count": m.get("existing_rows_count", 0),
+                "deleted_rows_count": m.get("deleted_rows_count", 0),
+            }
+        )
+    wl.append_dict(manifest_row)
     wl.close()
 
     # ---- new metadata version (exclusive create = commit point) ----
@@ -398,11 +438,7 @@ def append_to_iceberg(
         "timestamp-ms": ts,
         "sequence-number": seq,
         "manifest-list": list_path,
-        "summary": {
-            "operation": "append",
-            "added-data-files": str(len(files)),
-            "added-records": str(n_rows),
-        },
+        "summary": {"operation": operation, **summary_extra},
         "schema-id": md.get("current-schema-id", 0),
     }
     if parent is not None and parent in snaps:
@@ -437,25 +473,313 @@ def append_to_iceberg(
         with open(new_path, "x") as fh:
             json.dump(new_md, fh)
     except FileExistsError:
-        for dst, _, _ in files:  # roll staged data + metadata back
-            try:
-                os.remove(dst)
-            except OSError:
-                pass
-        for p in (manifest_path, list_path):
+        for p in [*rollback_paths, list_path]:
             try:
                 os.remove(p)
             except OSError:
                 pass
         raise ValueError(
             f"concurrent commit detected at metadata v{cur_v + 1}; "
-            "retry the append against the new snapshot"
+            "retry against the new snapshot"
         ) from None
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(cur_v + 1))
+    return new_path
+
+
+def delete_from_iceberg(
+    spark: SparkSession, table_path: str, predicate: str
+) -> dict:
+    """Row-level DELETE from a foreign Iceberg v2 table via POSITION
+    DELETE files (the spec's merge-on-read route): no data file is
+    rewritten — one new ``delete`` snapshot adds a delete manifest
+    whose position-delete parquet lists the matched ``(file_path,
+    pos)`` pairs sorted as the spec requires.  Prior delete files stay
+    active (overlapping deletes are spec-legal; readers union them),
+    so nothing is merged or rewritten.
+
+    The matched set comes from a ``_metadata.row_index`` scan of the
+    LIVE data files with identity-partition constants attached (so
+    partition-column predicates work) and EXISTING deletes applied
+    (already-deleted rows never re-match).  Returns
+    ``{"snapshot_id", "rows_deleted", "metadata"}``."""
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} row-level "
+            "deletes are not supported (v2 only)"
+        )
+    from .iceberg_reader import read_iceberg_table
+
+    # read through the FULL reader semantics (existing pos/eq deletes
+    # applied, identity partitions attached) with the raw-scan keys
+    # materialized: reuse read_iceberg_table by asking it for the
+    # metadata columns via a thin re-scan — simplest correct route is
+    # a second scan keyed identically, so do the match inline here.
+    from .delta_reader import _spark_path_key
+    from .iceberg_reader import (
+        _file_has_field_ids,
+        _spark_schema,
+        iceberg_live_files,
+    )
+
+    _, live, pos_deletes, eq_deletes = iceberg_live_files(
+        spark, table_path
+    )
+    if eq_deletes:
+        raise UnsupportedIcebergFeature(
+            "table carries equality deletes; mixing writer-side "
+            "position deletes with live equality deletes needs "
+            "sequence bookkeeping this writer does not do"
+        )
+    if not live:
+        return {"snapshot_id": None, "rows_deleted": 0,
+                "metadata": md_file}
+
+    def _abs(p: str) -> str:
+        for pref in ("file://", "file:"):
+            if p.startswith(pref):
+                p = p[len(pref):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    paths = [_abs(f["file_path"]) for f in live]
+    scan_schema = _spark_schema(spark, md)
+    if _file_has_field_ids(paths[0]):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_schema = _spark_schema(spark, md, field_ids=True)
+    df = spark.read.schema(scan_schema).parquet(*paths)
+    df = df.withColumns(
+        {
+            "__dfi_path": _spark_path_key(),
+            "__dfi_pos": F.col("_metadata.row_index"),
+        }
+    )
+    # identity partition constants (absent source columns)
+    from .iceberg_reader import (
+        _coerce_partition_value,
+        _field_names_by_id,
+        _identity_partition_sources,
+        _identity_sources_by_spec,
+    )
+
+    name_of = _field_names_by_id(md)
+    by_spec = _identity_sources_by_spec(md)
+    default_ident = _identity_partition_sources(md)
+    ident_cols = sorted(
+        {
+            name_of.get(fid)
+            for m_ in by_spec.values()
+            for fid in m_
+        }
+        - {None}
+    )
+    ident_cols = [c for c in ident_cols if c in scan_schema.names]
+    if ident_cols:
+        from pyspark.sql.types import StringType as _Str
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _STy
+
+        name2id = {v: k for k, v in name_of.items()}
+        rows = []
+        for f in live:
+            ident = by_spec.get(f.get("__spec_id"), default_ident)
+            part = f.get("partition") or {}
+            vals = [
+                _coerce_partition_value(
+                    part.get(ident.get(name2id[c])),
+                    scan_schema[c].dataType,
+                )
+                for c in ident_cols
+            ]
+            rows.append(
+                [os.path.abspath(_abs(f["file_path"]))] + vals
+            )
+        pmap = spark.createDataFrame(
+            rows,
+            _STy(
+                [_SF("__dfi_path", _Str())]
+                + [
+                    _SF(f"__ipv_{c}", scan_schema[c].dataType)
+                    for c in ident_cols
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(pmap), "__dfi_path", "left")
+        for c in ident_cols:
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
+            )
+    # existing position deletes: already-deleted rows never re-match
+    if pos_deletes:
+        from pyspark.sql.types import LongType, StringType
+        from pyspark.sql.types import StructField, StructType
+
+        del_schema = StructType(
+            [
+                StructField("file_path", StringType()),
+                StructField("pos", LongType()),
+            ]
+        )
+        raw = F.regexp_replace(
+            F.col("file_path"), "^file:(//)?", ""
+        )
+        dels = (
+            spark.read.schema(del_schema)
+            .parquet(*[_abs(f["file_path"]) for f in pos_deletes])
+            .select(
+                F.when(raw.startswith("/"), raw)
+                .otherwise(F.concat(F.lit(table_path + "/"), raw))
+                .alias("__dfi_path"),
+                F.col("pos").alias("__dfi_pos"),
+            )
+        )
+        df = df.join(dels, ["__dfi_path", "__dfi_pos"], "left_anti")
+
+    # manifests spell each path their own way — map the decoded scan
+    # key back to the manifest string so the delete file matches
+    abs2manifest = {
+        os.path.abspath(_abs(f["file_path"])): f["file_path"]
+        for f in live
+    }
+    matched = (
+        df.where(F.expr(predicate))
+        .select("__dfi_path", "__dfi_pos")
+        .collect()
+    )
+    if not matched:
+        return {"snapshot_id": None, "rows_deleted": 0,
+                "metadata": md_file}
+    pairs = sorted(
+        (abs2manifest[r["__dfi_path"]], int(r["__dfi_pos"]))
+        for r in matched
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    del_path = os.path.join(
+        data_dir, f"pos-deletes-{snapshot_id}.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(
+                    [p for p, _ in pairs], pa.string()
+                ),
+                "pos": pa.array([p for _, p in pairs], pa.int64()),
+            }
+        ),
+        del_path,
+    )
+    meta_dir = os.path.join(table_path, "metadata")
+    entry_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {"name": "snapshot_id", "type": ["null", "long"],
+                 "default": None, "field-id": 1},
+                {"name": "sequence_number", "type": ["null", "long"],
+                 "default": None, "field-id": 3},
+                {"name": "file_sequence_number",
+                 "type": ["null", "long"], "default": None,
+                 "field-id": 4},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": [
+                            {"name": "content", "type": "int",
+                             "field-id": 134},
+                            {"name": "file_path", "type": "string",
+                             "field-id": 100},
+                            {"name": "file_format", "type": "string",
+                             "field-id": 101},
+                            {"name": "partition", "type": {
+                                "type": "record", "name": "r102",
+                                "fields": []}, "field-id": 102},
+                            {"name": "record_count", "type": "long",
+                             "field-id": 103},
+                            {"name": "file_size_in_bytes",
+                             "type": "long", "field-id": 104},
+                        ],
+                    },
+                    "field-id": 2,
+                },
+            ],
+        }
+    )
+    delete_manifest = os.path.join(
+        meta_dir, f"{_uuid.uuid4().hex}-d0.avro"
+    )
+    wd = _AvroWriter(
+        spark,
+        entry_schema,
+        delete_manifest,
+        {
+            "schema": json.dumps(_current_schema(md)),
+            "partition-spec": "[]",
+            "partition-spec-id": str(md.get("default-spec-id", 0)),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    wd.append_dict(
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,  # position deletes
+                "file_path": del_path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(pairs),
+                "file_size_in_bytes": os.path.getsize(del_path),
+            },
+        }
+    )
+    wd.close()
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row={
+            "manifest_path": delete_manifest,
+            "manifest_length": os.path.getsize(delete_manifest),
+            "partition_spec_id": md.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(pairs),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        },
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation="delete",
+        summary_extra={"deleted-records": str(len(pairs))},
+        rollback_paths=[del_path, delete_manifest],
+    )
     return {
         "snapshot_id": snapshot_id,
-        "files": len(files),
-        "rows": n_rows,
+        "rows_deleted": len(pairs),
         "metadata": new_path,
     }

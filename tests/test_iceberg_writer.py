@@ -190,3 +190,66 @@ def test_gates_and_collision(spark, tmp_path):
         append_to_iceberg(spark, _df(spark, 4, 5), path)
     # staged data rolled back
     assert _appended_files() == before
+
+
+def test_delete_from_iceberg_position_deletes(spark, tmp_path):
+    """delete_from_iceberg: one 'delete' snapshot adds a position-
+    delete file; no data rewritten; already-deleted rows never
+    re-match; partition-column predicates work; time travel sees the
+    pre-delete rows."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+    )
+
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        _df(spark, 0, 4, "a").union(_df(spark, 4, 6, "b")),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    sid0 = [s for s, _ in iceberg_snapshot_ids(path)][-1]
+
+    info = delete_from_iceberg(
+        spark, path, "part = 'a' AND id IN (1, 3)"
+    )
+    assert info["rows_deleted"] == 2
+    got = read_iceberg_table(spark, path)
+    assert sorted((r.id, r.part) for r in got.collect()) == [
+        (0, "a"), (2, "a"), (4, "b"), (5, "b"),
+    ]
+    # the deleting snapshot is labeled truthfully
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_metadata_df,
+    )
+
+    ops = {
+        r.snapshot_id: r.operation
+        for r in iceberg_metadata_df(spark, path, "snapshots").collect()
+    }
+    assert ops[info["snapshot_id"]] == "delete"
+    # time travel: the pre-delete snapshot is intact
+    old = read_iceberg_table(spark, path, snapshot_id=sid0)
+    assert sorted(r.id for r in old.collect()) == [0, 1, 2, 3, 4, 5]
+
+    # second delete: already-deleted rows never re-match; overlapping
+    # delete files coexist (readers union them)
+    info2 = delete_from_iceberg(spark, path, "id <= 2")
+    assert info2["rows_deleted"] == 2  # ids 0, 2 (1 already gone)
+    got = read_iceberg_table(spark, path)
+    assert sorted(r.id for r in got.collect()) == [4, 5]
+
+    # a predicate matching nothing commits nothing
+    info3 = delete_from_iceberg(spark, path, "id = 999")
+    assert info3["rows_deleted"] == 0 and info3["snapshot_id"] is None
+
+    # append after delete still streams (carried delete manifest is
+    # not an ADDED one) and reads
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+    )
+
+    append_to_iceberg(spark, _df(spark, 10, 12, "c"), path)
+    got = read_iceberg_table(spark, path)
+    assert sorted(r.id for r in got.collect()) == [4, 5, 10, 11]
