@@ -36,6 +36,7 @@ import os
 import shutil
 import time
 import uuid as _uuid
+from urllib.parse import unquote as _unq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -115,6 +116,77 @@ def _gate_writer(protocol: dict, schema_json: str) -> None:
             )
 
 
+def _stage_parquet_adds(
+    spark: SparkSession,
+    staged: DataFrame,
+    table_path: str,
+    phys_parts: list[str],
+    ts: int,
+    field_ids: bool = False,
+) -> tuple[list[dict], int]:
+    """Write ``staged`` into the table via a hidden temp dir (spec:
+    data files exclude partition columns — ``partitionBy`` handles
+    that), move each part file to a uuid name at the table root, and
+    return (raw spec add actions with footer stats, row count)."""
+    tmp = os.path.join(table_path, f".tmp-append-{_uuid.uuid4()}")
+    try:
+        if field_ids:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        w = staged.write.mode("overwrite")
+        if phys_parts:
+            w = w.partitionBy(*phys_parts)
+        w.parquet(tmp)
+
+        adds: list[dict] = []
+        n_rows = 0
+        for dirpath, dirnames, filenames in os.walk(tmp):
+            # keep hive k=v partition dirs even when a physical column
+            # name starts with an underscore; drop true hidden dirs
+            dirnames[:] = [
+                d
+                for d in dirnames
+                if "=" in d or not d.startswith(("_", "."))
+            ]
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet") or fn.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                src = os.path.join(dirpath, fn)
+                pv: dict[str, str | None] = {}
+                for seg in os.path.relpath(src, tmp).split(os.sep)[:-1]:
+                    k, _, v = seg.partition("=")
+                    pv[_unq(k)] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else _unq(v)
+                    )
+                rel = f"part-{_uuid.uuid4()}.parquet"
+                os.replace(src, os.path.join(table_path, rel))
+                stats = _file_stats(os.path.join(table_path, rel))
+                n_rows += stats.get("num_rows", 0)
+                adds.append(
+                    _serialize_add(
+                        {
+                            "path": rel,
+                            "partition_values": {
+                                p: pv.get(p) for p in phys_parts
+                            },
+                            "size_bytes": os.path.getsize(
+                                os.path.join(table_path, rel)
+                            ),
+                            "stats": stats,
+                        },
+                        ts,
+                    )
+                )
+        return adds, n_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def append_to_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -174,67 +246,15 @@ def append_to_delta(
             F.col(f.name).alias(phys_of[f.name], metadata=md or {})
         )
     staged = df.select(*out_cols)
-
-    tmp = os.path.join(table_path, f".tmp-append-{_uuid.uuid4()}")
-    phys_parts = [phys_of[c] for c in part_cols]
-    try:
-        if ids_of:
-            spark.conf.set(
-                "spark.sql.parquet.fieldId.write.enabled", "true"
-            )
-        w = staged.write.mode("overwrite")
-        if phys_parts:
-            w = w.partitionBy(*phys_parts)
-        w.parquet(tmp)
-
-        from urllib.parse import unquote as _unq
-
-        ts = int(time.time() * 1000)
-        adds = []
-        n_rows = 0
-        for dirpath, dirnames, filenames in os.walk(tmp):
-            # keep hive k=v partition dirs even when a physical column
-            # name starts with an underscore; drop true hidden dirs
-            dirnames[:] = [
-                d
-                for d in dirnames
-                if "=" in d or not d.startswith(("_", "."))
-            ]
-            for fn in sorted(filenames):
-                if not fn.endswith(".parquet") or fn.startswith(
-                    ("_", ".")
-                ):
-                    continue
-                src = os.path.join(dirpath, fn)
-                pv: dict[str, str | None] = {}
-                for seg in os.path.relpath(src, tmp).split(os.sep)[:-1]:
-                    k, _, v = seg.partition("=")
-                    pv[_unq(k)] = (
-                        None
-                        if v == "__HIVE_DEFAULT_PARTITION__"
-                        else _unq(v)
-                    )
-                rel = f"part-{_uuid.uuid4()}.parquet"
-                os.replace(src, os.path.join(table_path, rel))
-                stats = _file_stats(os.path.join(table_path, rel))
-                n_rows += stats.get("num_rows", 0)
-                adds.append(
-                    _serialize_add(
-                        {
-                            "path": rel,
-                            "partition_values": {
-                                p: pv.get(p) for p in phys_parts
-                            },
-                            "size_bytes": os.path.getsize(
-                                os.path.join(table_path, rel)
-                            ),
-                            "stats": stats,
-                        },
-                        ts,
-                    )
-                )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    ts = int(time.time() * 1000)
+    adds, n_rows = _stage_parquet_adds(
+        spark,
+        staged,
+        table_path,
+        [phys_of[c] for c in part_cols],
+        ts,
+        field_ids=bool(ids_of),
+    )
 
     version = snap.version + 1
     commit_info = {
@@ -296,6 +316,59 @@ def delete_from_delta(
 
     Returns ``{"version", "files_updated", "rows_deleted"}``.
     """
+    ctx = _dml_prepare(
+        spark, table_path, "delete", allow_protocol_upgrade
+    )
+    snap, schema, part_cols, _abs = ctx[:4]
+    table_path = os.path.abspath(table_path)
+    df = _keyed_scan(spark, snap, schema, part_cols, _abs)
+    matched = (
+        df.where(F.expr(predicate))
+        .groupBy("__dfd_path")
+        .agg(F.sort_array(F.collect_list("__dfd_pos")).alias("__pos"))
+        .collect()
+    )
+    by_path = {r["__dfd_path"]: list(r["__pos"]) for r in matched}
+    if not by_path:
+        return {"version": snap.version, "files_updated": 0,
+                "rows_deleted": 0}
+    ts = int(time.time() * 1000)
+    dv_actions, dv_path, rows_deleted = _dv_pair_actions(
+        table_path, snap, by_path, _abs, ts
+    )
+    version = snap.version + 1
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo":
+                    "data_lakehouse_project_spark delta writer",
+            }
+        },
+        *_protocol_upgrade_actions(snap, ctx[4]),
+        *dv_actions,
+    ]
+    _exclusive_commit(table_path, version, actions, [dv_path], "delete")
+    return {
+        "version": version,
+        "files_updated": len(by_path),
+        "rows_deleted": rows_deleted,
+    }
+
+
+def _dml_prepare(
+    spark: SparkSession,
+    table_path: str,
+    op: str,
+    allow_protocol_upgrade: bool,
+):
+    """Shared DML gating: snapshot + writer-feature gate, column-
+    mapping / appendOnly / CDF-config refusals, DV-feature check.
+    Returns (snap, schema, part_cols, _abs, has_dv_feature)."""
+    from .txnlog import _schema_from_json
+
     table_path = os.path.abspath(table_path)
     snap = read_delta_snapshot(table_path)
     if snap.schema_json is None:
@@ -304,12 +377,23 @@ def delete_from_delta(
     mapping = snap.configuration.get("delta.columnMapping.mode", "none")
     if mapping not in ("none", ""):
         raise UnsupportedDeltaFeature(
-            "delete_from_delta does not support column-mapped tables "
+            f"{op}_from_delta does not support column-mapped tables "
             "(the predicate would need physical-name translation)"
         )
     if snap.configuration.get("delta.appendOnly", "").lower() == "true":
         raise UnsupportedDeltaFeature(
-            "table is delta.appendOnly=true; deletes are forbidden"
+            f"table is delta.appendOnly=true; {op}s are forbidden"
+        )
+    if (
+        snap.configuration.get("delta.enableChangeDataFeed", "")
+        .lower()
+        == "true"
+    ):
+        raise UnsupportedDeltaFeature(
+            "table has delta.enableChangeDataFeed=true; this writer "
+            "does not emit the cdc files a spec CDF consumer would "
+            "need for row-level changes — refusing rather than "
+            "breaking the change feed"
         )
     has_dv_feature = int(
         snap.protocol.get("minReaderVersion", 1)
@@ -320,18 +404,9 @@ def delete_from_delta(
         raise UnsupportedDeltaFeature(
             "table protocol does not advertise deletionVectors; pass "
             "allow_protocol_upgrade=True to commit the reader-3/"
-            "writer-7 upgrade (it changes what other readers must "
+            "writer-7 upgrade (it changes what other readers need to "
             "support)"
         )
-
-    from .delta_reader import read_delta_table
-    from .dv import resolve_dv_positions, write_dv_file, z85_encode
-
-    # matched (file, position) pairs — read through the FULL foreign
-    # reader semantics (existing DVs already applied, partition values
-    # attached), with the raw-scan metadata keys materialized first
-    from .txnlog import _schema_from_json
-
     schema = _schema_from_json(spark, snap.schema_json)
     part_cols = [c for c in snap.partition_columns if c in schema.names]
 
@@ -341,9 +416,18 @@ def delete_from_delta(
                 p = p[len(pref):]
         return p if os.path.isabs(p) else os.path.join(table_path, p)
 
-    physical = [f for f in schema.fields if f.name not in part_cols]
+    return snap, schema, part_cols, _abs, has_dv_feature
+
+
+def _keyed_scan(spark, snap, schema, part_cols, _abs) -> DataFrame:
+    """Raw scan of the snapshot's files with ``__dfd_path`` /
+    ``__dfd_pos`` materialized and partition values attached, so DML
+    predicates can reference every table column.  Existing DV
+    positions are NOT excluded here — the DV merge unions them, so a
+    re-matched deleted row is idempotent."""
     from pyspark.sql.types import StructType
 
+    physical = [f for f in schema.fields if f.name not in part_cols]
     df = spark.read.schema(StructType(physical)).parquet(
         *[_abs(f["path"]) for f in snap.files]
     )
@@ -353,7 +437,7 @@ def delete_from_delta(
             "__dfd_pos": F.col("_metadata.row_index"),
         }
     )
-    if part_cols:  # attach partition values so predicates can use them
+    if part_cols:
         rows = [
             tuple(
                 [os.path.abspath(_abs(f["path"]))]
@@ -372,22 +456,25 @@ def delete_from_delta(
             df = df.withColumn(
                 c, F.col(f"__pv_{c}").cast(schema[c].dataType)
             ).drop(f"__pv_{c}")
-    matched = (
-        df.where(F.expr(predicate))
-        .groupBy("__dfd_path")
-        .agg(F.sort_array(F.collect_list("__dfd_pos")).alias("__pos"))
-        .collect()
-    )
-    by_path = {r["__dfd_path"]: list(r["__pos"]) for r in matched}
-    if not by_path:
-        return {"version": snap.version, "files_updated": 0,
-                "rows_deleted": 0}
+    return df
+
+
+def _dv_pair_actions(
+    table_path: str,
+    snap,
+    by_path: dict[str, list[int]],
+    _abs,
+    ts: int,
+) -> tuple[list[dict], str, int]:
+    """remove(path, oldDV) + add(path, newDV) action pairs for the
+    matched (file -> positions) map; one shared DV file per commit.
+    Returns (actions, dv file path, newly-deleted row count)."""
+    from .dv import resolve_dv_positions, write_dv_file, z85_encode
 
     adds_by_abs = {
         os.path.abspath(_abs(f["path"])): f for f in snap.files
     }
-    ts = int(time.time() * 1000)
-    touched: list[tuple[dict, list[int], list[int]]] = []
+    touched: list[tuple[dict, list[int]]] = []
     rows_deleted = 0
     for ap, new_pos in sorted(by_path.items()):
         f = adds_by_abs.get(ap)
@@ -397,54 +484,18 @@ def delete_from_delta(
             )
         old_pos: list[int] = []
         if f.get("foreign_dv"):
-            old_pos = resolve_dv_positions(
-                f["foreign_dv"], table_path
-            )
-        # reader semantics already exclude old positions, but guard:
+            old_pos = resolve_dv_positions(f["foreign_dv"], table_path)
         # a row index can never be deleted twice
         merged = sorted(set(old_pos) | set(new_pos))
         rows_deleted += len(merged) - len(old_pos)
-        touched.append((f, merged, old_pos))
+        touched.append((f, merged))
 
     u = _uuid.uuid4()
-    frags = write_dv_file(
-        os.path.join(table_path, f"deletion_vector_{u}.bin"),
-        [m for _, m, _ in touched],
-    )
+    dv_path = os.path.join(table_path, f"deletion_vector_{u}.bin")
+    frags = write_dv_file(dv_path, [m for _, m in touched])
     enc = z85_encode(u.bytes)
-
-    version = snap.version + 1
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": ts,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": predicate},
-                "engineInfo":
-                    "data_lakehouse_project_spark delta writer",
-            }
-        }
-    ]
-    if not has_dv_feature:
-        reader_feats = sorted(
-            set(snap.protocol.get("readerFeatures") or [])
-            | {"deletionVectors"}
-        )
-        writer_feats = sorted(
-            set(snap.protocol.get("writerFeatures") or [])
-            | {"deletionVectors"}
-        )
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": reader_feats,
-                    "writerFeatures": writer_feats,
-                }
-            }
-        )
-    for (f, merged, _old), frag in zip(touched, frags):
+    actions: list[dict] = []
+    for (f, _merged), frag in zip(touched, frags):
         raw = _serialize_add(
             {
                 "path": f["path"],
@@ -455,14 +506,13 @@ def delete_from_delta(
             },
             ts,
         )
-        old_desc = f.get("foreign_dv")
         rm = {
             "path": raw["path"],
             "deletionTimestamp": ts,
             "dataChange": True,
         }
-        if old_desc:
-            rm["deletionVector"] = old_desc
+        if f.get("foreign_dv"):
+            rm["deletionVector"] = f["foreign_dv"]
         actions.append({"remove": rm})
         raw["deletionVector"] = {
             "storageType": "u",
@@ -472,6 +522,37 @@ def delete_from_delta(
             "cardinality": frag["cardinality"],
         }
         actions.append({"add": raw})
+    return actions, dv_path, rows_deleted
+
+
+def _protocol_upgrade_actions(snap, has_dv_feature: bool) -> list[dict]:
+    if has_dv_feature:
+        return []
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(
+                    set(snap.protocol.get("readerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+                "writerFeatures": sorted(
+                    set(snap.protocol.get("writerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+            }
+        }
+    ]
+
+
+def _exclusive_commit(
+    table_path: str,
+    version: int,
+    actions: list[dict],
+    rollback_paths: list[str],
+    op: str,
+) -> None:
     commit = os.path.join(
         table_path, LOG_DIR, f"{version:0{_VERSION_DIGITS}d}.json"
     )
@@ -480,18 +561,114 @@ def delete_from_delta(
             for act in actions:
                 fh.write(json.dumps(act) + "\n")
     except FileExistsError:
-        try:
-            os.remove(
-                os.path.join(table_path, f"deletion_vector_{u}.bin")
-            )
-        except OSError:
-            pass
+        for p in rollback_paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         raise ValueError(
             f"concurrent write detected at version {version}; retry "
-            "the delete against the new snapshot"
+            f"the {op} against the new snapshot"
         ) from None
+
+
+def update_from_delta(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    set_map: dict[str, str],
+    allow_protocol_upgrade: bool = False,
+) -> dict:
+    """Row-level UPDATE of a foreign Delta table in ONE commit:
+    matched rows are DV-deleted from their files (remove(path, oldDV)
+    + add(path, newDV), the merge-on-read shape) and their rewritten
+    versions appended as new data files — exactly delta-spark's
+    DV-enabled UPDATE.  ``set_map`` maps column name -> SQL expression
+    (evaluated over the matched rows; other columns carry through).
+
+    Gating as ``delete_from_delta`` (DV feature / upgrade opt-in,
+    column mapping and appendOnly and CDF-config refusals) plus CHECK
+    constraints evaluated over the REWRITTEN rows before anything
+    commits.  Returns ``{"version", "rows_updated", "files"}``."""
+    ctx = _dml_prepare(
+        spark, table_path, "update", allow_protocol_upgrade
+    )
+    snap, schema, part_cols, _abs = ctx[:4]
+    table_path = os.path.abspath(table_path)
+    unknown = [c for c in set_map if c not in schema.names]
+    if unknown:
+        raise ValueError(f"SET references unknown columns {unknown}")
+    df = _keyed_scan(spark, snap, schema, part_cols, _abs)
+    matched = df.where(F.expr(predicate))
+    new_rows = matched.select(
+        *[
+            (
+                F.expr(set_map[f.name]).cast(f.dataType)
+                if f.name in set_map
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    # CHECK constraints over the rewritten rows (SQL semantics)
+    for key, sql in sorted(snap.configuration.items()):
+        if not key.startswith("delta.constraints."):
+            continue
+        if new_rows.where(F.expr(sql) == F.lit(False)).limit(1).count():
+            raise ValueError(
+                f"CHECK constraint {key[len('delta.constraints.'):]} "
+                f"({sql}) violated by the updated rows"
+            )
+    hit = (
+        matched.groupBy("__dfd_path")
+        .agg(F.sort_array(F.collect_list("__dfd_pos")).alias("__pos"))
+        .collect()
+    )
+    by_path = {r["__dfd_path"]: list(r["__pos"]) for r in hit}
+    if not by_path:
+        return {"version": snap.version, "rows_updated": 0, "files": 0}
+
+    ts = int(time.time() * 1000)
+    # rewritten rows FIRST (a failed stage leaves only a temp dir);
+    # DV positions exclude them from their old files in the same commit
+    adds, n_rows = _stage_parquet_adds(
+        spark,
+        new_rows.select(*schema.names),
+        table_path,
+        part_cols,
+        ts,
+    )
+    dv_actions, dv_path, _ = _dv_pair_actions(
+        table_path, snap, by_path, _abs, ts
+    )
+    version = snap.version + 1
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo":
+                    "data_lakehouse_project_spark delta writer",
+            }
+        },
+        *_protocol_upgrade_actions(snap, ctx[4]),
+        *dv_actions,
+        *({"add": a} for a in adds),
+    ]
+    try:
+        _exclusive_commit(
+            table_path, version, actions, [dv_path], "update"
+        )
+    except ValueError:
+        for a in adds:  # roll the staged rewritten files back too
+            try:
+                os.remove(os.path.join(table_path, _unq(a["path"])))
+            except OSError:
+                pass
+        raise
     return {
         "version": version,
-        "files_updated": len(touched),
-        "rows_deleted": rows_deleted,
+        "rows_updated": n_rows,
+        "files": len(adds),
     }

@@ -352,3 +352,48 @@ def test_delete_from_delta_append_only_refused(spark, tmp_path):
         delete_from_delta(
             spark, table, "id = 1", allow_protocol_upgrade=True
         )
+
+
+def test_update_from_delta_one_commit(spark, tmp_path):
+    """update_from_delta: matched rows DV-deleted from their files and
+    rewritten as new data files in ONE commit (delta-spark's
+    DV-enabled UPDATE); CHECK constraints guard the rewritten rows."""
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        update_from_delta,
+    )
+
+    t = TxnTable(str(tmp_path / "src"))
+    t.write(_batch(spark, 0, 6), mode="overwrite")
+    t.add_constraint(spark, "pos_v", "v >= 0")
+    table = str(tmp_path / "ext")
+    export_delta_snapshot(spark, t.path, table)
+
+    info = update_from_delta(
+        spark, table, "id >= 4", {"v": "v + 1000"},
+        allow_protocol_upgrade=True,
+    )
+    assert info["rows_updated"] == 2 and info["version"] == 1
+    got = {r.id: r.v for r in read_delta_table(spark, table).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0,
+                   4: 1008.0, 5: 1010.0}
+    # exactly-one-commit: time travel to v0 shows the originals
+    v0 = {r.id: r.v
+          for r in read_delta_table(spark, table, version=0).collect()}
+    assert v0[4] == 8.0 and v0[5] == 10.0
+
+    # a SET that violates the CHECK constraint refuses BEFORE commit
+    with pytest.raises(ValueError, match="pos_v"):
+        update_from_delta(
+            spark, table, "id = 0", {"v": "-1.0"},
+            allow_protocol_upgrade=True,
+        )
+    assert read_delta_snapshot(table).version == 1
+
+    # unknown SET column refuses; no-match is a no-op
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_from_delta(spark, table, "id = 0", {"zzz": "1"})
+    noop = update_from_delta(
+        spark, table, "id = 999", {"v": "0.0"},
+        allow_protocol_upgrade=True,
+    )
+    assert noop["rows_updated"] == 0 and noop["version"] == 1
