@@ -183,7 +183,53 @@ def main() -> None:
     print(
         "expire plan: drop snapshots", exp_plan["expired_snapshot_ids"]
     )
+
+    # ---- 9. DML against the foreign tables, then RESTORE -----------
+    from data_lakehouse_project_spark.operators.delta_export import (
+        restore_delta,
+    )
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+        update_from_delta,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+    )
+
+    v_before = read_delta_snapshot_version(exp)
+    update_from_delta(
+        spark, exp, "id = 0", {"amount": "amount + 0.5"},
+        allow_protocol_upgrade=True,
+    )
+    delete_from_delta(spark, exp, "id = 2")
+    rows = {r.id: r.amount
+            for r in read_delta_table(spark, exp).collect()}
+    assert 2 not in rows and rows[0] == 0.5
+    print("OK: foreign UPDATE (DV rewrite) + DELETE (DV merge-on-read)")
+    restore_delta(exp, v_before)
+    rows = {r.id: r.amount
+            for r in read_delta_table(spark, exp).collect()}
+    assert 2 in rows and rows[0] == 0.0
+    print("OK: RESTORE rewound both DMLs, history intact")
+
+    info = delete_from_iceberg(spark, path, "id = 100")
+    print(
+        f"iceberg position-delete snapshot {info['snapshot_id']}: "
+        f"{info['rows_deleted']} row(s)"
+    )
+    assert 100 not in {
+        r.id for r in read_iceberg(spark, path).collect()
+    }
+    print("OK: iceberg row-level delete via position-delete file")
     spark.stop()
+
+
+def read_delta_snapshot_version(path: str) -> int:
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_snapshot,
+    )
+
+    return read_delta_snapshot(path).version
 
 
 if __name__ == "__main__":
