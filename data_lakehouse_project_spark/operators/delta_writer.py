@@ -60,8 +60,11 @@ from .txnlog import LOG_DIR, _VERSION_DIGITS, _file_stats, _serialize_add
 #   beyond what the snapshot reader already validated.
 # changeDataFeed: inserts need no cdc files (readers synthesize
 #   insert rows from the adds) — spec-compliant as-is.
-# Everything else (rowTracking: fresh baseRowIds + the
-# rowIdHighWaterMark domain; generatedColumns; identityColumns;
+# rowTracking: IMPLEMENTED — appends assign fresh baseRowIds /
+#   defaultRowCommitVersions and advance the delta.rowTracking
+#   domain's rowIdHighWaterMark; DV re-adds preserve the file's
+#   original ids (row-id stability across merge-on-read deletes).
+# Everything else (generatedColumns; identityColumns;
 # icebergCompat*; clustering) must REFUSE, not silently skip.
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
@@ -77,7 +80,102 @@ SUPPORTED_WRITER_FEATURES = {
     "typeWidening-preview",
     "changeDataFeed",
     "domainMetadata",
+    "rowTracking",
 }
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def _row_tracking_state(table_path: str, snap) -> tuple[bool, int]:
+    """(row tracking active?, current rowIdHighWaterMark).
+
+    The watermark lives in the newest ``domainMetadata`` action with
+    domain ``delta.rowTracking`` (spec: Row Tracking); when no domain
+    action survives in the JSON log, fall back to the max assigned
+    row id derivable from the snapshot's adds, else -1."""
+    enabled = "rowTracking" in (
+        snap.protocol.get("writerFeatures") or []
+    ) or snap.configuration.get(
+        "delta.enableRowTracking", ""
+    ).lower() == "true"
+    if not enabled:
+        return False, -1
+    from .delta_reader import _commit_versions
+
+    for v in reversed(_commit_versions(table_path)):
+        fname = os.path.join(
+            table_path, LOG_DIR, f"{v:0{_VERSION_DIGITS}d}.json"
+        )
+        try:
+            with open(fname) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or '"domainMetadata"' not in line:
+                        continue
+                    act = json.loads(line).get("domainMetadata") or {}
+                    if (
+                        act.get("domain") == _ROW_TRACKING_DOMAIN
+                        and not act.get("removed")
+                    ):
+                        cfg = act.get("configuration") or "{}"
+                        if isinstance(cfg, str):
+                            cfg = json.loads(cfg)
+                        return True, int(
+                            cfg.get("rowIdHighWaterMark", -1)
+                        )
+        except OSError:
+            break  # log-cleaned below here
+    hwm = -1
+    for f in snap.files:
+        base = f.get("base_row_id")
+        if base is None:
+            continue
+        n = (f.get("stats") or {}).get("num_rows")
+        if not n:
+            # stats-less add: the PHYSICAL row count bounds the ids
+            # this file consumed — one cheap footer read beats an
+            # underestimated watermark (which would mint COLLIDING
+            # row ids)
+            import pyarrow.parquet as pq
+
+            p = f["path"]
+            if not os.path.isabs(p):
+                p = os.path.join(table_path, p)
+            n = pq.ParquetFile(p).metadata.num_rows
+        hwm = max(hwm, base + max(int(n), 1) - 1)
+    return True, hwm
+
+
+def _row_tracking_actions(
+    adds: list[dict], hwm: int, version: int
+) -> tuple[list[dict], int]:
+    """Stamp fresh ``baseRowId`` / ``defaultRowCommitVersion`` onto
+    raw adds (spec: non-overlapping ranges from the watermark) and
+    return the advanced-watermark domainMetadata action."""
+    for a in adds:
+        st = a.get("stats")
+        n = (
+            json.loads(st).get("numRecords", 0)
+            if isinstance(st, str)
+            else 0
+        )
+        a["baseRowId"] = hwm + 1
+        a["defaultRowCommitVersion"] = version
+        hwm += max(n, 1)
+    return (
+        [
+            {
+                "domainMetadata": {
+                    "domain": _ROW_TRACKING_DOMAIN,
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        ],
+        hwm,
+    )
 
 
 def _gate_writer(protocol: dict, schema_json: str) -> None:
@@ -163,9 +261,13 @@ def _stage_parquet_adds(
                         if v == "__HIVE_DEFAULT_PARTITION__"
                         else _unq(v)
                     )
+                stats = _file_stats(src)
+                if stats.get("num_rows", 0) == 0:
+                    continue  # Spark emits empty part files for idle
+                    # partitions — never commit a 0-row add (it would
+                    # also consume a row-tracking id)
                 rel = f"part-{_uuid.uuid4()}.parquet"
                 os.replace(src, os.path.join(table_path, rel))
-                stats = _file_stats(os.path.join(table_path, rel))
                 n_rows += stats.get("num_rows", 0)
                 adds.append(
                     _serialize_add(
@@ -257,6 +359,10 @@ def append_to_delta(
     )
 
     version = snap.version + 1
+    rt_enabled, hwm = _row_tracking_state(table_path, snap)
+    rt_actions: list[dict] = []
+    if rt_enabled:
+        rt_actions, _ = _row_tracking_actions(adds, hwm, version)
     commit_info = {
         "timestamp": ts,
         "operation": "WRITE",
@@ -272,6 +378,8 @@ def append_to_delta(
         # fails cleanly (optimistic commit, caller owns retries)
         with open(commit, "x") as fh:
             fh.write(json.dumps({"commitInfo": commit_info}) + "\n")
+            for act in rt_actions:
+                fh.write(json.dumps(act) + "\n")
             for a in adds:
                 fh.write(json.dumps({"add": a}) + "\n")
     except FileExistsError:
@@ -521,6 +629,15 @@ def _dv_pair_actions(
             "sizeInBytes": frag["sizeInBytes"],
             "cardinality": frag["cardinality"],
         }
+        # row-id STABILITY: a DV re-add is the same physical file —
+        # its original baseRowId / defaultRowCommitVersion must ride
+        # along, or surviving rows would get invented ids
+        if f.get("base_row_id") is not None:
+            raw["baseRowId"] = f["base_row_id"]
+        if f.get("default_row_commit_version") is not None:
+            raw["defaultRowCommitVersion"] = f[
+                "default_row_commit_version"
+            ]
         actions.append({"add": raw})
     return actions, dv_path, rows_deleted
 
@@ -642,6 +759,12 @@ def update_from_delta(
         table_path, snap, by_path, _abs, ts
     )
     version = snap.version + 1
+    rt_enabled, hwm = _row_tracking_state(table_path, snap)
+    rt_actions: list[dict] = []
+    if rt_enabled:
+        # rewritten rows are NEW rows (delta-spark without
+        # materialized ids does the same) — fresh ids + watermark
+        rt_actions, _ = _row_tracking_actions(adds, hwm, version)
     actions = [
         {
             "commitInfo": {
@@ -653,6 +776,7 @@ def update_from_delta(
             }
         },
         *_protocol_upgrade_actions(snap, ctx[4]),
+        *rt_actions,
         *dv_actions,
         *({"add": a} for a in adds),
     ]

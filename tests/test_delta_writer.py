@@ -155,12 +155,12 @@ def test_writer_feature_gates(spark, tmp_path):
             a["protocol"] = {
                 "minReaderVersion": 1,
                 "minWriterVersion": 7,
-                "writerFeatures": ["rowTracking", "domainMetadata"],
+                "writerFeatures": ["clustering", "domainMetadata"],
             }
     with open(log, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
-    with pytest.raises(UnsupportedDeltaFeature, match="rowTracking"):
+    with pytest.raises(UnsupportedDeltaFeature, match="clustering"):
         append_to_delta(spark, _batch(spark, 4, 5), table)
 
     # a generated-column expression refuses regardless of version
@@ -397,3 +397,79 @@ def test_update_from_delta_one_commit(spark, tmp_path):
         allow_protocol_upgrade=True,
     )
     assert noop["rows_updated"] == 0 and noop["version"] == 1
+
+
+def test_append_assigns_fresh_row_ids(spark, tmp_path):
+    """Appends into a rowTracking table assign non-overlapping fresh
+    baseRowIds from the delta.rowTracking watermark and advance it;
+    DV deletes preserve the surviving rows' ids (stability)."""
+    from tests.test_delta_reader import _row_tracked_table
+
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+    )
+
+    table = _row_tracked_table(tmp_path)  # ids 0..4 over two files
+    df = spark.createDataFrame([(10, "x"), (11, "y")],
+                               "id long, v string")
+    info = append_to_delta(spark, df, table)
+    assert info["version"] == 1
+    got = {r.id: r._row_id
+           for r in read_delta_table(spark, table, row_ids=True)
+           .collect()}
+    # original files: ids 0..4; the append starts past the watermark
+    # (no domain action in the fixture -> derived from the adds: 4)
+    assert {got[i] for i in (0, 1, 2, 3, 4)} == {0, 1, 2, 3, 4}
+    assert sorted((got[10], got[11])) == [5, 6]
+    # the commit carries the advanced watermark domain
+    log = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    domains = [json.loads(x)["domainMetadata"] for x in open(log)
+               if '"domainMetadata"' in x]
+    assert domains and json.loads(
+        domains[0]["configuration"]
+    )["rowIdHighWaterMark"] == 6
+
+    # a second append continues from the domain watermark
+    df2 = spark.createDataFrame([(12, "z")], "id long, v string")
+    append_to_delta(spark, df2, table)
+    got = {r.id: r._row_id
+           for r in read_delta_table(spark, table, row_ids=True)
+           .collect()}
+    assert got[12] == 7
+    assert len(set(got.values())) == len(got)  # all ids unique
+
+    # DV delete: surviving rows keep their ids
+    delete_from_delta(spark, table, "id = 10",
+                      allow_protocol_upgrade=True)
+    after = {r.id: r._row_id
+             for r in read_delta_table(spark, table, row_ids=True)
+             .collect()}
+    assert 10 not in after
+    assert after == {k: v for k, v in got.items() if k != 10}
+
+
+def test_update_rowtracking_fresh_ids_for_rewrites(spark, tmp_path):
+    from tests.test_delta_reader import _row_tracked_table
+
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        update_from_delta,
+    )
+
+    table = _row_tracked_table(tmp_path)
+    before = {r.id: r._row_id
+              for r in read_delta_table(spark, table, row_ids=True)
+              .collect()}
+    update_from_delta(
+        spark, table, "id = 2", {"v": "'ZZ'"},
+        allow_protocol_upgrade=True,
+    )
+    after = {r.id: (r._row_id, r.v)
+             for r in read_delta_table(spark, table, row_ids=True)
+             .collect()}
+    assert after[2][1] == "ZZ"
+    # the rewritten row is a NEW row: fresh id past the watermark
+    assert after[2][0] > max(before.values())
+    # untouched rows keep their ids
+    for k, rid in before.items():
+        if k != 2:
+            assert after[k][0] == rid
