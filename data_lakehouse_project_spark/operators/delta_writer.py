@@ -796,3 +796,163 @@ def update_from_delta(
         "rows_updated": n_rows,
         "files": len(adds),
     }
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table_path: str,
+    target_size_bytes: int = 128 << 20,
+) -> dict:
+    """OPTIMIZE (bin-packing compaction) of a foreign Delta table:
+    partitions holding more than one data file — or any DV-bearing
+    file — are rewritten into ~``target_size_bytes`` files with the
+    deletion vectors APPLIED (the compacted files carry no DVs), and
+    the commit marks every remove/add ``dataChange=false`` per the
+    Delta contract, so streams and CDF treat it as a no-op and never
+    re-ship compacted rows.
+
+    Gating: column-mapped tables refuse (physical rewrite would need
+    the mapping applied); rowTracking tables refuse (preserving row
+    ids through a rewrite requires MATERIALIZED row-id columns this
+    writer does not produce — inventing fresh ids would break
+    stability).  ``delta.appendOnly`` is fine: compaction changes no
+    data.  Old files stay on disk for time travel until
+    ``vacuum_delta`` retires them.
+
+    Returns ``{"version", "files_removed", "files_added",
+    "partitions_compacted"}``."""
+    from pyspark.sql.types import StructType
+
+    table_path = os.path.abspath(table_path)
+    snap = read_delta_snapshot(table_path)
+    if snap.schema_json is None:
+        raise UnsupportedDeltaFeature("table carries no schemaString")
+    _gate_writer(snap.protocol, snap.schema_json)
+    mapping = snap.configuration.get("delta.columnMapping.mode", "none")
+    if mapping not in ("none", ""):
+        raise UnsupportedDeltaFeature(
+            "optimize_delta does not support column-mapped tables"
+        )
+    rt_enabled, _ = _row_tracking_state(table_path, snap)
+    if rt_enabled:
+        raise UnsupportedDeltaFeature(
+            "optimize_delta cannot preserve row ids through a rewrite "
+            "(materialized row-id columns are not produced); refusing "
+            "on a rowTracking table"
+        )
+
+    from .txnlog import _schema_from_json
+
+    schema = _schema_from_json(spark, snap.schema_json)
+    part_cols = [c for c in snap.partition_columns if c in schema.names]
+    physical = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+
+    def _abs(p: str) -> str:
+        for pref in ("file://", "file:"):
+            if p.startswith(pref):
+                p = p[len(pref):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in snap.files:
+        key = tuple(
+            (f.get("partition_values") or {}).get(c) for c in part_cols
+        )
+        groups.setdefault(key, []).append(f)
+    todo = {
+        k: fs
+        for k, fs in groups.items()
+        if len(fs) > 1 or any(f.get("foreign_dv") for f in fs)
+    }
+    if not todo:
+        return {"version": snap.version, "files_removed": 0,
+                "files_added": 0, "partitions_compacted": 0}
+
+    from .dv import resolve_dv_positions
+
+    ts = int(time.time() * 1000)
+    all_adds: list[dict] = []
+    all_removes: list[dict] = []
+    for key, fs in sorted(todo.items(), key=lambda kv: str(kv[0])):
+        paths = [_abs(f["path"]) for f in fs]
+        df = spark.read.schema(physical).parquet(*paths)
+        dv_fs = [f for f in fs if f.get("foreign_dv")]
+        if dv_fs:
+            df = df.withColumns(
+                {
+                    "__opt_path": _spark_path_key(),
+                    "__opt_pos": F.col("_metadata.row_index"),
+                }
+            )
+            pairs = [
+                (os.path.abspath(_abs(f["path"])), int(p))
+                for f in dv_fs
+                for p in resolve_dv_positions(
+                    f["foreign_dv"], table_path
+                )
+            ]
+            if pairs:
+                deleted = spark.createDataFrame(
+                    pairs, ["__opt_path", "__opt_pos"]
+                )
+                df = df.join(
+                    F.broadcast(deleted),
+                    ["__opt_path", "__opt_pos"],
+                    "left_anti",
+                )
+            df = df.drop("__opt_path", "__opt_pos")
+        total = sum(f.get("size_bytes", 0) for f in fs)
+        n_out = max(1, -(-total // max(target_size_bytes, 1)))
+        adds, _n = _stage_parquet_adds(
+            spark, df.coalesce(int(n_out)), table_path, [], ts
+        )
+        pv = dict(zip(part_cols, key))
+        for a in adds:
+            a["partitionValues"] = pv
+            a["dataChange"] = False  # the Delta OPTIMIZE contract
+        all_adds.extend(adds)
+        for f in fs:
+            rm = {
+                "path": _serialize_add(
+                    {"path": f["path"]}, ts
+                )["path"],
+                "deletionTimestamp": ts,
+                "dataChange": False,
+            }
+            if f.get("foreign_dv"):
+                rm["deletionVector"] = f["foreign_dv"]
+            all_removes.append(rm)
+
+    version = snap.version + 1
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_size_bytes)
+                },
+                "engineInfo":
+                    "data_lakehouse_project_spark delta writer",
+            }
+        },
+        *({"remove": r} for r in all_removes),
+        *({"add": a} for a in all_adds),
+    ]
+    try:
+        _exclusive_commit(table_path, version, actions, [], "optimize")
+    except ValueError:
+        for a in all_adds:
+            try:
+                os.remove(os.path.join(table_path, _unq(a["path"])))
+            except OSError:
+                pass
+        raise
+    return {
+        "version": version,
+        "files_removed": len(all_removes),
+        "files_added": len(all_adds),
+        "partitions_compacted": len(todo),
+    }

@@ -473,3 +473,93 @@ def test_update_rowtracking_fresh_ids_for_rewrites(spark, tmp_path):
     for k, rid in before.items():
         if k != 2:
             assert after[k][0] == rid
+
+
+def test_optimize_delta_compacts_and_applies_dvs(spark, tmp_path):
+    """optimize_delta: multi-file partitions compact into fresh files
+    with DVs APPLIED; every remove/add is dataChange=false, so CDF
+    reports no changes and a plain stream neither refuses nor
+    re-ships; vacuum then retires the superseded files."""
+    import time as _time
+
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+        optimize_delta,
+    )
+    from data_lakehouse_project_spark.operators.foreign_maintenance import (
+        vacuum_delta,
+    )
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    table = _foreign(spark, tmp_path, "opt", lo=0, hi=4)
+    append_to_delta(spark, _batch(spark, 4, 6), table)
+    append_to_delta(spark, _batch(spark, 6, 8), table)
+    delete_from_delta(spark, table, "id = 5",
+                      allow_protocol_upgrade=True)
+    before = read_delta_snapshot(table)
+    assert len(before.files) >= 3
+    assert any(f.get("foreign_dv") for f in before.files)
+
+    info = optimize_delta(spark, table)
+    assert info["files_removed"] >= 3 and info["files_added"] >= 1
+    snap = read_delta_snapshot(table)
+    assert len(snap.files) < len(before.files)
+    assert not any(f.get("foreign_dv") for f in snap.files)
+    got = read_delta_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 6, 7]
+
+    # CDF across the optimize: zero change rows
+    cdf = read_delta_changes(
+        spark, table, starting_version=info["version"]
+    )
+    assert cdf.count() == 0
+
+    # a plain stream STARTING AT the optimize commit neither refuses
+    # nor re-ships compacted rows (dataChange=false actions are
+    # no-ops; the earlier DV DELETE commit would rightly refuse a
+    # full-history tail without ignoreChanges)
+    register_python_datasources(spark)
+    got2: list = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", table)
+        .option("startingVersion", str(info["version"]))
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _i: got2.extend(r["id"] for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got2 == []  # compaction ships nothing
+
+    # vacuum retires the superseded files once aged
+    old = _time.time() - 30 * 24 * 3600
+    for root, dirs, files in os.walk(table):
+        if "_delta_log" in root:
+            continue
+        for n in files:
+            os.utime(os.path.join(root, n), (old, old))
+    done = vacuum_delta(table, dry_run=False)
+    assert len(done["deleted"]) >= info["files_removed"]
+    got = read_delta_table(spark, table)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 6, 7]
+
+
+def test_optimize_delta_refuses_row_tracking(spark, tmp_path):
+    from tests.test_delta_reader import _row_tracked_table
+
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        optimize_delta,
+    )
+
+    table = _row_tracked_table(tmp_path)
+    with pytest.raises(UnsupportedDeltaFeature, match="row"):
+        optimize_delta(spark, table)
