@@ -489,6 +489,12 @@ def iceberg_live_files(
             # the partition tuple follows the MANIFEST's declared spec
             # (partition evolution: older manifests keep older specs)
             df_["__spec_id"] = m_spec
+            # original adding snapshot (manifest-inherited when null) —
+            # rewrites re-emit untouched files as EXISTING with this
+            esid = e.get("snapshot_id")
+            if esid is None:
+                esid = m.get("added_snapshot_id")
+            df_["__snap_id"] = esid
             if m_content == 0:
                 if f_content != 0:
                     raise UnsupportedIcebergFeature(
@@ -1023,6 +1029,11 @@ def read_iceberg_changes(
     for sid in wanted:
         snap = snaps[sid]
         op = (snap.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            # compaction/rewrite: no logical data change — skipped,
+            # exactly like the streaming source (and Iceberg's own
+            # incremental scan)
+            continue
         if op != "append":
             raise UnsupportedIcebergFeature(
                 f"snapshot {sid} is a '{op}'; the incremental append "

@@ -92,6 +92,107 @@ _MANIFEST_FILE_AVRO = json.dumps(
 )
 
 
+def _entry_avro_schema(part_fields: list[dict]) -> str:
+    """manifest_entry avro schema (spec shape shared with
+    iceberg_export) for the given identity partition fields — bounds
+    arrays included."""
+    partition_avro = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _AVRO_OF.get(pf["_src_type"], "string")],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in part_fields
+        ],
+    }
+    data_file_avro = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_avro,
+             "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long",
+             "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", {"type": "array", "items": {
+                    "type": "record", "name": "k126_v127",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": 126},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 127},
+                    ]}}],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", {"type": "array", "items": {
+                    "type": "record", "name": "k129_v130",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": 129},
+                        {"name": "value", "type": "bytes",
+                         "field-id": 130},
+                    ]}}],
+                "default": None,
+                "field-id": 128,
+            },
+        ],
+    }
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {"name": "snapshot_id", "type": ["null", "long"],
+                 "default": None, "field-id": 1},
+                {"name": "sequence_number", "type": ["null", "long"],
+                 "default": None, "field-id": 3},
+                {"name": "file_sequence_number",
+                 "type": ["null", "long"], "default": None,
+                 "field-id": 4},
+                {"name": "data_file", "type": data_file_avro,
+                 "field-id": 2},
+            ],
+        }
+    )
+
+
+def _open_manifest_writer(
+    spark: SparkSession,
+    md: dict,
+    part_fields: list[dict],
+    manifest_path: str,
+) -> _AvroWriter:
+    return _AvroWriter(
+        spark,
+        _entry_avro_schema(part_fields),
+        manifest_path,
+        {
+            "schema": json.dumps(_current_schema(md)),
+            "partition-spec": json.dumps(
+                [
+                    {k: v for k, v in pf.items()
+                     if not k.startswith("_")}
+                    for pf in part_fields
+                ]
+            ),
+            "partition-spec-id": str(md.get("default-spec-id", 0)),
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+
 def append_to_iceberg(
     spark: SparkSession, df: DataFrame, table_path: str
 ) -> dict:
@@ -208,94 +309,8 @@ def append_to_iceberg(
         shutil.rmtree(tmp, ignore_errors=True)
 
     # ---- new manifest (schema shape shared with iceberg_export) ----
-    partition_avro = {
-        "type": "record",
-        "name": "r102",
-        "fields": [
-            {
-                "name": pf["name"],
-                "type": ["null", _AVRO_OF.get(pf["_src_type"], "string")],
-                "default": None,
-                "field-id": pf["field-id"],
-            }
-            for pf in part_fields
-        ],
-    }
-    data_file_avro = {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            {"name": "content", "type": "int", "field-id": 134},
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": partition_avro,
-             "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long",
-             "field-id": 104},
-            {
-                "name": "lower_bounds",
-                "type": ["null", {"type": "array", "items": {
-                    "type": "record", "name": "k126_v127",
-                    "fields": [
-                        {"name": "key", "type": "int", "field-id": 126},
-                        {"name": "value", "type": "bytes",
-                         "field-id": 127},
-                    ]}}],
-                "default": None,
-                "field-id": 125,
-            },
-            {
-                "name": "upper_bounds",
-                "type": ["null", {"type": "array", "items": {
-                    "type": "record", "name": "k129_v130",
-                    "fields": [
-                        {"name": "key", "type": "int", "field-id": 129},
-                        {"name": "value", "type": "bytes",
-                         "field-id": 130},
-                    ]}}],
-                "default": None,
-                "field-id": 128,
-            },
-        ],
-    }
-    manifest_entry_avro = json.dumps(
-        {
-            "type": "record",
-            "name": "manifest_entry",
-            "fields": [
-                {"name": "status", "type": "int", "field-id": 0},
-                {"name": "snapshot_id", "type": ["null", "long"],
-                 "default": None, "field-id": 1},
-                {"name": "sequence_number", "type": ["null", "long"],
-                 "default": None, "field-id": 3},
-                {"name": "file_sequence_number",
-                 "type": ["null", "long"], "default": None,
-                 "field-id": 4},
-                {"name": "data_file", "type": data_file_avro,
-                 "field-id": 2},
-            ],
-        }
-    )
     manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
-    wm = _AvroWriter(
-        spark,
-        manifest_entry_avro,
-        manifest_path,
-        {
-            "schema": json.dumps(_current_schema(md)),
-            "partition-spec": json.dumps(
-                [
-                    {k: v for k, v in pf.items()
-                     if not k.startswith("_")}
-                    for pf in part_fields
-                ]
-            ),
-            "partition-spec-id": str(md.get("default-spec-id", 0)),
-            "format-version": "2",
-            "content": "data",
-        },
-    )
+    wm = _open_manifest_writer(spark, md, part_fields, manifest_path)
     for dst, raw_pv, st in files:
         lower: list[dict] = []
         upper: list[dict] = []
@@ -388,16 +403,18 @@ def _commit_snapshot(
     operation: str,
     summary_extra: dict,
     rollback_paths: list[str],
+    include_prior: bool = True,
 ) -> str:
     """Shared commit tail: new manifest list (prior manifests re-listed
     verbatim — original snapshot/sequence attribution — plus one new
-    manifest), new metadata version with a synthesized-complete
+    manifest; ``include_prior=False`` lists ONLY the new manifest, the
+    rewrite shape), new metadata version with a synthesized-complete
     snapshot-log, exclusive-create commit with rollback."""
     meta_dir = os.path.join(table_path, "metadata")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     parent = md.get("current-snapshot-id")
     prior: list[dict] = []
-    if parent in snaps:
+    if include_prior and parent in snaps:
         mlist = snaps[parent]["manifest-list"]
         if not os.path.isabs(mlist):
             mlist = os.path.join(table_path, mlist)
@@ -781,5 +798,378 @@ def delete_from_iceberg(
     return {
         "snapshot_id": snapshot_id,
         "rows_deleted": len(pairs),
+        "metadata": new_path,
+    }
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    table_path: str,
+    target_size_bytes: int = 128 << 20,
+) -> dict:
+    """Iceberg compaction (``rewrite_data_files`` +
+    remove-dangling-deletes): partitions holding more than one data
+    file — and every file targeted by a position delete — are
+    rewritten into ~``target_size_bytes`` files with the deletes
+    APPLIED, committed as ONE ``replace`` snapshot (streams and
+    incremental scans skip it; time travel keeps the old snapshots
+    until ``expire_iceberg_snapshots``).
+
+    The new snapshot's manifest list holds a single data manifest:
+    untouched files re-emit as EXISTING with their ORIGINAL
+    snapshot/sequence attribution, compacted-away files as DELETED,
+    and the new files as ADDED at the new sequence number; all prior
+    delete manifests drop (every target was compacted).  Refusals:
+    equality deletes (sequence bookkeeping), live files under more
+    than one partition spec (the single output manifest declares one
+    spec), non-v2 tables."""
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} rewrite is "
+            "not supported (v2 only)"
+        )
+    from .iceberg_reader import (
+        _coerce_partition_value,
+        _field_names_by_id,
+        _file_has_field_ids,
+        _identity_partition_sources,
+        _spark_schema,
+        iceberg_live_files,
+    )
+
+    _, live, pos_deletes, eq_deletes = iceberg_live_files(
+        spark, table_path
+    )
+    if eq_deletes:
+        raise UnsupportedIcebergFeature(
+            "table carries equality deletes; rewrite would need their "
+            "sequence bookkeeping — refusing"
+        )
+    if not live:
+        return {"snapshot_id": None, "files_rewritten": 0}
+    default_spec = md.get("default-spec-id", 0)
+    if any(
+        f.get("__spec_id") not in (None, default_spec) for f in live
+    ):
+        raise UnsupportedIcebergFeature(
+            "live files span multiple partition specs; the single "
+            "output manifest declares one spec — refusing"
+        )
+
+    def _abs(p: str) -> str:
+        for pref in ("file://", "file:"):
+            if p.startswith(pref):
+                p = p[len(pref):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    # group by the manifest partition struct; pull in every group a
+    # position delete touches, so ALL delete manifests can drop
+    def _gkey(f: dict) -> tuple:
+        return tuple(sorted((f.get("partition") or {}).items()))
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in live:
+        groups.setdefault(_gkey(f), []).append(f)
+    del_targets: set[str] = set()
+    if pos_deletes:
+        import pyarrow.parquet as pq
+
+        for pf in pos_deletes:
+            tbl = pq.read_table(
+                _abs(pf["file_path"]), columns=["file_path"]
+            )
+            del_targets |= {
+                os.path.abspath(_abs(p))
+                for p in tbl.column("file_path").to_pylist()
+            }
+    todo_keys = {
+        k
+        for k, fs in groups.items()
+        if len(fs) > 1
+        or any(
+            os.path.abspath(_abs(f["file_path"])) in del_targets
+            for f in fs
+        )
+    }
+    if not todo_keys and not pos_deletes:
+        return {"snapshot_id": None, "files_rewritten": 0}
+    # a delete may target a file in a 1-file group: pull those in too
+    for k, fs in groups.items():
+        if any(
+            os.path.abspath(_abs(f["file_path"])) in del_targets
+            for f in fs
+        ):
+            todo_keys.add(k)
+
+    schema_fields = _current_schema(md)["fields"]
+    ident = _identity_partition_sources(md)  # source fid -> part name
+    name_of = _field_names_by_id(md)
+    ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
+    spark_schema = _spark_schema(spark, md)
+    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
+    spec = specs.get(default_spec, {"fields": []})
+    by_id = {f["id"]: f for f in schema_fields}
+    part_fields = []
+    for pf in spec.get("fields", []):
+        if pf.get("transform") != "identity":
+            raise UnsupportedIcebergFeature(
+                f"partition transform {pf.get('transform')!r} is not "
+                "supported by this writer (identity only)"
+            )
+        src = by_id[pf["source-id"]]
+        part_fields.append(
+            pf | {"_src_name": src["name"], "_src_type": src["type"]}
+        )
+
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    from .delta_reader import _spark_path_key
+    from .txnlog import _file_stats
+
+    new_files: list[tuple[str, dict, dict]] = []  # (abs, pv, stats)
+    rewritten: list[dict] = []
+    for key in sorted(todo_keys, key=str):
+        fs = groups[key]
+        rewritten.extend(fs)
+        paths = [_abs(f["file_path"]) for f in fs]
+        scan_schema = spark_schema
+        if _file_has_field_ids(paths[0]):
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            scan_schema = _spark_schema(spark, md, field_ids=True)
+        df = spark.read.schema(scan_schema).parquet(*paths)
+        if pos_deletes:
+            from pyspark.sql.types import LongType, StringType
+            from pyspark.sql.types import StructField, StructType
+
+            df = df.withColumns(
+                {
+                    "__rw_path": _spark_path_key(),
+                    "__rw_pos": F.col("_metadata.row_index"),
+                }
+            )
+            del_schema = StructType(
+                [
+                    StructField("file_path", StringType()),
+                    StructField("pos", LongType()),
+                ]
+            )
+            raw = F.regexp_replace(
+                F.col("file_path"), "^file:(//)?", ""
+            )
+            dels = (
+                spark.read.schema(del_schema)
+                .parquet(
+                    *[_abs(f["file_path"]) for f in pos_deletes]
+                )
+                .select(
+                    F.when(raw.startswith("/"), raw)
+                    .otherwise(
+                        F.concat(F.lit(table_path + "/"), raw)
+                    )
+                    .alias("__rw_path"),
+                    F.col("pos").alias("__rw_pos"),
+                )
+            )
+            df = df.join(
+                dels, ["__rw_path", "__rw_pos"], "left_anti"
+            ).drop("__rw_path", "__rw_pos")
+        # identity partition columns must exist IN the output files;
+        # source files lacking them get the group's constant
+        kv = dict(key)
+        for pf in part_fields:
+            c = pf["_src_name"]
+            val = _coerce_partition_value(
+                kv.get(pf["name"]), spark_schema[c].dataType
+            )
+            df = df.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c),
+                    F.lit(val).cast(spark_schema[c].dataType),
+                ),
+            )
+        out = df.select(
+            *[
+                F.col(f.name).alias(
+                    f.name,
+                    metadata={"parquet.field.id": ids_of[f.name]},
+                )
+                for f in spark_schema.fields
+            ]
+        )
+        total = sum(
+            int(f.get("file_size_in_bytes") or 0) for f in fs
+        )
+        n_out = max(1, -(-total // max(target_size_bytes, 1)))
+        tmp = os.path.join(table_path, f".tmp-rewrite-{_uuid.uuid4()}")
+        try:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+            out.coalesce(int(n_out)).write.mode("overwrite").parquet(
+                tmp
+            )
+            for dirpath, dirnames, filenames in os.walk(tmp):
+                dirnames[:] = [
+                    d for d in dirnames if not d.startswith(("_", "."))
+                ]
+                for fn in sorted(filenames):
+                    if not fn.endswith(".parquet") or fn.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    st = _file_stats(os.path.join(dirpath, fn))
+                    if st.get("num_rows", 0) == 0:
+                        continue
+                    dst = os.path.join(
+                        data_dir, f"rewrite-{_uuid.uuid4()}.parquet"
+                    )
+                    os.replace(os.path.join(dirpath, fn), dst)
+                    new_files.append((dst, kv, st))
+        finally:
+            import shutil as _shutil
+
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+    # ---- ONE data manifest: EXISTING + ADDED + DELETED ----
+    meta_dir = os.path.join(table_path, "metadata")
+    manifest_path = os.path.join(
+        meta_dir, f"{_uuid.uuid4().hex}-m0.avro"
+    )
+    wm = _open_manifest_writer(spark, md, part_fields, manifest_path)
+
+    def _bounds(raw):
+        if not raw:
+            return None
+        out = []
+        for kvp in raw:
+            v = kvp.get("value")
+            if isinstance(v, bytes):
+                v = v.decode("latin-1")
+            out.append({"key": kvp["key"], "value": v})
+        return out or None
+
+    n_existing = n_deleted = 0
+    existing_rows = deleted_rows = added_rows = 0
+    compacted = {id(f) for g in todo_keys for f in groups[g]}
+    for f in live:
+        is_rewritten = id(f) in compacted
+        entry = {
+            "status": 2 if is_rewritten else 0,
+            "snapshot_id": (
+                snapshot_id if is_rewritten else f.get("__snap_id")
+            ),
+            "sequence_number": f.get("__seq"),
+            "file_sequence_number": f.get("__seq"),
+            "data_file": {
+                "content": 0,
+                "file_path": f["file_path"],
+                "file_format": "PARQUET",
+                "partition": dict(f.get("partition") or {}),
+                "record_count": int(f.get("record_count") or 0),
+                "file_size_in_bytes": int(
+                    f.get("file_size_in_bytes") or 0
+                ),
+                "lower_bounds": _bounds(f.get("lower_bounds")),
+                "upper_bounds": _bounds(f.get("upper_bounds")),
+            },
+        }
+        wm.append_dict(entry)
+        if is_rewritten:
+            n_deleted += 1
+            deleted_rows += entry["data_file"]["record_count"]
+        else:
+            n_existing += 1
+            existing_rows += entry["data_file"]["record_count"]
+    for dst, kv, st in new_files:
+        lower: list[dict] = []
+        upper: list[dict] = []
+        for fld in schema_fields:
+            cst = st.get("columns", {}).get(fld["name"])
+            if not cst:
+                continue
+            for kname, dest in (("min", lower), ("max", upper)):
+                if kname in cst and cst[kname] is not None:
+                    b = _encode_bound(cst[kname], fld["type"])
+                    if b is not None:
+                        dest.append(
+                            {"key": fld["id"],
+                             "value": b.decode("latin-1")}
+                        )
+        added_rows += st.get("num_rows", 0)
+        wm.append_dict(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": dict(kv),
+                    "record_count": st.get("num_rows", 0),
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                },
+            }
+        )
+    wm.close()
+
+    min_seq = min(
+        [seq]
+        + [
+            int(f["__seq"])
+            for f in live
+            if f.get("__seq") is not None
+        ]
+    )
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row={
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": default_spec,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(new_files),
+            "existing_files_count": n_existing,
+            "deleted_files_count": n_deleted,
+            "added_rows_count": added_rows,
+            "existing_rows_count": existing_rows,
+            "deleted_rows_count": deleted_rows,
+        },
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation="replace",
+        summary_extra={
+            "added-data-files": str(len(new_files)),
+            "deleted-data-files": str(n_deleted),
+        },
+        rollback_paths=[dst for dst, _, _ in new_files]
+        + [manifest_path],
+        include_prior=False,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "files_rewritten": n_deleted,
+        "files_added": len(new_files),
         "metadata": new_path,
     }

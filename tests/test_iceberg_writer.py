@@ -253,3 +253,115 @@ def test_delete_from_iceberg_position_deletes(spark, tmp_path):
     append_to_iceberg(spark, _df(spark, 10, 12, "c"), path)
     got = read_iceberg_table(spark, path)
     assert sorted(r.id for r in got.collect()) == [4, 5, 10, 11]
+
+
+def test_rewrite_data_files_compacts_and_drops_deletes(spark, tmp_path):
+    """rewrite_data_files: one 'replace' snapshot — multi-file
+    partitions compact with position deletes APPLIED, delete manifests
+    drop, untouched files stay EXISTING with original attribution;
+    streams and incremental scans skip the rewrite."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+        iceberg_metadata_df,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        rewrite_data_files,
+    )
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    path = _table(spark, tmp_path)                   # snapshot 1
+    append_to_iceberg(spark, _df(spark, 4, 6), path)  # snapshot 2
+    delete_from_iceberg(spark, path, "id = 1")        # snapshot 3
+    _, live_before, pd_before, _ = iceberg_live_files(spark, path)
+    assert len(live_before) >= 2 and pd_before
+
+    info = rewrite_data_files(spark, path)
+    assert info["files_rewritten"] >= 2 and info["files_added"] >= 1
+    got = read_iceberg_table(spark, path)
+    assert sorted(r.id for r in got.collect()) == [0, 2, 3, 4, 5]
+
+    # delete manifests are gone; the live set shrank
+    _, live, pd_after, eq_after = iceberg_live_files(spark, path)
+    assert not pd_after and not eq_after
+    assert len(live) <= len(live_before)
+    # the op label is 'replace' and streams/incremental scans skip it
+    ops = {
+        r.snapshot_id: r.operation
+        for r in iceberg_metadata_df(spark, path, "snapshots").collect()
+    }
+    assert ops[info["snapshot_id"]] == "replace"
+    # incremental scan: the REPLACE snapshot is skipped (no rows
+    # re-attributed); the DELETE snapshot in range still refuses
+    with pytest.raises(UnsupportedIcebergFeature, match="delete"):
+        read_iceberg_changes(spark, path)
+    sids_sorted = sorted(ops)
+    inc = read_iceberg_changes(
+        spark, path, from_snapshot_id=sids_sorted[-2]
+    )  # (delete_snapshot, replace] -> replace skipped, empty
+    assert inc.count() == 0
+
+    register_python_datasources(spark)
+    sink: list = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("skipDeleteSnapshots", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _i: sink.extend(r["id"] for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # raw appends once (0..5); the delete snapshot skipped by option;
+    # the replace snapshot skipped by design — nothing re-ships
+    assert sorted(sink) == [0, 1, 2, 3, 4, 5]
+
+    # time travel to the pre-rewrite snapshot still works
+    sid3 = sorted(ops)[-2]
+    old = read_iceberg_table(spark, path, snapshot_id=sid3)
+    assert sorted(r.id for r in old.collect()) == [0, 2, 3, 4, 5]
+
+
+def test_rewrite_partitioned_with_deletes(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        _df(spark, 0, 3, "a"), mode="overwrite", partition_by=["part"]
+    )
+    export_iceberg_metadata(t, spark)
+    append_to_iceberg(spark, _df(spark, 3, 5, "a"), path)
+    append_to_iceberg(spark, _df(spark, 5, 7, "b"), path)
+    delete_from_iceberg(spark, path, "id = 0")
+
+    info = rewrite_data_files(spark, path)
+    assert info["files_added"] >= 1
+    got = read_iceberg_table(spark, path)
+    assert sorted((r.id, r.part) for r in got.collect()) == [
+        (1, "a"), (2, "a"), (3, "a"), (4, "a"), (5, "b"), (6, "b"),
+    ]
+    # partition pruning still works over the rewritten manifest
+    pruned = read_iceberg_table(spark, path, prune=[("part", "=", "b")])
+    assert sorted(r.id for r in pruned.collect()) == [5, 6]
+    # each partition compacted to a single file carrying its typed
+    # partition value in the rewritten manifest
+    _, live, _, _ = iceberg_live_files(spark, path)
+    by_part: dict = {}
+    for f in live:
+        by_part.setdefault(
+            (f.get("partition") or {}).get("part"), []
+        ).append(f["file_path"])
+    assert len(by_part["a"]) == 1 and len(by_part["b"]) == 1
