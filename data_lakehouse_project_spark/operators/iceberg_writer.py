@@ -193,32 +193,10 @@ def _open_manifest_writer(
     )
 
 
-def append_to_iceberg(
-    spark: SparkSession, df: DataFrame, table_path: str
-) -> dict:
-    """Append ``df``'s rows to the foreign Iceberg table as one
-    ``append`` snapshot; returns ``{"snapshot_id", "files", "rows",
-    "metadata"}``."""
-    table_path = os.path.abspath(table_path)
-    md_file = _latest_metadata_file(table_path)
-    md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
-        raise UnsupportedIcebergFeature(
-            f"format-version {md.get('format-version')} append is not "
-            "supported (v2 only — v1 has no data sequence numbers)"
-        )
-    schema_fields = _current_schema(md)["fields"]
-    spark_schema = _spark_schema(spark, md, field_ids=True)
-    missing = [
-        f.name for f in spark_schema.fields if f.name not in df.columns
-    ]
-    extra = [c for c in df.columns if c not in spark_schema.names]
-    if missing or extra:
-        raise ValueError(
-            f"schema mismatch: table needs {missing or 'nothing'}, "
-            f"extra in DataFrame: {extra or 'nothing'}"
-        )
-
+def _resolve_part_fields(md: dict, schema_fields: list[dict]) -> list[dict]:
+    """Default partition spec resolved to identity source fields
+    (refusing hidden transforms), each annotated with the source
+    column's name/type."""
     specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
     spec = specs.get(md.get("default-spec-id", 0), {"fields": []})
     by_id = {f["id"]: f for f in schema_fields}
@@ -237,7 +215,25 @@ def append_to_iceberg(
             )
         part_fields.append(pf | {"_src_name": src["name"],
                                  "_src_type": src["type"]})
+    return part_fields
 
+
+def _stage_iceberg_data(
+    spark: SparkSession,
+    df: DataFrame,
+    md: dict,
+    schema_fields: list[dict],
+    part_fields: list[dict],
+    table_path: str,
+    prefix: str,
+) -> tuple[list[tuple[str, dict, dict]], int]:
+    """Write ``df`` as field-id-stamped parquet under ``data/`` —
+    identity partition columns stay IN the files via hidden
+    ``__part_`` twins — returning ``[(abs path, raw partition values,
+    footer stats)]`` and the row count."""
+    from urllib.parse import unquote as _unq
+
+    spark_schema = _spark_schema(spark, md, field_ids=True)
     ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
     staged = df.select(
         *[
@@ -246,7 +242,6 @@ def append_to_iceberg(
             )
             for f in spark_schema.fields
         ],
-        # hidden twins keep the REAL columns inside the data files
         *[
             F.col(pf["_src_name"]).cast("string").alias(
                 f"__part_{pf['_src_name']}"
@@ -254,22 +249,15 @@ def append_to_iceberg(
             for pf in part_fields
         ],
     )
-
-    meta_dir = os.path.join(table_path, "metadata")
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    tmp = os.path.join(table_path, f".tmp-append-{_uuid.uuid4()}")
-    ts = int(time.time() * 1000)
-    seq = int(md.get("last-sequence-number", 0)) + 1
-    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
-    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
-
-    from urllib.parse import unquote as _unq
-
-    files: list[tuple[str, dict, dict]] = []  # (abs path, pv, stats)
+    tmp = os.path.join(table_path, f".tmp-{prefix}-{_uuid.uuid4()}")
+    files: list[tuple[str, dict, dict]] = []
     n_rows = 0
     try:
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
         w = staged.write.mode("overwrite")
         if part_fields:
             w = w.partitionBy(
@@ -298,18 +286,36 @@ def append_to_iceberg(
                         if v == "__HIVE_DEFAULT_PARTITION__"
                         else _unq(v)
                     )
+                st = _file_stats(src)
+                if st.get("num_rows", 0) == 0:
+                    continue  # idle partitions emit empty part files
                 dst = os.path.join(
-                    data_dir, f"append-{_uuid.uuid4()}.parquet"
+                    data_dir, f"{prefix}-{_uuid.uuid4()}.parquet"
                 )
                 os.replace(src, dst)
-                st = _file_stats(dst)
                 n_rows += st.get("num_rows", 0)
                 files.append((dst, raw_pv, st))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    return files, n_rows
 
-    # ---- new manifest (schema shape shared with iceberg_export) ----
-    manifest_path = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m0.avro")
+
+def _write_added_manifest(
+    spark: SparkSession,
+    md: dict,
+    schema_fields: list[dict],
+    part_fields: list[dict],
+    files: list[tuple[str, dict, dict]],
+    snapshot_id: int,
+    seq: int,
+    table_path: str,
+) -> str:
+    """One data manifest of ADDED entries (footer-stat binary bounds,
+    typed partition struct) for freshly-staged files; returns its
+    path."""
+    manifest_path = os.path.join(
+        table_path, "metadata", f"{_uuid.uuid4().hex}-m0.avro"
+    )
     wm = _open_manifest_writer(spark, md, part_fields, manifest_path)
     for dst, raw_pv, st in files:
         lower: list[dict] = []
@@ -352,6 +358,50 @@ def append_to_iceberg(
             }
         )
     wm.close()
+    return manifest_path
+
+
+def append_to_iceberg(
+    spark: SparkSession, df: DataFrame, table_path: str
+) -> dict:
+    """Append ``df``'s rows to the foreign Iceberg table as one
+    ``append`` snapshot; returns ``{"snapshot_id", "files", "rows",
+    "metadata"}``."""
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} append is not "
+            "supported (v2 only — v1 has no data sequence numbers)"
+        )
+    schema_fields = _current_schema(md)["fields"]
+    spark_schema = _spark_schema(spark, md, field_ids=True)
+    missing = [
+        f.name for f in spark_schema.fields if f.name not in df.columns
+    ]
+    extra = [c for c in df.columns if c not in spark_schema.names]
+    if missing or extra:
+        raise ValueError(
+            f"schema mismatch: table needs {missing or 'nothing'}, "
+            f"extra in DataFrame: {extra or 'nothing'}"
+        )
+
+    part_fields = _resolve_part_fields(md, schema_fields)
+
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+    meta_dir = os.path.join(table_path, "metadata")
+    files, n_rows = _stage_iceberg_data(
+        spark, df, md, schema_fields, part_fields, table_path, "append"
+    )
+
+    manifest_path = _write_added_manifest(
+        spark, md, schema_fields, part_fields, files, snapshot_id,
+        seq, table_path,
+    )
 
     new_path = _commit_snapshot(
         spark,
@@ -396,7 +446,7 @@ def _commit_snapshot(
     table_path: str,
     md: dict,
     md_file: str,
-    manifest_row: dict,
+    manifest_row: dict | list[dict],
     snapshot_id: int,
     seq: int,
     ts: int,
@@ -445,7 +495,11 @@ def _commit_snapshot(
                 "deleted_rows_count": m.get("deleted_rows_count", 0),
             }
         )
-    wl.append_dict(manifest_row)
+    rows_new = (
+        manifest_row if isinstance(manifest_row, list) else [manifest_row]
+    )
+    for r in rows_new:
+        wl.append_dict(r)
     wl.close()
 
     # ---- new metadata version (exclusive create = commit point) ----
@@ -504,37 +558,13 @@ def _commit_snapshot(
     return new_path
 
 
-def delete_from_iceberg(
-    spark: SparkSession, table_path: str, predicate: str
-) -> dict:
-    """Row-level DELETE from a foreign Iceberg v2 table via POSITION
-    DELETE files (the spec's merge-on-read route): no data file is
-    rewritten — one new ``delete`` snapshot adds a delete manifest
-    whose position-delete parquet lists the matched ``(file_path,
-    pos)`` pairs sorted as the spec requires.  Prior delete files stay
-    active (overlapping deletes are spec-legal; readers union them),
-    so nothing is merged or rewritten.
-
-    The matched set comes from a ``_metadata.row_index`` scan of the
-    LIVE data files with identity-partition constants attached (so
-    partition-column predicates work) and EXISTING deletes applied
-    (already-deleted rows never re-match).  Returns
-    ``{"snapshot_id", "rows_deleted", "metadata"}``."""
-    table_path = os.path.abspath(table_path)
-    md_file = _latest_metadata_file(table_path)
-    md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
-        raise UnsupportedIcebergFeature(
-            f"format-version {md.get('format-version')} row-level "
-            "deletes are not supported (v2 only)"
-        )
-    from .iceberg_reader import read_iceberg_table
-
-    # read through the FULL reader semantics (existing pos/eq deletes
-    # applied, identity partitions attached) with the raw-scan keys
-    # materialized: reuse read_iceberg_table by asking it for the
-    # metadata columns via a thin re-scan — simplest correct route is
-    # a second scan keyed identically, so do the match inline here.
+def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
+    """Raw scan of the current snapshot's live data files with
+    ``__dfi_path`` / ``__dfi_pos`` materialized, identity-partition
+    constants attached (partition-column predicates work), and
+    EXISTING position deletes anti-joined (already-deleted rows never
+    match).  Returns ``(df, live, pos_deletes, _abs)`` or ``None``
+    when the table has no live files; refuses equality deletes."""
     from .delta_reader import _spark_path_key
     from .iceberg_reader import (
         _file_has_field_ids,
@@ -552,8 +582,7 @@ def delete_from_iceberg(
             "sequence bookkeeping this writer does not do"
         )
     if not live:
-        return {"snapshot_id": None, "rows_deleted": 0,
-                "metadata": md_file}
+        return None
 
     def _abs(p: str) -> str:
         for pref in ("file://", "file:"):
@@ -654,32 +683,23 @@ def delete_from_iceberg(
         )
         df = df.join(dels, ["__dfi_path", "__dfi_pos"], "left_anti")
 
-    # manifests spell each path their own way — map the decoded scan
-    # key back to the manifest string so the delete file matches
-    abs2manifest = {
-        os.path.abspath(_abs(f["file_path"])): f["file_path"]
-        for f in live
-    }
-    matched = (
-        df.where(F.expr(predicate))
-        .select("__dfi_path", "__dfi_pos")
-        .collect()
-    )
-    if not matched:
-        return {"snapshot_id": None, "rows_deleted": 0,
-                "metadata": md_file}
-    pairs = sorted(
-        (abs2manifest[r["__dfi_path"]], int(r["__dfi_pos"]))
-        for r in matched
-    )
+    return df, live, pos_deletes, _abs
 
+
+def _write_pos_delete_manifest(
+    spark: SparkSession,
+    table_path: str,
+    md: dict,
+    pairs: list[tuple[str, int]],
+    snapshot_id: int,
+    seq: int,
+) -> tuple[dict, list[str]]:
+    """Write the sorted position-delete parquet + its delete manifest
+    (spec: one ADDED content=1 entry) and return the manifest-list row
+    and the rollback paths."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    ts = int(time.time() * 1000)
-    seq = int(md.get("last-sequence-number", 0)) + 1
-    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
-    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
     del_path = os.path.join(
@@ -697,51 +717,12 @@ def delete_from_iceberg(
         del_path,
     )
     meta_dir = os.path.join(table_path, "metadata")
-    entry_schema = json.dumps(
-        {
-            "type": "record",
-            "name": "manifest_entry",
-            "fields": [
-                {"name": "status", "type": "int", "field-id": 0},
-                {"name": "snapshot_id", "type": ["null", "long"],
-                 "default": None, "field-id": 1},
-                {"name": "sequence_number", "type": ["null", "long"],
-                 "default": None, "field-id": 3},
-                {"name": "file_sequence_number",
-                 "type": ["null", "long"], "default": None,
-                 "field-id": 4},
-                {
-                    "name": "data_file",
-                    "type": {
-                        "type": "record",
-                        "name": "r2",
-                        "fields": [
-                            {"name": "content", "type": "int",
-                             "field-id": 134},
-                            {"name": "file_path", "type": "string",
-                             "field-id": 100},
-                            {"name": "file_format", "type": "string",
-                             "field-id": 101},
-                            {"name": "partition", "type": {
-                                "type": "record", "name": "r102",
-                                "fields": []}, "field-id": 102},
-                            {"name": "record_count", "type": "long",
-                             "field-id": 103},
-                            {"name": "file_size_in_bytes",
-                             "type": "long", "field-id": 104},
-                        ],
-                    },
-                    "field-id": 2,
-                },
-            ],
-        }
-    )
     delete_manifest = os.path.join(
         meta_dir, f"{_uuid.uuid4().hex}-d0.avro"
     )
     wd = _AvroWriter(
         spark,
-        entry_schema,
+        _entry_avro_schema([]),
         delete_manifest,
         {
             "schema": json.dumps(_current_schema(md)),
@@ -768,32 +749,91 @@ def delete_from_iceberg(
         }
     )
     wd.close()
+    row = {
+        "manifest_path": delete_manifest,
+        "manifest_length": os.path.getsize(delete_manifest),
+        "partition_spec_id": md.get("default-spec-id", 0),
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 1,
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": len(pairs),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    return row, [del_path, delete_manifest]
+
+
+def delete_from_iceberg(
+    spark: SparkSession, table_path: str, predicate: str
+) -> dict:
+    """Row-level DELETE from a foreign Iceberg v2 table via POSITION
+    DELETE files (the spec's merge-on-read route): no data file is
+    rewritten — one new ``delete`` snapshot adds a delete manifest
+    whose position-delete parquet lists the matched ``(file_path,
+    pos)`` pairs sorted as the spec requires.  Prior delete files stay
+    active (overlapping deletes are spec-legal; readers union them),
+    so nothing is merged or rewritten.
+
+    The matched set comes from a ``_metadata.row_index`` scan of the
+    LIVE data files with identity-partition constants attached (so
+    partition-column predicates work) and EXISTING deletes applied
+    (already-deleted rows never re-match).  Returns
+    ``{"snapshot_id", "rows_deleted", "metadata"}``."""
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} row-level "
+            "deletes are not supported (v2 only)"
+        )
+    scan = _iceberg_keyed_scan(spark, table_path, md)
+    if scan is None:
+        return {"snapshot_id": None, "rows_deleted": 0,
+                "metadata": md_file}
+    df, live, pos_deletes, _abs = scan
+    # manifests spell each path their own way — map the decoded scan
+    # key back to the manifest string so the delete file matches
+    abs2manifest = {
+        os.path.abspath(_abs(f["file_path"])): f["file_path"]
+        for f in live
+    }
+    matched = (
+        df.where(F.expr(predicate))
+        .select("__dfi_path", "__dfi_pos")
+        .collect()
+    )
+    if not matched:
+        return {"snapshot_id": None, "rows_deleted": 0,
+                "metadata": md_file}
+    pairs = sorted(
+        (abs2manifest[r["__dfi_path"]], int(r["__dfi_pos"]))
+        for r in matched
+    )
+
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+    del_row, rollback = _write_pos_delete_manifest(
+        spark, table_path, md, pairs, snapshot_id, seq
+    )
     new_path = _commit_snapshot(
         spark,
         table_path,
         md,
         md_file,
-        manifest_row={
-            "manifest_path": delete_manifest,
-            "manifest_length": os.path.getsize(delete_manifest),
-            "partition_spec_id": md.get("default-spec-id", 0),
-            "content": 1,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": 1,
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": len(pairs),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        },
+        manifest_row=del_row,
         snapshot_id=snapshot_id,
         seq=seq,
         ts=ts,
         operation="delete",
         summary_extra={"deleted-records": str(len(pairs))},
-        rollback_paths=[del_path, delete_manifest],
+        rollback_paths=rollback,
     )
     return {
         "snapshot_id": snapshot_id,
@@ -1171,5 +1211,129 @@ def rewrite_data_files(
         "snapshot_id": snapshot_id,
         "files_rewritten": n_deleted,
         "files_added": len(new_files),
+        "metadata": new_path,
+    }
+
+
+def update_from_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    set_map: dict[str, str],
+) -> dict:
+    """Row-level UPDATE of a foreign Iceberg v2 table in ONE
+    ``overwrite`` snapshot (the merge-on-read shape): the matched rows
+    are position-deleted from their files AND their rewritten versions
+    — ``set_map`` column -> SQL expression, cast to the declared types
+    — appended as new data files; both the delete manifest and the new
+    data manifest commit atomically in the same snapshot's manifest
+    list alongside the carried-forward prior manifests.
+
+    Matching uses the same keyed scan as ``delete_from_iceberg``
+    (identity-partition constants attached, existing deletes applied).
+    Returns ``{"snapshot_id", "rows_updated", "metadata"}``."""
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} row-level "
+            "updates are not supported (v2 only)"
+        )
+    schema_fields = _current_schema(md)["fields"]
+    spark_schema = _spark_schema(spark, md)
+    unknown = [c for c in set_map if c not in spark_schema.names]
+    if unknown:
+        raise ValueError(f"SET references unknown columns {unknown}")
+    part_fields = _resolve_part_fields(md, schema_fields)
+    part_srcs = {pf["_src_name"] for pf in part_fields}
+    if part_srcs & set(set_map):
+        raise UnsupportedIcebergFeature(
+            "SET touches partition source columns "
+            f"{sorted(part_srcs & set(set_map))}; partition-moving "
+            "updates are not supported"
+        )
+
+    scan = _iceberg_keyed_scan(spark, table_path, md)
+    if scan is None:
+        return {"snapshot_id": None, "rows_updated": 0,
+                "metadata": md_file}
+    df, live, pos_deletes, _abs = scan
+    matched = df.where(F.expr(predicate))
+    abs2manifest = {
+        os.path.abspath(_abs(f["file_path"])): f["file_path"]
+        for f in live
+    }
+    hit = matched.select("__dfi_path", "__dfi_pos").collect()
+    if not hit:
+        return {"snapshot_id": None, "rows_updated": 0,
+                "metadata": md_file}
+    pairs = sorted(
+        (abs2manifest[r["__dfi_path"]], int(r["__dfi_pos"]))
+        for r in hit
+    )
+
+    new_rows = matched.select(
+        *[
+            (
+                F.expr(set_map[f.name]).cast(f.dataType)
+                if f.name in set_map
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in spark_schema.fields
+        ]
+    )
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+    files, n_rows = _stage_iceberg_data(
+        spark, new_rows, md, schema_fields, part_fields, table_path,
+        "update",
+    )
+    data_manifest = _write_added_manifest(
+        spark, md, schema_fields, part_fields, files, snapshot_id,
+        seq, table_path,
+    )
+    del_row, del_rollback = _write_pos_delete_manifest(
+        spark, table_path, md, pairs, snapshot_id, seq
+    )
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row=[
+            {
+                "manifest_path": data_manifest,
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": md.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            },
+            del_row,
+        ],
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation="overwrite",
+        summary_extra={
+            "deleted-records": str(len(pairs)),
+            "added-records": str(n_rows),
+        },
+        rollback_paths=[dst for dst, _, _ in files]
+        + [data_manifest, *del_rollback],
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_updated": n_rows,
         "metadata": new_path,
     }

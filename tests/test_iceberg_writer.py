@@ -365,3 +365,60 @@ def test_rewrite_partitioned_with_deletes(spark, tmp_path):
             (f.get("partition") or {}).get("part"), []
         ).append(f["file_path"])
     assert len(by_part["a"]) == 1 and len(by_part["b"]) == 1
+
+
+def test_update_from_iceberg_one_snapshot(spark, tmp_path):
+    """update_from_iceberg: one 'overwrite' snapshot carries BOTH the
+    position-delete manifest and the new data manifest — matched rows
+    rewritten, time travel intact, partition-moving SETs refused."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_metadata_df,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        update_from_iceberg,
+    )
+
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        _df(spark, 0, 4, "a").union(_df(spark, 4, 6, "b")),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    sid0 = [s for s, _ in iceberg_snapshot_ids(path)][-1]
+
+    info = update_from_iceberg(
+        spark, path, "id IN (1, 4)", {"v": "v + 1000"}
+    )
+    assert info["rows_updated"] == 2
+    got = {r.id: (r.v, r.part)
+           for r in read_iceberg_table(spark, path).collect()}
+    assert got[1] == (1001.0, "a") and got[4] == (1004.0, "b")
+    assert got[0] == (0.0, "a") and len(got) == 6
+
+    ops = {
+        r.snapshot_id: r.operation
+        for r in iceberg_metadata_df(spark, path, "snapshots").collect()
+    }
+    assert ops[info["snapshot_id"]] == "overwrite"
+    # time travel: originals intact
+    old = {r.id: r.v
+           for r in read_iceberg_table(spark, path,
+                                       snapshot_id=sid0).collect()}
+    assert old[1] == 1.0 and old[4] == 4.0
+
+    # second update composes over the first (existing deletes applied)
+    info2 = update_from_iceberg(spark, path, "id = 1", {"v": "0.5"})
+    assert info2["rows_updated"] == 1
+    got = {r.id: r.v
+           for r in read_iceberg_table(spark, path).collect()}
+    assert got[1] == 0.5 and len(got) == 6
+
+    # partition-moving SET refused; unknown column refused; no-op ok
+    with pytest.raises(UnsupportedIcebergFeature, match="partition"):
+        update_from_iceberg(spark, path, "id = 0", {"part": "'b'"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_from_iceberg(spark, path, "id = 0", {"zzz": "1"})
+    noop = update_from_iceberg(spark, path, "id = 999", {"v": "0"})
+    assert noop["rows_updated"] == 0 and noop["snapshot_id"] is None
