@@ -178,6 +178,25 @@ def _row_tracking_actions(
     )
 
 
+def _latest_meta_raw(table_path: str) -> dict:
+    """The newest RAW metaData action in the JSON log — schema
+    evolution must preserve the table id / partition columns /
+    configuration verbatim, so the evolved action derives from it."""
+    from .delta_reader import (
+        _commit_versions,
+        sniff_commit_meta_protocol,
+    )
+
+    for v in reversed(_commit_versions(table_path)):
+        m, _ = sniff_commit_meta_protocol(table_path, v)
+        if m is not None:
+            return m
+    raise UnsupportedDeltaFeature(
+        "no metaData action in the JSON log (log-cleaned?); cannot "
+        "evolve the schema"
+    )
+
+
 def _gate_writer(protocol: dict, schema_json: str) -> None:
     writer = int(protocol.get("minWriterVersion", 1))
     if writer >= 7:
@@ -293,6 +312,7 @@ def append_to_delta(
     spark: SparkSession,
     df: DataFrame,
     table_path: str,
+    merge_schema: bool = False,
 ) -> dict:
     """Append ``df``'s rows to the foreign Delta table as one commit.
 
@@ -300,6 +320,13 @@ def append_to_delta(
     match the table schema by NAME (order-insensitive); each column is
     cast to the declared type — an incompatible cast fails the write,
     never writes garbage.
+
+    ``merge_schema=True`` is delta-spark's ``mergeSchema``: DataFrame
+    columns NOT in the table schema are appended as nullable fields
+    and the commit carries the evolved metaData; existing files read
+    the new columns as null.  Column-mapped tables refuse the merge
+    (new fields would need physical names + maxColumnId bookkeeping);
+    type changes to EXISTING columns stay refused either way.
     """
     table_path = os.path.abspath(table_path)
     snap = read_delta_snapshot(table_path)  # reader+mapping gated
@@ -312,6 +339,33 @@ def append_to_delta(
     schema = _schema_from_json(spark, snap.schema_json)
     missing = [f.name for f in schema.fields if f.name not in df.columns]
     extra = [c for c in df.columns if c not in schema.names]
+    new_meta_action: list[dict] = []
+    if extra and merge_schema:
+        mapping0 = snap.configuration.get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mapping0 in ("name", "id"):
+            raise UnsupportedDeltaFeature(
+                "mergeSchema on a column-mapped table needs physical "
+                "names + maxColumnId bookkeeping — not supported"
+            )
+        evolved = json.loads(snap.schema_json)
+        for c in extra:
+            fld = df.schema[c].jsonValue()
+            fld["nullable"] = True
+            fld.setdefault("metadata", {})
+            evolved["fields"].append(fld)
+        new_schema_json = json.dumps(evolved)
+        # the evolved metaData commits ALONGSIDE the adds (one commit)
+        meta_raw = _latest_meta_raw(table_path)
+        meta_raw = dict(meta_raw)
+        meta_raw["schemaString"] = new_schema_json
+        new_meta_action = [{"metaData": meta_raw}]
+        schema = _schema_from_json(spark, new_schema_json)
+        missing = [
+            f.name for f in schema.fields if f.name not in df.columns
+        ]
+        extra = []
     if missing or extra:
         raise ValueError(
             f"schema mismatch: table needs {missing or 'nothing'} "
@@ -378,7 +432,7 @@ def append_to_delta(
         # fails cleanly (optimistic commit, caller owns retries)
         with open(commit, "x") as fh:
             fh.write(json.dumps({"commitInfo": commit_info}) + "\n")
-            for act in rt_actions:
+            for act in (*new_meta_action, *rt_actions):
                 fh.write(json.dumps(act) + "\n")
             for a in adds:
                 fh.write(json.dumps({"add": a}) + "\n")
@@ -802,6 +856,7 @@ def optimize_delta(
     spark: SparkSession,
     table_path: str,
     target_size_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE (bin-packing compaction) of a foreign Delta table:
     partitions holding more than one data file — or any DV-bearing
@@ -818,6 +873,14 @@ def optimize_delta(
     stability).  ``delta.appendOnly`` is fine: compaction changes no
     data.  Old files stay on disk for time travel until
     ``vacuum_delta`` retires them.
+
+    ``zorder_by``: 1-2 column names — the compacted output is
+    range-partitioned by the Z-curve interleave
+    (``maintenance.zorder_key``) of the named columns before the
+    size split, so per-file min/max ranges narrow on BOTH dimensions
+    and stats-pruning skips more files (delta-spark's
+    ``OPTIMIZE ... ZORDER BY``).  When given, EVERY partition
+    compacts (clustering is the point, not just file count).
 
     Returns ``{"version", "files_removed", "files_added",
     "partitions_compacted"}``."""
@@ -861,11 +924,24 @@ def optimize_delta(
             (f.get("partition_values") or {}).get(c) for c in part_cols
         )
         groups.setdefault(key, []).append(f)
-    todo = {
-        k: fs
-        for k, fs in groups.items()
-        if len(fs) > 1 or any(f.get("foreign_dv") for f in fs)
-    }
+    if zorder_by:
+        bad = [
+            c
+            for c in zorder_by
+            if c not in schema.names or c in part_cols
+        ]
+        if bad or not 1 <= len(zorder_by) <= 2:
+            raise ValueError(
+                "zorder_by needs 1-2 non-partition table columns; "
+                f"got {zorder_by}"
+            )
+        todo = dict(groups)  # re-clustering touches every partition
+    else:
+        todo = {
+            k: fs
+            for k, fs in groups.items()
+            if len(fs) > 1 or any(f.get("foreign_dv") for f in fs)
+        }
     if not todo:
         return {"version": snap.version, "files_removed": 0,
                 "files_added": 0, "partitions_compacted": 0}
@@ -904,9 +980,30 @@ def optimize_delta(
                 )
             df = df.drop("__opt_path", "__opt_pos")
         total = sum(f.get("size_bytes", 0) for f in fs)
-        n_out = max(1, -(-total // max(target_size_bytes, 1)))
+        n_out = int(max(1, -(-total // max(target_size_bytes, 1))))
+        if zorder_by:
+            # range-partition on the Z-curve key: rows close on the
+            # curve land in the same file, so per-file min/max narrow
+            # on BOTH dimensions and stats-pruning bites
+            from .maintenance import zorder_key
+
+            zk = (
+                zorder_key(
+                    F.col(zorder_by[0]), F.col(zorder_by[1])
+                )
+                if len(zorder_by) == 2
+                else F.col(zorder_by[0])
+            )
+            staged = (
+                df.withColumn("__zk", zk)
+                .repartitionByRange(n_out, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
+        else:
+            staged = df.coalesce(n_out)
         adds, _n = _stage_parquet_adds(
-            spark, df.coalesce(int(n_out)), table_path, [], ts
+            spark, staged, table_path, [], ts
         )
         pv = dict(zip(part_cols, key))
         for a in adds:

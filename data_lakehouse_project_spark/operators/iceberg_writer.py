@@ -361,12 +361,37 @@ def _write_added_manifest(
     return manifest_path
 
 
+_ICE_OF_SPARK = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "binary": "binary",
+}
+
+
 def append_to_iceberg(
-    spark: SparkSession, df: DataFrame, table_path: str
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    merge_schema: bool = False,
 ) -> dict:
     """Append ``df``'s rows to the foreign Iceberg table as one
     ``append`` snapshot; returns ``{"snapshot_id", "files", "rows",
-    "metadata"}``."""
+    "metadata"}``.
+
+    ``merge_schema=True`` is the spec's ADD-COLUMN evolution:
+    DataFrame columns not in the current schema join it as optional
+    fields with FRESH field ids (``last-column-id`` advances, a new
+    entry lands in ``schemas`` and ``current-schema-id`` bumps in the
+    same commit); pre-evolution files read the new columns as null
+    via field-id resolution."""
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
@@ -381,6 +406,57 @@ def append_to_iceberg(
         f.name for f in spark_schema.fields if f.name not in df.columns
     ]
     extra = [c for c in df.columns if c not in spark_schema.names]
+    if extra and merge_schema:
+        md = dict(md)
+        last_id = int(md.get("last-column-id", 0))
+        new_fields = list(schema_fields)
+        for c in extra:
+            st = df.schema[c].dataType.simpleString()
+            import re as _re
+
+            dm = _re.fullmatch(r"decimal\((\d+),(\d+)\)", st)
+            if st in _ICE_OF_SPARK:
+                ice_t = _ICE_OF_SPARK[st]
+            elif dm:
+                ice_t = f"decimal({dm.group(1)}, {dm.group(2)})"
+            else:
+                raise UnsupportedIcebergFeature(
+                    f"mergeSchema: column {c} type {st} has no "
+                    "iceberg mapping in this writer"
+                )
+            last_id += 1
+            new_fields.append(
+                {
+                    "id": last_id,
+                    "name": c,
+                    "required": False,
+                    "type": ice_t,
+                }
+            )
+        new_schema_id = (
+            max(
+                (s.get("schema-id", 0) for s in md.get("schemas", [])),
+                default=0,
+            )
+            + 1
+        )
+        md["schemas"] = list(md.get("schemas", [])) + [
+            {
+                "type": "struct",
+                "schema-id": new_schema_id,
+                "fields": new_fields,
+            }
+        ]
+        md["current-schema-id"] = new_schema_id
+        md["last-column-id"] = last_id
+        schema_fields = new_fields
+        spark_schema = _spark_schema(spark, md, field_ids=True)
+        missing = [
+            f.name
+            for f in spark_schema.fields
+            if f.name not in df.columns
+        ]
+        extra = []
     if missing or extra:
         raise ValueError(
             f"schema mismatch: table needs {missing or 'nothing'}, "

@@ -563,3 +563,82 @@ def test_optimize_delta_refuses_row_tracking(spark, tmp_path):
     table = _row_tracked_table(tmp_path)
     with pytest.raises(UnsupportedDeltaFeature, match="row"):
         optimize_delta(spark, table)
+
+
+def test_append_merge_schema(spark, tmp_path):
+    """merge_schema=True: new DataFrame columns join the table schema
+    as nullable fields in the SAME commit; old rows read them null;
+    time travel shows the old schema."""
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        append_to_delta,
+    )
+
+    table = _foreign(spark, tmp_path, "ms")
+    df = spark.range(100, 102).selectExpr(
+        "id", "'x' AS part", "1.0 AS v", "'tag-' || id AS note"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_to_delta(spark, df, table)
+    info = append_to_delta(spark, df, table, merge_schema=True)
+    assert info["rows"] == 2
+    got = read_delta_table(spark, table)
+    assert "note" in got.columns
+    rows = {r.id: r.note for r in got.collect()}
+    assert rows[100] == "tag-100" and rows[0] is None
+    # the evolved schema persists for plain appends
+    df2 = spark.range(102, 103).selectExpr(
+        "id", "'x' AS part", "1.0 AS v", "'z' AS note"
+    )
+    append_to_delta(spark, df2, table)
+    # time travel: version 0 has the OLD schema
+    v0 = read_delta_table(spark, table, version=0)
+    assert "note" not in v0.columns
+
+
+def test_optimize_zorder_narrows_file_ranges(spark, tmp_path):
+    """ZORDER BY: after clustering on (id, v2), per-file id ranges are
+    disjoint-ish, so a stats-prune touches fewer files than the
+    unclustered layout."""
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        optimize_delta,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import (
+        _file_may_match,
+    )
+
+    t = TxnTable(str(tmp_path / "srcz"))
+    # interleaved writes: every file spans nearly the full id range
+    for k in range(4):
+        t.write(
+            spark.range(0, 400).selectExpr(
+                f"id * 4 + {k} AS id", "'p' AS part",
+                "CAST(id % 7 AS DOUBLE) AS v",
+            ).coalesce(1),
+            mode="append" if k else "overwrite",
+        )
+    table = str(tmp_path / "extz")
+    export_delta_snapshot(spark, t.path, table)
+
+    def _files_matching(prune):
+        snap = read_delta_snapshot(table)
+        return sum(1 for f in snap.files if _file_may_match(f, prune))
+
+    before = _files_matching([("id", "<", 100)])
+    assert before == 4  # every unclustered file may match
+
+    info = optimize_delta(
+        spark, table, target_size_bytes=4 << 10, zorder_by=["id", "v"]
+    )
+    assert info["files_added"] >= 2
+    after = _files_matching([("id", "<", 100)])
+    assert after < before  # clustering narrowed the ranges
+    got = read_delta_table(spark, table)
+    assert got.count() == 1600
+    assert sorted(
+        r.id for r in read_delta_table(
+            spark, table, prune=[("id", "<", 10)]
+        ).collect()
+    ) == list(range(10))
+
+    with pytest.raises(ValueError, match="zorder_by"):
+        optimize_delta(spark, table, zorder_by=["zzz"])

@@ -422,3 +422,40 @@ def test_update_from_iceberg_one_snapshot(spark, tmp_path):
         update_from_iceberg(spark, path, "id = 0", {"zzz": "1"})
     noop = update_from_iceberg(spark, path, "id = 999", {"v": "0"})
     assert noop["rows_updated"] == 0 and noop["snapshot_id"] is None
+
+
+def test_append_merge_schema_iceberg(spark, tmp_path):
+    """merge_schema: new columns get FRESH field ids, last-column-id
+    advances, a new schemas entry becomes current — pre-evolution
+    files read the column as null via field-id resolution."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        load_iceberg_metadata,
+    )
+
+    path = _table(spark, tmp_path)
+    df = spark.range(100, 102).selectExpr(
+        "id", "'a' AS part", "CAST(1.0 AS DOUBLE) AS v",
+        "'n-' || id AS note"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_to_iceberg(spark, df, path)
+    info = append_to_iceberg(spark, df, path, merge_schema=True)
+    assert info["rows"] == 2
+    md = load_iceberg_metadata(path)
+    cur = [s for s in md["schemas"]
+           if s["schema-id"] == md["current-schema-id"]][0]
+    note = [f for f in cur["fields"] if f["name"] == "note"][0]
+    assert note["id"] == md["last-column-id"] and not note["required"]
+    got = read_iceberg_table(spark, path)
+    rows = {r.id: r.note for r in got.collect()}
+    assert rows[100] == "n-100" and rows[0] is None
+    # plain appends keep working against the evolved schema
+    append_to_iceberg(
+        spark,
+        spark.range(102, 103).selectExpr(
+            "id", "'a' AS part", "CAST(1.0 AS DOUBLE) AS v",
+            "'z' AS note"
+        ),
+        path,
+    )
+    assert read_iceberg_table(spark, path).count() == 7
