@@ -525,6 +525,7 @@ def _dml_prepare(
     table_path: str,
     op: str,
     allow_protocol_upgrade: bool,
+    needs_dv: bool = True,
 ):
     """Shared DML gating: snapshot + writer-feature gate, column-
     mapping / appendOnly / CDF-config refusals, DV-feature check.
@@ -562,7 +563,7 @@ def _dml_prepare(
     ) >= 3 and "deletionVectors" in (
         snap.protocol.get("readerFeatures") or []
     )
-    if not has_dv_feature and not allow_protocol_upgrade:
+    if needs_dv and not has_dv_feature and not allow_protocol_upgrade:
         raise UnsupportedDeltaFeature(
             "table protocol does not advertise deletionVectors; pass "
             "allow_protocol_upgrade=True to commit the reader-3/"
@@ -585,8 +586,9 @@ def _keyed_scan(spark, snap, schema, part_cols, _abs) -> DataFrame:
     """Raw scan of the snapshot's files with ``__dfd_path`` /
     ``__dfd_pos`` materialized and partition values attached, so DML
     predicates can reference every table column.  Existing DV
-    positions are NOT excluded here — the DV merge unions them, so a
-    re-matched deleted row is idempotent."""
+    positions ARE excluded — an UPDATE/MERGE rewrite of a matched set
+    that included already-deleted rows would RESURRECT them as fresh
+    copies (caught by the merge re-apply test)."""
     from pyspark.sql.types import StructType
 
     physical = [f for f in schema.fields if f.name not in part_cols]
@@ -599,6 +601,27 @@ def _keyed_scan(spark, snap, schema, part_cols, _abs) -> DataFrame:
             "__dfd_pos": F.col("_metadata.row_index"),
         }
     )
+    dv_fs = [f for f in snap.files if f.get("foreign_dv")]
+    if dv_fs:
+        from .dv import resolve_dv_positions
+
+        # DV descriptors resolve against the TABLE root = the dir of
+        # any resolved relative add path's join base
+        table_root = os.path.abspath(_abs("."))
+        pairs = [
+            (os.path.abspath(_abs(f["path"])), int(p))
+            for f in dv_fs
+            for p in resolve_dv_positions(f["foreign_dv"], table_root)
+        ]
+        if pairs:
+            dead = spark.createDataFrame(
+                pairs, ["__dfd_path", "__dfd_pos"]
+            )
+            df = df.join(
+                F.broadcast(dead),
+                ["__dfd_path", "__dfd_pos"],
+                "left_anti",
+            )
     if part_cols:
         rows = [
             tuple(
@@ -1052,4 +1075,217 @@ def optimize_delta(
         "files_removed": len(all_removes),
         "files_added": len(all_adds),
         "partitions_compacted": len(todo),
+    }
+
+
+def merge_into_delta(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+    allow_protocol_upgrade: bool = False,
+) -> dict:
+    """MERGE INTO a foreign Delta table in ONE commit — the upsert
+    delta-spark runs, on someone else's ``_delta_log``:
+
+    * ``on``: SQL join condition over ``t`` (target) and ``s``
+      (source) aliases, e.g. ``"t.id = s.id"``.
+    * ``when_matched_update``: target column -> SQL expression over
+      ``t``/``s`` (e.g. ``{"v": "s.v"}``); matched rows are DV-deleted
+      from their files and their updated versions appended (the
+      merge-on-read shape, like ``update_from_delta``).
+    * ``when_matched_delete=True`` deletes matched rows instead
+      (mutually exclusive with the update clause).
+    * ``when_not_matched_insert``: source rows matching no target row
+      append (schema-matched by name, declared-type casts).
+
+    Per the Delta MERGE contract, a target row matched by MORE THAN
+    ONE source row is ambiguous and fails the merge before anything
+    commits.  Gating, constraints, row tracking, and the
+    exclusive-create commit follow the shared DML primitives.
+    Returns ``{"version", "rows_updated", "rows_deleted",
+    "rows_inserted"}``."""
+    if when_matched_update and when_matched_delete:
+        raise ValueError(
+            "when_matched_update and when_matched_delete are mutually "
+            "exclusive"
+        )
+    ctx = _dml_prepare(
+        spark,
+        table_path,
+        "merge",
+        allow_protocol_upgrade,
+        needs_dv=bool(when_matched_update or when_matched_delete),
+    )
+    snap, schema, part_cols, _abs = ctx[:4]
+    table_path = os.path.abspath(table_path)
+    if when_matched_update:
+        unknown = [
+            c for c in when_matched_update if c not in schema.names
+        ]
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET references unknown columns {unknown}"
+            )
+
+    tgt = _keyed_scan(spark, snap, schema, part_cols, _abs).alias("t")
+    src = source.alias("s")
+    cond = F.expr(on)
+
+    # matched pairs (inner join); the spec's ambiguity rule: a target
+    # row hit by >1 source row fails a merge with a MATCHED clause
+    matched = tgt.join(src, cond, "inner")
+    if when_matched_update or when_matched_delete:
+        dup = (
+            matched.groupBy("t.__dfd_path", "t.__dfd_pos")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE is ambiguous: a target row is matched by more "
+                "than one source row (the Delta MERGE contract "
+                "forbids this)"
+            )
+
+    rows_updated = rows_deleted = rows_inserted = 0
+    new_rows = None
+    if when_matched_update:
+        new_rows = matched.select(
+            *[
+                (
+                    F.expr(when_matched_update[f.name]).cast(f.dataType)
+                    if f.name in when_matched_update
+                    else F.col(f"t.{f.name}")
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    inserts = None
+    if when_not_matched_insert:
+        missing = [
+            f.name for f in schema.fields if f.name not in source.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"INSERT needs source columns {missing} (schema match "
+                "by name)"
+            )
+        inserts = src.join(tgt, cond, "left_anti").select(
+            *[
+                F.col(f"s.{f.name}").cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    staged_new = None
+    if new_rows is not None and inserts is not None:
+        staged_new = new_rows.unionByName(inserts)
+    else:
+        staged_new = new_rows if new_rows is not None else inserts
+
+    # CHECK constraints over everything that will be WRITTEN
+    if staged_new is not None:
+        for key, sql in sorted(snap.configuration.items()):
+            if not key.startswith("delta.constraints."):
+                continue
+            if (
+                staged_new.where(F.expr(sql) == F.lit(False))
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "CHECK constraint "
+                    f"{key[len('delta.constraints.'):]} ({sql}) "
+                    "violated by the merged rows"
+                )
+
+    hit = []
+    if when_matched_update or when_matched_delete:
+        hit = (
+            matched.groupBy("t.__dfd_path")
+            .agg(
+                F.sort_array(
+                    F.collect_list("t.__dfd_pos")
+                ).alias("__pos")
+            )
+            .collect()
+        )
+    by_path = {r["__dfd_path"]: list(r["__pos"]) for r in hit}
+    n_matched = sum(len(v) for v in by_path.values())
+    if when_matched_delete:
+        rows_deleted = n_matched
+    else:
+        rows_updated = n_matched
+
+    ts = int(time.time() * 1000)
+    adds: list[dict] = []
+    if staged_new is not None:
+        adds, n_staged = _stage_parquet_adds(
+            spark,
+            staged_new.select(*schema.names),
+            table_path,
+            part_cols,
+            ts,
+        )
+        rows_inserted = n_staged - rows_updated
+    if not by_path and not adds:
+        return {
+            "version": snap.version,
+            "rows_updated": 0,
+            "rows_deleted": 0,
+            "rows_inserted": 0,
+        }
+    dv_actions: list[dict] = []
+    dv_path = None
+    if by_path:
+        dv_actions, dv_path, _ = _dv_pair_actions(
+            table_path, snap, by_path, _abs, ts
+        )
+    version = snap.version + 1
+    rt_enabled, hwm = _row_tracking_state(table_path, snap)
+    rt_actions: list[dict] = []
+    if rt_enabled and adds:
+        rt_actions, _ = _row_tracking_actions(adds, hwm, version)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {"predicate": on},
+                "engineInfo":
+                    "data_lakehouse_project_spark delta writer",
+            }
+        },
+        *(
+            _protocol_upgrade_actions(snap, ctx[4]) if by_path else []
+        ),
+        *rt_actions,
+        *dv_actions,
+        *({"add": a} for a in adds),
+    ]
+    try:
+        _exclusive_commit(
+            table_path,
+            version,
+            actions,
+            [dv_path] if dv_path else [],
+            "merge",
+        )
+    except ValueError:
+        for a in adds:
+            try:
+                os.remove(os.path.join(table_path, _unq(a["path"])))
+            except OSError:
+                pass
+        raise
+    return {
+        "version": version,
+        "rows_updated": rows_updated,
+        "rows_deleted": rows_deleted,
+        "rows_inserted": rows_inserted,
     }

@@ -642,3 +642,110 @@ def test_optimize_zorder_narrows_file_ranges(spark, tmp_path):
 
     with pytest.raises(ValueError, match="zorder_by"):
         optimize_delta(spark, table, zorder_by=["zzz"])
+
+
+def test_merge_into_delta_upsert(spark, tmp_path):
+    """MERGE INTO a foreign table in one commit: matched rows update
+    via DV delete + rewrite, unmatched source rows insert; ambiguity
+    and constraint violations fail BEFORE commit."""
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        merge_into_delta,
+    )
+
+    t = TxnTable(str(tmp_path / "src"))
+    t.write(_batch(spark, 0, 4), mode="overwrite")
+    t.add_constraint(spark, "pos_v", "v >= 0")
+    table = str(tmp_path / "ext")
+    export_delta_snapshot(spark, t.path, table)
+
+    source = spark.createDataFrame(
+        [(2, "p0", 99.0), (3, "p0", 98.0), (10, "p0", 97.0)],
+        "id long, part string, v double",
+    )
+    info = merge_into_delta(
+        spark, table, source, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+        allow_protocol_upgrade=True,
+    )
+    assert info == {
+        "version": 1, "rows_updated": 2, "rows_deleted": 0,
+        "rows_inserted": 1,
+    }
+    got = {r.id: r.v for r in read_delta_table(spark, table).collect()}
+    assert got == {0: 0.0, 1: 2.0, 2: 99.0, 3: 98.0, 10: 97.0}
+    # one commit: v0 time travel intact
+    v0 = {r.id: r.v
+          for r in read_delta_table(spark, table, version=0).collect()}
+    assert v0 == {0: 0.0, 1: 2.0, 2: 4.0, 3: 6.0}
+
+    # idempotent re-merge of identical source: updates re-apply, no
+    # inserts (10 now exists)
+    info2 = merge_into_delta(
+        spark, table, source, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+        allow_protocol_upgrade=True,
+    )
+    assert info2["rows_inserted"] == 0 and info2["rows_updated"] == 3
+    assert read_delta_table(spark, table).count() == 5
+
+    # ambiguity: two source rows hit one target row
+    dup_src = spark.createDataFrame(
+        [(2, "p0", 1.0), (2, "p0", 2.0)],
+        "id long, part string, v double",
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_into_delta(
+            spark, table, dup_src, "t.id = s.id",
+            when_matched_update={"v": "s.v"},
+            allow_protocol_upgrade=True,
+        )
+
+    # constraint violation in the rewritten rows fails pre-commit
+    bad_src = spark.createDataFrame(
+        [(0, "p0", -5.0)], "id long, part string, v double"
+    )
+    with pytest.raises(ValueError, match="pos_v"):
+        merge_into_delta(
+            spark, table, bad_src, "t.id = s.id",
+            when_matched_update={"v": "s.v"},
+            allow_protocol_upgrade=True,
+        )
+    assert read_delta_snapshot(table).version == info2["version"]
+
+
+def test_merge_into_delta_delete_and_insert_only(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        merge_into_delta,
+    )
+
+    table = _foreign(spark, tmp_path, "md", lo=0, hi=5)
+    # matched-delete clause: tombstone by source key
+    source = spark.createDataFrame(
+        [(1, ), (3, ), (77, )], "id long"
+    )
+    info = merge_into_delta(
+        spark, table, source, "t.id = s.id",
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+        allow_protocol_upgrade=True,
+    )
+    assert info["rows_deleted"] == 2 and info["rows_inserted"] == 0
+    assert sorted(
+        r.id for r in read_delta_table(spark, table).collect()
+    ) == [0, 2, 4]
+
+    # insert-only merge needs NO deletionVectors feature: works on a
+    # reader-v1 table without the protocol-upgrade opt-in
+    table2 = _foreign(spark, tmp_path, "mi", lo=0, hi=2)
+    src2 = _batch(spark, 1, 4)  # 1 exists, 2..3 are new
+    info = merge_into_delta(
+        spark, table2, src2, "t.id = s.id",
+        when_matched_update=None,
+        when_not_matched_insert=True,
+    )
+    assert info["rows_inserted"] == 2 and info["rows_updated"] == 0
+    assert sorted(
+        r.id for r in read_delta_table(spark, table2).collect()
+    ) == [0, 1, 2, 3]
+    snap = read_delta_snapshot(table2)
+    assert snap.protocol["minReaderVersion"] == 1  # untouched
