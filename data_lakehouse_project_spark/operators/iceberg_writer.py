@@ -1413,3 +1413,207 @@ def update_from_iceberg(
         "rows_updated": n_rows,
         "metadata": new_path,
     }
+
+
+def merge_into_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """MERGE INTO a foreign Iceberg v2 table in ONE ``overwrite``
+    snapshot — the Iceberg twin of ``delta_writer.merge_into_delta``:
+    ``on`` joins target (``t``) and source (``s``) aliases; matched
+    rows position-delete from their files and (with an update clause)
+    their rewritten versions append; unmatched source rows insert.
+    A target row matched by more than one source row fails the merge
+    pre-commit (the standard MERGE ambiguity rule).  Returns
+    ``{"snapshot_id", "rows_updated", "rows_deleted",
+    "rows_inserted"}``."""
+    if when_matched_update and when_matched_delete:
+        raise ValueError(
+            "when_matched_update and when_matched_delete are mutually "
+            "exclusive"
+        )
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} merge is not "
+            "supported (v2 only)"
+        )
+    schema_fields = _current_schema(md)["fields"]
+    spark_schema = _spark_schema(spark, md)
+    part_fields = _resolve_part_fields(md, schema_fields)
+    if when_matched_update:
+        unknown = [
+            c for c in when_matched_update
+            if c not in spark_schema.names
+        ]
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET references unknown columns {unknown}"
+            )
+        part_srcs = {pf["_src_name"] for pf in part_fields}
+        if part_srcs & set(when_matched_update):
+            raise UnsupportedIcebergFeature(
+                "SET touches partition source columns "
+                f"{sorted(part_srcs & set(when_matched_update))}; "
+                "partition-moving updates are not supported"
+            )
+
+    scan = _iceberg_keyed_scan(spark, table_path, md)
+    if scan is None:
+        live = []
+        tgt = None
+    else:
+        tgt, live, _pos, _abs = scan
+        tgt = tgt.alias("t")
+    src = source.alias("s")
+    cond = F.expr(on)
+
+    rows_updated = rows_deleted = rows_inserted = 0
+    pairs: list[tuple[str, int]] = []
+    new_rows = None
+    inserts = None
+    if tgt is not None:
+        matched = tgt.join(src, cond, "inner")
+        if when_matched_update or when_matched_delete:
+            dup = (
+                matched.groupBy("t.__dfi_path", "t.__dfi_pos")
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE is ambiguous: a target row is matched by "
+                    "more than one source row"
+                )
+            abs2manifest = {
+                os.path.abspath(_abs(f["file_path"])): f["file_path"]
+                for f in live
+            }
+            hit = matched.select(
+                "t.__dfi_path", "t.__dfi_pos"
+            ).collect()
+            pairs = sorted(
+                (abs2manifest[r["__dfi_path"]], int(r["__dfi_pos"]))
+                for r in hit
+            )
+            if when_matched_delete:
+                rows_deleted = len(pairs)
+            else:
+                rows_updated = len(pairs)
+        if when_matched_update:
+            new_rows = matched.select(
+                *[
+                    (
+                        F.expr(when_matched_update[f.name]).cast(
+                            f.dataType
+                        )
+                        if f.name in when_matched_update
+                        else F.col(f"t.{f.name}")
+                    ).alias(f.name)
+                    for f in spark_schema.fields
+                ]
+            )
+        if when_not_matched_insert:
+            missing = [
+                f.name
+                for f in spark_schema.fields
+                if f.name not in source.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"INSERT needs source columns {missing}"
+                )
+            inserts = src.join(tgt, cond, "left_anti").select(
+                *[
+                    F.col(f"s.{f.name}").cast(f.dataType).alias(f.name)
+                    for f in spark_schema.fields
+                ]
+            )
+    staged_new = None
+    if new_rows is not None and inserts is not None:
+        staged_new = new_rows.unionByName(inserts)
+    else:
+        staged_new = new_rows if new_rows is not None else inserts
+
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+    files: list[tuple[str, dict, dict]] = []
+    n_staged = 0
+    if staged_new is not None:
+        files, n_staged = _stage_iceberg_data(
+            spark, staged_new, md, schema_fields, part_fields,
+            table_path, "merge",
+        )
+    rows_inserted = n_staged - rows_updated
+    if not pairs and not files:
+        return {
+            "snapshot_id": None, "rows_updated": 0,
+            "rows_deleted": 0, "rows_inserted": 0,
+        }
+    manifest_rows: list[dict] = []
+    rollback: list[str] = [dst for dst, _, _ in files]
+    if files:
+        data_manifest = _write_added_manifest(
+            spark, md, schema_fields, part_fields, files, snapshot_id,
+            seq, table_path,
+        )
+        manifest_rows.append(
+            {
+                "manifest_path": data_manifest,
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": md.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_staged,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        rollback.append(data_manifest)
+    if pairs:
+        del_row, del_rb = _write_pos_delete_manifest(
+            spark, table_path, md, pairs, snapshot_id, seq
+        )
+        manifest_rows.append(del_row)
+        rollback.extend(del_rb)
+    op = "overwrite" if pairs else "append"
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row=manifest_rows,
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation=op,
+        summary_extra={
+            "added-records": str(n_staged),
+            "deleted-records": str(len(pairs)),
+        },
+        rollback_paths=rollback,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_updated": rows_updated,
+        "rows_deleted": rows_deleted,
+        "rows_inserted": rows_inserted,
+        "metadata": new_path,
+    }

@@ -459,3 +459,67 @@ def test_append_merge_schema_iceberg(spark, tmp_path):
         path,
     )
     assert read_iceberg_table(spark, path).count() == 7
+
+
+def test_merge_into_iceberg_upsert(spark, tmp_path):
+    """MERGE INTO iceberg in one overwrite snapshot: matched rows
+    position-delete + rewrite, unmatched insert; ambiguity fails
+    pre-commit; insert-only merges commit a plain append."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_metadata_df,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        merge_into_iceberg,
+    )
+
+    path = _table(spark, tmp_path)  # ids 0..3
+    source = spark.createDataFrame(
+        [(2, "a", 99.0), (10, "a", 97.0)],
+        "id long, part string, v double",
+    )
+    info = merge_into_iceberg(
+        spark, path, source, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+    assert (info["rows_updated"], info["rows_inserted"]) == (1, 1)
+    got = {r.id: r.v for r in read_iceberg_table(spark, path).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 99.0, 3: 3.0, 10: 97.0}
+    ops = {
+        r.snapshot_id: r.operation
+        for r in iceberg_metadata_df(spark, path, "snapshots").collect()
+    }
+    assert ops[info["snapshot_id"]] == "overwrite"
+
+    # idempotent re-merge: same values, no inserts
+    info2 = merge_into_iceberg(
+        spark, path, source, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+    assert info2["rows_inserted"] == 0 and info2["rows_updated"] == 2
+    assert read_iceberg_table(spark, path).count() == 5
+
+    # ambiguity pre-commit
+    dup = spark.createDataFrame(
+        [(2, "a", 1.0), (2, "a", 2.0)],
+        "id long, part string, v double",
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        merge_into_iceberg(
+            spark, path, dup, "t.id = s.id",
+            when_matched_update={"v": "s.v"},
+        )
+
+    # insert-only: 'append' snapshot, streams tail it
+    src2 = spark.createDataFrame(
+        [(20, "a", 1.0)], "id long, part string, v double"
+    )
+    info3 = merge_into_iceberg(
+        spark, path, src2, "t.id = s.id",
+        when_matched_update=None,
+    )
+    assert info3["rows_inserted"] == 1
+    ops = {
+        r.snapshot_id: r.operation
+        for r in iceberg_metadata_df(spark, path, "snapshots").collect()
+    }
+    assert ops[info3["snapshot_id"]] == "append"
