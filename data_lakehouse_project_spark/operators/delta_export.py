@@ -652,6 +652,27 @@ def restore_delta(table_path: str, version: int) -> dict:
     table_path = os.path.abspath(table_path)
     cur_v, cur, protocol, cur_meta = _replay_raw_state(table_path)
     tgt_v, tgt, _, tgt_meta = _replay_raw_state(table_path, version)
+    # Same writer gating as DML (_dml_prepare): RESTORE is a
+    # data-changing commit, so unsupported writerFeatures / invariant
+    # columns must refuse rather than break other engines' guarantees.
+    from .delta_writer import _gate_writer
+
+    _gate_writer(protocol, (cur_meta or {}).get("schemaString") or "{}")
+    cfg = (cur_meta or {}).get("configuration") or {}
+    if cfg.get("delta.appendOnly", "").lower() == "true":
+        raise DeltaExportError(
+            "table is delta.appendOnly=true; RESTORE removes files"
+        )
+    if cfg.get("delta.enableChangeDataFeed", "").lower() == "true":
+        # A RESTORE commit mixes loose adds + loose removes with no
+        # cdc actions — a shape CDF readers (ours included) cannot
+        # reconstruct row-level changes from.  Refuse rather than
+        # break the table's change feed.
+        raise DeltaExportError(
+            "table has delta.enableChangeDataFeed=true; RESTORE "
+            "would commit adds+removes without cdc files, breaking "
+            "the change feed"
+        )
     if tgt_v == cur_v:
         return {"version": cur_v, "restored_to": version,
                 "added": 0, "removed": 0, "noop": True}

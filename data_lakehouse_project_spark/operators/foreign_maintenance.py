@@ -292,8 +292,18 @@ def expire_iceberg_snapshots(
     )
     new_path = os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json")
     if not dry_run:
-        with open(new_path, "w") as fh:
-            json.dump(new_md, fh)
+        # Exclusive create (like every other commit path): a
+        # concurrently committed v{N+1}.metadata.json must NOT be
+        # silently overwritten — that would orphan the other writer's
+        # snapshot before any file deletion even starts.
+        try:
+            with open(new_path, "x") as fh:
+                json.dump(new_md, fh)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit detected at {new_path}; "
+                "re-read the table and retry expire_iceberg_snapshots"
+            ) from None
         with open(
             os.path.join(meta_dir, "version-hint.text"), "w"
         ) as fh:

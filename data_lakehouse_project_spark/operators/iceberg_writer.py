@@ -778,8 +778,13 @@ def _write_pos_delete_manifest(
 
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
+    # uuid-named (like data files/manifests): snapshot_id is max+1 so
+    # two writers racing from the same snapshot would otherwise target
+    # the SAME path — the loser's write would clobber the winner's
+    # committed delete file and its rollback would then delete it.
     del_path = os.path.join(
-        data_dir, f"pos-deletes-{snapshot_id}.parquet"
+        data_dir,
+        f"pos-deletes-{snapshot_id}-{_uuid.uuid4().hex}.parquet",
     )
     pq.write_table(
         pa.table(
@@ -1539,6 +1544,23 @@ def merge_into_iceberg(
                     for f in spark_schema.fields
                 ]
             )
+    elif when_not_matched_insert:
+        # Empty table (no live data files): every source row is
+        # unmatched — stage them all as inserts, mirroring
+        # merge_into_delta's empty-target behavior.
+        missing = [
+            f.name
+            for f in spark_schema.fields
+            if f.name not in source.columns
+        ]
+        if missing:
+            raise ValueError(f"INSERT needs source columns {missing}")
+        inserts = src.select(
+            *[
+                F.col(f"s.{f.name}").cast(f.dataType).alias(f.name)
+                for f in spark_schema.fields
+            ]
+        )
     staged_new = None
     if new_rows is not None and inserts is not None:
         staged_new = new_rows.unionByName(inserts)

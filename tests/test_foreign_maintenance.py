@@ -293,3 +293,91 @@ def test_restore_delta(spark, tmp_path):
                 _os.remove(full)  # vacuum the v0-only file
     with pytest.raises(DeltaExportError, match="vacuumed"):
         restore_delta(out2, 0)
+
+
+def test_expire_iceberg_refuses_concurrent_commit(spark, tmp_path):
+    """expire_iceberg_snapshots commits with exclusive create: a
+    concurrently committed v{N+1}.metadata.json surfaces a clean
+    retry error BEFORE any file deletion (ADVICE r8)."""
+    import os
+
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_snapshot_ids,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 4), mode="overwrite")
+    export_iceberg_metadata(t, spark)
+    t.write(_df(spark, 4, 6), mode="append")
+    export_iceberg_metadata(t, spark)
+    meta_dir = os.path.join(path, "metadata")
+    cur = max(
+        int(n[1:].split(".")[0])
+        for n in os.listdir(meta_dir)
+        if n.startswith("v") and n.endswith(".metadata.json")
+    )
+    # simulate a concurrent writer landing v{N+1} first
+    clobber = os.path.join(meta_dir, f"v{cur + 1}.metadata.json")
+    with open(clobber, "w") as fh:
+        fh.write("{}")
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+    )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        expire_iceberg_snapshots(spark, path, keep_last=1, dry_run=False)
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+    )
+    assert before == after  # nothing deleted, nothing overwritten
+    assert len(list(iceberg_snapshot_ids(path))) == 2
+
+
+def test_restore_delta_refuses_cdf_and_gated_tables(spark, tmp_path):
+    """RESTORE is a data-changing commit: it must run the same writer
+    gates as DML — CDF-enabled tables refuse (the restore commit's
+    loose adds+removes are not CDF-reconstructable) (ADVICE r8)."""
+    import json
+    import os
+
+    from data_lakehouse_project_spark.operators.delta_export import (
+        DeltaExportError,
+        restore_delta,
+        sync_delta_export,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "mirror")
+    t = TxnTable(src)
+    t.write(_df(spark, 0, 4), mode="overwrite")
+    sync_delta_export(spark, src, out)
+    t.write(_df(spark, 4, 6), mode="append")
+    sync_delta_export(spark, src, out)
+
+    # flip CDF on in every metaData action across the mirror's log
+    log = os.path.join(out, "_delta_log")
+    for name in os.listdir(log):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(log, name)
+        lines = [json.loads(x) for x in open(p)]
+        touched = False
+        for act in lines:
+            if "metaData" in act:
+                act["metaData"].setdefault("configuration", {})[
+                    "delta.enableChangeDataFeed"
+                ] = "true"
+                touched = True
+        if touched:
+            with open(p, "w") as fh:
+                for act in lines:
+                    fh.write(json.dumps(act) + "\n")
+    with pytest.raises(DeltaExportError, match="ChangeDataFeed"):
+        restore_delta(out, 0)

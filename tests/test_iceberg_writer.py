@@ -523,3 +523,75 @@ def test_merge_into_iceberg_upsert(spark, tmp_path):
         for r in iceberg_metadata_df(spark, path, "snapshots").collect()
     }
     assert ops[info3["snapshot_id"]] == "append"
+
+
+def test_merge_into_empty_iceberg_inserts_all(spark, tmp_path):
+    """MERGE into a table with NO live data files must treat every
+    source row as unmatched and insert it (ADVICE r8: the scan-is-None
+    path previously skipped the insert branch and silently returned
+    snapshot_id None)."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        merge_into_iceberg,
+    )
+
+    # empty table: export of a 0-row TxnTable snapshot
+    path = str(tmp_path / "empty")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 4).limit(0), mode="overwrite")
+    export_iceberg_metadata(t, spark)
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)],
+        "id long, part string, v double",
+    )
+    info = merge_into_iceberg(
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+    assert info["snapshot_id"] is not None
+    assert info["rows_inserted"] == 2 and info["rows_updated"] == 0
+    got = {r.id: r.v for r in read_iceberg_table(spark, path).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+    # and the merge after a full delete (live files but all rows dead)
+    path2 = _table(spark, tmp_path)  # ids 0..3
+    delete_from_iceberg(spark, path2, "id >= 0")
+    assert read_iceberg_table(spark, path2).count() == 0
+    info2 = merge_into_iceberg(
+        spark, path2, src, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+    assert info2["rows_inserted"] == 2
+    got2 = {
+        r.id: r.v for r in read_iceberg_table(spark, path2).collect()
+    }
+    assert got2 == {1: 10.0, 2: 20.0}
+
+
+def test_pos_delete_filenames_never_collide(spark, tmp_path):
+    """Two writers racing from the same snapshot compute the same
+    snapshot_id (max+1); the position-delete parquet must still get a
+    unique path so the loser's write/rollback can never clobber the
+    winner's committed file (ADVICE r8)."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        _write_pos_delete_manifest,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        load_iceberg_metadata,
+    )
+
+    path = _table(spark, tmp_path)
+    md = load_iceberg_metadata(path)
+    pairs = [("data/whatever.parquet", 0)]
+    row1, rb1 = _write_pos_delete_manifest(
+        spark, path, md, pairs, snapshot_id=99, seq=9
+    )
+    row2, rb2 = _write_pos_delete_manifest(
+        spark, path, md, pairs, snapshot_id=99, seq=9
+    )
+    p1 = [p for p in rb1 if p.endswith(".parquet")]
+    p2 = [p for p in rb2 if p.endswith(".parquet")]
+    assert p1 and p2 and set(p1).isdisjoint(p2)
+    for p in p1 + p2:
+        assert os.path.exists(p)
