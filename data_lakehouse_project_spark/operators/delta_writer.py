@@ -58,8 +58,10 @@ from .txnlog import LOG_DIR, _VERSION_DIGITS, _file_stats, _serialize_add
 # deletionVectors / v2Checkpoint / vacuumProtocolCheck / timestampNtz /
 #   variantType / typeWidening: impose no append-path obligations
 #   beyond what the snapshot reader already validated.
-# changeDataFeed: inserts need no cdc files (readers synthesize
-#   insert rows from the adds) — spec-compliant as-is.
+# changeDataFeed: appends need no cdc files (readers synthesize
+#   insert rows from the adds); DELETE/UPDATE/MERGE write spec
+#   _change_data cdc files (_stage_cdc_actions) so the feed stays
+#   row-level correct.
 # rowTracking: IMPLEMENTED — appends assign fresh baseRowIds /
 #   defaultRowCommitVersions and advance the delta.rowTracking
 #   domain's rowIdHighWaterMark; DV re-adds preserve the file's
@@ -308,6 +310,80 @@ def _stage_parquet_adds(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stage_cdc_actions(
+    spark: SparkSession,
+    change_df: DataFrame,
+    table_path: str,
+    phys_parts: list[str],
+    field_ids: bool = False,
+) -> tuple[list[dict], list[str]]:
+    """Write CDF change rows (table columns + ``_change_type``) as
+    spec ``_change_data/`` parquet files and return (``cdc`` actions,
+    absolute written paths for rollback).  Layout mirrors data files:
+    partition columns live in the hive dirs / partitionValues, not in
+    the parquet, so the CDF reader's cdc branch (physical schema +
+    ``_change_type``) reads them directly.  ``dataChange=false`` per
+    spec — cdc files are change metadata, not table data."""
+    tmp = os.path.join(table_path, f".tmp-cdc-{_uuid.uuid4()}")
+    actions: list[dict] = []
+    written: list[str] = []
+    try:
+        if field_ids:
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+        w = change_df.write.mode("overwrite")
+        if phys_parts:
+            w = w.partitionBy(*phys_parts)
+        w.parquet(tmp)
+        for dirpath, dirnames, filenames in os.walk(tmp):
+            dirnames[:] = [
+                d
+                for d in dirnames
+                if "=" in d or not d.startswith(("_", "."))
+            ]
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet") or fn.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                src = os.path.join(dirpath, fn)
+                if _file_stats(src).get("num_rows", 0) == 0:
+                    continue
+                rel_dirs = os.path.relpath(src, tmp).split(os.sep)[:-1]
+                pv: dict[str, str | None] = {}
+                for seg in rel_dirs:
+                    k, _, v = seg.partition("=")
+                    pv[_unq(k)] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else _unq(v)
+                    )
+                dst_rel = "/".join(
+                    ["_change_data", *rel_dirs,
+                     f"cdc-{_uuid.uuid4().hex}.parquet"]
+                )
+                dst = os.path.join(table_path, dst_rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                written.append(dst)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": dst_rel,
+                            "partitionValues": {
+                                p: pv.get(p) for p in phys_parts
+                            },
+                            "size": os.path.getsize(dst),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        return actions, written
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def append_to_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -484,8 +560,9 @@ def delete_from_delta(
     snap, schema, part_cols, _abs = ctx[:4]
     table_path = os.path.abspath(table_path)
     df = _keyed_scan(spark, snap, schema, part_cols, _abs)
+    matched_df = df.where(F.expr(predicate))
     matched = (
-        df.where(F.expr(predicate))
+        matched_df
         .groupBy("__dfd_path")
         .agg(F.sort_array(F.collect_list("__dfd_pos")).alias("__pos"))
         .collect()
@@ -495,6 +572,17 @@ def delete_from_delta(
         return {"version": snap.version, "files_updated": 0,
                 "rows_deleted": 0}
     ts = int(time.time() * 1000)
+    cdc_actions: list[dict] = []
+    cdc_paths: list[str] = []
+    if ctx[5]:  # CDF enabled: spec _change_data files with the
+        # deleted rows (delta-spark's DV-DELETE-on-CDF shape); the
+        # commit's cdc actions make readers ignore the DV pair below
+        change = matched_df.select(*schema.names).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        cdc_actions, cdc_paths = _stage_cdc_actions(
+            spark, change, table_path, part_cols
+        )
     dv_actions, dv_path, rows_deleted = _dv_pair_actions(
         table_path, snap, by_path, _abs, ts
     )
@@ -510,9 +598,12 @@ def delete_from_delta(
             }
         },
         *_protocol_upgrade_actions(snap, ctx[4]),
+        *cdc_actions,
         *dv_actions,
     ]
-    _exclusive_commit(table_path, version, actions, [dv_path], "delete")
+    _exclusive_commit(
+        table_path, version, actions, [dv_path, *cdc_paths], "delete"
+    )
     return {
         "version": version,
         "files_updated": len(by_path),
@@ -528,8 +619,11 @@ def _dml_prepare(
     needs_dv: bool = True,
 ):
     """Shared DML gating: snapshot + writer-feature gate, column-
-    mapping / appendOnly / CDF-config refusals, DV-feature check.
-    Returns (snap, schema, part_cols, _abs, has_dv_feature)."""
+    mapping / appendOnly refusals, DV-feature check.  CDF-enabled
+    tables are SUPPORTED — the flag is returned and DML paths emit
+    spec ``_change_data`` cdc files for their row-level changes.
+    Returns (snap, schema, part_cols, _abs, has_dv_feature,
+    cdf_enabled)."""
     from .txnlog import _schema_from_json
 
     table_path = os.path.abspath(table_path)
@@ -547,17 +641,11 @@ def _dml_prepare(
         raise UnsupportedDeltaFeature(
             f"table is delta.appendOnly=true; {op}s are forbidden"
         )
-    if (
+    cdf_enabled = (
         snap.configuration.get("delta.enableChangeDataFeed", "")
         .lower()
         == "true"
-    ):
-        raise UnsupportedDeltaFeature(
-            "table has delta.enableChangeDataFeed=true; this writer "
-            "does not emit the cdc files a spec CDF consumer would "
-            "need for row-level changes — refusing rather than "
-            "breaking the change feed"
-        )
+    )
     has_dv_feature = int(
         snap.protocol.get("minReaderVersion", 1)
     ) >= 3 and "deletionVectors" in (
@@ -579,7 +667,7 @@ def _dml_prepare(
                 p = p[len(pref):]
         return p if os.path.isabs(p) else os.path.join(table_path, p)
 
-    return snap, schema, part_cols, _abs, has_dv_feature
+    return snap, schema, part_cols, _abs, has_dv_feature, cdf_enabled
 
 
 def _keyed_scan(spark, snap, schema, part_cols, _abs) -> DataFrame:
@@ -781,7 +869,8 @@ def update_from_delta(
     (evaluated over the matched rows; other columns carry through).
 
     Gating as ``delete_from_delta`` (DV feature / upgrade opt-in,
-    column mapping and appendOnly and CDF-config refusals) plus CHECK
+    column mapping and appendOnly refusals; CDF-enabled tables get
+    spec ``_change_data`` pre/post-image files) plus CHECK
     constraints evaluated over the REWRITTEN rows before anything
     commits.  Returns ``{"version", "rows_updated", "files"}``."""
     ctx = _dml_prepare(
@@ -832,6 +921,21 @@ def update_from_delta(
         part_cols,
         ts,
     )
+    cdc_actions: list[dict] = []
+    cdc_paths: list[str] = []
+    if ctx[5]:  # CDF enabled: update_preimage + update_postimage
+        # change rows; their presence makes CDF readers skip the DV
+        # pair and rewritten-file adds below
+        change = matched.select(*schema.names).withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            new_rows.select(*schema.names).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+        )
+        cdc_actions, cdc_paths = _stage_cdc_actions(
+            spark, change, table_path, part_cols
+        )
     dv_actions, dv_path, _ = _dv_pair_actions(
         table_path, snap, by_path, _abs, ts
     )
@@ -854,12 +958,14 @@ def update_from_delta(
         },
         *_protocol_upgrade_actions(snap, ctx[4]),
         *rt_actions,
+        *cdc_actions,
         *dv_actions,
         *({"add": a} for a in adds),
     ]
     try:
         _exclusive_commit(
-            table_path, version, actions, [dv_path], "update"
+            table_path, version, actions, [dv_path, *cdc_paths],
+            "update",
         )
     except ValueError:
         for a in adds:  # roll the staged rewritten files back too
@@ -1240,6 +1346,45 @@ def merge_into_delta(
             "rows_deleted": 0,
             "rows_inserted": 0,
         }
+    cdc_actions: list[dict] = []
+    cdc_paths: list[str] = []
+    if ctx[5] and by_path:
+        # CDF enabled with matched changes: cdc actions suppress the
+        # add/remove fallback for the whole commit, so the change set
+        # must be COMPLETE — matched images AND insert rows.  An
+        # insert-only merge (no matched rows) writes no cdc; the spec
+        # fallback labels its adds as inserts.
+        t_cols = [F.col(f"t.{c}").alias(c) for c in schema.names]
+        parts: list[DataFrame] = []
+        if when_matched_delete:
+            parts.append(
+                matched.select(*t_cols).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        elif when_matched_update:
+            parts.append(
+                matched.select(*t_cols).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            parts.append(
+                new_rows.select(*schema.names).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        if inserts is not None:
+            parts.append(
+                inserts.select(*schema.names).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        change = parts[0]
+        for p in parts[1:]:
+            change = change.unionByName(p)
+        cdc_actions, cdc_paths = _stage_cdc_actions(
+            spark, change, table_path, part_cols
+        )
     dv_actions: list[dict] = []
     dv_path = None
     if by_path:
@@ -1265,6 +1410,7 @@ def merge_into_delta(
             _protocol_upgrade_actions(snap, ctx[4]) if by_path else []
         ),
         *rt_actions,
+        *cdc_actions,
         *dv_actions,
         *({"add": a} for a in adds),
     ]
@@ -1273,7 +1419,7 @@ def merge_into_delta(
             table_path,
             version,
             actions,
-            [dv_path] if dv_path else [],
+            ([dv_path] if dv_path else []) + cdc_paths,
             "merge",
         )
     except ValueError:
