@@ -66,8 +66,13 @@ from .txnlog import LOG_DIR, _VERSION_DIGITS, _file_stats, _serialize_add
 #   defaultRowCommitVersions and advance the delta.rowTracking
 #   domain's rowIdHighWaterMark; DV re-adds preserve the file's
 #   original ids (row-id stability across merge-on-read deletes).
-# Everything else (generatedColumns; identityColumns;
-# icebergCompat*; clustering) must REFUSE, not silently skip.
+# generatedColumns / identityColumns: the LISTED feature imposes
+#   nothing unless a column actually uses it — _gate_writer refuses on
+#   the schema metadata (delta.generationExpression / delta.identity.*)
+#   either way, so the feature names are accepted (legacy writer 4/6
+#   upgrades enumerate them).
+# Everything else (icebergCompat*; clustering) must REFUSE, not
+# silently skip.
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -83,6 +88,8 @@ SUPPORTED_WRITER_FEATURES = {
     "changeDataFeed",
     "domainMetadata",
     "rowTracking",
+    "generatedColumns",
+    "identityColumns",
 }
 
 _ROW_TRACKING_DOMAIN = "delta.rowTracking"
@@ -558,8 +565,9 @@ def delete_from_delta(
         spark, table_path, "delete", allow_protocol_upgrade
     )
     snap, schema, part_cols, _abs = ctx[:4]
+    mapping = ctx[6]
     table_path = os.path.abspath(table_path)
-    df = _keyed_scan(spark, snap, schema, part_cols, _abs)
+    df = _keyed_scan(spark, snap, schema, part_cols, _abs, mapping)
     matched_df = df.where(F.expr(predicate))
     matched = (
         matched_df
@@ -580,8 +588,19 @@ def delete_from_delta(
         change = matched_df.select(*schema.names).withColumn(
             "_change_type", F.lit("delete")
         )
+        change = _to_physical_df(
+            change, schema, snap.schema_json, mapping,
+            extra=("_change_type",),
+        )
+        phys_of = (
+            _physical_names(snap.schema_json)
+            if mapping in ("name", "id")
+            else {c: c for c in part_cols}
+        )
         cdc_actions, cdc_paths = _stage_cdc_actions(
-            spark, change, table_path, part_cols
+            spark, change, table_path,
+            [phys_of[c] for c in part_cols],
+            field_ids=(mapping == "id"),
         )
     dv_actions, dv_path, rows_deleted = _dv_pair_actions(
         table_path, snap, by_path, _abs, ts
@@ -618,12 +637,14 @@ def _dml_prepare(
     allow_protocol_upgrade: bool,
     needs_dv: bool = True,
 ):
-    """Shared DML gating: snapshot + writer-feature gate, column-
-    mapping / appendOnly refusals, DV-feature check.  CDF-enabled
-    tables are SUPPORTED — the flag is returned and DML paths emit
-    spec ``_change_data`` cdc files for their row-level changes.
-    Returns (snap, schema, part_cols, _abs, has_dv_feature,
-    cdf_enabled)."""
+    """Shared DML gating: snapshot + writer-feature gate, appendOnly
+    refusal, DV-feature check.  CDF-enabled tables are SUPPORTED —
+    the flag is returned and DML paths emit spec ``_change_data`` cdc
+    files.  Column-mapped tables are SUPPORTED — the scan renames
+    physical parquet columns to logical so user predicates just work,
+    and rewrites go back out with physical names (+ field ids in id
+    mode).  Returns (snap, schema, part_cols, _abs, has_dv_feature,
+    cdf_enabled, mapping_mode)."""
     from .txnlog import _schema_from_json
 
     table_path = os.path.abspath(table_path)
@@ -632,11 +653,12 @@ def _dml_prepare(
         raise UnsupportedDeltaFeature("table carries no schemaString")
     _gate_writer(snap.protocol, snap.schema_json)
     mapping = snap.configuration.get("delta.columnMapping.mode", "none")
-    if mapping not in ("none", ""):
+    if mapping not in ("none", "", "name", "id"):
         raise UnsupportedDeltaFeature(
-            f"{op}_from_delta does not support column-mapped tables "
-            "(the predicate would need physical-name translation)"
+            f"unknown delta.columnMapping.mode {mapping!r}"
         )
+    if mapping == "":
+        mapping = "none"
     if snap.configuration.get("delta.appendOnly", "").lower() == "true":
         raise UnsupportedDeltaFeature(
             f"table is delta.appendOnly=true; {op}s are forbidden"
@@ -667,20 +689,75 @@ def _dml_prepare(
                 p = p[len(pref):]
         return p if os.path.isabs(p) else os.path.join(table_path, p)
 
-    return snap, schema, part_cols, _abs, has_dv_feature, cdf_enabled
+    return snap, schema, part_cols, _abs, has_dv_feature, cdf_enabled, \
+        mapping
 
 
-def _keyed_scan(spark, snap, schema, part_cols, _abs) -> DataFrame:
+def _scan_schema(schema, schema_json, part_cols, mapping):
+    """Non-partition scan StructType for the table's data files:
+    physical names (name mode) or logical names + parquet.field.id
+    metadata (id mode, resolved by id)."""
+    from pyspark.sql.types import StructType
+
+    if mapping in ("name", "id"):
+        from .delta_reader import _map_schema_json
+
+        mapped = StructType.fromJson(_map_schema_json(schema_json, mapping))
+        return StructType(
+            [
+                mf
+                for lf, mf in zip(schema.fields, mapped.fields)
+                if lf.name not in part_cols
+            ]
+        )
+    return StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+
+
+def _to_physical_df(
+    df: DataFrame, schema, schema_json: str, mapping: str, extra=()
+) -> DataFrame:
+    """Logical-column DataFrame -> the physical WRITE shape: top-level
+    physical aliases, nested renames via positional struct cast, and
+    parquet.field.id metadata in id mode.  Identity when mapping is
+    off.  ``extra`` columns (e.g. ``_change_type``) pass through."""
+    if mapping not in ("name", "id"):
+        return df.select(
+            *[F.col(f"`{f.name}`") for f in schema.fields],
+            *[F.col(c) for c in extra],
+        )
+    from pyspark.sql.types import StructType
+
+    from .delta_reader import _map_schema_json
+
+    mapped = StructType.fromJson(_map_schema_json(schema_json, "name"))
+    ids_of = _field_ids(schema_json) if mapping == "id" else {}
+    cols = []
+    for lf, mf in zip(schema.fields, mapped.fields):
+        md = {"parquet.field.id": ids_of[lf.name]} if ids_of else {}
+        cols.append(
+            F.col(f"`{lf.name}`").cast(mf.dataType)
+            .alias(mf.name, metadata=md)
+        )
+    return df.select(*cols, *[F.col(c) for c in extra])
+
+
+def _keyed_scan(
+    spark, snap, schema, part_cols, _abs, mapping: str = "none"
+) -> DataFrame:
     """Raw scan of the snapshot's files with ``__dfd_path`` /
     ``__dfd_pos`` materialized and partition values attached, so DML
     predicates can reference every table column.  Existing DV
     positions ARE excluded — an UPDATE/MERGE rewrite of a matched set
     that included already-deleted rows would RESURRECT them as fresh
-    copies (caught by the merge re-apply test)."""
-    from pyspark.sql.types import StructType
-
-    physical = [f for f in schema.fields if f.name not in part_cols]
-    df = spark.read.schema(StructType(physical)).parquet(
+    copies (caught by the merge re-apply test).  Under column mapping
+    the files are scanned physically (by name or field id) and
+    exposed with LOGICAL names."""
+    if mapping == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    physical = _scan_schema(schema, snap.schema_json, part_cols, mapping)
+    df = spark.read.schema(physical).parquet(
         *[_abs(f["path"]) for f in snap.files]
     )
     df = df.withColumns(
@@ -689,6 +766,30 @@ def _keyed_scan(spark, snap, schema, part_cols, _abs) -> DataFrame:
             "__dfd_pos": F.col("_metadata.row_index"),
         }
     )
+    if mapping == "name":
+        phys_of = _physical_names(snap.schema_json)
+        df = df.select(
+            *[
+                F.col(f"`{phys_of[f.name]}`").cast(f.dataType)
+                .alias(f.name)
+                for f in schema.fields
+                if f.name not in part_cols
+            ],
+            "__dfd_path",
+            "__dfd_pos",
+        )
+    elif mapping == "id":
+        # id-mode scan schema already carries logical names; fold the
+        # field-id metadata away and restore clean logical types
+        df = df.select(
+            *[
+                F.col(f"`{f.name}`").cast(f.dataType).alias(f.name)
+                for f in schema.fields
+                if f.name not in part_cols
+            ],
+            "__dfd_path",
+            "__dfd_pos",
+        )
     dv_fs = [f for f in snap.files if f.get("foreign_dv")]
     if dv_fs:
         from .dv import resolve_dv_positions
@@ -711,11 +812,17 @@ def _keyed_scan(spark, snap, schema, part_cols, _abs) -> DataFrame:
                 "left_anti",
             )
     if part_cols:
+        # partitionValues keys are PHYSICAL names under column mapping
+        pv_of = (
+            _physical_names(snap.schema_json)
+            if mapping in ("name", "id")
+            else {c: c for c in part_cols}
+        )
         rows = [
             tuple(
                 [os.path.abspath(_abs(f["path"]))]
                 + [
-                    (f.get("partition_values") or {}).get(c)
+                    (f.get("partition_values") or {}).get(pv_of[c])
                     for c in part_cols
                 ]
             )
@@ -807,9 +914,30 @@ def _dv_pair_actions(
     return actions, dv_path, rows_deleted
 
 
+# Legacy protocol versions imply features without listing them; a
+# features-upgrade must ENUMERATE them (spec: "the resulting protocol
+# must support everything the previous one did").
+_LEGACY_WRITER_IMPLIES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+_LEGACY_READER_IMPLIES = {2: {"columnMapping"}}
+
+
 def _protocol_upgrade_actions(snap, has_dv_feature: bool) -> list[dict]:
     if has_dv_feature:
         return []
+    rv = int(snap.protocol.get("minReaderVersion", 1))
+    wv = int(snap.protocol.get("minWriterVersion", 1))
+    r_implied = set().union(
+        *(f for v, f in _LEGACY_READER_IMPLIES.items() if rv >= v and rv < 3)
+    ) if rv < 3 else set()
+    w_implied = set().union(
+        *(f for v, f in _LEGACY_WRITER_IMPLIES.items() if wv >= v)
+    ) if wv < 7 else set()
     return [
         {
             "protocol": {
@@ -817,10 +945,12 @@ def _protocol_upgrade_actions(snap, has_dv_feature: bool) -> list[dict]:
                 "minWriterVersion": 7,
                 "readerFeatures": sorted(
                     set(snap.protocol.get("readerFeatures") or [])
+                    | r_implied
                     | {"deletionVectors"}
                 ),
                 "writerFeatures": sorted(
                     set(snap.protocol.get("writerFeatures") or [])
+                    | w_implied
                     | {"deletionVectors"}
                 ),
             }
@@ -877,11 +1007,17 @@ def update_from_delta(
         spark, table_path, "update", allow_protocol_upgrade
     )
     snap, schema, part_cols, _abs = ctx[:4]
+    mapping = ctx[6]
+    phys_of = (
+        _physical_names(snap.schema_json)
+        if mapping in ("name", "id")
+        else {c: c for c in schema.names}
+    )
     table_path = os.path.abspath(table_path)
     unknown = [c for c in set_map if c not in schema.names]
     if unknown:
         raise ValueError(f"SET references unknown columns {unknown}")
-    df = _keyed_scan(spark, snap, schema, part_cols, _abs)
+    df = _keyed_scan(spark, snap, schema, part_cols, _abs, mapping)
     matched = df.where(F.expr(predicate))
     new_rows = matched.select(
         *[
@@ -916,10 +1052,14 @@ def update_from_delta(
     # DV positions exclude them from their old files in the same commit
     adds, n_rows = _stage_parquet_adds(
         spark,
-        new_rows.select(*schema.names),
+        _to_physical_df(
+            new_rows.select(*schema.names), schema,
+            snap.schema_json, mapping,
+        ),
         table_path,
-        part_cols,
+        [phys_of[c] for c in part_cols],
         ts,
+        field_ids=(mapping == "id"),
     )
     cdc_actions: list[dict] = []
     cdc_paths: list[str] = []
@@ -933,8 +1073,14 @@ def update_from_delta(
                 "_change_type", F.lit("update_postimage")
             )
         )
+        change = _to_physical_df(
+            change, schema, snap.schema_json, mapping,
+            extra=("_change_type",),
+        )
         cdc_actions, cdc_paths = _stage_cdc_actions(
-            spark, change, table_path, part_cols
+            spark, change, table_path,
+            [phys_of[c] for c in part_cols],
+            field_ids=(mapping == "id"),
         )
     dv_actions, dv_path, _ = _dv_pair_actions(
         table_path, snap, by_path, _abs, ts
@@ -995,13 +1141,19 @@ def optimize_delta(
     Delta contract, so streams and CDF treat it as a no-op and never
     re-ship compacted rows.
 
-    Gating: column-mapped tables refuse (physical rewrite would need
-    the mapping applied); rowTracking tables refuse (preserving row
-    ids through a rewrite requires MATERIALIZED row-id columns this
-    writer does not produce — inventing fresh ids would break
-    stability).  ``delta.appendOnly`` is fine: compaction changes no
-    data.  Old files stay on disk for time travel until
-    ``vacuum_delta`` retires them.
+    Column-mapped tables compact physically (files are scanned by
+    physical name / field id and written back the same way — the
+    mapping never changes).  rowTracking tables preserve row ids by
+    MATERIALIZING them: each input row's id (materialized column if
+    non-null, else ``add.baseRowId + row_index``) and commit version
+    are written into the compacted files under the table's
+    ``delta.rowTracking.materialized*ColumnName`` physical columns
+    (generated + committed in the table config on first
+    materialization, delta-spark's own behavior), so ids survive the
+    rewrite and the commit stays ``dataChange=false``.
+    ``delta.appendOnly`` is fine: compaction changes no data.  Old
+    files stay on disk for time travel until ``vacuum_delta`` retires
+    them.
 
     ``zorder_by``: 1-2 column names — the compacted output is
     range-partitioned by the Z-curve interleave
@@ -1020,26 +1172,68 @@ def optimize_delta(
     if snap.schema_json is None:
         raise UnsupportedDeltaFeature("table carries no schemaString")
     _gate_writer(snap.protocol, snap.schema_json)
-    mapping = snap.configuration.get("delta.columnMapping.mode", "none")
-    if mapping not in ("none", ""):
+    mapping = snap.configuration.get(
+        "delta.columnMapping.mode", "none"
+    ) or "none"
+    if mapping not in ("none", "name", "id"):
         raise UnsupportedDeltaFeature(
-            "optimize_delta does not support column-mapped tables"
+            f"unknown delta.columnMapping.mode {mapping!r}"
         )
-    rt_enabled, _ = _row_tracking_state(table_path, snap)
-    if rt_enabled:
-        raise UnsupportedDeltaFeature(
-            "optimize_delta cannot preserve row ids through a rewrite "
-            "(materialized row-id columns are not produced); refusing "
-            "on a rowTracking table"
-        )
+    rt_enabled, rt_hwm = _row_tracking_state(table_path, snap)
 
     from .txnlog import _schema_from_json
 
     schema = _schema_from_json(spark, snap.schema_json)
     part_cols = [c for c in snap.partition_columns if c in schema.names]
-    physical = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+    if mapping == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    physical = _scan_schema(schema, snap.schema_json, part_cols, mapping)
+    pv_of = (
+        _physical_names(snap.schema_json)
+        if mapping in ("name", "id")
+        else {c: c for c in schema.names}
     )
+    # row tracking: materialized physical column names from the table
+    # config, generated + committed on first materialization
+    mat_id = mat_ver = None
+    rt_meta_action: list[dict] = []
+    if rt_enabled:
+        from pyspark.sql.types import LongType, StructField
+
+        mat_id = snap.configuration.get(
+            "delta.rowTracking.materializedRowIdColumnName"
+        )
+        mat_ver = snap.configuration.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        new_conf = {}
+        if not mat_id:
+            mat_id = f"_row_id_mat_{_uuid.uuid4().hex[:8]}"
+            new_conf[
+                "delta.rowTracking.materializedRowIdColumnName"
+            ] = mat_id
+        if not mat_ver:
+            mat_ver = f"_rcv_mat_{_uuid.uuid4().hex[:8]}"
+            new_conf[
+                "delta.rowTracking."
+                "materializedRowCommitVersionColumnName"
+            ] = mat_ver
+        if new_conf:
+            meta_raw = dict(_latest_meta_raw(table_path))
+            meta_raw["configuration"] = {
+                **(meta_raw.get("configuration") or {}),
+                **new_conf,
+            }
+            rt_meta_action = [{"metaData": meta_raw}]
+        # scan the materialized columns too (null in files written
+        # before materialization — the fresh formula covers them)
+        physical = StructType(
+            list(physical.fields)
+            + [
+                StructField(c, LongType(), True)
+                for c in (mat_id, mat_ver)
+            ]
+        )
 
     def _abs(p: str) -> str:
         for pref in ("file://", "file:"):
@@ -1050,7 +1244,8 @@ def optimize_delta(
     groups: dict[tuple, list[dict]] = {}
     for f in snap.files:
         key = tuple(
-            (f.get("partition_values") or {}).get(c) for c in part_cols
+            (f.get("partition_values") or {}).get(pv_of[c])
+            for c in part_cols
         )
         groups.setdefault(key, []).append(f)
     if zorder_by:
@@ -1084,13 +1279,44 @@ def optimize_delta(
         paths = [_abs(f["path"]) for f in fs]
         df = spark.read.schema(physical).parquet(*paths)
         dv_fs = [f for f in fs if f.get("foreign_dv")]
-        if dv_fs:
+        if dv_fs or rt_enabled:
             df = df.withColumns(
                 {
                     "__opt_path": _spark_path_key(),
                     "__opt_pos": F.col("_metadata.row_index"),
                 }
             )
+        if rt_enabled:
+            # preserve each row's id: materialized column when
+            # non-null, else baseRowId + row_index (the read-side
+            # formula) — written OUT as the materialized columns
+            base_rows = [
+                (
+                    os.path.abspath(_abs(f["path"])),
+                    f.get("base_row_id"),
+                    f.get("default_row_commit_version"),
+                )
+                for f in fs
+            ]
+            bmap = spark.createDataFrame(
+                base_rows, "__opt_path string, __base long, __dcv long"
+            )
+            df = (
+                df.join(F.broadcast(bmap), "__opt_path", "left")
+                .withColumn(
+                    mat_id,
+                    F.coalesce(
+                        F.col(f"`{mat_id}`"),
+                        F.col("__base") + F.col("__opt_pos"),
+                    ),
+                )
+                .withColumn(
+                    mat_ver,
+                    F.coalesce(F.col(f"`{mat_ver}`"), F.col("__dcv")),
+                )
+                .drop("__base", "__dcv")
+            )
+        if dv_fs:
             pairs = [
                 (os.path.abspath(_abs(f["path"])), int(p))
                 for f in dv_fs
@@ -1107,6 +1333,7 @@ def optimize_delta(
                     ["__opt_path", "__opt_pos"],
                     "left_anti",
                 )
+        if dv_fs or rt_enabled:
             df = df.drop("__opt_path", "__opt_pos")
         total = sum(f.get("size_bytes", 0) for f in fs)
         n_out = int(max(1, -(-total // max(target_size_bytes, 1))))
@@ -1116,12 +1343,15 @@ def optimize_delta(
             # on BOTH dimensions and stats-pruning bites
             from .maintenance import zorder_key
 
+            # the scan exposes PHYSICAL names in name mode
+            zc = [
+                pv_of[c] if mapping == "name" else c
+                for c in zorder_by
+            ]
             zk = (
-                zorder_key(
-                    F.col(zorder_by[0]), F.col(zorder_by[1])
-                )
-                if len(zorder_by) == 2
-                else F.col(zorder_by[0])
+                zorder_key(F.col(f"`{zc[0]}`"), F.col(f"`{zc[1]}`"))
+                if len(zc) == 2
+                else F.col(f"`{zc[0]}`")
             )
             staged = (
                 df.withColumn("__zk", zk)
@@ -1132,9 +1362,10 @@ def optimize_delta(
         else:
             staged = df.coalesce(n_out)
         adds, _n = _stage_parquet_adds(
-            spark, staged, table_path, [], ts
+            spark, staged, table_path, [], ts,
+            field_ids=(mapping == "id"),
         )
-        pv = dict(zip(part_cols, key))
+        pv = {pv_of[c]: v for c, v in zip(part_cols, key)}
         for a in adds:
             a["partitionValues"] = pv
             a["dataChange"] = False  # the Delta OPTIMIZE contract
@@ -1152,6 +1383,12 @@ def optimize_delta(
             all_removes.append(rm)
 
     version = snap.version + 1
+    rt_actions: list[dict] = []
+    if rt_enabled:
+        # spec: every add on a rowTracking table carries a fresh
+        # baseRowId range; the MATERIALIZED columns written above
+        # override them on read, preserving the original ids
+        rt_actions, _ = _row_tracking_actions(all_adds, rt_hwm, version)
     actions = [
         {
             "commitInfo": {
@@ -1164,6 +1401,8 @@ def optimize_delta(
                     "data_lakehouse_project_spark delta writer",
             }
         },
+        *rt_meta_action,
+        *rt_actions,
         *({"remove": r} for r in all_removes),
         *({"add": a} for a in all_adds),
     ]
@@ -1227,6 +1466,12 @@ def merge_into_delta(
         needs_dv=bool(when_matched_update or when_matched_delete),
     )
     snap, schema, part_cols, _abs = ctx[:4]
+    mapping = ctx[6]
+    phys_of = (
+        _physical_names(snap.schema_json)
+        if mapping in ("name", "id")
+        else {c: c for c in schema.names}
+    )
     table_path = os.path.abspath(table_path)
     if when_matched_update:
         unknown = [
@@ -1237,7 +1482,9 @@ def merge_into_delta(
                 f"UPDATE SET references unknown columns {unknown}"
             )
 
-    tgt = _keyed_scan(spark, snap, schema, part_cols, _abs).alias("t")
+    tgt = _keyed_scan(
+        spark, snap, schema, part_cols, _abs, mapping
+    ).alias("t")
     src = source.alias("s")
     cond = F.expr(on)
 
@@ -1333,10 +1580,14 @@ def merge_into_delta(
     if staged_new is not None:
         adds, n_staged = _stage_parquet_adds(
             spark,
-            staged_new.select(*schema.names),
+            _to_physical_df(
+                staged_new.select(*schema.names), schema,
+                snap.schema_json, mapping,
+            ),
             table_path,
-            part_cols,
+            [phys_of[c] for c in part_cols],
             ts,
+            field_ids=(mapping == "id"),
         )
         rows_inserted = n_staged - rows_updated
     if not by_path and not adds:
@@ -1382,8 +1633,14 @@ def merge_into_delta(
         change = parts[0]
         for p in parts[1:]:
             change = change.unionByName(p)
+        change = _to_physical_df(
+            change, schema, snap.schema_json, mapping,
+            extra=("_change_type",),
+        )
         cdc_actions, cdc_paths = _stage_cdc_actions(
-            spark, change, table_path, part_cols
+            spark, change, table_path,
+            [phys_of[c] for c in part_cols],
+            field_ids=(mapping == "id"),
         )
     dv_actions: list[dict] = []
     dv_path = None

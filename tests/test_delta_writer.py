@@ -553,16 +553,104 @@ def test_optimize_delta_compacts_and_applies_dvs(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 6, 7]
 
 
-def test_optimize_delta_refuses_row_tracking(spark, tmp_path):
+def test_optimize_delta_preserves_row_ids(spark, tmp_path):
+    """OPTIMIZE on a rowTracking table MATERIALIZES each row's id /
+    commit version into the compacted files (generating + committing
+    the delta.rowTracking.materialized*ColumnName config on first
+    use), so ids survive the rewrite; CDF stays empty and a stream
+    starting at the optimize commit ships nothing."""
+    from tests.test_delta_reader import _row_tracked_table
+
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+        optimize_delta,
+    )
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    table = _row_tracked_table(tmp_path)  # ids 0..4, two files
+    before = {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_table(spark, table, row_ids=True).collect()
+    }
+    info = optimize_delta(spark, table)
+    assert info["files_added"] >= 1
+    after = {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_table(spark, table, row_ids=True).collect()
+    }
+    assert after == before  # ids AND commit versions stable
+
+    # the materialized column names were committed into the config
+    snap = read_delta_snapshot(table)
+    mat = snap.configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    )
+    assert mat
+    f = [x for x in snap.files if x["path"].startswith("part-")][0]
+    cols = pq.read_schema(os.path.join(table, f["path"])).names
+    assert mat in cols
+
+    # CDF-empty + stream-no-op across the optimize commit
+    assert read_delta_changes(
+        spark, table, starting_version=info["version"]
+    ).count() == 0
+    register_python_datasources(spark)
+    got: list = []
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", table)
+        .option("startingVersion", str(info["version"]))
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _i: got.extend(r["id"] for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck_rt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == []
+
+    # a later DV delete + second optimize still keeps survivor ids
+    delete_from_delta(spark, table, "id = 1",
+                      allow_protocol_upgrade=True)
+    optimize_delta(spark, table)
+    final = {
+        r.id: (r._row_id, r._row_commit_version)
+        for r in read_delta_table(spark, table, row_ids=True).collect()
+    }
+    assert final == {k: v for k, v in before.items() if k != 1}
+
+
+def test_optimize_preserves_materialized_row_id_overrides(
+    spark, tmp_path
+):
+    """A file whose materialized row-id column already OVERRIDES the
+    fresh formula (spec: materialized wins) keeps the override through
+    compaction."""
     from tests.test_delta_reader import _row_tracked_table
 
     from data_lakehouse_project_spark.operators.delta_writer import (
         optimize_delta,
     )
 
-    table = _row_tracked_table(tmp_path)
-    with pytest.raises(UnsupportedDeltaFeature, match="row"):
-        optimize_delta(spark, table)
+    table = _row_tracked_table(tmp_path, materialized=True)
+    before = {
+        r.id: r._row_id
+        for r in read_delta_table(spark, table, row_ids=True).collect()
+    }
+    assert before[3] == 100  # the fixture's materialized override
+    optimize_delta(spark, table)
+    after = {
+        r.id: r._row_id
+        for r in read_delta_table(spark, table, row_ids=True).collect()
+    }
+    assert after == before
 
 
 def test_append_merge_schema(spark, tmp_path):

@@ -1,0 +1,191 @@
+"""Foreign Delta DML on COLUMN-MAPPED tables (name + id modes): the
+round-8 refusal is lifted — predicates arrive with logical names, the
+scan translates through the physical parquet columns, and rewrites go
+back out with physical names (+ parquet field ids in id mode).
+Fixtures come from test_delta_reader (spec-shaped hand-built logs:
+renamed/dropped columns, physical partitionValues keys)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from data_lakehouse_project_spark.operators.delta_reader import (
+    read_delta_snapshot,
+    read_delta_table,
+)
+from data_lakehouse_project_spark.operators.delta_writer import (
+    delete_from_delta,
+    merge_into_delta,
+    optimize_delta,
+    update_from_delta,
+)
+from tests.test_delta_reader import _id_mode_table, _mapped_table
+
+
+def test_delete_on_name_mapped_table(spark, tmp_path):
+    table = _mapped_table(tmp_path)  # logical (id, vv, p); phys names
+    info = delete_from_delta(
+        spark, table, "id = 2 AND p = 'west'",
+        allow_protocol_upgrade=True,
+    )
+    assert info["rows_deleted"] == 1
+    got = sorted(
+        (r.id, r.vv, r.p)
+        for r in read_delta_table(spark, table).collect()
+    )
+    assert got == [(1, "a", "west"), (3, "c", "west")]
+    # the upgrade enumerated the legacy-implied features (spec rule)
+    snap = read_delta_snapshot(table)
+    assert "columnMapping" in (snap.protocol.get("readerFeatures") or [])
+    assert "columnMapping" in (snap.protocol.get("writerFeatures") or [])
+
+
+def test_update_on_name_mapped_table_writes_physical(spark, tmp_path):
+    table = _mapped_table(tmp_path)
+    info = update_from_delta(
+        spark, table, "id = 1", {"vv": "'ZZ'"},
+        allow_protocol_upgrade=True,
+    )
+    assert info["rows_updated"] == 1
+    got = {r.id: r.vv for r in read_delta_table(spark, table).collect()}
+    assert got == {1: "ZZ", 2: "b", 3: "c"}
+    # the rewritten file carries PHYSICAL column names, and its add's
+    # partitionValues are keyed physically
+    snap = read_delta_snapshot(table)
+    new = [f for f in snap.files if f["path"].startswith("part-")]
+    assert new
+    for f in new:
+        names = pq.read_schema(os.path.join(table, f["path"])).names
+        assert "col-id0001" in names and "col-v0002" in names
+        assert "id" not in names and "vv" not in names
+        assert f["partition_values"] == {"col-p0004": "west"}
+
+
+def test_merge_on_name_mapped_table(spark, tmp_path):
+    table = _mapped_table(tmp_path)
+    src = spark.createDataFrame(
+        [(3, "CC", "west"), (9, "new", "east")],
+        "id long, vv string, p string",
+    )
+    info = merge_into_delta(
+        spark, table, src, "t.id = s.id",
+        when_matched_update={"vv": "s.vv"},
+        allow_protocol_upgrade=True,
+    )
+    assert (info["rows_updated"], info["rows_inserted"]) == (1, 1)
+    got = sorted(
+        (r.id, r.vv, r.p)
+        for r in read_delta_table(spark, table).collect()
+    )
+    assert got == [
+        (1, "a", "west"), (2, "b", "west"), (3, "CC", "west"),
+        (9, "new", "east"),
+    ]
+    # logical partition pruning still works over the mixed files
+    east = read_delta_table(spark, table, prune=[("p", "=", "east")])
+    assert sorted(r.id for r in east.collect()) == [9]
+
+
+def test_dml_on_id_mapped_table(spark, tmp_path):
+    table = _id_mode_table(tmp_path)  # logical (id, renamed_v)
+    info = delete_from_delta(
+        spark, table, "renamed_v = 'b'", allow_protocol_upgrade=True
+    )
+    assert info["rows_deleted"] == 1
+    update_from_delta(
+        spark, table, "id = 3", {"renamed_v": "'Z'"},
+        allow_protocol_upgrade=True,
+    )
+    got = sorted(
+        (r.id, r.renamed_v)
+        for r in read_delta_table(spark, table).collect()
+    )
+    assert got == [(1, "a"), (3, "Z")]
+    # the rewritten file resolves by FIELD ID: physical names + ids
+    snap = read_delta_snapshot(table)
+    new = [f for f in snap.files if f["path"].startswith("part-")]
+    assert new
+    sch = pq.read_schema(os.path.join(table, new[0]["path"]))
+    ids = {
+        sch.field(i).name: (sch.field(i).metadata or {}).get(
+            b"PARQUET:field_id"
+        )
+        for i in range(len(sch.names))
+    }
+    assert ids == {"col-id0001": b"1", "col-v0002": b"2"}
+
+
+def test_cdf_dml_on_mapped_table(spark, tmp_path):
+    """Column-mapped + CDF-enabled: DML emits physical-name cdc files
+    and the CDF reader (which owns the mapping) replays them with
+    logical names."""
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+
+    table = _mapped_table(tmp_path)
+    v0 = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(v0)]
+    for act in lines:
+        if "metaData" in act:
+            act["metaData"]["configuration"][
+                "delta.enableChangeDataFeed"
+            ] = "true"
+    with open(v0, "w") as fh:
+        for act in lines:
+            fh.write(json.dumps(act) + "\n")
+
+    info = update_from_delta(
+        spark, table, "id = 2", {"vv": "'BB'"},
+        allow_protocol_upgrade=True,
+    )
+    v = info["version"]
+    commit = os.path.join(table, "_delta_log", f"{v:020d}.json")
+    cdc = [
+        json.loads(x)["cdc"] for x in open(commit) if '"cdc"' in x
+    ]
+    assert cdc
+    for c in cdc:
+        sch = pq.read_schema(os.path.join(table, c["path"]))
+        assert "col-v0002" in sch.names and "vv" not in sch.names
+        assert c["partitionValues"] == {"col-p0004": "west"}
+    got = sorted(
+        (r._change_type, r.id, r.vv)
+        for r in read_delta_changes(
+            spark, table, starting_version=v, ending_version=v
+        ).select("_change_type", "id", "vv").collect()
+    )
+    assert got == [
+        ("update_postimage", 2, "BB"),
+        ("update_preimage", 2, "b"),
+    ]
+
+
+def test_optimize_on_mapped_table(spark, tmp_path):
+    """OPTIMIZE on a column-mapped table compacts physically (the
+    refusal is lifted): DVs applied, logical reads identical, stats
+    keyed physically."""
+    table = _mapped_table(tmp_path)
+    # DV-delete a row so the single file qualifies for compaction
+    delete_from_delta(spark, table, "id = 2",
+                      allow_protocol_upgrade=True)
+    before = sorted(
+        (r.id, r.vv, r.p)
+        for r in read_delta_table(spark, table).collect()
+    )
+    info = optimize_delta(spark, table)
+    assert info["files_added"] >= 1
+    after = sorted(
+        (r.id, r.vv, r.p)
+        for r in read_delta_table(spark, table).collect()
+    )
+    assert after == before
+    snap = read_delta_snapshot(table)
+    assert not any(f.get("foreign_dv") for f in snap.files)
+    for f in snap.files:
+        names = pq.read_schema(os.path.join(table, f["path"])).names
+        assert "col-id0001" in names and "id" not in names
