@@ -1130,3 +1130,274 @@ def read_iceberg_changes(
     for d in outs[1:]:
         out = out.unionByName(d)
     return out.select(*out_schema.names)
+
+
+def read_iceberg_changelog(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg CHANGELOG over ``(from, to]`` — the CDF equivalent the
+    append-only incremental scan (``read_iceberg_changes``) refuses:
+    ``delete`` and ``overwrite`` snapshots emit ``delete`` rows
+    reconstructed from their POSITION-DELETE files and whole-file
+    DELETED manifest entries, appends emit ``insert`` rows, and
+    ``replace`` snapshots (compaction) contribute nothing — closing
+    the changelog asymmetry with ``delta_cdf.read_delta_changes``.
+
+    Output: table columns + ``_change_type`` (``insert``/``delete``)
+    + ``_snapshot_id`` + ``_committed_at`` (epoch ms).
+
+    Mechanics: snapshots are walked IN ORDER from the table start so
+    per-file deleted positions accumulate — a position re-deleted by
+    a later overlapping delete file emits exactly once, at the
+    snapshot that first killed it (the same O(deleted rows) driver
+    budget class as the Delta CDF DV-diff).  Equality deletes refuse
+    (their change rows need the pre-image scan of every affected
+    file; position deletes carry exact row coordinates).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    md = load_iceberg_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    order = [s for s in _snapshot_order(md) if s in snaps]
+    if to_snapshot_id is None:
+        to_snapshot_id = md.get("current-snapshot-id")
+    if to_snapshot_id not in snaps:
+        raise ValueError(f"snapshot {to_snapshot_id} not in metadata")
+    hi = order.index(to_snapshot_id)
+    if from_snapshot_id is None:
+        lo = -1
+    else:
+        if from_snapshot_id not in order[: hi + 1]:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id}"
+            )
+        lo = order.index(from_snapshot_id)
+    wanted = set(order[lo + 1 : hi + 1])
+    schema = _spark_schema(spark, md)
+
+    def _abs(p: str) -> str:
+        for pref in ("file://", "file:"):
+            if p.startswith(pref):
+                p = p[len(pref):]
+        return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+    import pyarrow.parquet as _pq
+
+    # accumulated per-data-file deleted positions (table start -> hi)
+    deleted_so_far: dict[str, set[int]] = {}
+    insert_specs: list[tuple[str, int, int]] = []
+    # (sid, ts) -> {data path -> [newly deleted positions]}
+    del_by_snap: dict[tuple[int, int], dict[str, list[int]]] = {}
+    # whole-file removals: (path, sid, ts, positions dead BEFORE)
+    removed_specs: list[tuple[str, int, int, list[int]]] = []
+
+    for sid in order[: hi + 1]:
+        snap = snaps[sid]
+        op = (snap.get("summary") or {}).get("operation", "append")
+        if op == "replace":
+            continue
+        ts = int(snap["timestamp-ms"])
+        mlist = snap["manifest-list"]
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(table_path, mlist)
+        manifests, _ = avro_records(spark, mlist)
+        for m in manifests:
+            if m.get("added_snapshot_id") != sid:
+                continue  # re-listed manifest: already processed at
+                # the snapshot that added it
+            mpath = m["manifest_path"]
+            if not os.path.isabs(mpath):
+                mpath = os.path.join(table_path, mpath)
+            entries, _ = avro_records(spark, mpath)
+            for e in entries:
+                st = e.get("status")
+                df_ = e["data_file"]
+                esid = e.get("snapshot_id")
+                if esid is None:
+                    esid = sid
+                p = _abs(df_["file_path"])
+                if m.get("content", 0) == 0:  # data manifest
+                    if st == 1 and esid == sid:
+                        if str(
+                            df_.get("file_format", "")
+                        ).upper() != "PARQUET":
+                            raise UnsupportedIcebergFeature(
+                                "file format "
+                                f"{df_.get('file_format')!r} is not "
+                                "supported"
+                            )
+                        if sid in wanted:
+                            insert_specs.append((p, sid, ts))
+                    elif st == 2:
+                        prior = sorted(deleted_so_far.get(p, ()))
+                        if sid in wanted:
+                            removed_specs.append((p, sid, ts, prior))
+                        # later deletes against a removed file are
+                        # spec-illegal; drop its state
+                        deleted_so_far.pop(p, None)
+                    continue
+                # delete manifest (content == 1)
+                if st != 1 or esid != sid:
+                    continue
+                fcontent = df_.get("content", 1)
+                if fcontent == 2 or df_.get("equality_ids"):
+                    raise UnsupportedIcebergFeature(
+                        f"snapshot {sid} adds an EQUALITY delete "
+                        "file; the changelog reconstructs deletes "
+                        "from position deletes only"
+                    )
+                tbl = _pq.read_table(p, columns=["file_path", "pos"])
+                targets = tbl.column("file_path").to_pylist()
+                poss = tbl.column("pos").to_pylist()
+                for tgt, pos in zip(targets, poss):
+                    tp = _abs(tgt)
+                    seen = deleted_so_far.setdefault(tp, set())
+                    if int(pos) in seen:
+                        continue  # already dead at an older snapshot
+                    seen.add(int(pos))
+                    if sid in wanted:
+                        del_by_snap.setdefault(
+                            (sid, ts), {}
+                        ).setdefault(tp, []).append(int(pos))
+
+    out_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_snapshot_id", LongType()),
+            StructField("_committed_at", LongType()),
+        ]
+    )
+    if not insert_specs and not del_by_snap and not removed_specs:
+        return spark.createDataFrame([], out_schema)
+
+    from .delta_reader import _spark_path_key
+
+    id_schema: list = []  # lazily built field-id scan schema
+
+    def _scan(paths: list[str], with_meta: bool) -> DataFrame:
+        """Scan a mixed file set: files WITH parquet field ids resolve
+        by id, files without resolve by name (a table can hold both —
+        e.g. exporter-written files next to this writer's).  Metadata
+        columns materialize per branch, before the union."""
+        by_ids: dict[bool, list[str]] = {True: [], False: []}
+        for p in paths:
+            by_ids[_file_has_field_ids(p)].append(p)
+        outs = []
+        for has_ids, grp in by_ids.items():
+            if not grp:
+                continue
+            if has_ids:
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.enabled", "true"
+                )
+                if not id_schema:
+                    id_schema.append(
+                        _spark_schema(spark, md, field_ids=True)
+                    )
+                d = spark.read.schema(id_schema[0]).parquet(*grp)
+            else:
+                d = spark.read.schema(schema).parquet(*grp)
+            if with_meta:
+                d = d.withColumns(
+                    {
+                        "__ice_path": _spark_path_key(),
+                        "__ice_pos": F.col("_metadata.row_index"),
+                    }
+                )
+            outs.append(d)
+        out = outs[0]
+        for d in outs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    branches: list[DataFrame] = []
+
+    def _stamp(d: DataFrame, label: str, sid: int, ts: int) -> DataFrame:
+        return (
+            d.withColumn("_change_type", F.lit(label))
+            .withColumn("_snapshot_id", F.lit(int(sid)).cast("long"))
+            .withColumn("_committed_at", F.lit(int(ts)).cast("long"))
+            .select(*out_schema.names)
+        )
+
+    # inserts: one scan over all added files, snapshot stamped by path
+    # (falls back to per-file scans when a path repeats across snaps)
+    if insert_specs:
+        ipaths = [p for p, *_ in insert_specs]
+        if len(set(ipaths)) == len(ipaths):
+            d = _scan(ipaths, with_meta=True)
+            fmap = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (os.path.abspath(p), int(sid), int(ts))
+                        for p, sid, ts in insert_specs
+                    ],
+                    ["__ice_path", "_snapshot_id", "_committed_at"],
+                )
+            )
+            d = (
+                d.join(fmap, "__ice_path")
+                .withColumn("_change_type", F.lit("insert"))
+                .select(*out_schema.names)
+            )
+            branches.append(d)
+        else:
+            for p, sid, ts in insert_specs:
+                branches.append(
+                    _stamp(_scan([p], False), "insert", sid, ts)
+                )
+
+    # position deletes: per snapshot, ONE scan of the touched files
+    # inner-joined against the exact newly-dead (path, pos) pairs
+    for (sid, ts), by_file in sorted(del_by_snap.items()):
+        if not by_file:
+            continue
+        pairs = [
+            (os.path.abspath(p), int(pos))
+            for p, poss in by_file.items()
+            for pos in poss
+        ]
+        d = _scan(sorted(by_file), with_meta=True)
+        hits = F.broadcast(
+            spark.createDataFrame(pairs, ["__ice_path", "__ice_pos"])
+        )
+        branches.append(
+            _stamp(
+                d.join(hits, ["__ice_path", "__ice_pos"])
+                .drop("__ice_path", "__ice_pos"),
+                "delete", sid, ts,
+            )
+        )
+
+    # whole-file removals: every row still LIVE before this snapshot
+    for p, sid, ts, prior in removed_specs:
+        d = _scan([p], with_meta=bool(prior))
+        if prior:
+            dead = F.broadcast(
+                spark.createDataFrame(
+                    [(int(x),) for x in prior], ["__ice_pos"]
+                )
+            )
+            d = (
+                d.join(dead, "__ice_pos", "left_anti")
+                .drop("__ice_path", "__ice_pos")
+            )
+        branches.append(_stamp(d, "delete", sid, ts))
+
+    if not branches:
+        return spark.createDataFrame([], out_schema)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -1,0 +1,216 @@
+"""read_iceberg_changelog: the Iceberg CDF equivalent — delete and
+overwrite snapshots emit `delete` rows reconstructed from position-
+delete files / whole-file DELETED entries, appends emit `insert`
+rows, replace (compaction) snapshots contribute nothing.  The
+randomized harness is the Delta CDF one ported: every per-snapshot
+slice must equal the snapshot reader's exceptAll diff."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    export_iceberg_metadata,
+)
+from data_lakehouse_project_spark.operators.iceberg_reader import (
+    UnsupportedIcebergFeature,
+    iceberg_snapshot_ids,
+    read_iceberg_changelog,
+    read_iceberg_table,
+)
+from data_lakehouse_project_spark.operators.iceberg_writer import (
+    append_to_iceberg,
+    delete_from_iceberg,
+    merge_into_iceberg,
+    rewrite_data_files,
+    update_from_iceberg,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _df(spark, lo, hi, part="a"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{part}' AS part", "CAST(id AS DOUBLE) AS v"
+    )
+
+
+def _table(spark, tmp_path, name="t", hi=4):
+    path = str(tmp_path / name)
+    t = TxnTable(path)
+    t.write(_df(spark, 0, hi), mode="overwrite")
+    export_iceberg_metadata(t, spark)
+    return path
+
+
+def _slice(spark, path, frm, to):
+    return read_iceberg_changelog(
+        spark, path, from_snapshot_id=frm, to_snapshot_id=to
+    )
+
+
+def test_changelog_over_delete_and_overwrite(spark, tmp_path):
+    path = _table(spark, tmp_path)            # snap 1: ids 0..3
+    delete_from_iceberg(spark, path, "id = 1")          # snap 2
+    src = spark.createDataFrame(
+        [(2, "a", 99.0), (10, "a", 100.0)],
+        "id long, part string, v double",
+    )
+    merge_into_iceberg(                                  # snap 3
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    assert len(sids) == 3
+
+    # full changelog from table start
+    all_ch = read_iceberg_changelog(spark, path)
+    rows = sorted(
+        (r._snapshot_id, r._change_type, r.id, r.v)
+        for r in all_ch.collect()
+    )
+    assert rows == [
+        (sids[0], "insert", 0, 0.0),
+        (sids[0], "insert", 1, 1.0),
+        (sids[0], "insert", 2, 2.0),
+        (sids[0], "insert", 3, 3.0),
+        (sids[1], "delete", 1, 1.0),
+        (sids[2], "delete", 2, 2.0),
+        (sids[2], "insert", 2, 99.0),
+        (sids[2], "insert", 10, 100.0),
+    ]
+
+    # the (from, to] slice bounds work
+    got = sorted(
+        (r._change_type, r.id)
+        for r in _slice(spark, path, sids[0], sids[1]).collect()
+    )
+    assert got == [("delete", 1)]
+
+
+def test_changelog_skips_replace_snapshots(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    delete_from_iceberg(spark, path, "id = 0")
+    append_to_iceberg(spark, _df(spark, 4, 6), path)
+    info = rewrite_data_files(spark, path)
+    assert info["snapshot_id"] is not None  # compaction committed
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    ch = _slice(spark, path, sids[-2], sids[-1])
+    assert ch.count() == 0  # replace contributes nothing
+    # and the full changelog replays to the live state
+    all_ch = read_iceberg_changelog(spark, path)
+    ins = {
+        (r.id, r.v)
+        for r in all_ch.where("_change_type = 'insert'").collect()
+    }
+    dels = {
+        (r.id, r.v)
+        for r in all_ch.where("_change_type = 'delete'").collect()
+    }
+    live = {
+        (r.id, r.v) for r in read_iceberg_table(spark, path).collect()
+    }
+    assert ins - dels == live
+
+
+def test_update_emits_delete_plus_insert(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    info = update_from_iceberg(spark, path, "id = 3", {"v": "v + 0.5"})
+    got = sorted(
+        (r._change_type, r.id, r.v)
+        for r in _slice(
+            spark, path, None, info["snapshot_id"]
+        ).where(F.col("_snapshot_id") == info["snapshot_id"]).collect()
+    )
+    assert got == [("delete", 3, 3.0), ("insert", 3, 3.5)]
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_changelog_equals_snapshot_diff_randomized(
+    spark, tmp_path, seed
+):
+    """Property (the Delta CDF harness ported): over a RANDOM writer
+    sequence (append / delete / update / merge / rewrite), every
+    per-snapshot changelog slice equals the snapshot exceptAll diff —
+    inserts = after∖before, deletes = before∖after, with
+    value-identical delete+insert pairs (no-op updates) cancelled."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    path = _table(spark, tmp_path, name=f"r{seed}", hi=6)
+    next_id = [6]
+
+    def _fresh(n):
+        lo = next_id[0]
+        next_id[0] += n
+        return _df(spark, lo, lo + n)
+
+    for _ in range(8):
+        live = [
+            r.id
+            for r in read_iceberg_table(spark, path)
+            .select("id").collect()
+        ]
+        op = rng.choice(
+            ["append", "delete", "update", "merge", "rewrite"]
+            if live else ["append"]
+        )
+        if op == "append":
+            append_to_iceberg(spark, _fresh(rng.randint(1, 3)), path)
+        elif op == "delete":
+            pick = rng.sample(live, min(len(live), rng.randint(1, 3)))
+            delete_from_iceberg(
+                spark, path, f"id IN ({','.join(map(str, pick))})"
+            )
+        elif op == "update":
+            pick = rng.sample(live, min(len(live), rng.randint(1, 2)))
+            update_from_iceberg(
+                spark, path, f"id IN ({','.join(map(str, pick))})",
+                {"v": "v + 1000.0"},
+            )
+        elif op == "merge":
+            pick = rng.sample(live, min(len(live), 2))
+            lo = next_id[0]
+            next_id[0] += 1
+            src = _df(spark, lo, lo + 1).union(
+                spark.createDataFrame(
+                    [(int(i), "a", -1.0) for i in pick],
+                    "id long, part string, v double",
+                )
+            )
+            merge_into_iceberg(
+                spark, path, src, "t.id = s.id",
+                when_matched_update={"v": "s.v"},
+            )
+        else:
+            rewrite_data_files(spark, path)
+
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    for prev, cur in zip(sids, sids[1:]):
+        before = read_iceberg_table(spark, path, snapshot_id=prev)
+        after = read_iceberg_table(spark, path, snapshot_id=cur)
+        want_ins = sorted(
+            (r.id, r.part, r.v)
+            for r in after.exceptAll(before).collect()
+        )
+        want_del = sorted(
+            (r.id, r.part, r.v)
+            for r in before.exceptAll(after).collect()
+        )
+        ch = _slice(spark, path, prev, cur)
+        ins_c = Counter(
+            (r.id, r.part, r.v)
+            for r in ch.where("_change_type = 'insert'").collect()
+        )
+        del_c = Counter(
+            (r.id, r.part, r.v)
+            for r in ch.where("_change_type = 'delete'").collect()
+        )
+        noop = ins_c & del_c
+        assert sorted((ins_c - noop).elements()) == want_ins, (
+            f"snapshot {cur} inserts"
+        )
+        assert sorted((del_c - noop).elements()) == want_del, (
+            f"snapshot {cur} deletes"
+        )
