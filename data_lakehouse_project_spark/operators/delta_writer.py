@@ -48,6 +48,7 @@ from .delta_reader import (
     _spark_path_key,
     read_delta_snapshot,
 )
+from .concurrency import ConcurrentCommitError
 from .txnlog import LOG_DIR, _VERSION_DIGITS, _file_stats, _serialize_add
 
 # Writer-version-7 table features appends are implemented for.
@@ -527,7 +528,7 @@ def append_to_delta(
                 )
             except OSError:
                 pass
-        raise ValueError(
+        raise ConcurrentCommitError(
             f"concurrent write detected at version {version}; retry "
             "the append against the new snapshot"
         ) from None
@@ -978,7 +979,7 @@ def _exclusive_commit(
                 os.remove(p)
             except OSError:
                 pass
-        raise ValueError(
+        raise ConcurrentCommitError(
             f"concurrent write detected at version {version}; retry "
             f"the {op} against the new snapshot"
         ) from None

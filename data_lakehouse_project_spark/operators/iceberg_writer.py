@@ -38,6 +38,8 @@ import shutil
 import time
 import uuid as _uuid
 
+from .concurrency import ConcurrentCommitError
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -625,7 +627,7 @@ def _commit_snapshot(
                 os.remove(p)
             except OSError:
                 pass
-        raise ValueError(
+        raise ConcurrentCommitError(
             f"concurrent commit detected at metadata v{cur_v + 1}; "
             "retry against the new snapshot"
         ) from None
@@ -1326,14 +1328,11 @@ def update_from_iceberg(
     unknown = [c for c in set_map if c not in spark_schema.names]
     if unknown:
         raise ValueError(f"SET references unknown columns {unknown}")
+    # partition-moving SETs are fine: the rewrite is delete+insert in
+    # the same overwrite snapshot, and _stage_iceberg_data derives
+    # each output row's partition from its REWRITTEN values, so moved
+    # rows land in (and prune from) their new partition
     part_fields = _resolve_part_fields(md, schema_fields)
-    part_srcs = {pf["_src_name"] for pf in part_fields}
-    if part_srcs & set(set_map):
-        raise UnsupportedIcebergFeature(
-            "SET touches partition source columns "
-            f"{sorted(part_srcs & set(set_map))}; partition-moving "
-            "updates are not supported"
-        )
 
     scan = _iceberg_keyed_scan(spark, table_path, md)
     if scan is None:
@@ -1463,13 +1462,8 @@ def merge_into_iceberg(
             raise ValueError(
                 f"UPDATE SET references unknown columns {unknown}"
             )
-        part_srcs = {pf["_src_name"] for pf in part_fields}
-        if part_srcs & set(when_matched_update):
-            raise UnsupportedIcebergFeature(
-                "SET touches partition source columns "
-                f"{sorted(part_srcs & set(when_matched_update))}; "
-                "partition-moving updates are not supported"
-            )
+        # partition-moving SETs route through the same delete+insert
+        # overwrite shape; staged rows partition by REWRITTEN values
 
     scan = _iceberg_keyed_scan(spark, table_path, md)
     if scan is None:
