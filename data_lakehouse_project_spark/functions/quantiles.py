@@ -77,3 +77,40 @@ def grouped_median_exact(df, keys, val, out="med"):
     """EXACT per-group median — ``grouped_quantiles_exact`` at q=0.5
     (see there for the bounded-memory counts-grain design)."""
     return grouped_quantiles_exact(df, keys, val, {out: 0.5})
+
+
+def grouped_quantiles_disc(df, keys, val, quantiles):
+    """EXACT per-group DISCRETE quantiles (``percentile_disc``: the
+    smallest actual data value whose cume_dist >= q — no
+    interpolation) in the same bounded-memory counts-grain shape as
+    :func:`grouped_quantiles_exact`: per-group state is O(distinct
+    values); the window prefix sum streams after the sort, never a
+    per-row holistic buffer.
+
+    ``quantiles`` is ``{out_column: q}``; output values keep the
+    input column's type (they ARE data values)."""
+    counts = df.groupBy(*keys, val).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*keys).orderBy(val)
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.withColumn("__cum", F.sum("__cnt").over(w)).withColumn(
+        "__n", F.max("__cum").over(w_all)
+    )
+    keep = F.lit(False)
+    aggs = []
+    for out, q in quantiles.items():
+        # smallest v with cume_dist(v) >= q  <=>  the single distinct
+        # value whose cumulative range straddles ceil(n*q)… precisely:
+        # __cum/__n >= q AND (__cum-__cnt)/__n < q
+        hit = (F.col("__cum") >= F.col("__n") * F.lit(float(q))) & (
+            (F.col("__cum") - F.col("__cnt"))
+            < F.col("__n") * F.lit(float(q))
+        )
+        keep = keep | hit
+        aggs.append(F.max(F.when(hit, F.col(val))).alias(out))
+    return (
+        cum.where(keep)
+        .groupBy(*keys)
+        .agg(*aggs, F.max("__n").alias("__n"))
+    )

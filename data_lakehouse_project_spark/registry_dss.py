@@ -603,14 +603,6 @@ FROM events
 
 # --- discrete percentiles --------------------------------------------------
 
-SQL_PDISC_SPARK = """
-SELECT l_returnflag,
-       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
-       percentile_disc(0.50) WITHIN GROUP (ORDER BY l_quantity) AS q2,
-       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3
-FROM lineitem GROUP BY l_returnflag
-"""
-
 SQL_PDISC_DUCK = """
 SELECT l_returnflag,
        quantile_disc(l_quantity, 0.25) AS q1,
@@ -625,11 +617,23 @@ def q_percentile_disc(spark, sf_dir):
     data value, no interpolation; verified equal to DuckDB's
     quantile_disc rule on boundary cases).
 
-    API-surface slot covering the SQL form (holistic buffer); the
-    scale path for exact quantiles is ``registry_r6.
-    grouped_quantiles_exact``."""
-    load_testdata(spark, sf_dir, register_views=True)
-    return spark.sql(SQL_PDISC_SPARK)
+    Round 9: rebuilt on the COUNTS GRAIN (``grouped_quantiles_disc``,
+    O(distinct values) per-group state — no holistic buffer) while
+    keeping the DuckDB ``quantile_disc`` oracle; the SQL
+    ``PERCENTILE_DISC ... WITHIN GROUP`` form stays pinned by a
+    pytest parity test (test_quantiles.py)."""
+    from data_lakehouse_project_spark.functions.quantiles import (
+        grouped_quantiles_disc,
+    )
+
+    tables = load_testdata(spark, sf_dir)
+    qq = grouped_quantiles_disc(
+        tables["lineitem"].select("l_returnflag", "l_quantity"),
+        ["l_returnflag"],
+        "l_quantity",
+        {"q1": 0.25, "q2": 0.50, "q3": 0.75},
+    )
+    return qq.select("l_returnflag", "q1", "q2", "q3")
 
 
 # --- positional explode ----------------------------------------------------

@@ -236,20 +236,29 @@ def q_percentile_cont_qty(spark, sf_dir):
     continuous twin of percentile_disc_qty. The oracle casts to DOUBLE
     first: DuckDB otherwise interpolates in the input's decimal scale.
 
-    API-surface slot: this query exists to cover the SQL
-    ``PERCENTILE_CONT ... WITHIN GROUP`` form itself (holistic
-    buffer). The engine's scale path for exact quantiles is
-    ``registry_r6.grouped_quantiles_exact`` (bounded-memory
-    counts-grain straddle) — used by agg_mad/agg_median_percentile/
-    rfm/pareto and the curation filters."""
+    Round 9: rebuilt on the COUNTS GRAIN
+    (``grouped_quantiles_exact`` — bit-identical interpolation,
+    O(distinct values) per-group state) while keeping the SQL
+    ``PERCENTILE_CONT ... WITHIN GROUP`` oracle, so the registry
+    carries ZERO holistic per-row aggregation buffers on fact-grain
+    input; the SQL form itself stays pinned by a pytest parity test
+    (test_quantiles.py)."""
+    from data_lakehouse_project_spark.functions.quantiles import (
+        grouped_quantiles_exact,
+    )
+
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        _rn(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 4)
-        .alias("q1"),
-        _rn(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 4)
-        .alias("median"),
-        _rn(F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)"), 4)
-        .alias("q3"),
+    qq = grouped_quantiles_exact(
+        lineitem.select("l_returnflag", "l_quantity"),
+        ["l_returnflag"],
+        "l_quantity",
+        {"q1": 0.25, "median": 0.5, "q3": 0.75},
+    )
+    return qq.select(
+        "l_returnflag",
+        _rn(F.col("q1"), 4).alias("q1"),
+        _rn(F.col("median"), 4).alias("median"),
+        _rn(F.col("q3"), 4).alias("q3"),
     )
 
 

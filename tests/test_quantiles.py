@@ -90,3 +90,75 @@ def test_median_wrapper_unchanged(spark):
         for r in grouped_median_exact(df, ["k"], "v").collect()
     }
     assert got == {"x": (2.5, 4), "y": (7.0, 1)}
+
+
+def test_disc_matches_sql_percentile_disc(spark):
+    """grouped_quantiles_disc == the SQL PERCENTILE_DISC ... WITHIN
+    GROUP form (the r9 counts-grain replacement for the last holistic
+    registry slot keeps the SQL form pinned here), including boundary
+    cases where cume_dist lands exactly on q."""
+    import random
+
+    from data_lakehouse_project_spark.functions.quantiles import (
+        grouped_quantiles_disc,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (k, float(rng.choice([1, 2, 2, 3, 5, 8, 13])))
+        for k in ("a", "b", "c")
+        for _ in range(rng.choice([4, 8, 40]))  # n*q hits integers
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    df.createOrReplaceTempView("t_disc")
+    qs = {"q1": 0.25, "q2": 0.5, "q3": 0.75, "p90": 0.9}
+    want = {
+        r.k: (r.q1, r.q2, r.q3, r.p90)
+        for r in spark.sql(
+            """SELECT k,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY v) q1,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY v) q2,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY v) q3,
+                 percentile_disc(0.90) WITHIN GROUP (ORDER BY v) p90
+               FROM t_disc GROUP BY k"""
+        ).collect()
+    }
+    got = {
+        r.k: (r.q1, r.q2, r.q3, r.p90)
+        for r in grouped_quantiles_disc(df, ["k"], "v", qs).collect()
+    }
+    assert got == want
+
+
+def test_cont_matches_sql_percentile_cont(spark):
+    """grouped_quantiles_exact == the SQL PERCENTILE_CONT ... WITHIN
+    GROUP form (pins the SQL form the r9 counts-grain rebuild of
+    percentile_cont_qty replaced)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (k, float(rng.randint(1, 50)))
+        for k in ("x", "y")
+        for _ in range(rng.choice([13, 29]))
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    df.createOrReplaceTempView("t_cont")
+    qs = {"q1": 0.25, "med": 0.5, "q3": 0.75}
+    want = {
+        r.k: (r.q1, r.med, r.q3)
+        for r in spark.sql(
+            """SELECT k,
+                 percentile_cont(0.25) WITHIN GROUP (ORDER BY v) q1,
+                 percentile_cont(0.50) WITHIN GROUP (ORDER BY v) med,
+                 percentile_cont(0.75) WITHIN GROUP (ORDER BY v) q3
+               FROM t_cont GROUP BY k"""
+        ).collect()
+    }
+    got = {
+        r.k: (r.q1, r.med, r.q3)
+        for r in grouped_quantiles_exact(df, ["k"], "v", qs).collect()
+    }
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], want[k])
