@@ -3866,6 +3866,12 @@ from data_lakehouse_project_spark import registry_r6, registry_r7  # noqa: E402
 REGISTRY.update(registry_r6.build({"R": R, "_rn": _rn}))
 REGISTRY.update(registry_r7.build({"R": R, "_rn": _rn}))
 
+# round-9: foreign-table interop in the graded path (spec Delta/Iceberg
+# round trips value-pinned against plain-SQL oracles)
+from data_lakehouse_project_spark import registry_r9  # noqa: E402
+
+REGISTRY.update(registry_r9.build({"R": R, "_rn": _rn}))
+
 
 # ---------------------------------------------------------------------
 # Graded window: the correctness driver grades the FIRST 50 entries of
@@ -3888,7 +3894,10 @@ GRADED_WINDOW: list[str] = [
     "topk_orders",
     # join shapes (r6 rotation: the semi join returns for its graded
     # row, join_region_rollup rotates out — still selfchecked)
-    "join_lineitem_orders",
+    # r9 rotation: the interval-overlap range join takes the join
+    # family's first row its first graded round
+    # (join_lineitem_orders stays selfchecked)
+    "join_interval_overlap",
     "join_semi_customers_with_orders",
     # r8 rotation: the EXISTS correlated subquery gets the join
     # family's third row its first graded round
@@ -3896,7 +3905,9 @@ GRADED_WINDOW: list[str] = [
     "subquery_exists",
     # TPC-H / DSS flagships
     "pricing_summary",
-    "nation_revenue",
+    # r9 rotation: the promo revenue ratio (TPC-H Q14 shape) takes
+    # its first graded row (nation_revenue stays selfchecked)
+    "promo_revenue_ratio",
     "supplier_nation_profit",
     "market_share",
     # window shapes (r5: + IGNORE NULLS navigation; order_gaps rotated
@@ -3910,7 +3921,9 @@ GRADED_WINDOW: list[str] = [
     # r8 rotation: percent_rank/cume_dist take the window
     # family's second graded row (window_distinct_running stays
     # selfchecked)
-    "window_percentiles",
+    # r9 rotation: FIRST/LAST_VALUE IGNORE NULLS navigation gets its
+    # first graded row (window_percentiles stays selfchecked)
+    "window_first_last",
     # statistical aggregates (r5: continuous percentile replaces the
     # median/percentile pair — exact companion of the KLL sketch slot)
     # r5 session 3 rotation: the rank-sum AUC replaces the plain stats
@@ -3927,16 +3940,25 @@ GRADED_WINDOW: list[str] = [
     # r8 rotation: the lead-time grouped medians take the robust-
     # stats row (agg_mad — rewritten onto the same counts-grain
     # straddle this round — stays selfchecked)
-    "ship_latency_medians",
+    # r9 rotation: the regression aggregates (REGR_SLOPE family)
+    # take the statistical row their first graded round
+    # (ship_latency_medians stays selfchecked)
+    "agg_regression",
     # r7 rotation: the robust median/MAD outlier report (rewritten
     # this round with the bounded-memory grouped median) takes the
     # quantile family's graded row; percentile_cont_qty rotates out
-    "lineitem_mad_outliers",
+    # r9 rotation: the IQR fence report (never graded; counts-grain
+    # quantile straddle) takes the robust-stats row
+    # (lineitem_mad_outliers stays selfchecked)
+    "lineitem_iqr_fences",
     # set ops / grouping surfaces
     "setop_intersect_all",
     # r8 rotation: GROUPING SETS takes the grouping-surface row
     # (rollup_status_priority stays selfchecked)
-    "grouping_sets_sql",
+    # r9 rotation: GROUPING() markers over ROLLUP take the
+    # grouping-surface row first time (grouping_sets_sql stays
+    # selfchecked)
+    "rollup_grouping_markers",
     "pivot_status_priority",
     # dedup family (LLM pipeline); r5 adds the pair-graph degree
     # distribution and the ExactSubstr-style span report (ngram-jaccard
@@ -3963,7 +3985,10 @@ GRADED_WINDOW: list[str] = [
     # sub-document dedup row (segment_dedup_summary stays
     # selfchecked)
     "dedup_substring_spans",
-    "dedup_clusters",
+    # r9 rotation: the triangle/clustering-coefficient stats take
+    # the graph family's row their first graded round
+    # (dedup_clusters stays selfchecked)
+    "neardup_triangle_stats",
     "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
     "contamination_report",
     "customer_pareto_deciles",
@@ -3986,10 +4011,17 @@ GRADED_WINDOW: list[str] = [
     # rotate out (both stay selfchecked)
     # r8 rotation: the holt-style revenue forecast takes a graded
     # row (token_zipf_fit stays selfchecked)
-    "forecast_revenue_change",
+    # r9 rotation: foreign-table interop enters the graded path —
+    # the spec-Delta round trip (export + DV delete + foreign read)
+    # is value-pinned against a plain-SQL oracle
+    # (forecast_revenue_change stays selfchecked)
+    "foreign_delta_nation_rollup",
     # r8 rotation: the A/B rate-test report takes a graded row
     # (corpus_lexical_stats stays selfchecked)
-    "ab_test_purchase",
+    # r9 rotation: the Iceberg v2 round trip (export + pos-delete +
+    # one-snapshot MERGE + foreign read) takes the second interop
+    # row (ab_test_purchase stays selfchecked)
+    "foreign_iceberg_region_rollup",
     # r5 session 3: attribution replaces the bigram LM slot (funnel
     # analytics family gets graded; bigram_xentropy_scores stays
     # registered + selfchecked, LM arithmetic still pinned there)
@@ -4013,7 +4045,11 @@ GRADED_WINDOW: list[str] = [
     "hybrid_search_rrf",
     # r7 rotation: TF-IDF retrieval joins the graded retrieval pair
     # (corpus_frequent_tokens rotates out, stays selfchecked)
-    "tfidf_search_topk",
+    # r9 rotation: the repetition-signal quality flags take the text
+    # family's second row first time; retrieval arithmetic stays
+    # graded inside hybrid_search_rrf (tfidf_search_topk stays
+    # selfchecked)
+    "text_repetition_signals",
     # multimodal family — r5 session 4: the graded anchor upgrades from
     # the stub-pinned fingerprint path to REAL pixel decode (2-frame
     # PPM-stream videos built JVM-side, frame-grain mean/std through
@@ -4046,7 +4082,10 @@ GRADED_WINDOW: list[str] = [
     # r8 rotation: the JSON-path extraction sibling takes the
     # semi-structured row (events_variant_extract stays
     # selfchecked)
-    "events_json_extract",
+    # r9 rotation: the JSON surface sibling (json_keys/to_json pack)
+    # takes the semi-structured row first time (events_json_extract
+    # stays selfchecked)
+    "events_json_surface",
     # curation / packing family (r5 session 2 rotation: the
     # leakage-safe cluster split replaces the length-band filter — it
     # grades a 3-stage composition (jaccard pairs → connected
@@ -4059,7 +4098,10 @@ GRADED_WINDOW: list[str] = [
     "cluster_safe_split_counts",
     # r7 rotation: overlapping chunking takes the packing family's
     # graded row (pack_chunks_documents stays selfchecked)
-    "chunk_documents_overlap",
+    # r9 rotation: MMR diverse top-k takes the selection family row
+    # (rows-only by design: the iterative argmax is not
+    # SQL-expressible; chunk_documents_overlap stays selfchecked)
+    "mmr_diverse_topk",
     # admission-index family (r5: bloom verdicts, previously pytest-only
     # in the graded window sense)
     "bloom_admission_verdicts",

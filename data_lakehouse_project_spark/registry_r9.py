@@ -1,0 +1,180 @@
+"""Round-9 registry additions: foreign-table interop in the GRADED
+path.  The round-8 verdict asked for "a foreign-Delta-backed query —
+interop in the graded path for the first time": these queries
+round-trip a TPC-H table through the SPEC on-disk formats (a real
+``_delta_log`` with deletion vectors / an Iceberg v2 metadata tree
+with position deletes) and read it back through the FOREIGN readers
+before aggregating, so any spec-fidelity break (schema, partition
+values, stats, DV decode, manifest attribution) surfaces as an oracle
+hash mismatch, not just a pytest failure.
+
+Reference scope note: the reference pipeline only ever writes plain
+parquet (spark/jobs/gold_aggregation.py) — the table-format interop
+is part of this repo's §2.9 mandated breadth.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.sources.readers import load_testdata
+
+_helpers: dict = {}
+
+
+def _t(spark, sf_dir, *names):
+    tables = load_testdata(spark, sf_dir)
+    return [tables[n] for n in names]
+
+
+def q_foreign_delta_nation_rollup(spark, sf_dir):
+    """nation → spec foreign-Delta export (real ``_delta_log``) →
+    ``delete_from_delta`` (deletion-vector commit) → FOREIGN reader →
+    per-region rollup.  The oracle computes the same aggregate
+    directly over the parquet with the delete predicate applied, so
+    the export's schema/stats, the DV write, and the reader's DV
+    decode are all value-pinned.  The result is materialized before
+    the temp export is removed (25 rows at any SF — the table format
+    work is bounded by nation's size, never the fact tables)."""
+    from data_lakehouse_project_spark.operators.delta_export import (
+        export_delta_snapshot,
+    )
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_table,
+    )
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    (nation,) = _t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="graft_fdelta_")
+    try:
+        t = TxnTable(os.path.join(tmp, "src"))
+        t.write(
+            nation.select("n_nationkey", "n_name", "n_regionkey"),
+            mode="overwrite",
+        )
+        out = os.path.join(tmp, "mirror")
+        export_delta_snapshot(spark, t.path, out)
+        delete_from_delta(
+            spark, out, "n_nationkey % 7 = 3",
+            allow_protocol_upgrade=True,
+        )
+        back = read_delta_table(spark, out)
+        result = (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").alias("key_sum"),
+                F.min("n_name").alias("first_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_FOREIGN_DELTA = """
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation
+WHERE NOT (n_nationkey % 7 = 3)
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+def q_foreign_iceberg_region_rollup(spark, sf_dir):
+    """region+nation → Iceberg v2 export → ``delete_from_iceberg``
+    (position-delete manifest) → ``merge_into_iceberg`` upsert →
+    FOREIGN reader → rollup.  Pins the v2 metadata tree, manifest
+    sequence attribution, position-delete application, and the
+    one-snapshot MERGE shape against a plain-SQL oracle."""
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_table,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        merge_into_iceberg,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    (nation,) = _t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="graft_ficeberg_")
+    try:
+        t = TxnTable(os.path.join(tmp, "src"))
+        t.write(
+            nation.select("n_nationkey", "n_name", "n_regionkey"),
+            mode="overwrite",
+        )
+        export_iceberg_metadata(t, spark)
+        path = t.path
+        delete_from_iceberg(spark, path, "n_nationkey % 5 = 2")
+        src = nation.where("n_nationkey % 5 = 0").select(
+            "n_nationkey",
+            F.upper("n_name").alias("n_name"),
+            "n_regionkey",
+        )
+        merge_into_iceberg(
+            spark, path, src, "t.n_nationkey = s.n_nationkey",
+            when_matched_update={"n_name": "s.n_name"},
+        )
+        back = read_iceberg_table(spark, path)
+        result = (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.min("n_name").alias("first_name"),
+                F.max("n_name").alias("last_name"),
+            )
+            .orderBy("n_regionkey")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_FOREIGN_ICEBERG = """
+WITH upserted AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN UPPER(n_name)
+              ELSE n_name END AS n_name,
+         n_regionkey
+  FROM nation
+  WHERE NOT (n_nationkey % 5 = 2)
+)
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       MIN(n_name) AS first_name,
+       MAX(n_name) AS last_name
+FROM upserted
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+def build(helpers: dict) -> dict:
+    _helpers.update(helpers)
+    return {
+        "foreign_delta_nation_rollup": (
+            q_foreign_delta_nation_rollup,
+            SQL_FOREIGN_DELTA,
+        ),
+        "foreign_iceberg_region_rollup": (
+            q_foreign_iceberg_region_rollup,
+            SQL_FOREIGN_ICEBERG,
+        ),
+    }
