@@ -531,6 +531,34 @@ def main() -> None:
         out["iceberg_stream_plan_s"] = round(time.time() - t0, 3)
         assert len(parts) == N
 
+        # foreign-DML driver budget at N files (r9 slot): a DV DELETE
+        # touching 1% of files (matched-position collect + DV write +
+        # commit) and a MERGE upsert (ambiguity gate + left_anti insert
+        # split + stage + commit) against the checkpointed table
+        from data_lakehouse_project_spark.operators.delta_writer import (
+            delete_from_delta,
+            merge_into_delta,
+        )
+
+        t0 = time.time()
+        dinfo = delete_from_delta(
+            spark, t_cp, f"id % {N} < {max(N // 100, 1)} AND id % 10 = 0",
+            allow_protocol_upgrade=True,
+        )
+        out["delta_dml_delete_s"] = round(time.time() - t0, 3)
+        assert dinfo["rows_deleted"] > 0
+
+        src = spark.range(0, 500).selectExpr(
+            "id + 100000000 AS id", "CAST(id AS DOUBLE) AS v"
+        )
+        t0 = time.time()
+        minfo = merge_into_delta(
+            spark, t_cp, src, "t.id = s.id",
+            when_matched_update={"v": "s.v"},
+        )
+        out["delta_dml_merge_s"] = round(time.time() - t0, 3)
+        assert minfo["rows_inserted"] == 500
+
         out["n_files"] = N
         print(json.dumps(out))
     finally:
