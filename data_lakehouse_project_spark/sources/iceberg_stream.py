@@ -37,10 +37,23 @@ Semantics (mirroring the published Iceberg streaming-read contract):
   snapshot's added files already consumed) and always ships at least
   one file.
 
+* ``readChangeFeed=true`` (round 9): CHANGELOG streaming — the
+  streaming twin of ``read_iceberg_changelog`` and the Iceberg
+  counterpart of the Delta stream's CDC relay.  ``delete`` and
+  ``overwrite`` snapshots stream their ``delete`` rows (reconstructed
+  executor-side from position-delete coordinates the driver resolves
+  with the same O(deleted rows) accumulated walk as the batch
+  changelog) plus their ``insert`` rows; output carries
+  ``_change_type`` / ``_snapshot_id`` / ``_committed_at``; the
+  skip/refuse options are moot (deletes are the point); backpressure
+  budgets count CHANGE UNITS (insert files + per-target delete
+  specs).
+
 The batch halves of this surface are
 ``operators/iceberg_reader.py::read_iceberg_table`` (snapshot scans,
-row-level deletes) and ``read_iceberg_changes`` (bounded incremental
-append scan); the Delta twin is ``sources/delta_stream.py``.
+row-level deletes), ``read_iceberg_changes`` (bounded incremental
+append scan), and ``read_iceberg_changelog`` (the CDF equivalent);
+the Delta twin is ``sources/delta_stream.py``.
 """
 
 from __future__ import annotations
@@ -227,6 +240,9 @@ class _IcebergFilePartition(InputPartition):
         schema_json: str,
         ids_json: str,
         consts_json: str = "{}",
+        kind: str = "insert",
+        positions_json: str = "null",
+        stamp_json: str = "null",
     ):
         self.path = path
         self.schema_json = schema_json
@@ -237,6 +253,14 @@ class _IcebergFilePartition(InputPartition):
         # replaces an absent source column); raw JSON values coerced
         # to the column type executor-side
         self.consts_json = consts_json
+        # changelog mode: "insert" ships the whole file,
+        # "delete_pos" ships exactly the listed row positions,
+        # "delete_file" ships all rows EXCEPT the listed positions
+        self.kind = kind
+        self.positions_json = positions_json
+        # {"_change_type": ..., "_snapshot_id": ..., "_committed_at":
+        # ...} appended executor-side (null = plain append stream)
+        self.stamp_json = stamp_json
 
 
 class IcebergStreamDataSource(DataSource):
@@ -260,8 +284,25 @@ class IcebergStreamDataSource(DataSource):
                 return v
         return default
 
+    def _cdf(self) -> bool:
+        return self._opt(
+            "readChangeFeed", "read-change-feed"
+        ).lower() in ("true", "1", "yes")
+
     def schema(self) -> StructType:
-        return _session_free_schema(load_iceberg_metadata(self._table()))
+        base = _session_free_schema(load_iceberg_metadata(self._table()))
+        if not self._cdf():
+            return base
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_snapshot_id", LongType()),
+                StructField("_committed_at", LongType()),
+            ]
+        )
 
     def streamReader(self, schema: StructType):
         table = self._table()
@@ -304,6 +345,7 @@ class IcebergStreamDataSource(DataSource):
             table,
             schema,
             start_sid,
+            cdf=self._cdf(),
             skip_delete=self._opt(
                 "skipDeleteSnapshots", "streaming-skip-delete-snapshots"
             ).lower()
@@ -337,6 +379,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         schema: StructType,
         start_sid: int,
         *,
+        cdf: bool = False,
         skip_delete: bool,
         skip_overwrite: bool,
         max_files: int = 0,
@@ -345,6 +388,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self._table = table
         self._schema = schema
         self._start_sid = start_sid
+        self._cdf = cdf
         self._skip_delete = skip_delete
         self._skip_overwrite = skip_overwrite
         self._max_files = max_files
@@ -352,6 +396,11 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # snapshot-id -> ordered added-file list (snapshots are
         # immutable, so this cache never invalidates)
         self._files: dict[int, list[tuple[str, int]]] = {}
+        # changelog mode: snapshot-id -> ordered change-unit list,
+        # built strictly in ancestry order so the per-file dead-
+        # position accumulator is exact (re-deletes emit once)
+        self._units: dict[int, list[tuple]] = {}
+        self._dead: dict[str, set[int]] = {}
         # highest offset already handed out (restart re-sync happens
         # in partitions(), same pattern as the Delta stream source)
         self._handed: dict | None = None
@@ -365,7 +414,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
             return {"snapshot_id": -1, "pos": 0}
         return {
             "snapshot_id": int(self._start_sid),
-            "pos": len(self._files_of(self._start_sid)),
+            "pos": len(self._items_of(self._start_sid)),
         }
 
     def _md(self) -> tuple[dict, dict, list[int]]:
@@ -391,6 +440,34 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 skip_overwrite=self._skip_overwrite,
             )
         return self._files[sid]
+
+    def _units_of(self, sid: int) -> list[tuple]:
+        """Change units for one snapshot (changelog mode), folding
+        every EARLIER snapshot into the dead-position accumulator
+        first — exactness over overlapping delete files requires the
+        walk to be in ancestry order from the table start."""
+        if sid in self._units:
+            return self._units[sid]
+        _, snaps, order = self._md()
+        if sid not in snaps:
+            raise ValueError(
+                f"snapshot {sid} expired from the metadata; the "
+                "stream cannot replay it"
+            )
+        for s in order:
+            if s not in self._units:
+                self._units[s] = _change_units_of_snapshot(
+                    self._table, snaps[s], self._dead
+                )
+            if s == sid:
+                break
+        return self._units[sid]
+
+    def _items_of(self, sid: int) -> list[tuple]:
+        return self._units_of(sid) if self._cdf else self._files_of(sid)
+
+    def _rows_of(self, item: tuple) -> int:
+        return int(item[2]) if self._cdf else int(item[1])
 
     def _cursor(self, off: dict, order: list[int]) -> tuple[int, int]:
         """Offset -> (index into ``order`` of the snapshot the cursor
@@ -419,13 +496,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
         while i < len(order):
             if took_any and (file_budget <= 0 or row_budget <= 0):
                 break  # budget spent — don't even open the next manifest
-            files = self._files_of(order[i])
+            files = self._items_of(order[i])
             p = pos if i == idx else 0
             while p < len(files):
                 if took_any and (file_budget <= 0 or row_budget <= 0):
                     break
                 file_budget -= 1
-                row_budget -= files[p][1]
+                row_budget -= self._rows_of(files[p])
                 p += 1
                 took_any = True
             out_idx, out_pos = i, p
@@ -465,23 +542,59 @@ class _IcebergStreamReader(DataSourceStreamReader):
         default_ident = _identity_partition_sources(md)
         id_of = {v: k for k, v in ids.items()}  # field id -> col name
         parts: list[_IcebergFilePartition] = []
-        for i in range(max(s_idx, 0), e_idx + 1):
-            files = self._files_of(order[i])
-            lo = s_pos if i == s_idx else 0
-            hi = e_pos if i == e_idx else len(files)
-            for path, _n, part_struct, spec_id in files[lo:hi]:
-                ident = by_spec.get(spec_id, default_ident)
-                consts = {
+
+        def _consts_of(part_struct, spec_id) -> str:
+            ident = by_spec.get(spec_id, default_ident)
+            return json.dumps(
+                {
                     id_of[fid]: part_struct.get(pname)
                     for fid, pname in ident.items()
                     if fid in id_of and pname in part_struct
-                }
-                parts.append(
-                    _IcebergFilePartition(
-                        path, schema_json, ids_json,
-                        json.dumps(consts, default=str),
+                },
+                default=str,
+            )
+
+        for i in range(max(s_idx, 0), e_idx + 1):
+            items = self._items_of(order[i])
+            lo = s_pos if i == s_idx else 0
+            hi = e_pos if i == e_idx else len(items)
+            if not self._cdf:
+                for path, _n, part_struct, spec_id in items[lo:hi]:
+                    parts.append(
+                        _IcebergFilePartition(
+                            path, schema_json, ids_json,
+                            _consts_of(part_struct, spec_id),
+                        )
                     )
-                )
+                continue
+            sid = order[i]
+            ts = int(self._snaps[sid]["timestamp-ms"])
+            for unit in items[lo:hi]:
+                kind = unit[0]
+                if kind == "insert":
+                    _, path, _n, part_struct, spec_id = unit
+                    stamp = {"_change_type": "insert",
+                             "_snapshot_id": sid, "_committed_at": ts}
+                    parts.append(
+                        _IcebergFilePartition(
+                            path, schema_json, ids_json,
+                            _consts_of(part_struct, spec_id),
+                            kind="insert",
+                            stamp_json=json.dumps(stamp),
+                        )
+                    )
+                else:  # delete_pos / delete_file
+                    _, path, _n, positions = unit
+                    stamp = {"_change_type": "delete",
+                             "_snapshot_id": sid, "_committed_at": ts}
+                    parts.append(
+                        _IcebergFilePartition(
+                            path, schema_json, ids_json,
+                            kind=kind,
+                            positions_json=json.dumps(list(positions)),
+                            stamp_json=json.dumps(stamp),
+                        )
+                    )
         if not parts:  # Spark requires >= 1 partition per batch
             parts = [_IcebergFilePartition(None, schema_json, ids_json)]
         return parts
@@ -504,6 +617,14 @@ class _IcebergStreamReader(DataSourceStreamReader):
         schema = _ST.fromJson(json.loads(partition.schema_json))
         ids = json.loads(partition.ids_json)
         consts = json.loads(partition.consts_json or "{}")
+        stamp = json.loads(getattr(partition, "stamp_json", "null"))
+        stamp_cols = ("_change_type", "_snapshot_id", "_committed_at")
+        if stamp:
+            # changelog mode: the declared schema carries the three
+            # stamp columns; the parquet carries only the data columns
+            schema = _ST(
+                [f for f in schema.fields if f.name not in stamp_cols]
+            )
         target = pa.schema(
             [
                 pa.field(f.name, _arrow_type(f.dataType))
@@ -511,6 +632,17 @@ class _IcebergStreamReader(DataSourceStreamReader):
             ]
         )
         table = pq.read_table(partition.path)
+        kind = getattr(partition, "kind", "insert")
+        if kind in ("delete_pos", "delete_file"):
+            positions = json.loads(partition.positions_json)
+            if kind == "delete_pos":
+                table = table.take(pa.array(positions, pa.int64()))
+            elif positions:
+                import numpy as np
+
+                mask = np.ones(table.num_rows, dtype=bool)
+                mask[np.asarray(positions, dtype=np.int64)] = False
+                table = table.filter(pa.array(mask))
         by_id: dict[int, str] = {}
         for af in table.schema:
             fid = (af.metadata or {}).get(b"PARQUET:field_id")
@@ -535,7 +667,122 @@ class _IcebergStreamReader(DataSourceStreamReader):
             else:  # pre-evolution file: new column surfaces null
                 cols.append(pa.nulls(n, f.type))
         out = pa.table(cols, schema=target)
+        if stamp:
+            out = out.append_column(
+                "_change_type",
+                pa.array([stamp["_change_type"]] * n, pa.string()),
+            ).append_column(
+                "_snapshot_id",
+                pa.array([int(stamp["_snapshot_id"])] * n, pa.int64()),
+            ).append_column(
+                "_committed_at",
+                pa.array([int(stamp["_committed_at"])] * n, pa.int64()),
+            )
         return iter(out.to_batches(max_chunksize=1 << 16))
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are durable; nothing to acknowledge
+
+
+# ---------------------------------------------------------------------
+# Changelog (CDF) streaming mode: readChangeFeed=true streams INSERT
+# and DELETE rows per snapshot — the streaming twin of
+# operators/iceberg_reader.read_iceberg_changelog and the Iceberg
+# counterpart of delta_stream's readChangeFeed.  The driver walks
+# snapshots in ancestry order accumulating per-file dead positions
+# (O(deleted rows), the same budget as the batch changelog), so a
+# position re-deleted by an overlapping delete file streams exactly
+# once; executors read only their own target parquet.
+# ---------------------------------------------------------------------
+
+
+def _change_units_of_snapshot(
+    table_path: str, snap: dict, dead: dict[str, set[int]]
+) -> list[tuple]:
+    """Ordered CHANGE UNITS one snapshot ships in changelog mode,
+    mutating ``dead`` (data path -> positions dead so far):
+
+    * ``("insert", path, rows, part_struct, spec_id)`` — ADDED file
+    * ``("delete_pos", path, rows, positions_tuple)`` — newly-dead
+      positions of one target file
+    * ``("delete_file", path, rows, prior_dead_tuple)`` — whole-file
+      removal; rows still live before this snapshot emit as deletes
+
+    ``replace`` snapshots return no units; equality deletes refuse.
+    Deterministic order (manifest order, entry order, sorted targets)
+    so offsets are stable across restarts."""
+    op = (snap.get("summary") or {}).get("operation", "append")
+    sid = snap["snapshot-id"]
+    if op == "replace":
+        return []
+    units: list[tuple] = []
+    mlist = _abs_path(table_path, snap["manifest-list"])
+    manifests, _ = _avro(mlist)
+    for m in manifests:
+        if m.get("added_snapshot_id") != sid:
+            continue
+        entries, _ = _avro(_abs_path(table_path, m["manifest_path"]))
+        if m.get("content", 0) == 0:  # data manifest
+            for e in entries:
+                st = e.get("status")
+                df_ = e["data_file"]
+                esid = e.get("snapshot_id")
+                if esid is None:
+                    esid = sid
+                p = _abs_path(table_path, df_["file_path"])
+                if st == 1 and esid == sid:
+                    if str(
+                        df_.get("file_format", "")
+                    ).upper() != "PARQUET":
+                        raise UnsupportedIcebergFeature(
+                            f"file format {df_.get('file_format')!r} "
+                            "is not supported"
+                        )
+                    units.append(
+                        (
+                            "insert",
+                            p,
+                            int(df_.get("record_count") or 0),
+                            df_.get("partition") or {},
+                            m.get("partition_spec_id"),
+                        )
+                    )
+                elif st == 2:
+                    prior = tuple(sorted(dead.pop(p, ())))
+                    rows = int(df_.get("record_count") or 0) - len(prior)
+                    units.append(("delete_file", p, max(rows, 0), prior))
+            continue
+        # delete manifest
+        import pyarrow.parquet as _pq
+
+        for e in entries:
+            st = e.get("status")
+            df_ = e["data_file"]
+            esid = e.get("snapshot_id")
+            if esid is None:
+                esid = sid
+            if st != 1 or esid != sid:
+                continue
+            if df_.get("content", 1) == 2 or df_.get("equality_ids"):
+                raise UnsupportedIcebergFeature(
+                    f"snapshot {sid} adds an EQUALITY delete file; "
+                    "the changelog stream reconstructs deletes from "
+                    "position deletes only"
+                )
+            p = _abs_path(table_path, df_["file_path"])
+            tbl = _pq.read_table(p, columns=["file_path", "pos"])
+            fresh: dict[str, list[int]] = {}
+            for tgt, pos in zip(
+                tbl.column("file_path").to_pylist(),
+                tbl.column("pos").to_pylist(),
+            ):
+                tp = _abs_path(table_path, tgt)
+                seen = dead.setdefault(tp, set())
+                if int(pos) in seen:
+                    continue
+                seen.add(int(pos))
+                fresh.setdefault(tp, []).append(int(pos))
+            for tp in sorted(fresh):
+                poss = tuple(sorted(fresh[tp]))
+                units.append(("delete_pos", tp, len(poss), poss))
+    return units

@@ -434,3 +434,163 @@ def test_starting_timestamp_resolves_to_snapshot(spark, tmp_path):
         **{"stream-from-timestamp": str(ts2 + 10_000)},
     )
     assert sink2 == []
+
+
+def _run_cdf(spark, path, ckpt, sink, **options):
+    register_python_datasources(spark)
+    reader = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+
+    def _each(df, _bid):
+        sink.extend(
+            (r["_snapshot_id"], r["_change_type"], r["id"], r["v"])
+            for r in df.collect()
+        )
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(_each)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_changelog_stream_over_dml(spark, tmp_path):
+    """readChangeFeed=true: delete and overwrite snapshots stream
+    delete/insert rows (the streaming twin of read_iceberg_changelog)
+    instead of refusing; replays match the batch changelog exactly."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_snapshot_ids,
+        read_iceberg_changelog,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        merge_into_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 4).selectExpr(
+            "id", "'a' AS part", "id * 2.0 AS v"
+        ),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)                 # snap 1
+    delete_from_iceberg(spark, path, "id = 1")        # snap 2 (delete)
+    src = spark.createDataFrame(
+        [(2, "a", 99.0), (10, "a", 100.0)],
+        "id long, part string, v double",
+    )
+    merge_into_iceberg(                               # snap 3 (overwrite)
+        spark, path, src, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+    )
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+
+    sink: list = []
+    _run_cdf(spark, path, str(tmp_path / "ck"), sink)
+    assert sorted(sink) == [
+        (sids[0], "insert", 0, 0.0),
+        (sids[0], "insert", 1, 2.0),
+        (sids[0], "insert", 2, 4.0),
+        (sids[0], "insert", 3, 6.0),
+        (sids[1], "delete", 1, 2.0),
+        (sids[2], "delete", 2, 4.0),
+        (sids[2], "insert", 2, 99.0),
+        (sids[2], "insert", 10, 100.0),
+    ]
+    # identical to the batch changelog
+    batch = sorted(
+        (r._snapshot_id, r._change_type, r.id, r.v)
+        for r in read_iceberg_changelog(spark, path).collect()
+    )
+    assert batch == sorted(sink)
+
+    # exactly-once: a later delete streams ONLY its change rows
+    delete_from_iceberg(spark, path, "id = 10")       # snap 4
+    _run_cdf(spark, path, str(tmp_path / "ck"), sink)
+    assert len(sink) == 9
+    assert sink[-1][1:] == ("delete", 10, 100.0)
+
+
+def test_changelog_stream_skips_replace(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    t = _table(spark, path)
+    delete_from_iceberg(spark, path, "id = 0")
+    sink: list = []
+    ckpt = str(tmp_path / "ck")
+    _run_cdf(spark, path, ckpt, sink)
+    n = len(sink)
+    assert n == 5  # 4 inserts + 1 delete
+    rewrite_data_files(spark, path)                   # replace snap
+    _run_cdf(spark, path, ckpt, sink)
+    assert len(sink) == n  # compaction ships nothing
+
+
+def test_changelog_stream_backpressure_units(spark, tmp_path):
+    """maxFilesPerTrigger counts CHANGE UNITS in changelog mode; a
+    range can split between a snapshot's delete and insert units and
+    still deliver everything exactly once.  (processingTime trigger:
+    Python sources collapse availableNow to one batch, hiding
+    splits.)"""
+    import time
+
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        update_from_iceberg,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    update_from_iceberg(spark, path, "id >= 2", {"v": "v + 100.0"})
+
+    register_python_datasources(spark)
+    batches: list[list[tuple]] = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: batches.append(
+                sorted(
+                    (r["_change_type"], r["id"], float(r["v"]))
+                    for r in df.collect()
+                )
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 90
+    while (
+        time.time() < deadline
+        and sum(len(b) for b in batches) < 8
+    ):
+        time.sleep(1)
+    q.stop()
+    non_empty = [b for b in batches if b]
+    rows = sorted(r for b in non_empty for r in b)
+    assert rows == [
+        ("delete", 2, 4.0), ("delete", 3, 6.0),
+        ("insert", 0, 0.0), ("insert", 1, 2.0), ("insert", 2, 4.0),
+        ("insert", 2, 104.0), ("insert", 3, 6.0),
+        ("insert", 3, 106.0),
+    ]
+    # one unit per micro-batch: the update snapshot's insert unit and
+    # delete unit land in SEPARATE batches
+    assert len(non_empty) >= 3
