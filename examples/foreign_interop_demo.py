@@ -221,6 +221,69 @@ def main() -> None:
         r.id for r in read_iceberg(spark, path).collect()
     }
     print("OK: iceberg row-level delete via position-delete file")
+
+    # ---- round 9: the Iceberg CHANGELOG (batch) replays every
+    # snapshot's change set — inserts AND the position-delete rows the
+    # incremental append scan refuses; it must reconcile to the live
+    # state (inserts minus deletes == current read)
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changelog,
+    )
+
+    ch = read_iceberg_changelog(spark, path)
+    ins = {
+        r.id for r in ch.where("_change_type = 'insert'").collect()
+    }
+    dels = {
+        r.id for r in ch.where("_change_type = 'delete'").collect()
+    }
+    live = {r.id for r in read_iceberg(spark, path).collect()}
+    assert ins - dels == live, (ins, dels, live)
+    print(
+        f"OK: iceberg changelog reconciles ({len(ins)} inserts - "
+        f"{len(dels)} deletes == {len(live)} live rows)"
+    )
+
+    # ---- round 9: CDC-complete foreign Delta DML — flip CDF on,
+    # mutate, and replay the writer-emitted _change_data files
+    import json as _json
+
+    log = os.path.join(exp, "_delta_log")
+    for name in sorted(os.listdir(log)):
+        if not name.endswith(".json"):
+            continue
+        p = os.path.join(log, name)
+        acts = [_json.loads(x) for x in open(p)]
+        touched = False
+        for act in acts:
+            if "metaData" in act:
+                act["metaData"].setdefault("configuration", {})[
+                    "delta.enableChangeDataFeed"
+                ] = "true"
+                touched = True
+        if touched:
+            with open(p, "w") as fh:
+                for act in acts:
+                    fh.write(_json.dumps(act) + "\n")
+    v_cdc = update_from_delta(
+        spark, exp, "id = 1", {"amount": "amount + 9.0"},
+        allow_protocol_upgrade=True,
+    )["version"]
+    cdc_rows = sorted(
+        (r._change_type, r.id)
+        for r in read_delta_changes(
+            spark, exp, starting_version=v_cdc, ending_version=v_cdc
+        ).select("_change_type", "id").collect()
+    )
+    assert cdc_rows == [
+        ("update_postimage", 1), ("update_preimage", 1),
+    ], cdc_rows
+    assert any(
+        n.startswith("_change_data") or n == "_change_data"
+        for n in os.listdir(exp)
+    )
+    print("OK: CDF-enabled DML emitted spec _change_data cdc files "
+          "and the reader replayed pre/post images")
     spark.stop()
 
 
