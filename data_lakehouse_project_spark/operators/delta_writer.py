@@ -66,7 +66,13 @@ from .txnlog import LOG_DIR, _VERSION_DIGITS, _file_stats, _serialize_add
 # rowTracking: IMPLEMENTED — appends assign fresh baseRowIds /
 #   defaultRowCommitVersions and advance the delta.rowTracking
 #   domain's rowIdHighWaterMark; DV re-adds preserve the file's
-#   original ids (row-id stability across merge-on-read deletes).
+#   original ids (row-id stability across merge-on-read deletes);
+#   UPDATE/MERGE rewrites PRESERVE ids by materializing them into the
+#   new files (delta.rowTracking.materializedRowIdColumnName,
+#   generated + committed on first use), with the rewritten rows'
+#   commit version moving to the new commit (last-modified);
+#   OPTIMIZE materializes both id and commit version (no logical
+#   change — versions must survive).
 # generatedColumns / identityColumns: the LISTED feature imposes
 #   nothing unless a column actually uses it — _gate_writer refuses on
 #   the schema metadata (delta.generationExpression / delta.identity.*)
@@ -186,6 +192,41 @@ def _row_tracking_actions(
         ],
         hwm,
     )
+
+
+def _rt_materialized_cols(
+    table_path: str, snap, want_ver: bool = True
+) -> tuple[str, str | None, list[dict]]:
+    """The table's materialized row-id (and optionally commit-version)
+    PHYSICAL column names from ``delta.rowTracking.materialized*``,
+    generating fresh names + the config-updating metaData action on
+    first materialization (delta-spark's own behavior)."""
+    mat_id = snap.configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    )
+    mat_ver = snap.configuration.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    new_conf: dict[str, str] = {}
+    if not mat_id:
+        mat_id = f"_row_id_mat_{_uuid.uuid4().hex[:8]}"
+        new_conf[
+            "delta.rowTracking.materializedRowIdColumnName"
+        ] = mat_id
+    if want_ver and not mat_ver:
+        mat_ver = f"_rcv_mat_{_uuid.uuid4().hex[:8]}"
+        new_conf[
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        ] = mat_ver
+    meta_action: list[dict] = []
+    if new_conf:
+        meta_raw = dict(_latest_meta_raw(table_path))
+        meta_raw["configuration"] = {
+            **(meta_raw.get("configuration") or {}),
+            **new_conf,
+        }
+        meta_action = [{"metaData": meta_raw}]
+    return mat_id, mat_ver, meta_action
 
 
 def _latest_meta_raw(table_path: str) -> dict:
@@ -745,7 +786,8 @@ def _to_physical_df(
 
 
 def _keyed_scan(
-    spark, snap, schema, part_cols, _abs, mapping: str = "none"
+    spark, snap, schema, part_cols, _abs, mapping: str = "none",
+    rt_id_col: str | None = None,
 ) -> DataFrame:
     """Raw scan of the snapshot's files with ``__dfd_path`` /
     ``__dfd_pos`` materialized and partition values attached, so DML
@@ -754,10 +796,21 @@ def _keyed_scan(
     that included already-deleted rows would RESURRECT them as fresh
     copies (caught by the merge re-apply test).  Under column mapping
     the files are scanned physically (by name or field id) and
-    exposed with LOGICAL names."""
+    exposed with LOGICAL names.  With ``rt_id_col`` (a rowTracking
+    table's materialized row-id physical column) each row also gets
+    ``__rt_id`` — the materialized value when non-null, else
+    ``add.baseRowId + row_index`` — so DML rewrites can PRESERVE row
+    ids."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     if mapping == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     physical = _scan_schema(schema, snap.schema_json, part_cols, mapping)
+    if rt_id_col:
+        physical = StructType(
+            list(physical.fields)
+            + [StructField(rt_id_col, LongType(), True)]
+        )
     df = spark.read.schema(physical).parquet(
         *[_abs(f["path"]) for f in snap.files]
     )
@@ -767,6 +820,7 @@ def _keyed_scan(
             "__dfd_pos": F.col("_metadata.row_index"),
         }
     )
+    rt_keep = [f"`{rt_id_col}`"] if rt_id_col else []
     if mapping == "name":
         phys_of = _physical_names(snap.schema_json)
         df = df.select(
@@ -776,6 +830,7 @@ def _keyed_scan(
                 for f in schema.fields
                 if f.name not in part_cols
             ],
+            *rt_keep,
             "__dfd_path",
             "__dfd_pos",
         )
@@ -788,8 +843,31 @@ def _keyed_scan(
                 for f in schema.fields
                 if f.name not in part_cols
             ],
+            *rt_keep,
             "__dfd_path",
             "__dfd_pos",
+        )
+    if rt_id_col:
+        base_rows = [
+            (
+                os.path.abspath(_abs(f["path"])),
+                f.get("base_row_id"),
+            )
+            for f in snap.files
+        ]
+        bmap = spark.createDataFrame(
+            base_rows, "__dfd_path string, __rt_base long"
+        )
+        df = (
+            df.join(F.broadcast(bmap), "__dfd_path", "left")
+            .withColumn(
+                "__rt_id",
+                F.coalesce(
+                    F.col(f"`{rt_id_col}`"),
+                    F.col("__rt_base") + F.col("__dfd_pos"),
+                ),
+            )
+            .drop(rt_id_col, "__rt_base")
         )
     dv_fs = [f for f in snap.files if f.get("foreign_dv")]
     if dv_fs:
@@ -1018,7 +1096,22 @@ def update_from_delta(
     unknown = [c for c in set_map if c not in schema.names]
     if unknown:
         raise ValueError(f"SET references unknown columns {unknown}")
-    df = _keyed_scan(spark, snap, schema, part_cols, _abs, mapping)
+    rt_enabled, rt_hwm = _row_tracking_state(table_path, snap)
+    mat_id = None
+    rt_meta_action: list[dict] = []
+    if rt_enabled:
+        # row-id STABILITY: matched rows keep their ids through the
+        # rewrite by materializing them into the new files (the
+        # commit-version column is unnecessary — the rewritten rows'
+        # defaultRowCommitVersion IS this commit, the spec's
+        # last-modified semantics)
+        mat_id, _, rt_meta_action = _rt_materialized_cols(
+            table_path, snap, want_ver=False
+        )
+    df = _keyed_scan(
+        spark, snap, schema, part_cols, _abs, mapping,
+        rt_id_col=mat_id,
+    )
     matched = df.where(F.expr(predicate))
     new_rows = matched.select(
         *[
@@ -1028,7 +1121,10 @@ def update_from_delta(
                 else F.col(f.name)
             ).alias(f.name)
             for f in schema.fields
-        ]
+        ],
+        *(
+            [F.col("__rt_id").alias(mat_id)] if rt_enabled else []
+        ),
     )
     # CHECK constraints over the rewritten rows (SQL semantics)
     for key, sql in sorted(snap.configuration.items()):
@@ -1054,8 +1150,13 @@ def update_from_delta(
     adds, n_rows = _stage_parquet_adds(
         spark,
         _to_physical_df(
-            new_rows.select(*schema.names), schema,
-            snap.schema_json, mapping,
+            new_rows.select(
+                *schema.names, *([mat_id] if rt_enabled else [])
+            ),
+            schema,
+            snap.schema_json,
+            mapping,
+            extra=([mat_id] if rt_enabled else []),
         ),
         table_path,
         [phys_of[c] for c in part_cols],
@@ -1087,12 +1188,11 @@ def update_from_delta(
         table_path, snap, by_path, _abs, ts
     )
     version = snap.version + 1
-    rt_enabled, hwm = _row_tracking_state(table_path, snap)
     rt_actions: list[dict] = []
     if rt_enabled:
-        # rewritten rows are NEW rows (delta-spark without
-        # materialized ids does the same) — fresh ids + watermark
-        rt_actions, _ = _row_tracking_actions(adds, hwm, version)
+        # fresh baseRowId ranges per spec; the MATERIALIZED ids above
+        # override them on read, so the matched rows' ids are stable
+        rt_actions, _ = _row_tracking_actions(adds, rt_hwm, version)
     actions = [
         {
             "commitInfo": {
@@ -1104,6 +1204,7 @@ def update_from_delta(
             }
         },
         *_protocol_upgrade_actions(snap, ctx[4]),
+        *rt_meta_action,
         *rt_actions,
         *cdc_actions,
         *dv_actions,
@@ -1201,31 +1302,9 @@ def optimize_delta(
     if rt_enabled:
         from pyspark.sql.types import LongType, StructField
 
-        mat_id = snap.configuration.get(
-            "delta.rowTracking.materializedRowIdColumnName"
+        mat_id, mat_ver, rt_meta_action = _rt_materialized_cols(
+            table_path, snap, want_ver=True
         )
-        mat_ver = snap.configuration.get(
-            "delta.rowTracking.materializedRowCommitVersionColumnName"
-        )
-        new_conf = {}
-        if not mat_id:
-            mat_id = f"_row_id_mat_{_uuid.uuid4().hex[:8]}"
-            new_conf[
-                "delta.rowTracking.materializedRowIdColumnName"
-            ] = mat_id
-        if not mat_ver:
-            mat_ver = f"_rcv_mat_{_uuid.uuid4().hex[:8]}"
-            new_conf[
-                "delta.rowTracking."
-                "materializedRowCommitVersionColumnName"
-            ] = mat_ver
-        if new_conf:
-            meta_raw = dict(_latest_meta_raw(table_path))
-            meta_raw["configuration"] = {
-                **(meta_raw.get("configuration") or {}),
-                **new_conf,
-            }
-            rt_meta_action = [{"metaData": meta_raw}]
         # scan the materialized columns too (null in files written
         # before materialization — the fresh formula covers them)
         physical = StructType(
@@ -1483,8 +1562,17 @@ def merge_into_delta(
                 f"UPDATE SET references unknown columns {unknown}"
             )
 
+    rt_enabled, rt_hwm = _row_tracking_state(table_path, snap)
+    mat_id = None
+    rt_meta_action: list[dict] = []
+    if rt_enabled:
+        # row-id stability for matched rewrites (see update_from_delta)
+        mat_id, _, rt_meta_action = _rt_materialized_cols(
+            table_path, snap, want_ver=False
+        )
     tgt = _keyed_scan(
-        spark, snap, schema, part_cols, _abs, mapping
+        spark, snap, schema, part_cols, _abs, mapping,
+        rt_id_col=mat_id,
     ).alias("t")
     src = source.alias("s")
     cond = F.expr(on)
@@ -1518,7 +1606,11 @@ def merge_into_delta(
                     else F.col(f"t.{f.name}")
                 ).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *(
+                [F.col("t.__rt_id").alias(mat_id)]
+                if rt_enabled else []
+            ),
         )
     inserts = None
     if when_not_matched_insert:
@@ -1534,7 +1626,13 @@ def merge_into_delta(
             *[
                 F.col(f"s.{f.name}").cast(f.dataType).alias(f.name)
                 for f in schema.fields
-            ]
+            ],
+            *(
+                # inserted rows have no prior id: null materialized
+                # value -> the fresh baseRowId + position formula
+                [F.lit(None).cast("long").alias(mat_id)]
+                if rt_enabled else []
+            ),
         )
     staged_new = None
     if new_rows is not None and inserts is not None:
@@ -1582,8 +1680,13 @@ def merge_into_delta(
         adds, n_staged = _stage_parquet_adds(
             spark,
             _to_physical_df(
-                staged_new.select(*schema.names), schema,
-                snap.schema_json, mapping,
+                staged_new.select(
+                    *schema.names, *([mat_id] if rt_enabled else [])
+                ),
+                schema,
+                snap.schema_json,
+                mapping,
+                extra=([mat_id] if rt_enabled else []),
             ),
             table_path,
             [phys_of[c] for c in part_cols],
@@ -1650,10 +1753,9 @@ def merge_into_delta(
             table_path, snap, by_path, _abs, ts
         )
     version = snap.version + 1
-    rt_enabled, hwm = _row_tracking_state(table_path, snap)
     rt_actions: list[dict] = []
     if rt_enabled and adds:
-        rt_actions, _ = _row_tracking_actions(adds, hwm, version)
+        rt_actions, _ = _row_tracking_actions(adds, rt_hwm, version)
     actions = [
         {
             "commitInfo": {
@@ -1667,6 +1769,7 @@ def merge_into_delta(
         *(
             _protocol_upgrade_actions(snap, ctx[4]) if by_path else []
         ),
+        *(rt_meta_action if adds else []),
         *rt_actions,
         *cdc_actions,
         *dv_actions,

@@ -448,10 +448,20 @@ def test_append_assigns_fresh_row_ids(spark, tmp_path):
     assert after == {k: v for k, v in got.items() if k != 10}
 
 
-def test_update_rowtracking_fresh_ids_for_rewrites(spark, tmp_path):
+def test_update_rowtracking_preserves_ids_for_rewrites(spark, tmp_path):
+    """Row-id STABILITY through UPDATE/MERGE (round 9): matched
+    rewrites materialize their original ids into the new files
+    (generating + committing the materializedRowIdColumnName config
+    on first use), so _row_id survives the rewrite while
+    _row_commit_version moves to the new commit (last-modified
+    semantics); merge-inserted rows still mint fresh ids."""
     from tests.test_delta_reader import _row_tracked_table
 
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_snapshot,
+    )
     from data_lakehouse_project_spark.operators.delta_writer import (
+        merge_into_delta,
         update_from_delta,
     )
 
@@ -459,20 +469,51 @@ def test_update_rowtracking_fresh_ids_for_rewrites(spark, tmp_path):
     before = {r.id: r._row_id
               for r in read_delta_table(spark, table, row_ids=True)
               .collect()}
-    update_from_delta(
+    info = update_from_delta(
         spark, table, "id = 2", {"v": "'ZZ'"},
         allow_protocol_upgrade=True,
     )
-    after = {r.id: (r._row_id, r.v)
+    after = {r.id: (r._row_id, r.v, r._row_commit_version)
              for r in read_delta_table(spark, table, row_ids=True)
              .collect()}
     assert after[2][1] == "ZZ"
-    # the rewritten row is a NEW row: fresh id past the watermark
-    assert after[2][0] > max(before.values())
-    # untouched rows keep their ids
+    # the rewritten row KEEPS its id; its commit version moves
+    assert after[2][0] == before[2]
+    assert after[2][2] == info["version"]
     for k, rid in before.items():
         if k != 2:
             assert after[k][0] == rid
+    # the materialized column name was committed into the config
+    snap = read_delta_snapshot(table)
+    assert snap.configuration.get(
+        "delta.rowTracking.materializedRowIdColumnName"
+    )
+
+    # MERGE: matched rewrite keeps its id, the insert mints a fresh one
+    src = spark.createDataFrame(
+        [(3, "mm"), (50, "nn")], "id long, v string"
+    )
+    merge_into_delta(
+        spark, table, src, "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+        allow_protocol_upgrade=True,
+    )
+    final = {r.id: r._row_id
+             for r in read_delta_table(spark, table, row_ids=True)
+             .collect()}
+    assert final[3] == before[3]
+    assert final[50] > max(before.values())
+    assert len(set(final.values())) == len(final)  # ids stay unique
+
+    # a second update composes (reads the materialized id back)
+    update_from_delta(
+        spark, table, "id = 2", {"v": "'Z2'"},
+        allow_protocol_upgrade=True,
+    )
+    again = {r.id: r._row_id
+             for r in read_delta_table(spark, table, row_ids=True)
+             .collect()}
+    assert again[2] == before[2]
 
 
 def test_optimize_delta_compacts_and_applies_dvs(spark, tmp_path):
