@@ -1137,6 +1137,8 @@ def read_iceberg_changelog(
     table_path: str,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    from_timestamp_ms: int | None = None,
+    to_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Iceberg CHANGELOG over ``(from, to]`` — the CDF equivalent the
     append-only incremental scan (``read_iceberg_changes``) refuses:
@@ -1168,6 +1170,32 @@ def read_iceberg_changelog(
     md = load_iceberg_metadata(table_path)
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     order = [s for s in _snapshot_order(md) if s in snaps]
+    # timestamp bounds (the Delta CDF symmetry): from = snapshots
+    # committed strictly AFTER the timestamp; to = at or before it.
+    if from_timestamp_ms is not None:
+        if from_snapshot_id is not None:
+            raise ValueError(
+                "pass from_snapshot_id OR from_timestamp_ms, not both"
+            )
+        older = [
+            s for s in order
+            if snaps[s]["timestamp-ms"] <= from_timestamp_ms
+        ]
+        from_snapshot_id = older[-1] if older else None
+    if to_timestamp_ms is not None:
+        if to_snapshot_id is not None:
+            raise ValueError(
+                "pass to_snapshot_id OR to_timestamp_ms, not both"
+            )
+        upto = [
+            s for s in order
+            if snaps[s]["timestamp-ms"] <= to_timestamp_ms
+        ]
+        if not upto:
+            raise ValueError(
+                f"no snapshot committed at or before {to_timestamp_ms}"
+            )
+        to_snapshot_id = upto[-1]
     if to_snapshot_id is None:
         to_snapshot_id = md.get("current-snapshot-id")
     if to_snapshot_id not in snaps:

@@ -214,3 +214,39 @@ def test_changelog_equals_snapshot_diff_randomized(
         assert sorted((del_c - noop).elements()) == want_del, (
             f"snapshot {cur} deletes"
         )
+
+
+def test_changelog_timestamp_bounds(spark, tmp_path):
+    """from/to_timestamp_ms mirror the Delta CDF's timestamp bounds:
+    from = changes strictly after that commit time, to = at/before."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        load_iceberg_metadata,
+    )
+
+    path = _table(spark, tmp_path)                 # snap 1
+    delete_from_iceberg(spark, path, "id = 1")     # snap 2
+    append_to_iceberg(spark, _df(spark, 4, 5), path)  # snap 3
+    md = load_iceberg_metadata(path)
+    ts_of = {
+        s["snapshot-id"]: s["timestamp-ms"] for s in md["snapshots"]
+    }
+    sids = sorted(ts_of)
+
+    got = sorted(
+        (r._change_type, r.id)
+        for r in read_iceberg_changelog(
+            spark, path, from_timestamp_ms=ts_of[sids[0]],
+            to_timestamp_ms=ts_of[sids[1]],
+        ).collect()
+    )
+    assert got == [("delete", 1)]
+
+    with pytest.raises(ValueError, match="not both"):
+        read_iceberg_changelog(
+            spark, path, from_snapshot_id=sids[0],
+            from_timestamp_ms=ts_of[sids[0]],
+        )
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg_changelog(
+            spark, path, to_timestamp_ms=ts_of[sids[0]] - 10_000
+        )
