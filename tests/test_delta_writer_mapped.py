@@ -189,3 +189,57 @@ def test_optimize_on_mapped_table(spark, tmp_path):
     for f in snap.files:
         names = pq.read_schema(os.path.join(table, f["path"])).names
         assert "col-id0001" in names and "id" not in names
+
+
+def test_streaming_cdc_relay_on_mapped_table(spark, tmp_path):
+    """The streaming CDC source replays writer-emitted cdc commits on
+    a COLUMN-MAPPED + CDF table with logical names (round-9 combo:
+    mapped DML emits physical-name cdc files; the CDF reader owns the
+    mapping; the stream rides the reader)."""
+    from data_lakehouse_project_spark.sources.delta_stream import (
+        DeltaStreamDataSource,
+    )
+
+    table = _mapped_table(tmp_path)
+    v0 = os.path.join(table, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(v0)]
+    for act in lines:
+        if "metaData" in act:
+            act["metaData"]["configuration"][
+                "delta.enableChangeDataFeed"
+            ] = "true"
+    with open(v0, "w") as fh:
+        for act in lines:
+            fh.write(json.dumps(act) + "\n")
+
+    delete_from_delta(spark, table, "id = 1",
+                      allow_protocol_upgrade=True)
+    update_from_delta(spark, table, "id = 3", {"vv": "'Z'"},
+                      allow_protocol_upgrade=True)
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("delta_stream")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    rows = sorted(
+        (r._commit_version, r._change_type, r.id, r.vv)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (0, "insert", 1, "a"), (0, "insert", 2, "b"),
+        (0, "insert", 3, "c"),
+        (1, "delete", 1, "a"),
+        (2, "update_postimage", 3, "Z"),
+        (2, "update_preimage", 3, "c"),
+    ]
