@@ -166,6 +166,98 @@ ORDER BY n_regionkey
 """
 
 
+def q_foreign_iceberg_changelog_counts(spark, sf_dir):
+    """nation → Iceberg v2 export → delete + merge-upsert →
+    ``read_iceberg_changelog`` → per-type change counts.  Value-pins
+    the changelog reconstruction (position-delete rows, overwrite
+    delete+insert pairs, once-only attribution) against a plain-SQL
+    oracle computing the same change arithmetic from the base table."""
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changelog,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        merge_into_iceberg,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    (nation,) = _t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="graft_fchlog_")
+    try:
+        t = TxnTable(os.path.join(tmp, "src"))
+        t.write(
+            nation.select("n_nationkey", "n_name", "n_regionkey"),
+            mode="overwrite",
+        )
+        export_iceberg_metadata(t, spark)
+        path = t.path
+        delete_from_iceberg(spark, path, "n_nationkey % 4 = 1")
+        src = nation.where("n_nationkey % 3 = 0").select(
+            "n_nationkey",
+            F.upper("n_name").alias("n_name"),
+            "n_regionkey",
+        )
+        merge_into_iceberg(
+            spark, path, src, "t.n_nationkey = s.n_nationkey",
+            when_matched_update={"n_name": "s.n_name"},
+        )
+        ch = read_iceberg_changelog(spark, path)
+        result = (
+            ch.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("n_nationkey").alias("n_keys"),
+            )
+            .orderBy("_change_type")
+            .select(
+                F.col("_change_type").alias("change_type"),
+                "n_rows",
+                "n_keys",
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# changes: insert x N (initial) + delete x (key%4==1); per surviving
+# key%3==0 a rewrite (delete+insert); the merge's unmatched-source
+# rows (keys %3==0 ALREADY deleted) RE-INSERT (insert only)
+SQL_FOREIGN_CHANGELOG = """
+WITH base AS (SELECT n_nationkey FROM nation),
+deleted AS (SELECT n_nationkey FROM base WHERE n_nationkey % 4 = 1),
+updated AS (
+  SELECT n_nationkey FROM base
+  WHERE n_nationkey % 3 = 0 AND NOT (n_nationkey % 4 = 1)
+),
+reinserted AS (
+  SELECT n_nationkey FROM base
+  WHERE n_nationkey % 3 = 0 AND n_nationkey % 4 = 1
+),
+ch AS (
+  SELECT 'insert' AS change_type, n_nationkey FROM base
+  UNION ALL
+  SELECT 'delete', n_nationkey FROM deleted
+  UNION ALL
+  SELECT 'delete', n_nationkey FROM updated
+  UNION ALL
+  SELECT 'insert', n_nationkey FROM updated
+  UNION ALL
+  SELECT 'insert', n_nationkey FROM reinserted
+)
+SELECT change_type,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT n_nationkey) AS n_keys
+FROM ch
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     return {
@@ -176,5 +268,9 @@ def build(helpers: dict) -> dict:
         "foreign_iceberg_region_rollup": (
             q_foreign_iceberg_region_rollup,
             SQL_FOREIGN_ICEBERG,
+        ),
+        "foreign_iceberg_changelog_counts": (
+            q_foreign_iceberg_changelog_counts,
+            SQL_FOREIGN_CHANGELOG,
         ),
     }

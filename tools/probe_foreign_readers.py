@@ -531,6 +531,18 @@ def main() -> None:
         out["iceberg_stream_plan_s"] = round(time.time() - t0, 3)
         assert len(parts) == N
 
+        # iceberg changelog PLANNING at N files (r9 slot): the driver
+        # walk (manifest lists + entries + delete-file reads) that
+        # builds the change specs — executor scan cost equals the
+        # plain scan measured above
+        from data_lakehouse_project_spark.operators.iceberg_reader import (  # noqa: E501
+            read_iceberg_changelog,
+        )
+
+        t0 = time.time()
+        _plan_df = read_iceberg_changelog(spark, t_ice)
+        out["iceberg_changelog_plan_s"] = round(time.time() - t0, 3)
+
         # foreign-DML driver budget at N files (r9 slot): a DV DELETE
         # touching 1% of files (matched-position collect + DV write +
         # commit) and a MERGE upsert (ambiguity gate + left_anti insert
