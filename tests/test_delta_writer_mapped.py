@@ -243,3 +243,92 @@ def test_streaming_cdc_relay_on_mapped_table(spark, tmp_path):
         (2, "update_postimage", 3, "Z"),
         (2, "update_preimage", 3, "c"),
     ]
+
+
+def test_dml_on_mapped_row_tracking_table(spark, tmp_path):
+    """Combined column mapping + rowTracking: UPDATE preserves row ids
+    while reading/writing physical columns (the materialized row-id
+    column is itself a physical name outside the mapping)."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from tests.test_delta_reader import SCHEMA_MAPPED, _commit, _info
+
+    table = str(tmp_path / "mrt")
+    os.makedirs(table)
+    fpath = os.path.join(table, "f0.parquet")
+    _pq.write_table(
+        pa.table(
+            {
+                "col-id0001": pa.array([1, 2, 3], pa.int64()),
+                "col-v0002": pa.array(["a", "b", "c"], pa.string()),
+            }
+        ),
+        fpath,
+    )
+    _commit(
+        table,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping",
+                                       "deletionVectors"],
+                    "writerFeatures": ["columnMapping", "rowTracking",
+                                       "domainMetadata",
+                                       "deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "mrt-0001",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": SCHEMA_MAPPED,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                        "delta.columnMapping.maxColumnId": "4",
+                        "delta.enableRowTracking": "true",
+                    },
+                    "createdTime": 1700000000000,
+                }
+            },
+            {
+                "add": {
+                    "path": "f0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 3}),
+                    "baseRowId": 0,
+                    "defaultRowCommitVersion": 0,
+                }
+            },
+            _info(1700000001000),
+        ],
+    )
+
+    before = {
+        r.id: r._row_id
+        for r in read_delta_table(spark, table, row_ids=True).collect()
+    }
+    assert before == {1: 0, 2: 1, 3: 2}
+    update_from_delta(spark, table, "id = 2", {"vv": "'BB'"})
+    after = {
+        r.id: (r._row_id, r.vv)
+        for r in read_delta_table(spark, table, row_ids=True).collect()
+    }
+    assert after[2] == (1, "BB")  # id preserved through the rewrite
+    assert {k: v[0] for k, v in after.items()} == before
+    # the rewritten file: physical data names + the materialized id col
+    snap = read_delta_snapshot(table)
+    mat = snap.configuration[
+        "delta.rowTracking.materializedRowIdColumnName"
+    ]
+    new = [f for f in snap.files if f["path"].startswith("part-")]
+    assert new
+    names = _pq.read_schema(os.path.join(table, new[0]["path"])).names
+    assert "col-v0002" in names and mat in names and "vv" not in names
