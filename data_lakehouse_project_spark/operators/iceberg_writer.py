@@ -147,6 +147,15 @@ def _entry_avro_schema(part_fields: list[dict]) -> str:
                 "default": None,
                 "field-id": 128,
             },
+            {
+                # spec field 135: the field ids an EQUALITY delete
+                # file's rows match on; null for data/pos-delete files
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int",
+                                  "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
         ],
     }
     return json.dumps(
@@ -848,6 +857,178 @@ def _write_pos_delete_manifest(
         "deleted_rows_count": 0,
     }
     return row, [del_path, delete_manifest]
+
+
+def write_equality_deletes(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    equality_columns: list[str],
+) -> dict:
+    """EQUALITY-delete commit on a foreign Iceberg v2 table — the
+    streaming-CDC delete shape (Flink's upsert sink): one ``delete``
+    snapshot whose equality-delete file(s) carry the KEY ROWS
+    (``keys`` projected to ``equality_columns``, declared-type casts,
+    parquet field ids stamped) and whose manifest entries carry the
+    spec's ``equality_ids``.  Per the sequence rule the deletes apply
+    to every data file with a STRICTLY smaller data sequence number —
+    matching rows disappear WITHOUT scanning or rewriting any data
+    (O(keys) total cost); rows appended AFTER this snapshot are
+    untouched even if they match.
+
+    Unpartitioned tables only (a global equality delete on a
+    partitioned table needs an unpartitioned-spec manifest this
+    writer does not produce — refuse, don't mis-scope).  The snapshot
+    reader applies these exactly (null-safe anti-join); the
+    incremental append scan, changelog, and stream refuse snapshots
+    carrying them, as documented.  Returns ``{"snapshot_id",
+    "delete_files", "key_rows", "metadata"}``."""
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} equality "
+            "deletes are not supported (v2 only)"
+        )
+    schema_fields = _current_schema(md)["fields"]
+    part_fields = _resolve_part_fields(md, schema_fields)
+    if part_fields:
+        raise UnsupportedIcebergFeature(
+            "global equality deletes on a PARTITIONED table need an "
+            "unpartitioned-spec manifest; not supported"
+        )
+    spark_schema = _spark_schema(spark, md)
+    unknown = [c for c in equality_columns if c not in spark_schema.names]
+    if not equality_columns or unknown:
+        raise ValueError(
+            f"equality_columns must name table columns; unknown: "
+            f"{unknown}"
+        )
+    missing = [c for c in equality_columns if c not in keys.columns]
+    if missing:
+        raise ValueError(f"keys is missing columns {missing}")
+    ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
+    eq_ids = sorted(ids_of[c] for c in equality_columns)
+    staged = keys.select(
+        *[
+            F.col(c).cast(spark_schema[c].dataType).alias(
+                c, metadata={"parquet.field.id": ids_of[c]}
+            )
+            for c in equality_columns
+        ]
+    ).dropDuplicates()
+
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    tmp = os.path.join(table_path, f".tmp-eqdel-{_uuid.uuid4()}")
+    files: list[tuple[str, int]] = []
+    n_rows = 0
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        staged.write.mode("overwrite").parquet(tmp)
+        for dirpath, dirnames, filenames in os.walk(tmp):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet") or fn.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                src = os.path.join(dirpath, fn)
+                st = _file_stats(src)
+                if st.get("num_rows", 0) == 0:
+                    continue
+                dst = os.path.join(
+                    data_dir,
+                    f"eq-deletes-{snapshot_id}-"
+                    f"{_uuid.uuid4().hex}.parquet",
+                )
+                os.replace(src, dst)
+                files.append((dst, st.get("num_rows", 0)))
+                n_rows += st.get("num_rows", 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not files:
+        return {"snapshot_id": None, "delete_files": 0,
+                "key_rows": 0, "metadata": md_file}
+
+    meta_dir = os.path.join(table_path, "metadata")
+    delete_manifest = os.path.join(
+        meta_dir, f"{_uuid.uuid4().hex}-eqd.avro"
+    )
+    wd = _AvroWriter(
+        spark,
+        _entry_avro_schema([]),
+        delete_manifest,
+        {
+            "schema": json.dumps(_current_schema(md)),
+            "partition-spec": "[]",
+            "partition-spec-id": str(md.get("default-spec-id", 0)),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    for dst, rc in files:
+        wd.append_dict(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rc,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    wd.close()
+    manifest_row = {
+        "manifest_path": delete_manifest,
+        "manifest_length": os.path.getsize(delete_manifest),
+        "partition_spec_id": md.get("default-spec-id", 0),
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row=[manifest_row],
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation="delete",
+        summary_extra={"equality-deletes": str(n_rows)},
+        rollback_paths=[dst for dst, _ in files] + [delete_manifest],
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "delete_files": len(files),
+        "key_rows": n_rows,
+        "metadata": new_path,
+    }
 
 
 def delete_from_iceberg(

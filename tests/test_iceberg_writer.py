@@ -655,3 +655,57 @@ def test_pos_delete_filenames_never_collide(spark, tmp_path):
     assert p1 and p2 and set(p1).isdisjoint(p2)
     for p in p1 + p2:
         assert os.path.exists(p)
+
+
+def test_write_equality_deletes(spark, tmp_path):
+    """Equality-delete commit (the Flink-CDC delete shape): matching
+    rows in PRIOR data files disappear without any scan/rewrite; rows
+    appended AFTER the delete survive even when they match (the
+    spec's strict sequence rule); readers see the manifest's
+    equality_ids; incremental scans refuse the snapshot."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changes,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        write_equality_deletes,
+    )
+
+    # unpartitioned table (global eq deletes refuse partitioned specs)
+    path = str(tmp_path / "eq")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 6), mode="overwrite")
+    export_iceberg_metadata(t, spark)
+    sid0 = [s for s, _ in iceberg_snapshot_ids(path)][-1]
+
+    keys = spark.createDataFrame([(1,), (4,), (99,)], "id long")
+    info = write_equality_deletes(spark, path, keys, ["id"])
+    assert info["key_rows"] == 3 and info["delete_files"] >= 1
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [0, 2, 3, 5]
+    # time travel: pre-delete snapshot intact
+    old = read_iceberg_table(spark, path, snapshot_id=sid0)
+    assert sorted(r.id for r in old.collect()) == [0, 1, 2, 3, 4, 5]
+
+    # the strict sequence rule: a LATER append of a matching key lives
+    append_to_iceberg(spark, _df(spark, 4, 5), path)
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [0, 2, 3, 4, 5]
+
+    # incremental append scan refuses the eq-delete snapshot
+    with pytest.raises(UnsupportedIcebergFeature, match="delete"):
+        read_iceberg_changes(spark, path, from_snapshot_id=sid0).collect()
+
+    # refusals: partitioned table; unknown column; missing key column
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        write_equality_deletes as _weq,
+    )
+
+    pt = TxnTable(str(tmp_path / "pp"))
+    pt.write(_df(spark, 0, 4), mode="overwrite", partition_by=["part"])
+    export_iceberg_metadata(pt, spark)
+    with pytest.raises(UnsupportedIcebergFeature, match="PARTITIONED"):
+        _weq(spark, pt.path, keys, ["id"])
+    with pytest.raises(ValueError, match="unknown"):
+        _weq(spark, path, keys, ["zzz"])
+    with pytest.raises(ValueError, match="missing"):
+        _weq(spark, path, keys, ["v"])
