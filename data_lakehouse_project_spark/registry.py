@@ -3908,13 +3908,19 @@ GRADED_WINDOW: list[str] = [
     # r9 rotation: the promo revenue ratio (TPC-H Q14 shape) takes
     # its first graded row (nation_revenue stays selfchecked)
     "promo_revenue_ratio",
-    "supplier_nation_profit",
+    # r10 rotation: the Q21-shape sole-late-supplier report (multi
+    # EXISTS/NOT EXISTS correlated anti-pattern) takes its first
+    # graded row (supplier_nation_profit stays selfchecked)
+    "sole_late_supplier",
     "market_share",
     # window shapes (r5: + IGNORE NULLS navigation; order_gaps rotated
     # out, frame family still selfchecked)
     # r6 rotation: the running-total frame slot returns,
     # window_ignore_nulls rotates out (stays selfchecked)
-    "window_topk_per_customer",
+    # r10 rotation: NTH_VALUE/LAG navigation takes the window
+    # family's first row its first graded round
+    # (window_topk_per_customer stays selfchecked)
+    "window_nth_lag",
     # r7 rotation: the running DISTINCT frame takes the window
     # family's second graded row (window_running_total rotates
     # out, stays selfchecked)
@@ -3952,14 +3958,18 @@ GRADED_WINDOW: list[str] = [
     # (lineitem_mad_outliers stays selfchecked)
     "lineitem_iqr_fences",
     # set ops / grouping surfaces
-    "setop_intersect_all",
+    # r10 rotation: EXCEPT ALL takes the set-op row first time
+    # (setop_intersect_all stays selfchecked)
+    "setop_except_all",
     # r8 rotation: GROUPING SETS takes the grouping-surface row
     # (rollup_status_priority stays selfchecked)
     # r9 rotation: GROUPING() markers over ROLLUP take the
     # grouping-surface row first time (grouping_sets_sql stays
     # selfchecked)
     "rollup_grouping_markers",
-    "pivot_status_priority",
+    # r10 rotation: the UNPIVOT surface takes the reshaping row
+    # first time (pivot_status_priority stays selfchecked)
+    "unpivot_status_measures",
     # dedup family (LLM pipeline); r5 adds the pair-graph degree
     # distribution and the ExactSubstr-style span report (ngram-jaccard
     # rotated out — its posting pipeline stays graded transitively via
@@ -3996,10 +4006,16 @@ GRADED_WINDOW: list[str] = [
     # geo radius join replaces the batch-ANN slot — a new spatial-join
     # family gets its hard oracle; ann_batch_topk stays registered +
     # selfchecked, the ANN family keeps two graded anchors)
-    "ann_cosine_topk",
+    # r10 rotation: the one-pass Arrow-batched batch-ANN takes the
+    # ANN family's first row its first graded round — the map-only
+    # 100 TB shape (ann_cosine_topk stays selfchecked)
+    "ann_batch_topk",
     "ann_lsh_topk",  # full-probe grading config vs exact oracle
     "geo_neighbor_pairs",
-    "embedding_label_centroids",
+    # r10 rotation: the int8 quantization-error report takes the
+    # embedding family row first time (embedding_label_centroids
+    # stays selfchecked)
+    "embedding_quantization_report",
     "salted_event_rollup",
     # text analysis family (r5 session 2 rotation: the bigram
     # Jelinek-Mercer LM replaces its unigram predecessor — same family,
@@ -4021,14 +4037,22 @@ GRADED_WINDOW: list[str] = [
     # r9 rotation: the Iceberg v2 round trip (export + pos-delete +
     # one-snapshot MERGE + foreign read) takes the second interop
     # row (ab_test_purchase stays selfchecked)
-    "foreign_iceberg_region_rollup",
+    # r10 rotation: the Iceberg CHANGELOG round trip (export +
+    # delete + merge → read_iceberg_changelog → per-type counts)
+    # takes the interop row — CDC reconstruction is value-pinned
+    # for the first time (foreign_iceberg_region_rollup stays
+    # selfchecked)
+    "foreign_iceberg_changelog_counts",
     # r5 session 3: attribution replaces the bigram LM slot (funnel
     # analytics family gets graded; bigram_xentropy_scores stays
     # registered + selfchecked, LM arithmetic still pinned there)
     # r8 rotation: linear multi-touch replaces last-touch in the
     # attribution family (attribution_last_touch stays
     # selfchecked)
-    "attribution_linear",
+    # r10 rotation: the Markov event-transition probabilities take
+    # the behavioral-analytics row first time (attribution_linear
+    # stays selfchecked)
+    "event_transition_probs",
     # r5 session 4: the Gopher rule table replaces the md5 fingerprint
     # slot (quality family upgrade; fingerprint stays selfchecked)
     "gopher_quality_flags",
@@ -4038,7 +4062,10 @@ GRADED_WINDOW: list[str] = [
     # redact_pii_documents stays registered + selfchecked
     # r6 rotation: k-anonymity takes the privacy family's graded row;
     # l_diversity_classes rotates out (stays selfchecked)
-    "k_anonymity_classes",
+    # r10 rotation: the k-anonymity summary (suppression-rate
+    # arithmetic over the same class grain) takes the privacy row
+    # first time (k_anonymity_classes stays selfchecked)
+    "k_anonymity_summary",
     # r7 rotation: the BM25+cosine RRF fusion takes the retrieval
     # family's graded row — bm25 arithmetic stays pinned inside it
     # (bm25_search_topk stays registered + selfchecked)
@@ -4071,7 +4098,10 @@ GRADED_WINDOW: list[str] = [
     # r7 rotation: the trailing-7-day distinct-type rollup (plan
     # collapsed to a single branch this round) replaces the hourly
     # rollup graded since r1 (stays selfchecked)
-    "events_rolling_distinct_types",
+    # r10 rotation: the hopping-window rollup takes the
+    # time-series row first time (events_rolling_distinct_types
+    # stays selfchecked)
+    "events_hopping_window",
     # r7 rotation: cohort retention takes the behavioral-analytics
     # row (events_sessionize stays selfchecked)
     "events_cohort_retention",
@@ -4101,7 +4131,11 @@ GRADED_WINDOW: list[str] = [
     # r9 rotation: MMR diverse top-k takes the selection family row
     # (rows-only by design: the iterative argmax is not
     # SQL-expressible; chunk_documents_overlap stays selfchecked)
-    "mmr_diverse_topk",
+    # r10 (verdict #1): the graded window must be all-oracled —
+    # MMR rotates out (stays registered, rows-only + numpy-pinned
+    # in test_curation.py); the skip-aware greedy token budget
+    # takes the selection row its first graded round
+    "token_budget_skip_selection",
     # admission-index family (r5: bloom verdicts, previously pytest-only
     # in the graded window sense)
     "bloom_admission_verdicts",
