@@ -79,7 +79,7 @@ def grouped_median_exact(df, keys, val, out="med"):
     return grouped_quantiles_exact(df, keys, val, {out: 0.5})
 
 
-def grouped_quantiles_disc(df, keys, val, quantiles):
+def grouped_quantiles_disc(df, keys, val, quantiles, keep_n=False):
     """EXACT per-group DISCRETE quantiles (``percentile_disc``: the
     smallest actual data value whose cume_dist >= q — no
     interpolation) in the same bounded-memory counts-grain shape as
@@ -88,7 +88,10 @@ def grouped_quantiles_disc(df, keys, val, quantiles):
     per-row holistic buffer.
 
     ``quantiles`` is ``{out_column: q}``; output values keep the
-    input column's type (they ARE data values)."""
+    input column's type (they ARE data values).  The output schema is
+    exactly ``keys + quantile columns`` — pass ``keep_n=True`` to also
+    get the ``__n`` group row count (the ``grouped_quantiles_exact``
+    convention)."""
     counts = df.groupBy(*keys, val).agg(F.count(F.lit(1)).alias("__cnt"))
     w = Window.partitionBy(*keys).orderBy(val)
     w_all = w.rowsBetween(
@@ -109,8 +112,6 @@ def grouped_quantiles_disc(df, keys, val, quantiles):
         )
         keep = keep | hit
         aggs.append(F.max(F.when(hit, F.col(val))).alias(out))
-    return (
-        cum.where(keep)
-        .groupBy(*keys)
-        .agg(*aggs, F.max("__n").alias("__n"))
-    )
+    if keep_n:
+        aggs.append(F.max("__n").alias("__n"))
+    return cum.where(keep).groupBy(*keys).agg(*aggs)

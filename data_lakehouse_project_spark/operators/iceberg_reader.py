@@ -1196,8 +1196,22 @@ def read_iceberg_changelog(
                 f"no snapshot committed at or before {to_timestamp_ms}"
             )
         to_snapshot_id = upto[-1]
+    schema = _spark_schema(spark, md)
+    out_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_snapshot_id", LongType()),
+            StructField("_committed_at", LongType()),
+        ]
+    )
     if to_snapshot_id is None:
         to_snapshot_id = md.get("current-snapshot-id")
+        if to_snapshot_id is None or to_snapshot_id not in snaps:
+            # empty table (no snapshots yet, or a -1 sentinel): an
+            # empty changelog, not an error — only an EXPLICIT
+            # to_snapshot_id may name a missing snapshot
+            return spark.createDataFrame([], out_schema)
     if to_snapshot_id not in snaps:
         raise ValueError(f"snapshot {to_snapshot_id} not in metadata")
     hi = order.index(to_snapshot_id)
@@ -1211,7 +1225,6 @@ def read_iceberg_changelog(
             )
         lo = order.index(from_snapshot_id)
     wanted = set(order[lo + 1 : hi + 1])
-    schema = _spark_schema(spark, md)
 
     def _abs(p: str) -> str:
         for pref in ("file://", "file:"):
@@ -1223,6 +1236,13 @@ def read_iceberg_changelog(
 
     # accumulated per-data-file deleted positions (table start -> hi)
     deleted_so_far: dict[str, set[int]] = {}
+    # per-data-file manifest identity (spec id, partition struct) —
+    # recorded for EVERY added file (not just wanted snapshots) so
+    # delete rows targeting pre-window files still surface identity
+    # partition source columns absent from the parquet (the
+    # migrated-file case the snapshot reader fills via per-file
+    # consts at the ident_cols join above)
+    file_parts: dict[str, tuple[int, dict]] = {}
     insert_specs: list[tuple[str, int, int]] = []
     # (sid, ts) -> {data path -> [newly deleted positions]}
     del_by_snap: dict[tuple[int, int], dict[str, list[int]]] = {}
@@ -1264,6 +1284,10 @@ def read_iceberg_changelog(
                                 f"{df_.get('file_format')!r} is not "
                                 "supported"
                             )
+                        file_parts[p] = (
+                            int(m.get("partition_spec_id") or 0),
+                            df_.get("partition") or {},
+                        )
                         if sid in wanted:
                             insert_specs.append((p, sid, ts))
                     elif st == 2:
@@ -1298,18 +1322,30 @@ def read_iceberg_changelog(
                             (sid, ts), {}
                         ).setdefault(tp, []).append(int(pos))
 
-    out_schema = StructType(
-        list(schema.fields)
-        + [
-            StructField("_change_type", StringType()),
-            StructField("_snapshot_id", LongType()),
-            StructField("_committed_at", LongType()),
-        ]
-    )
     if not insert_specs and not del_by_snap and not removed_specs:
         return spark.createDataFrame([], out_schema)
 
     from .delta_reader import _spark_path_key
+
+    # identity-partition source columns may be physically absent from
+    # the data files (spec: manifest partition values replace them) —
+    # every scanned branch fills them from file_parts below
+    name2id_all = {v: k for k, v in _field_names_by_id(md).items()}
+    by_spec_ident = _identity_sources_by_spec(md)
+    default_ident = _identity_partition_sources(md)
+    ident_cols = [
+        c
+        for c in schema.names
+        if any(name2id_all.get(c) in mp for mp in by_spec_ident.values())
+    ]
+
+    def _ident_value(path: str, col: str):
+        spec_id, part = file_parts.get(path, (None, {}))
+        ident = by_spec_ident.get(spec_id, default_ident)
+        return _coerce_partition_value(
+            part.get(ident.get(name2id_all.get(col))),
+            schema[col].dataType,
+        )
 
     id_schema: list = []  # lazily built field-id scan schema
 
@@ -1356,6 +1392,45 @@ def read_iceberg_changelog(
         out = outs[0]
         for d in outs[1:]:
             out = out.unionByName(d)
+        if ident_cols:
+            # fill identity partition source columns from the
+            # manifests' partition structs (COALESCE keeps values the
+            # writer stored physically — both are spec-legal)
+            if len(paths) == 1:
+                for c in ident_cols:
+                    v = _ident_value(paths[0], c)
+                    if v is not None:
+                        out = out.withColumn(
+                            c,
+                            F.coalesce(
+                                F.col(c),
+                                F.lit(v).cast(schema[c].dataType),
+                            ),
+                        )
+            elif with_meta:  # every multi-path call site passes meta
+                from pyspark.sql.types import StructField as _SF
+                from pyspark.sql.types import StructType as _STy
+
+                pmap = spark.createDataFrame(
+                    [
+                        [os.path.abspath(p)]
+                        + [_ident_value(p, c) for c in ident_cols]
+                        for p in paths
+                    ],
+                    _STy(
+                        [_SF("__ice_path", StringType())]
+                        + [
+                            _SF(f"__ipv_{c}", schema[c].dataType)
+                            for c in ident_cols
+                        ]
+                    ),
+                )
+                out = out.join(F.broadcast(pmap), "__ice_path", "left")
+                for c in ident_cols:
+                    out = out.withColumn(
+                        c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
+                    )
+                out = out.drop(*[f"__ipv_{c}" for c in ident_cols])
         return out
 
     branches: list[DataFrame] = []

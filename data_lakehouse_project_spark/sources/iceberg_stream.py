@@ -401,6 +401,10 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # position accumulator is exact (re-deletes emit once)
         self._units: dict[int, list[tuple]] = {}
         self._dead: dict[str, set[int]] = {}
+        # data path -> (partition struct, spec id), recorded at ADD —
+        # delete units of LATER snapshots carry their target file's
+        # identity-partition consts from here
+        self._fparts: dict[str, tuple] = {}
         # highest offset already handed out (restart re-sync happens
         # in partitions(), same pattern as the Delta stream source)
         self._handed: dict | None = None
@@ -457,7 +461,7 @@ class _IcebergStreamReader(DataSourceStreamReader):
         for s in order:
             if s not in self._units:
                 self._units[s] = _change_units_of_snapshot(
-                    self._table, snaps[s], self._dead
+                    self._table, snaps[s], self._dead, self._fparts
                 )
             if s == sid:
                 break
@@ -584,12 +588,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
                         )
                     )
                 else:  # delete_pos / delete_file
-                    _, path, _n, positions = unit
+                    _, path, _n, positions, part_struct, spec_id = unit
                     stamp = {"_change_type": "delete",
                              "_snapshot_id": sid, "_committed_at": ts}
                     parts.append(
                         _IcebergFilePartition(
                             path, schema_json, ids_json,
+                            _consts_of(part_struct, spec_id),
                             kind=kind,
                             positions_json=json.dumps(list(positions)),
                             stamp_json=json.dumps(stamp),
@@ -697,16 +702,24 @@ class _IcebergStreamReader(DataSourceStreamReader):
 
 
 def _change_units_of_snapshot(
-    table_path: str, snap: dict, dead: dict[str, set[int]]
+    table_path: str,
+    snap: dict,
+    dead: dict[str, set[int]],
+    fparts: dict[str, tuple] | None = None,
 ) -> list[tuple]:
     """Ordered CHANGE UNITS one snapshot ships in changelog mode,
-    mutating ``dead`` (data path -> positions dead so far):
+    mutating ``dead`` (data path -> positions dead so far) and
+    ``fparts`` (data path -> (partition struct, spec id), recorded at
+    the ADD so later delete units can surface identity partition
+    source columns absent from the parquet — the same per-file consts
+    the insert units carry):
 
     * ``("insert", path, rows, part_struct, spec_id)`` — ADDED file
-    * ``("delete_pos", path, rows, positions_tuple)`` — newly-dead
-      positions of one target file
-    * ``("delete_file", path, rows, prior_dead_tuple)`` — whole-file
-      removal; rows still live before this snapshot emit as deletes
+    * ``("delete_pos", path, rows, positions_tuple, part_struct,
+      spec_id)`` — newly-dead positions of one target file
+    * ``("delete_file", path, rows, prior_dead_tuple, part_struct,
+      spec_id)`` — whole-file removal; rows still live before this
+      snapshot emit as deletes
 
     ``replace`` snapshots return no units; equality deletes refuse.
     Deterministic order (manifest order, entry order, sorted targets)
@@ -715,6 +728,8 @@ def _change_units_of_snapshot(
     sid = snap["snapshot-id"]
     if op == "replace":
         return []
+    if fparts is None:
+        fparts = {}
     units: list[tuple] = []
     mlist = _abs_path(table_path, snap["manifest-list"])
     manifests, _ = _avro(mlist)
@@ -738,6 +753,10 @@ def _change_units_of_snapshot(
                             f"file format {df_.get('file_format')!r} "
                             "is not supported"
                         )
+                    fparts[p] = (
+                        df_.get("partition") or {},
+                        m.get("partition_spec_id"),
+                    )
                     units.append(
                         (
                             "insert",
@@ -750,7 +769,11 @@ def _change_units_of_snapshot(
                 elif st == 2:
                     prior = tuple(sorted(dead.pop(p, ())))
                     rows = int(df_.get("record_count") or 0) - len(prior)
-                    units.append(("delete_file", p, max(rows, 0), prior))
+                    pstr, pspec = fparts.get(p, ({}, None))
+                    units.append(
+                        ("delete_file", p, max(rows, 0), prior,
+                         pstr, pspec)
+                    )
             continue
         # delete manifest
         import pyarrow.parquet as _pq
@@ -784,5 +807,8 @@ def _change_units_of_snapshot(
                 fresh.setdefault(tp, []).append(int(pos))
             for tp in sorted(fresh):
                 poss = tuple(sorted(fresh[tp]))
-                units.append(("delete_pos", tp, len(poss), poss))
+                pstr, pspec = fparts.get(tp, ({}, None))
+                units.append(
+                    ("delete_pos", tp, len(poss), poss, pstr, pspec)
+                )
     return units

@@ -878,3 +878,57 @@ def test_merge_into_delta_delete_and_insert_only(spark, tmp_path):
     ) == [0, 1, 2, 3]
     snap = read_delta_snapshot(table2)
     assert snap.protocol["minReaderVersion"] == 1  # untouched
+
+
+def test_id_mapping_nested_struct_dml_refused(spark, tmp_path):
+    """Id-mode writes stamp parquet field ids on TOP-LEVEL columns
+    only; a DML rewrite of a nested-struct schema would produce files
+    the id-mode reader (field-id resolution at every nesting level)
+    cannot resolve — it must refuse, never silently write."""
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        _has_nested_struct_fields,
+        _to_physical_df,
+    )
+
+    nested = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"long","nullable":true,"metadata":'
+        '{"delta.columnMapping.id":1,'
+        '"delta.columnMapping.physicalName":"col-1"}},'
+        '{"name":"s","type":{"type":"struct","fields":['
+        '{"name":"a","type":"long","nullable":true,"metadata":'
+        '{"delta.columnMapping.id":3,'
+        '"delta.columnMapping.physicalName":"col-3"}}]},'
+        '"nullable":true,"metadata":{"delta.columnMapping.id":2,'
+        '"delta.columnMapping.physicalName":"col-2"}}]}'
+    )
+    flat = (
+        '{"type":"struct","fields":['
+        '{"name":"id","type":"long","nullable":true,"metadata":'
+        '{"delta.columnMapping.id":1,'
+        '"delta.columnMapping.physicalName":"col-1"}}]}'
+    )
+    assert _has_nested_struct_fields(nested)
+    assert not _has_nested_struct_fields(flat)
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    df = spark.range(1).select(
+        F.col("id"),
+        F.struct(F.lit(1).alias("a")).alias("s"),
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField(
+                "s", StructType([StructField("a", LongType())])
+            ),
+        ]
+    )
+    with pytest.raises(UnsupportedDeltaFeature, match="nested"):
+        _to_physical_df(df, schema, nested, "id")
+    # name mode still handles nested renames (positional cast)
+    out = _to_physical_df(df, schema, nested, "name")
+    assert out.columns == ["col-1", "col-2"]

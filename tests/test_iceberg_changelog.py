@@ -250,3 +250,68 @@ def test_changelog_timestamp_bounds(spark, tmp_path):
         read_iceberg_changelog(
             spark, path, to_timestamp_ms=ts_of[sids[0]] - 10_000
         )
+
+
+def test_changelog_fills_identity_partition_consts(spark, tmp_path):
+    """Spec: identity partition values replace an absent source
+    column — the exported (delta-lite-layout) files lack the column
+    physically, yet every change row (insert, position-delete AND
+    whole-file delete) surfaces it as the manifest's constant."""
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 4).selectExpr(
+            "id", "CASE WHEN id < 2 THEN 'a' ELSE 'b' END AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)               # snap 1: inserts
+    delete_from_iceberg(spark, path, "id = 1")      # snap 2: pos-del
+    # snap 3: full-partition delete = whole-file removal rows
+    delete_from_iceberg(spark, path, "part = 'b'")
+
+    rows = read_iceberg_changelog(spark, path).collect()
+    assert all(r["part"] is not None for r in rows), rows
+    got = sorted((r._change_type, r.id, r.part) for r in rows)
+    assert got == [
+        ("delete", 1, "a"),
+        ("delete", 2, "b"),
+        ("delete", 3, "b"),
+        ("insert", 0, "a"),
+        ("insert", 1, "a"),
+        ("insert", 2, "b"),
+        ("insert", 3, "b"),
+    ]
+
+
+def test_changelog_empty_table_returns_empty(spark, tmp_path):
+    """A table whose metadata has no current snapshot (no commits
+    yet) yields an EMPTY changelog with the full output schema, not
+    a ValueError — only an explicit to_snapshot_id may name a
+    missing snapshot."""
+    import json
+    import os
+
+    path = str(tmp_path / "empty")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 2), mode="overwrite")
+    export_iceberg_metadata(t, spark)
+    # strip the snapshots: the no-commits-yet metadata shape
+    mdir = os.path.join(path, "metadata")
+    mfile = sorted(
+        f for f in os.listdir(mdir) if f.endswith(".metadata.json")
+    )[-1]
+    md = json.load(open(os.path.join(mdir, mfile)))
+    md["snapshots"] = []
+    md.pop("current-snapshot-id", None)
+    md.pop("snapshot-log", None)
+    json.dump(md, open(os.path.join(mdir, mfile), "w"))
+
+    ch = read_iceberg_changelog(spark, path)
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns and "part" in ch.columns
+
+    with pytest.raises(ValueError, match="not in metadata"):
+        read_iceberg_changelog(spark, path, to_snapshot_id=12345)

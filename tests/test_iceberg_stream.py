@@ -594,3 +594,57 @@ def test_changelog_stream_backpressure_units(spark, tmp_path):
     # one unit per micro-batch: the update snapshot's insert unit and
     # delete unit land in SEPARATE batches
     assert len(non_empty) >= 3
+
+
+def test_changelog_stream_delete_units_carry_partition_consts(
+    spark, tmp_path
+):
+    """Identity partition values replace an absent source column in
+    DELETE change rows too — insert and delete units of the same
+    stream must surface the same per-file manifest constants."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+    )
+
+    path = str(tmp_path / "tp")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 4).selectExpr(
+            "id", "CASE WHEN id < 2 THEN 'a' ELSE 'b' END AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)               # snap 1: inserts
+    delete_from_iceberg(spark, path, "id = 1")      # snap 2: pos-del
+    delete_from_iceberg(spark, path, "part = 'b'")  # snap 3: files
+
+    register_python_datasources(spark)
+    sink: list = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: sink.extend(
+                (r["_change_type"], r["id"], r["part"])
+                for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(p is not None for _, _, p in sink), sink
+    assert sorted(sink) == [
+        ("delete", 1, "a"),
+        ("delete", 2, "b"),
+        ("delete", 3, "b"),
+        ("insert", 0, "a"),
+        ("insert", 1, "a"),
+        ("insert", 2, "b"),
+        ("insert", 3, "b"),
+    ]
