@@ -269,7 +269,21 @@ def export_iceberg_metadata(
     os.makedirs(meta_dir, exist_ok=True)
 
     fields = _schema_fields(snap.schema_json)
-    partition_by = table._current_partition_by()
+    meta = table._current_meta()
+    partition_by = meta.get("partition_by") or []
+    _, _transforms = _parse_partition_spec(partition_by)
+    if (
+        any(t["transform"] == "bucket" for t in _transforms)
+        and meta.get("bucket_hash") != "murmur3"
+    ):
+        # a bucket[N] spec promises the Iceberg murmur3 hash to every
+        # foreign engine; tables laid out by the legacy md5 bucket (or
+        # a mixed history) would make them mis-prune — rewrite first
+        raise ValueError(
+            "table's bucket layout predates the spec murmur3 hash "
+            "(bucket_hash != 'murmur3'); rewrite the table (full "
+            "overwrite) before exporting Iceberg metadata"
+        )
     spec_fields = _partition_spec_fields(partition_by, fields)
     src_type = {f["id"]: f["type"] for f in fields}
 

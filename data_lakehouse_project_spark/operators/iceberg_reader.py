@@ -362,6 +362,30 @@ def _identity_partition_sources(md: dict) -> dict[int, str]:
     )
 
 
+def _transform_sources_by_spec(
+    md: dict,
+) -> dict[int, list[tuple[int, str, str]]]:
+    """spec-id -> [(source field id, partition field name, transform)]
+    for NON-identity transforms (bucket[N] / truncate[W] / year /
+    month / day / hour) — the hidden-partition pruning map.  Identity
+    is handled by _identity_sources_by_spec; unknown transforms are
+    skipped (never prune on what we can't compute)."""
+    specs = md.get("partition-specs") or []
+    if not specs and md.get("partition-spec"):
+        specs = [{"spec-id": 0, "fields": md["partition-spec"]}]
+    out: dict[int, list[tuple[int, str, str]]] = {}
+    for s in specs:
+        rows = []
+        for f in s.get("fields", []):
+            tr = f.get("transform", "identity")
+            if tr in ("year", "month", "day", "hour") or tr.startswith(
+                ("bucket[", "truncate[")
+            ):
+                rows.append((int(f["source-id"]), f["name"], tr))
+        out[int(s.get("spec-id", 0))] = rows
+    return out
+
+
 def _coerce_partition_value(v, dt):
     """Manifest partition-struct value -> the Python value Spark's
     createDataFrame expects for the column's type.  Avro decoders hand
@@ -396,10 +420,16 @@ def _iceberg_file_may_match(
     f: dict,
     prune: list[tuple[int, str, object, str]],
     part_of: dict[int, str],
+    transforms: list[tuple[int, str, str]] | None = None,
 ) -> bool:
     """Conservative: False only when the file PROVABLY has no matching
     row (same contract as the Delta reader's `_file_may_match`).
-    ``prune`` items are (field_id, op, value, iceberg_type)."""
+    ``prune`` items are (field_id, op, value, iceberg_type);
+    ``transforms`` lists the file's spec's NON-identity partition
+    fields (see _transform_sources_by_spec) — a value predicate on a
+    transform's source column prunes through the transform (bucket:
+    equality only; truncate/temporal: order-preserving but non-strict,
+    so strict ops weaken to inclusive on the transformed value)."""
     lowers = _bounds_map(f.get("lower_bounds"))
     uppers = _bounds_map(f.get("upper_bounds"))
     parts = f.get("partition") or {}
@@ -411,21 +441,49 @@ def _iceberg_file_may_match(
         else:
             lo = _decode_bound(lowers.get(fid), ityp)
             hi = _decode_bound(uppers.get(fid), ityp)
-        if lo is None or hi is None:
-            continue  # no usable stats — keep the file
-        try:
-            if op == "=" and not (lo <= val <= hi):
-                return False
-            if op == "<" and not (lo < val):
-                return False
-            if op == "<=" and not (lo <= val):
-                return False
-            if op == ">" and not (hi > val):
-                return False
-            if op == ">=" and not (hi >= val):
-                return False
-        except TypeError:
-            continue  # incomparable — may match
+        if lo is not None and hi is not None:
+            try:
+                if op == "=" and not (lo <= val <= hi):
+                    return False
+                if op == "<" and not (lo < val):
+                    return False
+                if op == "<=" and not (lo <= val):
+                    return False
+                if op == ">" and not (hi > val):
+                    return False
+                if op == ">=" and not (hi >= val):
+                    return False
+            except TypeError:
+                pass  # incomparable — may match
+        for tfid, tname, tr in transforms or ():
+            if tfid != fid:
+                continue
+            pv = parts.get(tname)
+            if pv is None:
+                continue  # null/absent partition value — keep
+            try:
+                from data_lakehouse_project_spark.functions import (
+                    ice_transforms as _ice,
+                )
+
+                lit = _ice.transform_literal(tr, val, ityp)
+            except (ValueError, TypeError):
+                continue  # uncomputable literal — keep the file
+            if lit is None:
+                continue
+            is_bucket = tr.startswith("bucket[")
+            try:
+                if op == "=":
+                    if pv != lit:
+                        return False
+                elif is_bucket:
+                    continue  # buckets answer equality only
+                elif op in ("<", "<=") and not (pv <= lit):
+                    return False
+                elif op in (">", ">=") and not (pv >= lit):
+                    return False
+            except TypeError:
+                continue
     return True
 
 
@@ -554,6 +612,8 @@ def read_iceberg_table(
         id2type = _field_types_by_id(md)
         by_spec = _identity_sources_by_spec(md)
         default_part_of = _identity_partition_sources(md)
+        tr_by_spec = _transform_sources_by_spec(md)
+        default_tr = tr_by_spec.get(md.get("default-spec-id", 0), [])
         typed = [
             (name2id[c], op, v, id2type[name2id[c]])
             for c, op, v in prune
@@ -568,6 +628,7 @@ def read_iceberg_table(
                 # each file prunes under ITS manifest's spec —
                 # post-evolution, old-spec files keep full coverage
                 by_spec.get(f.get("__spec_id"), default_part_of),
+                tr_by_spec.get(f.get("__spec_id"), default_tr),
             )
         ]
 

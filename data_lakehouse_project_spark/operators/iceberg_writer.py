@@ -104,7 +104,15 @@ def _entry_avro_schema(part_fields: list[dict]) -> str:
         "fields": [
             {
                 "name": pf["name"],
-                "type": ["null", _AVRO_OF.get(pf["_src_type"], "string")],
+                # transform RESULT type (int for bucket/temporal,
+                # source type for identity/truncate)
+                "type": [
+                    "null",
+                    pf.get(
+                        "_result_avro",
+                        _AVRO_OF.get(pf["_src_type"], "string"),
+                    ),
+                ],
                 "default": None,
                 "field-id": pf["field-id"],
             }
@@ -204,19 +212,31 @@ def _open_manifest_writer(
     )
 
 
+_TRANSFORM_RESULT_AVRO = {
+    "year": "int", "month": "int", "day": "int", "hour": "int",
+}
+
+
 def _resolve_part_fields(md: dict, schema_fields: list[dict]) -> list[dict]:
-    """Default partition spec resolved to identity source fields
-    (refusing hidden transforms), each annotated with the source
-    column's name/type."""
+    """Default partition spec resolved to source fields, each
+    annotated with the source column's name/type and the transform's
+    avro RESULT type.  Supports the spec's hidden transforms
+    (identity, bucket[N], truncate[W], year/month/day/hour, void) —
+    transform values are computed at staging via
+    ``functions.ice_transforms`` (spec-exact murmur3 bucket)."""
     specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
     spec = specs.get(md.get("default-spec-id", 0), {"fields": []})
     by_id = {f["id"]: f for f in schema_fields}
     part_fields = []
     for pf in spec.get("fields", []):
-        if pf.get("transform") != "identity":
+        tr = pf.get("transform", "identity")
+        if not (
+            tr in ("identity", "void", "year", "month", "day", "hour")
+            or tr.startswith(("bucket[", "truncate["))
+        ):
             raise UnsupportedIcebergFeature(
-                f"partition transform {pf.get('transform')!r} is not "
-                "supported by this writer (identity only)"
+                f"partition transform {tr!r} is not supported by "
+                "this writer"
             )
         src = by_id.get(pf["source-id"])
         if src is None:
@@ -224,8 +244,22 @@ def _resolve_part_fields(md: dict, schema_fields: list[dict]) -> list[dict]:
                 f"partition source field id {pf['source-id']} not in "
                 "the current schema"
             )
-        part_fields.append(pf | {"_src_name": src["name"],
-                                 "_src_type": src["type"]})
+        if tr.startswith("bucket[") or tr == "void":
+            ravro = "int"
+        elif tr.startswith("truncate["):
+            ravro = _AVRO_OF.get(src["type"], "string")
+        else:
+            ravro = _TRANSFORM_RESULT_AVRO.get(
+                tr, _AVRO_OF.get(src["type"], "string")
+            )
+        part_fields.append(
+            pf
+            | {
+                "_src_name": src["name"],
+                "_src_type": src["type"],
+                "_result_avro": ravro,
+            }
+        )
     return part_fields
 
 
@@ -239,10 +273,16 @@ def _stage_iceberg_data(
     prefix: str,
 ) -> tuple[list[tuple[str, dict, dict]], int]:
     """Write ``df`` as field-id-stamped parquet under ``data/`` —
-    identity partition columns stay IN the files via hidden
-    ``__part_`` twins — returning ``[(abs path, raw partition values,
-    footer stats)]`` and the row count."""
+    source columns stay IN the files; the partition layout comes from
+    hidden ``__part_`` twins carrying the TRANSFORM value (identity:
+    the source value; bucket/truncate/temporal: computed spec-exactly
+    via ``functions.ice_transforms``) — returning ``[(abs path, raw
+    partition values, footer stats)]`` and the row count."""
     from urllib.parse import unquote as _unq
+
+    from data_lakehouse_project_spark.functions.ice_transforms import (
+        transform_col,
+    )
 
     spark_schema = _spark_schema(spark, md, field_ids=True)
     ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
@@ -254,9 +294,13 @@ def _stage_iceberg_data(
             for f in spark_schema.fields
         ],
         *[
-            F.col(pf["_src_name"]).cast("string").alias(
-                f"__part_{pf['_src_name']}"
+            transform_col(
+                pf.get("transform", "identity"),
+                F.col(pf["_src_name"]),
+                pf["_src_type"],
             )
+            .cast("string")
+            .alias(f"__part_{pf['name']}")
             for pf in part_fields
         ],
     )
@@ -272,7 +316,7 @@ def _stage_iceberg_data(
         w = staged.write.mode("overwrite")
         if part_fields:
             w = w.partitionBy(
-                *[f"__part_{pf['_src_name']}" for pf in part_fields]
+                *[f"__part_{pf['name']}" for pf in part_fields]
             )
         w.parquet(tmp)
         for dirpath, dirnames, filenames in os.walk(tmp):
@@ -311,6 +355,26 @@ def _stage_iceberg_data(
     return files, n_rows
 
 
+def _staged_partition_value(pf: dict, raw: str | None):
+    """Typed manifest partition value from a staged hive-dir string.
+    The ``__part_`` twin already carries the transform RESULT, so
+    bucket/temporal values are plain ints here; identity/truncate
+    keep the source-type conversion."""
+    if raw is None:
+        return None
+    tr = pf.get("transform", "identity")
+    if tr == "void":
+        return None
+    if tr.startswith("bucket[") or tr in ("year", "month", "day",
+                                          "hour"):
+        return int(raw)
+    if tr.startswith("truncate["):
+        if pf["_src_type"] in ("int", "long"):
+            return int(raw)
+        return raw
+    return _partition_value("identity", raw, pf["_src_type"])
+
+
 def _write_added_manifest(
     spark: SparkSession,
     md: dict,
@@ -344,10 +408,7 @@ def _write_added_manifest(
                              "value": b.decode("latin-1")}
                         )
         part_vals = {
-            pf["name"]: _partition_value(
-                "identity", raw_pv.get(pf["_src_name"]),
-                pf["_src_type"],
-            )
+            pf["name"]: _staged_partition_value(pf, raw_pv.get(pf["name"]))
             for pf in part_fields
         }
         wm.append_dict(
@@ -1213,20 +1274,7 @@ def rewrite_data_files(
     name_of = _field_names_by_id(md)
     ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
     spark_schema = _spark_schema(spark, md)
-    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
-    spec = specs.get(default_spec, {"fields": []})
-    by_id = {f["id"]: f for f in schema_fields}
-    part_fields = []
-    for pf in spec.get("fields", []):
-        if pf.get("transform") != "identity":
-            raise UnsupportedIcebergFeature(
-                f"partition transform {pf.get('transform')!r} is not "
-                "supported by this writer (identity only)"
-            )
-        src = by_id[pf["source-id"]]
-        part_fields.append(
-            pf | {"_src_name": src["name"], "_src_type": src["type"]}
-        )
+    part_fields = _resolve_part_fields(md, schema_fields)
 
     ts = int(time.time() * 1000)
     seq = int(md.get("last-sequence-number", 0)) + 1
@@ -1288,9 +1336,13 @@ def rewrite_data_files(
                 dels, ["__rw_path", "__rw_pos"], "left_anti"
             ).drop("__rw_path", "__rw_pos")
         # identity partition columns must exist IN the output files;
-        # source files lacking them get the group's constant
+        # source files lacking them get the group's constant (hidden
+        # transforms never substitute for a source column — the spec's
+        # replacement rule is identity-only)
         kv = dict(key)
         for pf in part_fields:
+            if pf.get("transform", "identity") != "identity":
+                continue
             c = pf["_src_name"]
             val = _coerce_partition_value(
                 kv.get(pf["name"]), spark_schema[c].dataType

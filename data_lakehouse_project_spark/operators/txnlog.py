@@ -122,6 +122,7 @@ _PROTOCOL_DV = {
 }
 _CONSTRAINT_CONF_PREFIX = "delta.constraints."
 _PARTITION_SPEC_CONF_KEY = "lakehouse.partitionBy"
+_BUCKET_HASH_CONF_KEY = "lakehouse.bucketHash"
 _TAG_DV = "lakehouse.dv"
 _TAG_BLOOM = "lakehouse.bloom"
 
@@ -231,8 +232,11 @@ def _serialize_meta(
     constraints: dict,
     table_id: str,
     ts_ms: int,
+    bucket_hash: str | None = None,
 ) -> dict:
     conf = {_PARTITION_SPEC_CONF_KEY: json.dumps(partition_by or [])}
+    if bucket_hash:
+        conf[_BUCKET_HASH_CONF_KEY] = bucket_hash
     for name, sql in (constraints or {}).items():
         conf[_CONSTRAINT_CONF_PREFIX + name] = sql
     physical, _ = _parse_partition_spec(partition_by)
@@ -261,6 +265,7 @@ def _parse_meta(m: dict) -> dict:
         "schema_json": m.get("schemaString"),
         "partition_by": partition_by,
         "constraints": constraints,
+        "bucket_hash": conf.get(_BUCKET_HASH_CONF_KEY),
     }
 
 
@@ -747,10 +752,16 @@ class TxnTable:
         snap = self.snapshot(version=version, as_of_ms=as_of_ms)
         files = snap.files
         if prune:
+            meta = self._current_meta()
             _, transforms = _parse_partition_spec(
-                self._current_partition_by()
+                meta.get("partition_by") or []
             )
-            prune = _expand_prune(prune, transforms)
+            prune = _expand_prune(
+                prune,
+                transforms,
+                dtype_of=_dtypes_of_schema_json(snap.schema_json),
+                bucket_ok=meta.get("bucket_hash") == "murmur3",
+            )
             files = [f for f in files if _file_may_match(f, prune)]
         schema = (
             _schema_from_json(spark, snap.schema_json)
@@ -792,12 +803,19 @@ class TxnTable:
     ) -> tuple[int, int]:
         """(files_scanned, files_total) for a pruned read — the
         observable the stats exist to shrink."""
-        files = self.snapshot().files
+        snap = self.snapshot()
+        files = snap.files
         if prune:
+            meta = self._current_meta()
             _, transforms = _parse_partition_spec(
-                self._current_partition_by()
+                meta.get("partition_by") or []
             )
-            prune = _expand_prune(prune, transforms)
+            prune = _expand_prune(
+                prune,
+                transforms,
+                dtype_of=_dtypes_of_schema_json(snap.schema_json),
+                bucket_ok=meta.get("bucket_hash") == "murmur3",
+            )
         kept = (
             [f for f in files if _file_may_match(f, prune)] if prune else files
         )
@@ -2293,13 +2311,17 @@ class TxnTable:
             )
         return df if with_lineage else df.drop("_dl_path", "_dl_pos")
 
-    def _current_partition_by(self) -> list[str]:
-        """partition_by recorded by the newest commit that declared one."""
+    def _current_meta(self) -> dict:
+        """The newest commit's parsed metaData ({} when none)."""
         for v in reversed(_list_versions(self.path)):
             _, _, _, meta, _ = self._read_commit(v)
             if meta is not None:
-                return meta.get("partition_by") or []
-        return []
+                return meta
+        return {}
+
+    def _current_partition_by(self) -> list[str]:
+        """partition_by recorded by the newest commit that declared one."""
+        return self._current_meta().get("partition_by") or []
 
     def _check_append_schema(
         self, df: DataFrame, allow_evolution: bool
@@ -2487,6 +2509,28 @@ class TxnTable:
         os.makedirs(_log_path(self.path), exist_ok=True)
         if constraints is None:  # carry the table's current constraints
             constraints = self._current_constraints()
+        # bucket-transform hash lineage: staging uses the Iceberg
+        # spec's murmur3 (see functions.ice_transforms); tables whose
+        # older files were laid out by the legacy md5 bucket must
+        # never murmur3-prune, so a full overwrite (uniform relayout)
+        # stamps "murmur3" while an incremental commit over unmarked
+        # legacy bucket files stamps "mixed" (pruning disabled)
+        bucket_hash = None
+        _, _tf = _parse_partition_spec(partition_by)
+        if any(t["transform"] == "bucket" for t in _tf):
+            prev = self._current_meta()
+            _, _ptf = _parse_partition_spec(
+                prev.get("partition_by") or []
+            )
+            prev_bucket = any(
+                t["transform"] == "bucket" for t in _ptf
+            )
+            if operation == "overwrite" or not prev_bucket:
+                bucket_hash = "murmur3"
+            elif prev.get("bucket_hash") == "murmur3":
+                bucket_hash = "murmur3"
+            else:
+                bucket_hash = "mixed"
         dv_in_commit = any(a.get("dv") for a in adds) or any(
             r.get("dv") for r in removes
         )
@@ -2524,6 +2568,7 @@ class TxnTable:
                             constraints,
                             table_id or fresh_table_id,
                             ts_ms,
+                            bucket_hash=bucket_hash,
                         )
                     }
                 ),
@@ -2649,12 +2694,20 @@ def _transform_expr(t: dict, df: DataFrame):
     if kind == "hour":
         return F.date_format(c.cast("timestamp"), "yyyy-MM-dd-HH")
     if kind == "bucket":
-        return (
-            F.conv(
-                F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
-            ).cast("long")
-            % t["n"]
+        # Iceberg spec bucket: murmur3_x86_32 over the single-value
+        # binary serialization — identical arithmetic on data
+        # (ice_transforms.bucket_col), pruning literals
+        # (_transform_literal) and the Iceberg metadata export, so an
+        # exported bucket[N] spec is honest to foreign engines
+        from data_lakehouse_project_spark.functions.ice_transforms import (
+            bucket_col,
         )
+
+        dt = dict(
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+        ).get(t["col"], "string")
+        return bucket_col(c, _ICE_TYPE_OF_SPARK.get(dt, "string"), t["n"])
     # truncate: prefix for strings, floor-to-width for integers
     dtype = dict(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
@@ -2668,17 +2721,30 @@ def _transform_expr(t: dict, df: DataFrame):
 # ("2024" / "2024-03" / "2024-03-04" / "2024-03-04-10").
 _GRAIN_LEN = {"year": 4, "month": 7, "day": 10, "hour": 13}
 
+# Spark simpleString -> Iceberg type, for the bucket transform's
+# type-sensitive murmur3 serialization
+_ICE_TYPE_OF_SPARK = {
+    "long": "long", "bigint": "long", "int": "int", "integer": "int",
+    "short": "int", "string": "string", "date": "date",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
 
-def _transform_literal(t: dict, val):
+
+def _transform_literal(t: dict, val, dtype: str | None = None):
     """Driver-side twin of ``_transform_expr`` for a predicate literal.
 
     May return a value COARSER than the transform's grain when the
     literal itself is coarse (e.g. a date literal against an hour(ts)
     transform yields day grain) — ``_expand_prune`` detects that via
     ``_GRAIN_LEN`` and widens equality to a prefix range instead of a
-    never-matching exact compare."""
+    never-matching exact compare.
+
+    ``dtype`` (the source column's Spark simpleString, when the caller
+    knows the schema) makes the BUCKET twin type-faithful: the spec's
+    murmur3 serializes dates/timestamps as longs, so a string literal
+    against a date-bucketed column is coerced before hashing."""
     import datetime
-    import hashlib
 
     kind = t["transform"]
     if kind in ("year", "month", "day", "hour"):
@@ -2693,16 +2759,49 @@ def _transform_literal(t: dict, val):
             return s[:10] + "-" + s[11:13] if len(s) >= 13 else s[:10]
         return {"year": s[:4], "month": s[:7], "day": s[:10]}[kind]
     if kind == "bucket":
-        return (
-            int(hashlib.md5(str(val).encode()).hexdigest()[:15], 16)
-            % t["n"]
+        from data_lakehouse_project_spark.functions.ice_transforms import (
+            bucket_value,
         )
+
+        ice_t = _ICE_TYPE_OF_SPARK.get(dtype or "", None)
+        if ice_t is None:  # infer from the literal's Python type
+            if isinstance(val, datetime.datetime):
+                ice_t = "timestamptz"
+            elif isinstance(val, datetime.date):
+                ice_t = "date"
+            elif isinstance(val, int):
+                ice_t = "long"
+            elif isinstance(val, (bytes, bytearray)):
+                ice_t = "binary"
+            else:
+                ice_t = "string"
+        if ice_t in ("date", "timestamp", "timestamptz") and isinstance(
+            val, str
+        ):
+            val = (
+                datetime.date.fromisoformat(val)
+                if ice_t == "date" and len(val) <= 10
+                else datetime.datetime.fromisoformat(val)
+            )
+        return bucket_value(val, ice_t, t["n"])
     if isinstance(val, str):
         return val[: t["n"]]
     return val - (val % t["n"])
 
 
-def _expand_prune(prune, transforms):
+def _dtypes_of_schema_json(schema_json: str | None) -> dict[str, str]:
+    """Top-level column -> Spark simpleString type name (primitive
+    columns only — complex types are never transform sources)."""
+    if not schema_json:
+        return {}
+    out = {}
+    for f in json.loads(schema_json).get("fields", []):
+        if isinstance(f.get("type"), str):
+            out[f["name"]] = f["type"]
+    return out
+
+
+def _expand_prune(prune, transforms, dtype_of=None, bucket_ok=True):
     """Map source-column predicates onto hidden partition columns.
 
     Transforms are monotone but NOT strictly — ``v < X`` only implies
@@ -2727,9 +2826,13 @@ def _expand_prune(prune, transforms):
         for t in transforms:
             if t["col"] != col or op not in weaken:
                 continue
-            if t["transform"] == "bucket" and op != "=":
+            if t["transform"] == "bucket" and (op != "=" or not bucket_ok):
+                # bucket_ok=False: legacy/mixed-hash layouts (see
+                # _commit's bucket_hash lineage) must not prune
                 continue
-            lit = _transform_literal(t, val)
+            lit = _transform_literal(
+                t, val, (dtype_of or {}).get(col)
+            )
             grain = _GRAIN_LEN.get(t["transform"])
             coarse = (
                 grain is not None
