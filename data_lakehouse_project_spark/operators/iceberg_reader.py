@@ -416,6 +416,85 @@ def _coerce_partition_value(v, dt):
     return v
 
 
+def equality_kill_positions(
+    groups: list[tuple[tuple[int, ...], list[tuple[str, int]]]],
+    live_seq: dict[str, int | None],
+    dead: dict[str, set[int]],
+    id2name: dict[int, str],
+) -> dict[str, list[int]]:
+    """Reduce EQUALITY deletes to exact row positions — the planning
+    step that lets both CDC surfaces (batch changelog and the
+    streaming source) reuse their position-delete machinery verbatim.
+
+    ``groups`` is ``[(equality_ids tuple, [(abs eq-file path,
+    delete data-sequence-number), ...])]``; ``live_seq`` maps each
+    LIVE data file (at this point of the snapshot walk) to its data
+    sequence number; ``dead`` holds positions already dead (NOT
+    mutated here).  Returns fresh kills per data file, sorted.
+
+    Mechanics: per ids-group, the (small) eq delete files' key columns
+    load driver-side; each candidate data file reads ONLY those key
+    columns via pyarrow (column-pruned — bytes ~ rows x key width, the
+    same budget class as reading position-delete files) and rows whose
+    key tuple appears in any delete file with a STRICTLY NEWER
+    sequence number (the spec rule) are killed.  Null-safe equality
+    falls out of Python tuple comparison (None == None).
+    """
+    import pyarrow.parquet as _pq
+
+    out: dict[str, list[int]] = {}
+    for ids, files in groups:
+        try:
+            cols = [id2name[int(i)] for i in ids]
+        except KeyError as exc:
+            raise UnsupportedIcebergFeature(
+                f"equality_ids reference unknown field id {exc}"
+            ) from None
+        keysets: list[tuple[int, set]] = []
+        for eq_path, del_seq in files:
+            if del_seq is None:
+                raise UnsupportedIcebergFeature(
+                    "equality delete file without a data sequence "
+                    f"number: {eq_path}"
+                )
+            tbl = _pq.read_table(eq_path, columns=cols)
+            keysets.append(
+                (
+                    int(del_seq),
+                    set(
+                        zip(*[tbl.column(c).to_pylist() for c in cols])
+                    ),
+                )
+            )
+        min_del_seq = min(s for s, _ in keysets)
+        for path, dseq in live_seq.items():
+            if dseq is None:
+                raise UnsupportedIcebergFeature(
+                    "equality deletes require data sequence numbers "
+                    f"on every live entry; missing for {path}"
+                )
+            if int(dseq) >= min_del_seq:
+                continue  # no delete file is strictly newer
+            eff: set = set()
+            for del_seq, ks in keysets:
+                if int(dseq) < del_seq:
+                    eff |= ks
+            if not eff:
+                continue
+            dt = _pq.read_table(path, columns=cols)
+            already = dead.get(path, ())
+            kills = [
+                pos
+                for pos, key in enumerate(
+                    zip(*[dt.column(c).to_pylist() for c in cols])
+                )
+                if key in eff and pos not in already
+            ]
+            if kills:
+                out.setdefault(path, []).extend(kills)
+    return {p: sorted(set(v)) for p, v in out.items()}
+
+
 def _iceberg_file_may_match(
     f: dict,
     prune: list[tuple[int, str, object, str]],
@@ -1216,9 +1295,12 @@ def read_iceberg_changelog(
     per-file deleted positions accumulate — a position re-deleted by
     a later overlapping delete file emits exactly once, at the
     snapshot that first killed it (the same O(deleted rows) driver
-    budget class as the Delta CDF DV-diff).  Equality deletes refuse
-    (their change rows need the pre-image scan of every affected
-    file; position deletes carry exact row coordinates).
+    budget class as the Delta CDF DV-diff).  EQUALITY-delete
+    snapshots reduce to exact position kills at planning time
+    (``equality_kill_positions``: column-pruned pyarrow read of
+    candidate files' key columns under the spec's strictly-older
+    sequence rule) and then flow through the same position-delete
+    branches — pre-images emit once, at the killing snapshot.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
@@ -1304,12 +1386,16 @@ def read_iceberg_changelog(
     # migrated-file case the snapshot reader fills via per-file
     # consts at the ident_cols join above)
     file_parts: dict[str, tuple[int, dict]] = {}
+    # LIVE data files at this point of the walk -> data sequence
+    # number (the equality-delete strictly-older rule's input)
+    live_seq: dict[str, int | None] = {}
     insert_specs: list[tuple[str, int, int]] = []
     # (sid, ts) -> {data path -> [newly deleted positions]}
     del_by_snap: dict[tuple[int, int], dict[str, list[int]]] = {}
     # whole-file removals: (path, sid, ts, positions dead BEFORE)
     removed_specs: list[tuple[str, int, int, list[int]]] = []
 
+    id2name_all = _field_names_by_id(md)
     for sid in order[: hi + 1]:
         snap = snaps[sid]
         op = (snap.get("summary") or {}).get("operation", "append")
@@ -1320,6 +1406,9 @@ def read_iceberg_changelog(
         if not os.path.isabs(mlist):
             mlist = os.path.join(table_path, mlist)
         manifests, _ = avro_records(spark, mlist)
+        # this snapshot's EQUALITY delete files, grouped by ids:
+        # processed after the manifest walk (strictly-older rule)
+        eq_groups: dict[tuple[int, ...], list[tuple[str, int]]] = {}
         for m in manifests:
             if m.get("added_snapshot_id") != sid:
                 continue  # re-listed manifest: already processed at
@@ -1349,6 +1438,12 @@ def read_iceberg_changelog(
                             int(m.get("partition_spec_id") or 0),
                             df_.get("partition") or {},
                         )
+                        seq_e = e.get("sequence_number")
+                        if seq_e is None:
+                            seq_e = m.get("sequence_number")
+                        live_seq[p] = (
+                            int(seq_e) if seq_e is not None else None
+                        )
                         if sid in wanted:
                             insert_specs.append((p, sid, ts))
                     elif st == 2:
@@ -1358,17 +1453,28 @@ def read_iceberg_changelog(
                         # later deletes against a removed file are
                         # spec-illegal; drop its state
                         deleted_so_far.pop(p, None)
+                        live_seq.pop(p, None)
                     continue
                 # delete manifest (content == 1)
                 if st != 1 or esid != sid:
                     continue
                 fcontent = df_.get("content", 1)
                 if fcontent == 2 or df_.get("equality_ids"):
-                    raise UnsupportedIcebergFeature(
-                        f"snapshot {sid} adds an EQUALITY delete "
-                        "file; the changelog reconstructs deletes "
-                        "from position deletes only"
+                    seq_e = e.get("sequence_number")
+                    if seq_e is None:
+                        seq_e = m.get("sequence_number")
+                    eq_groups.setdefault(
+                        tuple(
+                            sorted(
+                                int(i)
+                                for i in df_.get("equality_ids") or ()
+                            )
+                        ),
+                        [],
+                    ).append(
+                        (p, int(seq_e) if seq_e is not None else None)
                     )
+                    continue
                 tbl = _pq.read_table(p, columns=["file_path", "pos"])
                 targets = tbl.column("file_path").to_pylist()
                 poss = tbl.column("pos").to_pylist()
@@ -1382,6 +1488,23 @@ def read_iceberg_changelog(
                         del_by_snap.setdefault(
                             (sid, ts), {}
                         ).setdefault(tp, []).append(int(pos))
+        if eq_groups:
+            # EQUALITY deletes reduce to exact position kills (the
+            # spec's strictly-older sequence rule), then flow through
+            # the position-delete branches below unchanged
+            kills = equality_kill_positions(
+                sorted(eq_groups.items()),
+                live_seq,
+                deleted_so_far,
+                id2name_all,
+            )
+            for tp, positions in kills.items():
+                seen = deleted_so_far.setdefault(tp, set())
+                seen.update(positions)
+                if sid in wanted:
+                    del_by_snap.setdefault(
+                        (sid, ts), {}
+                    ).setdefault(tp, []).extend(positions)
 
     if not insert_specs and not del_by_snap and not removed_specs:
         return spark.createDataFrame([], out_schema)

@@ -920,6 +920,131 @@ def _write_pos_delete_manifest(
     return row, [del_path, delete_manifest]
 
 
+def _stage_eq_delete_files(
+    spark: SparkSession,
+    md: dict,
+    schema_fields: list[dict],
+    keys: DataFrame,
+    equality_columns: list[str],
+    table_path: str,
+    snapshot_id: int,
+) -> tuple[list[tuple[str, int]], int]:
+    """Write the deduped key rows as field-id-stamped equality-delete
+    parquet under ``data/``; returns ([(abs path, rows)], total)."""
+    spark_schema = _spark_schema(spark, md)
+    ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
+    staged = keys.select(
+        *[
+            F.col(c).cast(spark_schema[c].dataType).alias(
+                c, metadata={"parquet.field.id": ids_of[c]}
+            )
+            for c in equality_columns
+        ]
+    ).dropDuplicates()
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    tmp = os.path.join(table_path, f".tmp-eqdel-{_uuid.uuid4()}")
+    files: list[tuple[str, int]] = []
+    n_rows = 0
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        staged.write.mode("overwrite").parquet(tmp)
+        for dirpath, dirnames, filenames in os.walk(tmp):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet") or fn.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                src = os.path.join(dirpath, fn)
+                st = _file_stats(src)
+                if st.get("num_rows", 0) == 0:
+                    continue
+                dst = os.path.join(
+                    data_dir,
+                    f"eq-deletes-{snapshot_id}-"
+                    f"{_uuid.uuid4().hex}.parquet",
+                )
+                os.replace(src, dst)
+                files.append((dst, st.get("num_rows", 0)))
+                n_rows += st.get("num_rows", 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return files, n_rows
+
+
+def _write_eq_delete_manifest(
+    spark: SparkSession,
+    md: dict,
+    schema_fields: list[dict],
+    files: list[tuple[str, int]],
+    equality_columns: list[str],
+    table_path: str,
+    snapshot_id: int,
+    seq: int,
+) -> dict:
+    """One delete manifest (content=1) of ADDED equality-delete
+    entries; returns its manifest-list row."""
+    ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
+    eq_ids = sorted(ids_of[c] for c in equality_columns)
+    meta_dir = os.path.join(table_path, "metadata")
+    delete_manifest = os.path.join(
+        meta_dir, f"{_uuid.uuid4().hex}-eqd.avro"
+    )
+    wd = _AvroWriter(
+        spark,
+        _entry_avro_schema([]),
+        delete_manifest,
+        {
+            "schema": json.dumps(_current_schema(md)),
+            "partition-spec": "[]",
+            "partition-spec-id": str(md.get("default-spec-id", 0)),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    n_rows = 0
+    for dst, rc in files:
+        n_rows += rc
+        wd.append_dict(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": dst,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": rc,
+                    "file_size_in_bytes": os.path.getsize(dst),
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    wd.close()
+    return {
+        "manifest_path": delete_manifest,
+        "manifest_length": os.path.getsize(delete_manifest),
+        "partition_spec_id": md.get("default-spec-id", 0),
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+
+
 def write_equality_deletes(
     spark: SparkSession,
     table_path: str,
@@ -969,108 +1094,21 @@ def write_equality_deletes(
     missing = [c for c in equality_columns if c not in keys.columns]
     if missing:
         raise ValueError(f"keys is missing columns {missing}")
-    ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
-    eq_ids = sorted(ids_of[c] for c in equality_columns)
-    staged = keys.select(
-        *[
-            F.col(c).cast(spark_schema[c].dataType).alias(
-                c, metadata={"parquet.field.id": ids_of[c]}
-            )
-            for c in equality_columns
-        ]
-    ).dropDuplicates()
-
     ts = int(time.time() * 1000)
     seq = int(md.get("last-sequence-number", 0)) + 1
     snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
     snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
-    data_dir = os.path.join(table_path, "data")
-    os.makedirs(data_dir, exist_ok=True)
-    tmp = os.path.join(table_path, f".tmp-eqdel-{_uuid.uuid4()}")
-    files: list[tuple[str, int]] = []
-    n_rows = 0
-    try:
-        spark.conf.set(
-            "spark.sql.parquet.fieldId.write.enabled", "true"
-        )
-        staged.write.mode("overwrite").parquet(tmp)
-        for dirpath, dirnames, filenames in os.walk(tmp):
-            dirnames[:] = [
-                d for d in dirnames if not d.startswith(("_", "."))
-            ]
-            for fn in sorted(filenames):
-                if not fn.endswith(".parquet") or fn.startswith(
-                    ("_", ".")
-                ):
-                    continue
-                src = os.path.join(dirpath, fn)
-                st = _file_stats(src)
-                if st.get("num_rows", 0) == 0:
-                    continue
-                dst = os.path.join(
-                    data_dir,
-                    f"eq-deletes-{snapshot_id}-"
-                    f"{_uuid.uuid4().hex}.parquet",
-                )
-                os.replace(src, dst)
-                files.append((dst, st.get("num_rows", 0)))
-                n_rows += st.get("num_rows", 0)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    files, n_rows = _stage_eq_delete_files(
+        spark, md, schema_fields, keys, equality_columns, table_path,
+        snapshot_id,
+    )
     if not files:
         return {"snapshot_id": None, "delete_files": 0,
                 "key_rows": 0, "metadata": md_file}
-
-    meta_dir = os.path.join(table_path, "metadata")
-    delete_manifest = os.path.join(
-        meta_dir, f"{_uuid.uuid4().hex}-eqd.avro"
+    manifest_row = _write_eq_delete_manifest(
+        spark, md, schema_fields, files, equality_columns, table_path,
+        snapshot_id, seq,
     )
-    wd = _AvroWriter(
-        spark,
-        _entry_avro_schema([]),
-        delete_manifest,
-        {
-            "schema": json.dumps(_current_schema(md)),
-            "partition-spec": "[]",
-            "partition-spec-id": str(md.get("default-spec-id", 0)),
-            "format-version": "2",
-            "content": "deletes",
-        },
-    )
-    for dst, rc in files:
-        wd.append_dict(
-            {
-                "status": 1,
-                "snapshot_id": snapshot_id,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 2,  # equality deletes
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": rc,
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "equality_ids": eq_ids,
-                },
-            }
-        )
-    wd.close()
-    manifest_row = {
-        "manifest_path": delete_manifest,
-        "manifest_length": os.path.getsize(delete_manifest),
-        "partition_spec_id": md.get("default-spec-id", 0),
-        "content": 1,
-        "sequence_number": seq,
-        "min_sequence_number": seq,
-        "added_snapshot_id": snapshot_id,
-        "added_files_count": len(files),
-        "existing_files_count": 0,
-        "deleted_files_count": 0,
-        "added_rows_count": n_rows,
-        "existing_rows_count": 0,
-        "deleted_rows_count": 0,
-    }
     new_path = _commit_snapshot(
         spark,
         table_path,
@@ -1082,12 +1120,157 @@ def write_equality_deletes(
         ts=ts,
         operation="delete",
         summary_extra={"equality-deletes": str(n_rows)},
-        rollback_paths=[dst for dst, _ in files] + [delete_manifest],
+        rollback_paths=[dst for dst, _ in files]
+        + [manifest_row["manifest_path"]],
     )
     return {
         "snapshot_id": snapshot_id,
         "delete_files": len(files),
         "key_rows": n_rows,
+        "metadata": new_path,
+    }
+
+
+def upsert_into_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_columns: list[str],
+) -> dict:
+    """Keyed UPSERT on a foreign Iceberg v2 table — the streaming-CDC
+    commit shape (Flink's upsert sink): ONE snapshot carrying an
+    EQUALITY-delete manifest (the source's key rows) plus a data
+    manifest (the source rows appended).  Both share the snapshot's
+    data sequence number, so per the spec's strictly-older rule the
+    deletes kill every PRIOR row with a matching key while the rows
+    appended in this same snapshot survive — matching rows are
+    replaced and new keys insert, at O(source) cost with no scan or
+    rewrite of existing data files.
+
+    The CDC surfaces replay it exactly: the snapshot reader applies
+    the equality deletes by sequence, and the changelog / streaming
+    ``readChangeFeed`` reduce them to position kills
+    (``iceberg_reader.equality_kill_positions``), emitting a
+    ``delete`` pre-image + ``insert`` post-image per replaced key.
+
+    Unpartitioned tables only (the same scope as
+    ``write_equality_deletes``).  ``source`` must carry every table
+    column and at most one row per key (enforced — duplicate keys in
+    one batch would make the surviving row undefined).  Returns
+    ``{"snapshot_id", "rows_upserted", "delete_files", "data_files",
+    "metadata"}``."""
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')} upsert is "
+            "not supported (v2 only)"
+        )
+    schema_fields = _current_schema(md)["fields"]
+    part_fields = _resolve_part_fields(md, schema_fields)
+    if part_fields:
+        raise UnsupportedIcebergFeature(
+            "keyed upsert on a PARTITIONED table needs an "
+            "unpartitioned-spec delete manifest; not supported"
+        )
+    spark_schema = _spark_schema(spark, md)
+    unknown = [c for c in key_columns if c not in spark_schema.names]
+    if not key_columns or unknown:
+        raise ValueError(
+            f"key_columns must name table columns; unknown: {unknown}"
+        )
+    missing = [c for c in spark_schema.names if c not in source.columns]
+    if missing:
+        raise ValueError(f"source is missing table columns {missing}")
+    from pyspark.sql import functions as _F
+
+    dup = (
+        source.groupBy(*key_columns)
+        .count()
+        .where(_F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"source has duplicate keys (e.g. "
+            f"{tuple(dup[0][c] for c in key_columns)}); dedupe to one "
+            "row per key before upserting"
+        )
+
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
+    snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
+
+    del_files, n_keys = _stage_eq_delete_files(
+        spark, md, schema_fields, source.select(*key_columns),
+        key_columns, table_path, snapshot_id,
+    )
+    data_files, n_rows = _stage_iceberg_data(
+        spark, source, md, schema_fields, part_fields, table_path,
+        "upsert",
+    )
+    if not data_files and not del_files:
+        return {"snapshot_id": None, "rows_upserted": 0,
+                "delete_files": 0, "data_files": 0,
+                "metadata": md_file}
+    rows: list[dict] = []
+    rollback: list[str] = [p for p, *_ in data_files] + [
+        p for p, _ in del_files
+    ]
+    if data_files:
+        data_manifest = _write_added_manifest(
+            spark, md, schema_fields, part_fields, data_files,
+            snapshot_id, seq, table_path,
+        )
+        rollback.append(data_manifest)
+        rows.append(
+            {
+                "manifest_path": data_manifest,
+                "manifest_length": os.path.getsize(data_manifest),
+                "partition_spec_id": md.get("default-spec-id", 0),
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(data_files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    if del_files:
+        del_row = _write_eq_delete_manifest(
+            spark, md, schema_fields, del_files, key_columns,
+            table_path, snapshot_id, seq,
+        )
+        rollback.append(del_row["manifest_path"])
+        rows.append(del_row)
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row=rows,
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation="overwrite",
+        summary_extra={
+            "added-records": str(n_rows),
+            "equality-deletes": str(n_keys),
+        },
+        rollback_paths=rollback,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_upserted": n_rows,
+        "delete_files": len(del_files),
+        "data_files": len(data_files),
         "metadata": new_path,
     }
 

@@ -405,6 +405,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # delete units of LATER snapshots carry their target file's
         # identity-partition consts from here
         self._fparts: dict[str, tuple] = {}
+        # data path -> data sequence number (equality-delete rule)
+        self._fseq: dict[str, int | None] = {}
         # highest offset already handed out (restart re-sync happens
         # in partitions(), same pattern as the Delta stream source)
         self._handed: dict | None = None
@@ -461,7 +463,8 @@ class _IcebergStreamReader(DataSourceStreamReader):
         for s in order:
             if s not in self._units:
                 self._units[s] = _change_units_of_snapshot(
-                    self._table, snaps[s], self._dead, self._fparts
+                    self._table, snaps[s], self._dead, self._fparts,
+                    self._fseq,
                 )
             if s == sid:
                 break
@@ -706,6 +709,7 @@ def _change_units_of_snapshot(
     snap: dict,
     dead: dict[str, set[int]],
     fparts: dict[str, tuple] | None = None,
+    fseq: dict[str, int | None] | None = None,
 ) -> list[tuple]:
     """Ordered CHANGE UNITS one snapshot ships in changelog mode,
     mutating ``dead`` (data path -> positions dead so far) and
@@ -721,7 +725,11 @@ def _change_units_of_snapshot(
       spec_id)`` — whole-file removal; rows still live before this
       snapshot emit as deletes
 
-    ``replace`` snapshots return no units; equality deletes refuse.
+    ``replace`` snapshots return no units.  EQUALITY deletes reduce
+    to exact position kills at planning time (column-pruned pyarrow
+    read of candidate files' key columns under the spec's
+    strictly-older sequence rule — ``fseq`` carries each live file's
+    data sequence number) and ship as ordinary ``delete_pos`` units.
     Deterministic order (manifest order, entry order, sorted targets)
     so offsets are stable across restarts."""
     op = (snap.get("summary") or {}).get("operation", "append")
@@ -730,6 +738,9 @@ def _change_units_of_snapshot(
         return []
     if fparts is None:
         fparts = {}
+    if fseq is None:
+        fseq = {}
+    eq_groups: dict[tuple, list[tuple[str, int | None]]] = {}
     units: list[tuple] = []
     mlist = _abs_path(table_path, snap["manifest-list"])
     manifests, _ = _avro(mlist)
@@ -757,6 +768,10 @@ def _change_units_of_snapshot(
                         df_.get("partition") or {},
                         m.get("partition_spec_id"),
                     )
+                    seq_e = e.get("sequence_number")
+                    if seq_e is None:
+                        seq_e = m.get("sequence_number")
+                    fseq[p] = int(seq_e) if seq_e is not None else None
                     units.append(
                         (
                             "insert",
@@ -768,6 +783,7 @@ def _change_units_of_snapshot(
                     )
                 elif st == 2:
                     prior = tuple(sorted(dead.pop(p, ())))
+                    fseq.pop(p, None)
                     rows = int(df_.get("record_count") or 0) - len(prior)
                     pstr, pspec = fparts.get(p, ({}, None))
                     units.append(
@@ -787,11 +803,24 @@ def _change_units_of_snapshot(
             if st != 1 or esid != sid:
                 continue
             if df_.get("content", 1) == 2 or df_.get("equality_ids"):
-                raise UnsupportedIcebergFeature(
-                    f"snapshot {sid} adds an EQUALITY delete file; "
-                    "the changelog stream reconstructs deletes from "
-                    "position deletes only"
+                seq_e = e.get("sequence_number")
+                if seq_e is None:
+                    seq_e = m.get("sequence_number")
+                eq_groups.setdefault(
+                    tuple(
+                        sorted(
+                            int(i)
+                            for i in df_.get("equality_ids") or ()
+                        )
+                    ),
+                    [],
+                ).append(
+                    (
+                        _abs_path(table_path, df_["file_path"]),
+                        int(seq_e) if seq_e is not None else None,
+                    )
                 )
+                continue
             p = _abs_path(table_path, df_["file_path"])
             tbl = _pq.read_table(p, columns=["file_path", "pos"])
             fresh: dict[str, list[int]] = {}
@@ -811,4 +840,22 @@ def _change_units_of_snapshot(
                 units.append(
                     ("delete_pos", tp, len(poss), poss, pstr, pspec)
                 )
+    if eq_groups:
+        from data_lakehouse_project_spark.operators.iceberg_reader import (
+            _field_names_by_id,
+            equality_kill_positions,
+            load_iceberg_metadata,
+        )
+
+        id2name = _field_names_by_id(load_iceberg_metadata(table_path))
+        kills = equality_kill_positions(
+            sorted(eq_groups.items()), fseq, dead, id2name
+        )
+        for tp in sorted(kills):
+            poss = tuple(kills[tp])
+            dead.setdefault(tp, set()).update(poss)
+            pstr, pspec = fparts.get(tp, ({}, None))
+            units.append(
+                ("delete_pos", tp, len(poss), poss, pstr, pspec)
+            )
     return units

@@ -315,3 +315,197 @@ def test_changelog_empty_table_returns_empty(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in metadata"):
         read_iceberg_changelog(spark, path, to_snapshot_id=12345)
+
+
+def test_changelog_over_equality_deletes(spark, tmp_path):
+    """Equality-delete snapshots emit exact delete pre-images: the
+    spec's strictly-older sequence rule means keys re-inserted AFTER
+    the delete survive, and the changelog shows each kill once at the
+    snapshot that issued it."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        write_equality_deletes,
+    )
+
+    path = str(tmp_path / "eq")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 5), mode="overwrite")       # no partitioning
+    export_iceberg_metadata(t, spark)                 # snap 1: 0..4
+    write_equality_deletes(                           # snap 2: kill 1,3
+        spark, path,
+        spark.createDataFrame([(1,), (3,)], "id long"), ["id"],
+    )
+    append_to_iceberg(spark, _df(spark, 3, 4), path)  # snap 3: re-add 3
+    write_equality_deletes(                           # snap 4: kill 2,3
+        spark, path,
+        spark.createDataFrame([(2,), (3,)], "id long"), ["id"],
+    )
+
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    rows = sorted(
+        (r._snapshot_id, r._change_type, r.id)
+        for r in read_iceberg_changelog(spark, path).collect()
+    )
+    assert rows == [
+        (sids[0], "insert", 0),
+        (sids[0], "insert", 1),
+        (sids[0], "insert", 2),
+        (sids[0], "insert", 3),
+        (sids[0], "insert", 4),
+        (sids[1], "delete", 1),
+        (sids[1], "delete", 3),
+        (sids[2], "insert", 3),
+        (sids[3], "delete", 2),
+        (sids[3], "delete", 3),  # the RE-ADDED 3 (older one already dead)
+    ]
+    # replay reconciles with the live snapshot
+    live = {r.id for r in read_iceberg_table(spark, path).collect()}
+    assert live == {0, 3, 4} - {3} | {3} - {3} or live == {0, 4}
+
+
+def test_upsert_into_iceberg_roundtrip(spark, tmp_path):
+    """One-snapshot keyed upsert (equality-delete manifest + data
+    manifest sharing a sequence number): matched keys replace, new
+    keys insert, the same-snapshot data files survive their own
+    deletes, and the changelog replays delete+insert per replaced
+    key."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upsert_into_iceberg,
+    )
+
+    path = str(tmp_path / "ups")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 4), mode="overwrite")
+    export_iceberg_metadata(t, spark)                  # snap 1: 0..3
+    src = spark.createDataFrame(
+        [(2, "a", 222.0), (10, "a", 10.0)],
+        "id long, part string, v double",
+    )
+    info = upsert_into_iceberg(spark, path, src, ["id"])  # snap 2
+    assert info["rows_upserted"] == 2 and info["delete_files"] >= 1
+
+    got = sorted(
+        (r.id, r.v) for r in read_iceberg_table(spark, path).collect()
+    )
+    assert got == [(0, 0.0), (1, 1.0), (2, 222.0), (3, 3.0), (10, 10.0)]
+
+    ch = read_iceberg_changelog(
+        spark, path, from_snapshot_id=iceberg_snapshot_ids(path)[0][0]
+    )
+    assert sorted(
+        (r._change_type, r.id, r.v) for r in ch.collect()
+    ) == [
+        ("delete", 2, 2.0),
+        ("insert", 2, 222.0),
+        ("insert", 10, 10.0),
+    ]
+
+    # a second upsert touching the first's keys still sequences right
+    src2 = spark.createDataFrame(
+        [(10, "a", 1000.0)], "id long, part string, v double"
+    )
+    upsert_into_iceberg(spark, path, src2, ["id"])     # snap 3
+    got = sorted(
+        (r.id, r.v) for r in read_iceberg_table(spark, path).collect()
+    )
+    assert got == [(0, 0.0), (1, 1.0), (2, 222.0), (3, 3.0), (10, 1000.0)]
+
+    # duplicate keys in one batch refuse
+    dup = spark.createDataFrame(
+        [(7, "a", 1.0), (7, "a", 2.0)], "id long, part string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_into_iceberg(spark, path, dup, ["id"])
+
+
+@pytest.mark.parametrize("seed", [7, 31])
+def test_changelog_equals_snapshot_diff_eqdelete_randomized(
+    spark, tmp_path, seed
+):
+    """The randomized changelog-equals-snapshot-exceptAll-diff harness
+    over the STREAMING-CDC op mix (append / equality-delete / keyed
+    upsert) — the shapes a Flink-style upsert pipeline commits."""
+    import random
+    from collections import Counter
+
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upsert_into_iceberg,
+        write_equality_deletes,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"eqr{seed}")
+    t = TxnTable(path)
+    t.write(_df(spark, 0, 6), mode="overwrite")
+    export_iceberg_metadata(t, spark)
+    next_id = [6]
+
+    def _fresh(n):
+        lo = next_id[0]
+        next_id[0] += n
+        return _df(spark, lo, lo + n)
+
+    for _ in range(7):
+        live = [
+            r.id
+            for r in read_iceberg_table(spark, path)
+            .select("id").collect()
+        ]
+        op = rng.choice(
+            ["append", "eqdelete", "upsert"] if live else ["append"]
+        )
+        if op == "append":
+            append_to_iceberg(spark, _fresh(rng.randint(1, 3)), path)
+        elif op == "eqdelete":
+            pick = rng.sample(live, min(len(live), rng.randint(1, 3)))
+            # mix in a never-present key: deletes matching nothing
+            # must emit nothing
+            pick.append(99999)
+            write_equality_deletes(
+                spark, path,
+                spark.createDataFrame([(int(i),) for i in pick],
+                                      "id long"),
+                ["id"],
+            )
+        else:
+            pick = rng.sample(live, min(len(live), rng.randint(1, 2)))
+            lo = next_id[0]
+            next_id[0] += 1
+            rows = [(int(i), "a", float(i) + 500.0) for i in pick] + [
+                (lo, "a", float(lo))
+            ]
+            upsert_into_iceberg(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "id long, part string, v double"
+                ),
+                ["id"],
+            )
+
+    sids = [s for s, _ in iceberg_snapshot_ids(path)]
+    for prev, cur in zip(sids, sids[1:]):
+        before = read_iceberg_table(spark, path, snapshot_id=prev)
+        after = read_iceberg_table(spark, path, snapshot_id=cur)
+        want_ins = sorted(
+            (r.id, r.part, r.v)
+            for r in after.exceptAll(before).collect()
+        )
+        want_del = sorted(
+            (r.id, r.part, r.v)
+            for r in before.exceptAll(after).collect()
+        )
+        ch = _slice(spark, path, prev, cur)
+        ins_c = Counter(
+            (r.id, r.part, r.v)
+            for r in ch.where("_change_type = 'insert'").collect()
+        )
+        del_c = Counter(
+            (r.id, r.part, r.v)
+            for r in ch.where("_change_type = 'delete'").collect()
+        )
+        noop = ins_c & del_c
+        assert sorted((ins_c - noop).elements()) == want_ins, (
+            f"snapshot {cur} inserts (seed {seed})"
+        )
+        assert sorted((del_c - noop).elements()) == want_del, (
+            f"snapshot {cur} deletes (seed {seed})"
+        )

@@ -648,3 +648,63 @@ def test_changelog_stream_delete_units_carry_partition_consts(
         ("insert", 2, "b"),
         ("insert", 3, "b"),
     ]
+
+
+def test_changelog_stream_over_equality_deletes(spark, tmp_path):
+    """readChangeFeed=true replays equality-delete and keyed-upsert
+    snapshots (reduced to exact position kills at planning time) —
+    byte-identical to the batch changelog, across a restart."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changelog,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+        upsert_into_iceberg,
+        write_equality_deletes,
+    )
+
+    path = str(tmp_path / "eqs")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 5).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)                   # snap 1
+    write_equality_deletes(                             # snap 2
+        spark, path,
+        spark.createDataFrame([(1,), (3,)], "id long"), ["id"],
+    )
+    append_to_iceberg(                                  # snap 3
+        spark,
+        spark.range(3, 4).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        path,
+    )
+    src = spark.createDataFrame(
+        [(3, 333.0), (20, 20.0)], "id long, v double"
+    )
+    upsert_into_iceberg(spark, path, src, ["id"])       # snap 4
+
+    sink: list = []
+    _run_cdf(spark, path, str(tmp_path / "ck"), sink)
+    want = sorted(
+        (r._snapshot_id, r._change_type, r.id, r.v)
+        for r in read_iceberg_changelog(spark, path).collect()
+    )
+    assert sorted(sink) == want
+    # the upsert snapshot emitted the replaced key's pre-image
+    upsids = sorted({s for s, *_ in sink})
+    last = [x for x in sink if x[0] == upsids[-1]]
+    assert ("delete", 3, 3.0) in {(c, i, v) for _, c, i, v in last}
+    assert ("insert", 3, 333.0) in {(c, i, v) for _, c, i, v in last}
+
+    # restart with the same checkpoint: nothing re-ships; a further
+    # eq-delete streams incrementally
+    sink2: list = []
+    _run_cdf(spark, path, str(tmp_path / "ck"), sink2)
+    assert sink2 == []
+    write_equality_deletes(                             # snap 5
+        spark, path,
+        spark.createDataFrame([(20,)], "id long"), ["id"],
+    )
+    _run_cdf(spark, path, str(tmp_path / "ck"), sink2)
+    assert [(c, i, v) for _, c, i, v in sink2] == [("delete", 20, 20.0)]
