@@ -747,6 +747,54 @@ def _spark_path_key():
     return F.url_decode(F.replace(fp, F.lit("+"), F.lit("%2B")))
 
 
+def _delta_arrow_scan(
+    spark: SparkSession, table_path: str, files: list[dict], schema,
+    _abs,
+) -> DataFrame:
+    """Per-file arrow scan plan for a foreign Delta snapshot (no
+    column mapping): deletion vectors decode driver-side into dead
+    positions (the same O(total cardinality) budget the JVM path's
+    anti-join build pays), partitionValues attach as per-file
+    consts."""
+    import json as _json
+
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        register_arrow_scan,
+        write_scan_plan,
+    )
+
+    from .dv import resolve_dv_positions
+
+    register_arrow_scan(spark)
+    plan_files = []
+    for f in files:
+        p = _abs(f["path"])
+        dead: list[int] = []
+        if f.get("foreign_dv"):
+            dead = sorted(
+                resolve_dv_positions(f["foreign_dv"], table_path)
+            )
+        consts = {
+            k: v
+            for k, v in (f.get("partition_values") or {}).items()
+            if k in schema.names and v is not None
+        }
+        plan_files.append(
+            {
+                "path": p,
+                "consts": consts,
+                "dead": dead,
+                "size": int(f.get("size") or 0),
+            }
+        )
+    plan = write_scan_plan(_json.loads(schema.json()), {}, plan_files)
+    return (
+        spark.read.format("graft_arrow_scan")
+        .option("plan", plan)
+        .load()
+    )
+
+
 def read_delta_table(
     spark: SparkSession,
     table_path: str,
@@ -882,6 +930,52 @@ def read_delta_table(
                 if c
             ]
         )
+
+    # high-file-count fast path: the add-action file list is already
+    # materialized from the log, so skip Spark's O(files) driver
+    # InMemoryFileIndex and scan via per-file arrow partitions
+    # (sources/arrow_scan.py) — deletion vectors become per-file dead
+    # positions, partition columns per-file consts.  Gated to the
+    # plain configuration (no column mapping, no row-id surfacing,
+    # coercible partition types); everything else keeps the JVM path.
+    from pyspark.sql import types as _T
+
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        arrow_scan_threshold,
+    )
+
+    _simple_parts = all(
+        isinstance(
+            schema[c].dataType,
+            (
+                _T.StringType, _T.IntegerType, _T.LongType,
+                _T.ShortType, _T.DateType, _T.DoubleType,
+                _T.FloatType, _T.BooleanType,
+            ),
+        )
+        for c in part_cols
+    )
+    if (
+        mapping_mode == "none"
+        and not row_ids
+        and _simple_parts
+        and len(files) >= arrow_scan_threshold()
+    ):
+        df = _delta_arrow_scan(spark, table_path, files, schema, _abs)
+        if prune:
+            for col, op, val in prune:
+                if col not in df.columns:
+                    continue
+                c = F.col(col)
+                df = df.where(
+                    {
+                        "=": c == val, "<": c < val, "<=": c <= val,
+                        ">": c > val, ">=": c >= val,
+                        "isnull": c.isNull(),
+                        "isnotnull": c.isNotNull(),
+                    }[op]
+                )
+        return df
 
     paths = [_abs(f["path"]) for f in files]
     df = spark.read.schema(physical).parquet(*paths)

@@ -3872,6 +3872,11 @@ from data_lakehouse_project_spark import registry_r9  # noqa: E402
 
 REGISTRY.update(registry_r9.build({"R": R, "_rn": _rn}))
 
+# round-10: hidden-transform round trip + keyed-upsert changelog
+from data_lakehouse_project_spark import registry_r10  # noqa: E402
+
+REGISTRY.update(registry_r10.build({"R": R, "_rn": _rn}))
+
 
 # ---------------------------------------------------------------------
 # Graded window: the correctness driver grades the FIRST 50 entries of

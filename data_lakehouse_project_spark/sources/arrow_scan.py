@@ -1,0 +1,223 @@
+"""Executor-side BATCH scan over an explicit parquet file plan — the
+foreign readers' high-file-count fast path.
+
+Why: ``spark.read.parquet(*paths)`` builds a driver ``InMemoryFileIndex``
+over N independent paths (listing + status per path) before the first
+task runs — the repo's own probes (BASELINE.md round-9 decomposition,
+``tools/probe_foreign_readers.py``) show it is ~90% of an 18-25 s
+10k-file Iceberg/Delta batch scan, while the streaming sources' per-file
+pyarrow partitions plan in ~0.2 s.  At 100 TB / 1M files the file index
+IS the readers' bottleneck.  This module gives the batch readers the
+same shape the streams already use: the snapshot's file list (already
+materialized from manifests/txn log — no listing needed) becomes one
+``InputPartition`` per file, and executors read with pyarrow.
+
+Semantics carried per file (all the things the JVM scan path handles
+via joins and per-file consts):
+
+* field-id column resolution (Iceberg spec) with name fallback,
+* identity-partition / Delta-partition CONSTANT substitution,
+* already-dead row positions (position deletes / deletion vectors)
+  masked executor-side,
+* pre-evolution files surfacing added columns as null.
+
+The plan ships via a JSON spill file (options are string-only), one
+entry per data file.  Equality deletes are NOT handled here — callers
+keep the JVM anti-join path when any are live.
+
+Trade-off (documented, gated): no parquet row-group pushdown inside a
+file — acceptable in the file-count-bound regime this path is gated to
+(``SPARK_GRAFT_ARROW_SCAN_FILES``, default 2000 files); driver-side
+manifest pruning has already run by the time the plan is built.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+# default file-count gate for the fast path (see module docstring)
+ARROW_SCAN_FILE_THRESHOLD = 2000
+
+
+def arrow_scan_threshold() -> int:
+    try:
+        return int(
+            os.environ.get(
+                "SPARK_GRAFT_ARROW_SCAN_FILES",
+                ARROW_SCAN_FILE_THRESHOLD,
+            )
+        )
+    except ValueError:
+        return ARROW_SCAN_FILE_THRESHOLD
+
+
+# bundling: one task per ~128 MB (or 256 files) keeps task-launch
+# overhead off the tiny-file regime while preserving one-task-per-file
+# granularity for large files (measured: 256-file bundles beat 64 at
+# 4k tiny files — python-worker startup dominates below that)
+BUNDLE_BYTES = 128 << 20
+BUNDLE_FILES = 256
+
+
+class _ArrowScanPartition(InputPartition):
+    def __init__(
+        self,
+        files_json: str,
+        schema_json: str,
+        ids_json: str,
+    ):
+        self.files_json = files_json  # [{path, consts, dead}, ...]
+        self.schema_json = schema_json
+        self.ids_json = ids_json
+
+
+class ArrowScanDataSource(DataSource):
+    """``format("graft_arrow_scan").option("plan", <json path>)`` —
+    see the module docstring.  The plan file holds the declared Spark
+    schema, the name→field-id map, and the per-file entries."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_arrow_scan"
+
+    def _plan(self) -> dict:
+        with open(self.options["plan"]) as fh:
+            return json.load(fh)
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(self._plan()["schema"])
+
+    def reader(self, schema):
+        return _ArrowScanReader(schema, self._plan())
+
+
+class _ArrowScanReader(DataSourceReader):
+    def __init__(self, schema, plan: dict):
+        self._schema = schema
+        self._plan = plan
+
+    def partitions(self):
+        plan = self._plan
+        schema_json = json.dumps(plan["schema"])
+        ids_json = json.dumps(plan.get("ids") or {})
+        out = []
+        bundle: list[dict] = []
+        nbytes = 0
+        for f in plan["files"]:
+            sz = int(f.get("size") or 0)
+            if bundle and (
+                nbytes + sz > BUNDLE_BYTES
+                or len(bundle) >= BUNDLE_FILES
+            ):
+                out.append(
+                    _ArrowScanPartition(
+                        json.dumps(bundle), schema_json, ids_json
+                    )
+                )
+                bundle, nbytes = [], 0
+            bundle.append(f)
+            nbytes += sz
+        if bundle:
+            out.append(
+                _ArrowScanPartition(
+                    json.dumps(bundle), schema_json, ids_json
+                )
+            )
+        return out
+
+    def read(self, partition: _ArrowScanPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType as _ST
+
+        from data_lakehouse_project_spark.operators.iceberg_reader import (
+            _coerce_partition_value,
+        )
+        from data_lakehouse_project_spark.sources.delta_stream import (
+            _arrow_type,
+        )
+
+        schema = _ST.fromJson(json.loads(partition.schema_json))
+        ids = json.loads(partition.ids_json)
+        target = pa.schema(
+            [
+                pa.field(f.name, _arrow_type(f.dataType))
+                for f in schema.fields
+            ]
+        )
+        for spec in json.loads(partition.files_json):
+            consts = spec.get("consts") or {}
+            dead = spec.get("dead") or []
+            table = pq.read_table(spec["path"])
+            if dead:
+                import numpy as np
+
+                mask = np.ones(table.num_rows, dtype=bool)
+                mask[np.asarray(dead, dtype=np.int64)] = False
+                table = table.filter(pa.array(mask))
+            by_id: dict[int, str] = {}
+            if ids:  # only an ids-mapped plan (Iceberg) resolves by id
+                for af in table.schema:
+                    fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        by_id[int(fid)] = af.name
+            n = table.num_rows
+            cols = []
+            for f, sf in zip(target, schema.fields):
+                src = None
+                if by_id:  # spec: columns resolve by FIELD ID
+                    # (strict — a missing id means the column didn't
+                    # exist at write time; a name fallback would
+                    # misread renamed columns)
+                    src = by_id.get(ids.get(f.name))
+                elif f.name in table.column_names:  # name resolution
+                    src = f.name
+                if src is not None:
+                    cols.append(table.column(src).cast(f.type))
+                elif f.name in consts:
+                    v = _coerce_partition_value(
+                        consts[f.name], sf.dataType
+                    )
+                    cols.append(pa.array([v] * n, f.type))
+                else:  # pre-evolution file: new column null
+                    cols.append(pa.nulls(n, f.type))
+            yield from pa.table(cols, schema=target).to_batches(
+                max_chunksize=1 << 16
+            )
+
+
+def write_scan_plan(
+    schema_json: dict,
+    ids: dict[str, int] | None,
+    files: list[dict],
+) -> str:
+    """Spill a scan plan to a temp JSON file; returns its path.  The
+    file outlives this call (lazy DataFrames re-read it at action
+    time) and lands in the system temp dir."""
+    import tempfile
+
+    fd, path = tempfile.mkstemp(
+        prefix="graft_arrow_scan_", suffix=".json"
+    )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(
+            {"schema": schema_json, "ids": ids or {}, "files": files},
+            fh,
+            default=str,  # date-typed partition consts -> ISO strings
+            # (the executor re-coerces via _coerce_partition_value)
+        )
+    return path
+
+
+def register_arrow_scan(spark) -> None:
+    """Idempotently register the batch arrow-scan source."""
+    spark.dataSource.register(ArrowScanDataSource)
