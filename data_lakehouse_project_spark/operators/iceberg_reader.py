@@ -170,9 +170,9 @@ def load_iceberg_metadata(
     with open(path) as fh:
         md = json.load(fh)
     fv = md.get("format-version")
-    if fv not in (1, 2):
+    if fv not in (1, 2, 3):
         raise UnsupportedIcebergFeature(
-            f"format-version {fv} is not supported (v1/v2 only)"
+            f"format-version {fv} is not supported (v1/v2/v3 only)"
         )
     return md
 
@@ -613,11 +613,20 @@ def iceberg_live_files(
                 continue
             df_ = e["data_file"]
             f_content = df_.get("content", 0)
-            if str(df_.get("file_format", "")).upper() != "PARQUET":
+            fmt = str(df_.get("file_format", "")).upper()
+            is_dv = (
+                fmt == "PUFFIN"
+                and f_content == 1
+                and df_.get("referenced_data_file") is not None
+            )
+            if fmt != "PARQUET" and not is_dv:
                 raise UnsupportedIcebergFeature(
                     f"file format {df_.get('file_format')!r} is not "
                     "supported"
                 )
+            if is_dv:
+                df_ = dict(df_)
+                df_["__is_dv"] = True
             seq = e.get("sequence_number")
             if seq is None and e.get("status") == 1:
                 seq = m_seq  # spec: ADDED entries inherit manifest seq
@@ -661,6 +670,7 @@ def _arrow_batch_scan(
     pos_deletes: list[dict],
     _abs,
     schema,
+    table_path: str,
 ) -> DataFrame:
     """Build the per-file arrow scan plan (identity-partition consts
     + dead positions from position-delete files, read driver-side —
@@ -688,7 +698,15 @@ def _arrow_batch_scan(
     if pos_deletes:
         import pyarrow.parquet as _pq
 
+        from .puffin import dv_positions_of_entry
+
         for f in pos_deletes:
+            if f.get("__is_dv"):  # v3 puffin deletion vector
+                tgt = _abs(f["referenced_data_file"])
+                dead.setdefault(tgt, []).extend(
+                    dv_positions_of_entry(table_path, f)
+                )
+                continue
             t = _pq.read_table(
                 _abs(f["file_path"]), columns=["file_path", "pos"]
             )
@@ -735,6 +753,7 @@ def read_iceberg_table(
     as_of_ms: int | None = None,
     metadata_file: str | None = None,
     prune: list[tuple[str, str, object]] | None = None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """DataFrame over a foreign Iceberg table's selected snapshot,
     with v2 row-level deletes applied:
@@ -748,7 +767,14 @@ def read_iceberg_table(
 
     Delete parquet is read by EXECUTORS through a normal scan (never
     materialized on the driver), so 10^8-row delete files are a
-    shuffle, not an OOM."""
+    shuffle, not an OOM.
+
+    v3 surfaces: PUFFIN deletion vectors apply exactly (decoded
+    driver-side, the same budget class as Delta DVs), and
+    ``row_lineage=True`` adds the spec's ``_row_id`` /
+    ``_last_updated_sequence_number`` columns (``first_row_id +
+    position`` / the entry's data sequence number) — refused when any
+    live file lacks a ``first_row_id`` rather than inventing ids."""
     from pyspark.sql import functions as F
 
     md, live, pos_deletes, eq_deletes = iceberg_live_files(
@@ -804,9 +830,13 @@ def read_iceberg_table(
         arrow_scan_threshold,
     )
 
-    if not eq_deletes and len(live) >= arrow_scan_threshold():
+    if (
+        not eq_deletes
+        and not row_lineage
+        and len(live) >= arrow_scan_threshold()
+    ):
         df = _arrow_batch_scan(
-            spark, md, live, pos_deletes, _abs, schema
+            spark, md, live, pos_deletes, _abs, schema, table_path
         )
         if prune:
             for col, op, val in prune:
@@ -848,13 +878,19 @@ def read_iceberg_table(
         if any(name2id_all.get(c) in m for m in by_spec_ident.values())
     ]
 
-    if pos_deletes or eq_deletes or ident_cols:
+    # v3 deletion vectors (puffin) split off: their positions decode
+    # driver-side (the same O(deleted rows) budget class as Delta DVs)
+    dv_entries = [f for f in pos_deletes if f.get("__is_dv")]
+    pos_deletes = [f for f in pos_deletes if not f.get("__is_dv")]
+
+    if pos_deletes or dv_entries or eq_deletes or ident_cols or \
+            row_lineage:
         # _metadata is only resolvable on the raw scan — materialize
         # the decoded path key (and row index) before any join.
         from .delta_reader import _spark_path_key
 
         meta_cols = {"__ice_path": _spark_path_key()}
-        if pos_deletes:
+        if pos_deletes or dv_entries or row_lineage:
             meta_cols["__ice_pos"] = F.col("_metadata.row_index")
         df = df.withColumns(meta_cols)
 
@@ -899,6 +935,24 @@ def read_iceberg_table(
         df = df.join(
             deletes, ["__ice_path", "__ice_pos"], "left_anti"
         )
+
+    if dv_entries:
+        from .puffin import dv_positions_of_entry
+
+        pairs = [
+            (os.path.abspath(_abs(f["referenced_data_file"])), int(p))
+            for f in dv_entries
+            for p in dv_positions_of_entry(table_path, f)
+        ]
+        if pairs:
+            dvdel = F.broadcast(
+                spark.createDataFrame(
+                    pairs, ["__ice_path", "__ice_pos"]
+                )
+            )
+            df = df.join(
+                dvdel, ["__ice_path", "__ice_pos"], "left_anti"
+            )
 
     if eq_deletes:
         unseq = [
@@ -996,7 +1050,52 @@ def read_iceberg_table(
                 c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
             )
 
-    df = df.select(*schema.names)
+    lineage_cols: list[str] = []
+    if row_lineage:
+        missing = [
+            f["file_path"]
+            for f in live
+            if f.get("first_row_id") is None or f.get("__seq") is None
+        ]
+        if missing:
+            raise UnsupportedIcebergFeature(
+                "row_lineage=True but these files carry no "
+                f"first_row_id / sequence number: {missing[:3]} — "
+                "refusing to invent row ids"
+            )
+        from pyspark.sql.types import (
+            LongType as _Lt,
+            StringType as _St2,
+            StructField as _Sf2,
+            StructType as _Sty2,
+        )
+
+        lmap = spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(_abs(f["file_path"])),
+                    int(f["first_row_id"]),
+                    int(f["__seq"]),
+                )
+                for f in live
+            ],
+            _Sty2(
+                [
+                    _Sf2("__ice_path", _St2()),
+                    _Sf2("__frid", _Lt()),
+                    _Sf2("__lseq", _Lt()),
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(lmap), "__ice_path", "left")
+        df = df.withColumn(
+            "_row_id", F.col("__frid") + F.col("__ice_pos")
+        ).withColumn(
+            "_last_updated_sequence_number", F.col("__lseq")
+        )
+        lineage_cols = ["_row_id", "_last_updated_sequence_number"]
+
+    df = df.select(*schema.names, *lineage_cols)
     if prune:
         from pyspark.sql import functions as F
 
@@ -1577,6 +1676,28 @@ def read_iceberg_changelog(
                     ).append(
                         (p, int(seq_e) if seq_e is not None else None)
                     )
+                    continue
+                if (
+                    str(df_.get("file_format", "")).upper() == "PUFFIN"
+                    and df_.get("referenced_data_file") is not None
+                ):
+                    # v3 deletion vector: exact positions; newly-dead
+                    # = DV minus already-dead (a DV supersedes the
+                    # file's previous DV, so the diff IS the change)
+                    from .puffin import dv_positions_of_entry
+
+                    tp = _abs(df_["referenced_data_file"])
+                    seen = deleted_so_far.setdefault(tp, set())
+                    fresh = [
+                        int(x)
+                        for x in dv_positions_of_entry(table_path, df_)
+                        if int(x) not in seen
+                    ]
+                    seen.update(fresh)
+                    if sid in wanted and fresh:
+                        del_by_snap.setdefault(
+                            (sid, ts), {}
+                        ).setdefault(tp, []).extend(fresh)
                     continue
                 tbl = _pq.read_table(p, columns=["file_path", "pos"])
                 targets = tbl.column("file_path").to_pylist()

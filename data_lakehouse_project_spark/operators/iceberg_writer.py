@@ -94,10 +94,14 @@ _MANIFEST_FILE_AVRO = json.dumps(
 )
 
 
-def _entry_avro_schema(part_fields: list[dict]) -> str:
+def _entry_avro_schema(
+    part_fields: list[dict], v3_fields: bool = False
+) -> str:
     """manifest_entry avro schema (spec shape shared with
     iceberg_export) for the given identity partition fields — bounds
-    arrays included."""
+    arrays included.  ``v3_fields=True`` adds the v3 row-lineage /
+    deletion-vector columns (first_row_id 142, referenced_data_file
+    143, content_offset 144, content_size_in_bytes 145)."""
     partition_avro = {
         "type": "record",
         "name": "r102",
@@ -166,6 +170,19 @@ def _entry_avro_schema(part_fields: list[dict]) -> str:
             },
         ],
     }
+    if v3_fields:
+        data_file_avro["fields"] += [
+            {"name": "first_row_id", "type": ["null", "long"],
+             "default": None, "field-id": 142},
+            {"name": "referenced_data_file",
+             "type": ["null", "string"], "default": None,
+             "field-id": 143},
+            {"name": "content_offset", "type": ["null", "long"],
+             "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes",
+             "type": ["null", "long"], "default": None,
+             "field-id": 145},
+        ]
     return json.dumps(
         {
             "type": "record",

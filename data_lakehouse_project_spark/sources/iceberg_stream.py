@@ -821,6 +821,38 @@ def _change_units_of_snapshot(
                     )
                 )
                 continue
+            if (
+                str(df_.get("file_format", "")).upper() == "PUFFIN"
+                and df_.get("referenced_data_file") is not None
+            ):
+                # v3 deletion vector: reduce to exact fresh positions
+                from data_lakehouse_project_spark.operators.puffin import (
+                    dv_positions_of_entry,
+                )
+
+                tp = _abs_path(
+                    table_path, df_["referenced_data_file"]
+                )
+                seen = dead.setdefault(tp, set())
+                fresh_dv = tuple(
+                    sorted(
+                        int(x)
+                        for x in dv_positions_of_entry(
+                            table_path, df_
+                        )
+                        if int(x) not in seen
+                    )
+                )
+                if fresh_dv:
+                    seen.update(fresh_dv)
+                    pstr, pspec = fparts.get(tp, ({}, None))
+                    units.append(
+                        (
+                            "delete_pos", tp, len(fresh_dv), fresh_dv,
+                            pstr, pspec,
+                        )
+                    )
+                continue
             p = _abs_path(table_path, df_["file_path"])
             tbl = _pq.read_table(p, columns=["file_path", "pos"])
             fresh: dict[str, list[int]] = {}

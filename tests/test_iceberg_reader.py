@@ -396,12 +396,14 @@ def test_version_hint_fallback(spark, foreign_iceberg):
 
 
 def test_reject_unknown_format_version(spark, tmp_path):
-    table = str(tmp_path / "t3")
+    # v3 reads are supported since round 10 — the refusal boundary
+    # moved to format-version 4
+    table = str(tmp_path / "t4")
     os.makedirs(os.path.join(table, "metadata"))
     with open(
         os.path.join(table, "metadata", "v1.metadata.json"), "w"
     ) as fh:
-        json.dump({"format-version": 3}, fh)
+        json.dump({"format-version": 4}, fh)
     with pytest.raises(UnsupportedIcebergFeature, match="format-version"):
         read_iceberg_table(spark, table)
 

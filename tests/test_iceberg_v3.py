@@ -1,0 +1,351 @@
+"""Iceberg v3 reader groundwork: PUFFIN deletion vectors (decoded from
+the spec's blob layout — 4B BE length, D1 D3 39 64 magic, portable
+64-bit roaring vector, 4B BE CRC) applied on snapshot reads, replayed
+by the batch + streaming changelogs, and the v3 row-lineage columns
+(``_row_id`` / ``_last_updated_sequence_number``).
+
+The fixtures are hand-committed v3 metadata trees (format-version 3,
+DV manifest entries with referenced_data_file/content_offset/size) —
+the same read-the-spec fixture style as the v2 foreign fixtures."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    export_iceberg_metadata,
+)
+from data_lakehouse_project_spark.operators.iceberg_reader import (
+    UnsupportedIcebergFeature,
+    _latest_metadata_file,
+    avro_records,
+    iceberg_snapshot_ids,
+    load_iceberg_metadata,
+    read_iceberg_changelog,
+    read_iceberg_table,
+)
+from data_lakehouse_project_spark.operators.iceberg_writer import (
+    _commit_snapshot,
+    _entry_avro_schema,
+    delete_from_iceberg,
+)
+from data_lakehouse_project_spark.operators.puffin import (
+    CorruptPuffinFile,
+    decode_dv_blob,
+    dv_positions_of_entry,
+    read_puffin_footer,
+    write_puffin_dv_file,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    _AvroWriter,
+)
+
+
+def test_puffin_roundtrip(tmp_path):
+    p = str(tmp_path / "dv.puffin")
+    metas = write_puffin_dv_file(
+        p,
+        [("data/a.parquet", [3, 1, 7, 3]), ("data/b.parquet", [0])],
+        snapshot_id=5,
+        sequence_number=2,
+    )
+    footer = read_puffin_footer(p)
+    assert [b["type"] for b in footer["blobs"]] == [
+        "deletion-vector-v1"
+    ] * 2
+    assert metas[0]["cardinality"] == 3
+    got = decode_dv_blob(
+        p, metas[0]["content_offset"], metas[0]["content_size_in_bytes"]
+    )
+    assert got == [1, 3, 7]
+    # via the footer (no offsets on the entry)
+    got2 = dv_positions_of_entry(
+        str(tmp_path),
+        {"file_path": p, "referenced_data_file": "data/b.parquet"},
+    )
+    assert got2 == [0]
+    # corruption detected
+    with open(p, "r+b") as fh:
+        fh.seek(metas[0]["content_offset"] + 9)
+        fh.write(b"\xff")
+    with pytest.raises(CorruptPuffinFile):
+        decode_dv_blob(
+            p,
+            metas[0]["content_offset"],
+            metas[0]["content_size_in_bytes"],
+        )
+
+
+def _export_table(spark, tmp_path, name):
+    t = TxnTable(str(tmp_path / name))
+    t.write(
+        spark.range(0, 40).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    return t.path
+
+
+def _commit_dv_snapshot(spark, path, kills):
+    """Hand-commit one v3 deletion-vector snapshot (puffin file +
+    delete manifest with referenced_data_file entries) and bump the
+    metadata to format-version 3."""
+    md_file = _latest_metadata_file(path)
+    md = load_iceberg_metadata(path)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snapshot_id = max(
+        s["snapshot-id"] for s in md["snapshots"]
+    ) + 1
+    meta_dir = os.path.join(path, "metadata")
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    puffin = os.path.join(
+        path, "data", f"dv-{uuid.uuid4().hex}.puffin"
+    )
+    metas = write_puffin_dv_file(
+        puffin, sorted(kills.items()), snapshot_id, seq
+    )
+    mpath = os.path.join(meta_dir, f"{uuid.uuid4().hex}-dvm.avro")
+    w = _AvroWriter(
+        spark,
+        _entry_avro_schema([], v3_fields=True),
+        mpath,
+        {
+            "schema": json.dumps(
+                next(
+                    s for s in md["schemas"]
+                    if s["schema-id"] == md["current-schema-id"]
+                )
+            ),
+            "partition-spec": "[]",
+            "partition-spec-id": str(md.get("default-spec-id", 0)),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    n = 0
+    for m, (ref, _poss) in zip(metas, sorted(kills.items())):
+        n += m["cardinality"]
+        w.append_dict(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": m["cardinality"],
+                    "file_size_in_bytes": os.path.getsize(puffin),
+                    "referenced_data_file": m["referenced_data_file"],
+                    "content_offset": m["content_offset"],
+                    "content_size_in_bytes": m[
+                        "content_size_in_bytes"
+                    ],
+                },
+            }
+        )
+    w.close()
+    new_md = _commit_snapshot(
+        spark,
+        path,
+        md,
+        md_file,
+        manifest_row={
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": md.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(metas),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        },
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=int(time.time() * 1000),
+        operation="delete",
+        summary_extra={"deletion-vectors": str(len(metas))},
+        rollback_paths=[puffin, mpath],
+    )
+    j = json.load(open(new_md))
+    j["format-version"] = 3
+    j["next-row-id"] = 0
+    json.dump(j, open(new_md, "w"))
+    return snapshot_id
+
+
+def _kills_by_predicate(spark, path, pred):
+    """(abs data file -> row positions) matching ``pred`` — computed
+    per file so the v3 DV fixture kills the exact rows a v2
+    position-delete of the same predicate kills."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+
+    _, live, _, _ = iceberg_live_files(spark, path)
+    kills = {}
+    for f in live:
+        p = f["file_path"]
+        # single-file scan: row order == file order; use collect order
+        ids = [r.id for r in spark.read.parquet(p).collect()]
+        poss = [
+            i
+            for i, v in enumerate(ids)
+            if eval(pred.replace("id", str(v)))  # noqa: S307 — test
+        ]
+        if poss:
+            kills[p] = poss
+    return kills
+
+
+def test_v3_dv_reads_hash_equal_to_v2_rewrite(spark, tmp_path):
+    # v2 twin: position-delete parquet via the writer
+    p2 = _export_table(spark, tmp_path, "v2")
+    delete_from_iceberg(spark, p2, "id % 3 = 1")
+    # v3: puffin DV killing the same rows
+    p3 = _export_table(spark, tmp_path, "v3")
+    kills = _kills_by_predicate(spark, p3, "(id % 3) == 1")
+    _commit_dv_snapshot(spark, p3, kills)
+    md = load_iceberg_metadata(p3)
+    assert md["format-version"] == 3
+
+    a = sorted(map(tuple, read_iceberg_table(spark, p2).collect()))
+    b = sorted(map(tuple, read_iceberg_table(spark, p3).collect()))
+    assert a == b and len(b) == 27
+
+    # arrow fast path applies the DV too
+    os.environ["SPARK_GRAFT_ARROW_SCAN_FILES"] = "1"
+    try:
+        c = sorted(
+            map(tuple, read_iceberg_table(spark, p3).collect())
+        )
+    finally:
+        os.environ.pop("SPARK_GRAFT_ARROW_SCAN_FILES", None)
+    assert c == b
+
+
+def test_v3_dv_changelog_and_stream_replay(spark, tmp_path):
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    path = _export_table(spark, tmp_path, "cdc")
+    kills = _kills_by_predicate(spark, path, "(id % 5) == 2")
+    sid = _commit_dv_snapshot(spark, path, kills)
+
+    ch = read_iceberg_changelog(spark, path)
+    dels = sorted(
+        r.id for r in ch.where("_change_type = 'delete'").collect()
+    )
+    assert dels == [2, 7, 12, 17, 22, 27, 32, 37]
+    assert {
+        r._snapshot_id
+        for r in ch.where("_change_type = 'delete'").collect()
+    } == {sid}
+
+    register_python_datasources(spark)
+    sink: list = []
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: sink.extend(
+                (r["_change_type"], r["id"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r._change_type, r.id) for r in ch.collect()
+    )
+    assert sorted(sink) == want
+
+
+def test_row_lineage_surfaces_and_refuses(spark, tmp_path):
+    path = _export_table(spark, tmp_path, "lineage")
+    # no first_row_id anywhere -> refuse, never invent
+    with pytest.raises(UnsupportedIcebergFeature, match="first_row_id"):
+        read_iceberg_table(spark, path, row_lineage=True)
+
+    # stamp first_row_id onto the data manifest (v3 fields), rewriting
+    # entries in place — running assignment in entry order
+    md = load_iceberg_metadata(path)
+    snap = md["snapshots"][-1]
+    mlist = snap["manifest-list"]
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(path, mlist)
+    manifests, _ = avro_records(spark, mlist)
+    next_rid = 0
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        mp = m["manifest_path"]
+        if not os.path.isabs(mp):
+            mp = os.path.join(path, mp)
+        entries, _ = avro_records(spark, mp)
+        w = _AvroWriter(
+            spark,
+            _entry_avro_schema([], v3_fields=True),
+            mp + ".new",
+            {
+                "schema": json.dumps(
+                    next(
+                        s for s in md["schemas"]
+                        if s["schema-id"] == md["current-schema-id"]
+                    )
+                ),
+                "partition-spec": "[]",
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        for e in entries:
+            df_ = dict(e["data_file"])
+            df_["first_row_id"] = next_rid
+            df_.setdefault("content", 0)
+            # avro bytes bounds don't round-trip the writer's JSON
+            # boundary; lineage doesn't need them
+            df_["lower_bounds"] = None
+            df_["upper_bounds"] = None
+            next_rid += int(df_.get("record_count") or 0)
+            w.append_dict(
+                {
+                    "status": e.get("status", 1),
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": e.get("sequence_number"),
+                    "file_sequence_number": e.get(
+                        "file_sequence_number"
+                    ),
+                    "data_file": df_,
+                }
+            )
+        w.close()
+        os.replace(mp + ".new", mp)
+
+    df = read_iceberg_table(spark, path, row_lineage=True)
+    assert "_row_id" in df.columns
+    assert "_last_updated_sequence_number" in df.columns
+    rows = df.collect()
+    assert len(rows) == 40
+    assert sorted(r._row_id for r in rows) == list(range(40))
+    assert {r._last_updated_sequence_number for r in rows} == {1}
