@@ -1763,7 +1763,45 @@ def read_iceberg_changelog(
         e.g. exporter-written files next to this writer's).  Footer
         probes run on a thread pool — serial probing dominated the
         plan cost at 10k files (I/O bound, ~3 ms each).  Metadata
-        columns materialize per branch, before the union."""
+        columns materialize per branch, before the union.
+
+        High file counts route through the arrow batch source (the
+        same escape from Spark's O(files) driver file index the
+        snapshot reader takes) — per-file partitions carrying the
+        identity consts and emitting the provenance columns
+        (__ice_path/__ice_pos) the branches join against."""
+        from data_lakehouse_project_spark.sources.arrow_scan import (
+            arrow_scan_threshold,
+            register_arrow_scan,
+            write_scan_plan,
+        )
+
+        if len(paths) >= arrow_scan_threshold():
+            register_arrow_scan(spark)
+            plan_files = [
+                {
+                    "path": os.path.abspath(p),
+                    "consts": {
+                        c: v
+                        for c in ident_cols
+                        if (v := _ident_value(p, c)) is not None
+                    },
+                }
+                for p in paths
+            ]
+            plan = write_scan_plan(
+                json.loads(schema.json()),
+                name2id_all,
+                plan_files,
+                emit_meta=with_meta,
+            )
+            out = (
+                spark.read.format("graft_arrow_scan")
+                .option("plan", plan)
+                .load()
+            )
+            return out
+
         from concurrent.futures import ThreadPoolExecutor
 
         by_ids: dict[bool, list[str]] = {True: [], False: []}

@@ -72,10 +72,12 @@ class _ArrowScanPartition(InputPartition):
         files_json: str,
         schema_json: str,
         ids_json: str,
+        emit_meta: bool = False,
     ):
         self.files_json = files_json  # [{path, consts, dead}, ...]
         self.schema_json = schema_json
         self.ids_json = ids_json
+        self.emit_meta = emit_meta
 
 
 class ArrowScanDataSource(DataSource):
@@ -92,9 +94,27 @@ class ArrowScanDataSource(DataSource):
             return json.load(fh)
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
-        return StructType.fromJson(self._plan()["schema"])
+        plan = self._plan()
+        out = StructType.fromJson(plan["schema"])
+        if plan.get("emit_meta"):
+            # the scan's provenance columns (original file path + row
+            # position) — what the JVM path materializes from
+            # _metadata; callers join deletes/stamps against these
+            out = StructType(
+                list(out.fields)
+                + [
+                    StructField("__ice_path", StringType()),
+                    StructField("__ice_pos", LongType()),
+                ]
+            )
+        return out
 
     def reader(self, schema):
         return _ArrowScanReader(schema, self._plan())
@@ -109,6 +129,7 @@ class _ArrowScanReader(DataSourceReader):
         plan = self._plan
         schema_json = json.dumps(plan["schema"])
         ids_json = json.dumps(plan.get("ids") or {})
+        emit_meta = bool(plan.get("emit_meta"))
         out = []
         bundle: list[dict] = []
         nbytes = 0
@@ -120,7 +141,8 @@ class _ArrowScanReader(DataSourceReader):
             ):
                 out.append(
                     _ArrowScanPartition(
-                        json.dumps(bundle), schema_json, ids_json
+                        json.dumps(bundle), schema_json, ids_json,
+                        emit_meta,
                     )
                 )
                 bundle, nbytes = [], 0
@@ -129,7 +151,8 @@ class _ArrowScanReader(DataSourceReader):
         if bundle:
             out.append(
                 _ArrowScanPartition(
-                    json.dumps(bundle), schema_json, ids_json
+                    json.dumps(bundle), schema_json, ids_json,
+                    emit_meta,
                 )
             )
         return out
@@ -154,16 +177,24 @@ class _ArrowScanReader(DataSourceReader):
                 for f in schema.fields
             ]
         )
+        emit_meta = getattr(partition, "emit_meta", False)
         for spec in json.loads(partition.files_json):
             consts = spec.get("consts") or {}
             dead = spec.get("dead") or []
             table = pq.read_table(spec["path"])
+            positions = None
+            if emit_meta:
+                import numpy as np
+
+                positions = np.arange(table.num_rows, dtype=np.int64)
             if dead:
                 import numpy as np
 
                 mask = np.ones(table.num_rows, dtype=bool)
                 mask[np.asarray(dead, dtype=np.int64)] = False
                 table = table.filter(pa.array(mask))
+                if positions is not None:
+                    positions = positions[mask]
             by_id: dict[int, str] = {}
             if ids:  # only an ids-mapped plan (Iceberg) resolves by id
                 for af in table.schema:
@@ -190,15 +221,20 @@ class _ArrowScanReader(DataSourceReader):
                     cols.append(pa.array([v] * n, f.type))
                 else:  # pre-evolution file: new column null
                     cols.append(pa.nulls(n, f.type))
-            yield from pa.table(cols, schema=target).to_batches(
-                max_chunksize=1 << 16
-            )
+            out = pa.table(cols, schema=target)
+            if emit_meta:
+                out = out.append_column(
+                    "__ice_path",
+                    pa.array([spec["path"]] * n, pa.string()),
+                ).append_column("__ice_pos", pa.array(positions))
+            yield from out.to_batches(max_chunksize=1 << 16)
 
 
 def write_scan_plan(
     schema_json: dict,
     ids: dict[str, int] | None,
     files: list[dict],
+    emit_meta: bool = False,
 ) -> str:
     """Spill a scan plan to a temp JSON file; returns its path.  The
     file outlives this call (lazy DataFrames re-read it at action
@@ -210,7 +246,12 @@ def write_scan_plan(
     )
     with os.fdopen(fd, "w") as fh:
         json.dump(
-            {"schema": schema_json, "ids": ids or {}, "files": files},
+            {
+                "schema": schema_json,
+                "ids": ids or {},
+                "files": files,
+                "emit_meta": emit_meta,
+            },
             fh,
             default=str,  # date-typed partition consts -> ISO strings
             # (the executor re-coerces via _coerce_partition_value)

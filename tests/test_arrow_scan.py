@@ -145,3 +145,40 @@ def test_bundling_groups_small_files(spark, tmp_path, force_fast):
     df = read_iceberg_table(spark, t.path)
     assert df.rdd.getNumPartitions() == 1
     assert sorted(r.id for r in df.collect()) == list(range(10))
+
+
+def test_changelog_scans_route_through_arrow(
+    spark, tmp_path, force_fast
+):
+    """read_iceberg_changelog's insert/delete branches take the arrow
+    plan at high file counts (forced via the env gate here) and emit
+    the same change rows as the JVM path — provenance columns
+    (__ice_path/__ice_pos) join correctly."""
+    import os as _os
+
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changelog,
+    )
+
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 60).repartition(6).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    delete_from_iceberg(spark, t.path, "id % 7 = 2")
+    fast = sorted(
+        (r._change_type, r.id, r.part)
+        for r in read_iceberg_changelog(spark, t.path).collect()
+    )
+    _os.environ["SPARK_GRAFT_ARROW_SCAN_FILES"] = "10000000"
+    slow = sorted(
+        (r._change_type, r.id, r.part)
+        for r in read_iceberg_changelog(spark, t.path).collect()
+    )
+    assert fast == slow
+    assert all(p is not None for _, _, p in fast)
