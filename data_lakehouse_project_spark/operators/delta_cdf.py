@@ -45,6 +45,7 @@ broadcast maps keyed on the decoded ``_metadata.file_path``.
 
 from __future__ import annotations
 
+import json
 import os
 from urllib.parse import unquote
 
@@ -373,9 +374,11 @@ def read_delta_changes(
             ["__cdf_path", COMMIT_VERSION, COMMIT_TS]
             + [f"__pv_{c}" for c in part_cols],
         )
-        df = df.withColumn("__cdf_path", _spark_path_key()).join(
-            F.broadcast(fmap), "__cdf_path", "left"
-        )
+        if "__cdf_path" not in df.columns:  # the arrow branch
+            # materializes the path itself; the JVM scan decodes
+            # _metadata.file_path
+            df = df.withColumn("__cdf_path", _spark_path_key())
+        df = df.join(F.broadcast(fmap), "__cdf_path", "left")
         for c in part_cols:
             df = df.withColumn(
                 c, F.col(f"__pv_{c}").cast(schema[c].dataType)
@@ -413,7 +416,36 @@ def read_delta_changes(
         paths = [p for p, *_ in plain]
         if len(set(paths)) == len(paths):
             if plain:
-                df = spark.read.schema(read_schema).parquet(*paths)
+                from data_lakehouse_project_spark.sources.arrow_scan import (
+                    arrow_scan_threshold,
+                    register_arrow_scan,
+                    write_scan_plan,
+                )
+
+                if (
+                    len(paths) >= arrow_scan_threshold()
+                    and mapping_mode in ("none", "", None)
+                ):
+                    # high-file-count fast path: skip the O(files)
+                    # driver file index (same shape as the snapshot
+                    # readers); name resolution matches because
+                    # read_schema IS the files' physical shape here
+                    register_arrow_scan(spark)
+                    plan = write_scan_plan(
+                        json.loads(read_schema.json()),
+                        {},
+                        [{"path": os.path.abspath(p)} for p in paths],
+                        emit_meta=True,
+                    )
+                    df = (
+                        spark.read.format("graft_arrow_scan")
+                        .option("plan", plan)
+                        .load()
+                        .withColumnRenamed("__ice_path", "__cdf_path")
+                        .drop("__ice_pos")
+                    )
+                else:
+                    df = spark.read.schema(read_schema).parquet(*paths)
                 if label is not None:
                     df = df.withColumn(CHANGE_TYPE, F.lit(label))
                 outs.append(_attach(df, plain))

@@ -182,3 +182,42 @@ def test_changelog_scans_route_through_arrow(
     )
     assert fast == slow
     assert all(p is not None for _, _, p in fast)
+
+
+def test_delta_cdf_plain_branch_routes_through_arrow(
+    spark, tmp_path, force_fast
+):
+    """read_delta_changes' multi-file insert branch takes the arrow
+    plan at the file-count gate — change rows identical to the JVM
+    path, per-commit metadata attached through the emitted path."""
+    import os as _os
+
+    from data_lakehouse_project_spark.operators.delta_cdf import (
+        read_delta_changes,
+    )
+
+    t = TxnTable(str(tmp_path / "src"))
+    t.write(
+        spark.range(0, 30).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part", "id * 1.0 AS v"
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    out = str(tmp_path / "mirror")
+    export_delta_snapshot(spark, t.path, out)
+    delete_from_delta(
+        spark, out, "id % 4 = 1", allow_protocol_upgrade=True
+    )
+
+    def _ch():
+        return sorted(
+            (r._commit_version, r._change_type, r.id, r.part)
+            for r in read_delta_changes(spark, out).collect()
+        )
+
+    fast = _ch()
+    _os.environ["SPARK_GRAFT_ARROW_SCAN_FILES"] = "10000000"
+    slow = _ch()
+    assert fast == slow
+    assert all(p is not None for *_, p in fast)
