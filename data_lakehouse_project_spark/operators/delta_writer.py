@@ -850,15 +850,43 @@ def _keyed_scan(
             list(physical.fields)
             + [StructField(rt_id_col, LongType(), True)]
         )
-    df = spark.read.schema(physical).parquet(
-        *[_abs(f["path"]) for f in snap.files]
+    paths = [_abs(f["path"]) for f in snap.files]
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        arrow_scan_threshold,
+        register_arrow_scan,
+        write_scan_plan,
     )
-    df = df.withColumns(
-        {
-            "__dfd_path": _spark_path_key(),
-            "__dfd_pos": F.col("_metadata.row_index"),
-        }
-    )
+
+    if (
+        mapping not in ("name", "id")
+        and len(paths) >= arrow_scan_threshold()
+    ):
+        # high-file-count fast path: skip the O(files) driver file
+        # index (the same shape as the batch readers); the provenance
+        # columns feed the same downstream joins, name resolution
+        # matches because the scan schema IS the files' shape here
+        register_arrow_scan(spark)
+        plan = write_scan_plan(
+            json.loads(physical.json()),
+            {},
+            [{"path": os.path.abspath(p)} for p in paths],
+            emit_meta=True,
+        )
+        df = (
+            spark.read.format("graft_arrow_scan")
+            .option("plan", plan)
+            .load()
+            .withColumnRenamed("__ice_path", "__dfd_path")
+            .withColumnRenamed("__ice_pos", "__dfd_pos")
+        )
+    else:
+        df = spark.read.schema(physical).parquet(*paths)
+        df = df.withColumns(
+            {
+                "__dfd_path": _spark_path_key(),
+                "__dfd_pos": F.col("_metadata.row_index"),
+            }
+        )
     rt_keep = [f"`{rt_id_col}`"] if rt_id_col else []
     if mapping == "name":
         phys_of = _physical_names(snap.schema_json)

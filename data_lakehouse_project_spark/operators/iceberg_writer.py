@@ -756,17 +756,50 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
         return p if os.path.isabs(p) else os.path.join(table_path, p)
 
     paths = [_abs(f["file_path"]) for f in live]
-    scan_schema = _spark_schema(spark, md)
-    if _file_has_field_ids(paths[0]):
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        scan_schema = _spark_schema(spark, md, field_ids=True)
-    df = spark.read.schema(scan_schema).parquet(*paths)
-    df = df.withColumns(
-        {
-            "__dfi_path": _spark_path_key(),
-            "__dfi_pos": F.col("_metadata.row_index"),
-        }
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        arrow_scan_threshold,
+        register_arrow_scan,
+        write_scan_plan,
     )
+
+    if len(paths) >= arrow_scan_threshold():
+        # high-file-count fast path (same shape as the batch readers):
+        # per-file arrow partitions with field-id resolution, emitting
+        # the provenance columns the DML joins consume
+        from .iceberg_reader import _field_names_by_id
+
+        register_arrow_scan(spark)
+        scan_schema = _spark_schema(spark, md)
+        name2id = {
+            v: k for k, v in _field_names_by_id(md).items()
+        }
+        plan = write_scan_plan(
+            json.loads(scan_schema.json()),
+            name2id,
+            [{"path": os.path.abspath(p)} for p in paths],
+            emit_meta=True,
+        )
+        df = (
+            spark.read.format("graft_arrow_scan")
+            .option("plan", plan)
+            .load()
+            .withColumnRenamed("__ice_path", "__dfi_path")
+            .withColumnRenamed("__ice_pos", "__dfi_pos")
+        )
+    else:
+        scan_schema = _spark_schema(spark, md)
+        if _file_has_field_ids(paths[0]):
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            scan_schema = _spark_schema(spark, md, field_ids=True)
+        df = spark.read.schema(scan_schema).parquet(*paths)
+        df = df.withColumns(
+            {
+                "__dfi_path": _spark_path_key(),
+                "__dfi_pos": F.col("_metadata.row_index"),
+            }
+        )
     # identity partition constants (absent source columns)
     from .iceberg_reader import (
         _coerce_partition_value,
