@@ -481,6 +481,19 @@ def equality_kill_positions(
                     eff |= ks
             if not eff:
                 continue
+            have = set(_pq.read_schema(path).names)
+            missing_cols = [c for c in cols if c not in have]
+            if missing_cols:
+                # identity-partition source columns can be physically
+                # absent; CDC replay of an equality delete keyed on
+                # one would need the manifest constants here — refuse
+                # rather than compare against nulls
+                raise UnsupportedIcebergFeature(
+                    f"equality delete keyed on {missing_cols} which "
+                    f"are absent from the parquet of {path} (identity "
+                    "partition source columns); CDC replay does not "
+                    "support this shape — the snapshot read does"
+                )
             dt = _pq.read_table(path, columns=cols)
             already = dead.get(path, ())
             kills = [
@@ -954,6 +967,45 @@ def read_iceberg_table(
                 dvdel, ["__ice_path", "__ice_pos"], "left_anti"
             )
 
+    if ident_cols:
+        # per-file identity partition values, each file under ITS
+        # manifest's spec; COALESCE keeps file-carried values when the
+        # writer stored the column physically (both are spec-legal)
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _STy
+        from pyspark.sql.types import StringType as _Str
+
+        default_ident = _identity_partition_sources(md)
+        rows = []
+        for f in live:
+            ident = by_spec_ident.get(
+                f.get("__spec_id"), default_ident
+            )
+            part = f.get("partition") or {}
+            vals = [
+                _coerce_partition_value(
+                    part.get(ident.get(name2id_all[c])),
+                    schema[c].dataType,
+                )
+                for c in ident_cols
+            ]
+            rows.append([os.path.abspath(_abs(f["file_path"]))] + vals)
+        pmap = spark.createDataFrame(
+            rows,
+            _STy(
+                [_SF("__ice_path", _Str())]
+                + [
+                    _SF(f"__ipv_{c}", schema[c].dataType)
+                    for c in ident_cols
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(pmap), "__ice_path", "left")
+        for c in ident_cols:
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
+            )
+
     if eq_deletes:
         unseq = [
             f["file_path"]
@@ -1010,45 +1062,6 @@ def read_iceberg_table(
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             df = df.join(del_df, cond, "left_anti")
-
-    if ident_cols:
-        # per-file identity partition values, each file under ITS
-        # manifest's spec; COALESCE keeps file-carried values when the
-        # writer stored the column physically (both are spec-legal)
-        from pyspark.sql.types import StructField as _SF
-        from pyspark.sql.types import StructType as _STy
-        from pyspark.sql.types import StringType as _Str
-
-        default_ident = _identity_partition_sources(md)
-        rows = []
-        for f in live:
-            ident = by_spec_ident.get(
-                f.get("__spec_id"), default_ident
-            )
-            part = f.get("partition") or {}
-            vals = [
-                _coerce_partition_value(
-                    part.get(ident.get(name2id_all[c])),
-                    schema[c].dataType,
-                )
-                for c in ident_cols
-            ]
-            rows.append([os.path.abspath(_abs(f["file_path"]))] + vals)
-        pmap = spark.createDataFrame(
-            rows,
-            _STy(
-                [_SF("__ice_path", _Str())]
-                + [
-                    _SF(f"__ipv_{c}", schema[c].dataType)
-                    for c in ident_cols
-                ]
-            ),
-        )
-        df = df.join(F.broadcast(pmap), "__ice_path", "left")
-        for c in ident_cols:
-            df = df.withColumn(
-                c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
-            )
 
     lineage_cols: list[str] = []
     if row_lineage:

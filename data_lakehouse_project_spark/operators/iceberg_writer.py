@@ -970,6 +970,23 @@ def _write_pos_delete_manifest(
     return row, [del_path, delete_manifest]
 
 
+def _ensure_unpartitioned_spec(md: dict) -> int:
+    """Spec id of an unpartitioned spec, appending one to the
+    metadata when the table has none (propagated by
+    _commit_snapshot's metadata copy) — the spec's GLOBAL
+    equality-delete route for partitioned tables: delete files
+    stored under an unpartitioned spec apply to all data."""
+    specs = md.setdefault("partition-specs", [])
+    for sp in specs:
+        if not sp.get("fields"):
+            return int(sp.get("spec-id", 0))
+    sid = max(
+        (int(sp.get("spec-id", 0)) for sp in specs), default=-1
+    ) + 1
+    specs.append({"spec-id": sid, "fields": []})
+    return sid
+
+
 def _stage_eq_delete_files(
     spark: SparkSession,
     md: dict,
@@ -1036,6 +1053,7 @@ def _write_eq_delete_manifest(
     table_path: str,
     snapshot_id: int,
     seq: int,
+    spec_id: int | None = None,
 ) -> dict:
     """One delete manifest (content=1) of ADDED equality-delete
     entries; returns its manifest-list row."""
@@ -1045,6 +1063,8 @@ def _write_eq_delete_manifest(
     delete_manifest = os.path.join(
         meta_dir, f"{_uuid.uuid4().hex}-eqd.avro"
     )
+    if spec_id is None:
+        spec_id = md.get("default-spec-id", 0)
     wd = _AvroWriter(
         spark,
         _entry_avro_schema([]),
@@ -1052,7 +1072,7 @@ def _write_eq_delete_manifest(
         {
             "schema": json.dumps(_current_schema(md)),
             "partition-spec": "[]",
-            "partition-spec-id": str(md.get("default-spec-id", 0)),
+            "partition-spec-id": str(spec_id),
             "format-version": "2",
             "content": "deletes",
         },
@@ -1081,7 +1101,7 @@ def _write_eq_delete_manifest(
     return {
         "manifest_path": delete_manifest,
         "manifest_length": os.path.getsize(delete_manifest),
-        "partition_spec_id": md.get("default-spec-id", 0),
+        "partition_spec_id": spec_id,
         "content": 1,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -1112,13 +1132,15 @@ def write_equality_deletes(
     (O(keys) total cost); rows appended AFTER this snapshot are
     untouched even if they match.
 
-    Unpartitioned tables only (a global equality delete on a
-    partitioned table needs an unpartitioned-spec manifest this
-    writer does not produce — refuse, don't mis-scope).  The snapshot
-    reader applies these exactly (null-safe anti-join); the
-    incremental append scan, changelog, and stream refuse snapshots
-    carrying them, as documented.  Returns ``{"snapshot_id",
-    "delete_files", "key_rows", "metadata"}``."""
+    Partitioned tables take the spec's GLOBAL route: the delete
+    manifest declares an UNPARTITIONED spec (appended to the metadata
+    in this same commit when absent) and applies to all data.  The
+    snapshot reader applies these exactly (null-safe anti-join); the
+    changelog and stream REPLAY them via
+    ``iceberg_reader.equality_kill_positions``; the incremental
+    append scan still refuses non-append snapshots as documented.
+    Returns ``{"snapshot_id", "delete_files", "key_rows",
+    "metadata"}``."""
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
@@ -1129,11 +1151,14 @@ def write_equality_deletes(
         )
     schema_fields = _current_schema(md)["fields"]
     part_fields = _resolve_part_fields(md, schema_fields)
-    if part_fields:
-        raise UnsupportedIcebergFeature(
-            "global equality deletes on a PARTITIONED table need an "
-            "unpartitioned-spec manifest; not supported"
-        )
+    # partitioned tables take the spec's GLOBAL route: the delete
+    # manifest declares an UNPARTITIONED spec (added to the metadata
+    # in this same commit when absent) and applies to all data
+    eq_spec_id = (
+        _ensure_unpartitioned_spec(md)
+        if part_fields
+        else md.get("default-spec-id", 0)
+    )
     spark_schema = _spark_schema(spark, md)
     unknown = [c for c in equality_columns if c not in spark_schema.names]
     if not equality_columns or unknown:
@@ -1157,7 +1182,7 @@ def write_equality_deletes(
                 "key_rows": 0, "metadata": md_file}
     manifest_row = _write_eq_delete_manifest(
         spark, md, schema_fields, files, equality_columns, table_path,
-        snapshot_id, seq,
+        snapshot_id, seq, spec_id=eq_spec_id,
     )
     new_path = _commit_snapshot(
         spark,
@@ -1203,10 +1228,12 @@ def upsert_into_iceberg(
     (``iceberg_reader.equality_kill_positions``), emitting a
     ``delete`` pre-image + ``insert`` post-image per replaced key.
 
-    Unpartitioned tables only (the same scope as
-    ``write_equality_deletes``).  ``source`` must carry every table
-    column and at most one row per key (enforced — duplicate keys in
-    one batch would make the surviving row undefined).  Returns
+    Partitioned tables work: data files stage under the table's spec
+    (hidden transforms included) while the delete manifest takes the
+    GLOBAL unpartitioned-spec route.  ``source`` must carry every
+    table column and at most one row per key (enforced — duplicate
+    keys in one batch would make the surviving row undefined).
+    Returns
     ``{"snapshot_id", "rows_upserted", "delete_files", "data_files",
     "metadata"}``."""
     table_path = os.path.abspath(table_path)
@@ -1219,11 +1246,14 @@ def upsert_into_iceberg(
         )
     schema_fields = _current_schema(md)["fields"]
     part_fields = _resolve_part_fields(md, schema_fields)
-    if part_fields:
-        raise UnsupportedIcebergFeature(
-            "keyed upsert on a PARTITIONED table needs an "
-            "unpartitioned-spec delete manifest; not supported"
-        )
+    # partitioned tables: the data manifest keeps the default spec
+    # (transform staging included); the delete manifest takes the
+    # spec's GLOBAL unpartitioned-spec route
+    eq_spec_id = (
+        _ensure_unpartitioned_spec(md)
+        if part_fields
+        else md.get("default-spec-id", 0)
+    )
     spark_schema = _spark_schema(spark, md)
     unknown = [c for c in key_columns if c not in spark_schema.names]
     if not key_columns or unknown:
@@ -1296,7 +1326,7 @@ def upsert_into_iceberg(
     if del_files:
         del_row = _write_eq_delete_manifest(
             spark, md, schema_fields, del_files, key_columns,
-            table_path, snapshot_id, seq,
+            table_path, snapshot_id, seq, spec_id=eq_spec_id,
         )
         rollback.append(del_row["manifest_path"])
         rows.append(del_row)

@@ -17,6 +17,7 @@ from data_lakehouse_project_spark.operators.iceberg_export import (
 from data_lakehouse_project_spark.operators.iceberg_reader import (
     UnsupportedIcebergFeature,
     iceberg_snapshot_ids,
+    read_iceberg_changelog,
     read_iceberg_changes,
     read_iceberg_table,
 )
@@ -695,17 +696,116 @@ def test_write_equality_deletes(spark, tmp_path):
     with pytest.raises(UnsupportedIcebergFeature, match="delete"):
         read_iceberg_changes(spark, path, from_snapshot_id=sid0).collect()
 
-    # refusals: partitioned table; unknown column; missing key column
+    # refusals: unknown column; missing key column (partitioned
+    # tables take the GLOBAL unpartitioned-spec route since r10 —
+    # see test_equality_deletes_on_partitioned_table_global_spec)
     from data_lakehouse_project_spark.operators.iceberg_writer import (
         write_equality_deletes as _weq,
     )
 
-    pt = TxnTable(str(tmp_path / "pp"))
-    pt.write(_df(spark, 0, 4), mode="overwrite", partition_by=["part"])
-    export_iceberg_metadata(pt, spark)
-    with pytest.raises(UnsupportedIcebergFeature, match="PARTITIONED"):
-        _weq(spark, pt.path, keys, ["id"])
     with pytest.raises(ValueError, match="unknown"):
         _weq(spark, path, keys, ["zzz"])
     with pytest.raises(ValueError, match="missing"):
         _weq(spark, path, keys, ["v"])
+
+
+def test_equality_deletes_on_partitioned_table_global_spec(
+    spark, tmp_path
+):
+    """Partitioned tables take the spec's GLOBAL equality-delete
+    route: the delete manifest declares an UNPARTITIONED spec (added
+    to the metadata in the same commit) and kills matching keys in
+    every partition; later re-inserts survive the sequence rule."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        load_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upsert_into_iceberg,
+        write_equality_deletes,
+    )
+
+    path = str(tmp_path / "pt")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 12).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    write_equality_deletes(
+        spark, path,
+        spark.createDataFrame([(1,), (4,), (7,)], "id long"), ["id"],
+    )
+    md = load_iceberg_metadata(path)
+    specs = {s["spec-id"]: s for s in md["partition-specs"]}
+    unparts = [s for s in specs.values() if not s["fields"]]
+    assert len(unparts) == 1  # added once, reused after
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [0, 2, 3, 5, 6, 8, 9, 10, 11]
+
+    # keyed upsert on the partitioned table: replaced keys move, new
+    # keys insert, the delete manifest reuses the unpartitioned spec
+    src = spark.createDataFrame(
+        [(2, "9", 222.0), (100, "9", 100.0)],
+        "id long, part string, v double",
+    )
+    upsert_into_iceberg(spark, path, src, ["id"])
+    md = load_iceberg_metadata(path)
+    assert (
+        len([s for s in md["partition-specs"] if not s["fields"]]) == 1
+    )
+    rows = {
+        r.id: (r.part, r.v)
+        for r in read_iceberg_table(spark, path).collect()
+    }
+    assert rows[2] == ("9", 222.0) and rows[100] == ("9", 100.0)
+    assert len(rows) == 10
+    # changelog replays the partitioned upsert exactly
+    ch = read_iceberg_changelog(spark, path)
+    got = sorted(
+        (r._change_type, r.id)
+        for r in ch.where("id IN (2, 100)").collect()
+    )
+    assert got == [
+        ("delete", 2),
+        ("insert", 2),
+        ("insert", 2),
+        ("insert", 100),
+    ]
+
+
+def test_equality_delete_on_absent_partition_source_column(
+    spark, tmp_path
+):
+    """Equality delete keyed on an identity-partition SOURCE column
+    that is physically absent from the data files: the snapshot read
+    applies it through the manifests' partition constants (the ident
+    fill precedes the equality anti-join); CDC replay refuses that
+    shape explicitly."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        write_equality_deletes,
+    )
+
+    path = str(tmp_path / "abs")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 12).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],  # 'part' absent from the parquet
+    )
+    export_iceberg_metadata(t, spark)
+    write_equality_deletes(
+        spark, path,
+        spark.createDataFrame([("1",)], "part string"), ["part"],
+    )
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [0, 2, 3, 5, 6, 8, 9, 11]  # part '1' gone entirely
+
+    with pytest.raises(UnsupportedIcebergFeature, match="absent"):
+        read_iceberg_changelog(spark, path).collect()
