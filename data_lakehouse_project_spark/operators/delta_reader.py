@@ -802,8 +802,16 @@ def read_delta_table(
     timestamp_ms: int | None = None,
     prune: list[tuple[str, str, object]] | None = None,
     row_ids: bool = False,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """DataFrame over a foreign Delta table at ``table_path``.
+
+    ``columns`` projects to the named table columns and — unlike a
+    ``.select`` AFTER the read — narrows the arrow fast path's
+    DECLARED schema so only those parquet columns are read (Spark
+    does not push column pruning into Python data sources).  On the
+    JVM path it is a plain select Catalyst prunes anyway.  Prune
+    columns are scanned as needed and dropped after the re-apply.
 
     ``prune`` is the same ``(column, op, value)`` file-skipping list
     the internal reader takes: files whose add-action stats or
@@ -831,6 +839,13 @@ def read_delta_table(
     )
     if schema is None:
         raise CorruptDeltaLog("metaData carries no schemaString")
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema.names]
+        if unknown:
+            raise ValueError(
+                f"columns not in table schema: {unknown} "
+                f"(have {schema.names})"
+            )
 
     # column mapping "name": the log (stats keys, partitionValues
     # keys) and the parquet columns use PHYSICAL names; the DataFrame
@@ -849,7 +864,8 @@ def read_delta_table(
         ]
         files = [f for f in files if _file_may_match(f, prune_phys)]
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        return empty.select(*columns) if columns is not None else empty
 
     part_cols = [c for c in snap.partition_columns if c in schema.names]
     from pyspark.sql.types import StructField, StructType
@@ -961,7 +977,17 @@ def read_delta_table(
         and _simple_parts
         and len(files) >= arrow_scan_threshold()
     ):
-        df = _delta_arrow_scan(spark, table_path, files, schema, _abs)
+        scan_schema_n = schema
+        if columns is not None:
+            keep = set(columns) | {
+                c for c, _, _ in (prune or []) if c in schema.names
+            }
+            scan_schema_n = StructType(
+                [f for f in schema.fields if f.name in keep]
+            )
+        df = _delta_arrow_scan(
+            spark, table_path, files, scan_schema_n, _abs
+        )
         if prune:
             for col, op, val in prune:
                 if col not in df.columns:
@@ -975,6 +1001,8 @@ def read_delta_table(
                         "isnotnull": c.isNotNull(),
                     }[op]
                 )
+        if columns is not None:
+            df = df.select(*columns)
         return df
 
     paths = [_abs(f["path"]) for f in files]
@@ -1136,6 +1164,11 @@ def read_delta_table(
                 "isnull": c.isNull(), "isnotnull": c.isNotNull(),
             }[op]
             df = df.where(cond)
+    if columns is not None:
+        extra = (
+            ["_row_id", "_row_commit_version"] if row_ids else []
+        )
+        df = df.select(*columns, *extra)
     return df
 
 

@@ -767,9 +767,19 @@ def read_iceberg_table(
     metadata_file: str | None = None,
     prune: list[tuple[str, str, object]] | None = None,
     row_lineage: bool = False,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """DataFrame over a foreign Iceberg table's selected snapshot,
     with v2 row-level deletes applied:
+
+    ``columns`` projects the result to the named table columns — and,
+    unlike a ``.select`` AFTER the read, narrows the arrow fast path's
+    DECLARED schema, so only those parquet columns are read (Spark
+    does not push column pruning into Python data sources; the
+    declared schema is the only projection the source sees).  On the
+    JVM path it is a plain select that Catalyst pushes into the scan
+    either way.  Prune columns are scanned as needed and dropped
+    after the re-apply.
 
     * POSITION deletes: a ``(file, row_index)`` anti-join — the same
       mechanism the Delta reader uses for deletion vectors.
@@ -794,6 +804,13 @@ def read_iceberg_table(
         spark, table_path, snapshot_id, as_of_ms, metadata_file
     )
     schema = _spark_schema(spark, md)
+    if columns is not None:
+        unknown = [c for c in columns if c not in schema.names]
+        if unknown:
+            raise ValueError(
+                f"columns not in table schema: {unknown} "
+                f"(have {schema.names})"
+            )
 
     if prune:  # noqa: SIM102 — kept flat for the re-apply below
         # driver-side file skipping over manifest column bounds and
@@ -825,7 +842,8 @@ def read_iceberg_table(
         ]
 
     if not live:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        return empty.select(*columns) if columns is not None else empty
 
     def _abs(p: str) -> str:
         for pref in ("file://", "file:"):
@@ -848,8 +866,19 @@ def read_iceberg_table(
         and not row_lineage
         and len(live) >= arrow_scan_threshold()
     ):
+        scan_schema_n = schema
+        if columns is not None:
+            from pyspark.sql.types import StructType as _Sty
+
+            keep = set(columns) | {
+                c for c, _, _ in (prune or []) if c in schema.names
+            }
+            scan_schema_n = _Sty(
+                [f for f in schema.fields if f.name in keep]
+            )
         df = _arrow_batch_scan(
-            spark, md, live, pos_deletes, _abs, schema, table_path
+            spark, md, live, pos_deletes, _abs, scan_schema_n,
+            table_path,
         )
         if prune:
             for col, op, val in prune:
@@ -864,6 +893,8 @@ def read_iceberg_table(
                         "isnotnull": c.isNotNull(),
                     }[op]
                 )
+        if columns is not None:
+            df = df.select(*columns)
         return df
 
     paths = [_abs(f["file_path"]) for f in live]
@@ -1122,6 +1153,8 @@ def read_iceberg_table(
                 "isnull": c.isNull(), "isnotnull": c.isNotNull(),
             }[op]
             df = df.where(cond)
+    if columns is not None:
+        df = df.select(*columns, *lineage_cols)
     return df
 
 

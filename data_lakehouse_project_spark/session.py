@@ -133,6 +133,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python data sources (the foreign readers' arrow fast
+        # path) see the query's filters for row-group pruning; the
+        # source returns them all so Spark still re-applies (advisory)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # keep scans right-sized so a 100 TB table splits into sane tasks

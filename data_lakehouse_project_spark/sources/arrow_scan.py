@@ -25,10 +25,20 @@ The plan ships via a JSON spill file (options are string-only), one
 entry per data file.  Equality deletes are NOT handled here — callers
 keep the JVM anti-join path when any are live.
 
-Trade-off (documented, gated): no parquet row-group pushdown inside a
-file — acceptable in the file-count-bound regime this path is gated to
-(``SPARK_GRAFT_ARROW_SCAN_FILES``, default 2000 files); driver-side
-manifest pruning has already run by the time the plan is built.
+Scan-side IO reduction (round 11):
+
+* **column pruning** — each file's parquet FOOTER is read first and only
+  the physical columns resolvable to the plan's declared schema are
+  passed as ``columns=`` to the read.  A narrow rollup over a wide
+  100 TB table now pays narrow IO on this path too (the JVM path always
+  pruned; this path used to read full width and discard).
+* **advisory filter pushdown** — ``pushFilters`` records the query's
+  AND-of-leaf filters but RETURNS them all, so Spark re-applies every
+  filter after the scan.  The recorded copy is translated per-file to a
+  pyarrow dataset expression for row-group statistics pruning + early
+  row filtering; because Spark re-checks, correctness never depends on
+  the translation, and any arrow-side type mismatch falls back to an
+  unfiltered read of that file.
 """
 
 from __future__ import annotations
@@ -120,10 +130,85 @@ class ArrowScanDataSource(DataSource):
         return _ArrowScanReader(schema, self._plan())
 
 
+def _filters_to_expr(filters, resolve):
+    """AND the translatable leaf filters into one pyarrow dataset
+    expression; ``resolve`` maps a declared column name to the physical
+    (or post-assembly) column name, or None when the column isn't
+    addressable in this context.  Untranslatable filters are simply
+    skipped — safe, because ``pushFilters`` returns every filter to
+    Spark for re-evaluation (advisory pushdown)."""
+    import pyarrow.dataset as pds
+
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+    )
+
+    def leaf(f):
+        if isinstance(f, Not):
+            c = leaf(f.child)
+            return None if c is None else ~c
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None  # nested column paths: let Spark handle
+        col = resolve(attr[0])
+        if col is None:
+            return None
+        fld = pds.field(col)
+        if isinstance(f, IsNull):
+            return fld.is_null()
+        if isinstance(f, IsNotNull):
+            return ~fld.is_null()
+        if isinstance(f, In):
+            vals = [v for v in f.value if v is not None]
+            if len(vals) != len(f.value):
+                return None  # null-in-list semantics: punt
+            return fld.isin(vals)
+        v = getattr(f, "value", None)
+        if v is None:
+            return None
+        if isinstance(f, EqualTo):
+            return fld == v
+        if isinstance(f, GreaterThan):
+            return fld > v
+        if isinstance(f, GreaterThanOrEqual):
+            return fld >= v
+        if isinstance(f, LessThan):
+            return fld < v
+        if isinstance(f, LessThanOrEqual):
+            return fld <= v
+        return None
+
+    expr = None
+    for f in filters:
+        try:
+            e = leaf(f)
+        except Exception:
+            e = None  # advisory: degrade to unfiltered, Spark re-checks
+        if e is not None:
+            expr = e if expr is None else (expr & e)
+    return expr
+
+
 class _ArrowScanReader(DataSourceReader):
     def __init__(self, schema, plan: dict):
         self._schema = schema
         self._plan = plan
+        self._pushed = []
+
+    def pushFilters(self, filters):
+        """Advisory pushdown: keep a copy for arrow-side row-group
+        pruning, but return EVERY filter so Spark re-applies them —
+        correctness never rides on the arrow translation."""
+        self._pushed = list(filters)
+        return filters
 
     def partitions(self):
         plan = self._plan
@@ -178,10 +263,65 @@ class _ArrowScanReader(DataSourceReader):
             ]
         )
         emit_meta = getattr(partition, "emit_meta", False)
+        pushed = getattr(self, "_pushed", None) or []
         for spec in json.loads(partition.files_json):
             consts = spec.get("consts") or {}
             dead = spec.get("dead") or []
-            table = pq.read_table(spec["path"])
+            # Footer first: resolve the declared schema against the
+            # file's physical columns so the read is column-pruned —
+            # a narrow rollup over a wide table reads narrow IO.
+            pf = pq.ParquetFile(spec["path"])
+            fschema = pf.schema_arrow
+            by_id: dict[int, str] = {}
+            if ids:  # only an ids-mapped plan (Iceberg) resolves by id
+                for af in fschema:
+                    fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        by_id[int(fid)] = af.name
+            src_of: dict[str, str] = {}  # declared name -> physical
+            for f in target:
+                if by_id:  # spec: columns resolve by FIELD ID
+                    # (strict — a missing id means the column didn't
+                    # exist at write time; a name fallback would
+                    # misread renamed columns)
+                    s = by_id.get(ids.get(f.name))
+                elif f.name in fschema.names:  # name resolution
+                    s = f.name
+                else:
+                    s = None
+                if s is not None:
+                    src_of[f.name] = s
+            needed: list[str] = []
+            for s in src_of.values():
+                if s not in needed:
+                    needed.append(s)
+            simple = not dead and not emit_meta
+            table = None
+            if simple and pushed and needed:
+                # row-group stats pruning + early row filter; Spark
+                # re-applies every filter, so a translation gap or a
+                # type-mismatch fallback can't change results
+                expr = _filters_to_expr(
+                    pushed, lambda name: src_of.get(name)
+                )
+                if expr is not None:
+                    try:
+                        table = pq.read_table(
+                            spec["path"], columns=needed, filters=expr
+                        )
+                    except Exception:
+                        table = None  # fall through: unfiltered read
+            if table is None:
+                if needed:
+                    table = pf.read(columns=needed)
+                else:  # all-consts/null projection: rows only
+                    table = pa.table(
+                        {
+                            "__n": pa.nulls(
+                                pf.metadata.num_rows, pa.int8()
+                            )
+                        }
+                    )
             positions = None
             if emit_meta:
                 import numpy as np
@@ -195,23 +335,10 @@ class _ArrowScanReader(DataSourceReader):
                 table = table.filter(pa.array(mask))
                 if positions is not None:
                     positions = positions[mask]
-            by_id: dict[int, str] = {}
-            if ids:  # only an ids-mapped plan (Iceberg) resolves by id
-                for af in table.schema:
-                    fid = (af.metadata or {}).get(b"PARQUET:field_id")
-                    if fid is not None:
-                        by_id[int(fid)] = af.name
             n = table.num_rows
             cols = []
             for f, sf in zip(target, schema.fields):
-                src = None
-                if by_id:  # spec: columns resolve by FIELD ID
-                    # (strict — a missing id means the column didn't
-                    # exist at write time; a name fallback would
-                    # misread renamed columns)
-                    src = by_id.get(ids.get(f.name))
-                elif f.name in table.column_names:  # name resolution
-                    src = f.name
+                src = src_of.get(f.name)
                 if src is not None:
                     cols.append(table.column(src).cast(f.type))
                 elif f.name in consts:
@@ -227,6 +354,18 @@ class _ArrowScanReader(DataSourceReader):
                     "__ice_path",
                     pa.array([spec["path"]] * n, pa.string()),
                 ).append_column("__ice_pos", pa.array(positions))
+            if pushed and not simple:
+                # positions already materialized — safe to drop rows
+                # now; declared + const names are all real columns
+                names = set(out.column_names)
+                expr = _filters_to_expr(
+                    pushed, lambda name: name if name in names else None
+                )
+                if expr is not None:
+                    try:
+                        out = out.filter(expr)
+                    except Exception:
+                        pass  # Spark re-applies the filters anyway
             yield from out.to_batches(max_chunksize=1 << 16)
 
 

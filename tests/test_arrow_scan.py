@@ -221,3 +221,266 @@ def test_delta_cdf_plain_branch_routes_through_arrow(
     slow = _ch()
     assert fast == slow
     assert all(p is not None for *_, p in fast)
+
+
+# ---------------------------------------------------------------------------
+# round 11: column pruning + advisory filter pushdown inside the source
+# ---------------------------------------------------------------------------
+
+
+def _direct_read(plan):
+    """Drive _ArrowScanReader in-process (what a Spark python worker
+    does), so monkeypatching pyarrow observes the executor-side IO."""
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        _ArrowScanReader,
+    )
+
+    reader = _ArrowScanReader(None, plan)
+    parts = reader.partitions()
+    import pyarrow as pa
+
+    batches = [b for p in parts for b in reader.read(p)]
+    return reader, pa.Table.from_batches(
+        batches
+    ) if batches else None
+
+
+def _wide_file(tmp_path, n=100):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {f"c{i}": list(range(n)) for i in range(8)}
+    cols["k"] = [i % 5 for i in range(n)]
+    path = str(tmp_path / "wide.parquet")
+    pq.write_table(pa.table(cols), path, row_group_size=20)
+    return path
+
+
+def test_arrow_scan_reads_only_declared_columns(tmp_path, monkeypatch):
+    """A 9-column file with a 2-column declared schema must hit
+    pyarrow with columns=<those 2> — the round-11 pruning contract."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    path = _wide_file(tmp_path)
+    schema = StructType(
+        [StructField("c3", LongType()), StructField("k", LongType())]
+    )
+    plan = {
+        "schema": schema.jsonValue(),
+        "ids": {},
+        "files": [{"path": path, "consts": {}, "dead": []}],
+    }
+    seen = []
+    orig = pq.ParquetFile.read
+
+    def spy(self, columns=None, **kw):
+        seen.append(columns)
+        return orig(self, columns=columns, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read", spy)
+    _, out = _direct_read(plan)
+    assert seen == [["c3", "k"]]
+    assert out.column_names == ["c3", "k"]
+    assert out.num_rows == 100
+
+
+def test_arrow_scan_all_consts_projection_reads_no_columns(
+    tmp_path, monkeypatch
+):
+    """Projection entirely satisfied by partition consts: only the
+    footer is touched for the row count; no column IO."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    path = _wide_file(tmp_path)
+    schema = StructType([StructField("part", StringType())])
+    plan = {
+        "schema": schema.jsonValue(),
+        "ids": {},
+        "files": [
+            {"path": path, "consts": {"part": "a"}, "dead": [1, 2]}
+        ],
+    }
+    called = []
+    monkeypatch.setattr(
+        pq.ParquetFile,
+        "read",
+        lambda self, **kw: called.append(kw) or (_ for _ in ()).throw(
+            AssertionError("column IO on an all-consts projection")
+        ),
+    )
+    _, out = _direct_read(plan)
+    assert not called
+    assert out.num_rows == 98  # 100 minus 2 dead positions
+    assert out.column("part").to_pylist()[:2] == ["a", "a"]
+
+
+def test_arrow_scan_pushed_filters_prune_rows(tmp_path):
+    """Pushed filters applied arrow-side on the simple path (row-group
+    stats + row filter) AND on the dead/emit_meta path (post-assembly);
+    advisory contract means exact row-level filtering here."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        _ArrowScanReader,
+    )
+
+    path = _wide_file(tmp_path)
+    schema = StructType(
+        [StructField("c0", LongType()), StructField("k", LongType())]
+    )
+    plan = {
+        "schema": schema.jsonValue(),
+        "ids": {},
+        "files": [{"path": path, "consts": {}, "dead": []}],
+    }
+    reader = _ArrowScanReader(None, plan)
+    flt = [EqualTo(("k",), 2), GreaterThan(("c0",), 10)]
+    returned = reader.pushFilters(flt)
+    assert list(returned) == flt  # advisory: Spark re-applies all
+    import pyarrow as pa
+
+    out = pa.Table.from_batches(
+        [b for p in reader.partitions() for b in reader.read(p)]
+    )
+    assert set(out.column("k").to_pylist()) == {2}
+    assert min(out.column("c0").to_pylist()) > 10
+
+    # dead-position path: filter applied AFTER masking, rows exact
+    plan2 = dict(plan, files=[{"path": path, "consts": {},
+                               "dead": [12, 17]}])
+    reader2 = _ArrowScanReader(None, plan2)
+    reader2.pushFilters([EqualTo(("k",), 2)])
+    out2 = pa.Table.from_batches(
+        [b for p in reader2.partitions() for b in reader2.read(p)]
+    )
+    got = sorted(out2.column("c0").to_pylist())
+    want = sorted(
+        i for i in range(100) if i % 5 == 2 and i not in (12, 17)
+    )
+    assert got == want
+
+
+def test_arrow_scan_filter_translation_gap_is_safe(tmp_path):
+    """An untranslatable filter (nested path) is skipped arrow-side —
+    rows come back unfiltered and Spark's re-application handles it."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import LongType, StructField, StructType
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        _ArrowScanReader,
+    )
+
+    path = _wide_file(tmp_path)
+    schema = StructType([StructField("k", LongType())])
+    plan = {
+        "schema": schema.jsonValue(),
+        "ids": {},
+        "files": [{"path": path, "consts": {}, "dead": []}],
+    }
+    reader = _ArrowScanReader(None, plan)
+    reader.pushFilters([EqualTo(("a", "b"), 1)])  # nested: skip
+    import pyarrow as pa
+
+    out = pa.Table.from_batches(
+        [b for p in reader.partitions() for b in reader.read(p)]
+    )
+    assert out.num_rows == 100
+
+
+def test_fast_path_filter_parity_through_spark(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end through Spark with the session's filter-pushdown conf:
+    a filtered narrow aggregate over the fast path equals the JVM
+    path's answer."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 400).selectExpr(
+            "id",
+            "CAST(id % 7 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+            "id % 13 AS w",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    delete_from_iceberg(spark, t.path, "id % 11 = 3")
+
+    def q():
+        return (
+            read_iceberg_table(spark, t.path)
+            .where((F.col("w") > 4) & (F.col("part") == "2"))
+            .agg(
+                F.sum("v").alias("sv"), F.count("*").alias("c")
+            )
+        )
+
+    fast, slow = _both(monkeypatch, q)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_read_iceberg_table_columns_projection(
+    spark, tmp_path, monkeypatch
+):
+    """columns= narrows the fast path's declared schema (the only
+    projection a Python data source sees) — both paths agree, consts
+    columns project fine, prune columns scan-then-drop."""
+    t = TxnTable(str(tmp_path / "t"))
+    t.write(
+        spark.range(0, 200).selectExpr(
+            "id", "CAST(id % 5 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v", "id % 9 AS w",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    fast, slow = _both(
+        monkeypatch,
+        lambda: read_iceberg_table(
+            spark, t.path, columns=["part", "v"],
+            prune=[("w", ">", 3)],
+        ),
+    )
+    assert fast.columns == ["part", "v"]
+    assert _rows(fast) == _rows(slow)
+    assert fast.count() == sum(1 for i in range(200) if i % 9 > 3)
+    with pytest.raises(ValueError, match="nope"):
+        read_iceberg_table(spark, t.path, columns=["nope"])
+
+
+def test_read_delta_table_columns_projection(
+    spark, tmp_path, monkeypatch
+):
+    t = TxnTable(str(tmp_path / "src"))
+    t.write(
+        spark.range(0, 200).selectExpr(
+            "id", "CAST(id % 5 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    out = str(tmp_path / "mirror")
+    export_delta_snapshot(spark, t.path, out)
+    delete_from_delta(
+        spark, out, "id % 13 = 4", allow_protocol_upgrade=True
+    )
+    fast, slow = _both(
+        monkeypatch,
+        lambda: read_delta_table(spark, out, columns=["part", "v"]),
+    )
+    assert fast.columns == ["part", "v"]
+    assert _rows(fast) == _rows(slow)
+    with pytest.raises(ValueError, match="nope"):
+        read_delta_table(spark, out, columns=["nope"])
