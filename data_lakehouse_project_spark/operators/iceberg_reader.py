@@ -416,21 +416,55 @@ def _coerce_partition_value(v, dt):
     return v
 
 
+def _eq_partition_key(spec_id, part: dict | None) -> str:
+    """Canonical string for a delete/data file's (spec id, partition
+    tuple) — the unit the spec scopes PARTITIONED equality deletes
+    to: a delete stored with a partition applies only to data files
+    of the same spec and partition value (Iceberg spec, Scan
+    Planning).  str() is stable within a spec because a given
+    partition field always carries one type."""
+    return json.dumps(
+        [
+            int(spec_id or 0),
+            sorted(
+                (str(k), str(v)) for k, v in (part or {}).items()
+            ),
+        ]
+    )
+
+
 def equality_kill_positions(
-    groups: list[tuple[tuple[int, ...], list[tuple[str, int]]]],
+    groups: list[tuple[tuple[int, ...], list[tuple]]],
     live_seq: dict[str, int | None],
     dead: dict[str, set[int]],
     id2name: dict[int, str],
+    consts: dict[str, dict[str, object]] | None = None,
+    live_pkey: dict[str, str] | None = None,
 ) -> dict[str, list[int]]:
     """Reduce EQUALITY deletes to exact row positions — the planning
     step that lets both CDC surfaces (batch changelog and the
     streaming source) reuse their position-delete machinery verbatim.
 
     ``groups`` is ``[(equality_ids tuple, [(abs eq-file path,
-    delete data-sequence-number), ...])]``; ``live_seq`` maps each
-    LIVE data file (at this point of the snapshot walk) to its data
-    sequence number; ``dead`` holds positions already dead (NOT
-    mutated here).  Returns fresh kills per data file, sorted.
+    delete data-sequence-number[, partition-key-or-None]), ...])]``;
+    ``live_seq`` maps each LIVE data file (at this point of the
+    snapshot walk) to its data sequence number; ``dead`` holds
+    positions already dead (NOT mutated here).  Returns fresh kills
+    per data file, sorted.
+
+    ``consts`` maps data-file path -> {column: value} for identity-
+    partition source columns physically ABSENT from the parquet
+    (spec: manifest partition values replace them) — the same
+    substitution the snapshot reader does, so CDC replay of a delete
+    keyed on a partition source column works.  A key column that is
+    neither in the file nor in ``consts`` is refused, never compared
+    against nulls.
+
+    A delete entry may carry a PARTITION KEY (``_eq_partition_key``)
+    as its third element: the spec scopes such deletes to data files
+    of the same spec + partition value (``live_pkey`` maps data files
+    to their keys).  Entries without one (or with None) are GLOBAL —
+    stored under an unpartitioned spec, applied to all data.
 
     Mechanics: per ids-group, the (small) eq delete files' key columns
     load driver-side; each candidate data file reads ONLY those key
@@ -450,23 +484,32 @@ def equality_kill_positions(
             raise UnsupportedIcebergFeature(
                 f"equality_ids reference unknown field id {exc}"
             ) from None
-        keysets: list[tuple[int, set]] = []
-        for eq_path, del_seq in files:
+        keysets: list[tuple[int, str | None, set]] = []
+        for entry in files:
+            eq_path, del_seq = entry[0], entry[1]
+            pkey = entry[2] if len(entry) > 2 else None
             if del_seq is None:
                 raise UnsupportedIcebergFeature(
                     "equality delete file without a data sequence "
                     f"number: {eq_path}"
                 )
+            if pkey is not None and live_pkey is None:
+                raise UnsupportedIcebergFeature(
+                    "partition-scoped equality delete entry given "
+                    "without live_pkey — caller must supply data-file "
+                    "partition keys"
+                )
             tbl = _pq.read_table(eq_path, columns=cols)
             keysets.append(
                 (
                     int(del_seq),
+                    pkey,
                     set(
                         zip(*[tbl.column(c).to_pylist() for c in cols])
                     ),
                 )
             )
-        min_del_seq = min(s for s, _ in keysets)
+        min_del_seq = min(s for s, _, _ in keysets)
         for path, dseq in live_seq.items():
             if dseq is None:
                 raise UnsupportedIcebergFeature(
@@ -476,31 +519,44 @@ def equality_kill_positions(
             if int(dseq) >= min_del_seq:
                 continue  # no delete file is strictly newer
             eff: set = set()
-            for del_seq, ks in keysets:
-                if int(dseq) < del_seq:
-                    eff |= ks
+            for del_seq, pkey, ks in keysets:
+                if int(dseq) >= del_seq:
+                    continue
+                if pkey is not None and pkey != (live_pkey or {}).get(
+                    path
+                ):
+                    continue  # scoped delete: other partition
+                eff |= ks
             if not eff:
                 continue
             have = set(_pq.read_schema(path).names)
-            missing_cols = [c for c in cols if c not in have]
+            cfile = (consts or {}).get(path) or {}
+            missing_cols = [
+                c for c in cols if c not in have and c not in cfile
+            ]
             if missing_cols:
-                # identity-partition source columns can be physically
-                # absent; CDC replay of an equality delete keyed on
-                # one would need the manifest constants here — refuse
-                # rather than compare against nulls
+                # a key column neither in the parquet nor available
+                # as a manifest partition constant — refuse rather
+                # than compare against nulls
                 raise UnsupportedIcebergFeature(
                     f"equality delete keyed on {missing_cols} which "
-                    f"are absent from the parquet of {path} (identity "
-                    "partition source columns); CDC replay does not "
-                    "support this shape — the snapshot read does"
+                    f"are absent from the parquet of {path} and not "
+                    "identity-partition constants — refusing to "
+                    "compare against nulls"
                 )
-            dt = _pq.read_table(path, columns=cols)
+            present = [c for c in cols if c in have]
+            dt = _pq.read_table(path, columns=present)
+            n = dt.num_rows
+            col_lists = [
+                dt.column(c).to_pylist()
+                if c in have
+                else [cfile[c]] * n
+                for c in cols
+            ]
             already = dead.get(path, ())
             kills = [
                 pos
-                for pos, key in enumerate(
-                    zip(*[dt.column(c).to_pylist() for c in cols])
-                )
+                for pos, key in enumerate(zip(*col_lists))
                 if key in eff and pos not in already
             ]
             if kills:
@@ -845,6 +901,47 @@ def read_iceberg_table(
         empty = spark.createDataFrame([], schema)
         return empty.select(*columns) if columns is not None else empty
 
+    if eq_deletes:
+        # spec scoping: an equality delete stored with a PARTITION
+        # applies only to data files of the same spec + partition
+        # value; one stored under an unpartitioned spec is GLOBAL.
+        # Drop deletes that can touch NO live file (wrong partition,
+        # or nothing strictly older) driver-side — partition-scoped
+        # delete manifests let untouched partitions skip delete
+        # application entirely, and a fully-pruned set re-enables the
+        # arrow fast path below.
+        _spec_part = {
+            int(sp.get("spec-id", 0)): bool(sp.get("fields"))
+            for sp in md.get("partition-specs", [])
+        }
+        _all_seqs = [f.get("__seq") for f in live]
+        if all(x is not None for x in _all_seqs) and all(
+            d.get("__seq") is not None for d in eq_deletes
+        ):
+            _min_all = min(int(x) for x in _all_seqs)
+            _min_by_pkey: dict[str, int] = {}
+            for f in live:
+                pk = _eq_partition_key(
+                    f.get("__spec_id"), f.get("partition")
+                )
+                sq = int(f["__seq"])
+                if pk not in _min_by_pkey or sq < _min_by_pkey[pk]:
+                    _min_by_pkey[pk] = sq
+            kept = []
+            for d in eq_deletes:
+                dspec = int(d.get("__spec_id") or 0)
+                if _spec_part.get(dspec):
+                    ms = _min_by_pkey.get(
+                        _eq_partition_key(dspec, d.get("partition"))
+                    )
+                else:
+                    ms = _min_all
+                if ms is not None and ms < int(d["__seq"]):
+                    kept.append(d)
+            eq_deletes = kept
+        # (None sequence numbers fall through to the apply block's
+        # refusal — pruning never masks that error)
+
     def _abs(p: str) -> str:
         for pref in ("file://", "file:"):
             if p.startswith(pref):
@@ -1052,12 +1149,28 @@ def read_iceberg_table(
         # per-row data sequence number via a broadcast path->seq map
         seq_map = spark.createDataFrame(
             [
-                (os.path.abspath(_abs(f["file_path"])), int(f["__seq"]))
+                (
+                    os.path.abspath(_abs(f["file_path"])),
+                    int(f["__seq"]),
+                    _eq_partition_key(
+                        f.get("__spec_id"), f.get("partition")
+                    ),
+                )
                 for f in live
             ],
-            ["__ice_path", "__data_seq"],
+            ["__ice_path", "__data_seq", "__data_pkey"],
         )
         df = df.join(F.broadcast(seq_map), "__ice_path", "left")
+        _spec_part2 = {
+            int(sp.get("spec-id", 0)): bool(sp.get("fields"))
+            for sp in md.get("partition-specs", [])
+        }
+
+        def _del_pkey(f: dict) -> str | None:
+            dspec = int(f.get("__spec_id") or 0)
+            if not _spec_part2.get(dspec):
+                return None  # unpartitioned spec: GLOBAL delete
+            return _eq_partition_key(dspec, f.get("partition"))
         groups: dict[tuple, list[dict]] = {}
         for f in eq_deletes:
             groups.setdefault(
@@ -1079,6 +1192,10 @@ def read_iceberg_table(
                     ]
                 )
                 .withColumn("__del_seq", F.lit(int(f["__seq"])))
+                .withColumn(
+                    "__del_pkey",
+                    F.lit(_del_pkey(f)).cast("string"),
+                )
                 for f in files
             ]
             del_df = branches[0]
@@ -1090,6 +1207,12 @@ def read_iceberg_table(
             if total and total <= 32 << 20:
                 del_df = F.broadcast(del_df)
             cond = F.col("__del_seq") > F.col("__data_seq")
+            # spec scoping: partitioned delete applies only within
+            # its own partition; NULL __del_pkey means GLOBAL
+            cond = cond & (
+                F.col("__del_pkey").isNull()
+                | (F.col("__del_pkey") == F.col("__data_pkey"))
+            )
             for c in cols:
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             df = df.join(del_df, cond, "left_anti")
@@ -1644,6 +1767,36 @@ def read_iceberg_changelog(
     removed_specs: list[tuple[str, int, int, list[int]]] = []
 
     id2name_all = _field_names_by_id(md)
+    # identity-source + spec-shape machinery needed DURING the walk
+    # for equality-delete replay (consts for physically-absent key
+    # columns; partition keys for spec-scoped deletes)
+    _n2id = {v: k for k, v in id2name_all.items()}
+    _ident_by_spec = _identity_sources_by_spec(md)
+    _default_ident2 = _identity_partition_sources(md)
+    _spec_partitioned = {
+        int(sp.get("spec-id", 0)): bool(sp.get("fields"))
+        for sp in md.get("partition-specs", [])
+    }
+
+    def _eq_consts_and_pkeys():
+        """(consts, live_pkey) over the CURRENT file_parts state."""
+        consts: dict[str, dict[str, object]] = {}
+        pkeys: dict[str, str] = {}
+        for p_, (sp_id, part) in file_parts.items():
+            pkeys[p_] = _eq_partition_key(sp_id, part)
+            ident = _ident_by_spec.get(sp_id, _default_ident2)
+            cvals = {}
+            for col in schema.names:
+                pf_id = ident.get(_n2id.get(col))
+                if pf_id is None:
+                    continue
+                cvals[col] = _coerce_partition_value(
+                    part.get(pf_id), schema[col].dataType
+                )
+            if cvals:
+                consts[p_] = cvals
+        return consts, pkeys
+
     for sid in order[: hi + 1]:
         snap = snaps[sid]
         op = (snap.get("summary") or {}).get("operation", "append")
@@ -1711,6 +1864,7 @@ def read_iceberg_changelog(
                     seq_e = e.get("sequence_number")
                     if seq_e is None:
                         seq_e = m.get("sequence_number")
+                    _dspec = int(m.get("partition_spec_id") or 0)
                     eq_groups.setdefault(
                         tuple(
                             sorted(
@@ -1720,7 +1874,15 @@ def read_iceberg_changelog(
                         ),
                         [],
                     ).append(
-                        (p, int(seq_e) if seq_e is not None else None)
+                        (
+                            p,
+                            int(seq_e) if seq_e is not None else None,
+                            _eq_partition_key(
+                                _dspec, df_.get("partition")
+                            )
+                            if _spec_partitioned.get(_dspec)
+                            else None,
+                        )
                     )
                     continue
                 if (
@@ -1762,11 +1924,14 @@ def read_iceberg_changelog(
             # EQUALITY deletes reduce to exact position kills (the
             # spec's strictly-older sequence rule), then flow through
             # the position-delete branches below unchanged
+            _consts, _pkeys = _eq_consts_and_pkeys()
             kills = equality_kill_positions(
                 sorted(eq_groups.items()),
                 live_seq,
                 deleted_so_far,
                 id2name_all,
+                consts=_consts,
+                live_pkey=_pkeys,
             )
             for tp, positions in kills.items():
                 seen = deleted_so_far.setdefault(tp, set())

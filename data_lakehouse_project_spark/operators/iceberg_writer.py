@@ -987,6 +987,25 @@ def _ensure_unpartitioned_spec(md: dict) -> int:
     return sid
 
 
+def _eq_scoped_part_fields(
+    part_fields: list[dict], equality_columns: list[str]
+) -> list[dict] | None:
+    """The table's partition fields when EVERY one's source column is
+    among the equality columns — the condition under which each key
+    row determines its partition tuple exactly, so the delete files
+    can be PARTITION-SCOPED (Flink's upsert-sink shape) instead of
+    taking the spec's global unpartitioned route.  None otherwise."""
+    if not part_fields:
+        return None
+    eq = set(equality_columns)
+    for pf in part_fields:
+        if pf.get("transform") == "void":
+            continue  # void is constant-null; no source needed
+        if pf["_src_name"] not in eq:
+            return None
+    return part_fields
+
+
 def _stage_eq_delete_files(
     spark: SparkSession,
     md: dict,
@@ -995,9 +1014,20 @@ def _stage_eq_delete_files(
     equality_columns: list[str],
     table_path: str,
     snapshot_id: int,
-) -> tuple[list[tuple[str, int]], int]:
+    part_fields: list[dict] | None = None,
+) -> tuple[list[tuple[str, int, dict]], int]:
     """Write the deduped key rows as field-id-stamped equality-delete
-    parquet under ``data/``; returns ([(abs path, rows)], total)."""
+    parquet under ``data/``; returns ([(abs path, rows, raw partition
+    values)], total).  With ``part_fields`` the keys stage
+    PARTITIONED by hidden ``__part_`` transform twins (the same
+    staging the data path uses), one file set per partition tuple —
+    the raw values feed the manifest's typed partition structs."""
+    from urllib.parse import unquote as _unq
+
+    from data_lakehouse_project_spark.functions.ice_transforms import (
+        transform_col,
+    )
+
     spark_schema = _spark_schema(spark, md)
     ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
     staged = keys.select(
@@ -1008,19 +1038,40 @@ def _stage_eq_delete_files(
             for c in equality_columns
         ]
     ).dropDuplicates()
+    if part_fields:
+        staged = staged.select(
+            "*",
+            *[
+                transform_col(
+                    pf.get("transform", "identity"),
+                    F.col(pf["_src_name"]),
+                    pf["_src_type"],
+                )
+                .cast("string")
+                .alias(f"__part_{pf['name']}")
+                for pf in part_fields
+            ],
+        )
     data_dir = os.path.join(table_path, "data")
     os.makedirs(data_dir, exist_ok=True)
     tmp = os.path.join(table_path, f".tmp-eqdel-{_uuid.uuid4()}")
-    files: list[tuple[str, int]] = []
+    files: list[tuple[str, int, dict]] = []
     n_rows = 0
     try:
         spark.conf.set(
             "spark.sql.parquet.fieldId.write.enabled", "true"
         )
-        staged.write.mode("overwrite").parquet(tmp)
+        w = staged.write.mode("overwrite")
+        if part_fields:
+            w = w.partitionBy(
+                *[f"__part_{pf['name']}" for pf in part_fields]
+            )
+        w.parquet(tmp)
         for dirpath, dirnames, filenames in os.walk(tmp):
             dirnames[:] = [
-                d for d in dirnames if not d.startswith(("_", "."))
+                d
+                for d in dirnames
+                if "=" in d or not d.startswith(("_", "."))
             ]
             for fn in sorted(filenames):
                 if not fn.endswith(".parquet") or fn.startswith(
@@ -1028,6 +1079,14 @@ def _stage_eq_delete_files(
                 ):
                     continue
                 src = os.path.join(dirpath, fn)
+                raw_pv: dict[str, str | None] = {}
+                for seg in os.path.relpath(src, tmp).split(os.sep)[:-1]:
+                    k, _, v = seg.partition("=")
+                    raw_pv[_unq(k)[len("__part_"):]] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else _unq(v)
+                    )
                 st = _file_stats(src)
                 if st.get("num_rows", 0) == 0:
                     continue
@@ -1037,7 +1096,7 @@ def _stage_eq_delete_files(
                     f"{_uuid.uuid4().hex}.parquet",
                 )
                 os.replace(src, dst)
-                files.append((dst, st.get("num_rows", 0)))
+                files.append((dst, st.get("num_rows", 0), raw_pv))
                 n_rows += st.get("num_rows", 0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1048,15 +1107,20 @@ def _write_eq_delete_manifest(
     spark: SparkSession,
     md: dict,
     schema_fields: list[dict],
-    files: list[tuple[str, int]],
+    files: list[tuple[str, int, dict]],
     equality_columns: list[str],
     table_path: str,
     snapshot_id: int,
     seq: int,
     spec_id: int | None = None,
+    part_fields: list[dict] | None = None,
 ) -> dict:
     """One delete manifest (content=1) of ADDED equality-delete
-    entries; returns its manifest-list row."""
+    entries; returns its manifest-list row.  With ``part_fields`` the
+    manifest declares the TABLE's spec and each entry carries its
+    typed partition tuple — the spec then scopes each delete file to
+    its own partition (readers skip delete application entirely for
+    untouched partitions); without, the unpartitioned GLOBAL shape."""
     ids_of = {f["name"]: int(f["id"]) for f in schema_fields}
     eq_ids = sorted(ids_of[c] for c in equality_columns)
     meta_dir = os.path.join(table_path, "metadata")
@@ -1067,19 +1131,31 @@ def _write_eq_delete_manifest(
         spec_id = md.get("default-spec-id", 0)
     wd = _AvroWriter(
         spark,
-        _entry_avro_schema([]),
+        _entry_avro_schema(part_fields or []),
         delete_manifest,
         {
             "schema": json.dumps(_current_schema(md)),
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(
+                [
+                    {k: v for k, v in pf.items()
+                     if not k.startswith("_")}
+                    for pf in (part_fields or [])
+                ]
+            ),
             "partition-spec-id": str(spec_id),
             "format-version": "2",
             "content": "deletes",
         },
     )
     n_rows = 0
-    for dst, rc in files:
+    for dst, rc, raw_pv in files:
         n_rows += rc
+        part_vals = {
+            pf["name"]: _staged_partition_value(
+                pf, raw_pv.get(pf["name"])
+            )
+            for pf in (part_fields or [])
+        }
         wd.append_dict(
             {
                 "status": 1,
@@ -1090,7 +1166,7 @@ def _write_eq_delete_manifest(
                     "content": 2,  # equality deletes
                     "file_path": dst,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part_vals,
                     "record_count": rc,
                     "file_size_in_bytes": os.path.getsize(dst),
                     "equality_ids": eq_ids,
@@ -1132,13 +1208,18 @@ def write_equality_deletes(
     (O(keys) total cost); rows appended AFTER this snapshot are
     untouched even if they match.
 
-    Partitioned tables take the spec's GLOBAL route: the delete
-    manifest declares an UNPARTITIONED spec (appended to the metadata
-    in this same commit when absent) and applies to all data.  The
-    snapshot reader applies these exactly (null-safe anti-join); the
-    changelog and stream REPLAY them via
-    ``iceberg_reader.equality_kill_positions``; the incremental
-    append scan still refuses non-append snapshots as documented.
+    Partitioned tables: when EVERY partition field's source column
+    is among ``equality_columns`` (the common CDC shape — Flink's
+    upsert sink does the same), the delete files stage PER PARTITION
+    and the manifest carries the table's spec with typed partition
+    tuples, so per the spec each delete file scopes to its own
+    partition and readers skip delete application entirely for
+    untouched partitions.  Otherwise the spec's GLOBAL route: the
+    delete manifest declares an UNPARTITIONED spec (appended to the
+    metadata in this same commit when absent) and applies to all
+    data.  The snapshot reader applies both shapes exactly
+    (null-safe anti-join, spec-scoped); the changelog and stream
+    REPLAY them via ``iceberg_reader.equality_kill_positions``.
     Returns ``{"snapshot_id", "delete_files", "key_rows",
     "metadata"}``."""
     table_path = os.path.abspath(table_path)
@@ -1151,13 +1232,19 @@ def write_equality_deletes(
         )
     schema_fields = _current_schema(md)["fields"]
     part_fields = _resolve_part_fields(md, schema_fields)
-    # partitioned tables take the spec's GLOBAL route: the delete
-    # manifest declares an UNPARTITIONED spec (added to the metadata
-    # in this same commit when absent) and applies to all data
+    # PARTITION-SCOPED route when every partition field's source is
+    # among the keys (each key row determines its partition tuple):
+    # delete files stage per partition and the manifest carries the
+    # table's spec, so readers skip untouched partitions.  Otherwise
+    # the spec's GLOBAL route: the delete manifest declares an
+    # UNPARTITIONED spec (added in this same commit when absent).
+    eq_part_fields = _eq_scoped_part_fields(
+        part_fields, equality_columns
+    )
     eq_spec_id = (
-        _ensure_unpartitioned_spec(md)
-        if part_fields
-        else md.get("default-spec-id", 0)
+        md.get("default-spec-id", 0)
+        if eq_part_fields or not part_fields
+        else _ensure_unpartitioned_spec(md)
     )
     spark_schema = _spark_schema(spark, md)
     unknown = [c for c in equality_columns if c not in spark_schema.names]
@@ -1175,7 +1262,7 @@ def write_equality_deletes(
     snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
     files, n_rows = _stage_eq_delete_files(
         spark, md, schema_fields, keys, equality_columns, table_path,
-        snapshot_id,
+        snapshot_id, part_fields=eq_part_fields,
     )
     if not files:
         return {"snapshot_id": None, "delete_files": 0,
@@ -1183,6 +1270,7 @@ def write_equality_deletes(
     manifest_row = _write_eq_delete_manifest(
         spark, md, schema_fields, files, equality_columns, table_path,
         snapshot_id, seq, spec_id=eq_spec_id,
+        part_fields=eq_part_fields,
     )
     new_path = _commit_snapshot(
         spark,
@@ -1195,7 +1283,7 @@ def write_equality_deletes(
         ts=ts,
         operation="delete",
         summary_extra={"equality-deletes": str(n_rows)},
-        rollback_paths=[dst for dst, _ in files]
+        rollback_paths=[dst for dst, *_ in files]
         + [manifest_row["manifest_path"]],
     )
     return {
@@ -1229,8 +1317,11 @@ def upsert_into_iceberg(
     ``delete`` pre-image + ``insert`` post-image per replaced key.
 
     Partitioned tables work: data files stage under the table's spec
-    (hidden transforms included) while the delete manifest takes the
-    GLOBAL unpartitioned-spec route.  ``source`` must carry every
+    (hidden transforms included); the delete manifest is
+    PARTITION-SCOPED when the keys cover every partition source
+    (per-partition delete files + typed manifest tuples — readers
+    skip untouched partitions), else it takes the GLOBAL
+    unpartitioned-spec route.  ``source`` must carry every
     table column and at most one row per key (enforced — duplicate
     keys in one batch would make the surviving row undefined).
     Returns
@@ -1247,12 +1338,15 @@ def upsert_into_iceberg(
     schema_fields = _current_schema(md)["fields"]
     part_fields = _resolve_part_fields(md, schema_fields)
     # partitioned tables: the data manifest keeps the default spec
-    # (transform staging included); the delete manifest takes the
-    # spec's GLOBAL unpartitioned-spec route
+    # (transform staging included); the delete manifest is
+    # PARTITION-SCOPED when the keys cover every partition source
+    # (Flink's upsert-sink shape — readers skip untouched
+    # partitions), else the spec's GLOBAL unpartitioned-spec route
+    eq_part_fields = _eq_scoped_part_fields(part_fields, key_columns)
     eq_spec_id = (
-        _ensure_unpartitioned_spec(md)
-        if part_fields
-        else md.get("default-spec-id", 0)
+        md.get("default-spec-id", 0)
+        if eq_part_fields or not part_fields
+        else _ensure_unpartitioned_spec(md)
     )
     spark_schema = _spark_schema(spark, md)
     unknown = [c for c in key_columns if c not in spark_schema.names]
@@ -1287,6 +1381,7 @@ def upsert_into_iceberg(
     del_files, n_keys = _stage_eq_delete_files(
         spark, md, schema_fields, source.select(*key_columns),
         key_columns, table_path, snapshot_id,
+        part_fields=eq_part_fields,
     )
     data_files, n_rows = _stage_iceberg_data(
         spark, source, md, schema_fields, part_fields, table_path,
@@ -1298,7 +1393,7 @@ def upsert_into_iceberg(
                 "metadata": md_file}
     rows: list[dict] = []
     rollback: list[str] = [p for p, *_ in data_files] + [
-        p for p, _ in del_files
+        p for p, *_ in del_files
     ]
     if data_files:
         data_manifest = _write_added_manifest(
@@ -1327,6 +1422,7 @@ def upsert_into_iceberg(
         del_row = _write_eq_delete_manifest(
             spark, md, schema_fields, del_files, key_columns,
             table_path, snapshot_id, seq, spec_id=eq_spec_id,
+            part_fields=eq_part_fields,
         )
         rollback.append(del_row["manifest_path"])
         rows.append(del_row)

@@ -818,6 +818,8 @@ def _change_units_of_snapshot(
                     (
                         _abs_path(table_path, df_["file_path"]),
                         int(seq_e) if seq_e is not None else None,
+                        m.get("partition_spec_id"),
+                        df_.get("partition") or {},
                     )
                 )
                 continue
@@ -874,14 +876,64 @@ def _change_units_of_snapshot(
                 )
     if eq_groups:
         from data_lakehouse_project_spark.operators.iceberg_reader import (
+            _coerce_partition_value,
+            _eq_partition_key,
             _field_names_by_id,
+            _identity_partition_sources,
+            _identity_sources_by_spec,
             equality_kill_positions,
             load_iceberg_metadata,
         )
 
-        id2name = _field_names_by_id(load_iceberg_metadata(table_path))
+        md = load_iceberg_metadata(table_path)
+        id2name = _field_names_by_id(md)
+        # spec-scoped delete entries carry their (spec, partition)
+        # key; unpartitioned-spec (GLOBAL) entries carry None
+        spec_partitioned = {
+            int(sp.get("spec-id", 0)): bool(sp.get("fields"))
+            for sp in md.get("partition-specs", [])
+        }
+        groups = [
+            (
+                ids,
+                [
+                    (
+                        path_,
+                        seq_,
+                        _eq_partition_key(dspec_, dpart_)
+                        if spec_partitioned.get(int(dspec_ or 0))
+                        else None,
+                    )
+                    for path_, seq_, dspec_, dpart_ in entries_
+                ],
+            )
+            for ids, entries_ in sorted(eq_groups.items())
+        ]
+        # identity-partition consts for key columns physically absent
+        # from data files (the snapshot reader's substitution, here
+        # for CDC replay) + per-file partition keys for scoping
+        schema_t = _session_free_schema(md)
+        n2id = {v: k for k, v in id2name.items()}
+        ident_by_spec = _identity_sources_by_spec(md)
+        default_ident = _identity_partition_sources(md)
+        consts: dict[str, dict[str, object]] = {}
+        live_pkey: dict[str, str] = {}
+        for p_, (part_, sp_id) in fparts.items():
+            live_pkey[p_] = _eq_partition_key(sp_id, part_)
+            ident = ident_by_spec.get(sp_id, default_ident)
+            cvals = {}
+            for col in schema_t.names:
+                pfname = ident.get(n2id.get(col))
+                if pfname is None:
+                    continue
+                cvals[col] = _coerce_partition_value(
+                    (part_ or {}).get(pfname), schema_t[col].dataType
+                )
+            if cvals:
+                consts[p_] = cvals
         kills = equality_kill_positions(
-            sorted(eq_groups.items()), fseq, dead, id2name
+            groups, fseq, dead, id2name,
+            consts=consts, live_pkey=live_pkey,
         )
         for tp in sorted(kills):
             poss = tuple(kills[tp])

@@ -1,0 +1,355 @@
+"""PARTITION-SCOPED equality deletes (round 11, VERDICT r10 items
+2+3): when every partition source is among the keys, the writer emits
+per-partition delete files under the TABLE's spec (Flink's
+upsert-sink shape) instead of the global unpartitioned route; the
+reader scopes each delete file to its own (spec, partition) per the
+Iceberg spec and prunes inapplicable deletes driver-side; CDC replay
+substitutes manifest partition constants for key columns physically
+absent from the parquet.
+
+Reference semantics: Iceberg spec "Scan Planning" — delete files
+stored with a partition apply only to data files of the same
+partition; unpartitioned-spec delete files are global.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lakehouse_project_spark.operators.iceberg_export import (
+    export_iceberg_metadata,
+)
+from data_lakehouse_project_spark.operators.iceberg_reader import (
+    avro_records,
+    load_iceberg_metadata,
+    read_iceberg_changelog,
+    read_iceberg_table,
+)
+from data_lakehouse_project_spark.operators.iceberg_writer import (
+    upsert_into_iceberg,
+    write_equality_deletes,
+)
+from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _delete_entries(spark, path):
+    """All content=2 manifest entries of the CURRENT snapshot, with
+    their manifest's declared spec id."""
+    md = load_iceberg_metadata(path)
+    import os
+
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    mlist = snap["manifest-list"]
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(path, mlist)
+    out = []
+    for m, _ in [avro_records(spark, mlist)]:
+        for mf in m:
+            mp = mf["manifest_path"]
+            if not os.path.isabs(mp):
+                mp = os.path.join(path, mp)
+            entries, _ = avro_records(spark, mp)
+            for e in entries:
+                if e["data_file"].get("content") == 2:
+                    out.append(
+                        (mf.get("partition_spec_id"), e["data_file"])
+                    )
+    return out
+
+
+def test_scoped_upsert_bucket_partitioned(spark, tmp_path):
+    """bucket(4,id)-partitioned upsert keyed on id: the delete
+    manifest carries PARTITION TUPLES under the table's spec (not the
+    global unpartitioned route), the snapshot replaces exactly the
+    matched keys, and the changelog's cumulative state equals the
+    snapshot."""
+    path = str(tmp_path / "b4")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 40).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        mode="overwrite",
+        partition_by=["bucket(4, id)"],
+    )
+    export_iceberg_metadata(t, spark)
+    src = spark.createDataFrame(
+        [(3, 333.0), (17, 177.0), (100, 100.0)], "id long, v double"
+    )
+    res = upsert_into_iceberg(spark, path, src, ["id"])
+    assert res["delete_files"] >= 1
+
+    dels = _delete_entries(spark, path)
+    assert dels, "no equality-delete entries found"
+    md = load_iceberg_metadata(path)
+    default_spec = md.get("default-spec-id", 0)
+    for spec_id, df_ in dels:
+        # scoped: the delete manifest declares the TABLE's spec and
+        # each entry carries a bucket tuple value
+        assert spec_id == default_spec
+        part = df_.get("partition") or {}
+        assert part and all(v is not None for v in part.values())
+    # keys 3 and 17 hash to buckets {1, 2} (spec murmur3) — the
+    # delete files cover EXACTLY the buckets of the touched keys
+    from data_lakehouse_project_spark.functions.ice_transforms import (
+        transform_literal,
+    )
+
+    want_buckets = {
+        transform_literal("bucket[4]", k, "long") for k in (3, 17, 100)
+    }
+    got_buckets = {
+        list((df_.get("partition") or {}).values())[0]
+        for _, df_ in dels
+    }
+    assert got_buckets == want_buckets
+
+    got = _rows(read_iceberg_table(spark, path))
+    want = sorted(
+        [(i, float(i)) for i in range(40) if i not in (3, 17)]
+        + [(3, 333.0), (17, 177.0), (100, 100.0)]
+    )
+    assert got == want
+
+    # changelog replay: cumulative inserts minus deletes == snapshot
+    ch = read_iceberg_changelog(spark, path).collect()
+    state: dict = {}
+    for r in sorted(ch, key=lambda r: (r._snapshot_id,
+                                       r._change_type == "insert")):
+        if r._change_type == "insert":
+            state[r.id] = r.v
+        else:
+            state.pop(r.id, None)
+    assert sorted(state.items()) == want
+
+
+def test_scoped_delete_prunes_untouched_partitions(spark, tmp_path):
+    """A scoped delete touching only partition '1': a pruned read of
+    partition '0' skips equality-delete application entirely (no
+    anti-join in the plan; the arrow fast path re-enables), while the
+    unpruned read still applies it."""
+    import os as _os
+
+    path = str(tmp_path / "pp")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 30).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    res = write_equality_deletes(
+        spark, path,
+        spark.createDataFrame(
+            [(1, "1"), (4, "1")], "id long, part string"
+        ),
+        ["id", "part"],
+    )
+    assert res["delete_files"] >= 1
+    # scoped manifest: tuples present
+    for spec_id, df_ in _delete_entries(spark, path):
+        assert (df_.get("partition") or {}) != {}
+
+    full = read_iceberg_table(spark, path)
+    assert full.count() == 28
+    assert "LeftAnti" in full._jdf.queryExecution().toString()
+
+    pruned = read_iceberg_table(spark, path, prune=[("part", "=", "0")])
+    plan = pruned._jdf.queryExecution().toString()
+    assert "LeftAnti" not in plan  # delete application skipped
+    assert pruned.count() == 10
+
+    # fully-pruned deletes re-enable the arrow fast path
+    _os.environ["SPARK_GRAFT_ARROW_SCAN_FILES"] = "1"
+    try:
+        fast = read_iceberg_table(
+            spark, path, prune=[("part", "=", "0")]
+        )
+        assert "graft_arrow_scan" in (
+            fast._jdf.queryExecution().toString()
+        )
+        assert fast.count() == 10
+    finally:
+        _os.environ.pop("SPARK_GRAFT_ARROW_SCAN_FILES", None)
+
+
+def test_reader_honors_foreign_partition_scope(spark, tmp_path):
+    """A partition-scoped delete file whose KEYS would match rows in
+    other partitions (the shape a foreign engine can produce) kills
+    ONLY its own partition — fabricated via the writer internals with
+    a doctored tuple; batch changelog agrees with the snapshot."""
+    import time as _time
+
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        _commit_snapshot,
+        _current_schema,
+        _latest_metadata_file,
+        _resolve_part_fields,
+        _stage_eq_delete_files,
+        _write_eq_delete_manifest,
+    )
+
+    path = str(tmp_path / "scope")
+    t = TxnTable(path)
+    # v repeats across partitions: v = id % 5
+    t.write(
+        spark.range(0, 30).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id % 5 AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    import os
+
+    path = os.path.abspath(path)
+    md_file = _latest_metadata_file(path)
+    md = load_iceberg_metadata(path)
+    schema_fields = _current_schema(md)["fields"]
+    part_fields = _resolve_part_fields(md, schema_fields)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    keys = spark.createDataFrame([(2.0,)], "v double")
+    files, _ = _stage_eq_delete_files(
+        spark, md, schema_fields, keys, ["v"], path, sid
+    )
+    # doctor: scope the delete to partition part='1' ONLY
+    files = [(p, rc, {"part": "1"}) for p, rc, _ in files]
+    row = _write_eq_delete_manifest(
+        spark, md, schema_fields, files, ["v"], path, sid, seq,
+        spec_id=md.get("default-spec-id", 0), part_fields=part_fields,
+    )
+    _commit_snapshot(
+        spark, path, md, md_file, manifest_row=[row],
+        snapshot_id=sid, seq=seq, ts=int(_time.time() * 1000),
+        operation="delete", summary_extra={},
+        rollback_paths=[p for p, *_ in files]
+        + [row["manifest_path"]],
+    )
+    got = _rows(read_iceberg_table(spark, path).select("id"))
+    # v==2.0 rows: ids 2,7,12,17,22,27; of those only part '1'
+    # (id%3==1): 7, 22 die — the rest SURVIVE (scope honored)
+    dead = {7, 22}
+    assert got == sorted((i,) for i in range(30) if i not in dead)
+
+    ch = read_iceberg_changelog(spark, path).collect()
+    dels = sorted(r.id for r in ch if r._change_type == "delete")
+    assert dels == sorted(dead)
+
+
+def test_identity_partition_key_upsert_cdc(spark, tmp_path):
+    """README limitation #2 lifted: upsert keyed on the IDENTITY
+    partition column (stored only as manifest constants, physically
+    absent from the parquet) — batch changelog AND streaming CDC
+    replay it, hash-equal to the snapshot diff."""
+    path = str(tmp_path / "idk")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 4).selectExpr(
+            "CAST(id AS STRING) AS tenant", "id * 10.0 AS v"
+        ),
+        mode="overwrite",
+        partition_by=["tenant"],  # tenant absent from parquet
+    )
+    export_iceberg_metadata(t, spark)
+    before = {r.tenant: r.v
+              for r in read_iceberg_table(spark, path).collect()}
+    src = spark.createDataFrame(
+        [("2", 222.0), ("9", 99.0)], "tenant string, v double"
+    )
+    upsert_into_iceberg(spark, path, src, ["tenant"])
+    after = {r.tenant: r.v
+             for r in read_iceberg_table(spark, path).collect()}
+    assert after == {"0": 0.0, "1": 10.0, "2": 222.0, "3": 30.0,
+                     "9": 99.0}
+
+    # batch changelog: the upsert snapshot's diff == snapshot diff
+    ch = read_iceberg_changelog(spark, path).collect()
+    last_sid = max(r._snapshot_id for r in ch)
+    diff = sorted(
+        (r._change_type, r.tenant, r.v)
+        for r in ch
+        if r._snapshot_id == last_sid
+    )
+    assert diff == [
+        ("delete", "2", before["2"]),
+        ("insert", "2", 222.0),
+        ("insert", "9", 99.0),
+    ]
+
+    # streaming CDC: identical rows
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    register_python_datasources(spark)
+    sink: list = []
+
+    def _each(df, _bid):
+        sink.extend(
+            (r["_snapshot_id"], r["_change_type"], r["tenant"], r["v"])
+            for r in df.collect()
+        )
+
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(_each)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r._snapshot_id, r._change_type, r.tenant, r.v) for r in ch
+    )
+    assert sorted(sink) == want
+
+
+def test_global_route_kept_when_keys_miss_partition_source(
+    spark, tmp_path
+):
+    """Keys NOT covering the partition source keep the spec's GLOBAL
+    unpartitioned route (delete manifest under an unpartitioned
+    spec) — and apply across all partitions."""
+    path = str(tmp_path / "glob")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 12).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    write_equality_deletes(
+        spark, path,
+        spark.createDataFrame([(4,), (8,)], "id long"), ["id"],
+    )
+    md = load_iceberg_metadata(path)
+    unpart = [
+        int(sp["spec-id"])
+        for sp in md["partition-specs"]
+        if not sp.get("fields")
+    ]
+    assert unpart, "global route must append an unpartitioned spec"
+    for spec_id, df_ in _delete_entries(spark, path):
+        assert spec_id == unpart[0]
+        assert (df_.get("partition") or {}) == {}
+    got = sorted(
+        r.id for r in read_iceberg_table(spark, path).collect()
+    )
+    assert got == [0, 1, 2, 3, 5, 6, 7, 9, 10, 11]

@@ -783,8 +783,9 @@ def test_equality_delete_on_absent_partition_source_column(
     """Equality delete keyed on an identity-partition SOURCE column
     that is physically absent from the data files: the snapshot read
     applies it through the manifests' partition constants (the ident
-    fill precedes the equality anti-join); CDC replay refuses that
-    shape explicitly."""
+    fill precedes the equality anti-join); CDC replay substitutes the
+    same constants (round 11 — this used to refuse), so the
+    changelog's cumulative state equals the snapshot."""
     from data_lakehouse_project_spark.operators.iceberg_writer import (
         write_equality_deletes,
     )
@@ -807,5 +808,15 @@ def test_equality_delete_on_absent_partition_source_column(
     got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
     assert got == [0, 2, 3, 5, 6, 8, 9, 11]  # part '1' gone entirely
 
-    with pytest.raises(UnsupportedIcebergFeature, match="absent"):
-        read_iceberg_changelog(spark, path).collect()
+    # CDC replay: deletes keyed on the absent column surface exactly
+    ch = read_iceberg_changelog(spark, path).collect()
+    dels = sorted(
+        r.id for r in ch if r._change_type == "delete"
+    )
+    assert dels == [1, 4, 7, 10]
+    assert all(
+        r.part == "1" for r in ch if r._change_type == "delete"
+    )
+    # cumulative changelog state == snapshot
+    ins = {r.id for r in ch if r._change_type == "insert"}
+    assert sorted(ins - set(dels)) == got
