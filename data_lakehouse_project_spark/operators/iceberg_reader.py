@@ -1506,14 +1506,16 @@ def read_iceberg_changes(
     ``_snapshot_id`` and ``_committed_at`` (epoch ms).
 
     ``from_snapshot_id`` is EXCLUSIVE (None = table start);
-    ``to_snapshot_id`` inclusive (None = current).  Only pure
-    ``append`` snapshots replay — an overwrite/delete/replace in the
-    range is refused, exactly like Spark's incremental read (emitting
-    its adds without its deletes would misstate the change set).
-    Added files are manifest entries with status ADDED attributed to
-    the snapshot (``entry.snapshot_id``, inherited from the
-    manifest's ``added_snapshot_id`` when null, per the spec's
-    inheritance rule)."""
+    ``to_snapshot_id`` inclusive (None = current).  Pure ``append``
+    snapshots replay directly from their ADDED manifest entries
+    (``entry.snapshot_id``, inherited from the manifest's
+    ``added_snapshot_id`` when null, per the spec's inheritance
+    rule); ``replace`` (compaction) contributes nothing.  A range
+    containing delete/overwrite/upsert snapshots DELEGATES to the
+    exact changelog (``read_iceberg_changelog``) and returns its
+    ``insert`` rows — each snapshot's added rows with the same
+    stamps — instead of refusing (round 11; Spark's own incremental
+    read still errors on this shape)."""
     from pyspark.sql import functions as F
 
     md = load_iceberg_metadata(table_path)
@@ -1535,6 +1537,26 @@ def read_iceberg_changes(
         lo = order.index(from_snapshot_id)
     wanted = order[lo + 1 : hi + 1]
 
+    def _delegate() -> DataFrame:
+        # mixed history: the changelog computes exact per-snapshot
+        # diffs; its insert rows ARE the incremental adds
+        ch = read_iceberg_changelog(
+            spark,
+            table_path,
+            from_snapshot_id=from_snapshot_id,
+            to_snapshot_id=to_snapshot_id,
+        )
+        return ch.where(F.col("_change_type") == "insert").drop(
+            "_change_type"
+        )
+
+    if any(
+        (snaps[sid].get("summary") or {}).get("operation", "append")
+        not in ("append", "replace")
+        for sid in wanted
+    ):
+        return _delegate()
+
     schema = _spark_schema(spark, md)
     specs: list[tuple[str, int, int]] = []  # (abs path, snap id, ts)
     for sid in wanted:
@@ -1545,12 +1567,6 @@ def read_iceberg_changes(
             # exactly like the streaming source (and Iceberg's own
             # incremental scan)
             continue
-        if op != "append":
-            raise UnsupportedIcebergFeature(
-                f"snapshot {sid} is a '{op}'; the incremental append "
-                "scan replays pure appends only (emitting its adds "
-                "without its deletes would misstate the change set)"
-            )
         mlist = snap["manifest-list"]
         if not os.path.isabs(mlist):
             mlist = os.path.join(table_path, mlist)
@@ -1559,12 +1575,11 @@ def read_iceberg_changes(
             if m.get("content", 0) != 0:
                 # carried-forward delete manifests (re-listed from an
                 # older snapshot) don't make THIS snapshot non-append;
-                # only a delete manifest it ADDED does
+                # only a delete manifest it ADDED does (an
+                # append-labeled snapshot carrying one is a mixed
+                # history in disguise — delegate)
                 if m.get("added_snapshot_id") == sid:
-                    raise UnsupportedIcebergFeature(
-                        f"snapshot {sid} adds a delete manifest; not "
-                        "a pure append"
-                    )
+                    return _delegate()
                 continue
             mpath = m["manifest_path"]
             if not os.path.isabs(mpath):

@@ -309,7 +309,8 @@ def read_iceberg_changes(
 ) -> DataFrame:
     """Iceberg incremental APPEND scan — rows added by each snapshot
     in ``(from, to]`` with ``_snapshot_id`` / ``_committed_at``
-    (operators/iceberg_reader.py; non-append snapshots refused)."""
+    (operators/iceberg_reader.py; mixed append/delete/upsert ranges
+    delegate to the exact changelog's insert rows)."""
     from data_lakehouse_project_spark.operators.iceberg_reader import (
         read_iceberg_changes as _impl,
     )

@@ -353,3 +353,62 @@ def test_global_route_kept_when_keys_miss_partition_source(
         r.id for r in read_iceberg_table(spark, path).collect()
     )
     assert got == [0, 1, 2, 3, 5, 6, 7, 9, 10, 11]
+
+
+def test_incremental_scan_delegates_over_mixed_history(
+    spark, tmp_path
+):
+    """read_iceberg_changes across a mixed append/delete/upsert
+    history equals the changelog's cumulative inserts (round 11 —
+    this used to refuse at the first non-append snapshot)."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changes,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+        delete_from_iceberg,
+    )
+
+    path = str(tmp_path / "mix")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 8).selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)                    # snap 1
+    delete_from_iceberg(spark, path, "id % 3 = 1")       # snap 2
+    append_to_iceberg(                                   # snap 3
+        spark,
+        spark.range(20, 23).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ),
+        path,
+    )
+    upsert_into_iceberg(                                 # snap 4
+        spark, path,
+        spark.createDataFrame(
+            [(2, 222.0), (50, 50.0)], "id long, v double"
+        ),
+        ["id"],
+    )
+    inc = read_iceberg_changes(spark, path)
+    ch = read_iceberg_changelog(spark, path)
+    want = sorted(
+        map(
+            tuple,
+            ch.where("_change_type = 'insert'")
+            .drop("_change_type")
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, inc.collect()))
+    assert got == want
+    assert {c for c in inc.columns} == {
+        "id", "v", "_snapshot_id", "_committed_at"
+    }
+    # sub-range (snap2, snap4]: the upsert's post-image + snap3 adds
+    sids = sorted(r[0] for r in ch.select("_snapshot_id")
+                  .distinct().collect())
+    inc2 = read_iceberg_changes(spark, path, from_snapshot_id=sids[1])
+    ids2 = sorted(r.id for r in inc2.collect())
+    assert ids2 == [2, 20, 21, 22, 50]

@@ -295,9 +295,15 @@ def test_rewrite_data_files_compacts_and_drops_deletes(spark, tmp_path):
     }
     assert ops[info["snapshot_id"]] == "replace"
     # incremental scan: the REPLACE snapshot is skipped (no rows
-    # re-attributed); the DELETE snapshot in range still refuses
-    with pytest.raises(UnsupportedIcebergFeature, match="delete"):
-        read_iceberg_changes(spark, path)
+    # re-attributed); the DELETE snapshot in range DELEGATES to the
+    # changelog (round 11) — the scan equals its insert rows
+    inc_all = read_iceberg_changes(spark, path)
+    ch = read_iceberg_changelog(spark, path)
+    want_ins = sorted(
+        map(tuple, ch.where("_change_type = 'insert'")
+            .drop("_change_type").collect())
+    )
+    assert sorted(map(tuple, inc_all.collect())) == want_ins
     sids_sorted = sorted(ops)
     inc = read_iceberg_changes(
         spark, path, from_snapshot_id=sids_sorted[-2]
@@ -692,9 +698,10 @@ def test_write_equality_deletes(spark, tmp_path):
     got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
     assert got == [0, 2, 3, 4, 5]
 
-    # incremental append scan refuses the eq-delete snapshot
-    with pytest.raises(UnsupportedIcebergFeature, match="delete"):
-        read_iceberg_changes(spark, path, from_snapshot_id=sid0).collect()
+    # incremental append scan DELEGATES over the eq-delete snapshot
+    # (round 11): the range's adds are the post-delete append only
+    inc = read_iceberg_changes(spark, path, from_snapshot_id=sid0)
+    assert sorted(r.id for r in inc.collect()) == [4]
 
     # refusals: unknown column; missing key column (partitioned
     # tables take the GLOBAL unpartitioned-spec route since r10 —
