@@ -3877,6 +3877,12 @@ from data_lakehouse_project_spark import registry_r10  # noqa: E402
 
 REGISTRY.update(registry_r10.build({"R": R, "_rn": _rn}))
 
+# round-11: partition-scoped upsert round trip + mixed-history
+# incremental-scan delegation
+from data_lakehouse_project_spark import registry_r11  # noqa: E402
+
+REGISTRY.update(registry_r11.build({"R": R, "_rn": _rn}))
+
 
 # ---------------------------------------------------------------------
 # Graded window: the correctness driver grades the FIRST 50 entries of
@@ -3907,7 +3913,9 @@ GRADED_WINDOW: list[str] = [
     # r8 rotation: the EXISTS correlated subquery gets the join
     # family's third row its first graded round
     # (join_range_bands_binned stays selfchecked)
-    "subquery_exists",
+    # r11 rotation: the scalar correlated subquery takes the
+    # subquery row first time (subquery_exists stays selfchecked)
+    "subquery_scalar",
     # TPC-H / DSS flagships
     "pricing_summary",
     # r9 rotation: the promo revenue ratio (TPC-H Q14 shape) takes
@@ -3934,7 +3942,10 @@ GRADED_WINDOW: list[str] = [
     # selfchecked)
     # r9 rotation: FIRST/LAST_VALUE IGNORE NULLS navigation gets its
     # first graded row (window_percentiles stays selfchecked)
-    "window_first_last",
+    # r11 rotation: RANK/DENSE_RANK tie navigation takes the
+    # window family's second row first time (window_first_last
+    # stays selfchecked)
+    "window_rank_dense",
     # statistical aggregates (r5: continuous percentile replaces the
     # median/percentile pair — exact companion of the KLL sketch slot)
     # r5 session 3 rotation: the rank-sum AUC replaces the plain stats
@@ -3954,7 +3965,9 @@ GRADED_WINDOW: list[str] = [
     # r9 rotation: the regression aggregates (REGR_SLOPE family)
     # take the statistical row their first graded round
     # (ship_latency_medians stays selfchecked)
-    "agg_regression",
+    # r11 rotation: the collect_set/array aggregate takes the
+    # statistical row first time (agg_regression stays selfchecked)
+    "agg_collect_set",
     # r7 rotation: the robust median/MAD outlier report (rewritten
     # this round with the bounded-memory grouped median) takes the
     # quantile family's graded row; percentile_cont_qty rotates out
@@ -3995,7 +4008,10 @@ GRADED_WINDOW: list[str] = [
     # quantile straddle this round) get their first graded rows
     # (soft_dedup_weights and dedup_jaccard_prefix_pairs stay
     # selfchecked)
-    "customer_rfm_segments",
+    # r11 rotation: the mixed-history incremental-scan
+    # delegation round trip enters the window
+    # (customer_rfm_segments stays selfchecked)
+    "foreign_iceberg_mixed_incremental",
     # r7 rotation: the ExactSubstr span report takes the
     # sub-document dedup row (segment_dedup_summary stays
     # selfchecked)
@@ -4003,10 +4019,20 @@ GRADED_WINDOW: list[str] = [
     # r9 rotation: the triangle/clustering-coefficient stats take
     # the graph family's row their first graded round
     # (dedup_clusters stays selfchecked)
-    "neardup_triangle_stats",
-    "dedup_minhash_pairs",  # recall-1 grading config vs exact oracle
+    # r11 rotation: PageRank over the exact jaccard pair graph
+    # takes the graph row first time (neardup_triangle_stats stays
+    # selfchecked)
+    "doc_pagerank",
+    # r11 rotation: containment (asymmetric jaccard) pairs take
+    # the near-dup pair row first time (dedup_minhash_pairs stays
+    # selfchecked + bench-slotted)
+    "containment_pairs",
     "contamination_report",
-    "customer_pareto_deciles",
+    # r11 rotation: the round's PARTITION-SCOPED upsert round
+    # trip (per-partition delete manifests + pruned-read agreement +
+    # changelog delete counts over an absent key column) enters the
+    # window (customer_pareto_deciles stays selfchecked)
+    "foreign_iceberg_scoped_upsert",
     # similarity / vectors / skew (r5 session 3 rotation: the grid
     # geo radius join replaces the batch-ANN slot — a new spatial-join
     # family gets its hard oracle; ann_batch_topk stays registered +
@@ -4036,7 +4062,10 @@ GRADED_WINDOW: list[str] = [
     # the spec-Delta round trip (export + DV delete + foreign read)
     # is value-pinned against a plain-SQL oracle
     # (forecast_revenue_change stays selfchecked)
-    "foreign_delta_nation_rollup",
+    # r11 rotation: the hidden-transform round trip takes the
+    # first interop row first time (foreign_delta_nation_rollup
+    # stays selfchecked)
+    "foreign_iceberg_transform_rollup",
     # r8 rotation: the A/B rate-test report takes a graded row
     # (corpus_lexical_stats stays selfchecked)
     # r9 rotation: the Iceberg v2 round trip (export + pos-delete +
@@ -4047,7 +4076,10 @@ GRADED_WINDOW: list[str] = [
     # takes the interop row — CDC reconstruction is value-pinned
     # for the first time (foreign_iceberg_region_rollup stays
     # selfchecked)
-    "foreign_iceberg_changelog_counts",
+    # r11 rotation: the keyed-upsert changelog takes the
+    # interop CDC row first time (foreign_iceberg_changelog_counts
+    # stays selfchecked)
+    "foreign_iceberg_upsert_changelog",
     # r5 session 3: attribution replaces the bigram LM slot (funnel
     # analytics family gets graded; bigram_xentropy_scores stays
     # registered + selfchecked, LM arithmetic still pinned there)
@@ -4070,7 +4102,9 @@ GRADED_WINDOW: list[str] = [
     # r10 rotation: the k-anonymity summary (suppression-rate
     # arithmetic over the same class grain) takes the privacy row
     # first time (k_anonymity_classes stays selfchecked)
-    "k_anonymity_summary",
+    # r11 rotation: free-text PII redaction takes the privacy
+    # row (k_anonymity_summary stays selfchecked)
+    "redact_pii_documents",
     # r7 rotation: the BM25+cosine RRF fusion takes the retrieval
     # family's graded row — bm25 arithmetic stays pinned inside it
     # (bm25_search_topk stays registered + selfchecked)
@@ -4081,7 +4115,10 @@ GRADED_WINDOW: list[str] = [
     # family's second row first time; retrieval arithmetic stays
     # graded inside hybrid_search_rrf (tfidf_search_topk stays
     # selfchecked)
-    "text_repetition_signals",
+    # r11 rotation: the bigram Jelinek-Mercer cross-entropy
+    # takes the text family's second row first time
+    # (text_repetition_signals stays selfchecked)
+    "bigram_xentropy_scores",
     # multimodal family — r5 session 4: the graded anchor upgrades from
     # the stub-pinned fingerprint path to REAL pixel decode (2-frame
     # PPM-stream videos built JVM-side, frame-grain mean/std through
@@ -4106,7 +4143,9 @@ GRADED_WINDOW: list[str] = [
     # r10 rotation: the hopping-window rollup takes the
     # time-series row first time (events_rolling_distinct_types
     # stays selfchecked)
-    "events_hopping_window",
+    # r11 rotation: the hourly gap-fill spine returns for the
+    # time-series row (events_hopping_window stays selfchecked)
+    "events_gapfill_hourly",
     # r7 rotation: cohort retention takes the behavioral-analytics
     # row (events_sessionize stays selfchecked)
     "events_cohort_retention",
@@ -4153,6 +4192,14 @@ GRADED_WINDOW: list[str] = [
 def _ordered() -> list[str]:
     missing = [n for n in GRADED_WINDOW if n not in REGISTRY]
     assert not missing, f"GRADED_WINDOW names not in REGISTRY: {missing}"
+    # the graded window must be ALL-ORACLED (r10 verdict #1; extended
+    # r11 per verdict #6 to guard oracle PRESENCE, not just names)
+    unoracled = [
+        n for n in GRADED_WINDOW if REGISTRY[n][1] is None
+    ]
+    assert not unoracled, (
+        f"GRADED_WINDOW names without an oracle: {unoracled}"
+    )
     rest = [n for n in REGISTRY if n not in set(GRADED_WINDOW)]
     return GRADED_WINDOW + rest
 
