@@ -684,6 +684,10 @@ def _map_schema_json(schema_json: str, mode: str) -> dict:
       from ``delta.columnMapping.id`` so Spark's field-id read path
       resolves parquet columns by id at every nesting level.  A field
       without an id cannot be resolved — refuse, never guess by name.
+    * ``phys_id``: physical names AND ``parquet.field.id`` metadata at
+      every level — the WRITE shape for id-mode tables (delta-spark
+      writes physical column names with nested field ids; readers
+      resolve by id regardless).
     """
 
     def _field(f: dict) -> dict:
@@ -699,6 +703,8 @@ def _map_schema_json(schema_json: str, mode: str) -> dict:
                     f"column mapping mode 'id' but field '{f['name']}' "
                     "carries no delta.columnMapping.id"
                 )
+            if mode == "phys_id":
+                f["name"] = md.get(_PHYS_NAME_KEY, f["name"])
             f["metadata"] = {"parquet.field.id": int(fid)}
         f["type"] = _type(f["type"])
         return f

@@ -757,44 +757,16 @@ def _scan_schema(schema, schema_json, part_cols, mapping):
     )
 
 
-def _has_nested_struct_fields(schema_json: str) -> bool:
-    """True when any top-level column's type contains NAMED nested
-    fields (a struct at any depth, incl. through array element / map
-    key+value types) — the shape id-mode writes cannot express:
-    Spark's ``parquet.field.id`` write metadata attaches to top-level
-    StructFields only, so nested fields of a rewritten file would lack
-    ids and the id-mode reader (which resolves by field id at EVERY
-    nesting level) could not resolve them."""
-
-    def _t(t) -> bool:
-        if isinstance(t, dict):
-            typ = t.get("type")
-            if typ == "struct":
-                return True
-            if typ == "array":
-                return _t(t.get("elementType"))
-            if typ == "map":
-                return _t(t.get("keyType")) or _t(t.get("valueType"))
-        return False
-
-    return any(
-        _t(f.get("type"))
-        for f in json.loads(schema_json).get("fields", [])
-    )
-
-
 def _to_physical_df(
     df: DataFrame, schema, schema_json: str, mapping: str, extra=()
 ) -> DataFrame:
-    """Logical-column DataFrame -> the physical WRITE shape: top-level
-    physical aliases, nested renames via positional struct cast, and
-    parquet.field.id metadata in id mode.  Identity when mapping is
-    off.  ``extra`` columns (e.g. ``_change_type``) pass through.
-
-    Id mode REFUSES schemas with nested struct fields: field-id write
-    metadata is top-level-only here, and a file written without nested
-    ids is unreadable to the id-mode reader (silent-null corruption) —
-    see ``_has_nested_struct_fields``."""
+    """Logical-column DataFrame -> the physical WRITE shape: physical
+    aliases + ``parquet.field.id`` metadata (id mode) AT EVERY
+    NESTING LEVEL — nested renames AND nested ids ride the positional
+    struct cast (Spark's field-id writer stamps ids from the target
+    StructType's nested field metadata; probed in
+    ``test_id_mapping_nested_struct_dml``).  Identity when mapping is
+    off.  ``extra`` columns (e.g. ``_change_type``) pass through."""
     if mapping not in ("name", "id"):
         return df.select(
             *[F.col(f"`{f.name}`") for f in schema.fields],
@@ -804,22 +776,16 @@ def _to_physical_df(
 
     from .delta_reader import _map_schema_json
 
-    if mapping == "id" and _has_nested_struct_fields(schema_json):
-        raise UnsupportedDeltaFeature(
-            "column mapping mode 'id' with nested struct/array/map "
-            "fields: writes would lack nested parquet field ids and "
-            "the id-mode reader resolves by field id at every "
-            "nesting level — refuse rather than write unreadable "
-            "files"
+    mapped = StructType.fromJson(
+        _map_schema_json(
+            schema_json, "phys_id" if mapping == "id" else "name"
         )
-    mapped = StructType.fromJson(_map_schema_json(schema_json, "name"))
-    ids_of = _field_ids(schema_json) if mapping == "id" else {}
+    )
     cols = []
     for lf, mf in zip(schema.fields, mapped.fields):
-        md = {"parquet.field.id": ids_of[lf.name]} if ids_of else {}
         cols.append(
             F.col(f"`{lf.name}`").cast(mf.dataType)
-            .alias(mf.name, metadata=md)
+            .alias(mf.name, metadata=dict(mf.metadata or {}))
         )
     return df.select(*cols, *[F.col(c) for c in extra])
 

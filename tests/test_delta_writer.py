@@ -880,55 +880,168 @@ def test_merge_into_delta_delete_and_insert_only(spark, tmp_path):
     assert snap.protocol["minReaderVersion"] == 1  # untouched
 
 
-def test_id_mapping_nested_struct_dml_refused(spark, tmp_path):
-    """Id-mode writes stamp parquet field ids on TOP-LEVEL columns
-    only; a DML rewrite of a nested-struct schema would produce files
-    the id-mode reader (field-id resolution at every nesting level)
-    cannot resolve — it must refuse, never silently write."""
-    from data_lakehouse_project_spark.operators.delta_writer import (
-        _has_nested_struct_fields,
-        _to_physical_df,
-    )
+def test_id_mapping_nested_struct_dml(spark, tmp_path):
+    """Round 11 (README limitation #3 lifted): id-mode DML on a
+    NESTED-struct schema stamps parquet field ids at every nesting
+    level via the positional struct cast, and the id-mode reader
+    resolves the rewritten file by field id — values hash-equal, no
+    refusal."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
 
-    nested = (
-        '{"type":"struct","fields":['
-        '{"name":"id","type":"long","nullable":true,"metadata":'
-        '{"delta.columnMapping.id":1,'
-        '"delta.columnMapping.physicalName":"col-1"}},'
-        '{"name":"s","type":{"type":"struct","fields":['
-        '{"name":"a","type":"long","nullable":true,"metadata":'
-        '{"delta.columnMapping.id":3,'
-        '"delta.columnMapping.physicalName":"col-3"}}]},'
-        '"nullable":true,"metadata":{"delta.columnMapping.id":2,'
-        '"delta.columnMapping.physicalName":"col-2"}}]}'
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_snapshot,
     )
-    flat = (
-        '{"type":"struct","fields":['
-        '{"name":"id","type":"long","nullable":true,"metadata":'
-        '{"delta.columnMapping.id":1,'
-        '"delta.columnMapping.physicalName":"col-1"}}]}'
-    )
-    assert _has_nested_struct_fields(nested)
-    assert not _has_nested_struct_fields(flat)
+    from tests.test_delta_reader import _commit, _info
 
-    from pyspark.sql.types import (
-        LongType, StructField, StructType,
+    nested_schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id", "type": "long", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-1",
+                    },
+                },
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "a", "type": "long",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 3,
+                                    "delta.columnMapping."
+                                    "physicalName": "col-3",
+                                },
+                            },
+                            {
+                                "name": "b", "type": "string",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 4,
+                                    "delta.columnMapping."
+                                    "physicalName": "col-4",
+                                },
+                            },
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-2",
+                    },
+                },
+            ],
+        }
     )
-
-    df = spark.range(1).select(
-        F.col("id"),
-        F.struct(F.lit(1).alias("a")).alias("s"),
-    )
-    schema = StructType(
+    table = str(tmp_path / "idnest")
+    os.makedirs(table)
+    inner = pa.struct(
         [
-            StructField("id", LongType()),
-            StructField(
-                "s", StructType([StructField("a", LongType())])
-            ),
+            pa.field("col-3", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+            pa.field("col-4", pa.string(),
+                     metadata={b"PARQUET:field_id": b"4"}),
         ]
     )
-    with pytest.raises(UnsupportedDeltaFeature, match="nested"):
-        _to_physical_df(df, schema, nested, "id")
-    # name mode still handles nested renames (positional cast)
-    out = _to_physical_df(df, schema, nested, "name")
-    assert out.columns == ["col-1", "col-2"]
+    sch = pa.schema(
+        [
+            pa.field("col-1", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-2", inner,
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    fpath = os.path.join(table, "f0.parquet")
+    _pq.write_table(
+        pa.table(
+            {
+                "col-1": pa.array([1, 2, 3], pa.int64()),
+                "col-2": pa.array(
+                    [(10, "x"), (20, "y"), (30, "z")], inner
+                ),
+            },
+            schema=sch,
+        ),
+        fpath,
+    )
+    _commit(
+        table, 0,
+        [
+            {"protocol": {"minReaderVersion": 2,
+                          "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "idnest-0001",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": nested_schema,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "4",
+                    },
+                    "createdTime": 1700000000000,
+                }
+            },
+            {
+                "add": {
+                    "path": "f0.parquet",
+                    "partitionValues": {},
+                    "size": os.path.getsize(fpath),
+                    "modificationTime": 1700000001000,
+                    "dataChange": True,
+                    "stats": json.dumps({"numRecords": 3}),
+                }
+            },
+            _info(1700000001000),
+        ],
+    )
+    from data_lakehouse_project_spark.operators.delta_writer import (
+        delete_from_delta,
+        update_from_delta,
+    )
+
+    # DML on the nested schema: delete by nested predicate, update a
+    # nested member — both rewrite files that MUST carry nested ids
+    info = delete_from_delta(
+        spark, table, "s.a = 20", allow_protocol_upgrade=True
+    )
+    assert info["rows_deleted"] == 1
+    update_from_delta(
+        spark, table, "id = 3",
+        {"s": "named_struct('a', s.a + 100, 'b', upper(s.b))"},
+        allow_protocol_upgrade=True,
+    )
+    got = sorted(
+        (r.id, r.s.a, r.s.b)
+        for r in read_delta_table(spark, table).collect()
+    )
+    assert got == [(1, 10, "x"), (3, 130, "Z")]
+    # every rewritten parquet carries field ids at BOTH levels with
+    # physical names (the delta-spark id-mode write shape)
+    snap = read_delta_snapshot(table)
+    new_files = [f for f in snap.files
+                 if f["path"] != "f0.parquet"]
+    assert new_files
+    for f in new_files:
+        fsch = _pq.read_schema(os.path.join(table, f["path"]))
+        top = {
+            fsch.field(i).name: (fsch.field(i).metadata or {}).get(
+                b"PARQUET:field_id"
+            )
+            for i in range(len(fsch.names))
+        }
+        assert top == {"col-1": b"1", "col-2": b"2"}
+        st = fsch.field("col-2").type
+        sub = {
+            st.field(i).name: (st.field(i).metadata or {}).get(
+                b"PARQUET:field_id"
+            )
+            for i in range(st.num_fields)
+        }
+        assert sub == {"col-3": b"3", "col-4": b"4"}
