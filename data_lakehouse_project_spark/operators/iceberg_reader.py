@@ -704,6 +704,8 @@ def iceberg_live_files(
             # the partition tuple follows the MANIFEST's declared spec
             # (partition evolution: older manifests keep older specs)
             df_["__spec_id"] = m_spec
+            # owning manifest (v3 DV supersession rewrites it)
+            df_["__manifest"] = mpath
             # original adding snapshot (manifest-inherited when null) —
             # rewrites re-emit untouched files as EXISTING with this
             esid = e.get("snapshot_id")

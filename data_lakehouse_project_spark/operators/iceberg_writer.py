@@ -89,6 +89,15 @@ _MANIFEST_FILE_AVRO = json.dumps(
                 "field-id": 513,
             },
             {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+            {
+                # v3 row lineage: the first row id assigned to the
+                # manifest's files (optional — null on v2 lists and
+                # delete manifests)
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 520,
+            },
         ],
     }
 )
@@ -208,10 +217,11 @@ def _open_manifest_writer(
     md: dict,
     part_fields: list[dict],
     manifest_path: str,
+    v3_fields: bool = False,
 ) -> _AvroWriter:
     return _AvroWriter(
         spark,
-        _entry_avro_schema(part_fields),
+        _entry_avro_schema(part_fields, v3_fields=v3_fields),
         manifest_path,
         {
             "schema": json.dumps(_current_schema(md)),
@@ -401,14 +411,20 @@ def _write_added_manifest(
     snapshot_id: int,
     seq: int,
     table_path: str,
+    first_row_base: int | None = None,
 ) -> str:
     """One data manifest of ADDED entries (footer-stat binary bounds,
     typed partition struct) for freshly-staged files; returns its
-    path."""
+    path.  ``first_row_base`` (v3 row lineage) stamps each entry's
+    ``first_row_id`` sequentially from the table's ``next-row-id``."""
     manifest_path = os.path.join(
         table_path, "metadata", f"{_uuid.uuid4().hex}-m0.avro"
     )
-    wm = _open_manifest_writer(spark, md, part_fields, manifest_path)
+    wm = _open_manifest_writer(
+        spark, md, part_fields, manifest_path,
+        v3_fields=first_row_base is not None,
+    )
+    row_base = first_row_base
     for dst, raw_pv, st in files:
         lower: list[dict] = []
         upper: list[dict] = []
@@ -428,22 +444,26 @@ def _write_added_manifest(
             pf["name"]: _staged_partition_value(pf, raw_pv.get(pf["name"]))
             for pf in part_fields
         }
+        data_file = {
+            "content": 0,
+            "file_path": dst,
+            "file_format": "PARQUET",
+            "partition": part_vals,
+            "record_count": st.get("num_rows", 0),
+            "file_size_in_bytes": os.path.getsize(dst),
+            "lower_bounds": lower or None,
+            "upper_bounds": upper or None,
+        }
+        if row_base is not None:
+            data_file["first_row_id"] = row_base
+            row_base += int(st.get("num_rows", 0))
         wm.append_dict(
             {
                 "status": 1,  # ADDED
                 "snapshot_id": snapshot_id,
                 "sequence_number": seq,
                 "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,
-                    "file_path": dst,
-                    "file_format": "PARQUET",
-                    "partition": part_vals,
-                    "record_count": st.get("num_rows", 0),
-                    "file_size_in_bytes": os.path.getsize(dst),
-                    "lower_bounds": lower or None,
-                    "upper_bounds": upper or None,
-                },
+                "data_file": data_file,
             }
         )
     wm.close()
@@ -484,10 +504,10 @@ def append_to_iceberg(
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
+    if md.get("format-version") not in (2, 3):
         raise UnsupportedIcebergFeature(
             f"format-version {md.get('format-version')} append is not "
-            "supported (v2 only — v1 has no data sequence numbers)"
+            "supported (v2/v3 only — v1 has no data sequence numbers)"
         )
     schema_fields = _current_schema(md)["fields"]
     spark_schema = _spark_schema(spark, md, field_ids=True)
@@ -563,9 +583,15 @@ def append_to_iceberg(
         spark, df, md, schema_fields, part_fields, table_path, "append"
     )
 
+    # v3 row lineage: allocate first_row_id from the table counter
+    frb = (
+        int(md.get("next-row-id", 0))
+        if md.get("format-version") == 3
+        else None
+    )
     manifest_path = _write_added_manifest(
         spark, md, schema_fields, part_fields, files, snapshot_id,
-        seq, table_path,
+        seq, table_path, first_row_base=frb,
     )
 
     new_path = _commit_snapshot(
@@ -587,11 +613,14 @@ def append_to_iceberg(
             "added_rows_count": n_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
+            "first_row_id": frb,
         },
         snapshot_id=snapshot_id,
         seq=seq,
         ts=ts,
         operation="append",
+        first_row_id=frb,
+        next_row_id=None if frb is None else frb + n_rows,
         summary_extra={
             "added-data-files": str(len(files)),
             "added-records": str(n_rows),
@@ -619,12 +648,19 @@ def _commit_snapshot(
     summary_extra: dict,
     rollback_paths: list[str],
     include_prior: bool = True,
+    skip_manifests: set[str] | None = None,
+    first_row_id: int | None = None,
+    next_row_id: int | None = None,
 ) -> str:
     """Shared commit tail: new manifest list (prior manifests re-listed
     verbatim — original snapshot/sequence attribution — plus one new
     manifest; ``include_prior=False`` lists ONLY the new manifest, the
-    rewrite shape), new metadata version with a synthesized-complete
-    snapshot-log, exclusive-create commit with rollback."""
+    rewrite shape; ``skip_manifests`` drops named prior manifests —
+    the caller re-lists their REWRITTEN replacements, the v3
+    DV-supersession shape), new metadata version with a
+    synthesized-complete snapshot-log, exclusive-create commit with
+    rollback.  v3 row lineage: ``first_row_id`` stamps the snapshot
+    entry, ``next_row_id`` advances the table counter."""
     meta_dir = os.path.join(table_path, "metadata")
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     parent = md.get("current-snapshot-id")
@@ -641,6 +677,8 @@ def _commit_snapshot(
         spark, _MANIFEST_FILE_AVRO, list_path, {"format-version": "2"}
     )
     for m in prior:
+        if skip_manifests and m["manifest_path"] in skip_manifests:
+            continue  # superseded: caller re-lists its rewrite
         wl.append_dict(
             {
                 "manifest_path": m["manifest_path"],
@@ -658,6 +696,7 @@ def _commit_snapshot(
                 "added_rows_count": m.get("added_rows_count", 0),
                 "existing_rows_count": m.get("existing_rows_count", 0),
                 "deleted_rows_count": m.get("deleted_rows_count", 0),
+                "first_row_id": m.get("first_row_id"),
             }
         )
     rows_new = (
@@ -679,6 +718,8 @@ def _commit_snapshot(
     }
     if parent is not None and parent in snaps:
         snap_entry["parent-snapshot-id"] = parent
+    if first_row_id is not None:
+        snap_entry["first-row-id"] = int(first_row_id)
     new_md["snapshots"] = list(md.get("snapshots", [])) + [snap_entry]
     # snapshot-log is optional in the prior metadata, but once WE
     # write one it becomes authoritative for ordering — so a partial
@@ -703,6 +744,8 @@ def _commit_snapshot(
     new_md["current-snapshot-id"] = snapshot_id
     new_md["last-sequence-number"] = seq
     new_md["last-updated-ms"] = ts
+    if next_row_id is not None:
+        new_md["next-row-id"] = int(next_row_id)
     cur_v = int(os.path.basename(md_file)[1:].split(".")[0])
     new_path = os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json")
     try:
@@ -855,8 +898,32 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
             df = df.withColumn(
                 c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
             )
-    # existing position deletes: already-deleted rows never re-match
-    if pos_deletes:
+    # existing position deletes: already-deleted rows never re-match.
+    # v3 puffin deletion vectors decode driver-side (the same
+    # O(deleted rows) budget the readers pay); position-delete
+    # parquet anti-joins executor-side.
+    dv_entries = [f for f in pos_deletes if f.get("__is_dv")]
+    pd_files = [f for f in pos_deletes if not f.get("__is_dv")]
+    if dv_entries:
+        from .puffin import dv_positions_of_entry
+
+        rows = []
+        for f in dv_entries:
+            tgt = os.path.abspath(_abs(f["referenced_data_file"]))
+            rows.extend(
+                (tgt, int(p))
+                for p in dv_positions_of_entry(table_path, f)
+            )
+        if rows:
+            dvdf = spark.createDataFrame(
+                rows, ["__dfi_path", "__dfi_pos"]
+            )
+            df = df.join(
+                F.broadcast(dvdf),
+                ["__dfi_path", "__dfi_pos"],
+                "left_anti",
+            )
+    if pd_files:
         from pyspark.sql.types import LongType, StringType
         from pyspark.sql.types import StructField, StructType
 
@@ -871,7 +938,7 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
         )
         dels = (
             spark.read.schema(del_schema)
-            .parquet(*[_abs(f["file_path"]) for f in pos_deletes])
+            .parquet(*[_abs(f["file_path"]) for f in pd_files])
             .select(
                 F.when(raw.startswith("/"), raw)
                 .otherwise(F.concat(F.lit(table_path + "/"), raw))
@@ -968,6 +1035,327 @@ def _write_pos_delete_manifest(
         "deleted_rows_count": 0,
     }
     return row, [del_path, delete_manifest]
+
+
+def _avro_header(path: str) -> tuple[str, dict[str, bytes]]:
+    """An avro container file's writer-schema JSON string + metadata
+    map, header-only (no block decode) — manifest REWRITES reuse the
+    source file's exact schema so partition structs and any
+    engine-specific extra fields carry over untouched."""
+    import struct as _struct
+
+    def _vlong(buf, pos):
+        shift = n = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (n >> 1) ^ -(n & 1), pos
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != b"Obj\x01":
+        raise UnsupportedIcebergFeature(
+            f"{path} is not an avro container file"
+        )
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _vlong(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _vlong(buf, pos)  # block byte size: skip
+        for _ in range(n):
+            klen, pos = _vlong(buf, pos)
+            k = buf[pos:pos + klen].decode()
+            pos += klen
+            vlen, pos = _vlong(buf, pos)
+            meta[k] = buf[pos:pos + vlen]
+            pos += vlen
+    del _struct
+    return meta["avro.schema"].decode(), meta
+
+
+def _sanitize_avro_values(v):
+    """read-back entry dict -> append_dict-safe values: avro BYTES
+    round-trip as latin-1 strings in the JSON encoding."""
+    if isinstance(v, bytes):
+        return v.decode("latin-1")
+    if isinstance(v, dict):
+        return {k: _sanitize_avro_values(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_sanitize_avro_values(x) for x in v]
+    return v
+
+
+def _rewrite_manifest_drop_dvs(
+    spark: SparkSession,
+    table_path: str,
+    mpath: str,
+    superseded: set[tuple[str, str]],
+    prior_row: dict,
+    snapshot_id: int,
+) -> tuple[str, dict]:
+    """Rewrite one delete manifest, flipping the superseded DV entries
+    (matched on ``(file_path, referenced_data_file)``) to DELETED and
+    re-emitting the rest as EXISTING with explicit snapshot/sequence
+    attribution (spec: rewritten ADDED entries become EXISTING) — the
+    v3 one-DV-per-data-file invariant after a new DV replaces an old
+    one.  Returns (new manifest path, its manifest-list row)."""
+    from .iceberg_reader import avro_records
+
+    schema_json, meta = _avro_header(mpath)
+    entries, _ = avro_records(spark, mpath)
+    new_path = os.path.join(
+        table_path, "metadata", f"{_uuid.uuid4().hex}-dvr.avro"
+    )
+    w = _AvroWriter(
+        spark,
+        schema_json,
+        new_path,
+        {
+            k: v.decode()
+            for k, v in meta.items()
+            if not k.startswith("avro.")
+        },
+    )
+    kept = flipped = 0
+    kept_rows = flipped_rows = 0
+    min_seq = None
+    for e in entries:
+        if e.get("status") == 2:
+            continue  # recorded at its own deleting commit; drop
+        df_ = e["data_file"]
+        seq_e = e.get("sequence_number")
+        if seq_e is None:
+            seq_e = prior_row.get("sequence_number")
+        snap_e = e.get("snapshot_id")
+        if snap_e is None:
+            snap_e = prior_row.get("added_snapshot_id")
+        key = (df_.get("file_path"), df_.get("referenced_data_file"))
+        is_sup = key in superseded
+        if is_sup:
+            flipped += 1
+            flipped_rows += int(df_.get("record_count") or 0)
+        else:
+            kept += 1
+            kept_rows += int(df_.get("record_count") or 0)
+            if seq_e is not None:
+                min_seq = (
+                    seq_e if min_seq is None else min(min_seq, seq_e)
+                )
+        w.append_dict(
+            _sanitize_avro_values(
+                {
+                    "status": 2 if is_sup else 0,
+                    "snapshot_id": snapshot_id if is_sup else snap_e,
+                    "sequence_number": seq_e,
+                    "file_sequence_number": e.get(
+                        "file_sequence_number", seq_e
+                    ),
+                    "data_file": df_,
+                }
+            )
+        )
+    w.close()
+    row = {
+        "manifest_path": new_path,
+        "manifest_length": os.path.getsize(new_path),
+        "partition_spec_id": prior_row.get("partition_spec_id", 0),
+        "content": 1,
+        "sequence_number": prior_row.get("sequence_number", 0),
+        "min_sequence_number": (
+            min_seq
+            if min_seq is not None
+            else prior_row.get("min_sequence_number", 0)
+        ),
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": 0,
+        "existing_files_count": kept,
+        "deleted_files_count": flipped,
+        "added_rows_count": 0,
+        "existing_rows_count": kept_rows,
+        "deleted_rows_count": flipped_rows,
+    }
+    return new_path, row
+
+
+def _write_delete_artifacts(
+    spark: SparkSession,
+    table_path: str,
+    md: dict,
+    pairs: list[tuple[str, int]],
+    snapshot_id: int,
+    seq: int,
+    pos_deletes: list[dict] | None = None,
+    _abs=None,
+) -> tuple[list[dict], list[str], set[str]]:
+    """Delete-side artifacts for one DML commit, format-versioned:
+
+    * v2 — the spec's position-delete parquet + manifest
+      (``_write_pos_delete_manifest``).
+    * v3 — PUFFIN deletion vectors (v3 forbids new position-delete
+      files): one puffin file holding a ``deletion-vector-v1`` blob
+      per target data file, each MERGED with the file's existing DV
+      (the spec's one-DV-per-file invariant), the superseded DV
+      entries flipped to DELETED via manifest rewrite.
+
+    Returns (manifest-list rows, rollback paths, prior-manifest paths
+    to skip when re-listing)."""
+    if md.get("format-version") != 3:
+        row, rollback = _write_pos_delete_manifest(
+            spark, table_path, md, pairs, snapshot_id, seq
+        )
+        return [row], rollback, set()
+
+    from .puffin import dv_positions_of_entry, write_puffin_dv_file
+
+    kills: dict[str, set[int]] = {}
+    for target, pos in pairs:
+        kills.setdefault(target, set()).add(int(pos))
+    abs_of = {}
+    if _abs is not None:
+        abs_of = {t: os.path.abspath(_abs(t)) for t in kills}
+    superseded_by_manifest: dict[str, set[tuple[str, str]]] = {}
+    for f in pos_deletes or []:
+        if not f.get("__is_dv"):
+            continue  # v2-legacy position deletes stay live (readers
+            # union them; the DV already contains their positions)
+        ref = f.get("referenced_data_file")
+        ref_abs = os.path.abspath(_abs(ref)) if _abs else ref
+        hit = [
+            t
+            for t in kills
+            if abs_of.get(t, t) == ref_abs or t == ref
+        ]
+        if not hit:
+            continue
+        # merge the old DV into the new one (spec requirement)
+        kills[hit[0]].update(
+            int(x) for x in dv_positions_of_entry(table_path, f)
+        )
+        superseded_by_manifest.setdefault(
+            f.get("__manifest"), set()
+        ).add((f.get("file_path"), ref))
+    # v2-legacy pos-delete parquet for the same files: merge their
+    # positions too (the new DV supersedes; the parquet entries stay
+    # live and readers union — idempotent because DV ⊇ parquet)
+    if _abs is not None:
+        import pyarrow.parquet as _pqq
+
+        abs2target = {v: k for k, v in abs_of.items()}
+        for f in pos_deletes or []:
+            if f.get("__is_dv"):
+                continue
+            t = _pqq.read_table(
+                _abs(f["file_path"]), columns=["file_path", "pos"]
+            )
+            for tgt, pos in zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            ):
+                tgt_abs = os.path.abspath(_abs(tgt))
+                if tgt_abs in abs2target:
+                    kills[abs2target[tgt_abs]].add(int(pos))
+
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    puffin = os.path.join(
+        data_dir, f"dv-{snapshot_id}-{_uuid.uuid4().hex}.puffin"
+    )
+    metas = write_puffin_dv_file(
+        puffin,
+        [(t, sorted(kills[t])) for t in sorted(kills)],
+        snapshot_id,
+        seq,
+    )
+    meta_dir = os.path.join(table_path, "metadata")
+    mpath = os.path.join(meta_dir, f"{_uuid.uuid4().hex}-dv0.avro")
+    w = _AvroWriter(
+        spark,
+        _entry_avro_schema([], v3_fields=True),
+        mpath,
+        {
+            "schema": json.dumps(_current_schema(md)),
+            "partition-spec": "[]",
+            "partition-spec-id": str(md.get("default-spec-id", 0)),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    n = 0
+    for m in metas:
+        n += m["cardinality"]
+        w.append_dict(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": m["cardinality"],
+                    "file_size_in_bytes": os.path.getsize(puffin),
+                    "referenced_data_file": m["referenced_data_file"],
+                    "content_offset": m["content_offset"],
+                    "content_size_in_bytes": m[
+                        "content_size_in_bytes"
+                    ],
+                },
+            }
+        )
+    w.close()
+    rows = [
+        {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": md.get("default-spec-id", 0),
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(metas),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    rollback = [puffin, mpath]
+    skip: set[str] = set()
+    if superseded_by_manifest:
+        # the prior manifest-list rows give inheritance defaults
+        snaps = {
+            sn["snapshot-id"]: sn for sn in md.get("snapshots", [])
+        }
+        parent = md.get("current-snapshot-id")
+        prior_rows: dict[str, dict] = {}
+        if parent in snaps:
+            from .iceberg_reader import avro_records
+
+            mlist = snaps[parent]["manifest-list"]
+            if not os.path.isabs(mlist):
+                mlist = os.path.join(table_path, mlist)
+            for r in avro_records(spark, mlist)[0]:
+                prior_rows[r["manifest_path"]] = r
+        for old_mpath, keys in sorted(superseded_by_manifest.items()):
+            new_mp, row = _rewrite_manifest_drop_dvs(
+                spark, table_path, old_mpath, keys,
+                prior_rows.get(old_mpath, {}), snapshot_id,
+            )
+            rows.append(row)
+            rollback.append(new_mp)
+            skip.add(old_mpath)
+    return rows, rollback, skip
 
 
 def _ensure_unpartitioned_spec(md: dict) -> int:
@@ -1225,10 +1613,10 @@ def write_equality_deletes(
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
+    if md.get("format-version") not in (2, 3):
         raise UnsupportedIcebergFeature(
             f"format-version {md.get('format-version')} equality "
-            "deletes are not supported (v2 only)"
+            "deletes are not supported (v2/v3 only)"
         )
     schema_fields = _current_schema(md)["fields"]
     part_fields = _resolve_part_fields(md, schema_fields)
@@ -1330,10 +1718,10 @@ def upsert_into_iceberg(
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
+    if md.get("format-version") not in (2, 3):
         raise UnsupportedIcebergFeature(
             f"format-version {md.get('format-version')} upsert is "
-            "not supported (v2 only)"
+            "not supported (v2/v3 only)"
         )
     schema_fields = _current_schema(md)["fields"]
     part_fields = _resolve_part_fields(md, schema_fields)
@@ -1395,10 +1783,15 @@ def upsert_into_iceberg(
     rollback: list[str] = [p for p, *_ in data_files] + [
         p for p, *_ in del_files
     ]
+    frb = (
+        int(md.get("next-row-id", 0))
+        if md.get("format-version") == 3
+        else None
+    )
     if data_files:
         data_manifest = _write_added_manifest(
             spark, md, schema_fields, part_fields, data_files,
-            snapshot_id, seq, table_path,
+            snapshot_id, seq, table_path, first_row_base=frb,
         )
         rollback.append(data_manifest)
         rows.append(
@@ -1416,6 +1809,7 @@ def upsert_into_iceberg(
                 "added_rows_count": n_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "first_row_id": frb,
             }
         )
     if del_files:
@@ -1441,6 +1835,10 @@ def upsert_into_iceberg(
             "equality-deletes": str(n_keys),
         },
         rollback_paths=rollback,
+        first_row_id=frb if data_files else None,
+        next_row_id=(
+            None if frb is None or not data_files else frb + n_rows
+        ),
     )
     return {
         "snapshot_id": snapshot_id,
@@ -1451,14 +1849,196 @@ def upsert_into_iceberg(
     }
 
 
+def upgrade_iceberg_to_v3(
+    spark: SparkSession, table_path: str
+) -> dict:
+    """Upgrade a foreign Iceberg v2 table to FORMAT VERSION 3 with
+    row lineage initialized: every live data manifest is rewritten
+    with its entries re-emitted as EXISTING (original snapshot /
+    sequence attribution, spec rule for rewrites) plus an explicit
+    ``first_row_id`` assigned sequentially in manifest-list order —
+    the deterministic assignment the spec's inheritance would
+    produce — committed as ONE ``replace`` snapshot (no logical data
+    change; streams and incremental scans skip it).  The new
+    metadata carries ``format-version: 3`` and ``next-row-id``;
+    subsequent appends/upserts/DML continue the counter and emit
+    puffin deletion vectors instead of position-delete parquet.
+    Returns ``{"snapshot_id", "rows_assigned", "metadata"}``."""
+    from .iceberg_reader import avro_records
+
+    table_path = os.path.abspath(table_path)
+    md_file = _latest_metadata_file(table_path)
+    md = load_iceberg_metadata(table_path)
+    if md.get("format-version") != 2:
+        raise UnsupportedIcebergFeature(
+            f"format-version {md.get('format-version')}: only v2 "
+            "tables upgrade to v3"
+        )
+    snaps = {sn["snapshot-id"]: sn for sn in md.get("snapshots", [])}
+    parent = md.get("current-snapshot-id")
+    if parent not in snaps:
+        # empty table: flip the version and initialize the counter
+        ts = int(time.time() * 1000)
+        md2 = dict(md)
+        md2["format-version"] = 3
+        md2["next-row-id"] = 0
+        md2["last-updated-ms"] = ts
+        cur_v = int(os.path.basename(md_file)[1:].split(".")[0])
+        meta_dir = os.path.join(table_path, "metadata")
+        new_path = os.path.join(
+            meta_dir, f"v{cur_v + 1}.metadata.json"
+        )
+        with open(new_path, "x") as fh:
+            json.dump(md2, fh)
+        with open(
+            os.path.join(meta_dir, "version-hint.text"), "w"
+        ) as fh:
+            fh.write(str(cur_v + 1))
+        return {"snapshot_id": None, "rows_assigned": 0,
+                "metadata": new_path}
+
+    mlist = snaps[parent]["manifest-list"]
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(table_path, mlist)
+    prior_rows, _ = avro_records(spark, mlist)
+    ts = int(time.time() * 1000)
+    seq = int(md.get("last-sequence-number", 0)) + 1
+    snapshot_id = max(snaps) + 1
+    base = 0
+    rows_new: list[dict] = []
+    rollback: list[str] = []
+    skip: set[str] = set()
+    for prow in prior_rows:
+        if prow.get("content", 0) != 0:
+            continue  # delete manifests re-list untouched
+        mpath = prow["manifest_path"]
+        if not os.path.isabs(mpath):
+            mpath = os.path.join(table_path, mpath)
+        schema_json, meta = _avro_header(mpath)
+        # widen the entry schema with the v3 lineage field when the
+        # source manifest predates it
+        sj = json.loads(schema_json)
+        for fld in sj.get("fields", []):
+            if fld.get("name") != "data_file":
+                continue
+            dff = fld["type"].get("fields", [])
+            if not any(x.get("name") == "first_row_id" for x in dff):
+                dff.append(
+                    {
+                        "name": "first_row_id",
+                        "type": ["null", "long"],
+                        "default": None,
+                        "field-id": 142,
+                    }
+                )
+        entries, _ = avro_records(spark, mpath)
+        new_mp = os.path.join(
+            table_path, "metadata", f"{_uuid.uuid4().hex}-v3u.avro"
+        )
+        w = _AvroWriter(
+            spark,
+            json.dumps(sj),
+            new_mp,
+            {
+                k: v.decode()
+                for k, v in meta.items()
+                if not k.startswith("avro.")
+            },
+        )
+        manifest_base = base
+        kept = kept_rows = 0
+        min_seq = None
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            df_ = dict(e["data_file"])
+            seq_e = e.get("sequence_number")
+            if seq_e is None:
+                seq_e = prow.get("sequence_number")
+            snap_e = e.get("snapshot_id")
+            if snap_e is None:
+                snap_e = prow.get("added_snapshot_id")
+            df_["first_row_id"] = base
+            base += int(df_.get("record_count") or 0)
+            kept += 1
+            kept_rows += int(df_.get("record_count") or 0)
+            if seq_e is not None:
+                min_seq = (
+                    seq_e if min_seq is None else min(min_seq, seq_e)
+                )
+            w.append_dict(
+                _sanitize_avro_values(
+                    {
+                        "status": 0,  # EXISTING, explicit attribution
+                        "snapshot_id": snap_e,
+                        "sequence_number": seq_e,
+                        "file_sequence_number": e.get(
+                            "file_sequence_number", seq_e
+                        ),
+                        "data_file": df_,
+                    }
+                )
+            )
+        w.close()
+        rollback.append(new_mp)
+        skip.add(prow["manifest_path"])
+        rows_new.append(
+            {
+                "manifest_path": new_mp,
+                "manifest_length": os.path.getsize(new_mp),
+                "partition_spec_id": prow.get("partition_spec_id", 0),
+                "content": 0,
+                "sequence_number": prow.get("sequence_number", 0),
+                "min_sequence_number": (
+                    min_seq
+                    if min_seq is not None
+                    else prow.get("min_sequence_number", 0)
+                ),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": kept,
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": kept_rows,
+                "deleted_rows_count": 0,
+                "first_row_id": manifest_base,
+            }
+        )
+    md = dict(md)
+    md["format-version"] = 3
+    new_path = _commit_snapshot(
+        spark,
+        table_path,
+        md,
+        md_file,
+        manifest_row=rows_new,
+        snapshot_id=snapshot_id,
+        seq=seq,
+        ts=ts,
+        operation="replace",
+        summary_extra={"upgraded-to": "format-version 3"},
+        rollback_paths=rollback,
+        skip_manifests=skip,
+        first_row_id=0,
+        next_row_id=base,
+    )
+    return {
+        "snapshot_id": snapshot_id,
+        "rows_assigned": base,
+        "metadata": new_path,
+    }
+
+
 def delete_from_iceberg(
     spark: SparkSession, table_path: str, predicate: str
 ) -> dict:
-    """Row-level DELETE from a foreign Iceberg v2 table via POSITION
-    DELETE files (the spec's merge-on-read route): no data file is
-    rewritten — one new ``delete`` snapshot adds a delete manifest
-    whose position-delete parquet lists the matched ``(file_path,
-    pos)`` pairs sorted as the spec requires.  Prior delete files stay
+    """Row-level DELETE from a foreign Iceberg table via the spec's
+    merge-on-read route: no data file is rewritten — one new
+    ``delete`` snapshot adds a delete manifest.  v2 tables get the
+    sorted position-delete parquet; v3 tables get PUFFIN deletion
+    vectors (one per target file, MERGED with any existing DV — the
+    spec's one-DV-per-file invariant — the superseded entry flipped
+    to DELETED by manifest rewrite).  Prior delete files stay
     active (overlapping deletes are spec-legal; readers union them),
     so nothing is merged or rewritten.
 
@@ -1470,10 +2050,10 @@ def delete_from_iceberg(
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
+    if md.get("format-version") not in (2, 3):
         raise UnsupportedIcebergFeature(
             f"format-version {md.get('format-version')} row-level "
-            "deletes are not supported (v2 only)"
+            "deletes are not supported (v2/v3 only)"
         )
     scan = _iceberg_keyed_scan(spark, table_path, md)
     if scan is None:
@@ -1503,21 +2083,23 @@ def delete_from_iceberg(
     seq = int(md.get("last-sequence-number", 0)) + 1
     snap_ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
     snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
-    del_row, rollback = _write_pos_delete_manifest(
-        spark, table_path, md, pairs, snapshot_id, seq
+    del_rows, rollback, skip = _write_delete_artifacts(
+        spark, table_path, md, pairs, snapshot_id, seq,
+        pos_deletes=pos_deletes, _abs=_abs,
     )
     new_path = _commit_snapshot(
         spark,
         table_path,
         md,
         md_file,
-        manifest_row=del_row,
+        manifest_row=del_rows,
         snapshot_id=snapshot_id,
         seq=seq,
         ts=ts,
         operation="delete",
         summary_extra={"deleted-records": str(len(pairs))},
         rollback_paths=rollback,
+        skip_manifests=skip,
     )
     return {
         "snapshot_id": snapshot_id,
@@ -1553,7 +2135,9 @@ def rewrite_data_files(
     if md.get("format-version") != 2:
         raise UnsupportedIcebergFeature(
             f"format-version {md.get('format-version')} rewrite is "
-            "not supported (v2 only)"
+            "not supported: compaction must PRESERVE per-row lineage "
+            "ids (v3 spec), which requires materializing _row_id into "
+            "the rewritten files — not implemented; v2 only"
         )
     from .iceberg_reader import (
         _coerce_partition_value,
@@ -1910,10 +2494,10 @@ def update_from_iceberg(
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
+    if md.get("format-version") not in (2, 3):
         raise UnsupportedIcebergFeature(
             f"format-version {md.get('format-version')} row-level "
-            "updates are not supported (v2 only)"
+            "updates are not supported (v2/v3 only)"
         )
     schema_fields = _current_schema(md)["fields"]
     spark_schema = _spark_schema(spark, md)
@@ -1963,12 +2547,18 @@ def update_from_iceberg(
         spark, new_rows, md, schema_fields, part_fields, table_path,
         "update",
     )
+    frb = (
+        int(md.get("next-row-id", 0))
+        if md.get("format-version") == 3
+        else None
+    )
     data_manifest = _write_added_manifest(
         spark, md, schema_fields, part_fields, files, snapshot_id,
-        seq, table_path,
+        seq, table_path, first_row_base=frb,
     )
-    del_row, del_rollback = _write_pos_delete_manifest(
-        spark, table_path, md, pairs, snapshot_id, seq
+    del_rows, del_rollback, skip = _write_delete_artifacts(
+        spark, table_path, md, pairs, snapshot_id, seq,
+        pos_deletes=pos_deletes, _abs=_abs,
     )
     new_path = _commit_snapshot(
         spark,
@@ -1990,8 +2580,9 @@ def update_from_iceberg(
                 "added_rows_count": n_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "first_row_id": frb,
             },
-            del_row,
+            *del_rows,
         ],
         snapshot_id=snapshot_id,
         seq=seq,
@@ -2003,6 +2594,9 @@ def update_from_iceberg(
         },
         rollback_paths=[dst for dst, _, _ in files]
         + [data_manifest, *del_rollback],
+        skip_manifests=skip,
+        first_row_id=frb,
+        next_row_id=None if frb is None else frb + n_rows,
     )
     return {
         "snapshot_id": snapshot_id,
@@ -2037,10 +2631,10 @@ def merge_into_iceberg(
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
-    if md.get("format-version") != 2:
+    if md.get("format-version") not in (2, 3):
         raise UnsupportedIcebergFeature(
             f"format-version {md.get('format-version')} merge is not "
-            "supported (v2 only)"
+            "supported (v2/v3 only)"
         )
     schema_fields = _current_schema(md)["fields"]
     spark_schema = _spark_schema(spark, md)
@@ -2172,10 +2766,15 @@ def merge_into_iceberg(
         }
     manifest_rows: list[dict] = []
     rollback: list[str] = [dst for dst, _, _ in files]
+    frb = (
+        int(md.get("next-row-id", 0))
+        if md.get("format-version") == 3
+        else None
+    )
     if files:
         data_manifest = _write_added_manifest(
             spark, md, schema_fields, part_fields, files, snapshot_id,
-            seq, table_path,
+            seq, table_path, first_row_base=frb,
         )
         manifest_rows.append(
             {
@@ -2192,14 +2791,18 @@ def merge_into_iceberg(
                 "added_rows_count": n_staged,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "first_row_id": frb,
             }
         )
         rollback.append(data_manifest)
+    skip: set[str] = set()
     if pairs:
-        del_row, del_rb = _write_pos_delete_manifest(
-            spark, table_path, md, pairs, snapshot_id, seq
+        del_rows, del_rb, skip = _write_delete_artifacts(
+            spark, table_path, md, pairs, snapshot_id, seq,
+            pos_deletes=_pos if scan is not None else None,
+            _abs=_abs if scan is not None else None,
         )
-        manifest_rows.append(del_row)
+        manifest_rows.extend(del_rows)
         rollback.extend(del_rb)
     op = "overwrite" if pairs else "append"
     new_path = _commit_snapshot(
@@ -2217,6 +2820,11 @@ def merge_into_iceberg(
             "deleted-records": str(len(pairs)),
         },
         rollback_paths=rollback,
+        skip_manifests=skip,
+        first_row_id=frb if files else None,
+        next_row_id=(
+            None if frb is None or not files else frb + n_staged
+        ),
     )
     return {
         "snapshot_id": snapshot_id,

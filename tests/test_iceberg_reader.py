@@ -973,24 +973,39 @@ def test_incremental_append_scan(spark, tmp_path):
                              to_snapshot_id=9)
 
 
-def test_incremental_scan_refuses_non_append(spark, foreign_iceberg):
-    """An overwrite snapshot in the range is refused — emitting its
-    adds without its deletes would misstate the change set."""
+def test_incremental_scan_delegates_non_append(
+    spark, foreign_iceberg
+):
+    """An overwrite snapshot in the range DELEGATES to the exact
+    changelog (round 11; this used to refuse) — the scan equals the
+    changelog's insert rows for the same range."""
     from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changelog,
         read_iceberg_changes,
     )
 
-    # the pure-append prefix replays fine
+    # the pure-append prefix replays fine (direct manifest path)
     head = read_iceberg_changes(
         spark, foreign_iceberg, to_snapshot_id=101
     )
     assert sorted((r.id, r._snapshot_id) for r in head.collect()) == [
         (1, 101), (2, 101), (3, 101),
     ]
-    with pytest.raises(UnsupportedIcebergFeature, match="overwrite"):
-        read_iceberg_changes(
-            spark, foreign_iceberg, from_snapshot_id=101
+    inc = read_iceberg_changes(
+        spark, foreign_iceberg, from_snapshot_id=101
+    )
+    want = sorted(
+        map(
+            tuple,
+            read_iceberg_changelog(
+                spark, foreign_iceberg, from_snapshot_id=101
+            )
+            .where("_change_type = 'insert'")
+            .drop("_change_type")
+            .collect(),
         )
+    )
+    assert sorted(map(tuple, inc.collect())) == want
 
 
 def test_metadata_tables(spark, foreign_iceberg):

@@ -349,3 +349,235 @@ def test_row_lineage_surfaces_and_refuses(spark, tmp_path):
     assert len(rows) == 40
     assert sorted(r._row_id for r in rows) == list(range(40))
     assert {r._last_updated_sequence_number for r in rows} == {1}
+
+
+# ---------------------------------------------------------------------------
+# round 11: the v3 WRITE side — upgrade verb, DV-emitting DML, row
+# lineage stamping on append/upsert, DV supersession.
+# ---------------------------------------------------------------------------
+
+
+def _upgrade(spark, tmp_path, name="w3", n=40):
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+    )
+
+    path = _export_table(spark, tmp_path, name) if n == 40 else None
+    if path is None:
+        t = TxnTable(str(tmp_path / name))
+        t.write(
+            spark.range(0, n).selectExpr(
+                "id", "CAST(id AS DOUBLE) AS v"
+            ),
+            mode="overwrite",
+        )
+        export_iceberg_metadata(t, spark)
+        path = t.path
+    info = upgrade_iceberg_to_v3(spark, path)
+    assert info["rows_assigned"] == n
+    return path
+
+
+def test_v3_upgrade_assigns_row_lineage(spark, tmp_path):
+    """upgrade_iceberg_to_v3: one replace snapshot, explicit
+    first_row_id on every entry, lineage readable, next-row-id set;
+    the replace snapshot is invisible to the changelog."""
+    path = _upgrade(spark, tmp_path)
+    md = load_iceberg_metadata(path)
+    assert md["format-version"] == 3
+    assert md["next-row-id"] == 40
+    lin = read_iceberg_table(spark, path, row_lineage=True)
+    assert sorted(r._row_id for r in lin.collect()) == list(range(40))
+    ch = read_iceberg_changelog(spark, path)
+    assert ch.where("_change_type = 'delete'").count() == 0
+    assert ch.count() == 40
+
+
+def test_v3_delete_emits_puffin_dv(spark, tmp_path):
+    """v3 DELETE writes puffin deletion vectors (never position-delete
+    parquet), hash-equal to the same delete on the v2 twin; the
+    changelog replays the DV snapshot."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+
+    p2 = _export_table(spark, tmp_path, "twin2")
+    delete_from_iceberg(spark, p2, "id % 5 = 1")
+    p3 = _upgrade(spark, tmp_path, "twin3")
+    delete_from_iceberg(spark, p3, "id % 5 = 1")
+    a = sorted(map(tuple, read_iceberg_table(spark, p2).collect()))
+    b = sorted(map(tuple, read_iceberg_table(spark, p3).collect()))
+    assert a == b and len(b) == 32
+    _, _, posd, _ = iceberg_live_files(spark, p3)
+    assert posd and all(f.get("__is_dv") for f in posd)
+    dels = sorted(
+        r.id
+        for r in read_iceberg_changelog(spark, p3).collect()
+        if r._change_type == "delete"
+    )
+    assert dels == [1, 6, 11, 16, 21, 26, 31, 36]
+
+
+def test_v3_dv_supersession_one_dv_per_file(spark, tmp_path):
+    """A second DELETE touching the same files MERGES the old DV into
+    the new one and flips the old entry to DELETED — at most ONE live
+    DV per data file (the v3 invariant), totals exact."""
+    from collections import Counter
+
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+
+    path = _upgrade(spark, tmp_path, "sup")
+    delete_from_iceberg(spark, path, "id % 5 = 1")
+    delete_from_iceberg(spark, path, "id % 5 = 2")
+    _, _, posd, _ = iceberg_live_files(spark, path)
+    cnt = Counter(
+        f["referenced_data_file"] for f in posd if f.get("__is_dv")
+    )
+    assert cnt and max(cnt.values()) == 1
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [i for i in range(40) if i % 5 not in (1, 2)]
+    # changelog: each snapshot's fresh kills only (no double emit)
+    ch = read_iceberg_changelog(spark, path).collect()
+    dels = [r.id for r in ch if r._change_type == "delete"]
+    assert sorted(dels) == [i for i in range(40) if i % 5 in (1, 2)]
+    assert len(dels) == len(set(dels))
+
+
+def test_v3_append_upsert_continue_lineage(spark, tmp_path):
+    """Appends and upserts allocate fresh _row_id from next-row-id;
+    lineage stays readable after mixed DML; update rewrites kill the
+    old row id and assign a new one (delete+insert lineage)."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+        update_from_iceberg,
+        upsert_into_iceberg,
+    )
+
+    path = _upgrade(spark, tmp_path, "lin")
+    append_to_iceberg(
+        spark,
+        spark.range(100, 103).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ),
+        path,
+    )
+    md = load_iceberg_metadata(path)
+    assert md["next-row-id"] == 43
+    lin = {
+        r.id: r._row_id
+        for r in read_iceberg_table(
+            spark, path, row_lineage=True
+        ).collect()
+    }
+    assert {lin[100], lin[101], lin[102]} == {40, 41, 42}
+
+    update_from_iceberg(spark, path, "id = 2", {"v": "222.0"})
+    upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(3, 333.0), (500, 5.0)], "id long, v double"
+        ),
+        ["id"],
+    )
+    md = load_iceberg_metadata(path)
+    assert md["next-row-id"] == 46  # 43 +1 update +2 upsert
+    lin2 = {
+        r.id: (r._row_id, r.v)
+        for r in read_iceberg_table(
+            spark, path, row_lineage=True
+        ).collect()
+    }
+    assert lin2[2] == (43, 222.0)  # rewritten row: fresh id
+    assert lin2[3][1] == 333.0 and lin2[3][0] in (44, 45)
+    assert lin2[500][1] == 5.0 and lin2[500][0] in (44, 45)
+    assert lin2[0] == (0, 0.0)  # untouched rows keep their ids
+
+    # changelog cumulative state == snapshot
+    ch = read_iceberg_changelog(spark, path).collect()
+    state: dict = {}
+    for r in sorted(
+        ch,
+        key=lambda r: (r._snapshot_id, r._change_type == "insert"),
+    ):
+        if r._change_type == "insert":
+            state[r.id] = r.v
+        else:
+            state.pop(r.id, None)
+    snap = {
+        r.id: r.v for r in read_iceberg_table(spark, path).collect()
+    }
+    assert state == snap
+
+
+def test_v3_dv_merges_v2_position_delete_history(spark, tmp_path):
+    """A table with v2 position-delete parquet history upgraded to v3:
+    the first v3 DV for a file MERGES the parquet positions (DV ⊇ all
+    prior deletes for the file), reads stay exact."""
+    path = _export_table(spark, tmp_path, "mix")
+    delete_from_iceberg(spark, path, "id % 7 = 1")  # v2 parquet
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+    )
+
+    upgrade_iceberg_to_v3(spark, path)
+    delete_from_iceberg(spark, path, "id % 7 = 2")  # v3 DV
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [i for i in range(40) if i % 7 not in (1, 2)]
+    # the DV contains the parquet positions too (merge requirement)
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+
+    _, _, posd, _ = iceberg_live_files(spark, path)
+    dvs = [f for f in posd if f.get("__is_dv")]
+    assert dvs
+    total_dv = sum(
+        len(dv_positions_of_entry(path, f)) for f in dvs
+    )
+    assert total_dv == sum(1 for i in range(40) if i % 7 in (1, 2))
+
+
+def test_v3_stream_replays_dv_dml(spark, tmp_path):
+    """The streaming changelog replays v3 DV DML identically to the
+    batch changelog."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upsert_into_iceberg,
+    )
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    path = _upgrade(spark, tmp_path, "st")
+    delete_from_iceberg(spark, path, "id % 6 = 1")
+    upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame([(4, 44.0)], "id long, v double"),
+        ["id"],
+    )
+    register_python_datasources(spark)
+    sink: list = []
+
+    def _each(df, _bid):
+        sink.extend(
+            (r["_snapshot_id"], r["_change_type"], r["id"], r["v"])
+            for r in df.collect()
+        )
+
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(_each)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r._snapshot_id, r._change_type, r.id, r.v)
+        for r in read_iceberg_changelog(spark, path).collect()
+    )
+    assert sorted(sink) == want
