@@ -284,6 +284,108 @@ ORDER BY snap_ord
 """
 
 
+def q_foreign_iceberg_v3_lineage(spark, sf_dir):
+    """nation → Iceberg v2 export → ``upgrade_iceberg_to_v3`` (row
+    lineage initialized: explicit first_row_id per entry, next-row-id
+    counter) → v3 DELETE (puffin deletion vector, never position
+    parquet — asserted loudly) → keyed upsert (equality delete + data
+    manifest, fresh row ids) → ``row_lineage=True`` read → per-region
+    rollup INCLUDING ``_row_id`` arithmetic, so the lineage
+    assignment itself is value-pinned: original rows keep ids equal
+    to their nationkey order (0..24 in export order), upserted rows
+    take 25/26."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+        read_iceberg_table,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        upgrade_iceberg_to_v3,
+        upsert_into_iceberg,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    nation = _nation(spark, sf_dir).orderBy("n_nationkey").coalesce(1)
+    tmp = tempfile.mkdtemp(prefix="graft_fv3lin_")
+    try:
+        t = TxnTable(os.path.join(tmp, "src"))
+        t.write(nation, mode="overwrite")
+        export_md = None
+        from data_lakehouse_project_spark.operators.iceberg_export import (
+            export_iceberg_metadata,
+        )
+
+        export_iceberg_metadata(t, spark)
+        del export_md
+        info = upgrade_iceberg_to_v3(spark, t.path)
+        assert info["rows_assigned"] == 25
+        delete_from_iceberg(spark, t.path, "n_nationkey % 7 = 2")
+        # v3 deletes are DVs — no new position-delete parquet
+        _, _, posd, _ = iceberg_live_files(spark, t.path)
+        assert posd and all(f.get("__is_dv") for f in posd), (
+            "v3 delete wrote non-DV delete files"
+        )
+        src = spark.createDataFrame(
+            [(3, "UPS3", 1), (77, "FRESH", 2)],
+            "n_nationkey long, n_name string, n_regionkey long",
+        ).coalesce(1)  # one staged file, source order -> ids 25, 26
+        upsert_into_iceberg(spark, t.path, src, ["n_nationkey"])
+        back = read_iceberg_table(spark, t.path, row_lineage=True)
+        result = (
+            back.groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").alias("key_sum"),
+                F.sum("_row_id").alias("row_id_sum"),
+                F.max("_row_id").alias("row_id_max"),
+            )
+            .orderBy("n_regionkey")
+            .select(
+                F.col("n_regionkey").alias("region"),
+                "n_rows",
+                "key_sum",
+                "row_id_sum",
+                "row_id_max",
+            )
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# lineage arithmetic the oracle can mirror: the single-file export in
+# nationkey order assigns _row_id == n_nationkey to the original 25
+# rows; the v3 delete kills keys %7==2 (rows keep their ids); the
+# upsert replaces key 3 and inserts 77, whose rows take the next
+# counter values 25 and 26 IN KEY ORDER (one staged file, source
+# built key-ascending).  A reader that lost lineage through the DV or
+# the upsert shifts row_id_sum/max.
+SQL_FOREIGN_V3_LINEAGE = """
+WITH survivors AS (
+  SELECT n_regionkey, n_nationkey, n_nationkey AS row_id
+  FROM nation
+  WHERE NOT (n_nationkey % 7 = 2) AND n_nationkey <> 3
+),
+upserts AS (
+  SELECT 1 AS n_regionkey, 3 AS n_nationkey, 25 AS row_id
+  UNION ALL
+  SELECT 2, 77, 26
+),
+final_state AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM upserts
+)
+SELECT n_regionkey AS region,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(SUM(row_id) AS BIGINT) AS row_id_sum,
+       CAST(MAX(row_id) AS BIGINT) AS row_id_max
+FROM final_state
+GROUP BY n_regionkey
+ORDER BY region
+"""
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     return {
@@ -294,5 +396,9 @@ def build(helpers: dict) -> dict:
         "foreign_iceberg_mixed_incremental": (
             q_foreign_iceberg_mixed_incremental,
             SQL_FOREIGN_MIXED_INCREMENTAL,
+        ),
+        "foreign_iceberg_v3_lineage": (
+            q_foreign_iceberg_v3_lineage,
+            SQL_FOREIGN_V3_LINEAGE,
         ),
     }
