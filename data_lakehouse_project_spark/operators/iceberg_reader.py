@@ -742,11 +742,14 @@ def _arrow_batch_scan(
     _abs,
     schema,
     table_path: str,
+    emit_meta: bool = False,
 ) -> DataFrame:
     """Build the per-file arrow scan plan (identity-partition consts
     + dead positions from position-delete files, read driver-side —
     the same O(deleted rows) budget class as the changelog) and hand
-    it to the ``graft_arrow_scan`` batch source."""
+    it to the ``graft_arrow_scan`` batch source.  ``emit_meta`` adds
+    the ``__ice_path``/``__ice_pos`` provenance columns (the equality
+    anti-join keys)."""
     import json as _json
 
     from data_lakehouse_project_spark.sources.arrow_scan import (
@@ -808,13 +811,118 @@ def _arrow_batch_scan(
             }
         )
     plan = write_scan_plan(
-        _json.loads(schema.json()), name2id_all, files
+        _json.loads(schema.json()), name2id_all, files,
+        emit_meta=emit_meta,
     )
     return (
         spark.read.format("graft_arrow_scan")
         .option("plan", plan)
         .load()
     )
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    md: dict,
+    live: list[dict],
+    eq_deletes: list[dict],
+    schema,
+    _abs,
+    key_of,
+) -> DataFrame:
+    """Apply live EQUALITY deletes to a scan carrying ``__ice_path``
+    (whose values are ``key_of(file)`` per data file) — the null-safe
+    anti-join under the spec's strictly-older sequence rule with
+    partition scoping.  Shared by the JVM scan and the arrow fast
+    path (the eq anti-join never needed the JVM scan, only the path
+    key — so high-file-count tables with live equality deletes keep
+    executor-side planning)."""
+    from pyspark.sql import functions as F
+
+    unseq = [
+        f["file_path"]
+        for f in (*eq_deletes, *live)
+        if f.get("__seq") is None
+    ]
+    if unseq:
+        raise UnsupportedIcebergFeature(
+            "equality deletes require data sequence numbers on "
+            f"every live entry; missing for {unseq[:3]}"
+        )
+    id2name = _field_names_by_id(md)
+    # per-row data sequence number via a broadcast path->seq map
+    seq_map = spark.createDataFrame(
+        [
+            (
+                key_of(f),
+                int(f["__seq"]),
+                _eq_partition_key(
+                    f.get("__spec_id"), f.get("partition")
+                ),
+            )
+            for f in live
+        ],
+        ["__ice_path", "__data_seq", "__data_pkey"],
+    )
+    df = df.join(F.broadcast(seq_map), "__ice_path", "left")
+    _spec_part2 = {
+        int(sp.get("spec-id", 0)): bool(sp.get("fields"))
+        for sp in md.get("partition-specs", [])
+    }
+
+    def _del_pkey(f: dict) -> str | None:
+        dspec = int(f.get("__spec_id") or 0)
+        if not _spec_part2.get(dspec):
+            return None  # unpartitioned spec: GLOBAL delete
+        return _eq_partition_key(dspec, f.get("partition"))
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in eq_deletes:
+        groups.setdefault(
+            tuple(sorted(int(i) for i in f["equality_ids"])), []
+        ).append(f)
+    for ids, files in groups.items():
+        try:
+            cols = [id2name[i] for i in ids]
+        except KeyError as exc:
+            raise UnsupportedIcebergFeature(
+                f"equality_ids reference unknown field id {exc}"
+            ) from None
+        branches = [
+            spark.read.parquet(_abs(f["file_path"]))
+            .select(
+                *[
+                    F.col(c).cast(schema[c].dataType).alias(f"__eq_{c}")
+                    for c in cols
+                ]
+            )
+            .withColumn("__del_seq", F.lit(int(f["__seq"])))
+            .withColumn(
+                "__del_pkey",
+                F.lit(_del_pkey(f)).cast("string"),
+            )
+            for f in files
+        ]
+        del_df = branches[0]
+        for b in branches[1:]:
+            del_df = del_df.unionByName(b)
+        total = sum(
+            int(f.get("file_size_in_bytes") or 0) for f in files
+        )
+        if total and total <= 32 << 20:
+            del_df = F.broadcast(del_df)
+        cond = F.col("__del_seq") > F.col("__data_seq")
+        # spec scoping: partitioned delete applies only within
+        # its own partition; NULL __del_pkey means GLOBAL
+        cond = cond & (
+            F.col("__del_pkey").isNull()
+            | (F.col("__del_pkey") == F.col("__data_pkey"))
+        )
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        df = df.join(del_df, cond, "left_anti")
+    return df.drop("__data_seq", "__data_pkey")
 
 
 def read_iceberg_table(
@@ -961,8 +1069,7 @@ def read_iceberg_table(
     )
 
     if (
-        not eq_deletes
-        and not row_lineage
+        not row_lineage
         and len(live) >= arrow_scan_threshold()
     ):
         scan_schema_n = schema
@@ -972,13 +1079,31 @@ def read_iceberg_table(
             keep = set(columns) | {
                 c for c, _, _ in (prune or []) if c in schema.names
             }
+            if eq_deletes:
+                # the equality anti-join compares the key columns —
+                # scan them even when projected out (dropped below)
+                id2name_eq = _field_names_by_id(md)
+                for d in eq_deletes:
+                    for i in d.get("equality_ids") or ():
+                        c = id2name_eq.get(int(i))
+                        if c is not None:
+                            keep.add(c)
             scan_schema_n = _Sty(
                 [f for f in schema.fields if f.name in keep]
             )
         df = _arrow_batch_scan(
             spark, md, live, pos_deletes, _abs, scan_schema_n,
-            table_path,
+            table_path, emit_meta=bool(eq_deletes),
         )
+        if eq_deletes:
+            # the anti-join never needed the JVM scan — only the
+            # per-row path key the source emits; live equality
+            # deletes no longer force O(files) driver planning
+            df = _apply_equality_deletes(
+                spark, df, md, live, eq_deletes, schema, _abs,
+                key_of=lambda f: _abs(f["file_path"]),
+            ).drop("__ice_path", "__ice_pos")
+            df = df.select(*scan_schema_n.names)
         if prune:
             for col, op, val in prune:
                 if col not in df.columns:
@@ -1137,87 +1262,10 @@ def read_iceberg_table(
             )
 
     if eq_deletes:
-        unseq = [
-            f["file_path"]
-            for f in (*eq_deletes, *live)
-            if f.get("__seq") is None
-        ]
-        if unseq:
-            raise UnsupportedIcebergFeature(
-                "equality deletes require data sequence numbers on "
-                f"every live entry; missing for {unseq[:3]}"
-            )
-        id2name = _field_names_by_id(md)
-        # per-row data sequence number via a broadcast path->seq map
-        seq_map = spark.createDataFrame(
-            [
-                (
-                    os.path.abspath(_abs(f["file_path"])),
-                    int(f["__seq"]),
-                    _eq_partition_key(
-                        f.get("__spec_id"), f.get("partition")
-                    ),
-                )
-                for f in live
-            ],
-            ["__ice_path", "__data_seq", "__data_pkey"],
+        df = _apply_equality_deletes(
+            spark, df, md, live, eq_deletes, schema, _abs,
+            key_of=lambda f: os.path.abspath(_abs(f["file_path"])),
         )
-        df = df.join(F.broadcast(seq_map), "__ice_path", "left")
-        _spec_part2 = {
-            int(sp.get("spec-id", 0)): bool(sp.get("fields"))
-            for sp in md.get("partition-specs", [])
-        }
-
-        def _del_pkey(f: dict) -> str | None:
-            dspec = int(f.get("__spec_id") or 0)
-            if not _spec_part2.get(dspec):
-                return None  # unpartitioned spec: GLOBAL delete
-            return _eq_partition_key(dspec, f.get("partition"))
-        groups: dict[tuple, list[dict]] = {}
-        for f in eq_deletes:
-            groups.setdefault(
-                tuple(sorted(int(i) for i in f["equality_ids"])), []
-            ).append(f)
-        for ids, files in groups.items():
-            try:
-                cols = [id2name[i] for i in ids]
-            except KeyError as exc:
-                raise UnsupportedIcebergFeature(
-                    f"equality_ids reference unknown field id {exc}"
-                ) from None
-            branches = [
-                spark.read.parquet(_abs(f["file_path"]))
-                .select(
-                    *[
-                        F.col(c).cast(schema[c].dataType).alias(f"__eq_{c}")
-                        for c in cols
-                    ]
-                )
-                .withColumn("__del_seq", F.lit(int(f["__seq"])))
-                .withColumn(
-                    "__del_pkey",
-                    F.lit(_del_pkey(f)).cast("string"),
-                )
-                for f in files
-            ]
-            del_df = branches[0]
-            for b in branches[1:]:
-                del_df = del_df.unionByName(b)
-            total = sum(
-                int(f.get("file_size_in_bytes") or 0) for f in files
-            )
-            if total and total <= 32 << 20:
-                del_df = F.broadcast(del_df)
-            cond = F.col("__del_seq") > F.col("__data_seq")
-            # spec scoping: partitioned delete applies only within
-            # its own partition; NULL __del_pkey means GLOBAL
-            cond = cond & (
-                F.col("__del_pkey").isNull()
-                | (F.col("__del_pkey") == F.col("__data_pkey"))
-            )
-            for c in cols:
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-            df = df.join(del_df, cond, "left_anti")
 
     lineage_cols: list[str] = []
     if row_lineage:

@@ -412,3 +412,64 @@ def test_incremental_scan_delegates_over_mixed_history(
     inc2 = read_iceberg_changes(spark, path, from_snapshot_id=sids[1])
     ids2 = sorted(r.id for r in inc2.collect())
     assert ids2 == [2, 20, 21, 22, 50]
+
+
+def test_arrow_fast_path_applies_equality_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11: live equality deletes no longer force the JVM path —
+    the arrow fast path emits path keys and the same anti-join runs
+    on top.  Forced-gate fast path == JVM path on an upserted
+    partitioned table, including a columns= projection that drops the
+    key columns."""
+    import os as _os
+
+    path = str(tmp_path / "aeq")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 60).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(5, "2", 555.0), (100, "1", 1.0)],
+            "id long, part string, v double",
+        ),
+        ["id", "part"],
+    )
+    write_equality_deletes(
+        spark, path,
+        spark.createDataFrame([(7,)], "id long"), ["id"],
+    )
+
+    def q():
+        return read_iceberg_table(spark, path)
+
+    _os.environ["SPARK_GRAFT_ARROW_SCAN_FILES"] = "1"
+    try:
+        fast = q()
+        plan = fast._jdf.queryExecution().toString()
+        assert "graft_arrow_scan" in plan
+        fast_rows = _rows(fast)
+        # columns= drops the key columns; the scan keeps them
+        # internally for the anti-join and projects after
+        narrow = read_iceberg_table(spark, path, columns=["v"])
+        assert narrow.columns == ["v"]
+        narrow_sum = narrow.agg({"v": "sum"}).collect()[0][0]
+    finally:
+        _os.environ.pop("SPARK_GRAFT_ARROW_SCAN_FILES", None)
+    slow = q()
+    assert "graft_arrow_scan" not in (
+        slow._jdf.queryExecution().toString()
+    )
+    assert fast_rows == _rows(slow)
+    assert abs(
+        narrow_sum
+        - slow.agg({"v": "sum"}).collect()[0][0]
+    ) < 1e-9
