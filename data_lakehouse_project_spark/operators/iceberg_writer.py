@@ -770,9 +770,15 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
     """Raw scan of the current snapshot's live data files with
     ``__dfi_path`` / ``__dfi_pos`` materialized, identity-partition
     constants attached (partition-column predicates work), and
-    EXISTING position deletes anti-joined (already-deleted rows never
-    match).  Returns ``(df, live, pos_deletes, _abs)`` or ``None``
-    when the table has no live files; refuses equality deletes."""
+    EXISTING deletes applied (position deletes/DVs anti-joined;
+    EQUALITY deletes via the reader's shared sequence-ruled,
+    partition-scoped anti-join — already-deleted rows never match,
+    so DML works on upserted/streaming-CDC tables).  The new
+    position deletes / DVs a DML commit writes carry the table's
+    next sequence number, so per the spec they apply to every
+    current row regardless of the equality history.  Returns
+    ``(df, live, pos_deletes, _abs)`` or ``None`` when the table
+    has no live files."""
     from .delta_reader import _spark_path_key
     from .iceberg_reader import (
         _file_has_field_ids,
@@ -783,12 +789,6 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
     _, live, pos_deletes, eq_deletes = iceberg_live_files(
         spark, table_path
     )
-    if eq_deletes:
-        raise UnsupportedIcebergFeature(
-            "table carries equality deletes; mixing writer-side "
-            "position deletes with live equality deletes needs "
-            "sequence bookkeeping this writer does not do"
-        )
     if not live:
         return None
 
@@ -947,6 +947,25 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
             )
         )
         df = df.join(dels, ["__dfi_path", "__dfi_pos"], "left_anti")
+
+    if eq_deletes:
+        from .iceberg_reader import _apply_equality_deletes
+
+        df = (
+            _apply_equality_deletes(
+                spark,
+                df.withColumnRenamed("__dfi_path", "__ice_path"),
+                md,
+                live,
+                eq_deletes,
+                scan_schema,
+                _abs,
+                key_of=lambda f: os.path.abspath(
+                    _abs(f["file_path"])
+                ),
+            )
+            .withColumnRenamed("__ice_path", "__dfi_path")
+        )
 
     return df, live, pos_deletes, _abs
 

@@ -473,3 +473,68 @@ def test_arrow_fast_path_applies_equality_deletes(
         narrow_sum
         - slow.agg({"v": "sum"}).collect()[0][0]
     ) < 1e-9
+
+
+def test_dml_on_upserted_table(spark, tmp_path):
+    """Round 11: DML works on tables carrying live EQUALITY deletes
+    (the streaming-CDC shape) — the keyed scan applies the same
+    sequence-ruled anti-join the reader uses, so already-replaced
+    rows never re-match; DELETE/UPDATE/MERGE land exact."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        delete_from_iceberg,
+        merge_into_iceberg,
+        update_from_iceberg,
+    )
+
+    path = str(tmp_path / "dmlup")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 20).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(3, 333.0), (50, 50.0)], "id long, v double"
+        ),
+        ["id"],
+    )
+    # DELETE touching both a replaced key's region and plain rows:
+    # the pre-image of key 3 (v=3.0) must NOT re-match v < 5
+    info = delete_from_iceberg(spark, path, "v < 5.0")
+    # ids 0,1,2,4 only: key 3's pre-image (v=3.0) is equality-dead
+    # and must NOT re-match — a scan without the eq kill returns 5
+    assert info["rows_deleted"] == 4
+    got = {r.id: r.v for r in read_iceberg_table(spark, path).collect()}
+    assert 3 in got and got[3] == 333.0
+    assert set(range(0, 5)) & set(got) == {3}
+
+    update_from_iceberg(spark, path, "id = 50", {"v": "500.0"})
+    got = {r.id: r.v for r in read_iceberg_table(spark, path).collect()}
+    assert got[50] == 500.0
+
+    merge_into_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(3, 3333.0), (60, 60.0)], "id long, v double"
+        ),
+        "t.id = s.id",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+    )
+    got = {r.id: r.v for r in read_iceberg_table(spark, path).collect()}
+    assert got[3] == 3333.0 and got[60] == 60.0
+    # changelog cumulative state == snapshot across the mixed history
+    ch = read_iceberg_changelog(spark, path).collect()
+    state: dict = {}
+    for r in sorted(
+        ch, key=lambda r: (r._snapshot_id, r._change_type == "insert")
+    ):
+        if r._change_type == "insert":
+            state[r.id] = r.v
+        else:
+            state.pop(r.id, None)
+    assert state == got
