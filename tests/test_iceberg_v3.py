@@ -581,3 +581,36 @@ def test_v3_stream_replays_dv_dml(spark, tmp_path):
         for r in read_iceberg_changelog(spark, path).collect()
     )
     assert sorted(sink) == want
+
+
+def test_v3_expire_snapshots_protects_live_puffin(spark, tmp_path):
+    """Snapshot expiry on a v3 table keeps puffin files referenced by
+    retained snapshots (DV entries protect their container) and the
+    table still reads exactly; superseded-DV history from expired
+    snapshots is swept."""
+    import glob
+
+    from data_lakehouse_project_spark.operators.foreign_maintenance import (
+        expire_iceberg_snapshots,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+    )
+
+    path = _export_table(spark, tmp_path, "exp3")
+    upgrade_iceberg_to_v3(spark, path)
+    delete_from_iceberg(spark, path, "id % 5 = 1")
+    delete_from_iceberg(spark, path, "id % 5 = 2")  # supersedes
+    before = sorted(
+        r.id for r in read_iceberg_table(spark, path).collect()
+    )
+    rep = expire_iceberg_snapshots(
+        spark, path, keep_last=1, dry_run=False
+    )
+    assert rep["expired_snapshot_ids"]
+    after = sorted(
+        r.id for r in read_iceberg_table(spark, path).collect()
+    )
+    assert after == before
+    # the live (merged) DV's puffin survives
+    assert glob.glob(os.path.join(path, "data", "*.puffin"))
