@@ -821,6 +821,54 @@ def _arrow_batch_scan(
     )
 
 
+def _attach_row_lineage(
+    spark: SparkSession, df: DataFrame, live: list[dict], key_of
+) -> DataFrame:
+    """Attach the v3 row-lineage columns to a scan carrying
+    ``__ice_path``/``__ice_pos`` (file-absolute row position):
+    ``_row_id = first_row_id + position``, ``_last_updated_sequence_
+    number`` = the entry's data sequence number.  Refuses when any
+    live file lacks lineage metadata — never invents ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType as _Lt,
+        StringType as _St2,
+        StructField as _Sf2,
+        StructType as _Sty2,
+    )
+
+    missing = [
+        f["file_path"]
+        for f in live
+        if f.get("first_row_id") is None or f.get("__seq") is None
+    ]
+    if missing:
+        raise UnsupportedIcebergFeature(
+            "row_lineage=True but these files carry no "
+            f"first_row_id / sequence number: {missing[:3]} — "
+            "refusing to invent row ids"
+        )
+    lmap = spark.createDataFrame(
+        [
+            (key_of(f), int(f["first_row_id"]), int(f["__seq"]))
+            for f in live
+        ],
+        _Sty2(
+            [
+                _Sf2("__ice_path", _St2()),
+                _Sf2("__frid", _Lt()),
+                _Sf2("__lseq", _Lt()),
+            ]
+        ),
+    )
+    df = df.join(F.broadcast(lmap), "__ice_path", "left")
+    return df.withColumn(
+        "_row_id", F.col("__frid") + F.col("__ice_pos")
+    ).withColumn(
+        "_last_updated_sequence_number", F.col("__lseq")
+    ).drop("__frid", "__lseq")
+
+
 def _apply_equality_deletes(
     spark: SparkSession,
     df: DataFrame,
@@ -1068,10 +1116,7 @@ def read_iceberg_table(
         arrow_scan_threshold,
     )
 
-    if (
-        not row_lineage
-        and len(live) >= arrow_scan_threshold()
-    ):
+    if len(live) >= arrow_scan_threshold():
         scan_schema_n = schema
         if columns is not None:
             from pyspark.sql.types import StructType as _Sty
@@ -1093,8 +1138,9 @@ def read_iceberg_table(
             )
         df = _arrow_batch_scan(
             spark, md, live, pos_deletes, _abs, scan_schema_n,
-            table_path, emit_meta=bool(eq_deletes),
+            table_path, emit_meta=bool(eq_deletes) or row_lineage,
         )
+        lineage_n: list[str] = []
         if eq_deletes:
             # the anti-join never needed the JVM scan — only the
             # per-row path key the source emits; live equality
@@ -1102,8 +1148,17 @@ def read_iceberg_table(
             df = _apply_equality_deletes(
                 spark, df, md, live, eq_deletes, schema, _abs,
                 key_of=lambda f: _abs(f["file_path"]),
-            ).drop("__ice_path", "__ice_pos")
-            df = df.select(*scan_schema_n.names)
+            )
+        if row_lineage:
+            # same story for lineage: first_row_id + position over
+            # the source's provenance columns
+            df = _attach_row_lineage(
+                spark, df, live,
+                key_of=lambda f: _abs(f["file_path"]),
+            )
+            lineage_n = ["_row_id", "_last_updated_sequence_number"]
+        if eq_deletes or row_lineage:
+            df = df.select(*scan_schema_n.names, *lineage_n)
         if prune:
             for col, op, val in prune:
                 if col not in df.columns:
@@ -1118,7 +1173,7 @@ def read_iceberg_table(
                     }[op]
                 )
         if columns is not None:
-            df = df.select(*columns)
+            df = df.select(*columns, *lineage_n)
         return df
 
     paths = [_abs(f["file_path"]) for f in live]
@@ -1280,35 +1335,9 @@ def read_iceberg_table(
                 f"first_row_id / sequence number: {missing[:3]} — "
                 "refusing to invent row ids"
             )
-        from pyspark.sql.types import (
-            LongType as _Lt,
-            StringType as _St2,
-            StructField as _Sf2,
-            StructType as _Sty2,
-        )
-
-        lmap = spark.createDataFrame(
-            [
-                (
-                    os.path.abspath(_abs(f["file_path"])),
-                    int(f["first_row_id"]),
-                    int(f["__seq"]),
-                )
-                for f in live
-            ],
-            _Sty2(
-                [
-                    _Sf2("__ice_path", _St2()),
-                    _Sf2("__frid", _Lt()),
-                    _Sf2("__lseq", _Lt()),
-                ]
-            ),
-        )
-        df = df.join(F.broadcast(lmap), "__ice_path", "left")
-        df = df.withColumn(
-            "_row_id", F.col("__frid") + F.col("__ice_pos")
-        ).withColumn(
-            "_last_updated_sequence_number", F.col("__lseq")
+        df = _attach_row_lineage(
+            spark, df, live,
+            key_of=lambda f: os.path.abspath(_abs(f["file_path"])),
         )
         lineage_cols = ["_row_id", "_last_updated_sequence_number"]
 

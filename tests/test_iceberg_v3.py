@@ -614,3 +614,42 @@ def test_v3_expire_snapshots_protects_live_puffin(spark, tmp_path):
     assert after == before
     # the live (merged) DV's puffin survives
     assert glob.glob(os.path.join(path, "data", "*.puffin"))
+
+
+def test_v3_row_lineage_over_arrow_fast_path(
+    spark, tmp_path, monkeypatch
+):
+    """row_lineage=True no longer forces the JVM path: the arrow
+    source's provenance columns feed the same first_row_id+position
+    join — forced-gate fast path hash-equal to the JVM path, eq
+    deletes included."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+        upsert_into_iceberg,
+    )
+
+    path = _export_table(spark, tmp_path, "linfast")
+    upgrade_iceberg_to_v3(spark, path)
+    delete_from_iceberg(spark, path, "id % 6 = 1")
+    upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame([(4, 44.0)], "id long, v double"),
+        ["id"],
+    )
+
+    def q():
+        return read_iceberg_table(spark, path, row_lineage=True)
+
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SCAN_FILES", "1")
+    fast = q()
+    assert "graft_arrow_scan" in fast._jdf.queryExecution().toString()
+    fast_rows = sorted(map(tuple, fast.collect()))
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SCAN_FILES", "10000000")
+    slow = q()
+    assert "graft_arrow_scan" not in (
+        slow._jdf.queryExecution().toString()
+    )
+    assert fast_rows == sorted(map(tuple, slow.collect()))
+    assert fast.columns[-2:] == [
+        "_row_id", "_last_updated_sequence_number"
+    ]
