@@ -241,6 +241,32 @@ def _spark_ddl_of(iceberg_type) -> str:
     )
 
 
+_DEFAULT_OK_TYPES = {
+    "int", "long", "float", "double", "string", "boolean", "date"
+}
+
+
+def _initial_defaults(md: dict) -> dict[str, object]:
+    """v3 ``initial-default`` values by column name (spec "Default
+    values"): rows of data files written BEFORE the field existed
+    read the initial default, not null.  Primitive types only —
+    anything else is refused loudly (never silently nulled)."""
+    out: dict[str, object] = {}
+    for f in _current_schema(md).get("fields", []):
+        if "initial-default" not in f:
+            continue
+        t = f.get("type")
+        if not isinstance(t, str) or t not in _DEFAULT_OK_TYPES:
+            raise UnsupportedIcebergFeature(
+                f"initial-default on column {f['name']!r} of type "
+                f"{t!r} is not supported (primitive "
+                f"{sorted(_DEFAULT_OK_TYPES)} only) — refusing "
+                "rather than surfacing nulls"
+            )
+        out[f["name"]] = f["initial-default"]
+    return out
+
+
 def _spark_schema(spark: SparkSession, md: dict, field_ids: bool = False):
     from pyspark.sql.types import StructField, StructType
 
@@ -789,10 +815,15 @@ def _arrow_batch_scan(
                 t.column("pos").to_pylist(),
             ):
                 dead.setdefault(_abs(tgt), []).append(int(pos))
+    # v3 initial-defaults ride the same per-file consts mechanism:
+    # the executor fills a const only when the column is PHYSICALLY
+    # absent from the file — exactly the spec's "written before the
+    # field existed" condition (partition consts take precedence)
+    default_fill = _initial_defaults(md)
     files = []
     for f in live:
         p = _abs(f["file_path"])
-        consts = {}
+        consts = dict(default_fill)
         if ident_cols:
             ident = by_spec_ident.get(
                 f.get("__spec_id"), default_ident
@@ -1206,8 +1237,46 @@ def read_iceberg_table(
     dv_entries = [f for f in pos_deletes if f.get("__is_dv")]
     pos_deletes = [f for f in pos_deletes if not f.get("__is_dv")]
 
+    # v3 initial-defaults (spec "Default values"): per-file footer
+    # check — ONLY files physically lacking the field read the
+    # default; files carrying it keep genuine nulls.  O(files) footer
+    # reads, paid only when defaults exist (the JVM path's low-file-
+    # count regime; the arrow path does this executor-side via consts)
+    defaults_jvm = _initial_defaults(md)
+    dfl_rows: list[list] = []
+    if defaults_jvm:
+        import pyarrow.parquet as _pqd
+
+        id_of_name = {
+            v: k for k, v in _field_names_by_id(md).items()
+        }
+        for p in paths:
+            fsch = _pqd.read_schema(p)
+            fids = set()
+            for af in fsch:
+                fid = (af.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    fids.add(int(fid))
+            vals = []
+            for c, dv in defaults_jvm.items():
+                present = (
+                    id_of_name.get(c) in fids
+                    if fids
+                    else c in fsch.names
+                )
+                vals.append(
+                    None
+                    if present
+                    else _coerce_partition_value(
+                        dv, schema[c].dataType
+                    )
+                )
+            dfl_rows.append([os.path.abspath(p)] + vals)
+        if all(all(v is None for v in r[1:]) for r in dfl_rows):
+            dfl_rows = []  # every file carries every default field
+
     if pos_deletes or dv_entries or eq_deletes or ident_cols or \
-            row_lineage:
+            row_lineage or dfl_rows:
         # _metadata is only resolvable on the raw scan — materialize
         # the decoded path key (and row index) before any join.
         from .delta_reader import _spark_path_key
@@ -1314,6 +1383,27 @@ def read_iceberg_table(
         for c in ident_cols:
             df = df.withColumn(
                 c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
+            )
+
+    if dfl_rows:
+        from pyspark.sql.types import StructField as _SFd
+        from pyspark.sql.types import StructType as _STyd
+        from pyspark.sql.types import StringType as _Strd
+
+        dmap = spark.createDataFrame(
+            dfl_rows,
+            _STyd(
+                [_SFd("__ice_path", _Strd())]
+                + [
+                    _SFd(f"__dfl_{c}", schema[c].dataType)
+                    for c in defaults_jvm
+                ]
+            ),
+        )
+        df = df.join(F.broadcast(dmap), "__ice_path", "left")
+        for c in defaults_jvm:
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), F.col(f"__dfl_{c}"))
             )
 
     if eq_deletes:
@@ -2060,6 +2150,42 @@ def read_iceberg_changelog(
             schema[col].dataType,
         )
 
+    # v3 initial-defaults: change rows of files written before a
+    # defaulted column existed surface the default (the snapshot
+    # reader's semantics, applied per branch)
+    _dflt = _initial_defaults(md)
+    _dflt_absent: dict[str, set[str]] = {}
+
+    def _default_value(path: str, col: str):
+        if col not in _dflt:
+            return None
+        absent = _dflt_absent.get(path)
+        if absent is None:
+            import pyarrow.parquet as _pqd
+
+            fsch = _pqd.read_schema(path)
+            fids = {
+                int((af.metadata or {}).get(b"PARQUET:field_id"))
+                for af in fsch
+                if (af.metadata or {}).get(b"PARQUET:field_id")
+                is not None
+            }
+            absent = {
+                c
+                for c in _dflt
+                if (
+                    name2id_all.get(c) not in fids
+                    if fids
+                    else c not in fsch.names
+                )
+            }
+            _dflt_absent[path] = absent
+        if col not in absent:
+            return None  # physically present: keep genuine values
+        return _coerce_partition_value(
+            _dflt[col], schema[col].dataType
+        )
+
     id_schema: list = []  # lazily built field-id scan schema
 
     def _scan(paths: list[str], with_meta: bool) -> DataFrame:
@@ -2086,7 +2212,10 @@ def read_iceberg_changelog(
             plan_files = [
                 {
                     "path": os.path.abspath(p),
-                    "consts": {
+                    # the source fills a const ONLY when the column
+                    # is physically absent — defaults are safe to
+                    # pass unconditionally, ident values win
+                    "consts": dict(_dflt) | {
                         c: v
                         for c in ident_cols
                         if (v := _ident_value(p, c)) is not None
@@ -2143,13 +2272,26 @@ def read_iceberg_changelog(
         out = outs[0]
         for d in outs[1:]:
             out = out.unionByName(d)
-        if ident_cols:
+        fill_cols = list(ident_cols) + [
+            c for c in _dflt if c not in ident_cols
+        ]
+        if fill_cols:
             # fill identity partition source columns from the
-            # manifests' partition structs (COALESCE keeps values the
-            # writer stored physically — both are spec-legal)
+            # manifests' partition structs and defaulted columns for
+            # files that predate them (COALESCE keeps values the
+            # writer stored physically — both are spec-legal; the
+            # default fill is per-file presence-gated, so genuine
+            # nulls in carrying files stay null)
+            def _fill(p_, c_):
+                return (
+                    _ident_value(p_, c_)
+                    if c_ in ident_cols
+                    else _default_value(p_, c_)
+                )
+
             if len(paths) == 1:
-                for c in ident_cols:
-                    v = _ident_value(paths[0], c)
+                for c in fill_cols:
+                    v = _fill(paths[0], c)
                     if v is not None:
                         out = out.withColumn(
                             c,
@@ -2165,23 +2307,23 @@ def read_iceberg_changelog(
                 pmap = spark.createDataFrame(
                     [
                         [os.path.abspath(p)]
-                        + [_ident_value(p, c) for c in ident_cols]
+                        + [_fill(p, c) for c in fill_cols]
                         for p in paths
                     ],
                     _STy(
                         [_SF("__ice_path", StringType())]
                         + [
                             _SF(f"__ipv_{c}", schema[c].dataType)
-                            for c in ident_cols
+                            for c in fill_cols
                         ]
                     ),
                 )
                 out = out.join(F.broadcast(pmap), "__ice_path", "left")
-                for c in ident_cols:
+                for c in fill_cols:
                     out = out.withColumn(
                         c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
                     )
-                out = out.drop(*[f"__ipv_{c}" for c in ident_cols])
+                out = out.drop(*[f"__ipv_{c}" for c in fill_cols])
         return out
 
     branches: list[DataFrame] = []

@@ -898,6 +898,60 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
             df = df.withColumn(
                 c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
             )
+    # v3 initial-defaults: files physically lacking a defaulted
+    # column read the default (same per-file footer check the
+    # snapshot reader does), so DML predicates see spec values
+    from .iceberg_reader import _initial_defaults
+
+    defaults_dml = _initial_defaults(md)
+    if defaults_dml:
+        import pyarrow.parquet as _pqd
+        from pyspark.sql.types import StringType as _Strd
+        from pyspark.sql.types import StructField as _SFd
+        from pyspark.sql.types import StructType as _STyd
+
+        id_of_name = {v: k for k, v in _field_names_by_id(md).items()}
+        dfl_rows = []
+        for p in paths:
+            fsch = _pqd.read_schema(p)
+            fids = {
+                int((af.metadata or {}).get(b"PARQUET:field_id"))
+                for af in fsch
+                if (af.metadata or {}).get(b"PARQUET:field_id")
+                is not None
+            }
+            vals = []
+            for c, dv in defaults_dml.items():
+                present = (
+                    id_of_name.get(c) in fids
+                    if fids
+                    else c in fsch.names
+                )
+                vals.append(
+                    None
+                    if present
+                    else _coerce_partition_value(
+                        dv, scan_schema[c].dataType
+                    )
+                )
+            dfl_rows.append([os.path.abspath(p)] + vals)
+        if any(any(v is not None for v in r[1:]) for r in dfl_rows):
+            dmap = spark.createDataFrame(
+                dfl_rows,
+                _STyd(
+                    [_SFd("__dfi_path", _Strd())]
+                    + [
+                        _SFd(f"__dfl_{c}", scan_schema[c].dataType)
+                        for c in defaults_dml
+                    ]
+                ),
+            )
+            df = df.join(F.broadcast(dmap), "__dfi_path", "left")
+            for c in defaults_dml:
+                df = df.withColumn(
+                    c, F.coalesce(F.col(c), F.col(f"__dfl_{c}"))
+                )
+
     # existing position deletes: already-deleted rows never re-match.
     # v3 puffin deletion vectors decode driver-side (the same
     # O(deleted rows) budget the readers pay); position-delete

@@ -653,3 +653,91 @@ def test_v3_row_lineage_over_arrow_fast_path(
     assert fast.columns[-2:] == [
         "_row_id", "_last_updated_sequence_number"
     ]
+
+
+def _add_default_column(
+    path, name="flag", typ="int", default=7
+):
+    """Hand-evolve the current schema with a v3 initial-default
+    column (the shape a spec-v3 writer produces on ADD COLUMN ...
+    DEFAULT) and commit it as a new metadata version."""
+    md_file = _latest_metadata_file(path)
+    md = load_iceberg_metadata(path)
+    sch = next(
+        s for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    nid = int(md.get("last-column-id", 0)) + 1
+    sch["fields"] = list(sch["fields"]) + [
+        {
+            "id": nid, "name": name, "type": typ, "required": False,
+            "initial-default": default, "write-default": default,
+        }
+    ]
+    md["last-column-id"] = nid
+    cur_v = int(os.path.basename(md_file)[1:].split(".")[0])
+    meta_dir = os.path.join(path, "metadata")
+    new_path = os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json")
+    with open(new_path, "x") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(cur_v + 1))
+
+
+def test_v3_initial_default_reads(spark, tmp_path, monkeypatch):
+    """v3 initial-defaults (spec "Default values"): rows of files
+    written BEFORE the column existed read the default; files
+    carrying the column keep genuine values INCLUDING nulls — on the
+    JVM path, the arrow fast path, and DML predicates."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+        upgrade_iceberg_to_v3,
+    )
+
+    path = _export_table(spark, tmp_path, "dflt")  # ids 0..39
+    upgrade_iceberg_to_v3(spark, path)
+    _add_default_column(path, "flag", "int", 7)
+    append_to_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(100, 1.0, 9), (101, 1.0, None)],
+            "id long, v double, flag int",
+        ),
+        path,
+    )
+    got = {r.id: r.flag
+           for r in read_iceberg_table(spark, path).collect()}
+    assert got[0] == 7 and got[39] == 7  # pre-evolution: default
+    assert got[100] == 9 and got[101] is None  # real values kept
+
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SCAN_FILES", "1")
+    fast = read_iceberg_table(spark, path)
+    assert "graft_arrow_scan" in fast._jdf.queryExecution().toString()
+    assert {r.id: r.flag for r in fast.collect()} == got
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_SCAN_FILES", "10000000")
+
+    # DML predicate over the defaulted column sees spec values
+    delete_from_iceberg(spark, path, "flag = 7 AND id < 5")
+    left = sorted(
+        r.id for r in read_iceberg_table(spark, path).collect()
+    )
+    assert left == list(range(5, 40)) + [100, 101]
+
+    # the changelog surfaces the same defaults per branch
+    ch = read_iceberg_changelog(spark, path).collect()
+    ins = {r.id: r.flag for r in ch if r._change_type == "insert"}
+    assert ins[0] == 7 and ins[100] == 9 and ins[101] is None
+    dels = {r.id: r.flag for r in ch if r._change_type == "delete"}
+    assert dels == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7}
+
+
+def test_v3_unsupported_default_type_refused(spark, tmp_path):
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+    )
+
+    path = _export_table(spark, tmp_path, "dfltbad")
+    upgrade_iceberg_to_v3(spark, path)
+    _add_default_column(path, "amt", "decimal(10, 2)", "1.00")
+    with pytest.raises(UnsupportedIcebergFeature, match="initial-default"):
+        read_iceberg_table(spark, path).collect()
