@@ -543,17 +543,22 @@ class _IcebergStreamReader(DataSourceStreamReader):
         from data_lakehouse_project_spark.operators.iceberg_reader import (
             _identity_partition_sources,
             _identity_sources_by_spec,
+            _initial_defaults,
         )
 
         by_spec = _identity_sources_by_spec(md)
         default_ident = _identity_partition_sources(md)
+        # v3 initial-defaults ride the consts: the executor fills a
+        # const only when the column is physically absent from the
+        # file — the spec's pre-evolution condition; ident values win
+        dflt = _initial_defaults(md)
         id_of = {v: k for k, v in ids.items()}  # field id -> col name
         parts: list[_IcebergFilePartition] = []
 
         def _consts_of(part_struct, spec_id) -> str:
             ident = by_spec.get(spec_id, default_ident)
             return json.dumps(
-                {
+                dict(dflt) | {
                     id_of[fid]: part_struct.get(pname)
                     for fid, pname in ident.items()
                     if fid in id_of and pname in part_struct

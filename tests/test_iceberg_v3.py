@@ -741,3 +741,45 @@ def test_v3_unsupported_default_type_refused(spark, tmp_path):
     _add_default_column(path, "amt", "decimal(10, 2)", "1.00")
     with pytest.raises(UnsupportedIcebergFeature, match="initial-default"):
         read_iceberg_table(spark, path).collect()
+
+
+def test_v3_initial_default_streaming(spark, tmp_path):
+    """The streaming source (plain + changelog modes) fills v3
+    initial-defaults identically to the batch reader."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+        upgrade_iceberg_to_v3,
+    )
+    from data_lakehouse_project_spark.sources.python_datasource import (
+        register_python_datasources,
+    )
+
+    path = _export_table(spark, tmp_path, "dfstream")
+    upgrade_iceberg_to_v3(spark, path)
+    _add_default_column(path, "flag", "int", 7)
+    append_to_iceberg(
+        spark,
+        spark.createDataFrame(
+            [(100, 1.0, 9)], "id long, v double, flag int"
+        ),
+        path,
+    )
+    register_python_datasources(spark)
+    sink: list = []
+
+    def _each(df, _bid):
+        sink.extend((r["id"], r["flag"]) for r in df.collect())
+
+    q = (
+        spark.readStream.format("iceberg_stream")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(_each)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = dict(sink)
+    assert got[0] == 7 and got[39] == 7 and got[100] == 9
+    assert len(sink) == 41
