@@ -543,6 +543,25 @@ def main() -> None:
         _plan_df = read_iceberg_changelog(spark, t_ice)
         out["iceberg_changelog_plan_s"] = round(time.time() - t0, 3)
 
+        # r11 slot: LIVE EQUALITY DELETES at N files — this used to
+        # force the O(files) JVM driver planning (the fast path gated
+        # on `not eq_deletes`); the anti-join now runs on top of the
+        # arrow scan, so the cost must stay in the fast-path class
+        from data_lakehouse_project_spark.operators.iceberg_writer import (  # noqa: E501
+            write_equality_deletes,
+        )
+
+        write_equality_deletes(
+            spark,
+            t_ice,
+            spark.createDataFrame([(1,), (3,)], "id long"),
+            ["id"],
+        )
+        t0 = time.time()
+        n_eq = read_iceberg_table(spark, t_ice).count()
+        out["iceberg_eq_scan_count_s"] = round(time.time() - t0, 3)
+        assert n_eq == N * (ROWS_PER_FILE - 2)
+
         # foreign-DML driver budget at N files (r9 slot): a DV DELETE
         # touching 1% of files (matched-position collect + DV write +
         # commit) and a MERGE upsert (ambiguity gate + left_anti insert
