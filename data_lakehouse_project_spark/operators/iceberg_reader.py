@@ -1993,7 +1993,8 @@ def read_iceberg_changelog(
         manifests, _ = avro_records(spark, mlist)
         # this snapshot's EQUALITY delete files, grouped by ids:
         # processed after the manifest walk (strictly-older rule)
-        eq_groups: dict[tuple[int, ...], list[tuple[str, int]]] = {}
+        # (path, seq, partition-key-or-None) per delete file
+        eq_groups: dict[tuple[int, ...], list[tuple]] = {}
         for m in manifests:
             if m.get("added_snapshot_id") != sid:
                 continue  # re-listed manifest: already processed at

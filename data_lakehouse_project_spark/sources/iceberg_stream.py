@@ -745,7 +745,8 @@ def _change_units_of_snapshot(
         fparts = {}
     if fseq is None:
         fseq = {}
-    eq_groups: dict[tuple, list[tuple[str, int | None]]] = {}
+    # (path, seq, spec-id, partition-struct) per delete file
+    eq_groups: dict[tuple, list[tuple]] = {}
     units: list[tuple] = []
     mlist = _abs_path(table_path, snap["manifest-list"])
     manifests, _ = _avro(mlist)

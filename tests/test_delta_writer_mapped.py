@@ -332,3 +332,25 @@ def test_dml_on_mapped_row_tracking_table(spark, tmp_path):
     assert new
     names = _pq.read_schema(os.path.join(table, new[0]["path"])).names
     assert "col-v0002" in names and mat in names and "vv" not in names
+
+
+def test_columns_projection_on_mapped_tables(spark, tmp_path):
+    """columns= projects through BOTH column-mapping modes (logical
+    names in, physical resolution inside)."""
+    from data_lakehouse_project_spark.operators.delta_reader import (
+        read_delta_table as _read,
+    )
+
+    t_name = _mapped_table(tmp_path)     # logical (id, vv, p)
+    got = _read(spark, t_name, columns=["vv"])
+    assert got.columns == ["vv"]
+    assert got.count() > 0
+
+    t_id = _id_mode_table(tmp_path)
+    got = _read(spark, t_id, columns=["renamed_v", "id"])
+    assert got.columns == ["renamed_v", "id"]
+    assert sorted((r.id, r.renamed_v) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    with pytest.raises(ValueError, match="nope"):
+        _read(spark, t_id, columns=["nope"])
