@@ -2198,10 +2198,14 @@ def rewrite_data_files(
     untouched files re-emit as EXISTING with their ORIGINAL
     snapshot/sequence attribution, compacted-away files as DELETED,
     and the new files as ADDED at the new sequence number; all prior
-    delete manifests drop (every target was compacted).  Refusals:
-    equality deletes (sequence bookkeeping), live files under more
+    delete manifests drop (every target was compacted).  EQUALITY
+    deletes compact too (round 11): they reduce to exact per-file
+    position kills under the spec's sequence rule
+    (``equality_kill_positions`` — the changelog's machinery), every
+    file with a killed row joins the rewrite set, and dropping the
+    delete manifests is then exact.  Refusals: live files under more
     than one partition spec (the single output manifest declares one
-    spec), non-v2 tables."""
+    spec), non-v2 tables (v3 compaction must preserve row lineage)."""
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
@@ -2224,11 +2228,6 @@ def rewrite_data_files(
     _, live, pos_deletes, eq_deletes = iceberg_live_files(
         spark, table_path
     )
-    if eq_deletes:
-        raise UnsupportedIcebergFeature(
-            "table carries equality deletes; rewrite would need their "
-            "sequence bookkeeping — refusing"
-        )
     if not live:
         return {"snapshot_id": None, "files_rewritten": 0}
     default_spec = md.get("default-spec-id", 0)
@@ -2266,6 +2265,82 @@ def rewrite_data_files(
                 os.path.abspath(_abs(p))
                 for p in tbl.column("file_path").to_pylist()
             }
+    # equality deletes reduce to EXACT per-file position kills under
+    # the spec's strictly-older sequence rule (the changelog's
+    # machinery, partition-scoped, with identity-constant
+    # substitution); every file with a killed row must be rewritten,
+    # after which dropping every delete manifest is exact
+    eq_kills: dict[str, list[int]] = {}
+    if eq_deletes:
+        from .iceberg_reader import (
+            _eq_partition_key,
+            _identity_sources_by_spec,
+            equality_kill_positions,
+        )
+
+        id2name_eq = _field_names_by_id(md)
+        n2id_eq = {v: k for k, v in id2name_eq.items()}
+        spec_part_eq = {
+            int(sp.get("spec-id", 0)): bool(sp.get("fields"))
+            for sp in md.get("partition-specs", [])
+        }
+        eq_groups: dict[tuple, list[tuple]] = {}
+        for d in eq_deletes:
+            dspec = int(d.get("__spec_id") or 0)
+            eq_groups.setdefault(
+                tuple(
+                    sorted(int(i) for i in d.get("equality_ids"))
+                ),
+                [],
+            ).append(
+                (
+                    _abs(d["file_path"]),
+                    int(d["__seq"]) if d.get("__seq") is not None
+                    else None,
+                    _eq_partition_key(dspec, d.get("partition"))
+                    if spec_part_eq.get(dspec)
+                    else None,
+                )
+            )
+        sch_eq = _spark_schema(spark, md)
+        ident_by_spec_eq = _identity_sources_by_spec(md)
+        default_ident_eq = _identity_partition_sources(md)
+        live_seq_eq: dict[str, int | None] = {}
+        live_pkey_eq: dict[str, str] = {}
+        consts_eq: dict[str, dict] = {}
+        for f in live:
+            ap = os.path.abspath(_abs(f["file_path"]))
+            live_seq_eq[ap] = (
+                int(f["__seq"]) if f.get("__seq") is not None
+                else None
+            )
+            live_pkey_eq[ap] = _eq_partition_key(
+                f.get("__spec_id"), f.get("partition")
+            )
+            ident_m = ident_by_spec_eq.get(
+                f.get("__spec_id"), default_ident_eq
+            )
+            part_m = f.get("partition") or {}
+            cvals = {}
+            for col in sch_eq.names:
+                pfname = ident_m.get(n2id_eq.get(col))
+                if pfname is None:
+                    continue
+                cvals[col] = _coerce_partition_value(
+                    part_m.get(pfname), sch_eq[col].dataType
+                )
+            if cvals:
+                consts_eq[ap] = cvals
+        eq_kills = equality_kill_positions(
+            sorted(eq_groups.items()),
+            live_seq_eq,
+            {},
+            id2name_eq,
+            consts=consts_eq,
+            live_pkey=live_pkey_eq,
+        )
+        del_targets |= set(eq_kills)
+
     todo_keys = {
         k
         for k, fs in groups.items()
@@ -2275,7 +2350,7 @@ def rewrite_data_files(
             for f in fs
         )
     }
-    if not todo_keys and not pos_deletes:
+    if not todo_keys and not pos_deletes and not eq_kills:
         return {"snapshot_id": None, "files_rewritten": 0}
     # a delete may target a file in a 1-file group: pull those in too
     for k, fs in groups.items():
@@ -2315,7 +2390,14 @@ def rewrite_data_files(
             )
             scan_schema = _spark_schema(spark, md, field_ids=True)
         df = spark.read.schema(scan_schema).parquet(*paths)
-        if pos_deletes:
+        grp_eq_rows = [
+            (ap, int(pos))
+            for ap in (
+                os.path.abspath(p_) for p_ in paths
+            )
+            for pos in eq_kills.get(ap, ())
+        ] if eq_kills else []
+        if pos_deletes or grp_eq_rows:
             from pyspark.sql.types import LongType, StringType
             from pyspark.sql.types import StructField, StructType
 
@@ -2327,27 +2409,40 @@ def rewrite_data_files(
             )
             del_schema = StructType(
                 [
-                    StructField("file_path", StringType()),
-                    StructField("pos", LongType()),
+                    StructField("__rw_path", StringType()),
+                    StructField("__rw_pos", LongType()),
                 ]
             )
-            raw = F.regexp_replace(
-                F.col("file_path"), "^file:(//)?", ""
-            )
-            dels = (
-                spark.read.schema(del_schema)
-                .parquet(
-                    *[_abs(f["file_path"]) for f in pos_deletes]
+            dels = None
+            if pos_deletes:
+                pd_schema = StructType(
+                    [
+                        StructField("file_path", StringType()),
+                        StructField("pos", LongType()),
+                    ]
                 )
-                .select(
-                    F.when(raw.startswith("/"), raw)
-                    .otherwise(
-                        F.concat(F.lit(table_path + "/"), raw)
+                raw = F.regexp_replace(
+                    F.col("file_path"), "^file:(//)?", ""
+                )
+                dels = (
+                    spark.read.schema(pd_schema)
+                    .parquet(
+                        *[_abs(f["file_path"]) for f in pos_deletes]
                     )
-                    .alias("__rw_path"),
-                    F.col("pos").alias("__rw_pos"),
+                    .select(
+                        F.when(raw.startswith("/"), raw)
+                        .otherwise(
+                            F.concat(F.lit(table_path + "/"), raw)
+                        )
+                        .alias("__rw_path"),
+                        F.col("pos").alias("__rw_pos"),
+                    )
                 )
-            )
+            if grp_eq_rows:
+                kdf = spark.createDataFrame(grp_eq_rows, del_schema)
+                dels = (
+                    kdf if dels is None else dels.unionByName(kdf)
+                )
             df = df.join(
                 dels, ["__rw_path", "__rw_pos"], "left_anti"
             ).drop("__rw_path", "__rw_pos")

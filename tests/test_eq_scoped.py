@@ -538,3 +538,59 @@ def test_dml_on_upserted_table(spark, tmp_path):
         else:
             state.pop(r.id, None)
     assert state == got
+
+
+def test_rewrite_compacts_equality_deletes(spark, tmp_path):
+    """Round 11: compaction no longer refuses equality deletes — they
+    reduce to exact position kills (sequence-ruled, scoped), every
+    touched file rewrites, all delete manifests drop, and the
+    strictly-newer re-insert SURVIVES (the sequence rule held through
+    the rewrite)."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "rw")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 30).repartition(3).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    write_equality_deletes(
+        spark, path,
+        spark.createDataFrame([(4,), (9,)], "id long"), ["id"],
+    )
+    # re-insert key 4 AFTER the delete: strictly newer, must survive
+    append_to_iceberg(
+        spark,
+        spark.createDataFrame([(4, 44.0)], "id long, v double"),
+        path,
+    )
+    before = _rows(read_iceberg_table(spark, path))
+    info = rewrite_data_files(spark, path, target_size_bytes=1 << 30)
+    assert info["snapshot_id"] is not None
+    after = _rows(read_iceberg_table(spark, path))
+    assert after == before
+    assert (4, 44.0) in after and (9, 9.0) not in after
+    # all delete manifests dropped; no eq deletes remain live
+    _, live, posd, eqd = iceberg_live_files(spark, path)
+    assert eqd == [] and posd == []
+    # changelog across the whole history still replays (the replace
+    # snapshot contributes nothing)
+    ch = read_iceberg_changelog(spark, path).collect()
+    state: dict = {}
+    for r in sorted(
+        ch, key=lambda r: (r._snapshot_id, r._change_type == "insert")
+    ):
+        if r._change_type == "insert":
+            state[r.id] = r.v
+        else:
+            state.pop(r.id, None)
+    assert sorted(state.items()) == after
