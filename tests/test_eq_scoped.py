@@ -594,3 +594,58 @@ def test_rewrite_compacts_equality_deletes(spark, tmp_path):
         else:
             state.pop(r.id, None)
     assert sorted(state.items()) == after
+
+
+def test_v3_partitioned_scoped_upsert_interaction(spark, tmp_path):
+    """Feature interaction: v3 table (row lineage) + identity
+    partitioning + PARTITION-SCOPED keyed upsert + changelog replay +
+    lineage read — all round-11 pieces composed."""
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+    )
+
+    path = str(tmp_path / "v3sc")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 12).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    upgrade_iceberg_to_v3(spark, path)
+    upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(4, "1", 444.0), (100, "2", 1.0)],
+            "id long, part string, v double",
+        ),
+        ["id", "part"],
+    )
+    # scoped route on v3: no unpartitioned spec appended
+    md = load_iceberg_metadata(path)
+    assert md["format-version"] == 3
+    assert all(sp.get("fields") for sp in md["partition-specs"])
+    got = {r.id: r.v for r in read_iceberg_table(spark, path).collect()}
+    assert got[4] == 444.0 and got[100] == 1.0 and len(got) == 13
+    # lineage: upserted rows take fresh counter ids; others keep
+    lin = {
+        r.id: r._row_id
+        for r in read_iceberg_table(
+            spark, path, row_lineage=True
+        ).collect()
+    }
+    assert {lin[4], lin[100]} == {12, 13}
+    # changelog cumulative == snapshot
+    ch = read_iceberg_changelog(spark, path).collect()
+    state: dict = {}
+    for r in sorted(
+        ch, key=lambda r: (r._snapshot_id, r._change_type == "insert")
+    ):
+        if r._change_type == "insert":
+            state[r.id] = r.v
+        else:
+            state.pop(r.id, None)
+    assert state == got
