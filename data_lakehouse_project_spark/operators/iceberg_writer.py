@@ -1760,6 +1760,7 @@ def upsert_into_iceberg(
     table_path: str,
     source: DataFrame,
     key_columns: list[str],
+    delete_keys: DataFrame | None = None,
 ) -> dict:
     """Keyed UPSERT on a foreign Iceberg v2 table — the streaming-CDC
     commit shape (Flink's upsert sink): ONE snapshot carrying an
@@ -1785,9 +1786,14 @@ def upsert_into_iceberg(
     unpartitioned-spec route.  ``source`` must carry every
     table column and at most one row per key (enforced — duplicate
     keys in one batch would make the surviving row undefined).
+
+    ``delete_keys`` (optional, key columns only) are keys to KILL
+    WITHOUT re-inserting — the full CDC-batch shape (a changelog
+    stream's -D rows): they join the same equality-delete manifest,
+    in the same ONE snapshot; a key may not appear in both frames.
     Returns
-    ``{"snapshot_id", "rows_upserted", "delete_files", "data_files",
-    "metadata"}``."""
+    ``{"snapshot_id", "rows_upserted", "keys_deleted",
+    "delete_files", "data_files", "metadata"}``."""
     table_path = os.path.abspath(table_path)
     md_file = _latest_metadata_file(table_path)
     md = load_iceberg_metadata(table_path)
@@ -1820,6 +1826,31 @@ def upsert_into_iceberg(
         raise ValueError(f"source is missing table columns {missing}")
     from pyspark.sql import functions as _F
 
+    key_frames = source.select(*key_columns)
+    n_del_keys = 0
+    if delete_keys is not None:
+        missing_dk = [
+            c for c in key_columns if c not in delete_keys.columns
+        ]
+        if missing_dk:
+            raise ValueError(
+                f"delete_keys is missing key columns {missing_dk}"
+            )
+        dk = delete_keys.select(*key_columns).dropDuplicates()
+        n_del_keys = dk.count()
+        both = (
+            source.select(*key_columns)
+            .join(dk, key_columns, "inner")
+            .limit(1)
+            .collect()
+        )
+        if both:
+            raise ValueError(
+                f"key {tuple(both[0][c] for c in key_columns)} is in "
+                "both source and delete_keys — a key may only be "
+                "upserted OR deleted in one batch"
+            )
+        key_frames = key_frames.unionByName(dk)
     dup = (
         source.groupBy(*key_columns)
         .count()
@@ -1840,7 +1871,7 @@ def upsert_into_iceberg(
     snapshot_id = (max(snap_ids) + 1) if snap_ids else 1
 
     del_files, n_keys = _stage_eq_delete_files(
-        spark, md, schema_fields, source.select(*key_columns),
+        spark, md, schema_fields, key_frames,
         key_columns, table_path, snapshot_id,
         part_fields=eq_part_fields,
     )
@@ -1850,8 +1881,8 @@ def upsert_into_iceberg(
     )
     if not data_files and not del_files:
         return {"snapshot_id": None, "rows_upserted": 0,
-                "delete_files": 0, "data_files": 0,
-                "metadata": md_file}
+                "keys_deleted": 0, "delete_files": 0,
+                "data_files": 0, "metadata": md_file}
     rows: list[dict] = []
     rollback: list[str] = [p for p, *_ in data_files] + [
         p for p, *_ in del_files
@@ -1916,6 +1947,7 @@ def upsert_into_iceberg(
     return {
         "snapshot_id": snapshot_id,
         "rows_upserted": n_rows,
+        "keys_deleted": n_del_keys,
         "delete_files": len(del_files),
         "data_files": len(data_files),
         "metadata": new_path,

@@ -649,3 +649,62 @@ def test_v3_partitioned_scoped_upsert_interaction(spark, tmp_path):
         else:
             state.pop(r.id, None)
     assert state == got
+
+
+def test_upsert_with_delete_keys_cdc_batch(spark, tmp_path):
+    """One snapshot applying a FULL CDC batch: upserts AND deletions
+    (delete_keys kills without re-inserting); scoped on partitioned
+    tables; changelog replays exactly; both-frames key refused."""
+    path = str(tmp_path / "cdcb")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 12).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    src = spark.createDataFrame(
+        [(4, "1", 444.0), (100, "2", 1.0)],
+        "id long, part string, v double",
+    )
+    dels = spark.createDataFrame(
+        [(7, "1"), (9, "0")], "id long, part string"
+    )
+    info = upsert_into_iceberg(
+        spark, path, src, ["id", "part"], delete_keys=dels
+    )
+    assert info["keys_deleted"] == 2
+    # scoped route still engages (keys cover the partition source)
+    md = load_iceberg_metadata(path)
+    assert all(sp.get("fields") for sp in md["partition-specs"])
+    got = {r.id: r.v for r in read_iceberg_table(spark, path).collect()}
+    assert 7 not in got and 9 not in got
+    assert got[4] == 444.0 and got[100] == 1.0
+    assert len(got) == 12 - 2 + 1  # 12 base, -2 deleted, +1 fresh
+
+    ch = read_iceberg_changelog(spark, path).collect()
+    last = max(r._snapshot_id for r in ch)
+    diff = sorted(
+        (r._change_type, r.id)
+        for r in ch
+        if r._snapshot_id == last
+    )
+    assert diff == [
+        ("delete", 4), ("delete", 7), ("delete", 9),
+        ("insert", 4), ("insert", 100),
+    ]
+
+    with pytest.raises(ValueError, match="both"):
+        upsert_into_iceberg(
+            spark, path,
+            spark.createDataFrame(
+                [(4, "1", 1.0)], "id long, part string, v double"
+            ),
+            ["id", "part"],
+            delete_keys=spark.createDataFrame(
+                [(4, "1")], "id long, part string"
+            ),
+        )
