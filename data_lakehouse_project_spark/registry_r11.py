@@ -386,6 +386,127 @@ ORDER BY region
 """
 
 
+def q_foreign_iceberg_cdc_batch(spark, sf_dir):
+    """nation → identity-partitioned Iceberg export → ONE
+    ``upsert_into_iceberg`` snapshot applying a FULL CDC batch:
+    upserts (key%5==0 uppercased + one fresh key) AND deletions
+    (``delete_keys``: key%5==1, killed WITHOUT re-inserting — a
+    changelog stream's -D rows) → changelog per-type counts joined
+    with the final-state rollup."""
+    from data_lakehouse_project_spark.operators.iceberg_export import (
+        export_iceberg_metadata,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        read_iceberg_changelog,
+        read_iceberg_table,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upsert_into_iceberg,
+    )
+    from data_lakehouse_project_spark.operators.txnlog import TxnTable
+
+    nation = _nation(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="graft_fcdcb_")
+    try:
+        t = TxnTable(os.path.join(tmp, "src"))
+        t.write(nation, mode="overwrite", partition_by=["n_regionkey"])
+        export_iceberg_metadata(t, spark)
+        src = nation.where("n_nationkey % 5 = 0").select(
+            "n_nationkey",
+            F.upper("n_name").alias("n_name"),
+            "n_regionkey",
+        ).unionByName(
+            spark.createDataFrame(
+                [(4000, "FRESH", 0)],
+                "n_nationkey long, n_name string, n_regionkey long",
+            )
+        )
+        dels = nation.where("n_nationkey % 5 = 1").select(
+            "n_nationkey", "n_regionkey"
+        )
+        info = upsert_into_iceberg(
+            spark, t.path, src, ["n_nationkey", "n_regionkey"],
+            delete_keys=dels,
+        )
+        assert info["keys_deleted"] == 5
+        state = (
+            read_iceberg_table(spark, t.path)
+            .groupBy("n_regionkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").alias("key_sum"),
+            )
+        )
+        ch = (
+            read_iceberg_changelog(spark, t.path)
+            .groupBy("n_regionkey", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("n_regionkey")
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "delete",
+                           F.col("n")).otherwise(0)
+                ).alias("n_deletes"),
+                F.sum(
+                    F.when(F.col("_change_type") == "insert",
+                           F.col("n")).otherwise(0)
+                ).alias("n_inserts"),
+            )
+        )
+        result = (
+            state.join(ch, "n_regionkey")
+            .select(
+                F.col("n_regionkey").alias("region"),
+                "n_rows",
+                "key_sum",
+                F.col("n_deletes").cast("long").alias("n_deletes"),
+                F.col("n_inserts").cast("long").alias("n_inserts"),
+            )
+            .orderBy("region")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# final state: all nation keys except %5==1, plus 4000 in region 0;
+# per-region deletes = pre-images of replaced (%5==0) + killed
+# (%5==1) keys; inserts = initial 25 + post-images + the fresh key.
+SQL_FOREIGN_CDC_BATCH = """
+WITH final_state AS (
+  SELECT n_regionkey, n_nationkey FROM nation
+  WHERE n_nationkey % 5 <> 1
+  UNION ALL
+  SELECT 0, 4000
+),
+dels AS (
+  SELECT n_regionkey, COUNT(*) AS n_deletes FROM nation
+  WHERE n_nationkey % 5 IN (0, 1)
+  GROUP BY n_regionkey
+),
+ins AS (
+  SELECT n_regionkey, COUNT(*) AS n_inserts FROM (
+    SELECT n_regionkey FROM nation
+    UNION ALL
+    SELECT n_regionkey FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT 0
+  ) GROUP BY n_regionkey
+)
+SELECT f.n_regionkey AS region,
+       COUNT(*) AS n_rows,
+       CAST(SUM(f.n_nationkey) AS BIGINT) AS key_sum,
+       CAST(MAX(COALESCE(d.n_deletes, 0)) AS BIGINT) AS n_deletes,
+       CAST(MAX(i.n_inserts) AS BIGINT) AS n_inserts
+FROM final_state f
+LEFT JOIN dels d ON f.n_regionkey = d.n_regionkey
+LEFT JOIN ins i ON f.n_regionkey = i.n_regionkey
+GROUP BY f.n_regionkey
+ORDER BY region
+"""
+
+
 def build(helpers: dict) -> dict:
     _helpers.update(helpers)
     return {
@@ -400,5 +521,9 @@ def build(helpers: dict) -> dict:
         "foreign_iceberg_v3_lineage": (
             q_foreign_iceberg_v3_lineage,
             SQL_FOREIGN_V3_LINEAGE,
+        ),
+        "foreign_iceberg_cdc_batch": (
+            q_foreign_iceberg_cdc_batch,
+            SQL_FOREIGN_CDC_BATCH,
         ),
     }
