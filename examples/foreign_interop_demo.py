@@ -284,6 +284,99 @@ def main() -> None:
     )
     print("OK: CDF-enabled DML emitted spec _change_data cdc files "
           "and the reader replayed pre/post images")
+
+    # ---- round 11: partition-scoped CDC batch + v3 lineage + DV DML
+    # + eq-delete compaction, end to end on a fresh table
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+        load_iceberg_metadata,
+        read_iceberg_table,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        rewrite_data_files,
+        upgrade_iceberg_to_v3,
+        upsert_into_iceberg,
+    )
+
+    p11 = os.path.join(root, "r11")
+    t11 = TxnTable(p11)
+    t11.write(
+        spark.range(0, 12).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS amount",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t11, spark)
+    upgrade_iceberg_to_v3(spark, p11)          # row lineage init
+    info = upsert_into_iceberg(                # ONE CDC batch:
+        spark, p11,                            # 1 upsert + 1 insert
+        spark.createDataFrame(                 # + 2 deletions
+            [(4, "1", 444.0), (100, "2", 1.0)],
+            "id long, part string, amount double",
+        ),
+        ["id", "part"],
+        delete_keys=spark.createDataFrame(
+            [(7, "1"), (9, "0")], "id long, part string"
+        ),
+    )
+    assert info["keys_deleted"] == 2
+    md11 = load_iceberg_metadata(p11)
+    assert all(sp.get("fields") for sp in md11["partition-specs"]), (
+        "scoped route expected (keys cover the partition source)"
+    )
+    lin = {
+        r.id: r._row_id
+        for r in read_iceberg_table(
+            spark, p11, row_lineage=True
+        ).collect()
+    }
+    assert 7 not in lin and lin[0] == 0 and lin[4] >= 12
+    print(
+        "OK: one-snapshot CDC batch (scoped eq deletes + upsert) on "
+        "a v3 table; row lineage intact"
+    )
+    # compaction over equality deletes (v2 — v3 compaction refuses
+    # by design until row-lineage materialization lands)
+    p11b = os.path.join(root, "r11b")
+    t11b = TxnTable(p11b)
+    t11b.write(
+        spark.range(0, 12).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS amount",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t11b, spark)
+    upsert_into_iceberg(
+        spark, p11b,
+        spark.createDataFrame(
+            [(4, "1", 444.0)],
+            "id long, part string, amount double",
+        ),
+        ["id", "part"],
+        delete_keys=spark.createDataFrame(
+            [(7, "1")], "id long, part string"
+        ),
+    )
+    before11 = {
+        (r.id, r.amount)
+        for r in read_iceberg_table(spark, p11b).collect()
+    }
+    rewrite_data_files(spark, p11b, target_size_bytes=1 << 30)
+    _, _, posd11, eqd11 = iceberg_live_files(spark, p11b)
+    assert eqd11 == [] and posd11 == []
+    after11 = {
+        (r.id, r.amount)
+        for r in read_iceberg_table(spark, p11b).collect()
+    }
+    assert after11 == before11
+    print(
+        "OK: compaction applied the equality deletes exactly and "
+        "dropped every delete manifest"
+    )
     spark.stop()
 
 
