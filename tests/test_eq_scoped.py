@@ -708,3 +708,116 @@ def test_upsert_with_delete_keys_cdc_batch(spark, tmp_path):
                 [(4, "1")], "id long, part string"
             ),
         )
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_randomized_scoped_mix(spark, tmp_path, seed):
+    """Randomized append/scoped-upsert/global-delete/delete_keys mix
+    on a partitioned table, model-checked against a pure-Python
+    replica: snapshot == model, changelog cumulative == snapshot at
+    every step's end."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz{seed}")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 20).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        append_to_iceberg,
+    )
+
+    # model: {(id, part): v} — key = (id, part) for scoped ops,
+    # global deletes kill by id across partitions
+    model = {(i, str(i % 4)): float(i) for i in range(20)}
+    next_id = 100
+    for step in range(6):
+        op = rng.choice(["append", "upsert", "global_del", "cdc"])
+        if op == "append":
+            rows = [
+                (next_id + j, str((next_id + j) % 4),
+                 float(next_id + j))
+                for j in range(rng.randint(1, 3))
+            ]
+            next_id += 10
+            append_to_iceberg(
+                spark,
+                spark.createDataFrame(
+                    rows, "id long, part string, v double"
+                ),
+                path,
+            )
+            for i, p, v in rows:
+                model[(i, p)] = v
+        elif op == "upsert":
+            keys = rng.sample(sorted(model), min(2, len(model)))
+            rows = [(i, p, model[(i, p)] + 1000.0) for i, p in keys]
+            rows.append((next_id, str(next_id % 4), 1.0))
+            next_id += 10
+            upsert_into_iceberg(
+                spark, path,
+                spark.createDataFrame(
+                    rows, "id long, part string, v double"
+                ),
+                ["id", "part"],
+            )
+            for i, p, v in rows:
+                model[(i, p)] = v
+        elif op == "global_del":
+            ids = {i for i, _ in model}
+            kill = rng.sample(sorted(ids), min(2, len(ids)))
+            write_equality_deletes(
+                spark, path,
+                spark.createDataFrame(
+                    [(i,) for i in kill], "id long"
+                ),
+                ["id"],  # does NOT cover the partition source: GLOBAL
+            )
+            model = {
+                k: v for k, v in model.items() if k[0] not in kill
+            }
+        else:  # cdc batch: one upsert + one deletion
+            keys = rng.sample(sorted(model), min(3, len(model)))
+            up = keys[:1]
+            dels = [k for k in keys[1:2]]
+            src = [(i, p, -1.0) for i, p in up]
+            upsert_into_iceberg(
+                spark, path,
+                spark.createDataFrame(
+                    src, "id long, part string, v double"
+                ),
+                ["id", "part"],
+                delete_keys=spark.createDataFrame(
+                    dels, "id long, part string"
+                )
+                if dels
+                else None,
+            )
+            for i, p, v in src:
+                model[(i, p)] = v
+            for k in dels:
+                model.pop(k, None)
+        got = {
+            (r.id, r.part): r.v
+            for r in read_iceberg_table(spark, path).collect()
+        }
+        assert got == model, f"step {step} ({op}): mismatch"
+
+    # changelog cumulative state == final snapshot
+    ch = read_iceberg_changelog(spark, path).collect()
+    state: dict = {}
+    for r in sorted(
+        ch, key=lambda r: (r._snapshot_id, r._change_type == "insert")
+    ):
+        if r._change_type == "insert":
+            state[(r.id, r.part)] = r.v
+        else:
+            state.pop((r.id, r.part), None)
+    assert state == model
