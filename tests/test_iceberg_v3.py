@@ -783,3 +783,51 @@ def test_v3_initial_default_streaming(spark, tmp_path):
     got = dict(sink)
     assert got[0] == 7 and got[39] == 7 and got[100] == 9
     assert len(sink) == 41
+
+
+def test_v3_partial_dv_supersession(spark, tmp_path):
+    """A delete manifest holding DVs for SEVERAL files, then a second
+    DELETE touching only SOME of them: the rewritten manifest keeps
+    the untouched DVs as EXISTING (original attribution) and flips
+    only the superseded ones — still at most one live DV per file,
+    reads exact, changelog emits each kill once."""
+    from collections import Counter
+
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+    )
+
+    path = str(tmp_path / "psup")
+    t = TxnTable(path)
+    # 4 files of 10 rows each (ids 0..39, file i holds 10i..10i+9)
+    t.write(
+        spark.range(0, 40)
+        .repartitionByRange(4, "id")
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    upgrade_iceberg_to_v3(spark, path)
+    # first delete touches EVERY file (one manifest, 4 DV entries)
+    delete_from_iceberg(spark, path, "id % 10 = 3")
+    # second delete touches only the low-id files
+    delete_from_iceberg(spark, path, "id IN (1, 11)")
+    _, _, posd, _ = iceberg_live_files(spark, path)
+    dvs = [f for f in posd if f.get("__is_dv")]
+    cnt = Counter(f["referenced_data_file"] for f in dvs)
+    assert max(cnt.values()) == 1 and len(cnt) == 4
+    # merged DVs on the touched files, originals on the rest
+    sizes = sorted(
+        len(dv_positions_of_entry(path, f)) for f in dvs
+    )
+    assert sizes == [1, 1, 2, 2]
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    dead = {3, 13, 23, 33, 1, 11}
+    assert got == [i for i in range(40) if i not in dead]
+    ch = read_iceberg_changelog(spark, path).collect()
+    dels = [r.id for r in ch if r._change_type == "delete"]
+    assert sorted(dels) == sorted(dead)
+    assert len(dels) == len(set(dels))
