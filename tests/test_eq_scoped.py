@@ -709,6 +709,20 @@ def test_upsert_with_delete_keys_cdc_batch(spark, tmp_path):
             ),
         )
 
+    # pure-deletion batch (empty source, only -D rows)
+    info2 = upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame([], "id long, part string, v double"),
+        ["id", "part"],
+        delete_keys=spark.createDataFrame(
+            [(2, "2")], "id long, part string"
+        ),
+    )
+    assert info2["keys_deleted"] == 1 and info2["data_files"] == 0
+    assert 2 not in {
+        r.id for r in read_iceberg_table(spark, path).collect()
+    }
+
 
 @pytest.mark.parametrize("seed", [11, 42])
 def test_randomized_scoped_mix(spark, tmp_path, seed):
