@@ -1629,9 +1629,82 @@ def iceberg_metadata_df(
             for f in live + pos_del + eq_del
         ]
         return spark.createDataFrame(rows, schema)
+    if kind == "partitions":
+        # per-partition rollup of the selected snapshot's LIVE data
+        # files (the Spark-Iceberg `table.partitions` shape): the
+        # manifest partition tuple serialized as a sorted JSON string
+        # (specs can evolve — a stringly key is honest across specs),
+        # plus spec id, file/record/byte counts
+        _, live, _, _ = iceberg_live_files(
+            spark, table_path, snapshot_id=snapshot_id
+        )
+        agg: dict[tuple, list] = {}
+        for f in live:
+            key = (
+                json.dumps(
+                    sorted(
+                        (str(k), str(v))
+                        for k, v in (f.get("partition") or {}).items()
+                    )
+                ),
+                int(f.get("__spec_id") or 0),
+            )
+            a = agg.setdefault(key, [0, 0, 0])
+            a[0] += 1
+            a[1] += int(f.get("record_count") or 0)
+            a[2] += int(f.get("file_size_in_bytes") or 0)
+        schema = StructType(
+            [
+                StructField("partition", StringType()),
+                StructField("spec_id", IntegerType()),
+                StructField("file_count", LongType()),
+                StructField("record_count", LongType()),
+                StructField("total_size_in_bytes", LongType()),
+            ]
+        )
+        rows = [
+            (k, sid, int(a[0]), int(a[1]), int(a[2]))
+            for (k, sid), a in sorted(agg.items())
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "refs":
+        # branch/tag references (`table.refs`): filesystem tables
+        # usually carry only the implicit main branch; explicit refs
+        # in the metadata surface verbatim
+        schema = StructType(
+            [
+                StructField("name", StringType()),
+                StructField("type", StringType()),
+                StructField("snapshot_id", LongType()),
+                StructField("max_reference_age_ms", LongType()),
+                StructField("min_snapshots_to_keep", IntegerType()),
+                StructField("max_snapshot_age_ms", LongType()),
+            ]
+        )
+        refs = dict(md.get("refs") or {})
+        cur = md.get("current-snapshot-id")
+        if "main" not in refs and cur is not None and cur != -1:
+            refs["main"] = {"snapshot-id": cur, "type": "branch"}
+        rows = [
+            (
+                name,
+                r.get("type"),
+                (
+                    int(r["snapshot-id"])
+                    if r.get("snapshot-id") is not None
+                    else None
+                ),
+                r.get("max-ref-age-ms"),
+                r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+            )
+            for name, r in sorted(refs.items())
+        ]
+        return spark.createDataFrame(rows, schema)
     raise ValueError(
         f"unknown metadata table {kind!r} "
-        "(snapshots | history | manifests | files)"
+        "(snapshots | history | manifests | files | partitions | "
+        "refs)"
     )
 
 

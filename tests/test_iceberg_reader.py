@@ -1027,5 +1027,16 @@ def test_metadata_tables(spark, foreign_iceberg):
     assert sorted(
         os.path.basename(r.file_path) for r in files.collect()
     ) == ["a.parquet", "c.parquet"]
+    # round 11: partitions + refs metadata tables
+    parts = iceberg_metadata_df(
+        spark, foreign_iceberg, "partitions"
+    ).collect()
+    assert sum(r.file_count for r in parts) == 2
+    assert sum(r.record_count for r in parts) == sum(
+        r.record_count for r in files.collect() if r.content == 0
+    )
+    refs = iceberg_metadata_df(spark, foreign_iceberg, "refs")
+    main = {r.name: r for r in refs.collect()}["main"]
+    assert main.type == "branch" and main.snapshot_id == 202
     with pytest.raises(ValueError, match="unknown metadata table"):
-        iceberg_metadata_df(spark, foreign_iceberg, "partitions")
+        iceberg_metadata_df(spark, foreign_iceberg, "entries")
