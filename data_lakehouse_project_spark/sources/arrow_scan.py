@@ -270,8 +270,12 @@ class _ArrowScanReader(DataSourceReader):
             # Footer first: resolve the declared schema against the
             # file's physical columns so the read is column-pruned —
             # a narrow rollup over a wide table reads narrow IO.
-            pf = pq.ParquetFile(spec["path"])
-            fschema = pf.schema_arrow
+            # One dataset handle = ONE footer parse for both the
+            # schema and the (possibly filtered) read.
+            import pyarrow.dataset as pds
+
+            dset = pds.dataset(spec["path"], format="parquet")
+            fschema = dset.schema
             by_id: dict[int, str] = {}
             if ids:  # only an ids-mapped plan (Iceberg) resolves by id
                 for af in fschema:
@@ -306,19 +310,19 @@ class _ArrowScanReader(DataSourceReader):
                 )
                 if expr is not None:
                     try:
-                        table = pq.read_table(
-                            spec["path"], columns=needed, filters=expr
+                        table = dset.to_table(
+                            columns=needed, filter=expr
                         )
                     except Exception:
                         table = None  # fall through: unfiltered read
             if table is None:
                 if needed:
-                    table = pf.read(columns=needed)
+                    table = dset.to_table(columns=needed)
                 else:  # all-consts/null projection: rows only
                     table = pa.table(
                         {
                             "__n": pa.nulls(
-                                pf.metadata.num_rows, pa.int8()
+                                dset.count_rows(), pa.int8()
                             )
                         }
                     )

@@ -275,14 +275,29 @@ def test_arrow_scan_reads_only_declared_columns(tmp_path, monkeypatch):
         "ids": {},
         "files": [{"path": path, "consts": {}, "dead": []}],
     }
+    import pyarrow.dataset as pds
+
     seen = []
-    orig = pq.ParquetFile.read
+    orig_factory = pds.dataset
 
-    def spy(self, columns=None, **kw):
-        seen.append(columns)
-        return orig(self, columns=columns, **kw)
+    class _Spy:
+        def __init__(self, inner):
+            self._inner = inner
 
-    monkeypatch.setattr(pq.ParquetFile, "read", spy)
+        @property
+        def schema(self):
+            return self._inner.schema
+
+        def count_rows(self, *a, **kw):
+            return self._inner.count_rows(*a, **kw)
+
+        def to_table(self, columns=None, **kw):
+            seen.append(columns)
+            return self._inner.to_table(columns=columns, **kw)
+
+    monkeypatch.setattr(
+        pds, "dataset", lambda *a, **kw: _Spy(orig_factory(*a, **kw))
+    )
     _, out = _direct_read(plan)
     assert seen == [["c3", "k"]]
     assert out.column_names == ["c3", "k"]
@@ -306,16 +321,31 @@ def test_arrow_scan_all_consts_projection_reads_no_columns(
             {"path": path, "consts": {"part": "a"}, "dead": [1, 2]}
         ],
     }
-    called = []
+    import pyarrow.dataset as pds
+
+    orig_factory = pds.dataset
+
+    class _NoRead:
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def schema(self):
+            return self._inner.schema
+
+        def count_rows(self, *a, **kw):
+            return self._inner.count_rows(*a, **kw)
+
+        def to_table(self, *a, **kw):
+            raise AssertionError(
+                "column IO on an all-consts projection"
+            )
+
     monkeypatch.setattr(
-        pq.ParquetFile,
-        "read",
-        lambda self, **kw: called.append(kw) or (_ for _ in ()).throw(
-            AssertionError("column IO on an all-consts projection")
-        ),
+        pds, "dataset",
+        lambda *a, **kw: _NoRead(orig_factory(*a, **kw)),
     )
     _, out = _direct_read(plan)
-    assert not called
     assert out.num_rows == 98  # 100 minus 2 dead positions
     assert out.column("part").to_pylist()[:2] == ["a", "a"]
 
