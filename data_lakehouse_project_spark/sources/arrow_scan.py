@@ -22,8 +22,10 @@ via joins and per-file consts):
 * pre-evolution files surfacing added columns as null.
 
 The plan ships via a JSON spill file (options are string-only), one
-entry per data file.  Equality deletes are NOT handled here — callers
-keep the JVM anti-join path when any are live.
+entry per data file.  Equality deletes are not applied INSIDE the
+source — the readers compose their sequence-ruled anti-join on top of
+the emitted provenance columns (``emit_meta``), so they ride this
+path too (round 11).
 
 Scan-side IO reduction (round 11):
 
