@@ -1,4 +1,4 @@
-"""Round-11 registry additions: the two foreign-Iceberg capabilities
+"""Round-11 registry additions: the foreign-Iceberg capabilities
 this round shipped, value-pinned against plain-SQL oracles —
 
 * a PARTITION-SCOPED keyed upsert (keys cover the identity partition
@@ -12,9 +12,14 @@ this round shipped, value-pinned against plain-SQL oracles —
   append/delete/upsert history to the exact changelog (it used to
   refuse at the first non-append snapshot): per-snapshot-ordinal
   insert rollups, ordinals via dense_rank so snapshot ids never leak
-  into the oracle.
+  into the oracle;
+* the v3 ROW-LINEAGE round trip (upgrade -> DV delete -> upsert ->
+  ``row_lineage=True`` read) with the ``_row_id`` arithmetic itself
+  value-pinned;
+* a one-snapshot FULL CDC batch (upserts + ``delete_keys``) with
+  changelog per-type counts.
 
-Both are bounded by nation's size (25 rows at any SF) — the table
+All are bounded by nation's size (25 rows at any SF) — the table
 format work never touches the fact tables.
 
 Reference scope note: the reference pipeline only writes plain
