@@ -831,3 +831,43 @@ def test_v3_partial_dv_supersession(spark, tmp_path):
     dels = [r.id for r in ch if r._change_type == "delete"]
     assert sorted(dels) == sorted(dead)
     assert len(dels) == len(set(dels))
+
+
+def test_v3_multi_manifest_dv_supersession(spark, tmp_path):
+    """One DML superseding DVs that live in TWO different prior
+    manifests: both rewrite in the same commit, every file keeps at
+    most one live DV, totals exact."""
+    from collections import Counter
+
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        upgrade_iceberg_to_v3,
+    )
+
+    path = str(tmp_path / "mm")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 40)
+        .repartitionByRange(4, "id")
+        .selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    upgrade_iceberg_to_v3(spark, path)
+    delete_from_iceberg(spark, path, "id = 5")    # M1: file 0 only
+    delete_from_iceberg(spark, path, "id = 35")   # M2: file 3 only
+    # touches files 0..3 -> supersedes M1's and M2's DVs at once
+    delete_from_iceberg(spark, path, "id % 10 = 7")
+    _, _, posd, _ = iceberg_live_files(spark, path)
+    dvs = [f for f in posd if f.get("__is_dv")]
+    cnt = Counter(f["referenced_data_file"] for f in dvs)
+    assert max(cnt.values()) == 1 and len(cnt) == 4
+    dead = {5, 35, 7, 17, 27, 37}
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [i for i in range(40) if i not in dead]
+    ch = read_iceberg_changelog(spark, path).collect()
+    dels = [r.id for r in ch if r._change_type == "delete"]
+    assert sorted(dels) == sorted(dead)
+    assert len(dels) == len(set(dels))
