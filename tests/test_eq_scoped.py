@@ -835,3 +835,36 @@ def test_randomized_scoped_mix(spark, tmp_path, seed):
         else:
             state.pop((r.id, r.part), None)
     assert state == model
+
+
+def test_time_travel_before_scoped_delete(spark, tmp_path):
+    """Time travel to a pre-upsert snapshot ignores later scoped
+    equality deletes entirely (the delete prune sees only that
+    snapshot's manifests)."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_snapshot_ids,
+    )
+
+    path = str(tmp_path / "tt")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 9).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    sid0 = [s for s, _ in iceberg_snapshot_ids(path)][-1]
+    upsert_into_iceberg(
+        spark, path,
+        spark.createDataFrame(
+            [(4, "1", 44.0)], "id long, part string, v double"
+        ),
+        ["id", "part"],
+    )
+    old = read_iceberg_table(spark, path, snapshot_id=sid0)
+    assert {r.id: r.v for r in old.collect()}[4] == 4.0
+    new = read_iceberg_table(spark, path)
+    assert {r.id: r.v for r in new.collect()}[4] == 44.0
