@@ -245,24 +245,37 @@ _DEFAULT_OK_TYPES = {
     "int", "long", "float", "double", "string", "boolean", "date"
 }
 
+# sentinel default value for columns whose initial-default TYPE this
+# reader cannot coerce: carried through the per-file presence-gated
+# fill machinery so the refusal fires ONLY when a file actually lacks
+# the column (a table whose every live file carries it reads fine —
+# the default is never consulted).  JSON-safe, never a real value.
+UNSUPPORTED_DEFAULT = "__graft_unsupported_initial_default__"
+
+
+def _raise_unsupported_default(col: str):
+    raise UnsupportedIcebergFeature(
+        f"column {col!r} carries a non-primitive initial-default "
+        f"(supported: {sorted(_DEFAULT_OK_TYPES)}) and is physically "
+        "absent from a data file — refusing rather than surfacing "
+        "nulls where the spec requires the default"
+    )
+
 
 def _initial_defaults(md: dict) -> dict[str, object]:
     """v3 ``initial-default`` values by column name (spec "Default
     values"): rows of data files written BEFORE the field existed
-    read the initial default, not null.  Primitive types only —
-    anything else is refused loudly (never silently nulled)."""
+    read the initial default, not null.  Non-primitive defaults map
+    to ``UNSUPPORTED_DEFAULT`` — the fill sites refuse if (and only
+    if) such a column is actually absent from a scanned file."""
     out: dict[str, object] = {}
     for f in _current_schema(md).get("fields", []):
         if "initial-default" not in f:
             continue
         t = f.get("type")
         if not isinstance(t, str) or t not in _DEFAULT_OK_TYPES:
-            raise UnsupportedIcebergFeature(
-                f"initial-default on column {f['name']!r} of type "
-                f"{t!r} is not supported (primitive "
-                f"{sorted(_DEFAULT_OK_TYPES)} only) — refusing "
-                "rather than surfacing nulls"
-            )
+            out[f["name"]] = UNSUPPORTED_DEFAULT
+            continue
         out[f["name"]] = f["initial-default"]
     return out
 
@@ -535,15 +548,22 @@ def equality_kill_positions(
                     ),
                 )
             )
-        min_del_seq = min(s for s, _, _ in keysets)
+        max_del_seq = max(s for s, _, _ in keysets)
         for path, dseq in live_seq.items():
             if dseq is None:
                 raise UnsupportedIcebergFeature(
                     "equality deletes require data sequence numbers "
                     f"on every live entry; missing for {path}"
                 )
-            if int(dseq) >= min_del_seq:
-                continue  # no delete file is strictly newer
+            if int(dseq) >= max_del_seq:
+                # NO delete file in the group is strictly newer than
+                # this data file.  (MAX, not min: a group can span
+                # sequence numbers — e.g. rewrite_data_files
+                # aggregates every live delete across snapshots —
+                # and a file newer than the OLDEST delete may still
+                # be older than a later one; the per-delete seq
+                # check below does the exact filtering.)
+                continue
             eff: set = set()
             for del_seq, pkey, ks in keysets:
                 if int(dseq) >= del_seq:
@@ -1264,6 +1284,8 @@ def read_iceberg_table(
                     if fids
                     else c in fsch.names
                 )
+                if not present and dv == UNSUPPORTED_DEFAULT:
+                    _raise_unsupported_default(c)
                 vals.append(
                     None
                     if present
@@ -2256,6 +2278,8 @@ def read_iceberg_changelog(
             _dflt_absent[path] = absent
         if col not in absent:
             return None  # physically present: keep genuine values
+        if _dflt[col] == UNSUPPORTED_DEFAULT:
+            _raise_unsupported_default(col)
         return _coerce_partition_value(
             _dflt[col], schema[col].dataType
         )

@@ -927,6 +927,14 @@ def _iceberg_keyed_scan(spark: SparkSession, table_path: str, md: dict):
                     if fids
                     else c in fsch.names
                 )
+                if not present:
+                    from .iceberg_reader import (
+                        UNSUPPORTED_DEFAULT,
+                        _raise_unsupported_default,
+                    )
+
+                    if dv == UNSUPPORTED_DEFAULT:
+                        _raise_unsupported_default(c)
                 vals.append(
                     None
                     if present
@@ -1449,15 +1457,29 @@ def _ensure_unpartitioned_spec(md: dict) -> int:
 
 
 def _eq_scoped_part_fields(
-    part_fields: list[dict], equality_columns: list[str]
+    md: dict, part_fields: list[dict], equality_columns: list[str]
 ) -> list[dict] | None:
     """The table's partition fields when EVERY one's source column is
     among the equality columns — the condition under which each key
     row determines its partition tuple exactly, so the delete files
     can be PARTITION-SCOPED (Flink's upsert-sink shape) instead of
-    taking the spec's global unpartitioned route.  None otherwise."""
+    taking the spec's global unpartitioned route.  None otherwise.
+
+    Scoping additionally requires the metadata to carry ONLY the
+    default spec: per the spec a partitioned delete applies to data
+    files of the SAME spec + partition value, so after partition
+    evolution a delete scoped to the new spec would silently skip
+    matching rows in live files still stored under an older spec —
+    the global route is the correct (conservative) choice there.
+    Metadata-only check: inspecting which specs actually hold live
+    files would cost an O(files) manifest walk on an otherwise
+    O(keys) verb."""
     if not part_fields:
         return None
+    specs = md.get("partition-specs", [])
+    if len(specs) != 1:
+        return None  # evolution (or a prior global-route
+        # unpartitioned spec): older-spec files may be live
     eq = set(equality_columns)
     for pf in part_fields:
         if pf.get("transform") == "void":
@@ -1700,7 +1722,7 @@ def write_equality_deletes(
     # the spec's GLOBAL route: the delete manifest declares an
     # UNPARTITIONED spec (added in this same commit when absent).
     eq_part_fields = _eq_scoped_part_fields(
-        part_fields, equality_columns
+        md, part_fields, equality_columns
     )
     eq_spec_id = (
         md.get("default-spec-id", 0)
@@ -1809,7 +1831,9 @@ def upsert_into_iceberg(
     # PARTITION-SCOPED when the keys cover every partition source
     # (Flink's upsert-sink shape — readers skip untouched
     # partitions), else the spec's GLOBAL unpartitioned-spec route
-    eq_part_fields = _eq_scoped_part_fields(part_fields, key_columns)
+    eq_part_fields = _eq_scoped_part_fields(
+        md, part_fields, key_columns
+    )
     eq_spec_id = (
         md.get("default-spec-id", 0)
         if eq_part_fields or not part_fields

@@ -348,6 +348,13 @@ class _ArrowScanReader(DataSourceReader):
                 if src is not None:
                     cols.append(table.column(src).cast(f.type))
                 elif f.name in consts:
+                    from data_lakehouse_project_spark.operators.iceberg_reader import (  # noqa: E501
+                        UNSUPPORTED_DEFAULT,
+                        _raise_unsupported_default,
+                    )
+
+                    if consts[f.name] == UNSUPPORTED_DEFAULT:
+                        _raise_unsupported_default(f.name)
                     v = _coerce_partition_value(
                         consts[f.name], sf.dataType
                     )

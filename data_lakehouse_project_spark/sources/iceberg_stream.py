@@ -672,7 +672,16 @@ class _IcebergStreamReader(DataSourceStreamReader):
             if src is not None:
                 cols.append(table.column(src).cast(f.type))
             elif f.name in consts:
-                # identity-partition constant substitution (spec)
+                # identity-partition constant / initial-default
+                # substitution (spec; presence-gated — only when the
+                # column is physically absent from this file)
+                from data_lakehouse_project_spark.operators.iceberg_reader import (  # noqa: E501
+                    UNSUPPORTED_DEFAULT,
+                    _raise_unsupported_default,
+                )
+
+                if consts[f.name] == UNSUPPORTED_DEFAULT:
+                    _raise_unsupported_default(f.name)
                 v = _coerce_partition_value(
                     consts[f.name], sf.dataType
                 )

@@ -868,3 +868,93 @@ def test_time_travel_before_scoped_delete(spark, tmp_path):
     assert {r.id: r.v for r in old.collect()}[4] == 4.0
     new = read_iceberg_table(spark, path)
     assert {r.id: r.v for r in new.collect()}[4] == 44.0
+
+
+def test_rewrite_compacts_multi_sequence_eq_deletes(spark, tmp_path):
+    """Review finding (r11): equality_kill_positions' short-circuit
+    used MIN of the group's delete sequence numbers — a data file
+    newer than the oldest delete but older than a later one lost its
+    kills.  Reachable through rewrite_data_files, which aggregates
+    every live eq delete into one group: upsert (data@2 + del@2),
+    then a second eq delete @4 replacing a key that lives in the
+    seq-2 data file, then compact — the seq-4 kill must hold."""
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        iceberg_live_files,
+    )
+    from data_lakehouse_project_spark.operators.iceberg_writer import (
+        rewrite_data_files,
+    )
+
+    path = str(tmp_path / "ms")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 10).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)                     # seq 1
+    upsert_into_iceberg(                                  # seq 2
+        spark, path,
+        spark.createDataFrame([(3, 33.0)], "id long, v double"),
+        ["id"],
+    )
+    write_equality_deletes(                               # seq 3
+        spark, path,
+        spark.createDataFrame([(3,)], "id long"), ["id"],
+    )  # kills the seq-2 upsert row for key 3
+    before = _rows(read_iceberg_table(spark, path))
+    assert (3, 33.0) not in before and (3, 3.0) not in before
+    rewrite_data_files(spark, path, target_size_bytes=1 << 30)
+    after = _rows(read_iceberg_table(spark, path))
+    assert after == before  # the seq-3 kill survived compaction
+    _, _, posd, eqd = iceberg_live_files(spark, path)
+    assert eqd == [] and posd == []
+
+
+def test_scoped_route_disabled_after_partition_evolution(
+    spark, tmp_path
+):
+    """Review finding (r11): a table whose metadata carries MORE than
+    the default spec (partition evolution, or a prior global-route
+    unpartitioned spec) must take the GLOBAL route even when the keys
+    cover the current partition sources — a scoped delete would
+    silently skip matching rows in older-spec live files."""
+    import json as _json
+
+    from data_lakehouse_project_spark.operators.iceberg_reader import (
+        _latest_metadata_file,
+    )
+
+    path = str(tmp_path / "evo")
+    t = TxnTable(path)
+    t.write(
+        spark.range(0, 9).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part",
+            "CAST(id AS DOUBLE) AS v",
+        ),
+        mode="overwrite",
+        partition_by=["part"],
+    )
+    export_iceberg_metadata(t, spark)
+    # simulate partition evolution: the existing spec 0 keeps the
+    # live data manifests' attribution; a NEW identical spec 1
+    # becomes the default (so metadata carries TWO specs)
+    md_file = _latest_metadata_file(path)
+    md = _json.load(open(md_file))
+    cur = md["partition-specs"][0]
+    md["partition-specs"] = [cur, {**cur, "spec-id": 1}]
+    md["default-spec-id"] = 1
+    _json.dump(md, open(md_file, "w"))
+
+    write_equality_deletes(
+        spark, path,
+        spark.createDataFrame([(4, "1")], "id long, part string"),
+        ["id", "part"],
+    )
+    # GLOBAL route: delete manifests under an unpartitioned spec with
+    # empty tuples, and the row is gone
+    for spec_id, df_ in _delete_entries(spark, path):
+        assert (df_.get("partition") or {}) == {}
+    got = sorted(r.id for r in read_iceberg_table(spark, path).collect())
+    assert got == [0, 1, 2, 3, 5, 6, 7, 8]

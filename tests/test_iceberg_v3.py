@@ -731,7 +731,14 @@ def test_v3_initial_default_reads(spark, tmp_path, monkeypatch):
     assert dels == {0: 7, 1: 7, 2: 7, 3: 7, 4: 7}
 
 
-def test_v3_unsupported_default_type_refused(spark, tmp_path):
+def test_v3_unsupported_default_type_refused_only_when_needed(
+    spark, tmp_path
+):
+    """A non-primitive initial-default refuses ONLY when some file
+    physically lacks the column (the default would be consulted);
+    a table whose every live file carries it reads fine (review
+    finding: the old check raised eagerly and made previously-
+    readable tables unreadable)."""
     from data_lakehouse_project_spark.operators.iceberg_writer import (
         upgrade_iceberg_to_v3,
     )
@@ -739,8 +746,44 @@ def test_v3_unsupported_default_type_refused(spark, tmp_path):
     path = _export_table(spark, tmp_path, "dfltbad")
     upgrade_iceberg_to_v3(spark, path)
     _add_default_column(path, "amt", "decimal(10, 2)", "1.00")
-    with pytest.raises(UnsupportedIcebergFeature, match="initial-default"):
+    with pytest.raises(
+        UnsupportedIcebergFeature, match="initial-default"
+    ):
         read_iceberg_table(spark, path).collect()
+
+    # every-file-carries-it case: stamp the default metadata onto an
+    # EXISTING physical column — never consulted, reads fine
+    path2 = str(tmp_path / "dfltok")
+    t = TxnTable(path2)
+    t.write(
+        spark.range(0, 6).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v",
+            "CAST(id AS DECIMAL(10, 2)) AS amt",
+        ),
+        mode="overwrite",
+    )
+    export_iceberg_metadata(t, spark)
+    md_file = _latest_metadata_file(path2)
+    md = load_iceberg_metadata(path2)
+    sch = next(
+        x for x in md["schemas"]
+        if x["schema-id"] == md["current-schema-id"]
+    )
+    for f in sch["fields"]:
+        if f["name"] == "amt":
+            f["initial-default"] = "1.00"
+    cur_v = int(os.path.basename(md_file)[1:].split(".")[0])
+    meta_dir = os.path.join(path2, "metadata")
+    with open(
+        os.path.join(meta_dir, f"v{cur_v + 1}.metadata.json"), "x"
+    ) as fh:
+        json.dump(md, fh)
+    with open(
+        os.path.join(meta_dir, "version-hint.text"), "w"
+    ) as fh:
+        fh.write(str(cur_v + 1))
+    got = read_iceberg_table(spark, path2)
+    assert got.count() == 6  # default never consulted: no refusal
 
 
 def test_v3_initial_default_streaming(spark, tmp_path):
