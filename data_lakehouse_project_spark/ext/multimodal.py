@@ -602,8 +602,14 @@ def sample_video_frames(
     are map-side, the output is scalar-only frame metadata. The
     ``every_n`` stride skips whole frames BEFORE pixel work (headers
     are parsed to find offsets, rasters of skipped frames are never
-    touched)."""
+    touched). Only the two columns the kernel reads cross the Arrow
+    boundary (guide §4.1: Spark can't see inside mapInPandas, an
+    explicit select is the only column pruning it gets). No fan-out
+    here: an A/B at sf0.1 (tiny 2-frame blobs) measured the exchange +
+    per-worker Arrow overhead LOSING to the single-task decode."""
     import numpy as np
+
+    df = df.select("media_id", "content")
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -276,7 +276,13 @@ def cosine_pairs_lsh(
 
     # the self-join reads this projection twice and Spark does not reuse
     # the exchange across the two sides — persist the banded triples
-    # (id, buckets, tbl, bucket) so the bucket computation runs once
+    # (id, buckets, tbl, bucket) so the bucket computation runs once.
+    # Fan out an under-partitioned input first: the bucket matmul is the
+    # heavy map stage and a single-split scan serializes it behind one
+    # task (measured 1.6x at sf0.1; no-op on multi-split inputs).
+    from data_lakehouse_project_spark.ext.skew import fan_out_input
+
+    df = fan_out_input(df, id_col)
     banded = df.select(
         F.col(id_col).alias("id"),
         all_buckets(F.col(vec_col)).alias("bkts"),

@@ -61,7 +61,15 @@ def avg_token_length(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-document stats in ONE projection over one scan."""
+    """Per-document stats in ONE projection over one scan.
+
+    The projection tokenizes the text several times (token, stopword,
+    punct counts) through interpreted higher-order functions, so an
+    under-partitioned input serializes it behind one task — fan out
+    first (measured 1.6x at sf0.1; no-op on multi-split inputs)."""
+    from data_lakehouse_project_spark.ext.skew import fan_out_input
+
+    df = fan_out_input(df, id_col)
     t = F.col(text_col)
     n_tok = token_count(t)
     return df.select(

@@ -68,7 +68,7 @@ _STOP_EN_SQL = "['" + "','".join(X_text.STOPWORDS["en"]) + "']"
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    tables = load_testdata(spark, sf_dir)
+    tables = load_testdata(spark, sf_dir, names=names)
     return [tables[n] for n in names]
 
 

@@ -49,7 +49,7 @@ def _r2(col):
 
 
 def _t(spark, sf_dir, *names):
-    tables = load_testdata(spark, sf_dir)
+    tables = load_testdata(spark, sf_dir, names=names)
     return [tables[n] for n in names]
 
 
@@ -626,7 +626,7 @@ def q_percentile_disc(spark, sf_dir):
         grouped_quantiles_disc,
     )
 
-    tables = load_testdata(spark, sf_dir)
+    tables = load_testdata(spark, sf_dir, names=("lineitem",))
     qq = grouped_quantiles_disc(
         tables["lineitem"].select("l_returnflag", "l_quantity"),
         ["l_returnflag"],

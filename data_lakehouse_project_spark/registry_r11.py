@@ -41,7 +41,7 @@ _helpers: dict = {}
 
 
 def _nation(spark, sf_dir):
-    return load_testdata(spark, sf_dir)["nation"].select(
+    return load_testdata(spark, sf_dir, names=("nation",))["nation"].select(
         "n_nationkey", "n_name", "n_regionkey"
     )
 

@@ -27,7 +27,7 @@ _helpers: dict = {}
 
 
 def _t(spark, sf_dir, *names):
-    tables = load_testdata(spark, sf_dir)
+    tables = load_testdata(spark, sf_dir, names=names)
     return [tables[n] for n in names]
 
 

@@ -42,7 +42,7 @@ def _r2(col):
 
 
 def _t(spark, sf_dir, *names):
-    tables = load_testdata(spark, sf_dir)
+    tables = load_testdata(spark, sf_dir, names=names)
     return [tables[n] for n in names]
 
 

@@ -344,12 +344,19 @@ def read_iceberg(
 
 
 def load_testdata(
-    spark: SparkSession, sf_dir: str | None = None, register_views: bool = False
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    register_views: bool = False,
+    names: tuple[str, ...] | list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Load the driver's star-schema testdata directory.
 
     Returns {table_name: DataFrame}; optionally registers each as a temp
     view so ``spark.sql`` queries can reference them by name.
+
+    ``names`` restricts loading to the given tables: each table costs a
+    driver-side file listing + footer schema read per call, so callers
+    that need one table shouldn't pay for ten (guide §5: driver work).
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # events.parquet carries TIMESTAMP(NANOS) (pandas-written), which Spark
@@ -357,7 +364,7 @@ def load_testdata(
     # (same truncation DuckDB applies: its timestamps are µs-precision).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
-    for name in TESTDATA_TABLES:
+    for name in names if names is not None else TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(p):
             df = spark.read.parquet(p)
