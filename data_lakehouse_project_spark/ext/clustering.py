@@ -34,12 +34,13 @@ from pyspark.sql import functions as F
 
 from data_lakehouse_project_spark.cacheutil import release_on_gc
 from data_lakehouse_project_spark.ext.similarity import _as_double, cosine
+from data_lakehouse_project_spark.functions.scalar import lit_double_array
 
 
 def _sq_dist(vec: Column, centroid: np.ndarray) -> Column:
     """Squared L2 distance to a literal centroid, as one JVM expression:
     |v|² - 2·v·c + |c|² with |c|² constant-folded."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = lit_double_array(centroid)
     dot = F.aggregate(
         F.zip_with(vec, c, lambda a, b: a * b),
         F.lit(0.0),
@@ -52,7 +53,7 @@ def _sq_dist(vec: Column, centroid: np.ndarray) -> Column:
 def _reduced_score(vec: Column, centroid: np.ndarray) -> Column:
     """-2·v·c + |c|²: monotone in |v-c|² (|v|² is constant across the
     argmin) — half the per-centroid work of the true distance."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = lit_double_array(centroid)
     dot = F.aggregate(
         F.zip_with(vec, c, lambda a, b: a * b),
         F.lit(0.0),

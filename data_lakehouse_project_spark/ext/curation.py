@@ -46,7 +46,10 @@ from data_lakehouse_project_spark.ext.text import (
     stopword_count,
     ws_tokens,
 )
-from data_lakehouse_project_spark.functions.scalar import normalize_text
+from data_lakehouse_project_spark.functions.scalar import (
+    lit_double_array,
+    normalize_text,
+)
 
 
 def _rn(col: Column, digits: int) -> Column:
@@ -301,7 +304,7 @@ def _unit(vec: Column) -> Column:
 
 
 def _dot_lit(vec: Column, q: list[float]) -> Column:
-    arr = F.array(*[F.lit(float(v)) for v in q])
+    arr = lit_double_array(q)
     return F.aggregate(
         F.zip_with(vec, arr, lambda a, b: a * b),
         F.lit(0.0),

@@ -191,6 +191,11 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_hashes // bands
 
+    # (fan_out_input on the raw input was A/B-measured a LOSS here —
+    # the group-collapse shuffle right below already parallelizes every
+    # downstream stage, and the extra exchange costs more than the
+    # single-task tokenize it saves)
+
     # token strings are xxhash64'd ONCE here; every downstream stage
     # (group fingerprint, signatures, verify) runs on long arrays —
     # sorting/hashing/set-intersecting 8-byte ints instead of strings
@@ -262,7 +267,7 @@ def minhash_near_duplicates(
     # sf0.1: t=0.9 raw candidates 10.8M -> 5.4M, distinct 4.6M -> 1.8M;
     # t=0.7 distinct -21%). NaN edge preserved: two empty token sets
     # pass 0 <= 0 and still reach the verify's 0/0.
-    cand = (
+    raw_cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -277,7 +282,6 @@ def minhash_near_duplicates(
         .select(
             F.col("a.rep_id").alias("rep_a"), F.col("b.rep_id").alias("rep_b")
         )
-        .distinct()
     )
 
     # materializes the persisted `grouped` once and sizes the broadcast
@@ -346,6 +350,12 @@ def minhash_near_duplicates(
         thr = float(jaccard_threshold)
         id_t = df.schema[id_col].dataType.simpleString()
 
+        # distinct-first on this route too: verify-before-distinct was
+        # A/B-measured ~2x SLOWER (the multi-band duplicate factor
+        # multiplies the Arrow transfer and kernel work by more than
+        # the distinct exchange costs)
+        cand = raw_cand.distinct()
+
         def _verify(batches):
             tm = bc_tok.value
             for pb in batches:
@@ -370,6 +380,7 @@ def minhash_near_duplicates(
             _verify, f"rep_a {id_t}, rep_b {id_t}, jaccard double"
         )
     else:
+        cand = raw_cand.distinct()
 
         def _bt(d: DataFrame) -> DataFrame:  # token-array payload joins
             return F.broadcast(d) if small_tok else d

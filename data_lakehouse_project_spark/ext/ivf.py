@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_lakehouse_project_spark.ext.similarity import _as_double, cosine
+from data_lakehouse_project_spark.functions.scalar import lit_double_array
 
 
 def train_centroids(
@@ -47,7 +48,7 @@ def _nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        lit_double_array(c),
                         lambda a, b: (a - b) * (a - b),
                     ),
                     F.lit(0.0),
@@ -95,7 +96,7 @@ def ivf_topk(
     probe_ids = [int(i) for i in order[:nprobe]]
 
     assigned = assign_lists(df, vec_col, centroids)
-    qcol = F.array(*[F.lit(float(x)) for x in query])
+    qcol = lit_double_array(query)
     score = cosine(_as_double(F.col(vec_col)), qcol)
     return (
         assigned.where(F.col("list_id").isin(probe_ids))
@@ -150,7 +151,7 @@ def probe_ivf_index(
     probe_ids = [int(i) for i in order[:nprobe]]
 
     df = spark.read.parquet(path)
-    qcol = F.array(*[F.lit(float(x)) for x in query])
+    qcol = lit_double_array(query)
     score = cosine(_as_double(F.col(vec_col)), qcol)
     return (
         df.where(F.col("list_id").isin(probe_ids))

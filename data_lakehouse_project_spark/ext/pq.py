@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_lakehouse_project_spark.functions.scalar import lit_double_array
+
 
 def _lloyd(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Seeded Lloyd k-means on a small in-memory matrix (training runs on
@@ -151,12 +153,12 @@ def adc_topk(
         # element_at over a literal array = O(1) lookup table in codegen
         dot_terms.append(
             F.element_at(
-                F.array(*[F.lit(float(v)) for v in dots]), code + 1
+                lit_double_array(dots), code + 1
             )
         )
         nrm_terms.append(
             F.element_at(
-                F.array(*[F.lit(float(v)) for v in nrms]), code + 1
+                lit_double_array(nrms), code + 1
             )
         )
     approx_dot = sum(dot_terms[1:], dot_terms[0])
@@ -211,7 +213,7 @@ def pq_topk(
         cosine,
     )
 
-    qcol = SF.array(*[SF.lit(float(x)) for x in query])
+    qcol = lit_double_array(query)
     exact = cosine(_as_double(SF.col(vec_col)), qcol)
     return (
         df.join(SF.broadcast(shortlist.select(id_col)), id_col)

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from data_lakehouse_project_spark.cacheutil import release_on_gc
+from data_lakehouse_project_spark.functions.scalar import lit_double_array
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -91,7 +92,7 @@ def cosine_topk(
     constant-folds the query norm; execution is scan → project(score) →
     TakeOrderedAndProject(k). Ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     score = cosine(_as_double(F.col(vec_col)), q)
     return (
         df.select(F.col(id_col), F.round(score, round_to).alias("score"))
@@ -109,7 +110,7 @@ def bucket_id(vec: Column, planes: np.ndarray) -> Column:
     """H-bit sign-random-projection bucket id as a long (H <= 63)."""
     bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = lit_double_array(p)
         bits.append(
             F.when(_dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i))
             .otherwise(F.lit(0).cast("long"))
@@ -161,7 +162,7 @@ def ann_lsh_topk(
         F.col("bucket").bitwiseXOR(F.lit(qbucket))
     ) <= multiprobe_hamming
 
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     score = cosine(_as_double(F.col(vec_col)), q)
     return (
         bucketed.where(probe)

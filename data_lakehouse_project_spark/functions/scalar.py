@@ -25,6 +25,36 @@ SCALAR_FUNCTIONS = {
 }
 
 
+def lit_double_array(values) -> Column:
+    """``array<double>`` literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(float(v)) for v in values])`` costs one py4j
+    round trip per element (~1-2 ms each): a 64-dim query vector is
+    ~100 ms and an 8x64 hyperplane set ~1 s of pure DRIVER time spent
+    building the plan, before anything executes (measured on
+    ann_lsh_probe_topk: 0.91 s plan build vs 0.22 s execution — guide
+    §5, the driver should do almost no work). One ``F.expr`` string is
+    one round trip; the JVM parses it locally.
+
+    Bit-exactness: ``repr(float)`` is the shortest string that
+    round-trips to the same IEEE double, and both Python and Java parse
+    decimal strings to the nearest double, so ``CAST('<repr>' AS
+    DOUBLE)`` yields the identical value ``F.lit`` would have shipped
+    (non-finite values spelled in Spark's cast vocabulary)."""
+
+    def _d(v) -> str:
+        v = float(v)
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    return F.expr("array(" + ",".join(_d(v) for v in values) + ")")
+
+
 def month_bucket(ts: Column) -> Column:
     """'yyyy-MM' month key (ref api_gold_aggregation.py:87)."""
     return F.date_format(ts, "yyyy-MM")

@@ -172,9 +172,20 @@ def _filters_to_expr(filters, resolve):
             vals = [v for v in f.value if v is not None]
             if len(vals) != len(f.value):
                 return None  # null-in-list semantics: punt
+            if any(isinstance(v, float) for v in vals):
+                return None  # float semantics: see below
             return fld.isin(vals)
         v = getattr(f, "value", None)
         if v is None:
+            return None
+        if isinstance(v, float):
+            # Spark NaN semantics (NaN = NaN is true, NaN > x is true)
+            # differ from pyarrow's IEEE comparisons (both false), and
+            # rows dropped HERE cannot be resurrected by Spark's
+            # re-applied filter — so float comparisons are never
+            # translated. A float literal is exactly the
+            # float/double-column case: Catalyst casts the literal to
+            # the column type before pushing. (r12, ADVICE fix.)
             return None
         if isinstance(f, EqualTo):
             return fld == v

@@ -17,12 +17,23 @@ parameterized function supporting all three schema modes of SURVEY §1.3
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from data_lakehouse_project_spark.schemas import TESTDATA_TABLES
+
+# Per-session cache of ANALYZED testdata readers (plan objects, never
+# data): each spark.read.parquet costs a driver round trip + file
+# listing + footer schema read (~120 ms here), and the registry's
+# query builders re-open the same static tables hundreds of times per
+# session (guide §6: file listing is cached per session — this extends
+# the same idea to the reader plan). Keyed by (path, mtime_ns, size) so
+# any rewrite invalidates; weakly keyed by session so a stopped session
+# frees its plans and a fresh session never sees stale handles.
+_READER_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def read_parquet(
@@ -363,17 +374,28 @@ def load_testdata(
     # can't map natively; read nanos as long, then truncate to microseconds
     # (same truncation DuckDB applies: its timestamps are µs-precision).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        cache = _READER_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weakref-able: skip caching
+        cache = {}
     out: dict[str, DataFrame] = {}
     for name in names if names is not None else TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(p):
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+        df = cache.get(key)
+        if df is None:
             df = spark.read.parquet(p)
             for field in df.schema.fields:
                 if field.name == "ts" and field.dataType.simpleString() == "bigint":
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
-            out[name] = df
-            if register_views:
-                df.createOrReplaceTempView(name)
+            cache[key] = df
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
     return out

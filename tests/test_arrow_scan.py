@@ -426,6 +426,48 @@ def test_arrow_scan_filter_translation_gap_is_safe(tmp_path):
     assert out.num_rows == 100
 
 
+def test_arrow_scan_never_translates_float_filters(tmp_path):
+    """r12 ADVICE fix: Spark NaN semantics (NaN > 5.0 is true, NaN = NaN
+    is true) differ from pyarrow's IEEE comparisons, and a NaN row
+    dropped arrow-side cannot be resurrected by Spark's re-applied
+    filter. Float comparisons must therefore never translate — every
+    row (including NaN) comes back and Spark decides."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    from data_lakehouse_project_spark.sources.arrow_scan import (
+        _ArrowScanReader,
+    )
+
+    path = str(tmp_path / "nan.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([1.0, float("nan"), 9.0], pa.float64())}),
+        path,
+    )
+    schema = StructType([StructField("v", DoubleType())])
+    plan = {
+        "schema": schema.jsonValue(),
+        "ids": {},
+        "files": [{"path": path, "consts": {}, "dead": [],
+                   "size": 200}],
+    }
+    for flt in (
+        [GreaterThan(("v",), 5.0)],
+        [EqualTo(("v",), float("nan"))],
+        [In(("v",), (1.0, 9.0))],
+    ):
+        reader = _ArrowScanReader(None, plan)
+        assert list(reader.pushFilters(flt)) == flt
+        out = pa.Table.from_batches(
+            [b for p in reader.partitions() for b in reader.read(p)]
+        )
+        got = out.column("v").to_pylist()
+        assert len(got) == 3 and any(math.isnan(x) for x in got)
+
+
 def test_fast_path_filter_parity_through_spark(
     spark, tmp_path, monkeypatch
 ):

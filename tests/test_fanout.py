@@ -54,6 +54,62 @@ def test_operator_results_unchanged_and_deterministic(spark):
     assert run1 == _rows(plain)
 
 
+def test_load_testdata_reader_cache(spark, tmp_path):
+    """r12: load_testdata caches the ANALYZED reader per (session, path,
+    mtime, size) — plan objects only, never data — and a rewrite of the
+    file invalidates the entry."""
+    import os
+    import shutil
+
+    from data_lakehouse_project_spark.sources.readers import load_testdata
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.range(5).selectExpr("id AS n_nationkey").toPandas().to_parquet(
+        os.path.join(d, "nation.parquet")
+    )
+    a = load_testdata(spark, d, names=("nation",))["nation"]
+    b = load_testdata(spark, d, names=("nation",))["nation"]
+    assert a is b  # cache hit: same analyzed plan object
+    assert a.count() == 5
+    # rewrite -> different (mtime, size) -> fresh reader sees new data
+    spark.range(7).selectExpr("id AS n_nationkey").toPandas().to_parquet(
+        os.path.join(d, "nation.parquet")
+    )
+    c = load_testdata(spark, d, names=("nation",))["nation"]
+    assert c is not a
+    assert c.count() == 7
+    shutil.rmtree(d)
+
+
+def test_lit_double_array_bit_identical(spark):
+    """r12: lit_double_array (one parsed expr instead of one py4j round
+    trip per element) must produce bit-identical doubles to the F.lit
+    path, including subnormals/extremes — plan-build time is the only
+    thing allowed to change."""
+    import random
+    import struct
+
+    from data_lakehouse_project_spark.functions.scalar import (
+        lit_double_array,
+    )
+
+    rng = random.Random(7)
+    vals = (
+        [rng.gauss(0, 1) for _ in range(64)]
+        + [rng.uniform(-1e308, 1e308) for _ in range(16)]
+        + [5e-324, -5e-324, 1.7976931348623157e308, 0.0, -0.0, 1e-309]
+    )
+    df = spark.range(1).select(
+        lit_double_array(vals).alias("a"),
+        F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+    )
+    row = df.first()
+    got = [struct.pack("<d", v) for v in row["a"]]
+    want = [struct.pack("<d", v) for v in row["b"]]
+    assert got == want
+
+
 def test_dup_window_spans_unchanged(spark):
     from data_lakehouse_project_spark.ext.dedup import (
         duplicated_window_spans,
