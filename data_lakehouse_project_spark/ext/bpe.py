@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from data_lakehouse_project_spark.cacheutil import free_local_checkpoint
-from data_lakehouse_project_spark.functions.scalar import normalize_text
+from data_lakehouse_project_spark.ext.text import ws_tokens
 
 
 def _chars(word: Column) -> Column:
@@ -64,7 +64,7 @@ def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     return (
         df.select(
             F.explode(
-                F.split(normalize_text(F.col(text_col)), " ")
+                ws_tokens(F.col(text_col))
             ).alias("word")
         )
         .where(F.length("word") > 0)
@@ -119,7 +119,7 @@ def apply_bpe(
     Merge rules are literals folded into the expression tree (k nested
     folds over each word's char array; keep k modest or pre-segment to
     distinct words and join back for very large k)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    words = ws_tokens(F.col(text_col))
     seg = F.transform(words, lambda w: _apply_to_word(w, merges))
     toks = F.flatten(seg)
     return df.withColumn("bpe_tokens", toks).withColumn(

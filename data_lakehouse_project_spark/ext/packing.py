@@ -133,12 +133,12 @@ def chunk_with_overlap(
     no UDF; ~(n/stride) output rows per doc, each carrying only its
     slice (not the whole doc).
     """
-    from data_lakehouse_project_spark.functions.scalar import normalize_text
+    from data_lakehouse_project_spark.ext.text import ws_tokens
 
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap must be smaller than the chunk size")
     stride = chunk_tokens - overlap_tokens
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = ws_tokens(F.col(text_col))
     n = F.size(toks)
     # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
     n_chunks = (
