@@ -1218,13 +1218,26 @@ def _dup_window_hits(
     if stride > 1:
         wins = wins.where(F.pmod("whash", F.lit(stride)) == 0)
 
+    # persist the window table: it feeds BOTH the frequency aggregate
+    # and the join-back, and the two subtrees differ (agg vs join), so
+    # ReuseExchange never fires — without the cache the window
+    # construction (tokenize + per-start slice/concat/hash, the heavy
+    # per-row stage) runs twice (A/B sf0.1: 1.90 -> 1.26 s). Rows are
+    # (id, n_tokens, pos, whash) ≈ 30 B/window — MEMORY_AND_DISK
+    # default spills rather than OOMs at corpus scale, and ``stride``
+    # divides the cached volume on the 100 TB path. Released with the
+    # result (release_on_gc), same lifecycle as the minhash caches.
+    wins = wins.persist()
     dup_hashes = (
         wins.groupBy("whash")
         .agg(F.count(F.lit(1)).alias("occ"))
         .where(F.col("occ") >= min_repeats)
         .select("whash")
     )
-    return wins.join(dup_hashes, "whash")
+    # callers tie `wins` to their FINAL result via release_on_gc —
+    # attaching it to this intermediate would free the cache the moment
+    # the local name goes out of scope, before the query ever runs
+    return wins.join(dup_hashes, "whash"), wins
 
 
 def duplicated_window_spans(
@@ -1284,7 +1297,7 @@ def duplicated_window_spans(
     """
     from pyspark.sql import Window as W
 
-    hits = _dup_window_hits(
+    hits, wins = _dup_window_hits(
         df, text_col, id_col, window, min_repeats, stride
     )
 
@@ -1311,25 +1324,30 @@ def duplicated_window_spans(
         (F.max("pos") + window - 1).alias("span_end"),
     )
     if not summary:
-        return spans.select(
-            id_col,
-            F.col("span_start").cast("long"),
-            F.col("span_end").cast("long"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("span_tokens"),
+        return release_on_gc(
+            spans.select(
+                id_col,
+                F.col("span_start").cast("long"),
+                F.col("span_end").cast("long"),
+                (F.col("span_end") - F.col("span_start") + 1)
+                .cast("long")
+                .alias("span_tokens"),
+            ),
+            wins,
         )
     span_len = F.col("span_end") - F.col("span_start") + 1
     scale = float(10**round_to)
     frac = F.sum(span_len) / F.any_value("n_tokens")
-    return spans.groupBy(id_col).agg(
-        F.any_value("n_tokens").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
-        F.sum(span_len).cast("long").alias("dup_tokens"),
-        F.max(span_len).cast("long").alias("max_span_tokens"),
-        (F.floor(frac * scale + F.lit(0.5)).cast("double") / scale).alias(
-            "dup_fraction"
+    return release_on_gc(
+        spans.groupBy(id_col).agg(
+            F.any_value("n_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum(span_len).cast("long").alias("dup_tokens"),
+            F.max(span_len).cast("long").alias("max_span_tokens"),
+            (F.floor(frac * scale + F.lit(0.5)).cast("double") / scale)
+            .alias("dup_fraction"),
         ),
+        wins,
     )
 
 
@@ -1439,7 +1457,7 @@ def trim_duplicated_spans_keep_one(
     """
     from pyspark.sql import Window as W
 
-    hits = _dup_window_hits(
+    hits, wins = _dup_window_hits(
         df, text_col, id_col, window, min_repeats, stride
     )
     cls = W.partitionBy("whash").orderBy(id_col, "pos")
@@ -1507,15 +1525,18 @@ def trim_duplicated_spans_keep_one(
     )
     out_cols = [c for c in df.columns if c != text_col]
     joined = df.join(spans_per_doc, id_col, "left")
-    return joined.select(
-        *out_cols,
-        F.when(F.col("_cut").isNull(), F.col(text_col))
-        .otherwise(
-            F.concat_ws(" ", F.transform(kept, lambda t: t["tok"]))
-        )
-        .alias(text_col),
-        F.when(F.col("_cut").isNull(), F.lit(0))
-        .otherwise(F.size(arr) - F.size(kept))
-        .cast("long")
-        .alias("n_tokens_removed"),
+    return release_on_gc(
+        joined.select(
+            *out_cols,
+            F.when(F.col("_cut").isNull(), F.col(text_col))
+            .otherwise(
+                F.concat_ws(" ", F.transform(kept, lambda t: t["tok"]))
+            )
+            .alias(text_col),
+            F.when(F.col("_cut").isNull(), F.lit(0))
+            .otherwise(F.size(arr) - F.size(kept))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        ),
+        wins,
     )

@@ -48,6 +48,28 @@ def test_minhash_finds_near_duplicates(docs):
     assert (0, 3) not in got
 
 
+def test_window_spans_cache_released(spark, docs):
+    """r12: the ExactSubstr window table is persisted (it feeds both
+    the frequency aggregate and the join-back) and must be released
+    with the result — same release_on_gc lifecycle as minhash."""
+    import gc
+
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = persistent_ids()
+    spans = dedup.duplicated_window_spans(
+        docs, "text", "doc_id", window=3
+    )
+    spans.count()
+    assert len(persistent_ids() - before) == 1  # wins cache live
+    del spans
+    gc.collect()
+    leaked = persistent_ids() - before
+    assert not leaked, f"cached RDDs leaked by window spans: {leaked}"
+
+
 def test_minhash_verify_routes_agree(docs):
     """r12: the python-kernel verify (broadcast frozensets, default at
     small rep-table sizes) and the JVM join verify (forced via
