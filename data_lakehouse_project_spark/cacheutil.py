@@ -52,6 +52,30 @@ def release_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+def keep_alive(result: DataFrame, *parents) -> DataFrame:
+    """Pin ``parents`` (and therefore any ``release_on_gc`` finalizers
+    attached to them) until ``result`` is garbage-collected. Returns
+    ``result`` for chaining.
+
+    Needed because a derived PySpark DataFrame holds NO Python
+    reference to the frame it was built from: ``op(...).select(...)``
+    drops the operator's result object immediately, its
+    ``release_on_gc`` finalizer fires, and the operator's persisted
+    intermediates are unpersisted BEFORE the derived plan ever runs —
+    so one action recomputes the cached subtree once per occurrence in
+    the plan (measured r13: doc_pagerank_lsh re-ran the minhash
+    collapse ~5× inside a single count, 7.5 s → 4.3 s once pinned).
+    ``weakref.finalize`` holds strong references to its args until it
+    runs, which is exactly the lifetime extension needed."""
+    weakref.finalize(result, _noop_hold, *parents)
+    return result
+
+
+def _noop_hold(*parents) -> None:
+    """Existence is the point: the finalize entry strong-references
+    ``parents`` until ``result`` is collected."""
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Release the storage blocks of a ``localCheckpoint``'ed DataFrame
     NOW. The data is unrecoverable afterwards (lineage was truncated),

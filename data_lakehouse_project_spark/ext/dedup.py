@@ -1392,6 +1392,11 @@ def trim_duplicated_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
+    # `spans` carries the release_on_gc of the persisted window table;
+    # it must outlive the derived result or the window construction
+    # (the heavy per-row stage) recomputes per consumer in the caller's
+    # action — pin it to the returned frame (cacheutil.keep_alive)
+    from data_lakehouse_project_spark.cacheutil import keep_alive
     arr = tokens(F.col(text_col))
     indexed = F.zip_with(
         arr,
@@ -1408,21 +1413,24 @@ def trim_duplicated_spans(
         c for c in df.columns if c != text_col
     ]
     joined = df.join(per_doc, id_col, "left")
-    return joined.select(
-        *out_cols,
-        F.when(
-            F.col("_spans").isNull(), F.col(text_col)
-        )
-        .otherwise(
-            F.concat_ws(
-                " ", F.transform(kept, lambda t: t["tok"])
+    return keep_alive(
+        joined.select(
+            *out_cols,
+            F.when(
+                F.col("_spans").isNull(), F.col(text_col)
             )
-        )
-        .alias(text_col),
-        F.when(F.col("_spans").isNull(), F.lit(0))
-        .otherwise(F.size(arr) - F.size(kept))
-        .cast("long")
-        .alias("n_tokens_removed"),
+            .otherwise(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda t: t["tok"])
+                )
+            )
+            .alias(text_col),
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(F.size(arr) - F.size(kept))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        ),
+        spans,
     )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from data_lakehouse_project_spark.cacheutil import (
     free_local_checkpoint,
+    keep_alive,
     release_on_gc,
 )
 
@@ -124,13 +125,17 @@ def dedup_clusters(
     (transitive closure of near-dup pairs; untouched docs are their own
     singleton cluster). Keep one doc per cluster_id to deduplicate."""
     cc = connected_components(pairs, src, dst)
-    return (
+    # keep cc alive until the derived result is dropped: when the loop
+    # ends on a non-checkpoint round, cc still reads the persisted edge
+    # set, and cc's release_on_gc firing early would recompute it
+    return keep_alive(
         all_ids.select(F.col(id_col).alias("node"))
         .join(cc, "node", "left")
         .select(
             F.col("node").alias(id_col),
             F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
-        )
+        ),
+        cc,
     )
 
 

@@ -1079,17 +1079,26 @@ def q_neardup_triangle_stats(spark, sf_dir):
     jaccard_pairs_prefix), so this also grades that op in composition;
     the oracle recomputes the same edges quadratically and closes
     triangles with the same smallest-node convention."""
+    from data_lakehouse_project_spark.cacheutil import keep_alive
     from data_lakehouse_project_spark.ext.graph import triangle_stats
 
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = X_dedup.jaccard_pairs_prefix(
         documents, "text", "doc_id", threshold=0.7
     ).select("id_a", "id_b")
-    return triangle_stats(pairs).select(
-        F.col("node").alias("doc_id"),
-        "degree",
-        "n_triangles",
-        "clustering_coeff",
+    # keep the triangle_stats result alive across the rename-select:
+    # dropping it fires its release_on_gc and the persisted edge set is
+    # gone before the plan runs — the prefix-join pipeline would then
+    # recompute once per edge-set occurrence (4×) in the single action
+    ts = triangle_stats(pairs)
+    return keep_alive(
+        ts.select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            "n_triangles",
+            "clustering_coeff",
+        ),
+        ts,
     )
 
 
@@ -1145,14 +1154,22 @@ def q_doc_pagerank_lsh(spark, sf_dir):
     from data_lakehouse_project_spark.ext.graph import pagerank
 
     (documents,) = _t(spark, sf_dir, "documents")
-    from data_lakehouse_project_spark.cacheutil import release_on_gc
+    from data_lakehouse_project_spark.cacheutil import keep_alive
 
     # 32 hashes / 8 bands (not the dedup pipeline's 64/16): candidates
     # are Jaccard-VERIFIED, so banding only sets recall, and at s=0.9
     # the 8-band S-curve is already 1-(1-0.9^4)^8 ≈ 0.9998 — measured
     # identical edge sets at sf0.1 (29,122 both configs) for 2.2× less
     # signature+band work (10.1 s → 4.7 s edge gen)
-    pairs = X_dedup.minhash_near_duplicates(
+    #
+    # `mh` is kept ALIVE (named binding + keep_alive below) so the
+    # minhash pipeline's internal caches survive until pagerank has
+    # consumed the edges: the r12 shape dropped the intermediate right
+    # after .select(), its release_on_gc fired, and pagerank's edge
+    # count recomputed the collapse subtree ~5× in one action
+    # (measured r13: 7.5 s → 4.3 s). pagerank persists the exploded
+    # edge set itself, so no extra persist of `pairs` is needed.
+    mh = X_dedup.minhash_near_duplicates(
         documents,
         "text",
         "doc_id",
@@ -1160,14 +1177,10 @@ def q_doc_pagerank_lsh(spark, sf_dir):
         bands=8,
         jaccard_threshold=0.9,
         expand=False,
-    ).select(
+    )
+    pairs = mh.select(
         F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b")
     )
-    # persist across pagerank's two actions (mid-loop checkpoint +
-    # final collect): without this the LSH pipeline recomputes per
-    # action — its internal caches die with the intermediate result
-    # (release_on_gc) before the loop ever runs
-    pairs = pairs.persist()
     # small_graph: rep-grain near-dup edges are SUBLINEAR in corpus
     # size (29k at sf0.1, 2.7× at 10× docs — probed), so the 4M bound
     # covers very large corpora; past it the distributed 2-shuffle
@@ -1176,7 +1189,7 @@ def q_doc_pagerank_lsh(spark, sf_dir):
     out = pagerank(pairs, iterations=5, small_graph=4_000_000).select(
         F.col("node").alias("doc_id"), "rank"
     )
-    return release_on_gc(out, pairs)
+    return keep_alive(out, mh)
 
 
 def _pr_iterations(k: int) -> str:
@@ -1545,11 +1558,16 @@ def q_semantic_dedup_prune(spark, sf_dir):
         semantic_dedup_prune,
     )
 
+    from data_lakehouse_project_spark.cacheutil import keep_alive
+
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     kept = semantic_dedup_prune(
         embeddings, "embedding", "vec_id", threshold=0.97, k=6, iters=3
     )
-    return kept.select("vec_id", "label")
+    # pin `kept` (carrying the persisted cluster assignment's
+    # release_on_gc) to the derived frame, or the k-means assignment
+    # recomputes once per plan occurrence in the caller's action
+    return keep_alive(kept.select("vec_id", "label"), kept)
 
 
 def q_ann_batch_topk(spark, sf_dir):

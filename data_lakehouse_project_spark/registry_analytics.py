@@ -335,7 +335,12 @@ def q_basket_pair_lift(spark, sf_dir):
         lineitem, "l_orderkey", "l_partkey",
         min_item_count=2, min_pair_count=2,
     )
-    return (
+    from data_lakehouse_project_spark.cacheutil import keep_alive
+
+    # pin `stats` (carrying the persisted basket table's release_on_gc)
+    # to the derived frame — dropped early, the Apriori-filtered basket
+    # table would recompute once per plan occurrence (4×) in the action
+    return keep_alive(
         stats.select(
             "item_a",
             "item_b",
@@ -346,7 +351,8 @@ def q_basket_pair_lift(spark, sf_dir):
             _rn(F.col("conf_a_to_b"), 4).alias("conf_a_to_b"),
         )
         .orderBy(F.desc("lift"), "item_a", "item_b")
-        .limit(25)
+        .limit(25),
+        stats,
     )
 
 

@@ -333,12 +333,20 @@ def q_token_zipf_fit(spark, sf_dir):
         )
     )
     r6 = _helpers["_rn"]
-    return ranked.agg(
-        F.sum("freq").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).alias("vocab"),
-        r6(F.regr_slope("lf", "lr"), 6).alias("slope"),
-        r6(F.regr_intercept("lf", "lr"), 6).alias("intercept"),
-        r6(F.regr_r2("lf", "lr"), 6).alias("r2"),
+    from data_lakehouse_project_spark.cacheutil import keep_alive
+
+    # pin `fc` (carrying the range-partitioned freq table's
+    # release_on_gc) to the result — dropped early, the corpus
+    # tokenize+count recomputes in the final action
+    return keep_alive(
+        ranked.agg(
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            r6(F.regr_slope("lf", "lr"), 6).alias("slope"),
+            r6(F.regr_intercept("lf", "lr"), 6).alias("intercept"),
+            r6(F.regr_r2("lf", "lr"), 6).alias("r2"),
+        ),
+        fc,
     )
 
 
@@ -375,19 +383,25 @@ def q_corpus_lexical_stats(spark, sf_dir):
     sum_ix = F.sum(
         f * (cnt * start + cnt * (cnt + F.lit(1)) / F.lit(2.0))
     )
-    return fc.agg(
-        n_tokens.cast("long").alias("n_tokens"),
-        n_types.cast("long").alias("vocab"),
-        r6(n_types / n_tokens, 6).alias("type_token_ratio"),
-        r6(
-            F.sum(F.when(f == 1, cnt).otherwise(0)) / n_types, 6
-        ).alias("hapax_frac"),
-        r6(F.max(f) / n_tokens, 6).alias("top1_share"),
-        r6(
-            F.lit(2.0) * sum_ix / (n_types * n_tokens)
-            - (n_types + 1) / n_types,
-            6,
-        ).alias("gini"),
+    from data_lakehouse_project_spark.cacheutil import keep_alive
+
+    # pin `fc` for the same reason as q_token_zipf_fit above
+    return keep_alive(
+        fc.agg(
+            n_tokens.cast("long").alias("n_tokens"),
+            n_types.cast("long").alias("vocab"),
+            r6(n_types / n_tokens, 6).alias("type_token_ratio"),
+            r6(
+                F.sum(F.when(f == 1, cnt).otherwise(0)) / n_types, 6
+            ).alias("hapax_frac"),
+            r6(F.max(f) / n_tokens, 6).alias("top1_share"),
+            r6(
+                F.lit(2.0) * sum_ix / (n_types * n_tokens)
+                - (n_types + 1) / n_types,
+                6,
+            ).alias("gini"),
+        ),
+        fc,
     )
 
 
