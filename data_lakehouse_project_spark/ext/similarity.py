@@ -210,6 +210,7 @@ def cosine_pairs_lsh(
     round_to: int = 6,
     verify: str = "auto",
     broadcast_max_bytes: int = 64 << 20,
+    driver_pairs_max: int = 4_000_000,
 ) -> DataFrame:
     """Near-duplicate embedding pairs via multi-table LSH (the scale path).
 
@@ -244,6 +245,21 @@ def cosine_pairs_lsh(
     HALF_UP — they differ only when a score lands exactly on a 1e-6
     boundary, which the >= threshold filter makes measure-zero in
     practice; the exact-pairs oracle anchors correctness either way.
+
+    ``driver_pairs_max`` (same contract as graph.pagerank's
+    ``small_graph``): when the vector table already sits on the driver
+    (the broadcast route) AND the exact LSH candidate-pair mass
+    (Σ_table Σ_bucket C(|bucket|,2), computed from the same bucket ids
+    the distributed kernel would emit) is at most this bound, the whole
+    bucket → collide → verify pipeline runs vectorized on the driver —
+    one numpy matmul + per-bucket pair expansion + one einsum — instead
+    of paying three python-stage launches plus a self-join exchange of
+    a few thousand rows (~1.5 s of fixed cost at sf0.1 for µs of real
+    work). Pair set and scores are IDENTICAL to the distributed
+    broadcast route: same planes, same sign rule, same unordered-pair
+    dedup across tables, same einsum/np.round scoring (CI-pinned,
+    tests/test_fanout.py). 0 disables; past the bound (real corpora)
+    the distributed pipeline engages unchanged.
     """
     # resolve the verify strategy FIRST so the broadcast path needs just
     # one driver job (the toPandas collect yields count, dim, and the
@@ -263,6 +279,31 @@ def cosine_pairs_lsh(
     planes_all = np.concatenate(
         [_hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)]
     )  # (L*H, dim)
+
+    if pdf is not None and driver_pairs_max:
+        # driver fast path (see docstring): bucket ids computed here are
+        # bit-identical to the all_buckets kernel below (same matmul,
+        # same sign rule, same weights)
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        bits = (mat @ planes_all.T) >= 0
+        bits = bits.reshape(len(mat), num_tables, num_planes)
+        weights = 1 << np.arange(num_planes)
+        vals = (bits * weights).sum(axis=2)  # (n, L)
+        mass = 0
+        for t in range(num_tables):
+            _, cnt = np.unique(vals[:, t], return_counts=True)
+            mass += int((cnt.astype(np.int64) * (cnt - 1) // 2).sum())
+        if mass <= driver_pairs_max:
+            id_type = df.schema[id_col].dataType.simpleString()
+            return _cosine_pairs_driver(
+                df.sparkSession,
+                pdf["id"].to_numpy(),
+                mat,
+                vals,
+                threshold,
+                round_to,
+                id_type,
+            )
 
     @pandas_udf("array<bigint>")
     def all_buckets(v: pd.Series) -> pd.Series:
@@ -347,6 +388,74 @@ def cosine_pairs_lsh(
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score"),
         banded,
+    )
+
+
+def _cosine_pairs_driver(
+    spark,
+    ids: np.ndarray,
+    mat: np.ndarray,
+    vals: np.ndarray,
+    threshold: float,
+    round_to: int,
+    id_type: str,
+) -> DataFrame:
+    """Vectorized small-pool LSH pair pipeline (see cosine_pairs_lsh's
+    ``driver_pairs_max``): per-table per-bucket pair expansion, unordered
+    row-pair dedup across tables (the distributed route's canonical-
+    first-table filter computes the same set), einsum cosine, numpy
+    round — identical pairs and scores to the distributed broadcast
+    route. Row-PAIR grain mirrors the self-join exactly: two rows that
+    share an id value never pair (id_a < id_b is strict there)."""
+    n = len(ids)
+    num_tables = vals.shape[1]
+    px_parts, py_parts = [], []
+    for t in range(num_tables):
+        col = vals[:, t]
+        order = np.argsort(col, kind="stable")
+        sb = col[order]
+        starts = np.flatnonzero(np.r_[True, sb[1:] != sb[:-1]])
+        ends = np.r_[starts[1:], len(sb)]
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            g = order[s:e]
+            px_parts.append(g[iu])
+            py_parts.append(g[ju])
+    if px_parts:
+        px = np.concatenate(px_parts)
+        py = np.concatenate(py_parts)
+        lo = np.minimum(px, py)
+        hi = np.maximum(px, py)
+        packed = np.unique(lo.astype(np.int64) * n + hi)
+        lo, hi = packed // n, packed % n
+        norms = np.linalg.norm(mat, axis=1)
+        # chunked scoring: the einsum itself is per-pair (bit-identical
+        # under any batching) but the mat[lo]/mat[hi] gathers would
+        # materialize |pairs|×dim doubles twice — ~4 GB at the gate
+        # bound — so score in bounded slices
+        sc = np.empty(len(lo), dtype=np.float64)
+        step = 1 << 18
+        for s in range(0, len(lo), step):
+            e = s + step
+            l, h = lo[s:e], hi[s:e]
+            sc[s:e] = np.einsum("ij,ij->i", mat[l], mat[h]) / (
+                norms[l] * norms[h]
+            )
+        sc = np.round(sc, round_to)
+        ida, idb = ids[lo], ids[hi]
+        swap = ida > idb
+        ida, idb = np.where(swap, idb, ida), np.where(swap, ida, idb)
+        keep = (sc >= threshold) & (ida != idb)
+        out = pd.DataFrame(
+            {"id_a": ida[keep], "id_b": idb[keep], "score": sc[keep]}
+        )
+    else:
+        out = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+    return spark.createDataFrame(
+        out, schema=f"id_a {id_type}, id_b {id_type}, score double"
     )
 
 

@@ -10,29 +10,37 @@ reducers — then finalize on key alone. Only decomposable aggregates
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fan_out_input(df: DataFrame, key_col: str | None = None) -> DataFrame:
+def fan_out_input(
+    df: DataFrame,
+    key_col: str | Column | None = None,
+    single_only: bool = False,
+) -> DataFrame:
     """Parallelize an under-partitioned input ahead of per-row-heavy
     work (guide §2.5 "input skew": one unsplittable file serializes the
     whole map stage behind one task — a single-row-group parquet file
     scans as exactly one split no matter how small maxPartitionBytes
     is). Repartitions to the session's default parallelism, hashed on
-    ``key_col`` (default: the first column, a key in every caller), when
+    ``key_col`` (a column name or an arbitrary deterministic Column
+    expression; default: the first column, a key in every caller), when
     the input has materially fewer partitions than the session can run.
 
     Deliberately a hash repartition, not round-robin: with one upstream
     map task the per-target-partition row order is deterministic, so
     tie-sensitive downstream operators see a stable order across runs.
-    At real scale the gate never fires — any table bigger than one input
-    split already fans out at the source, shuffle-free — so this costs
-    nothing where it doesn't help. Callers are the operators whose
-    per-row kernels (codec decode, window shingling, Arrow matmuls,
-    multi-pass tokenize) were MEASURED to dominate one row-exchange;
-    cheap codegen'd scans lose from the extra exchange and must not
-    call this.
+    ``single_only=True`` tightens the gate to exactly-one-partition
+    inputs — the only case where that determinism argument holds; use
+    it when the downstream computes order-sensitive float reductions
+    (see operators/profile.py). At real scale the gate never fires —
+    any table bigger than one input split already fans out at the
+    source, shuffle-free — so this costs nothing where it doesn't
+    help. Callers are the operators whose per-row kernels (codec
+    decode, window shingling, Arrow matmuls, multi-pass tokenize) were
+    MEASURED to dominate one row-exchange; cheap codegen'd scans lose
+    from the extra exchange and must not call this.
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
@@ -40,9 +48,12 @@ def fan_out_input(df: DataFrame, key_col: str | None = None) -> DataFrame:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if par <= 1 or n * 4 > par:
+    if par <= 1 or n * 4 > par or (single_only and n != 1):
         return df
-    return df.repartition(par, F.col(key_col or df.columns[0]))
+    key = key_col if key_col is not None else df.columns[0]
+    if isinstance(key, str):
+        key = F.col(key)
+    return df.repartition(par, key)
 
 
 def salted_aggregate(

@@ -208,6 +208,28 @@ def test_cosine_pairs_lsh_subset_of_exact(vectors):
     assert len(lsh) >= int(0.7 * len(exact))
 
 
+def test_cosine_pairs_lsh_driver_route_parity(vectors):
+    """The driver fast path (driver_pairs_max gate) must emit exactly
+    the distributed broadcast route's pairs AND scores — same planes,
+    sign rule, unordered-pair dedup, einsum/np.round scoring."""
+    df, _ = vectors
+    kw = dict(threshold=0.3, num_planes=4, num_tables=8)
+    fast = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.cosine_pairs_lsh(
+            df, "embedding", "vec_id", **kw
+        ).collect()
+    }
+    dist = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.cosine_pairs_lsh(
+            df, "embedding", "vec_id", driver_pairs_max=0, **kw
+        ).collect()
+    }
+    assert fast == dist  # exact equality incl. float scores
+    assert len(fast) > 0
+
+
 def test_text_stats_hand_checked(spark):
     df = spark.createDataFrame(
         [(1, "The quick fox. It jumps!")], "doc_id long, text string"
